@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic hashes computable identically in Spark and in the DuckDB
+  * oracle (and in any ANSI-ish engine): everything is derived from `md5`
+  * hex strings, which both engines produce byte-identically for UTF-8 input.
+  *
+  * Spark's native `hash`/`xxhash64` and DuckDB's `hash` are different
+  * algorithms, so any operator whose RESULT embeds hash values (MinHash
+  * signatures, SimHash, LSH bucket ids, fingerprints) must use a portable
+  * hash or it can never be oracle-checked. md5 is slower than xxhash64 but
+  * these ops hash short tokens; at 100 TB the cost is still dominated by the
+  * shuffle, and a production deployment would swap in xxhash64 once parity
+  * testing is done (the functions below are the only place to change).
+  */
+object PortableHash {
+
+  /** 60-bit non-negative hash: first 15 hex digits of md5, parsed base-16.
+    * DuckDB equivalent: `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Seeded variant: independent hash families from one md5 by salting.
+    * DuckDB: `CAST('0x' || substr(md5(<seed> || '|' || s),1,15) AS BIGINT)`. */
+  def hash60(seed: Int, c: Column): Column =
+    hash60(concat(lit(s"$seed|"), c))
+
+  /** Seeded md5 hex string (for lexicographic-min MinHash variants where the
+    * signature can stay a string). */
+  def md5Seeded(seed: Int, c: Column): Column =
+    md5(concat(lit(s"$seed|"), c))
+
+  /** SQL fragment mirrors, used to build the oracle strings from the same
+    * constants so Spark and DuckDB can never drift. */
+  def sqlHash60(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+  def sqlHash60(seed: Int, expr: String): String =
+    sqlHash60(s"concat('$seed|', $expr)")
+  def sqlMd5Seeded(seed: Int, expr: String): String =
+    s"md5(concat('$seed|', $expr))"
+}

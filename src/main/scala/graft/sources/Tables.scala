@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table catalog over a scale-factor directory
+  * (`/root/testdata/sf*`, schemas in /root/repo/FIXTURES.md §B).
+  *
+  * The reference engine's only source is line-split text via the default
+  * `TextInputFormat` (reference WordCount.java:60, TopkCommonWords.java:172-173);
+  * our primary at-rest format is Parquet so scans are columnar, splittable and
+  * predicate-pushdown-able — at 100 TB the scan IS the query cost, and
+  * `spark.read.parquet` + column pruning + row-group min/max skipping is the
+  * difference between reading 100 TB and reading 2 TB.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, dir) else
+      spark.read.parquet(path(dir, name))
+
+  /** `events.parquet` carries TIMESTAMP(NANOS) (written by Arrow), which
+    * Spark's parquet reader rejects outright. Read the ns value as a long
+    * (legacy conf) and floor-divide to microseconds — the exact conversion
+    * DuckDB applies when it reads TIMESTAMP_NS, so oracle parity holds. */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path(dir, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** Register every table as a temp view so `spark.sql` mirrors the DuckDB
+    * oracle's naming exactly. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
