@@ -37,7 +37,11 @@ object Catalog {
   private val oneDec: Column = lit(1).cast("decimal(18,2)")
   /** exact decimal sum surfaced as double */
   private def dsum(c: Column): Column = sum(c).cast("double")
-  private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
+  /** Timestamp literal parsed by Catalyst in the SESSION timezone (pinned to
+    * UTC by Verify/Bench/tests) — NOT java.sql.Timestamp.valueOf, which uses
+    * the JVM default timezone and would break oracle parity on a non-UTC
+    * driver JVM. */
+  private def ts(s: String): Column = expr(s"TIMESTAMP '$s'")
 
   // ---- parity helpers (oracle side) ----
   private def sqlDec(e: String): String = s"CAST($e AS DECIMAL(18,2))"

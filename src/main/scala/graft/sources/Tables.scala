@@ -25,15 +25,25 @@ object Tables {
 
   /** `events.parquet` carries TIMESTAMP(NANOS) (written by Arrow), which
     * Spark's parquet reader rejects outright. Read the ns value as a long
-    * (legacy conf) and floor-divide to microseconds — the exact conversion
-    * DuckDB applies when it reads TIMESTAMP_NS, so oracle parity holds. */
+    * (legacy conf) and FLOOR-divide to microseconds — true floor, not
+    * `div` (which truncates toward zero and would round pre-1970 negative
+    * nanos the wrong way vs DuckDB's TIMESTAMP_NS handling). */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Idempotent read-path conf; sessions we own (Verify/Bench/tests) set it
+    // at build time, but the driver may hand us a session it built itself.
+    if (spark.conf.getOption(NanosAsLongKey).forall(_ != "true"))
+      spark.conf.set(NanosAsLongKey, "true")
     spark.read.parquet(path(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // (ts - pmod(ts,1000)) div 1000 = exact integer floor division —
+      // floor(x/1000.0) would round through double and lose precision at
+      // epoch-nanosecond magnitudes (~1.7e18 > 2^53).
+      .withColumn("ts",
+        timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000")))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
+
+  val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
 
   /** Register every table as a temp view so `spark.sql` mirrors the DuckDB
     * oracle's naming exactly. */

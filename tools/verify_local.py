@@ -25,6 +25,10 @@ def cmp_cell(a, b):
     if isinstance(a, float) or isinstance(b, float):
         if a is None or b is None:
             return False
+        # engine type mismatch (e.g. float vs str) must report FAIL, not
+        # crash the verifier with TypeError from math.isnan
+        if not (isinstance(a, float) and isinstance(b, float)):
+            return a == b
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
