@@ -7,48 +7,13 @@ import org.apache.spark.sql.expressions.Window
 import graft.operators.TextOps
 import graft.sources.Tables
 
+import Parity._
+
 /** One named query per operator in SURVEY.md §2, each paired with the ANSI
-  * SQL the DuckDB oracle runs on the same parquet tables.
-  *
-  * Cross-engine parity rules (every query obeys these — the driver
-  * hash-compares values, so "close" is a fail):
-  *  - Money/quantity sums go through DECIMAL(18,2) so both engines sum
-  *    exactly, then cast to DOUBLE once at the end. Raw double sums differ
-  *    in ULPs between engines (different accumulation order).
-  *  - Timestamps in outputs become epoch MILLISECONDS as BIGINT
-  *    (`unix_millis` / `epoch_ms`): Spark's cast-to-long truncates to
-  *    seconds, DuckDB's `epoch()` returns fractional DOUBLE — ms is the
-  *    common exact currency.
-  *  - Integer-ish outputs are LongType (DuckDB aggregates return BIGINT).
-  *  - Every query ends in a deterministic ORDER BY with a unique tie-break.
-  *  - Hash-valued outputs use md5-derived values only (graft.functions
-  *    .PortableHash) — native Spark/DuckDB hashes are different algorithms.
-  */
+  * SQL the DuckDB oracle runs on the same parquet tables. Parity rules and
+  * the QueryDef shape live in graft.queries.Parity; further operator
+  * families in Relational / Dedup / TextAnalysis / Similarity. */
 object Catalog {
-
-  final case class QueryDef(
-      name: String,
-      oracle: Option[String],
-      build: (SparkSession, String) => DataFrame)
-
-  // ---- parity helpers (Spark side) ----
-  private def dec(c: Column): Column = c.cast("decimal(18,2)")
-  private def dec(name: String): Column = dec(col(name))
-  private val oneDec: Column = lit(1).cast("decimal(18,2)")
-  /** exact decimal sum surfaced as double */
-  private def dsum(c: Column): Column = sum(c).cast("double")
-  /** Timestamp literal parsed by Catalyst in the SESSION timezone (pinned to
-    * UTC by Verify/Bench/tests) — NOT java.sql.Timestamp.valueOf, which uses
-    * the JVM default timezone and would break oracle parity on a non-UTC
-    * driver JVM. */
-  private def ts(s: String): Column = expr(s"TIMESTAMP '$s'")
-
-  // ---- parity helpers (oracle side) ----
-  private def sqlDec(e: String): String = s"CAST($e AS DECIMAL(18,2))"
-  private def sqlDsum(e: String): String = s"CAST(sum($e) AS DOUBLE)"
-
-  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(spark, dir, name)
 
   // =========================================================================
   // Reference semantics over the `documents` corpus (SURVEY.md §2.1)
@@ -338,7 +303,7 @@ object Catalog {
     qWordcount, qTopkMax, qTopkMin, qStopword,
     qPricing, qFilterProject, qSortLimit, qJoinAgg,
     qSemiJoin, qAntiJoin, qBroadcastJoin, qWindowRank,
-    qTumbling, qJson, qDedupExact)
+    qTumbling, qJson, qDedupExact) ++ Relational.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.build).toMap
