@@ -33,6 +33,22 @@ object PortableHash {
   def md5Seeded(seed: Int, c: Column): Column =
     md5(concat(lit(s"$seed|"), c))
 
+  /** Mersenne prime 2^31−1: universal-hash modulus. (a*h'+b) with
+    * h' < P and a,b < P stays under 2^62 — no 64-bit overflow in either
+    * engine. */
+  val P: Long = 2147483647L
+
+  /** Universal hash family over ONE base md5 hash: family s maps
+    * h' = hash60(x) mod P to (A_s·h' + B_s) mod P. One md5 per input row
+    * instead of one per (row × family) — at 100 TB the hashing IS the
+    * MinHash cost, and this is an 8× cut with the same portability. */
+  def familyA(s: Int): Long = ((2L * s + 1L) * 1103515245L) % P
+  def familyB(s: Int): Long = (12345L * (s + 1L) + 678L) % P
+  def universal(s: Int, hp: Column): Column =
+    (lit(familyA(s)) * hp + lit(familyB(s))) % lit(P)
+  def sqlUniversal(s: Int, hpExpr: String): String =
+    s"(${familyA(s)} * $hpExpr + ${familyB(s)}) % $P"
+
   /** SQL fragment mirrors, used to build the oracle strings from the same
     * constants so Spark and DuckDB can never drift. */
   def sqlHash60(expr: String): String =

@@ -303,7 +303,7 @@ object Catalog {
     qWordcount, qTopkMax, qTopkMin, qStopword,
     qPricing, qFilterProject, qSortLimit, qJoinAgg,
     qSemiJoin, qAntiJoin, qBroadcastJoin, qWindowRank,
-    qTumbling, qJson, qDedupExact) ++ Relational.defs
+    qTumbling, qJson, qDedupExact) ++ Relational.defs ++ Dedup.defs ++ Similarity.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.build).toMap

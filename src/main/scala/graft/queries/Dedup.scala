@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+import Parity._
+
+/** Deduplication operators over the `documents` corpus (SURVEY.md §2.4):
+  * exact (already in Catalog), normalized near-exact, MinHash signatures,
+  * MinHash-LSH candidate pairs, exact n-gram Jaccard on the candidates,
+  * and SimHash — every hash derived from md5 (graft.functions.PortableHash)
+  * so each result is value-checkable against the DuckDB oracle.
+  *
+  * Scale design (100 TB; see SCALE.md):
+  *  - shingling is a generator (explode) — no driver-side state, fully
+  *    partition-parallel;
+  *  - MinHash signatures are ONE hash-partitioned aggregation on doc_id
+  *    (8 mins computed in the same HashAggregateExec pass, partial
+  *    map-side);
+  *  - LSH candidate generation joins docs on (band, bucket) — the shuffle
+  *    key is the bucket, so only docs sharing a bucket ever meet; this is
+  *    the step that replaces the O(n²) all-pairs comparison;
+  *  - exact Jaccard runs ONLY on LSH candidates (candidate count ≪ n²).
+  */
+object Dedup {
+
+  private val NumSeeds = 8
+  private val ShingleLen = 8
+  private val seeds = 0 until NumSeeds
+
+  // ---- char-ShingleLen shingles, both dialects ----
+  // DuckDB: range(1, N) is exclusive of N; Spark: sequence(1, M) inclusive.
+  // Both yield i = 1 .. max(len-ShingleLen+1, 1) so substr(text, i, 8) is a
+  // full-length shingle (doc min length in the corpus is 48 chars).
+  private val shingleSql = s"""SELECT doc_id, substr(text, CAST(i AS INT), $ShingleLen) AS sh FROM (
+    SELECT doc_id, text, unnest(range(1, greatest(length(text)-${ShingleLen - 2}, 2))) AS i FROM documents)"""
+
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1),
+          greatest(length(col("text")) - (ShingleLen - 2), lit(2)) - 1)).as("i"))
+      .select(col("doc_id"), expr(s"substring(text, i, $ShingleLen)").as("sh"))
+
+  // ---- MinHash signature columns: ONE md5 per shingle, 8 families via
+  // universal hashing (A_s·h'+B_s mod P) — exact integers, portable, and
+  // 8× less hashing than seeded-md5-per-family (hashing dominates MinHash
+  // cost at scale).
+  private val sigColsSql = seeds
+    .map(s => s"min(${PortableHash.sqlUniversal(s, "hp")}) AS h$s").mkString(",\n    ")
+  private def sigCols: Seq[Column] =
+    seeds.map(s => min(PortableHash.universal(s, col("hp"))).as(s"h$s"))
+
+  private val sigsSql = s"""WITH sh AS ($shingleSql),
+shb AS (SELECT doc_id, ${PortableHash.sqlHash60("sh")} % ${PortableHash.P} AS hp FROM sh),
+sigs AS (SELECT doc_id, $sigColsSql FROM shb GROUP BY doc_id)"""
+
+  private def sigs(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir)
+      .select(col("doc_id"),
+        (PortableHash.hash60(col("sh")) % PortableHash.P).as("hp"))
+      .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+
+  /** MinHash signatures: 8 seeded 60-bit min-hashes over char-8 shingles,
+    * one aggregation pass. */
+  private val qMinhashSignatures = QueryDef(
+    "q_minhash_signatures",
+    Some(s"""$sigsSql
+SELECT * FROM sigs ORDER BY doc_id"""),
+    (spark, dir) => sigs(spark, dir).orderBy("doc_id"))
+
+  // ---- LSH banding: 4 bands × 2 rows; bucket = md5(h_even || '|' || h_odd)
+  private val bands = seeds.grouped(2).zipWithIndex.map {
+    case (Seq(a, b), i) => (i, a, b)
+  }.toSeq
+
+  private val bandsSql = bands
+    .map { case (i, a, b) =>
+      s"SELECT doc_id, $i AS band, md5(concat(h$a,'|',h$b)) AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL ")
+
+  /** One row per (doc, band): a single aggregation subtree + a 4-wide
+    * explode — NOT four unioned re-aggregations (union branches would
+    * recompute the signature pass per band). */
+  private def bandsDf(spark: SparkSession, dir: String): DataFrame =
+    sigs(spark, dir)
+      .select(col("doc_id"), explode(array(bands.map { case (i, a, b) =>
+        struct(lit(i).as("band"),
+          md5(concat(col(s"h$a").cast("string"), lit("|"),
+            col(s"h$b").cast("string"))).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  private val candPairsSql = s"""b AS (
+  $bandsSql)
+, cand AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_bands
+  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+  GROUP BY doc_a, doc_b)"""
+
+  private def candPairs(spark: SparkSession, dir: String): DataFrame = {
+    val b = bandsDf(spark, dir)
+    val x = b.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val y = b.select(col("doc_id").as("doc_b"), col("band").as("band_y"),
+      col("bucket").as("bucket_y"))
+    x.join(y, col("band") === col("band_y") && col("bucket") === col("bucket_y") &&
+        col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** MinHash-LSH candidate pairs: docs sharing ≥1 band bucket. The join key
+    * IS the bucket — the shuffle only co-locates docs that can match. */
+  private val qLshCandidates = QueryDef(
+    "q_lsh_candidates",
+    Some(s"""$sigsSql,
+$candPairsSql
+SELECT doc_a, doc_b, n_bands FROM cand ORDER BY doc_a, doc_b"""),
+    (spark, dir) => candPairs(spark, dir)
+      .select("doc_a", "doc_b", "n_bands").orderBy("doc_a", "doc_b"))
+
+  /** Exact char-8-shingle Jaccard on the TOP LSH candidates (most shared
+    * bands first, deterministic tie-break, capped at [[JaccardCap]]) — the
+    * "exact rerank" stage of near-dup detection. The cap bounds the
+    * pairs×shingles intersection join at any scale factor: verifying
+    * everything the recall stage surfaces is O(candidates × shingles) and
+    * candidates grow ~quadratically in corpus density; a production run
+    * raises the cap per shard, it does not remove it. A shared band bucket
+    * implies a shared min-shingle, so the intersection inner join loses no
+    * candidate. */
+  private val JaccardCap = 1000
+  private val qJaccardPairs = QueryDef(
+    "q_jaccard_pairs",
+    Some(s"""$sigsSql,
+$candPairsSql,
+top_cand AS (SELECT * FROM cand ORDER BY n_bands DESC, doc_a, doc_b LIMIT $JaccardCap),
+dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM top_cand c JOIN dsh a ON a.doc_id = c.doc_a JOIN dsh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+  sa.n_sh + sb.n_sh - i.n_inter AS n_union,
+  CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+ORDER BY doc_a, doc_b"""),
+    (spark, dir) => {
+      val dsh = shingles(spark, dir).distinct()
+      val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val cand = candPairs(spark, dir)
+        .orderBy(desc("n_bands"), asc("doc_a"), asc("doc_b")).limit(JaccardCap)
+      val a = dsh.select(col("doc_id").as("doc_a"), col("sh"))
+      val b = dsh.select(col("doc_id").as("doc_b_r"), col("sh").as("sh_b"))
+      val inter = cand
+        .join(a, "doc_a")
+        .join(b, col("doc_b") === col("doc_b_r") && col("sh") === col("sh_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_inter"),
+          (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
+          (col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    })
+
+  // ---- SimHash: 16-bit fingerprint over whitespace word tokens ----
+  private val SimBits = 16
+
+  private val simhashSql = {
+    val bitSums = (0 until SimBits)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n    ")
+    val combine = (0 until SimBits)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM documents),
+th AS (SELECT doc_id, ${PortableHash.sqlHash60("w")} AS h FROM tok WHERE w <> ''),
+bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id)
+SELECT doc_id, $combine AS simhash FROM bits ORDER BY doc_id"""
+  }
+
+  /** SimHash: per-token 60-bit hash; each of 16 fingerprint bits is the
+    * sign of the ±1 vote sum over tokens — one tokenize pass + one grouped
+    * agg (all 16 bit-sums in the same HashAggregateExec). */
+  private val qSimhash = QueryDef(
+    "q_simhash",
+    Some(simhashSql),
+    (spark, dir) => {
+      val toks = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(col("text"), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .select(col("doc_id"), PortableHash.hash60(col("w")).as("h"))
+      val bitSums = (0 until SimBits).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1, 1L)
+          .otherwise(-1L)).as(s"s$b"))
+      val combined = (0 until SimBits)
+        .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), combined.as("simhash"))
+        .orderBy("doc_id")
+    })
+
+  /** Near-exact dedup on normalized text (lowercase, strip non-alnum,
+    * collapse whitespace) — catches formatting-only duplicates with the
+    * same single-shuffle plan as exact dedup. */
+  private val qDedupNear = QueryDef(
+    "q_dedup_normalized",
+    Some("""
+      |SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY norm_hash ORDER BY keep_id
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      tbl(spark, dir, "documents")
+        .groupBy(md5(trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))).as("norm_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id"))
+
+  val defs: Seq[QueryDef] = Seq(
+    qMinhashSignatures, qLshCandidates, qJaccardPairs, qSimhash, qDedupNear)
+}
