@@ -303,7 +303,8 @@ object Catalog {
     qWordcount, qTopkMax, qTopkMin, qStopword,
     qPricing, qFilterProject, qSortLimit, qJoinAgg,
     qSemiJoin, qAntiJoin, qBroadcastJoin, qWindowRank,
-    qTumbling, qJson, qDedupExact) ++ Relational.defs ++ Dedup.defs ++ Similarity.defs
+    qTumbling, qJson, qDedupExact) ++ Relational.defs ++ Dedup.defs ++
+    Similarity.defs ++ TextAnalysis.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.build).toMap

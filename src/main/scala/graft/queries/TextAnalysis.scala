@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.PortableHash
+import Parity._
+
+/** Text-analysis operators over the `documents` corpus (SURVEY.md §2.4):
+  * token statistics, quality scoring, n-gram-marker language ID, and k-min
+  * rolling-hash fingerprinting. Everything is a tokenize (explode) pass +
+  * grouped aggregation — embarrassingly partition-parallel; the only
+  * shuffle in each query is the doc_id grouping (and the corpus is already
+  * laid out by doc, so at 100 TB these run at scan speed).
+  *
+  * Tokenization matches the reference semantics exactly (whitespace split,
+  * case-sensitive, punctuation attached — reference WordCount.java:28-32,
+  * TopkCommonWords.java:64-68). */
+object TextAnalysis {
+
+  /** Quality-score stopword list (same list as q_stopword_wordcount). */
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+  private val stopSqlList = stopwords.map("'" + _ + "'").mkString(", ")
+
+  private val tokSql =
+    """tok AS (SELECT doc_id, w FROM (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+  WHERE w <> '')"""
+
+  private def toks(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+
+  /** Token statistics: whitespace tokens, alpha-run count (a BPE-ish
+    * regex segmentation), exact mean token length. */
+  private val qTokenStats = QueryDef(
+    "q_token_stats",
+    Some(s"""
+      |WITH $tokSql,
+      |st AS (SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(length(w)) AS DOUBLE) / count(*) AS avg_token_len
+      |  FROM tok GROUP BY doc_id)
+      |SELECT d.doc_id, d.n_chars, st.n_tokens, st.avg_token_len,
+      |  CAST(length(regexp_extract_all(d.text, '[a-z]+')) AS BIGINT) AS n_alpha_runs
+      |FROM documents d JOIN st ON d.doc_id = st.doc_id
+      |ORDER BY d.doc_id
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val st = toks(spark, dir).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum(length(col("w"))).cast("double") / count(lit(1))).as("avg_token_len"))
+      tbl(spark, dir, "documents")
+        .join(st, "doc_id")
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("avg_token_len"),
+          size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long")
+            .as("n_alpha_runs"))
+        .orderBy("doc_id")
+    })
+
+  /** Document quality signals: stopword ratio, alphanumeric-character
+    * ratio, mean word length — the standard cheap pre-training filters.
+    * All ratios are single divisions of exact integers (deterministic
+    * doubles in both engines). */
+  private val qDocQuality = QueryDef(
+    "q_doc_quality",
+    Some(s"""
+      |WITH $tokSql,
+      |stats AS (
+      |  SELECT doc_id, count(*) AS n_tok,
+      |    count(*) FILTER (WHERE w IN ($stopSqlList)) AS n_stop,
+      |    sum(length(w)) AS sum_len
+      |  FROM tok GROUP BY doc_id)
+      |SELECT d.doc_id, s.n_tok,
+      |  CAST(s.n_stop AS DOUBLE) / s.n_tok AS stop_ratio,
+      |  CAST(length(regexp_replace(lower(d.text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(d.text) AS alnum_ratio,
+      |  CAST(s.sum_len AS DOUBLE) / s.n_tok AS mean_word_len
+      |FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+      |ORDER BY d.doc_id
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val stats = toks(spark, dir).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          count(when(col("w").isin(stopwords: _*), 1)).as("n_stop"),
+          sum(length(col("w"))).as("sum_len"))
+      tbl(spark, dir, "documents")
+        .join(stats, "doc_id")
+        .select(col("doc_id"), col("n_tok"),
+          (col("n_stop").cast("double") / col("n_tok")).as("stop_ratio"),
+          (length(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))
+            .cast("double") / length(col("text"))).as("alnum_ratio"),
+          (col("sum_len").cast("double") / col("n_tok")).as("mean_word_len"))
+        .orderBy("doc_id")
+    })
+
+  // ---- language ID: marker-word hit counting + argmax ----
+  // (The corpus `lang` labels are synthetic noise over a shared vocabulary,
+  // so accuracy is chance-level by construction; the operator semantics —
+  // deterministic per-language scoring + argmax with alphabetical
+  // tie-break — are what the oracle checks.)
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("table", "join", "scan"),
+    "de" -> Seq("hash", "sort", "vector"),
+    "zh" -> Seq("window", "merge", "batch"),
+    "fr" -> Seq("query", "order", "line"),
+    "es" -> Seq("stream", "filter", "column"))
+  private val langs = markers.map(_._1)
+
+  private val qLangId = QueryDef(
+    "q_langid",
+    Some {
+      val hitCols = markers.map { case (l, ms) =>
+        s"count(*) FILTER (WHERE w IN (${ms.map("'" + _ + "'").mkString(", ")})) AS hits_$l"
+      }.mkString(",\n    ")
+      val g = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+      val caseChain = "CASE " +
+        langs.sorted.map(l => s"WHEN hits_$l = $g THEN '$l'").mkString(" ") + " END"
+      s"""
+      |WITH $tokSql,
+      |h AS (SELECT doc_id, $hitCols FROM tok GROUP BY doc_id)
+      |SELECT h.doc_id, ${langs.map(l => s"hits_$l").mkString(", ")},
+      |  $caseChain AS predicted, d.lang AS actual,
+      |  CAST($caseChain = d.lang AS BIGINT) AS correct
+      |FROM h JOIN documents d ON d.doc_id = h.doc_id ORDER BY h.doc_id
+      |""".stripMargin.trim
+    },
+    (spark, dir) => {
+      val hitCols = markers.map { case (l, ms) =>
+        count(when(col("w").isin(ms: _*), 1)).as(s"hits_$l")
+      }
+      val h = toks(spark, dir).groupBy("doc_id")
+        .agg(hitCols.head, hitCols.tail: _*)
+      val g = greatest(langs.map(l => col(s"hits_$l")): _*)
+      val predicted = langs.sorted
+        .foldRight(lit(null).cast("string")) { (l, acc) =>
+          when(col(s"hits_$l") === g, lit(l)).otherwise(acc)
+        }
+      // foldRight keeps evaluation order = alphabetical WHEN chain
+      h.join(tbl(spark, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+        .select(Seq(col("doc_id")) ++ langs.map(l => col(s"hits_$l")) ++ Seq(
+          predicted.as("predicted"), col("lang").as("actual"),
+          (predicted === col("lang")).cast("long").as("correct")): _*)
+        .orderBy("doc_id")
+    })
+
+  /** k-min sketch fingerprint: the 3 smallest distinct rolling-hash values
+    * of the doc's char-8 shingles, md5-combined — a compact containment
+    * fingerprint (k-min sketches are mergeable, so at 100 TB the sketch
+    * aggregates map-side like any min). */
+  private val qFingerprint = QueryDef(
+    "q_fingerprint",
+    Some(s"""
+      |WITH sh AS (SELECT doc_id, substr(text, CAST(i AS INT), 8) AS sh FROM (
+      |    SELECT doc_id, text, unnest(range(1, greatest(length(text)-6, 2))) AS i FROM documents)),
+      |hp AS (SELECT DISTINCT doc_id, ${PortableHash.sqlHash60("sh")} % ${PortableHash.P} AS hp FROM sh),
+      |ranked AS (SELECT doc_id, hp, row_number() OVER (PARTITION BY doc_id ORDER BY hp) AS rn FROM hp)
+      |SELECT doc_id,
+      |  md5(concat(max(CASE WHEN rn=1 THEN hp END), '|', max(CASE WHEN rn=2 THEN hp END), '|', max(CASE WHEN rn=3 THEN hp END))) AS fingerprint
+      |FROM ranked WHERE rn <= 3 GROUP BY doc_id ORDER BY doc_id
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val sh = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), greatest(length(col("text")) - 6, lit(2)) - 1)).as("i"))
+        .select(col("doc_id"), expr("substring(text, i, 8)").as("sh"))
+      val hp = sh.select(col("doc_id"),
+          (PortableHash.hash60(col("sh")) % PortableHash.P).as("hp"))
+        .distinct()
+      val w = Window.partitionBy("doc_id").orderBy("hp")
+      hp.select(col("doc_id"), col("hp"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .groupBy("doc_id")
+        .agg(md5(concat(
+          max(when(col("rn") === 1, col("hp"))).cast("string"), lit("|"),
+          max(when(col("rn") === 2, col("hp"))).cast("string"), lit("|"),
+          max(when(col("rn") === 3, col("hp"))).cast("string"))).as("fingerprint"))
+        .orderBy("doc_id")
+    })
+
+  val defs: Seq[QueryDef] = Seq(qTokenStats, qDocQuality, qLangId, qFingerprint)
+}
