@@ -297,9 +297,19 @@ object Catalog {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("keep_id"))
 
+  /** Multimodal feature extraction (binary media columns, partition-wise
+    * stubbed decode — graft.operators.MultimodalOps). Iterator compute is
+    * not SQL-expressible → rows-only driver check; exact values pinned in
+    * MultimodalSpec. */
+  private val qMultimodal = QueryDef(
+    "q_multimodal_features",
+    None,
+    (spark, dir) => graft.operators.MultimodalOps.featureQuery(spark, dir))
+
   // =========================================================================
 
   val defs: Seq[QueryDef] = Seq(
+    qMultimodal) ++ Seq(
     qWordcount, qTopkMax, qTopkMin, qStopword,
     qPricing, qFilterProject, qSortLimit, qJoinAgg,
     qSemiJoin, qAntiJoin, qBroadcastJoin, qWindowRank,

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: the streaming twins of the batch
+  * event-time queries (q_tumbling_window / q_sessionize in the catalog),
+  * plus an arbitrary-stateful operator via flatMapGroupsWithState.
+  *
+  * Every transform here accepts either a batch or a streaming DataFrame —
+  * the logical plan is identical; only the sink/trigger differ. That is
+  * the Spark-native answer to the reference's batch-only model: the same
+  * declarative plan runs incrementally with watermark-bounded state.
+  *
+  * Scale notes: state stores are per-key partitions (user_id / window
+  * key), so state sharding follows the shuffle partitioning; watermarks
+  * bound state size — without them a 100 TB stream accumulates unbounded
+  * window state. */
+object StreamingOps {
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserTotal(user_id: Long, n: Long, total: Double)
+  // public: the state encoder's generated code needs the public ctor/accessors
+  final case class UserState(n: Long, total: Double)
+
+  /** Event-time tumbling window counts with a watermark (late rows beyond
+    * `lateness` are dropped; in append mode a window emits once its end
+    * passes the watermark). */
+  def tumblingCounts(
+      events: DataFrame,
+      window_ : String = "1 hour",
+      lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Event-time session windows (gap-based), the streaming twin of the
+    * batch q_sessionize. */
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Arbitrary stateful processing: running per-user totals via
+    * flatMapGroupsWithState (update mode) — the custom-state escape hatch
+    * for semantics windows can't express. */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserTotal](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { e => n += 1; total += e.value }
+          state.update(UserState(n, total))
+          Iterator.single(UserTotal(userId, n, total))
+      }
+  }
+}

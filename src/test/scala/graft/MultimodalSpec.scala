@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.MultimodalOps
+import graft.operators.MultimodalOps.{MediaRecord, StubDecoder}
+
+/** Golden values for the multimodal plumbing (the catalog entry
+  * q_multimodal_features is rows-only checked by the driver; exact values
+  * are pinned here). */
+class MultimodalSpec extends SparkSuite {
+
+  test("stub decoder parses fake dims deterministically") {
+    assert(StubDecoder.decodeDims(Array[Byte](0x12, 0x34, 0x56, 0x78)) ==
+      ((0x12 << 4) | 0x4, (0x56 << 4) | 0x8))
+    assert(StubDecoder.decodeDims(Array.emptyByteArray) == (1, 1))
+  }
+
+  test("extractFeatures computes exact byte statistics per partition") {
+    val s = spark
+    import s.implicits._
+    val bytes = "abab".getBytes("UTF-8") // a=97 b=98, entropy = 1 bit
+    val ds = Seq(MediaRecord(7L, "img", bytes)).toDS().repartition(3)
+    val f = MultimodalOps.extractFeatures(ds).collect().head
+    assert(f.media_id == 7L && f.kind == "img" && f.n_bytes == 4L)
+    assert(f.mean_byte == 97.5)
+    assert(math.abs(f.byte_entropy - 1.0) < 1e-12)
+    assert((f.width, f.height) == StubDecoder.decodeDims(bytes))
+  }
+
+  test("sampleFrames slices payloads into n in-order chunks") {
+    val s = spark
+    import s.implicits._
+    val ds = Seq(MediaRecord(1L, "vid", (0 until 10).map(_.toByte).toArray)).toDS()
+    val frames = MultimodalOps.sampleFrames(ds, 3).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+    assert(frames.flatMap(_.frame).toSeq == (0 until 10).map(_.toByte).toSeq,
+      "chunks must reassemble to the original payload")
+  }
+
+  test("feature pipeline runs over the documents-as-media adapter") {
+    val n = MultimodalOps.featureQuery(spark, sfDir).count()
+    assert(n == 500L)
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.UserEvent
+
+final case class Ev(ts: Timestamp, event_type: String, value: Double)
+final case class UEv(ts: Timestamp, user_id: Long)
+
+/** Structured Streaming behavior: incremental results must equal the batch
+  * plan on the same data (they share the logical plan), and the watermark
+  * must drop late rows in append mode. */
+class StreamingSpec extends SparkSuite {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming tumbling window (complete mode) equals the batch plan") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val rows = Seq(
+      Ev(ts("2024-01-01 00:10:00"), "click", 1.0),
+      Ev(ts("2024-01-01 00:40:00"), "click", 2.0),
+      Ev(ts("2024-01-01 00:50:00"), "view", 3.0),
+      Ev(ts("2024-01-01 01:10:00"), "click", 4.0),
+      Ev(ts("2024-01-01 02:05:00"), "view", 5.0))
+
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling_complete")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows.take(3))
+      q.processAllAvailable()
+      input.addData(rows.drop(3))
+      q.processAllAvailable()
+      val streamed = s.table("tumbling_complete")
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      val batch = StreamingOps.tumblingCounts(rows.toDF())
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(streamed.nonEmpty && (streamed sameElements batch))
+    } finally q.stop()
+  }
+
+  test("watermark drops late data in append mode") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.tumblingCounts(input.toDF(), lateness = "30 minutes")
+      .writeStream.format("memory").queryName("tumbling_append")
+      .outputMode("append").start()
+    try {
+      // Batch 1: two events in hour 0, then one far ahead at hour 6 —
+      // advances the watermark to 05:30, finalizing (and emitting) hour 0.
+      input.addData(Seq(
+        Ev(ts("2024-01-01 00:10:00"), "click", 1.0),
+        Ev(ts("2024-01-01 00:20:00"), "click", 1.0),
+        Ev(ts("2024-01-01 06:00:00"), "view", 9.0)))
+      q.processAllAvailable()
+      // Batch 2: a straggler for hour 0, far below the watermark → dropped.
+      input.addData(Seq(Ev(ts("2024-01-01 00:30:00"), "click", 100.0)))
+      q.processAllAvailable()
+      // Advance watermark past hour 6 so every surviving window emits.
+      input.addData(Seq(Ev(ts("2024-01-01 09:00:00"), "view", 0.0)))
+      q.processAllAvailable()
+
+      val out = s.table("tumbling_append")
+        .filter(col("window_start") === lit(ts("2024-01-01 00:00:00")))
+        .collect()
+      assert(out.length == 1, s"expected one finalized hour-0 row, got ${out.toSeq}")
+      assert(out(0).getLong(2) == 2L, "late straggler must not be counted")
+      assert(out(0).getDouble(3) == 2.0)
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[UEv]
+    val q = StreamingOps.sessionCounts(input.toDF().withColumn("value", lit(1.0)))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      input.addData(Seq(
+        UEv(ts("2024-01-01 00:00:00"), 1L),
+        UEv(ts("2024-01-01 00:10:00"), 1L),   // same session (gap 10m < 30m)
+        UEv(ts("2024-01-01 01:00:00"), 1L),   // new session (gap 50m)
+        UEv(ts("2024-01-01 00:05:00"), 2L)))
+      q.processAllAvailable()
+      val rows = s.table("sessions").orderBy("user_id", "session_start").collect()
+      assert(rows.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+        Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running totals across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[UserEvent]
+    val q = StreamingOps.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("running_totals")
+      .outputMode("update").start()
+    try {
+      input.addData(Seq(
+        UserEvent(1L, ts("2024-01-01 00:00:00"), 10.0),
+        UserEvent(1L, ts("2024-01-01 00:01:00"), 5.0),
+        UserEvent(2L, ts("2024-01-01 00:02:00"), 7.0)))
+      q.processAllAvailable()
+      input.addData(Seq(UserEvent(1L, ts("2024-01-01 00:05:00"), 1.0)))
+      q.processAllAvailable()
+      // Update mode: latest row per user wins.
+      val latest = s.table("running_totals")
+        .groupBy("user_id").agg(max(struct(col("n"), col("total"))).as("st"))
+        .select(col("user_id"), col("st.n"), col("st.total"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(latest == Set((1L, 3L, 16.0), (2L, 1L, 7.0)))
+    } finally q.stop()
+  }
+}
