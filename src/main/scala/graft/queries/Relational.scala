@@ -318,7 +318,7 @@ object Relational {
       |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value,
       |    last_value(CASE WHEN event_type='purchase' THEN CAST(epoch_ms(ts) AS BIGINT) END IGNORE NULLS)
       |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ms
-      |  FROM events)
+      |  FROM events WHERE event_type IN ('click', 'purchase'))
       |SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value,
       |  last_purchase_value, last_purchase_ms
       |FROM tagged WHERE event_type='click' ORDER BY event_id
@@ -327,6 +327,11 @@ object Relational {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       tbl(spark, dir, "events")
+        // only the probe and build types matter: pre-filtering pushes the
+        // In() predicate to the scan and keeps the other 60% of events out
+        // of the shuffle + sort entirely (semantics unchanged — the as-of
+        // carry-forward only reads 'purchase' rows).
+        .filter(col("event_type").isin("click", "purchase"))
         .select(col("event_id"), col("user_id"), col("ts"),
           col("event_type"), col("value"),
           last(when(col("event_type") === "purchase", col("value")),

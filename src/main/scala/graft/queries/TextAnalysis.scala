@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.functions.PortableHash
 import Parity._
@@ -164,17 +163,18 @@ object TextAnalysis {
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(1), greatest(length(col("text")) - 6, lit(2)) - 1)).as("i"))
         .select(col("doc_id"), expr("substring(text, i, 8)").as("sh"))
+      // Same "3 smallest distinct hashes" as the oracle's window
+      // formulation, but as ONE aggregation pass: collect_set dedups
+      // map-side, sort_array orders the per-doc set — no global
+      // distinct shuffle + no per-partition sort of all shingles.
       val hp = sh.select(col("doc_id"),
-          (PortableHash.hash60(col("sh")) % PortableHash.P).as("hp"))
-        .distinct()
-      val w = Window.partitionBy("doc_id").orderBy("hp")
-      hp.select(col("doc_id"), col("hp"), row_number().over(w).as("rn"))
-        .filter(col("rn") <= 3)
-        .groupBy("doc_id")
-        .agg(md5(concat(
-          max(when(col("rn") === 1, col("hp"))).cast("string"), lit("|"),
-          max(when(col("rn") === 2, col("hp"))).cast("string"), lit("|"),
-          max(when(col("rn") === 3, col("hp"))).cast("string"))).as("fingerprint"))
+        (PortableHash.hash60(col("sh")) % PortableHash.P).as("hp"))
+      hp.groupBy("doc_id")
+        .agg(sort_array(collect_set(col("hp"))).as("hs"))
+        .select(col("doc_id"), md5(concat(
+          element_at(col("hs"), 1).cast("string"), lit("|"),
+          element_at(col("hs"), 2).cast("string"), lit("|"),
+          element_at(col("hs"), 3).cast("string"))).as("fingerprint"))
         .orderBy("doc_id")
     })
 
