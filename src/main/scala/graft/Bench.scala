@@ -28,6 +28,11 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val results = ordered.map { case (name, fn) =>
+      // Collect BETWEEN queries so a major GC triggered by the previous
+      // query's garbage is not attributed to this one (observed: a 40s
+      // pause from the dedup queries' shuffle garbage landing inside the
+      // next query's window).
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -402,9 +402,115 @@ object Relational {
         .orderBy("user_id")
     })
 
+  /** TPC-H Q3 shape (shipping priority): 3-table join chain, filtered both
+    * sides, grouped revenue, top-10. Customer filter prunes before the
+    * join; the orders⋈lineitem join shuffles on the natural key. */
+  private val qQ3 = QueryDef(
+    "q3_shipping_priority",
+    Some(s"""
+      |SELECT l_orderkey,
+      |  ${sqlDsum(s"${sqlDec("l_extendedprice")} * (${sqlDec("1")} - ${sqlDec("l_discount")})")} AS revenue,
+      |  CAST(epoch_ms(o_orderdate) AS BIGINT) AS orderdate_ms, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      tbl(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(tbl(spark, dir, "orders")
+          .filter(col("o_orderdate") < ts("1998-03-15 00:00:00")),
+          col("c_custkey") === col("o_custkey"))
+        .join(tbl(spark, dir, "lineitem")
+          .filter(col("l_shipdate") > ts("1995-03-15 00:00:00")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(dec("l_extendedprice") * (oneDec - dec("l_discount"))).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          // o_orderdate is TIMESTAMP_NTZ; cast is instant-identity under
+          // the pinned UTC session and satisfies unix_millis' input type
+          unix_millis(col("o_orderdate").cast("timestamp")).as("orderdate_ms"),
+          col("o_orderpriority"))
+        .orderBy(desc("revenue"), asc("l_orderkey")).limit(10))
+
+  /** TPC-H Q5 shape (local supplier volume): 6-table join chain with the
+    * dimension chain (region→nation→supplier) all broadcastable. */
+  private val qQ5 = QueryDef(
+    "q5_local_supplier",
+    Some(s"""
+      |SELECT n_name,
+      |  ${sqlDsum(s"${sqlDec("l_extendedprice")} * (${sqlDec("1")} - ${sqlDec("l_discount")})")} AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      tbl(spark, dir, "customer")
+        .join(tbl(spark, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+            col("o_orderdate") < ts("1998-01-01 00:00:00")),
+          col("c_custkey") === col("o_custkey"))
+        .join(tbl(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(tbl(spark, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(tbl(spark, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(spark, dir, "region")).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(dec("l_extendedprice") * (oneDec - dec("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name")))
+
+  /** Skew-mitigation exhibit: two-level salted aggregation — partial sums
+    * on (key, salt) then re-aggregation on key. Result provably equals the
+    * plain GROUP BY (the oracle), because the partial sums stay in exact
+    * decimal. At 100 TB this is the recipe for power-law keys whose single
+    * reducer would otherwise spill. */
+  private val qSaltedAgg = QueryDef(
+    "q_salted_agg",
+    Some(s"""
+      |SELECT l_returnflag, count(*) AS n, ${sqlDsum(sqlDec("l_quantity"))} AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      tbl(spark, dir, "lineitem")
+        .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(count(lit(1)).as("pn"), sum(dec("l_quantity")).as("pq"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("pn")).as("n"), sum(col("pq")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag"))
+
+  /** Exact interpolated percentiles per group (Spark `percentile` vs
+    * DuckDB `quantile_cont` — same linear interpolation over the sorted
+    * set). */
+  private val qPercentiles = QueryDef(
+    "q_percentiles",
+    Some("""
+      |SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.9) AS p90
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      tbl(spark, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"))
+        .orderBy("o_orderpriority"))
+
   val defs: Seq[QueryDef] = Seq(
     qRollup, qCube, qGroupingSets, qDistinctAgg, qApproxDistinct,
     qSetOps, qWindowFrames, qWindowLag, qSessionize,
     qScalarFuncs, qDateFuncs, qRangeJoin, qAsofJoin,
-    qOuterJoinAgg, qCorrSubquery, qPivot)
+    qOuterJoinAgg, qCorrSubquery, qPivot,
+    qQ3, qQ5, qSaltedAgg, qPercentiles)
 }

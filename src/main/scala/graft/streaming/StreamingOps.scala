@@ -52,6 +52,20 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup: first occurrence of each event_id wins; the
+    * watermark bounds dedup state (ids older than `lateness` are evicted —
+    * the streaming twin of q_dedup_exact, and the standard ingestion
+    * dedup for at-least-once sources). */
+  def dedupEvents(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment join: the static dimension is broadcast to
+    * every micro-batch (re-read per batch if the source supports it) —
+    * the streaming analog of the reference's DistributedCache side-file. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
+
   /** Arbitrary stateful processing: running per-user totals via
     * flatMapGroupsWithState (update mode) — the custom-state escape hatch
     * for semantics windows can't express. */

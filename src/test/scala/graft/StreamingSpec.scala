@@ -104,6 +104,55 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  final case class IdEv(event_id: Long, ts: Timestamp, value: Double)
+
+  test("streaming dedup keeps the first occurrence across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[IdEv]
+    val q = StreamingOps.dedupEvents(input.toDF(), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        IdEv(1L, ts("2024-01-01 00:00:00"), 1.0),
+        IdEv(2L, ts("2024-01-01 00:01:00"), 2.0),
+        IdEv(1L, ts("2024-01-01 00:02:00"), 99.0))) // dup within batch
+      q.processAllAvailable()
+      input.addData(Seq(
+        IdEv(2L, ts("2024-01-01 00:03:00"), 99.0),  // dup across batches
+        IdEv(3L, ts("2024-01-01 00:04:00"), 3.0)))
+      q.processAllAvailable()
+      val out = s.table("dedup_stream").collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+      assert(out.toSeq == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+        "first occurrence must win, duplicates dropped")
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment join broadcasts the dimension") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[UserEvent]
+    val q = StreamingOps.enrich(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        UserEvent(1L, ts("2024-01-01 00:00:00"), 5.0),
+        UserEvent(2L, ts("2024-01-01 00:01:00"), 7.0)))
+      q.processAllAvailable()
+      val tiers = s.table("enriched").collect()
+        .map(r => (r.getLong(0), r.getString(3))).toSet
+      assert(tiers == Set((1L, "gold"), (2L, "basic")))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running totals across batches") {
     val s = spark
     import s.implicits._
