@@ -143,6 +143,7 @@ object GraftFunctions {
   * and strategies would be injected here too). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => CollapseIdempotentStringFns)
     ext.injectFunction((
       FunctionIdentifier("float_dot"),
       new ExpressionInfo("graft.plans.VectorExpressions", "float_dot"),
