@@ -99,15 +99,25 @@ SELECT * FROM sigs ORDER BY doc_id"""),
   FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
   GROUP BY doc_a, doc_b)"""
 
-  private def candPairs(spark: SparkSession, dir: String): DataFrame = {
-    val b = bandsDf(spark, dir)
-    val x = b.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
-    val y = b.select(col("doc_id").as("doc_b"), col("band").as("band_y"),
-      col("bucket").as("bucket_y"))
-    x.join(y, col("band") === col("band_y") && col("bucket") === col("bucket_y") &&
-        col("doc_a") < col("doc_b"))
+  /** Candidate pairs WITHOUT a self-join: group docs per (band, bucket),
+    * emit in-bucket pairs with higher-order functions. One signature
+    * computation instead of two — Spark does not reuse the signature
+    * exchange across a self-join's probe/build sides (AQE broadcasts one
+    * side), so the join formulation paid the whole minhash pipeline twice.
+    * Bucket widths are bounded (LSH's point), so the per-bucket pair
+    * expansion is bounded too; same output as the join: (doc_a < doc_b,
+    * n_bands = shared-bucket count). */
+  private def candPairs(spark: SparkSession, dir: String): DataFrame =
+    bandsDf(spark, dir)
+      .groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(docs, (x, i) ->
+          |  transform(slice(docs, i + 2, size(docs)), y ->
+          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
-  }
 
   /** MinHash-LSH candidate pairs: docs sharing ≥1 band bucket. The join key
     * IS the bucket — the shuffle only co-locates docs that can match. */
