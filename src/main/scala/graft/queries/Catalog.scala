@@ -46,12 +46,27 @@ object Catalog {
     |ORDER BY n DESC, word DESC LIMIT 20
     |""".stripMargin.trim
 
+  /** Single-pass formulation: tokenize ONCE with the source tag kept,
+    * conditional counts per corpus in one grouped aggregation, then the
+    * "common" filter and top-k. One scan + one shuffle, vs the two-frame
+    * join form (two scans + two agg shuffles + a join shuffle) — same
+    * result as `TextOps.topKCommon` (which remains the general API for
+    * two arbitrary corpora, golden-tested); at 100 TB the corpus is read
+    * once instead of twice. */
   private def topkCommonBuild(useMax: Boolean)(
       spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
-    def wc(src: String): DataFrame = TextOps.wordCount(
-      TextOps.tokenize(docs.filter(col("source") === src), col("text")))
-    TextOps.topKCommon(wc("src0"), wc("src1"), 20, useMax)
+      .filter(col("source").isin("src0", "src1"))
+    val counts = TextOps
+      .tokenize(docs, col("text"), keep = Seq(col("source")))
+      .groupBy("word")
+      .agg(count(when(col("source") === "src0", 1)).as("n_a"),
+        count(when(col("source") === "src1", 1)).as("n_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    val merge = if (useMax) greatest(col("n_a"), col("n_b"))
+                else least(col("n_a"), col("n_b"))
+    counts.select(merge.as("n"), col("word"))
+      .orderBy(desc("n"), desc("word")).limit(20)
   }
 
   /** O2+O5+O10+O11(max)+O12: the TopkCommonWords job as written

@@ -23,4 +23,35 @@ class PlanAuditSpec extends SparkSuite {
       }
     }
   }
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q_filter_project pushes its predicates and prunes columns at the scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate filter must reach the parquet reader:\n$p")
+    assert(!p.contains("l_returnflag"),
+      s"untouched columns must be pruned from the scan:\n$p")
+  }
+
+  test("q_broadcast_join builds the dimension side as a broadcast hash join") {
+    val p = plan("q_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected BHJ:\n$p")
+    assert(p.contains("BroadcastExchange"), s"expected broadcast build:\n$p")
+  }
+
+  test("q_sort_limit plans as TakeOrderedAndProject (per-partition heap)") {
+    assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_topk_common_max scans the corpus exactly once (single-pass form)") {
+    val scans = "Scan parquet".r.findAllIn(plan("q_topk_common_max")).size
+    assert(scans == 1, s"expected one documents scan, found $scans")
+  }
+
+  test("q_window_rank plans a partial/final WindowGroupLimit (rank pushdown)") {
+    val p = plan("q_window_rank")
+    assert(p.contains("WindowGroupLimit"), s"rank-limit pushdown missing:\n$p")
+  }
 }
