@@ -138,5 +138,32 @@ object Similarity {
         .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
         .orderBy("bucket"))
 
-  val defs: Seq[QueryDef] = Seq(qCosineTopk, qAnnBuckets, qAnnBucketStats)
+  /** Array-function exhibit over the embedding column (size / index /
+    * slice / transform / aggregate / max / contains) — all on 1e6-quantized
+    * integers so every value is cross-engine exact. */
+  private val qArrayFuncs = QueryDef(
+    "q_array_funcs",
+    Some(s"""
+      |SELECT vec_id,
+      |  CAST(len(embedding) AS BIGINT) AS dim,
+      |  ${sqlQuantElem("embedding", "1")} AS q_first,
+      |  ${sqlQuantElem("embedding", "CAST(len(embedding) AS INT)")} AS q_last,
+      |  CAST(list_sum(list_transform(embedding[1:8], x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))) AS BIGINT) AS q_head_sum,
+      |  CAST(list_max(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))) AS BIGINT) AS q_max,
+      |  CAST(list_contains(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)), 0) AS BIGINT) AS has_zero
+      |FROM embeddings ORDER BY vec_id
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), expr(quantizeExpr).as("qv"), col("embedding"))
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("qv"), 1).as("q_first"),
+          element_at(col("qv"), size(col("qv"))).as("q_last"),
+          expr("aggregate(slice(qv, 1, 8), 0L, (acc, v) -> acc + v)").as("q_head_sum"),
+          array_max(col("qv")).as("q_max"),
+          array_contains(col("qv"), 0L).cast("long").as("has_zero"))
+        .orderBy("vec_id"))
+
+  val defs: Seq[QueryDef] = Seq(qCosineTopk, qAnnBuckets, qAnnBucketStats, qArrayFuncs)
 }
