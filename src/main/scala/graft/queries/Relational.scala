@@ -507,10 +507,68 @@ object Relational {
           expr("percentile(o_totalprice, 0.9)").as("p90"))
         .orderBy("o_orderpriority"))
 
+  /** Funnel analysis: signup → first subsequent purchase per user, with a
+    * 1-hour conversion flag. Two grouped mins + a left join; conversion
+    * math in exact epoch microseconds. */
+  private val qFunnel = QueryDef(
+    "q_funnel",
+    Some("""
+      |WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events WHERE event_type='signup' GROUP BY user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS first_purchase_ts
+      |      FROM events e JOIN s ON e.user_id = s.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      |      GROUP BY e.user_id)
+      |SELECT s.user_id, CAST(epoch_ms(s.signup_ts) AS BIGINT) AS signup_ms,
+      |  CAST(epoch_ms(p.first_purchase_ts) AS BIGINT) AS first_purchase_ms,
+      |  CAST(p.user_id IS NOT NULL AND epoch_us(p.first_purchase_ts) - epoch_us(s.signup_ts) <= 3600000000 AS BIGINT) AS converted_1h
+      |FROM s LEFT JOIN p ON s.user_id = p.user_id
+      |ORDER BY s.user_id
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val ev = tbl(spark, dir, "events")
+      val s = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts"))
+        .join(s, col("p_user") === s("user_id"))
+        .filter(col("ts") >= col("signup_ts"))
+        .groupBy("p_user").agg(min(col("ts")).as("first_purchase_ts"))
+      s.join(p, col("user_id") === col("p_user"), "left_outer")
+        .select(col("user_id"),
+          unix_millis(col("signup_ts")).as("signup_ms"),
+          unix_millis(col("first_purchase_ts")).as("first_purchase_ms"),
+          (col("p_user").isNotNull &&
+            unix_micros(col("first_purchase_ts")) - unix_micros(col("signup_ts")) <= 3600000000L)
+            .cast("long").as("converted_1h"))
+        .orderBy("user_id")
+    })
+
+  /** Weekly retention: distinct (user, epoch-week) grid + lag — the flag
+    * marks consecutive-week activity. */
+  private val qRetention = QueryDef(
+    "q_retention",
+    Some("""
+      |WITH w AS (SELECT DISTINCT user_id, CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS week FROM events)
+      |SELECT user_id, week,
+      |  CAST(week - lag(week) OVER (PARTITION BY user_id ORDER BY week) = 1 AS BIGINT) AS retained_from_prev_week
+      |FROM w ORDER BY user_id, week
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("week")
+      tbl(spark, dir, "events")
+        .select(col("user_id"),
+          floor(unix_micros(col("ts")) / lit(604800000000L)).cast("long").as("week"))
+        .distinct()
+        .select(col("user_id"), col("week"),
+          (col("week") - lag(col("week"), 1).over(w) === 1).cast("long")
+            .as("retained_from_prev_week"))
+        .orderBy("user_id", "week")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     qRollup, qCube, qGroupingSets, qDistinctAgg, qApproxDistinct,
     qSetOps, qWindowFrames, qWindowLag, qSessionize,
     qScalarFuncs, qDateFuncs, qRangeJoin, qAsofJoin,
     qOuterJoinAgg, qCorrSubquery, qPivot,
-    qQ3, qQ5, qSaltedAgg, qPercentiles)
+    qQ3, qQ5, qSaltedAgg, qPercentiles, qFunnel, qRetention)
 }
