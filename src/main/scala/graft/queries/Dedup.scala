@@ -57,10 +57,16 @@ shb AS (SELECT doc_id, ${PortableHash.sqlHash60("sh")} % ${PortableHash.P} AS hp
 sigs AS (SELECT doc_id, $sigColsSql FROM shb GROUP BY doc_id)"""
 
   private def sigs(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir)
+    sigsFrom(shingles(spark, dir)
       .select(col("doc_id"),
-        (PortableHash.hash60(col("sh")) % PortableHash.P).as("hp"))
-      .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        (PortableHash.hash60(col("sh")) % PortableHash.P).as("hp")))
+
+  /** Signatures from any (doc_id, hp) frame. min over a DISTINCT shingle
+    * set equals min over the multiset, so the deduped frame q_jaccard
+    * already needs can feed the signatures too — one shingle+hash pass
+    * for the whole query. */
+  private def sigsFrom(hpFrame: DataFrame): DataFrame =
+    hpFrame.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
 
   /** MinHash signatures: 8 seeded 60-bit min-hashes over char-8 shingles,
     * one aggregation pass. */
@@ -83,8 +89,8 @@ SELECT * FROM sigs ORDER BY doc_id"""),
   /** One row per (doc, band): a single aggregation subtree + a 4-wide
     * explode — NOT four unioned re-aggregations (union branches would
     * recompute the signature pass per band). */
-  private def bandsDf(spark: SparkSession, dir: String): DataFrame =
-    sigs(spark, dir)
+  private def bandsFrom(sigsDf: DataFrame): DataFrame =
+    sigsDf
       .select(col("doc_id"), explode(array(bands.map { case (i, a, b) =>
         struct(lit(i).as("band"),
           md5(concat(col(s"h$a").cast("string"), lit("|"),
@@ -108,7 +114,10 @@ SELECT * FROM sigs ORDER BY doc_id"""),
     * expansion is bounded too; same output as the join: (doc_a < doc_b,
     * n_bands = shared-bucket count). */
   private def candPairs(spark: SparkSession, dir: String): DataFrame =
-    bandsDf(spark, dir)
+    candPairsFrom(sigs(spark, dir))
+
+  private def candPairsFrom(sigsDf: DataFrame): DataFrame =
+    bandsFrom(sigsDf)
       .groupBy("band", "bucket")
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) > 1)
@@ -156,6 +165,10 @@ SELECT i.doc_a, i.doc_b, i.n_inter,
 FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
 ORDER BY doc_a, doc_b"""),
     (spark, dir) => {
+      // dsh's identical distinct branches dedup via exchange reuse; the
+      // signatures aggregate straight off the scan (routing them through
+      // the distinct was measured SLOWER — it adds an exchange to the
+      // signature path without saving hashing).
       val dsh = shingles(spark, dir).distinct()
       val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val cand = candPairs(spark, dir)
