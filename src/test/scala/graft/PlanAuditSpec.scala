@@ -54,4 +54,10 @@ class PlanAuditSpec extends SparkSuite {
     val p = plan("q_window_rank")
     assert(p.contains("WindowGroupLimit"), s"rank-limit pushdown missing:\n$p")
   }
+
+  test("q_stopword_wordcount plans the stopword filter as a broadcast anti-join") {
+    val p = plan("q_stopword_wordcount")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast left-anti (the DistributedCache analog):\n$p")
+  }
 }
