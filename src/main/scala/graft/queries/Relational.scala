@@ -565,10 +565,75 @@ object Relational {
         .orderBy("user_id", "week")
     })
 
+  /** (user, session) intervals from the sessionization pipeline —
+    * shared by q_interval_bin_join. */
+  private def sessionsDf(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val us = unix_micros(col("ts"))
+    tbl(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(lag(us, 1).over(w).isNull ||
+          us - lag(us, 1).over(w) > 1800000000L, 1L).otherwise(0L).as("is_new"))
+      .select(col("user_id"), col("ts"),
+        sum(col("is_new"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("session_no"))
+      .groupBy("user_id", "session_no")
+      .agg(unix_millis(min(col("ts"))).as("start_ms"),
+        unix_millis(max(col("ts"))).as("end_ms"))
+  }
+
+  /** Large×large interval containment join via BINNING (SCALE.md §3):
+    * intervals explode into the 30-min bins they cover, points key to
+    * their bin, and the match becomes an EQUI-join on (user, bin) + a
+    * residual containment filter — a hash join instead of a nested loop,
+    * which is the only interval-join plan that survives 100 TB. The
+    * oracle states the same join as a plain BETWEEN (DuckDB's IEJoin
+    * handles it); counts per session must also equal q_sessionize's
+    * n_events since a user's sessions partition their events. */
+  private val qIntervalBinJoin = QueryDef(
+    "q_interval_bin_join",
+    Some("""
+      |WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT user_id, session_no, CAST(epoch_ms(min(ts)) AS BIGINT) AS start_ms, CAST(epoch_ms(max(ts)) AS BIGINT) AS end_ms
+      |  FROM sess GROUP BY user_id, session_no)
+      |SELECT s.user_id, s.session_no, count(*) AS n_in_window
+      |FROM sessions s JOIN events e
+      |  ON e.user_id = s.user_id AND CAST(epoch_ms(e.ts) AS BIGINT) BETWEEN s.start_ms AND s.end_ms
+      |GROUP BY s.user_id, s.session_no ORDER BY s.user_id, s.session_no
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val BinMs = 1800000L
+      val binned = sessionsDf(spark, dir)
+        .select(col("user_id"), col("session_no"), col("start_ms"), col("end_ms"),
+          explode(expr(s"sequence(start_ms div $BinMs, end_ms div $BinMs)")).as("bin"))
+      val pts = tbl(spark, dir, "events")
+        .select(col("user_id").as("p_user"),
+          unix_millis(col("ts")).as("ms"))
+        .withColumn("bin", expr(s"ms div $BinMs"))
+      binned
+        .join(pts, col("p_user") === col("user_id") && pts("bin") === binned("bin") &&
+          col("ms") >= col("start_ms") && col("ms") <= col("end_ms"))
+        .groupBy("user_id", "session_no")
+        .agg(count(lit(1)).as("n_in_window"))
+        .orderBy("user_id", "session_no")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     qRollup, qCube, qGroupingSets, qDistinctAgg, qApproxDistinct,
     qSetOps, qWindowFrames, qWindowLag, qSessionize,
     qScalarFuncs, qDateFuncs, qRangeJoin, qAsofJoin,
     qOuterJoinAgg, qCorrSubquery, qPivot,
-    qQ3, qQ5, qSaltedAgg, qPercentiles, qFunnel, qRetention)
+    qQ3, qQ5, qSaltedAgg, qPercentiles, qFunnel, qRetention,
+    qIntervalBinJoin)
 }
