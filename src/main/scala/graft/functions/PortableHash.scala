@@ -19,8 +19,16 @@ import org.apache.spark.sql.types.LongType
 object PortableHash {
 
   /** 60-bit non-negative hash: first 15 hex digits of md5, parsed base-16.
-    * DuckDB equivalent: `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`. */
-  def hash60(c: Column): Column =
+    * DuckDB equivalent: `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`.
+    * Spark-side this resolves to the native codegen expression
+    * graft.plans.Hash60 (registered by Tables.load in every session that
+    * touches the catalog) — value-identical to [[hash60Portable]], minus
+    * the per-row hex-string materialization + base-16 parse. */
+  def hash60(c: Column): Column = call_function("graft_hash60", c)
+
+  /** The built-in-functions formulation (the definition the oracle SQL
+    * mirrors); kept for the equality spec and registry-free contexts. */
+  def hash60Portable(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /** Seeded variant: independent hash families from one md5 by salting.

@@ -128,7 +128,8 @@ case class FloatCosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "float_dot" -> { args => FloatDotProduct(args(0), args(1)) },
-    "float_cosine" -> { args => FloatCosineSimilarity(args(0), args(1)) })
+    "float_cosine" -> { args => FloatCosineSimilarity(args(0), args(1)) },
+    "graft_hash60" -> Hash60.builder)
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.registerFunction(
@@ -152,5 +153,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_cosine"),
       new ExpressionInfo("graft.plans.VectorExpressions", "float_cosine"),
       (args: Seq[Expression]) => FloatCosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash60"),
+      new ExpressionInfo("graft.plans.Hash60Expression", "graft_hash60"),
+      Hash60.builder))
   }
 }

@@ -19,9 +19,16 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Idempotent per-session function registration: every catalog builder
+    // passes through here before its expressions are analyzed, so
+    // graft_hash60/float_dot/float_cosine resolve in any session — ours
+    // or one the driver built (sessions created with GraftExtensions get
+    // them twice, harmlessly).
+    graft.plans.GraftFunctions.register(spark)
     if (name == "events") loadEvents(spark, dir) else
       spark.read.parquet(path(dir, name))
+  }
 
   /** `events.parquet` carries TIMESTAMP(NANOS) (written by Arrow), which
     * Spark's parquet reader rejects outright. Read the ns value as a long
