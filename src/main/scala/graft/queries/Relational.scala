@@ -469,6 +469,39 @@ object Relational {
         .agg(dsum(dec("l_extendedprice") * (oneDec - dec("l_discount"))).as("revenue"))
         .orderBy(desc("revenue"), asc("n_name")))
 
+  /** TPC-H Q10 shape (returned-item reporting): selective line-level
+    * filter + date-ranged orders + two broadcastable dims, grouped
+    * revenue, top-20 customers. */
+  private val qQ10 = QueryDef(
+    "q10_returned_items",
+    Some(s"""
+      |SELECT c_custkey, c_name, n_name,
+      |  ${sqlDsum(s"${sqlDec("l_extendedprice")} * (${sqlDec("1")} - ${sqlDec("l_discount")})")} AS revenue,
+      |  count(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      tbl(spark, dir, "customer")
+        .join(tbl(spark, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+            col("o_orderdate") < ts("1997-01-01 00:00:00")),
+          col("c_custkey") === col("o_custkey"))
+        .join(tbl(spark, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(tbl(spark, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(dec("l_extendedprice") * (oneDec - dec("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), asc("c_custkey")).limit(20))
+
   /** Skew-mitigation exhibit: two-level salted aggregation — partial sums
     * on (key, salt) then re-aggregation on key. Result provably equals the
     * plain GROUP BY (the oracle), because the partial sums stay in exact
@@ -634,6 +667,6 @@ object Relational {
     qSetOps, qWindowFrames, qWindowLag, qSessionize,
     qScalarFuncs, qDateFuncs, qRangeJoin, qAsofJoin,
     qOuterJoinAgg, qCorrSubquery, qPivot,
-    qQ3, qQ5, qSaltedAgg, qPercentiles, qFunnel, qRetention,
+    qQ3, qQ5, qQ10, qSaltedAgg, qPercentiles, qFunnel, qRetention,
     qIntervalBinJoin)
 }
