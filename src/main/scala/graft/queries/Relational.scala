@@ -502,6 +502,55 @@ object Relational {
           count(lit(1)).as("n_items"))
         .orderBy(desc("revenue"), asc("c_custkey")).limit(20))
 
+  /** TPC-H Q14 shape (promotion effect): conditional-ratio aggregation —
+    * promo revenue share over a date range, exact-decimal partials with
+    * ONE double division at the end. */
+  private val qQ14 = QueryDef(
+    "q14_promo_effect",
+    Some(s"""
+      |SELECT CAST(100 AS DOUBLE)
+      |    * CAST(sum(CASE WHEN p_type = 'PROMO' THEN ${sqlDec("l_extendedprice")} * (${sqlDec("1")} - ${sqlDec("l_discount")}) ELSE ${sqlDec("0")} END) AS DOUBLE)
+      |    / ${sqlDsum(s"${sqlDec("l_extendedprice")} * (${sqlDec("1")} - ${sqlDec("l_discount")})")} AS promo_pct,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val rev = dec("l_extendedprice") * (oneDec - dec("l_discount"))
+      tbl(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1996-07-01 00:00:00"))
+        .join(broadcast(tbl(spark, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+            sum(rev).cast("double")).as("promo_pct"),
+          count(lit(1)).as("n_items"))
+    })
+
+  /** LIKE / prefix / regexp predicate exhibit: per-type counts of name
+    * patterns (conditional counts keep output deterministic). */
+  private val qStringMatch = QueryDef(
+    "q_string_match",
+    Some("""
+      |SELECT p_type,
+      |  count(*) AS n,
+      |  count(*) FILTER (WHERE p_name LIKE '%widget%') AS n_widget,
+      |  count(*) FILTER (WHERE p_name LIKE 'small%') AS n_small_prefix,
+      |  count(*) FILTER (WHERE regexp_matches(p_name, 'bolt$')) AS n_bolt_suffix
+      |FROM part GROUP BY p_type ORDER BY p_type
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      tbl(spark, dir, "part")
+        .groupBy("p_type")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("p_name").like("%widget%"), 1)).as("n_widget"),
+          count(when(col("p_name").like("small%"), 1)).as("n_small_prefix"),
+          count(when(col("p_name").rlike("bolt$"), 1)).as("n_bolt_suffix"))
+        .orderBy("p_type"))
+
   /** Skew-mitigation exhibit: two-level salted aggregation — partial sums
     * on (key, salt) then re-aggregation on key. Result provably equals the
     * plain GROUP BY (the oracle), because the partial sums stay in exact
@@ -667,6 +716,6 @@ object Relational {
     qSetOps, qWindowFrames, qWindowLag, qSessionize,
     qScalarFuncs, qDateFuncs, qRangeJoin, qAsofJoin,
     qOuterJoinAgg, qCorrSubquery, qPivot,
-    qQ3, qQ5, qQ10, qSaltedAgg, qPercentiles, qFunnel, qRetention,
-    qIntervalBinJoin)
+    qQ3, qQ5, qQ10, qQ14, qStringMatch, qSaltedAgg, qPercentiles,
+    qFunnel, qRetention, qIntervalBinJoin)
 }
