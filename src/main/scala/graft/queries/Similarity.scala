@@ -103,22 +103,25 @@ object Similarity {
       |SELECT vec_id, $combine AS bucket FROM scores ORDER BY vec_id
       |""".stripMargin.trim
     },
-    (spark, dir) => {
-      import graft.functions.PortableHash
-      val pos = tbl(spark, dir, "embeddings")
-        .select(col("vec_id"), posexplode(expr(quantizeExpr)))
-        .select(col("vec_id"), (col("pos") + 1).as("d"), col("col").as("qx"))
-      val scoreCols = (0 until NumPlanes).map { p =>
-        val w = PortableHash.hash60(concat(lit(s"$p:"), col("d").cast("string"))) % 2001 - 1000
-        sum(col("qx") * w).as(s"sp$p")
-      }
-      val combined = (0 until NumPlanes)
-        .map(p => when(col(s"sp$p") > 0, lit(1L << p)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      pos.groupBy("vec_id").agg(scoreCols.head, scoreCols.tail: _*)
-        .select(col("vec_id"), combined.as("bucket"))
-        .orderBy("vec_id")
-    })
+    (spark, dir) => annBuckets(spark, dir).orderBy("vec_id"))
+
+  /** (vec_id, bucket) assignment — shared by the bucket queries and the
+    * bucketed near-dup search. */
+  private def annBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val pos = tbl(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(expr(quantizeExpr)))
+      .select(col("vec_id"), (col("pos") + 1).as("d"), col("col").as("qx"))
+    val scoreCols = (0 until NumPlanes).map { p =>
+      val w = PortableHash.hash60(concat(lit(s"$p:"), col("d").cast("string"))) % 2001 - 1000
+      sum(col("qx") * w).as(s"sp$p")
+    }
+    val combined = (0 until NumPlanes)
+      .map(p => when(col(s"sp$p") > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    pos.groupBy("vec_id").agg(scoreCols.head, scoreCols.tail: _*)
+      .select(col("vec_id"), combined.as("bucket"))
+  }
 
   /** Bucket occupancy — the recall/efficiency view of the ANN index
     * (how much of the corpus a single-bucket probe scans). */
@@ -165,5 +168,64 @@ object Similarity {
           array_contains(col("qv"), 0L).cast("long").as("has_zero"))
         .orderBy("vec_id"))
 
-  val defs: Seq[QueryDef] = Seq(qCosineTopk, qAnnBuckets, qAnnBucketStats, qArrayFuncs)
+  /** Embedding near-dup search, recall + rerank COMPOSED: candidate pairs
+    * come only from shared hyperplane buckets (the ANN recall stage —
+    * pair count is Σ_bucket n², never n²), exact integer cosine reranks
+    * within the bucket, and each vector reports its nearest bucket-mate.
+    * This is the complete 100 TB near-dup architecture in one query; at
+    * cluster scale `bucket` is the partition key, so the self-join is
+    * partition-local. */
+  private val qNeardupBucketed = QueryDef(
+    "q_neardup_bucketed",
+    Some {
+      val scoreCols = (0 until NumPlanes).map { p =>
+        val w = s"(CAST(concat('0x', substr(md5(concat('$p:', d)), 1, 15)) AS BIGINT) % 2001 - 1000)"
+        s"sum(qx * $w) AS sp$p"
+      }.mkString(",\n    ")
+      val combine = (0 until NumPlanes)
+        .map(p => s"(CASE WHEN sp$p > 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      |WITH pos AS (
+      |  SELECT vec_id, CAST(t.i AS INT) AS d,
+      |    ${sqlQuantElem("embedding", "CAST(t.i AS INT)")} AS qx
+      |  FROM embeddings, (SELECT unnest(range(1, ${Dim + 1})) AS i) t),
+      |scores AS (SELECT vec_id, $scoreCols FROM pos GROUP BY vec_id),
+      |buckets AS (SELECT vec_id, $combine AS bucket FROM scores),
+      |pairs AS (
+      |  SELECT a.vec_id AS qa, b.vec_id AS vb, sum(pa.qx * pb.qx) AS dot_q
+      |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      |  JOIN pos pa ON pa.vec_id = a.vec_id JOIN pos pb ON pb.vec_id = b.vec_id AND pb.d = pa.d
+      |  GROUP BY qa, vb),
+      |ranked AS (SELECT qa, vb, dot_q,
+      |  row_number() OVER (PARTITION BY qa ORDER BY dot_q DESC, vb) AS rn FROM pairs)
+      |SELECT qa AS vec_id, vb AS nn_id, dot_q, CAST(dot_q AS DOUBLE) / 1e12 AS cosine
+      |FROM ranked WHERE rn = 1 ORDER BY vec_id
+      |""".stripMargin.trim
+    },
+    (spark, dir) => {
+      val emb = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), expr(quantizeExpr).as("qv"))
+      val bk = annBuckets(spark, dir)
+      val left = bk.join(emb, "vec_id")
+        .select(col("vec_id").as("qa"), col("bucket"), col("qv").as("qva"))
+      val right = bk.join(emb, "vec_id")
+        .select(col("vec_id").as("vb"), col("bucket").as("bucket_r"),
+          col("qv").as("qvb"))
+      val pairs = left
+        .join(right, col("bucket") === col("bucket_r") && col("qa") =!= col("vb"))
+        .select(col("qa"), col("vb"),
+          expr("aggregate(zip_with(qva, qvb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+            .as("dot_q"))
+      val w = Window.partitionBy("qa").orderBy(desc("dot_q"), asc("vb"))
+      pairs.select(col("qa"), col("vb"), col("dot_q"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("qa").as("vec_id"), col("vb").as("nn_id"), col("dot_q"),
+          (col("dot_q").cast("double") / lit(1e12)).as("cosine"))
+        .orderBy("vec_id")
+    })
+
+  val defs: Seq[QueryDef] = Seq(
+    qCosineTopk, qAnnBuckets, qAnnBucketStats, qArrayFuncs, qNeardupBucketed)
 }
