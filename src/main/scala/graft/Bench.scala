@@ -1,5 +1,6 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{struct, sum, xxhash64}
 
 /** Benchmark main. Prints ONE JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
@@ -10,6 +11,16 @@ import org.apache.spark.sql.SparkSession
   * once timed at the target scale factor, in sorted name order.
   */
 object Bench {
+  /** Force EVERY output column to be computed. `.count()` lets Catalyst
+    * prune unreferenced projections, so projection-heavy queries (array /
+    * scalar funcs, window frames) would time little more than the scan.
+    * Hashing a struct of all columns defeats pruning without collecting
+    * rows to the driver. */
+  private def consumeAll(df: DataFrame): Unit = {
+    df.agg(sum(xxhash64(struct("*")))).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,7 +35,7 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // Warmup at the smallest SF: compiles codegen for every plan shape.
     ordered.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
+      try consumeAll(fn(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
     val results = ordered.map { case (name, fn) =>
@@ -34,7 +45,7 @@ object Bench {
       // next query's window).
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try consumeAll(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

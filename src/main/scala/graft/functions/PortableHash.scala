@@ -57,6 +57,19 @@ object PortableHash {
   def sqlUniversal(s: Int, hpExpr: String): String =
     s"(${familyA(s)} * $hpExpr + ${familyB(s)}) % $P"
 
+  /** Plan-time evaluation of [[hash60Portable]] for constants: values that
+    * depend only on fixed algorithm parameters (e.g. the ANN hyperplane
+    * weight matrix, a (plane, dim) grid) are computed once at plan build
+    * and baked in as literals — instead of re-deriving the same md5 per
+    * row per plane on both engines. Value-identical to `hash60` by
+    * construction (same first-15-hex-digits-of-md5 parse). */
+  def hash60Const(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
   /** SQL fragment mirrors, used to build the oracle strings from the same
     * constants so Spark and DuckDB can never drift. */
   def sqlHash60(expr: String): String =

@@ -148,16 +148,31 @@ SELECT doc_a, doc_b, n_bands FROM cand ORDER BY doc_a, doc_b"""),
     * implies a shared min-shingle, so the intersection inner join loses no
     * candidate. */
   private val JaccardCap = 1000
+
+  /** ONE-PASS near-dup pipeline: a single distinct (doc_id, hp) frame —
+    * hp = the full 60-bit shingle hash — feeds the MinHash signatures
+    * (min over the distinct set equals min over the multiset; mod-P per
+    * family preserves the published signature values), the per-doc sizes,
+    * AND the intersection join. One text scan + one shingle explode + one
+    * md5 pass for the whole query (round 2 paid the scan/explode twice),
+    * and every wide shuffle carries an 8-byte BIGINT instead of a shingle
+    * string. Jaccard is computed over the hashed shingle space — the
+    * standard rerank formulation; at 2^60 the corpus-wide collision
+    * expectation is ~n_shingles²/2^61 (≈1e-6 here), and the oracle mirrors
+    * the same hash so parity is exact regardless. */
   private val qJaccardPairs = QueryDef(
     "q_jaccard_pairs",
-    Some(s"""$sigsSql,
+    Some(s"""WITH sh AS ($shingleSql),
+dshp AS (SELECT DISTINCT doc_id, ${PortableHash.sqlHash60("sh")} AS hp FROM sh),
+sigs AS (SELECT doc_id, ${seeds
+        .map(s => s"min(${PortableHash.sqlUniversal(s, s"(hp % ${PortableHash.P})")}) AS h$s")
+        .mkString(",\n    ")} FROM dshp GROUP BY doc_id),
 $candPairsSql,
 top_cand AS (SELECT * FROM cand ORDER BY n_bands DESC, doc_a, doc_b LIMIT $JaccardCap),
-dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dshp GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-  FROM top_cand c JOIN dsh a ON a.doc_id = c.doc_a JOIN dsh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+  FROM top_cand c JOIN dshp a ON a.doc_id = c.doc_a JOIN dshp b ON b.doc_id = c.doc_b AND a.hp = b.hp
   GROUP BY c.doc_a, c.doc_b)
 SELECT i.doc_a, i.doc_b, i.n_inter,
   sa.n_sh + sb.n_sh - i.n_inter AS n_union,
@@ -165,19 +180,21 @@ SELECT i.doc_a, i.doc_b, i.n_inter,
 FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
 ORDER BY doc_a, doc_b"""),
     (spark, dir) => {
-      // dsh's identical distinct branches dedup via exchange reuse; the
-      // signatures aggregate straight off the scan (routing them through
-      // the distinct was measured SLOWER — it adds an exchange to the
-      // signature path without saving hashing).
-      val dsh = shingles(spark, dir).distinct()
-      val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val cand = candPairs(spark, dir)
+      // dshp's four consumers (sigs, sizes, both intersection sides) all
+      // reference the same canonical subtree → one exchange, reused.
+      val dshp = shingles(spark, dir)
+        .select(col("doc_id"), PortableHash.hash60(col("sh")).as("hp"))
+        .distinct()
+      val sigsDf = sigsFrom(
+        dshp.select(col("doc_id"), (col("hp") % PortableHash.P).as("hp")))
+      val sizes = dshp.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val cand = candPairsFrom(sigsDf)
         .orderBy(desc("n_bands"), asc("doc_a"), asc("doc_b")).limit(JaccardCap)
-      val a = dsh.select(col("doc_id").as("doc_a"), col("sh"))
-      val b = dsh.select(col("doc_id").as("doc_b_r"), col("sh").as("sh_b"))
+      val a = dshp.select(col("doc_id").as("doc_a"), col("hp"))
+      val b = dshp.select(col("doc_id").as("doc_b_r"), col("hp").as("hp_b"))
       val inter = cand
         .join(a, "doc_a")
-        .join(b, col("doc_b") === col("doc_b_r") && col("sh") === col("sh_b"))
+        .join(b, col("doc_b") === col("doc_b_r") && col("hp") === col("hp_b"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
       inter
         .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
@@ -203,7 +220,7 @@ ORDER BY doc_a, doc_b"""),
   SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM documents),
 th AS (SELECT doc_id, ${PortableHash.sqlHash60("w")} AS h FROM tok WHERE w <> ''),
 bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id)
-SELECT doc_id, $combine AS simhash FROM bits ORDER BY doc_id"""
+SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM bits ORDER BY doc_id"""
   }
 
   /** SimHash: per-token 60-bit hash; each of 16 fingerprint bits is the

@@ -199,7 +199,7 @@ object Relational {
       |  FROM events),
       |sess AS (
       |  SELECT user_id, ts,
-      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
       |  FROM flagged)
       |SELECT user_id, session_no, count(*) AS n_events,
       |  CAST(epoch_ms(min(ts)) AS BIGINT) AS start_ms, CAST(epoch_ms(max(ts)) AS BIGINT) AS end_ms
@@ -684,7 +684,7 @@ object Relational {
       |  FROM events),
       |sess AS (
       |  SELECT user_id, ts,
-      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
       |  FROM flagged),
       |sessions AS (
       |  SELECT user_id, session_no, CAST(epoch_ms(min(ts)) AS BIGINT) AS start_ms, CAST(epoch_ms(max(ts)) AS BIGINT) AS end_ms

@@ -1,9 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.PortableHash
 import Parity._
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2.4).
@@ -20,17 +21,42 @@ import Parity._
   *  - brute-force top-k broadcasts the (small) query set and scans the
   *    corpus ONCE; per-query top-k is a window over the scan — at cluster
   *    scale this is the "exact rerank" stage;
-  *  - the hyperplane-LSH bucketing (q_ann_buckets) is the recall stage:
-  *    4 sign-bits partition the corpus into 16 buckets; ANN probes only
-  *    matching buckets, turning a full-scan ranking into a bucket-local
-  *    one. Bucket key is the natural shuffle/partition key at scale.
+  *  - the recall stage is banded hyperplane LSH with a CORPUS-ADAPTIVE
+  *    bucket space: [[AnnBands]] bands of up to [[MaxBandBits]] sign bits
+  *    each; the bits actually used per band is
+  *    k = clamp(bitLength(n / [[TargetOccupancy]]), [[MinBandBits]],
+  *    [[MaxBandBits]]) — derived from count(*) INSIDE the plan (integer
+  *    bit-length, no cross-engine transcendental risk), so the shuffle-key
+  *    cardinality (bands × 2^k) grows with the corpus instead of being a
+  *    constant. n=500 → 4×16 keys; n=5k → 4×256; n=10⁹ → 4×4096.
+  *    Expected per-(band,bucket) occupancy stays in
+  *    [TargetOccupancy, 2·TargetOccupancy), so the in-bucket pair
+  *    expansion Σ_bucket n_b² stays LINEAR in n; a hard
+  *    [[MaxBucketSize]] cap per (band, bucket) (deterministic: first N
+  *    vec_ids) guards skewed/degenerate buckets, mirroring the Jaccard
+  *    rerank's candidate cap.
+  *  - banding trades precision for recall like the MinHash LSH: a near-dup
+  *    pair needs ALL k sign bits of ONE band to agree (P ≈ (1−θ/π)^k per
+  *    band, ≥1 of 4 bands), so recall concentrates on high-cosine pairs —
+  *    exactly the near-dup regime.
+  *  - the hyperplane weight matrix w(p,d) = hash60("p:d") % 2001 − 1000 is
+  *    a CONSTANT (plane × dim grid): it is evaluated once at plan build
+  *    ([[PortableHash.hash60Const]]) and baked into the plan as literal
+  *    arrays, so the per-vector scores are a single zip_with/aggregate
+  *    projection — no posexplode, no per-row md5, no shuffle to score.
   */
 object Similarity {
 
   private val Dim = 64
   private val NumQueries = 8  // query set = vec_id < 8
   private val TopK = 5
-  private val NumPlanes = 4
+
+  private val AnnBands = 4
+  private val MaxBandBits = 12           // planes = AnnBands * MaxBandBits = 48
+  private val MinBandBits = 4
+  private val TargetOccupancy = 32       // aim for 32..64 vectors per bucket
+  private val MaxBucketSize = 256        // hard skew guard per (band, bucket)
+  private val NumPlanes = AnnBands * MaxBandBits
 
   /** transform(embedding) → 1e6-quantized BIGINT array (exact both engines:
     * float→double widening is exact, *1e6 is one IEEE op, round is
@@ -48,8 +74,8 @@ object Similarity {
     Some(s"""
       |WITH pairs AS (
       |  SELECT q.vec_id AS query_id, v.vec_id AS cand_id,
-      |    sum(${sqlQuantElem("q.embedding", "CAST(t.i AS INT)")}
-      |      * ${sqlQuantElem("v.embedding", "CAST(t.i AS INT)")}) AS dot_q
+      |    CAST(sum(${sqlQuantElem("q.embedding", "CAST(t.i AS INT)")}
+      |      * ${sqlQuantElem("v.embedding", "CAST(t.i AS INT)")}) AS BIGINT) AS dot_q
       |  FROM (SELECT * FROM embeddings WHERE vec_id < $NumQueries) q,
       |       embeddings v,
       |       (SELECT unnest(range(1, ${Dim + 1})) AS i) t
@@ -80,66 +106,96 @@ object Similarity {
         .orderBy("query_id", "rnk")
     })
 
-  /** Hyperplane-LSH bucket per vector: plane weights derive from the
-    * portable hash (w(p,d) = hash60('p:d') % 2001 - 1000, an integer in
-    * [-1000, 1000]), scores are exact integer dots against the quantized
-    * vector, bucket = 4 sign bits. */
+  // ---- hyperplane weight matrix: constant (plane, dim) grid, plan-time ----
+  private def planeWeight(p: Int, d: Int): Long =
+    PortableHash.hash60Const(s"$p:$d") % 2001 - 1000
+  private def weightRow(p: Int): Seq[Long] = (1 to Dim).map(d => planeWeight(p, d))
+  private def sqlWeightList(p: Int): String =
+    weightRow(p).mkString("[", ", ", "]")
+
+  /** sp_p for the oracle: integer dot of the quantized vector against the
+    * literal weight row (same literals the Spark plan bakes in). */
+  private def sqlPlaneScore(p: Int): String =
+    s"list_sum(list_transform(range(1, ${Dim + 1}), i -> " +
+      s"list_extract(qv, CAST(i AS INT)) * list_extract(${sqlWeightList(p)}, CAST(i AS INT))))"
+  private def sqlBandBits(j: Int): String =
+    (0 until MaxBandBits).map { b =>
+      s"(CASE WHEN ${sqlPlaneScore(j * MaxBandBits + b)} > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("\n      + ")
+
+  /** Shared oracle CTE chain ending in bk(vec_id, band, bucket). */
+  private val sqlBk: String = {
+    val bitsCols = (0 until AnnBands)
+      .map(j => s"${sqlBandBits(j)} AS bits$j").mkString(",\n    ")
+    val branches = (0 until AnnBands).map { j =>
+      s"SELECT vec_id, CAST($j AS BIGINT) AS band, CAST(bits$j % (1 << k) AS BIGINT) AS bucket FROM scores, params"
+    }.mkString("\n  UNION ALL ")
+    s"""qvt AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings),
+scores AS (SELECT vec_id, qv,
+    $bitsCols
+  FROM qvt),
+params AS (SELECT greatest($MinBandBits, least($MaxBandBits,
+    length(bin(CAST(count(*) AS BIGINT) // $TargetOccupancy)))) AS k FROM embeddings),
+bk AS (
+  $branches)"""
+  }
+
+  /** Corpus-adaptive band-bit width k, derived in-plan (1-row frame):
+    * bit-length of n/TargetOccupancy via bin() string length — exact
+    * integer arithmetic in both engines, no log2 ULP risk. */
+  private def annParams(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "embeddings").agg(count(lit(1)).as("n"))
+      .select(greatest(lit(MinBandBits), least(lit(MaxBandBits),
+        length(bin(expr(s"n div $TargetOccupancy"))))).as("k"))
+
+  /** (vec_id, band, bucket) assignment, [[AnnBands]] rows per vector.
+    * Scores are one codegen projection (zip_with against literal weight
+    * rows); the only shuffle in this frame is the broadcast of the 1-row
+    * params. The low-k masking computes all [[MaxBandBits]] sign bits and
+    * keeps k — the price of a static column list; at production corpus
+    * sizes k = MaxBandBits and nothing is wasted. */
+  private def annBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(quantizeExpr).as("qv"))
+    val spCols = (0 until NumPlanes).map { p =>
+      aggregate(
+        zip_with(col("qv"), typedlit(weightRow(p)), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as(s"sp$p")
+    }
+    val scores = emb.select(col("vec_id") +: spCols: _*)
+    val bitCols = (0 until AnnBands).map { j =>
+      (0 until MaxBandBits).map { b =>
+        when(col(s"sp${j * MaxBandBits + b}") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"bits$j")
+    }
+    scores.select(col("vec_id") +: bitCols: _*)
+      .crossJoin(broadcast(annParams(spark, dir)))
+      .select(col("vec_id"), explode(array((0 until AnnBands).map { j =>
+        struct(lit(j.toLong).as("band"),
+          expr(s"CAST(bits$j % shiftleft(1, k) AS BIGINT)").as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   private val qAnnBuckets = QueryDef(
     "q_ann_buckets",
-    Some {
-      val scoreCols = (0 until NumPlanes).map { p =>
-        val w = s"(CAST(concat('0x', substr(md5(concat('$p:', d)), 1, 15)) AS BIGINT) % 2001 - 1000)"
-        s"sum(qx * $w) AS sp$p"
-      }.mkString(",\n    ")
-      val combine = (0 until NumPlanes)
-        .map(p => s"(CASE WHEN sp$p > 0 THEN ${1L << p} ELSE 0 END)")
-        .mkString(" + ")
-      s"""
-      |WITH pos AS (
-      |  SELECT vec_id, CAST(t.i AS INT) AS d,
-      |    ${sqlQuantElem("embedding", "CAST(t.i AS INT)")} AS qx
-      |  FROM embeddings, (SELECT unnest(range(1, ${Dim + 1})) AS i) t),
-      |scores AS (SELECT vec_id, $scoreCols FROM pos GROUP BY vec_id)
-      |SELECT vec_id, $combine AS bucket FROM scores ORDER BY vec_id
-      |""".stripMargin.trim
-    },
-    (spark, dir) => annBuckets(spark, dir).orderBy("vec_id"))
-
-  /** (vec_id, bucket) assignment — shared by the bucket queries and the
-    * bucketed near-dup search. */
-  private def annBuckets(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.PortableHash
-    val pos = tbl(spark, dir, "embeddings")
-      .select(col("vec_id"), posexplode(expr(quantizeExpr)))
-      .select(col("vec_id"), (col("pos") + 1).as("d"), col("col").as("qx"))
-    val scoreCols = (0 until NumPlanes).map { p =>
-      val w = PortableHash.hash60(concat(lit(s"$p:"), col("d").cast("string"))) % 2001 - 1000
-      sum(col("qx") * w).as(s"sp$p")
-    }
-    val combined = (0 until NumPlanes)
-      .map(p => when(col(s"sp$p") > 0, lit(1L << p)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    pos.groupBy("vec_id").agg(scoreCols.head, scoreCols.tail: _*)
-      .select(col("vec_id"), combined.as("bucket"))
-  }
+    Some(s"WITH $sqlBk\nSELECT vec_id, band, bucket FROM bk ORDER BY vec_id, band"),
+    (spark, dir) => annBuckets(spark, dir).orderBy("vec_id", "band"))
 
   /** Bucket occupancy — the recall/efficiency view of the ANN index
     * (how much of the corpus a single-bucket probe scans). */
   private val qAnnBucketStats = QueryDef(
     "q_ann_bucket_stats",
-    Some {
-      // reuse the bucket SQL as a subquery
-      val inner = qAnnBuckets.oracle.get.replaceAll("ORDER BY vec_id$", "")
-      s"""
-      |SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec
-      |FROM ($inner) GROUP BY bucket ORDER BY bucket
-      |""".stripMargin.trim
-    },
+    Some(s"""WITH $sqlBk
+SELECT band, bucket, count(*) AS n_vecs, min(vec_id) AS min_vec
+FROM bk GROUP BY band, bucket ORDER BY band, bucket"""),
     (spark, dir) =>
-      qAnnBuckets.build(spark, dir)
-        .groupBy("bucket")
+      annBuckets(spark, dir)
+        .groupBy("band", "bucket")
         .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
-        .orderBy("bucket"))
+        .orderBy("band", "bucket"))
 
   /** Array-function exhibit over the embedding column (size / index /
     * slice / transform / aggregate / max / contains) — all on 1e6-quantized
@@ -169,57 +225,64 @@ object Similarity {
         .orderBy("vec_id"))
 
   /** Embedding near-dup search, recall + rerank COMPOSED: candidate pairs
-    * come only from shared hyperplane buckets (the ANN recall stage —
-    * pair count is Σ_bucket n², never n²), exact integer cosine reranks
-    * within the bucket, and each vector reports its nearest bucket-mate.
-    * This is the complete 100 TB near-dup architecture in one query; at
-    * cluster scale `bucket` is the partition key, so the self-join is
-    * partition-local. */
+    * come only from shared (band, bucket) LSH cells — grouped higher-order
+    * pair expansion per cell (NO self-join: Spark would not reuse the
+    * bucket pipeline's exchange across a self-join's two sides, so the
+    * join formulation paid the whole scoring pipeline twice), capped at
+    * [[MaxBucketSize]] vectors per cell (deterministic skew guard; at
+    * scale the cap is what bounds a degenerate bucket, like the Jaccard
+    * rerank's candidate cap), deduped across bands, then exact integer
+    * cosine reranks each unordered pair ONCE and each vector reports its
+    * nearest bucket-mate. The shuffle keys are (band, bucket) — corpus-
+    * adaptive cardinality, see the header — and vec_id for the rerank
+    * joins: nothing in the plan has constant-bounded parallelism. */
   private val qNeardupBucketed = QueryDef(
     "q_neardup_bucketed",
-    Some {
-      val scoreCols = (0 until NumPlanes).map { p =>
-        val w = s"(CAST(concat('0x', substr(md5(concat('$p:', d)), 1, 15)) AS BIGINT) % 2001 - 1000)"
-        s"sum(qx * $w) AS sp$p"
-      }.mkString(",\n    ")
-      val combine = (0 until NumPlanes)
-        .map(p => s"(CASE WHEN sp$p > 0 THEN ${1L << p} ELSE 0 END)")
-        .mkString(" + ")
-      s"""
-      |WITH pos AS (
-      |  SELECT vec_id, CAST(t.i AS INT) AS d,
-      |    ${sqlQuantElem("embedding", "CAST(t.i AS INT)")} AS qx
-      |  FROM embeddings, (SELECT unnest(range(1, ${Dim + 1})) AS i) t),
-      |scores AS (SELECT vec_id, $scoreCols FROM pos GROUP BY vec_id),
-      |buckets AS (SELECT vec_id, $combine AS bucket FROM scores),
-      |pairs AS (
-      |  SELECT a.vec_id AS qa, b.vec_id AS vb, sum(pa.qx * pb.qx) AS dot_q
-      |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-      |  JOIN pos pa ON pa.vec_id = a.vec_id JOIN pos pb ON pb.vec_id = b.vec_id AND pb.d = pa.d
-      |  GROUP BY qa, vb),
-      |ranked AS (SELECT qa, vb, dot_q,
-      |  row_number() OVER (PARTITION BY qa ORDER BY dot_q DESC, vb) AS rn FROM pairs)
-      |SELECT qa AS vec_id, vb AS nn_id, dot_q, CAST(dot_q AS DOUBLE) / 1e12 AS cosine
-      |FROM ranked WHERE rn = 1 ORDER BY vec_id
-      |""".stripMargin.trim
-    },
+    Some(s"""WITH $sqlBk,
+capped AS (
+  SELECT vec_id, band, bucket FROM bk
+  QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) <= $MaxBucketSize),
+cand AS (
+  SELECT DISTINCT a.vec_id AS qa, b.vec_id AS vb
+  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+dots AS (
+  SELECT c.qa, c.vb,
+    CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+      list_extract(x.qv, CAST(i AS INT)) * list_extract(y.qv, CAST(i AS INT)))) AS BIGINT) AS dot_q
+  FROM cand c JOIN qvt x ON x.vec_id = c.qa JOIN qvt y ON y.vec_id = c.vb),
+mirrored AS (SELECT qa, vb, dot_q FROM dots UNION ALL SELECT vb AS qa, qa AS vb, dot_q FROM dots)
+SELECT qa AS vec_id, vb AS nn_id, dot_q, CAST(dot_q AS DOUBLE) / 1e12 AS cosine
+FROM mirrored
+QUALIFY row_number() OVER (PARTITION BY qa ORDER BY dot_q DESC, vb) = 1
+ORDER BY vec_id"""),
     (spark, dir) => {
+      val wcap = Window.partitionBy("band", "bucket").orderBy("vec_id")
+      val capped = annBuckets(spark, dir)
+        .withColumn("rnb", row_number().over(wcap))
+        .filter(col("rnb") <= MaxBucketSize)
+      // same partitioning as the window → the groupBy adds no exchange
+      val cand = capped
+        .groupBy("band", "bucket")
+        .agg(sort_array(collect_list(col("vec_id"))).as("vs"))
+        .filter(size(col("vs")) > 1)
+        .select(explode(expr(
+          """flatten(transform(vs, (x, i) ->
+            |  transform(slice(vs, i + 2, size(vs)), y ->
+            |    struct(x AS qa, y AS vb))))""".stripMargin)).as("p"))
+        .select(col("p.qa").as("qa"), col("p.vb").as("vb"))
+        .distinct()
       val emb = tbl(spark, dir, "embeddings")
         .select(col("vec_id"), expr(quantizeExpr).as("qv"))
-      val bk = annBuckets(spark, dir)
-      val left = bk.join(emb, "vec_id")
-        .select(col("vec_id").as("qa"), col("bucket"), col("qv").as("qva"))
-      val right = bk.join(emb, "vec_id")
-        .select(col("vec_id").as("vb"), col("bucket").as("bucket_r"),
-          col("qv").as("qvb"))
-      val pairs = left
-        .join(right, col("bucket") === col("bucket_r") && col("qa") =!= col("vb"))
+      val dots = cand
+        .join(emb.select(col("vec_id").as("qa"), col("qv").as("qva")), "qa")
+        .join(emb.select(col("vec_id").as("vb"), col("qv").as("qvb")), "vb")
         .select(col("qa"), col("vb"),
-          expr("aggregate(zip_with(qva, qvb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
-            .as("dot_q"))
+          aggregate(zip_with(col("qva"), col("qvb"), (x, y) => x * y),
+            lit(0L), (acc, v) => acc + v).as("dot_q"))
+      val both = dots.select("qa", "vb", "dot_q")
+        .union(dots.select(col("vb").as("qa"), col("qa").as("vb"), col("dot_q")))
       val w = Window.partitionBy("qa").orderBy(desc("dot_q"), asc("vb"))
-      pairs.select(col("qa"), col("vb"), col("dot_q"),
-          row_number().over(w).as("rn"))
+      both.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("qa").as("vec_id"), col("vb").as("nn_id"), col("dot_q"),
           (col("dot_q").cast("double") / lit(1e12)).as("cosine"))

@@ -8,9 +8,13 @@ package graft
 class PlanAuditSpec extends SparkSuite {
 
   /** Queries whose plans legitimately contain BroadcastNestedLoopJoin:
-    * range join (5-row range dim) and cosine top-k (broadcast query set,
-    * non-equi self-exclusion predicate). */
-  private val bnljAllowed = Set("q_range_join", "q_cosine_topk")
+    * range join (5-row range dim), cosine top-k (broadcast query set,
+    * non-equi self-exclusion predicate), and the ANN bucket family (the
+    * corpus-adaptive band-bit width k is a 1-ROW aggregate frame cross-
+    * joined in as a broadcast — the build side is a single row by
+    * construction). */
+  private val bnljAllowed = Set("q_range_join", "q_cosine_topk",
+    "q_ann_buckets", "q_ann_bucket_stats", "q_neardup_bucketed")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no cartesian product / unexpected nested loop") {

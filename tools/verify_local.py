@@ -34,6 +34,11 @@ def cmp_cell(a, b):
         return a == b
     return a == b
 
+def types_of(con, sql):
+    """DuckDB column_name -> column_type for a query (order-insensitive)."""
+    d = con.sql(f"DESCRIBE {sql}").df()
+    return dict(zip(d["column_name"], d["column_type"]))
+
 def main():
     sf, out = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -43,6 +48,18 @@ def main():
     n_pass = n_fail = 0
     for name in sorted(oracle):
         try:
+            # The driver's hash is TYPE-sensitive (HUGEINT != BIGINT even when
+            # values match byte-for-byte — cost 4 queries in round 2). Compare
+            # DuckDB's typing of the oracle against the written parquet schema
+            # before comparing values; pandas canon below coerces types away.
+            texp = types_of(con, f"({oracle[name]})")
+            tgot = types_of(con, f"SELECT * FROM '{out}/{name}/*.parquet'")
+            if texp != tgot:
+                diffs = {k: (texp.get(k), tgot.get(k))
+                         for k in set(texp) | set(tgot) if texp.get(k) != tgot.get(k)}
+                print(f"FAIL {name}: result types differ (oracle, spark): {diffs}")
+                n_fail += 1
+                continue
             exp = canon(con.sql(oracle[name]).df())
             got = canon(con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df())
         except Exception as e:
