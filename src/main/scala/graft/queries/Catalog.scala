@@ -265,18 +265,9 @@ object Catalog {
     * start surfaces as epoch ms (see parity rules). */
   private val qTumbling = QueryDef(
     "q_tumbling_window",
-    Some(s"""
-      |SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms,
-      |  event_type, count(*) AS n, ${sqlDsum(sqlDec("value"))} AS sum_value
-      |FROM events
-      |GROUP BY 1, 2 ORDER BY window_start_ms, event_type
-      |""".stripMargin.trim),
+    Some(StreamingParity.tumblingOracleSql),
     (spark, dir) =>
-      tbl(spark, dir, "events")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum(dec("value")).as("sum_value"))
-        .select(unix_millis(col("window.start")).as("window_start_ms"),
-          col("event_type"), col("n"), col("sum_value"))
+      StreamingParity.tumblingExact(tbl(spark, dir, "events"))
         .orderBy("window_start_ms", "event_type"))
 
   /** JSON extraction from the string `props` column. */
@@ -329,7 +320,7 @@ object Catalog {
     qPricing, qFilterProject, qSortLimit, qJoinAgg,
     qSemiJoin, qAntiJoin, qBroadcastJoin, qWindowRank,
     qTumbling, qJson, qDedupExact) ++ Relational.defs ++ Dedup.defs ++
-    Similarity.defs ++ TextAnalysis.defs
+    Similarity.defs ++ TextAnalysis.defs ++ StreamingParity.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.build).toMap

@@ -711,11 +711,94 @@ object Relational {
         .orderBy("user_id", "session_no")
     })
 
+  /** TPC-H Q2 shape (min-cost supplier): correlated scalar-min subquery
+    * over a snowflake join — "the row whose measure equals its group's
+    * min" — the decorrelation exhibit. One SQL string for both engines;
+    * Catalyst rewrites the correlated min into an aggregate + join (no
+    * per-row re-execution), so at scale it is two shuffles on l_partkey.
+    * unit_cost is a single IEEE division + min (element pick) — exact in
+    * both engines, no accumulation. */
+  private val q2Sql = """
+      |WITH cost AS (
+      |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON n_nationkey = s_nationkey
+      |  JOIN region ON r_regionkey = n_regionkey AND r_name = 'ASIA'
+      |  GROUP BY l_partkey, l_suppkey)
+      |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name, c.unit_cost
+      |FROM part p
+      |JOIN cost c ON c.l_partkey = p.p_partkey
+      |JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE p.p_size <= 10
+      |  AND c.unit_cost = (SELECT min(c2.unit_cost) FROM cost c2 WHERE c2.l_partkey = p.p_partkey)
+      |ORDER BY s.s_acctbal DESC, p.p_partkey, s.s_name
+      |LIMIT 100
+      |""".stripMargin.trim
+  private val qQ2 = QueryDef(
+    "q2_min_cost_supplier",
+    Some(q2Sql),
+    (spark, dir) => {
+      views(spark, dir, "lineitem", "supplier", "nation", "region", "part")
+      spark.sql(q2Sql)
+    })
+
+  /** TPC-H Q21 shape (suppliers who alone held up a shared order):
+    * semi-join (some OTHER supplier is on the order) composed with an
+    * anti-join (no OTHER supplier was late on it) over the same fact —
+    * the existential-join composition the catalog didn't exercise.
+    * (No nation filter: the corpus is small enough that Q21's extra dim
+    * filter empties the smallest SF; the broadcast-dim pattern is already
+    * exercised by q5/q10.)
+    * Lateness proxy: shipped >60 days after the order date (this corpus
+    * has no commit/receipt dates). Both joins key on l_orderkey, the
+    * fact's natural shuffle key; the supplier→nation dim is broadcast. */
+  private val qQ21 = QueryDef(
+    "q21_waiting_supplier",
+    Some("""
+      |WITH late AS (
+      |  SELECT l.l_orderkey, l.l_suppkey
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  WHERE o.o_orderstatus = 'F' AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |SELECT s.s_name, count(*) AS numwait
+      |FROM late l1
+      |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      def late = tbl(spark, dir, "lineitem")
+        .join(tbl(spark, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = tbl(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
+      val lateOthers = late.select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"))
+      val dim = broadcast(tbl(spark, dir, "supplier"))
+      late
+        .join(others,
+          col("lo2") === col("l_orderkey") && col("ls2") =!= col("l_suppkey"),
+          "left_semi")
+        .join(lateOthers,
+          col("lo3") === col("l_orderkey") && col("ls3") =!= col("l_suppkey"),
+          "left_anti")
+        .join(dim, col("s_suppkey") === col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+        .limit(100)
+    })
+
   val defs: Seq[QueryDef] = Seq(
     qRollup, qCube, qGroupingSets, qDistinctAgg, qApproxDistinct,
     qSetOps, qWindowFrames, qWindowLag, qSessionize,
     qScalarFuncs, qDateFuncs, qRangeJoin, qAsofJoin,
     qOuterJoinAgg, qCorrSubquery, qPivot,
-    qQ3, qQ5, qQ10, qQ14, qStringMatch, qSaltedAgg, qPercentiles,
+    qQ2, qQ3, qQ5, qQ10, qQ14, qQ21, qStringMatch, qSaltedAgg, qPercentiles,
     qFunnel, qRetention, qIntervalBinJoin)
 }

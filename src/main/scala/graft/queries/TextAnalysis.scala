@@ -178,5 +178,43 @@ object TextAnalysis {
         .orderBy("doc_id")
     })
 
-  val defs: Seq[QueryDef] = Seq(qTokenStats, qDocQuality, qLangId, qFingerprint)
+  /** The SAME k-min fingerprint computed through the typed
+    * `Aggregator[IN, BUF, OUT]` surface (graft.functions.Aggregators.MinK
+    * via `udaf()`) instead of collect_set/sort_array — the custom-UDAF
+    * exhibit under the driver's gate, sharing q_fingerprint's oracle
+    * semantics. MinK keeps an O(k) mergeable buffer, so it partial-
+    * aggregates map-side like a built-in (the property that matters at
+    * 100 TB); the cost vs the native formulation is no codegen for the
+    * buffer update — which is why the default fingerprint stays native
+    * and this entry exists to prove the extension API end-to-end. */
+  private val qFingerprintUdaf = QueryDef(
+    "q_fingerprint_udaf",
+    Some(s"""
+      |WITH sh AS (SELECT doc_id, substr(text, CAST(i AS INT), 8) AS sh FROM (
+      |    SELECT doc_id, text, unnest(range(1, greatest(length(text)-6, 2))) AS i FROM documents)),
+      |hp AS (SELECT DISTINCT doc_id, ${PortableHash.sqlHash60("sh")} % ${PortableHash.P} AS hp FROM sh),
+      |ranked AS (SELECT doc_id, hp, row_number() OVER (PARTITION BY doc_id ORDER BY hp) AS rn FROM hp)
+      |SELECT doc_id,
+      |  md5(concat(max(CASE WHEN rn=1 THEN hp END), '|', max(CASE WHEN rn=2 THEN hp END), '|', max(CASE WHEN rn=3 THEN hp END))) AS fingerprint
+      |FROM ranked WHERE rn <= 3 GROUP BY doc_id ORDER BY doc_id
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val mink3 = udaf(new graft.functions.Aggregators.MinK(3))
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), greatest(length(col("text")) - 6, lit(2)) - 1)).as("i"))
+        .select(col("doc_id"), expr("substring(text, i, 8)").as("sh"))
+        .select(col("doc_id"),
+          (PortableHash.hash60(col("sh")) % PortableHash.P).as("hp"))
+        .groupBy("doc_id")
+        .agg(mink3(col("hp")).as("hs"))
+        .select(col("doc_id"), md5(concat(
+          element_at(col("hs"), 1).cast("string"), lit("|"),
+          element_at(col("hs"), 2).cast("string"), lit("|"),
+          element_at(col("hs"), 3).cast("string"))).as("fingerprint"))
+        .orderBy("doc_id")
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf)
 }

@@ -52,6 +52,25 @@ object Tables {
 
   val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
 
+  /** Streaming twin of [[loadEvents]]: the same parquet files as an
+    * incremental file-stream source with the same ns→µs conversion, so a
+    * streaming query is plan-identical to its batch twin from the source
+    * up. The schema probe reads footers only (no job). */
+  def loadEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (spark.conf.getOption(NanosAsLongKey).forall(_ != "true"))
+      spark.conf.set(NanosAsLongKey, "true")
+    graft.plans.GraftFunctions.register(spark)
+    val schema = spark.read.parquet(path(dir, "events")).schema
+    // the testdata table is a single parquet FILE; the file-stream source
+    // needs a directory or a glob PATTERN (a directory-per-table layout
+    // needs neither), so wrap the filename in a {}-glob
+    spark.readStream.schema(schema).parquet(s"$dir/{events.parquet}")
+      .withColumn("ts",
+        timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
   /** Register every table as a temp view so `spark.sql` mirrors the DuckDB
     * oracle's naming exactly. */
   def registerViews(spark: SparkSession, dir: String): Unit =
