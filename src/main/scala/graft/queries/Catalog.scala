@@ -320,7 +320,8 @@ object Catalog {
     qPricing, qFilterProject, qSortLimit, qJoinAgg,
     qSemiJoin, qAntiJoin, qBroadcastJoin, qWindowRank,
     qTumbling, qJson, qDedupExact) ++ Relational.defs ++ Dedup.defs ++
-    Similarity.defs ++ TextAnalysis.defs ++ StreamingParity.defs
+    Similarity.defs ++ TextAnalysis.defs ++ StreamingParity.defs ++
+    SourceParity.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.build).toMap

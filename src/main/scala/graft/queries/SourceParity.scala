@@ -1,0 +1,75 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Parity._
+
+/** Non-parquet FILE SOURCES under the driver's correctness gate.
+  *
+  * The reference's only source is line-split text (reference
+  * WordCount.java:60, TopkCommonWords.java:172-173); SURVEY.md §2.3 lists
+  * CSV/JSON as secondary engine formats. SourcesSpec proves the
+  * round-trips in isolation; these catalog entries put them under the
+  * oracle hash: each query writes a table out through the format, reads it
+  * back through the corresponding file source, and aggregates — the oracle
+  * runs on the ORIGINAL parquet, so a pass proves the source is
+  * value-exact end-to-end (doubles survive because Spark writes
+  * `Double.toString`, whose round-trip is exact by contract).
+  *
+  * Scale notes: both are splittable line-oriented formats (CSV without
+  * embedded newlines, JSON-lines by construction), so a 100 TB ingest
+  * parallelizes per-split exactly like the parquet path; the explicit
+  * schema matters at scale — `inferSchema` is a full extra pass over the
+  * data before the first real job.
+  */
+object SourceParity {
+
+  /** Write `table` out as `format` into a fresh temp dir, read it back
+    * with the SAME explicit schema (no inference pass). */
+  private def roundTrip(
+      spark: SparkSession, dir: String, table: String,
+      format: String, options: Map[String, String]): DataFrame = {
+    val src = tbl(spark, dir, table)
+    val tmp = Files.createTempDirectory(s"graft_${format}_$table").toString
+    src.write.format(format).options(options).mode("overwrite").save(tmp)
+    spark.read.format(format).options(options).schema(src.schema).load(tmp)
+  }
+
+  /** CSV file source: customer → CSV (quoted, headered) → grouped agg.
+    * c_name exercises quoting (commas inside values). */
+  private val qCsvSource = QueryDef(
+    "q_csv_source",
+    Some(s"""
+      |SELECT c_mktsegment, count(*) AS n,
+      |  ${sqlDsum(sqlDec("c_acctbal"))} AS sum_bal,
+      |  max(c_name) AS max_name
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      roundTrip(spark, dir, "customer", "csv", Map("header" -> "true"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum(dec("c_acctbal")).as("sum_bal"),
+          max("c_name").as("max_name"))
+        .orderBy("c_mktsegment"))
+
+  /** JSON-lines file source: part → JSON → grouped agg. */
+  private val qJsonSource = QueryDef(
+    "q_json_source",
+    Some(s"""
+      |SELECT p_brand, count(*) AS n,
+      |  ${sqlDsum(sqlDec("p_retailprice"))} AS sum_price,
+      |  max(p_size) AS max_size
+      |FROM part GROUP BY p_brand ORDER BY p_brand
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      roundTrip(spark, dir, "part", "json", Map.empty)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), dsum(dec("p_retailprice")).as("sum_price"),
+          max("p_size").as("max_size"))
+        .orderBy("p_brand"))
+
+  val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource)
+}
