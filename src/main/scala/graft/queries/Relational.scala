@@ -794,11 +794,283 @@ object Relational {
         .limit(100)
     })
 
+  /** TPC-H Q4 shape (order-priority checking): date-sliced orders kept only
+    * if SOME line shipped late — an EXISTS semi-join with a non-equi
+    * residual (l_shipdate > o_orderdate + 60d; this corpus has no
+    * commit/receipt dates), then a priority histogram. The semi-join keys
+    * on o_orderkey = the fact's natural shuffle key. */
+  private val qQ4 = QueryDef(
+    "q4_order_priority",
+    Some("""
+      |SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      tbl(spark, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-01-01 00:00:00"))
+        .join(tbl(spark, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority"))
+
+  /** TPC-H Q7 shape (volume shipping between two nations, by direction and
+    * year). Each side is pre-filtered to the two nations through its own
+    * broadcast nation dim BEFORE touching the fact table, so the pair
+    * predicate collapses to supp_nation <> cust_nation and the fact join
+    * input is already maximally pruned. */
+  private val q7Nations = Seq("NATION_3", "NATION_7")
+  private val qQ7 = QueryDef(
+    "q7_volume_shipping",
+    Some(s"""
+      |SELECT supp_nation, cust_nation, l_year,
+      |  ${sqlDsum("volume")} AS revenue, count(*) AS n_items
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |    ${sqlDec("l_extendedprice")} * (${sqlDec("1")} - ${sqlDec("l_discount")}) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = '${q7Nations(0)}' AND n2.n_name = '${q7Nations(1)}')
+      |      OR (n1.n_name = '${q7Nations(1)}' AND n2.n_name = '${q7Nations(0)}'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      def natDim = broadcast(
+        tbl(spark, dir, "nation").filter(col("n_name").isin(q7Nations: _*)))
+      val sup = tbl(spark, dir, "supplier")
+        .join(natDim, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = tbl(spark, dir, "customer")
+        .join(natDim, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      tbl(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1998-01-01 00:00:00"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(tbl(spark, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(dsum(dec("l_extendedprice") * (oneDec - dec("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    })
+
+  /** TPC-H Q13 shape (customer order-count distribution): left OUTER join
+    * with a composite join condition (the priority predicate belongs to the
+    * ON clause, not a WHERE — a WHERE would turn the outer join inner),
+    * per-customer counts, then a histogram of the counts. Two shuffles:
+    * c_custkey, then c_count. */
+  private val qQ13 = QueryDef(
+    "q13_cust_distribution",
+    Some("""
+      |WITH c_orders AS (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |SELECT c_count, count(*) AS custdist
+      |FROM c_orders GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      tbl(spark, dir, "customer")
+        .join(tbl(spark, dir, "orders"),
+          col("o_custkey") === col("c_custkey") &&
+            col("o_orderpriority") =!= "1-URGENT",
+          "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count")))
+
+  /** TPC-H Q16 shape (supplier-part relationship count): distinct suppliers
+    * per (brand, type, size) with a NOT-IN exclusion list — the exclusion
+    * is a broadcast left-anti join (keys are non-null by schema, so NOT IN
+    * ≡ anti-join), the distinct count is the expand+two-phase agg. */
+  private val qQ16 = QueryDef(
+    "q16_supplier_cnt",
+    Some("""
+      |SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      tbl(spark, dir, "lineitem")
+        .join(broadcast(tbl(spark, dir, "part")
+          .filter(col("p_brand") =!= "Brand#1" &&
+            col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(tbl(spark, dir, "supplier")
+          .filter(col("s_acctbal") < 0).select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size")))
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    * per-part average decorrelated into ONE grouped aggregate joined back
+    * to the fact; the 0.2·avg comparison is multiplied out
+    * (qty < 0.2·sum/cnt  ⟺  5·qty·cnt < sum) so it stays in exact decimal
+    * arithmetic — no division, no cross-engine rounding drift. */
+  private val qQ17 = QueryDef(
+    "q17_small_qty_revenue",
+    Some(s"""
+      |WITH per_part AS (
+      |  SELECT l_partkey AS a_partkey, count(*) AS cnt,
+      |    sum(${sqlDec("l_quantity")}) AS sum_qty
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT ${sqlDsum(sqlDec("l_extendedprice"))} AS sum_price, count(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN per_part ON a_partkey = p_partkey
+      |WHERE p_brand = 'Brand#3'
+      |  AND 5 * ${sqlDec("l_quantity")} * cnt < sum_qty
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val perPart = tbl(spark, dir, "lineitem")
+        .groupBy(col("l_partkey").as("a_partkey"))
+        .agg(count(lit(1)).as("cnt"), sum(dec("l_quantity")).as("sum_qty"))
+      tbl(spark, dir, "lineitem")
+        .join(broadcast(tbl(spark, dir, "part").filter(col("p_brand") === "Brand#3")),
+          col("p_partkey") === col("l_partkey"))
+        .join(perPart, col("a_partkey") === col("p_partkey"))
+        .filter(lit(5) * dec("l_quantity") * col("cnt") < col("sum_qty"))
+        .agg(dsum(dec("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n_items"))
+    })
+
+  /** TPC-H Q18 shape (large-volume customers): HAVING-filtered key set
+    * (orders whose total quantity exceeds the threshold) applied as a
+    * semi-join membership test, then the 3-table join re-aggregates per
+    * order. Both the key-set agg and the semi-join shuffle on l_orderkey/
+    * o_orderkey — one key family end to end. */
+  private val qQ18 = QueryDef(
+    "q18_large_volume",
+    Some(s"""
+      |SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(epoch_ms(o_orderdate) AS BIGINT) AS orderdate_ms,
+      |  o_totalprice,
+      |  ${sqlDsum(sqlDec("l_quantity"))} AS sum_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING sum(${sqlDec("l_quantity")}) > 250)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val bigOrders = tbl(spark, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("big_key"))
+        .agg(sum(dec("l_quantity")).as("sq"))
+        .filter(col("sq") > 250)
+        .select("big_key")
+      tbl(spark, dir, "orders")
+        .join(bigOrders, col("o_orderkey") === col("big_key"), "left_semi")
+        .join(tbl(spark, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(tbl(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(dec("l_quantity")).as("sum_qty"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("orderdate_ms"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(100)
+    })
+
+  /** TPC-H Q19 shape (discounted revenue): a disjunction of conjunctive
+    * predicates spanning BOTH join sides (brand+size from part,
+    * quantity from lineitem) — the OR cannot be pushed whole, but its
+    * per-side projections can; Catalyst derives them and the join stays an
+    * equi-join on partkey with the disjunction as residual. */
+  private val qQ19 = QueryDef(
+    "q19_disjunctive",
+    Some(s"""
+      |SELECT ${sqlDsum(s"${sqlDec("l_extendedprice")} * (${sqlDec("1")} - ${sqlDec("l_discount")})")} AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1 AND l_quantity <= 20)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25
+      |       AND l_quantity >= 10 AND l_quantity <= 30)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+      |       AND l_quantity >= 20 AND l_quantity <= 40)
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      tbl(spark, dir, "lineitem")
+        .join(broadcast(tbl(spark, dir, "part")),
+          col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity") >= 1 && col("l_quantity") <= 20) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(5, 25) &&
+            col("l_quantity") >= 10 && col("l_quantity") <= 30) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(10, 40) &&
+            col("l_quantity") >= 20 && col("l_quantity") <= 40))
+        .agg(dsum(dec("l_extendedprice") * (oneDec - dec("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items")))
+
+  /** TPC-H Q22 shape (global sales opportunity): above-average balance via
+    * a 1-row aggregate broadcast with the comparison multiplied out
+    * (bal > total/cnt ⟺ bal·cnt > total — exact decimal, no division),
+    * composed with a NOT EXISTS anti-join. The 1-row cross join is a
+    * broadcast nested loop by construction (build side = one row). */
+  private val qQ22 = QueryDef(
+    "q22_global_sales",
+    Some(s"""
+      |WITH pos AS (SELECT * FROM customer WHERE c_acctbal > 0.0),
+      |stats AS (SELECT count(*) AS cnt, sum(${sqlDec("c_acctbal")}) AS total FROM pos)
+      |SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrygrp, count(*) AS numcust,
+      |  ${sqlDsum(sqlDec("c_acctbal"))} AS totacctbal
+      |FROM pos, stats
+      |WHERE ${sqlDec("c_acctbal")} * cnt > total
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY cntrygrp ORDER BY cntrygrp
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val pos = tbl(spark, dir, "customer").filter(col("c_acctbal") > 0.0)
+      val stats = pos.agg(count(lit(1)).as("cnt"), sum(dec("c_acctbal")).as("total"))
+      pos.crossJoin(broadcast(stats))
+        .filter(dec("c_acctbal") * col("cnt") > col("total"))
+        .join(tbl(spark, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy((col("c_nationkey") % 5).cast("long").as("cntrygrp"))
+        .agg(count(lit(1)).as("numcust"), dsum(dec("c_acctbal")).as("totacctbal"))
+        .orderBy("cntrygrp")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     qRollup, qCube, qGroupingSets, qDistinctAgg, qApproxDistinct,
     qSetOps, qWindowFrames, qWindowLag, qSessionize,
     qScalarFuncs, qDateFuncs, qRangeJoin, qAsofJoin,
     qOuterJoinAgg, qCorrSubquery, qPivot,
-    qQ2, qQ3, qQ5, qQ10, qQ14, qQ21, qStringMatch, qSaltedAgg, qPercentiles,
+    qQ2, qQ3, qQ4, qQ5, qQ7, qQ10, qQ13, qQ14, qQ16, qQ17, qQ18, qQ19,
+    qQ21, qQ22, qStringMatch, qSaltedAgg, qPercentiles,
     qFunnel, qRetention, qIntervalBinJoin)
 }

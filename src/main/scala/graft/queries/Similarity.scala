@@ -289,6 +289,168 @@ ORDER BY vec_id"""),
         .orderBy("vec_id")
     })
 
+  // =========================================================================
+  // IVF (inverted-file) ANN — the second scale path next to hyperplane LSH
+  // =========================================================================
+  //
+  // Index layout: the corpus is partitioned into Voronoi cells around C
+  // centroids; a query probes only its NProbe nearest cells. Design for
+  // 100 TB (see SCALE.md):
+  //  - SEED SELECTION (index build, one-off): the C seeds are the vectors
+  //    with the smallest md5-derived hash of vec_id — a deterministic
+  //    uniform sample standing in for k-means (k-means++ iterations are an
+  //    offline training job in production; what the ENGINE must get right
+  //    is the probe path). The candidate pool is top-[[IvfSeedPool]] by
+  //    hash = TakeOrderedAndProject (per-partition heap, no global sort);
+  //    the window that ranks seeds runs on ≤ 64 rows.
+  //  - C is CORPUS-ADAPTIVE: clamp(n / [[IvfTargetCell]], 4, 64) derived
+  //    from count(*) inside the plan, so cells stay ~IvfTargetCell-sized as
+  //    the corpus grows (until the static pool cap; production would raise
+  //    both with one constant).
+  //  - ASSIGNMENT is ZERO-shuffle: the ≤64 centroids collapse to ONE row
+  //    (collect_list), broadcast, and every vector computes its C dots and
+  //    the argmax in a single codegen projection over nested higher-order
+  //    functions — no explode, no per-vector window, no shuffle. At 100 TB
+  //    this is a map-only pass over the corpus.
+  //  - PROBE: the query set explodes its per-cell scores (NumQueries × C
+  //    rows — tiny), takes NProbe cells per query, equi-joins cell ids
+  //    against the assignment, and exact integer cosine reranks. Each
+  //    vector lives in exactly ONE cell (unlike the multi-band LSH), so
+  //    candidates need no dedup.
+
+  private val IvfSeedPool = 64
+  private val IvfMinC = 4
+  private val IvfMaxC = 64          // = IvfSeedPool: every pooled seed usable
+  private val IvfTargetCell = 64    // aim for ~64 vectors per cell
+  private val IvfNProbe = 2
+
+  private val sqlHash60VecId =
+    "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  /** Shared oracle CTE chain ending in scored(vec_id, qv, sc) and
+    * assign(vec_id, qv, cid, dot_c). */
+  private val sqlIvf: String = s"""
+qvt AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings),
+ivf_params AS (SELECT greatest($IvfMinC, least($IvfMaxC,
+    CAST(count(*) AS BIGINT) // $IvfTargetCell)) AS c FROM embeddings),
+seedpool AS (
+  SELECT vec_id, qv, $sqlHash60VecId AS hp FROM qvt
+  QUALIFY row_number() OVER (ORDER BY $sqlHash60VecId, vec_id) <= $IvfSeedPool),
+cents AS (
+  SELECT cid, cv FROM (
+    SELECT CAST(row_number() OVER (ORDER BY hp, vec_id) AS BIGINT) AS cid, qv AS cv
+    FROM seedpool), ivf_params
+  WHERE cid <= c),
+centarr AS (SELECT list(struct_pack(cid := cid, cv := cv) ORDER BY cid) AS cl FROM cents),
+scored AS (
+  SELECT vec_id, qv,
+    list_transform(cl, s -> struct_pack(
+      cid := s.cid,
+      dot := CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+        list_extract(qv, CAST(i AS INT)) * list_extract(s.cv, CAST(i AS INT)))) AS BIGINT))) AS sc
+  FROM qvt, centarr),
+assign AS (
+  SELECT vec_id, qv,
+    list_min(list_transform(list_filter(sc, s -> s.dot = best), s -> s.cid)) AS cid,
+    best AS dot_c
+  FROM (SELECT vec_id, qv, sc, list_max(list_transform(sc, s -> s.dot)) AS best FROM scored))"""
+
+  /** In-plan adaptive centroid count (1-row frame, broadcast). */
+  private def ivfParams(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "embeddings").agg(count(lit(1)).as("n"))
+      .select(greatest(lit(IvfMinC.toLong), least(lit(IvfMaxC.toLong),
+        expr(s"n div $IvfTargetCell"))).as("c"))
+
+  /** (vec_id, qv, sc) where sc = per-centroid integer-dot scores — ONE
+    * broadcast of the packed centroid array + one nested-HOF projection. */
+  private def ivfScored(spark: SparkSession, dir: String): DataFrame = {
+    val qvt = tbl(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(quantizeExpr).as("qv"))
+    val seedpool = qvt
+      .withColumn("hp", PortableHash.hash60(col("vec_id").cast("string")))
+      .orderBy("hp", "vec_id").limit(IvfSeedPool)
+    // ranking window runs on <= IvfSeedPool rows (post TakeOrdered) — the
+    // single-partition window is bounded by the static pool cap, not by n
+    val wseed = Window.orderBy("hp", "vec_id")
+    val cents = seedpool
+      .select(row_number().over(wseed).cast("long").as("cid"), col("qv").as("cv"))
+      .crossJoin(broadcast(ivfParams(spark, dir)))
+      .filter(col("cid") <= col("c"))
+    val centarr = cents
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cl"))
+    qvt.crossJoin(broadcast(centarr))
+      .select(col("vec_id"), col("qv"),
+        expr(s"""transform(cl, s -> struct(s.cid AS cid,
+          aggregate(zip_with(qv, s.cv, (x, y) -> x * y), 0L,
+            (acc, v) -> acc + v) AS dot))""").as("sc"))
+  }
+
+  /** scored + argmax cell: cid = smallest centroid id achieving the max
+    * dot — still one projection, still zero shuffles. */
+  private def ivfAssign(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("best", expr("array_max(transform(sc, s -> s.dot))"))
+      .select(col("vec_id"), col("qv"), col("sc"),
+        expr("array_min(transform(filter(sc, s -> s.dot = best), s -> s.cid))").as("cid"),
+        col("best").as("dot_c"))
+
+  private val qIvfAssign = QueryDef(
+    "q_ivf_assign",
+    Some(s"WITH $sqlIvf\nSELECT vec_id, cid, dot_c FROM assign ORDER BY vec_id"),
+    (spark, dir) =>
+      ivfAssign(ivfScored(spark, dir))
+        .select("vec_id", "cid", "dot_c").orderBy("vec_id"))
+
+  /** IVF-probed top-k: NProbe nearest cells per query, candidates from the
+    * inverted file (cell equi-join), exact integer-cosine rerank. */
+  private val qIvfTopk = QueryDef(
+    "q_ivf_topk",
+    Some(s"""WITH $sqlIvf,
+probes AS (
+  SELECT vec_id AS query_id, qv AS qqv, u.s.cid AS cid
+  FROM (SELECT vec_id, qv, unnest(sc) AS s FROM scored WHERE vec_id < $NumQueries) u
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY u.s.dot DESC, u.s.cid) <= $IvfNProbe),
+dots AS (
+  SELECT p.query_id, a.vec_id AS cand_id,
+    CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+      list_extract(p.qqv, CAST(i AS INT)) * list_extract(a.qv, CAST(i AS INT)))) AS BIGINT) AS dot_q
+  FROM probes p JOIN assign a ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, rnk, cand_id, dot_q, CAST(dot_q AS DOUBLE) / 1e12 AS cosine
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, cand_id) AS BIGINT) AS rnk FROM dots)
+WHERE rnk <= $TopK
+ORDER BY query_id, rnk"""),
+    (spark, dir) => {
+      // one scored frame feeds both the probe side and the inverted file
+      val assign = ivfAssign(ivfScored(spark, dir))
+      val wprobe = Window.partitionBy("query_id").orderBy(desc("pdot"), asc("pcid"))
+      val probes = assign
+        .filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+          explode(col("sc")).as("s"))
+        .select(col("query_id"), col("qqv"),
+          col("s.cid").as("pcid"), col("s.dot").as("pdot"))
+        .withColumn("rn", row_number().over(wprobe))
+        .filter(col("rn") <= IvfNProbe)
+        .select("query_id", "qqv", "pcid")
+      val dots = probes
+        .join(assign.select(col("vec_id").as("cand_id"), col("qv").as("cqv"),
+          col("cid")), col("cid") === col("pcid"))
+        .filter(col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"),
+          aggregate(zip_with(col("qqv"), col("cqv"), (x, y) => x * y),
+            lit(0L), (acc, v) => acc + v).as("dot_q"))
+      val w = Window.partitionBy("query_id").orderBy(desc("dot_q"), asc("cand_id"))
+      dots.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= TopK)
+        .select(col("query_id"), col("rnk"), col("cand_id"), col("dot_q"),
+          (col("dot_q").cast("double") / lit(1e12)).as("cosine"))
+        .orderBy("query_id", "rnk")
+    })
+
   val defs: Seq[QueryDef] = Seq(
-    qCosineTopk, qAnnBuckets, qAnnBucketStats, qArrayFuncs, qNeardupBucketed)
+    qCosineTopk, qAnnBuckets, qAnnBucketStats, qArrayFuncs, qNeardupBucketed,
+    qIvfAssign, qIvfTopk)
 }

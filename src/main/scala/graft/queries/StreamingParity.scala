@@ -48,20 +48,80 @@ object StreamingParity {
 
   private val SinkTable = "graft_stream_tumbling_sink"
 
+  /** Run a (complete-mode-safe) streaming transform over a memory sink and
+    * return the materialized table. */
+  private def runToMemory(df: DataFrame, sink: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(sink)
+  }
+
   private val qStreamTumbling = QueryDef(
     "q_stream_tumbling",
     Some(tumblingOracleSql),
-    (spark, dir) => {
-      val out = tumblingExact(Tables.loadEventsStream(spark, dir))
-      val q = out.writeStream
-        .format("memory")
-        .queryName(SinkTable)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(SinkTable).orderBy("window_start_ms", "event_type")
-    })
+    (spark, dir) =>
+      runToMemory(tumblingExact(Tables.loadEventsStream(spark, dir)), SinkTable)
+        .orderBy("window_start_ms", "event_type"))
 
-  val defs: Seq[QueryDef] = Seq(qStreamTumbling)
+  /** Gap-based session windows via the session_window generator — the
+    * MERGING-window operator (tumbling windows never merge; sessions do),
+    * shared by the batch and streaming twins. Session bounds surface as
+    * min/max event time (epoch ms), NOT the operator's window.end, which
+    * is last-event + gap by definition and would leak the gap parameter
+    * into the output. */
+  def sessionWindowExact(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_millis(min(col("ts"))).as("start_ms"),
+        unix_millis(max(col("ts"))).as("end_ms"))
+      .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+
+  /** Oracle for both session_window twins. session_window semantics: two
+    * events merge iff gap < 30 min STRICTLY (each event's window is
+    * [ts, ts+gap) and merging needs overlap), so the lag-formulation flag
+    * is `>=` here — deliberately different from q_sessionize's `>`-gap
+    * business rule. */
+  val sessionOracleSql: String = """
+      |WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      |  FROM flagged)
+      |SELECT user_id, CAST(epoch_ms(min(ts)) AS BIGINT) AS start_ms,
+      |  CAST(epoch_ms(max(ts)) AS BIGINT) AS end_ms, count(*) AS n_events
+      |FROM sess GROUP BY user_id, session_no ORDER BY user_id, start_ms
+      |""".stripMargin.trim
+
+  /** Batch execution of the session_window operator. */
+  private val qSessionWindow = QueryDef(
+    "q_session_window",
+    Some(sessionOracleSql),
+    (spark, dir) =>
+      sessionWindowExact(tbl(spark, dir, "events"))
+        .orderBy("user_id", "start_ms"))
+
+  private val SessionSink = "graft_stream_session_sink"
+
+  /** Streaming execution of the SAME transform: merging session state is
+    * maintained by the stateful session-window operator across batches. */
+  private val qStreamSessionize = QueryDef(
+    "q_stream_sessionize",
+    Some(sessionOracleSql),
+    (spark, dir) =>
+      runToMemory(sessionWindowExact(Tables.loadEventsStream(spark, dir)),
+        SessionSink)
+        .orderBy("user_id", "start_ms"))
+
+  val defs: Seq[QueryDef] = Seq(qStreamTumbling, qSessionWindow, qStreamSessionize)
 }

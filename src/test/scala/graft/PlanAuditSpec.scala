@@ -9,12 +9,14 @@ class PlanAuditSpec extends SparkSuite {
 
   /** Queries whose plans legitimately contain BroadcastNestedLoopJoin:
     * range join (5-row range dim), cosine top-k (broadcast query set,
-    * non-equi self-exclusion predicate), and the ANN bucket family (the
-    * corpus-adaptive band-bit width k is a 1-ROW aggregate frame cross-
-    * joined in as a broadcast — the build side is a single row by
-    * construction). */
+    * non-equi self-exclusion predicate), the ANN bucket family and the IVF
+    * family (corpus-adaptive parameters / packed centroid arrays are 1-ROW
+    * aggregate frames cross-joined in as broadcasts — the build side is a
+    * single row by construction), and q22 (the 1-row above-average-balance
+    * stats frame, same pattern). */
   private val bnljAllowed = Set("q_range_join", "q_cosine_topk",
-    "q_ann_buckets", "q_ann_bucket_stats", "q_neardup_bucketed")
+    "q_ann_buckets", "q_ann_bucket_stats", "q_neardup_bucketed",
+    "q_ivf_assign", "q_ivf_topk", "q22_global_sales")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no cartesian product / unexpected nested loop") {
