@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expressions for embedding math (SURVEY.md §4.3: the one
   * place reference semantics justify dropping below the DataFrame API).
@@ -124,11 +124,67 @@ case class FloatCosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ aᵢ·bᵢ over two quantized (1e6-scaled BIGINT) vectors — exact 64-bit
+  * integer accumulation, value-identical to
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, +)` but evaluated as one
+  * tight loop over the columnar buffers. The interpreted HOF chain costs
+  * ~2 lambda evaluations + an array allocation per ELEMENT — measured 7×
+  * end-to-end on the IVF probe (q_ivf_topk 18.5s → 2.6s at sf0.1), where
+  * the dot sits inside a per-centroid transform() and the join-constraint
+  * pushdown re-evaluates it several times per row. */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "long_dot"
+  override def dataType: DataType = LongType
+  override val nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long ${ev.value}_acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}_acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+
+  protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Imperative registration into an existing session (tests, notebooks). */
 object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "float_dot" -> { args => FloatDotProduct(args(0), args(1)) },
     "float_cosine" -> { args => FloatCosineSimilarity(args(0), args(1)) },
+    "long_dot" -> { args => LongDotProduct(args(0), args(1)) },
     "graft_hash60" -> Hash60.builder)
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
@@ -153,6 +209,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_cosine"),
       new ExpressionInfo("graft.plans.VectorExpressions", "float_cosine"),
       (args: Seq[Expression]) => FloatCosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("long_dot"),
+      new ExpressionInfo("graft.plans.VectorExpressions", "long_dot"),
+      (args: Seq[Expression]) => LongDotProduct(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_hash60"),
       new ExpressionInfo("graft.plans.Hash60Expression", "graft_hash60"),

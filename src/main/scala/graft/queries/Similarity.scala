@@ -67,8 +67,10 @@ object Similarity {
     s"CAST(round(CAST(list_extract($list, $idx) AS DOUBLE) * 1000000) AS BIGINT)"
 
   /** Brute-force exact top-k cosine: broadcast the query set, one corpus
-    * scan, integer dot via zip_with + aggregate (sequential fold — codegen
-    * higher-order functions, no UDF), per-query top-k window. */
+    * scan, integer dot via the native long_dot codegen expression (one
+    * tight loop over the columnar buffers — the interpreted
+    * aggregate(zip_with(...)) chain costs ~2 lambda evals per element),
+    * per-query top-k window. */
   private val qCosineTopk = QueryDef(
     "q_cosine_topk",
     Some(s"""
@@ -95,8 +97,7 @@ object Similarity {
         .filter(col("query_id") < NumQueries)
       val pairs = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("cand_id"),
-          expr("aggregate(zip_with(qvec, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
-            .as("dot_q"))
+          call_function("long_dot", col("qvec"), col("qv")).as("dot_q"))
       val w = Window.partitionBy("query_id").orderBy(desc("dot_q"), asc("cand_id"))
       pairs.select(col("query_id"), col("cand_id"), col("dot_q"),
           row_number().over(w).cast("long").as("rnk"))
@@ -160,9 +161,7 @@ bk AS (
     val emb = tbl(spark, dir, "embeddings")
       .select(col("vec_id"), expr(quantizeExpr).as("qv"))
     val spCols = (0 until NumPlanes).map { p =>
-      aggregate(
-        zip_with(col("qv"), typedlit(weightRow(p)), (x, y) => x * y),
-        lit(0L), (acc, v) => acc + v).as(s"sp$p")
+      call_function("long_dot", col("qv"), typedlit(weightRow(p))).as(s"sp$p")
     }
     val scores = emb.select(col("vec_id") +: spCols: _*)
     val bitCols = (0 until AnnBands).map { j =>
@@ -277,8 +276,7 @@ ORDER BY vec_id"""),
         .join(emb.select(col("vec_id").as("qa"), col("qv").as("qva")), "qa")
         .join(emb.select(col("vec_id").as("vb"), col("qv").as("qvb")), "vb")
         .select(col("qa"), col("vb"),
-          aggregate(zip_with(col("qva"), col("qvb"), (x, y) => x * y),
-            lit(0L), (acc, v) => acc + v).as("dot_q"))
+          call_function("long_dot", col("qva"), col("qvb")).as("dot_q"))
       val both = dots.select("qa", "vb", "dot_q")
         .union(dots.select(col("vb").as("qa"), col("qa").as("vb"), col("dot_q")))
       val w = Window.partitionBy("qa").orderBy(desc("dot_q"), asc("vb"))
@@ -382,9 +380,8 @@ assign AS (
       .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cl"))
     qvt.crossJoin(broadcast(centarr))
       .select(col("vec_id"), col("qv"),
-        expr(s"""transform(cl, s -> struct(s.cid AS cid,
-          aggregate(zip_with(qv, s.cv, (x, y) -> x * y), 0L,
-            (acc, v) -> acc + v) AS dot))""").as("sc"))
+        expr("transform(cl, s -> struct(s.cid AS cid, long_dot(qv, s.cv) AS dot))")
+          .as("sc"))
   }
 
   /** scored + argmax cell: cid = smallest centroid id achieving the max
@@ -440,8 +437,7 @@ ORDER BY query_id, rnk"""),
           col("cid")), col("cid") === col("pcid"))
         .filter(col("cand_id") =!= col("query_id"))
         .select(col("query_id"), col("cand_id"),
-          aggregate(zip_with(col("qqv"), col("cqv"), (x, y) => x * y),
-            lit(0L), (acc, v) => acc + v).as("dot_q"))
+          call_function("long_dot", col("qqv"), col("cqv")).as("dot_q"))
       val w = Window.partitionBy("query_id").orderBy(desc("dot_q"), asc("cand_id"))
       dots.withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= TopK)

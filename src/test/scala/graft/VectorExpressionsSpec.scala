@@ -29,6 +29,42 @@ class VectorExpressionsSpec extends SparkSuite {
     }
   }
 
+  test("long_dot matches aggregate(zip_with(...)) on quantized embeddings") {
+    registered
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv")
+    val a = emb.limit(50).select(col("vec_id").as("ia"), col("qv").as("qa"))
+    val b = emb.limit(50).select(col("vec_id").as("ib"), col("qv").as("qb"))
+    val rows = a.crossJoin(b).selectExpr(
+      "ia", "ib",
+      "long_dot(qa, qb) AS native",
+      "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS builtin")
+      .collect()
+    assert(rows.length == 2500)
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3),
+        s"long dot mismatch for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("long_dot interpreted eval matches codegen and nulls propagate") {
+    registered
+    val sql = "SELECT long_dot(array(3L, -2L, 5L), array(7L, 11L, 13L))"
+    val withCg = spark.sql(sql).collect().head.getLong(0)
+    assert(withCg == 3L * 7 + -2L * 11 + 5L * 13)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(spark.sql(sql).collect().head.getLong(0) == withCg)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(spark.sql("SELECT long_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L))")
+      .collect().head.isNullAt(0))
+  }
+
   test("float_cosine equals dot/(|a||b|) and is 1.0 on self") {
     registered
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(20)
