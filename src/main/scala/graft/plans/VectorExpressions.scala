@@ -201,6 +201,7 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CollapseIdempotentStringFns)
+    ext.injectPlannerStrategy(_ => SessionizeStrategy)
     ext.injectFunction((
       FunctionIdentifier("float_dot"),
       new ExpressionInfo("graft.plans.VectorExpressions", "float_dot"),

@@ -224,6 +224,41 @@ object Relational {
         .orderBy("user_id", "session_no")
     })
 
+  /** The SAME sessionization computed by the custom physical operator
+    * (graft.plans.SessionizeExec: logical node + planner strategy + one-
+    * pass exec with O(1) state) instead of q_sessionize's two window
+    * passes — the full custom-operator stack under the driver's gate,
+    * against the identical oracle. */
+  private val qSessionizeNative = QueryDef(
+    "q_sessionize_native",
+    Some("""
+      |WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      |  FROM flagged)
+      |SELECT user_id, session_no, count(*) AS n_events,
+      |  CAST(epoch_ms(min(ts)) AS BIGINT) AS start_ms, CAST(epoch_ms(max(ts)) AS BIGINT) AS end_ms
+      |FROM sess GROUP BY user_id, session_no ORDER BY user_id, session_no
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val in = tbl(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      graft.plans.Sessionize
+        .withSessionNo(in, "user_id", "ts_us", "event_id", 1800000000L)
+        .groupBy("user_id", "session_no")
+        .agg(count(lit(1)).as("n_events"),
+          unix_millis(min(col("ts"))).as("start_ms"),
+          unix_millis(max(col("ts"))).as("end_ms"))
+        .orderBy("user_id", "session_no")
+    })
+
   /** Scalar string/math function library exhibit. Only cross-engine-exact
     * functions: no round (HALF_UP vs banker's drift), no transcendentals
     * except IEEE-exact sqrt. */
@@ -1067,7 +1102,7 @@ object Relational {
 
   val defs: Seq[QueryDef] = Seq(
     qRollup, qCube, qGroupingSets, qDistinctAgg, qApproxDistinct,
-    qSetOps, qWindowFrames, qWindowLag, qSessionize,
+    qSetOps, qWindowFrames, qWindowLag, qSessionize, qSessionizeNative,
     qScalarFuncs, qDateFuncs, qRangeJoin, qAsofJoin,
     qOuterJoinAgg, qCorrSubquery, qPivot,
     qQ2, qQ3, qQ4, qQ5, qQ7, qQ10, qQ13, qQ14, qQ16, qQ17, qQ18, qQ19,
