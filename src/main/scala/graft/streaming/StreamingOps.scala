@@ -66,6 +66,28 @@ object StreamingOps {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
 
+  /** Stream-stream inner join with an event-time range condition: each
+    * click joins the purchases of the same user within the following
+    * `horizon`. Both sides carry watermarks and the join condition bounds
+    * event time on both, so Spark can evict buffered state — the REQUIRED
+    * shape for an unbounded stream-stream join (without the time bound,
+    * both sides buffer forever). Column prefixes keep the two event
+    * schemas apart. */
+  def clickPurchaseJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      horizon: String = "1 hour",
+      lateness: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    c.join(p, expr(
+      s"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL $horizon"))
+  }
+
   /** Arbitrary stateful processing: running per-user totals via
     * flatMapGroupsWithState (update mode) — the custom-state escape hatch
     * for semantics windows can't express. */

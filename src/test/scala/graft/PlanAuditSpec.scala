@@ -66,4 +66,23 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"expected broadcast left-anti (the DistributedCache analog):\n$p")
   }
+
+  test("q4_order_priority plans the EXISTS as a semi-join (never a rewrite to inner+distinct)") {
+    assert(plan("q4_order_priority").contains("LeftSemi"))
+  }
+
+  test("q18_large_volume keeps the HAVING membership as a semi-join and the top-100 as TakeOrdered") {
+    val p = plan("q18_large_volume")
+    assert(p.contains("LeftSemi") && p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_ivf_assign selects seeds via TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_ivf_assign")
+    assert(p.contains("TakeOrderedAndProject(limit=64"),
+      s"seed pool must be a per-partition heap:\n$p")
+  }
+
+  test("q_sessionize_native runs through the custom Sessionize operator") {
+    assert(plan("q_sessionize_native").contains("Sessionize "))
+  }
 }

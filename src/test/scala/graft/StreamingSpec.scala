@@ -153,6 +153,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch join on the same data") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // batch layout keeps the cross-batch match ABOVE the watermark: batch 1
+    // tops out at 00:30, so after it the watermark is below zero and user
+    // 2's purchase arriving in batch 2 still joins the batch-1 click.
+    val clicks = Seq(
+      UserEvent(1L, ts("2024-01-01 00:00:00"), 1.0),   // batch 1
+      UserEvent(2L, ts("2024-01-01 00:05:00"), 3.0),   // batch 1
+      UserEvent(1L, ts("2024-01-01 03:00:00"), 2.0))   // batch 2, joins nothing
+    val purchases = Seq(
+      UserEvent(1L, ts("2024-01-01 00:30:00"), 10.0),  // batch 1, joins click 1
+      UserEvent(2L, ts("2024-01-01 00:20:00"), 30.0),  // batch 2, joins click 2 (cross-batch)
+      UserEvent(1L, ts("2024-01-01 02:00:00"), 20.0))  // batch 2, >1h after click 1
+
+    val cIn = MemoryStream[UserEvent]
+    val pIn = MemoryStream[UserEvent]
+    val q = StreamingOps.clickPurchaseJoin(cIn.toDF(), pIn.toDF())
+      .writeStream.format("memory").queryName("cp_join")
+      .outputMode("append").start()
+    try {
+      cIn.addData(clicks.take(2)); pIn.addData(purchases.take(1))
+      q.processAllAvailable()
+      cIn.addData(clicks.drop(2)); pIn.addData(purchases.drop(1))
+      q.processAllAvailable()
+      val streamed = s.table("cp_join")
+        .select("c_user", "c_value", "p_value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      val batch = StreamingOps.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+        .select("c_user", "c_value", "p_value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(streamed == batch && streamed == Set((1L, 1.0, 10.0), (2L, 3.0, 30.0)),
+        s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running totals across batches") {
     val s = spark
     import s.implicits._
