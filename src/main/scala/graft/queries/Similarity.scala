@@ -325,12 +325,15 @@ ORDER BY vec_id"""),
   private val sqlHash60VecId =
     "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
 
-  /** Shared oracle CTE chain ending in scored(vec_id, qv, sc) and
-    * assign(vec_id, qv, cid, dot_c). */
-  private val sqlIvf: String = s"""
+  private val sqlQvt: String = s"""
 qvt AS (SELECT vec_id,
     list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-  FROM embeddings),
+  FROM embeddings)"""
+
+  /** IVF oracle CTE chain (everything after qvt), ending in
+    * scored(vec_id, qv, sc) and assign(vec_id, qv, cid, dot_c) —
+    * kept qvt-free so it composes with the LSH chain in q_ann_recall. */
+  private val sqlIvfAfterQvt: String = s"""
 ivf_params AS (SELECT greatest($IvfMinC, least($IvfMaxC,
     CAST(count(*) AS BIGINT) // $IvfTargetCell)) AS c FROM embeddings),
 seedpool AS (
@@ -354,6 +357,9 @@ assign AS (
     list_min(list_transform(list_filter(sc, s -> s.dot = best), s -> s.cid)) AS cid,
     best AS dot_c
   FROM (SELECT vec_id, qv, sc, list_max(list_transform(sc, s -> s.dot)) AS best FROM scored))"""
+
+  /** Shared oracle CTE chain: qvt + the IVF pipeline. */
+  private val sqlIvf: String = s"$sqlQvt,$sqlIvfAfterQvt"
 
   /** In-plan adaptive centroid count (1-row frame, broadcast). */
   private def ivfParams(spark: SparkSession, dir: String): DataFrame =
@@ -446,7 +452,92 @@ ORDER BY query_id, rnk"""),
         .orderBy("query_id", "rnk")
     })
 
+  /** Recall evaluation of BOTH ANN recall stages against the exact top-k:
+    * for each query, recall@k = |candidates ∩ exact top-k| / k, plus the
+    * candidate-set size (the fraction of the corpus the probe actually
+    * scans). This is the measurement that justifies an ANN index at
+    * 100 TB — the recall/scan-fraction trade-off — executed as one
+    * deterministic query under the oracle gate. */
+  private val qAnnRecall = QueryDef(
+    "q_ann_recall",
+    Some(s"""WITH $sqlBk,$sqlIvfAfterQvt,
+exact AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS cand_id
+  FROM qvt q JOIN qvt v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < $NumQueries
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+    ORDER BY list_sum(list_transform(range(1, ${Dim + 1}), i ->
+      list_extract(q.qv, CAST(i AS INT)) * list_extract(v.qv, CAST(i AS INT)))) DESC, v.vec_id) <= $TopK),
+lsh_cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, vb.vec_id AS cand_id
+  FROM bk qb JOIN bk vb ON qb.band = vb.band AND qb.bucket = vb.bucket AND vb.vec_id <> qb.vec_id
+  WHERE qb.vec_id < $NumQueries),
+probes AS (
+  SELECT vec_id AS query_id, u.s.cid AS cid
+  FROM (SELECT vec_id, unnest(sc) AS s FROM scored WHERE vec_id < $NumQueries) u
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY u.s.dot DESC, u.s.cid) <= $IvfNProbe),
+ivf_cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+  FROM probes p JOIN assign a ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id),
+cands AS (
+  SELECT 'lsh' AS method, query_id, cand_id FROM lsh_cand
+  UNION ALL SELECT 'ivf' AS method, query_id, cand_id FROM ivf_cand),
+stats AS (
+  SELECT b.method, b.query_id, count(*) AS n_cands,
+    count(*) FILTER (WHERE e.cand_id IS NOT NULL) AS hits
+  FROM cands b LEFT JOIN exact e ON e.query_id = b.query_id AND e.cand_id = b.cand_id
+  GROUP BY b.method, b.query_id)
+SELECT method, query_id, n_cands, hits,
+  CAST(hits AS DOUBLE) / $TopK AS recall_at_$TopK
+FROM stats ORDER BY method, query_id"""),
+    (spark, dir) => {
+      val emb = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), expr(quantizeExpr).as("qv"))
+      val q8 = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("qv").as("qvec"))
+      val wexact = Window.partitionBy("query_id").orderBy(desc("dot"), asc("cand_id"))
+      val exact = emb.join(broadcast(q8), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          call_function("long_dot", col("qvec"), col("qv")).as("dot"))
+        .withColumn("rn", row_number().over(wexact))
+        .filter(col("rn") <= TopK)
+        .select("query_id", "cand_id")
+      val bk = annBuckets(spark, dir)
+      val bq = bk.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"),
+          col("band").as("qband"), col("bucket").as("qbucket"))
+      val lshCand = bq
+        .join(bk, col("band") === col("qband") && col("bucket") === col("qbucket") &&
+          col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"))
+        .distinct()
+      val assign = ivfAssign(ivfScored(spark, dir))
+      val wprobe = Window.partitionBy("query_id").orderBy(desc("pdot"), asc("pcid"))
+      val probes = assign.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), explode(col("sc")).as("s"))
+        .select(col("query_id"), col("s.cid").as("pcid"), col("s.dot").as("pdot"))
+        .withColumn("rn", row_number().over(wprobe))
+        .filter(col("rn") <= IvfNProbe)
+        .select("query_id", "pcid")
+      val ivfCand = probes
+        .join(assign.select(col("vec_id").as("cand_id"), col("cid")),
+          col("cid") === col("pcid"))
+        .filter(col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"))
+        .distinct()
+      val cands = lshCand.withColumn("method", lit("lsh"))
+        .unionByName(ivfCand.withColumn("method", lit("ivf")))
+      cands
+        .join(exact.withColumn("hit", lit(1)), Seq("query_id", "cand_id"), "left_outer")
+        .groupBy("method", "query_id")
+        .agg(count(lit(1)).as("n_cands"), count(col("hit")).as("hits"))
+        .select(col("method"), col("query_id"), col("n_cands"), col("hits"),
+          (col("hits").cast("double") / TopK).as(s"recall_at_$TopK"))
+        .orderBy("method", "query_id")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     qCosineTopk, qAnnBuckets, qAnnBucketStats, qArrayFuncs, qNeardupBucketed,
-    qIvfAssign, qIvfTopk)
+    qIvfAssign, qIvfTopk, qAnnRecall)
 }

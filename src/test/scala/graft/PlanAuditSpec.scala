@@ -16,7 +16,7 @@ class PlanAuditSpec extends SparkSuite {
     * stats frame, same pattern). */
   private val bnljAllowed = Set("q_range_join", "q_cosine_topk",
     "q_ann_buckets", "q_ann_bucket_stats", "q_neardup_bucketed",
-    "q_ivf_assign", "q_ivf_topk", "q22_global_sales")
+    "q_ivf_assign", "q_ivf_topk", "q_ann_recall", "q22_global_sales")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no cartesian product / unexpected nested loop") {
