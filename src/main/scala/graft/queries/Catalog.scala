@@ -319,9 +319,9 @@ object Catalog {
     qWordcount, qTopkMax, qTopkMin, qStopword,
     qPricing, qFilterProject, qSortLimit, qJoinAgg,
     qSemiJoin, qAntiJoin, qBroadcastJoin, qWindowRank,
-    qTumbling, qJson, qDedupExact) ++ Relational.defs ++ Dedup.defs ++
-    Similarity.defs ++ TextAnalysis.defs ++ StreamingParity.defs ++
-    SourceParity.defs
+    qTumbling, qJson, qDedupExact) ++ Relational.defs ++ Tpch.defs ++
+    Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++
+    StreamingParity.defs ++ SourceParity.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.build).toMap

@@ -12,11 +12,12 @@ class PlanAuditSpec extends SparkSuite {
     * non-equi self-exclusion predicate), the ANN bucket family and the IVF
     * family (corpus-adaptive parameters / packed centroid arrays are 1-ROW
     * aggregate frames cross-joined in as broadcasts — the build side is a
-    * single row by construction), and q22 (the 1-row above-average-balance
-    * stats frame, same pattern). */
+    * single row by construction), and q22/q11 (1-row above-average stats
+    * frames, same pattern). */
   private val bnljAllowed = Set("q_range_join", "q_cosine_topk",
     "q_ann_buckets", "q_ann_bucket_stats", "q_neardup_bucketed",
-    "q_ivf_assign", "q_ivf_topk", "q_ann_recall", "q22_global_sales")
+    "q_ivf_assign", "q_ivf_topk", "q_ann_recall", "q22_global_sales",
+    "q11_important_stock")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no cartesian product / unexpected nested loop") {
