@@ -270,6 +270,33 @@ object Catalog {
       StreamingParity.tumblingExact(tbl(spark, dir, "events"))
         .orderBy("window_start_ms", "event_type"))
 
+  /** SLIDING (hopping) event-time windows — 1-hour windows every 15
+    * minutes, so each event lands in exactly 4 overlapping windows (the
+    * one-to-many window assignment tumbling can't express; Spark plans it
+    * as a 4-way explode before the grouped agg, so the shuffle carries 4×
+    * rows — the slide/duration ratio IS the cost knob at 100 TB). Oracle
+    * replays the same assignment arithmetic: the 4 aligned starts
+    * reachable back from each event's 15-min boundary. */
+  private val qSliding = QueryDef(
+    "q_sliding_window",
+    Some(s"""
+      |WITH ks AS (SELECT unnest(range(4)) AS k),
+      |ex AS (
+      |  SELECT (epoch_ms(ts) - epoch_ms(ts) % 900000) - 900000 * k AS window_start_ms,
+      |    event_type, value
+      |  FROM events CROSS JOIN ks)
+      |SELECT CAST(window_start_ms AS BIGINT) AS window_start_ms, event_type,
+      |  count(*) AS n, ${sqlDsum(sqlDec("value"))} AS sum_value
+      |FROM ex GROUP BY 1, 2 ORDER BY window_start_ms, event_type
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      tbl(spark, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(dec("value")).as("sum_value"))
+        .select(unix_millis(col("window.start")).as("window_start_ms"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start_ms", "event_type"))
+
   /** JSON extraction from the string `props` column. */
   private val qJson = QueryDef(
     "q_json_extract",
@@ -319,7 +346,7 @@ object Catalog {
     qWordcount, qTopkMax, qTopkMin, qStopword,
     qPricing, qFilterProject, qSortLimit, qJoinAgg,
     qSemiJoin, qAntiJoin, qBroadcastJoin, qWindowRank,
-    qTumbling, qJson, qDedupExact) ++ Relational.defs ++ Tpch.defs ++
+    qTumbling, qSliding, qJson, qDedupExact) ++ Relational.defs ++ Tpch.defs ++
     Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++
     StreamingParity.defs ++ SourceParity.defs
 

@@ -123,5 +123,58 @@ object StreamingParity {
         SessionSink)
         .orderBy("user_id", "start_ms"))
 
-  val defs: Seq[QueryDef] = Seq(qStreamTumbling, qSessionWindow, qStreamSessionize)
+  private val JoinSink = "graft_stream_join_sink"
+
+  /** Stream-STREAM watermarked interval join under the correctness gate:
+    * clicks joined to same-user purchases within a 1-hour horizon
+    * (StreamingOps.clickPurchaseJoin — both sides watermarked, state
+    * eviction time-bounded by the horizon), executed incrementally over
+    * the file-stream source in APPEND mode (an inner stream-stream join
+    * emits matches as they arrive; the watermark only bounds state, so
+    * append yields the complete result under AvailableNow). Must match
+    * the plain batch interval-join SQL the oracle runs. */
+  private val qStreamJoin = QueryDef(
+    "q_stream_join",
+    Some("""
+      |SELECT c.user_id AS c_user, CAST(epoch_ms(c.ts) AS BIGINT) AS c_ts_ms,
+      |  c.value AS c_value, CAST(epoch_ms(p.ts) AS BIGINT) AS p_ts_ms,
+      |  p.value AS p_value
+      |FROM events c JOIN events p
+      |  ON p.user_id = c.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |ORDER BY c_user, c_ts_ms, c_value, p_ts_ms, p_value
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val ev = Tables.loadEventsStream(spark, dir)
+      val joined = graft.streaming.StreamingOps.clickPurchaseJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      // A stream-stream join runs 4 state stores per shuffle partition with
+      // per-micro-batch commit overhead that is FIXED per partition — so
+      // state partitions are sized to stream volume, not to the CPU-count
+      // shuffle default (32 partitions cost 4x the wall-clock of 8 on this
+      // corpus for identical output). The partition count is pinned at
+      // stream START (it is baked into the checkpoint); restore the
+      // session default afterwards.
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        joined.writeStream
+          .format("memory")
+          .queryName(JoinSink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+      spark.table(JoinSink)
+        .select(col("c_user"), unix_millis(col("c_ts")).as("c_ts_ms"),
+          col("c_value"), unix_millis(col("p_ts")).as("p_ts_ms"),
+          col("p_value"))
+        .orderBy("c_user", "c_ts_ms", "c_value", "p_ts_ms", "p_value")
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(qStreamTumbling, qSessionWindow, qStreamSessionize, qStreamJoin)
 }
