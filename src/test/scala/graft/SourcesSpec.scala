@@ -42,6 +42,58 @@ class SourcesSpec extends SparkSuite {
     assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
   }
 
+  test("partitioned parquet layout prunes non-matching partitions at plan time") {
+    val out = tmp("graft-part")
+    Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("event_type") === "click")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // The partition predicate must become a PartitionFilter on the scan
+    // (directory-level pruning — at 100 TB this is the difference between
+    // reading one partition and reading the lake), never a post-scan Filter.
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"event_type filter must prune partitions:\n$plan")
+    val scannedFiles = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.metrics.get("numFiles")
+    assert(pruned.count() ==
+      Tables.load(spark, sfDir, "events").filter(col("event_type") === "click").count())
+    // only the click partition's files were touched
+    scannedFiles.foreach(m => assert(m.value <
+      new java.io.File(out).listFiles().count(_.getName.startsWith("event_type=")) + 1))
+  }
+
+  test("selective dim filter injects a runtime bloom filter into the fact scan side") {
+    val s = spark
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      // shuffle join of the fact against a selectively-filtered build side:
+      // the optimizer should seed a bloom filter from the filtered orders
+      // keys and apply it to the lineitem scan side, cutting shuffle input
+      // before the exchange — the runtime analog of static partition
+      // pruning, and the knob that matters when the dim filter is dynamic.
+      val sel = Tables.load(s, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = Tables.load(s, sfDir, "lineitem")
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilterMightContain") ||
+        plan.toLowerCase.contains("mightcontain"),
+        s"expected an injected runtime bloom filter:\n$plan")
+      assert(j.count() > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   test("bucketed tables sort-merge join with no shuffle exchange") {
     val s = spark
     s.sql("DROP TABLE IF EXISTS orders_b")
