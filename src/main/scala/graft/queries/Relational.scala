@@ -606,6 +606,38 @@ object Relational {
         .agg(sum(col("pn")).as("n"), sum(col("pq")).cast("double").as("sum_qty"))
         .orderBy("l_returnflag"))
 
+  /** Ranking + distribution window functions on ONE window spec — rank,
+    * dense_rank, ntile, percent_rank, cume_dist all compute in the same
+    * exchange+sort pass (single Window node; the only shuffle is the
+    * partition key). percent_rank/cume_dist are single IEEE divisions of
+    * exact integers — bit-identical across engines; ntile/rank surface as
+    * BIGINT (DuckDB's type). */
+  private val qWindowDist = QueryDef(
+    "q_window_dist",
+    Some("""
+      |SELECT c_custkey, c_mktsegment,
+      |  CAST(rank() OVER w AS BIGINT) AS rnk,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cdist
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_mktsegment, rnk, c_custkey
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      tbl(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("c_mktsegment", "rnk", "c_custkey")
+    })
+
   /** Exact interpolated percentiles per group (Spark `percentile` vs
     * DuckDB `quantile_cont` — same linear interpolation over the sorted
     * set). */
@@ -1109,7 +1141,7 @@ object Relational {
 
   val defs: Seq[QueryDef] = Seq(
     qRollup, qCube, qGroupingSets, qDistinctAgg, qApproxDistinct,
-    qSetOps, qWindowFrames, qWindowLag, qSessionize, qSessionizeNative,
+    qSetOps, qWindowFrames, qWindowLag, qWindowDist, qSessionize, qSessionizeNative,
     qScalarFuncs, qDateFuncs, qRangeJoin, qAsofJoin,
     qOuterJoinAgg, qCorrSubquery, qPivot,
     qQ2, qQ3, qQ4, qQ5, qQ7, qQ10, qQ13, qQ14, qQ16, qQ17, qQ18, qQ19,
