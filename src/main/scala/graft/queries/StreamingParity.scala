@@ -175,6 +175,38 @@ object StreamingParity {
         .orderBy("c_user", "c_ts_ms", "c_value", "p_ts_ms", "p_value")
     })
 
+  private val EnrichSink = "graft_stream_enrich_sink"
+
+  /** Stream-STATIC enrichment under the correctness gate: each streamed
+    * event joins a broadcast batch dimension (per-type totals computed
+    * from the batch table) — the streaming analog of the reference's
+    * DistributedCache side-file (StreamingOps.enrich), stateless per
+    * micro-batch so append mode emits every enriched row exactly once. */
+  private val qStreamEnrich = QueryDef(
+    "q_stream_enrich",
+    Some("""
+      |WITH d AS (SELECT event_type, count(*) AS type_total FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, d.type_total
+      |FROM events e JOIN d USING (event_type)
+      |ORDER BY event_id
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val dim = tbl(spark, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("type_total"))
+      val enriched = graft.streaming.StreamingOps.enrich(
+        Tables.loadEventsStream(spark, dir), dim, "event_type")
+        .select(col("event_id"), col("event_type"), col("type_total"))
+      val q = enriched.writeStream
+        .format("memory")
+        .queryName(EnrichSink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(EnrichSink).orderBy("event_id")
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(qStreamTumbling, qSessionWindow, qStreamSessionize, qStreamJoin)
+    Seq(qStreamTumbling, qSessionWindow, qStreamSessionize, qStreamJoin,
+      qStreamEnrich)
 }
