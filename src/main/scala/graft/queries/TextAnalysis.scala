@@ -32,6 +32,58 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
       .filter(col("w") =!= "")
 
+  /** End-to-end curation pipeline — the canonical LLM-data flow composed
+    * as ONE declarative plan: exact-dedup keep-first (min doc_id per
+    * md5(text) window; this corpus is dup-free by construction, so the
+    * stage is exercised structurally — dup-dropping semantics are pinned
+    * by q_dedup_exact/q_dedup_normalized) → quality gate (token count ≥
+    * 32, the corpus lower quartile) → language allowlist (en, de) →
+    * deterministic hash split (md5-derived hash60(doc_id) mod 100: <90
+    * train, else val — the reproducible train/val assignment every
+    * pipeline needs; never RAND(), which no engine can replay) → per
+    * (lang, split) corpus accounting. Catalyst fuses all five stages into
+    * two shuffles: the tokenize agg on doc_id and the final group-by —
+    * the dedup window rides the same doc-wise layout. */
+  private val qPipelineCurate = QueryDef(
+    "q_pipeline_curate",
+    Some(s"""
+      |WITH $tokSql,
+      |tc AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+      |dedup AS (SELECT doc_id, lang, text,
+      |    min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+      |  FROM documents),
+      |kept AS (
+      |  SELECT d.doc_id, d.lang, tc.n_tok
+      |  FROM dedup d JOIN tc ON tc.doc_id = d.doc_id
+      |  WHERE d.doc_id = d.keep_id
+      |    AND tc.n_tok >= 32
+      |    AND d.lang IN ('en', 'de')),
+      |split AS (
+      |  SELECT lang, n_tok,
+      |    CASE WHEN ${PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")} % 100 < 90
+      |         THEN 'train' ELSE 'val' END AS split
+      |  FROM kept)
+      |SELECT lang, split, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+      |FROM split GROUP BY lang, split ORDER BY lang, split
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val tc = toks(spark, dir).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+      tbl(spark, dir, "documents")
+        .withColumn("keep_id", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("keep_id") && col("lang").isin("en", "de"))
+        .join(tc, "doc_id")
+        .filter(col("n_tok") >= 32)
+        .select(col("lang"), col("n_tok"),
+          when(PortableHash.hash60(col("doc_id").cast("string")) % 100 < 90, "train")
+            .otherwise("val").as("split"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+        .orderBy("lang", "split")
+    })
+
   /** Token statistics: whitespace tokens, alpha-run count (a BPE-ish
     * regex segmentation), exact mean token length. */
   private val qTokenStats = QueryDef(
@@ -216,5 +268,6 @@ object TextAnalysis {
     })
 
   val defs: Seq[QueryDef] =
-    Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf)
+    Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf,
+      qPipelineCurate)
 }
