@@ -606,6 +606,36 @@ object Relational {
         .agg(sum(col("pn")).as("n"), sum(col("pq")).cast("double").as("sum_qty"))
         .orderBy("l_returnflag"))
 
+  /** Map-typed column surface: per-user event_type→count built as a real
+    * MapType (map_from_entries over a collected struct list), then probed
+    * with element_at / size / map_keys. The map exists only INSIDE the
+    * plan — outputs are plain columns, so the DuckDB oracle checks the
+    * same values through portable conditional aggregation (DuckDB's MAP
+    * type does not round-trip through parquet comparably). */
+  private val qMapFuncs = QueryDef(
+    "q_map_funcs",
+    Some("""
+      |WITH tc AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+      |SELECT user_id,
+      |  coalesce(max(n) FILTER (WHERE event_type = 'click'), 0) AS n_click,
+      |  coalesce(max(n) FILTER (WHERE event_type = 'purchase'), 0) AS n_purchase,
+      |  count(*) AS n_types,
+      |  string_agg(event_type, ',' ORDER BY event_type) AS types
+      |FROM tc GROUP BY user_id ORDER BY user_id
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      tbl(spark, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(map_from_entries(sort_array(
+          collect_list(struct(col("event_type"), col("n"))))).as("m"))
+        .select(col("user_id"),
+          coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+          coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
+          size(col("m")).cast("long").as("n_types"),
+          array_join(sort_array(map_keys(col("m"))), ",").as("types"))
+        .orderBy("user_id"))
+
   /** Ranking + distribution window functions on ONE window spec — rank,
     * dense_rank, ntile, percent_rank, cume_dist all compute in the same
     * exchange+sort pass (single Window node; the only shuffle is the
@@ -1142,7 +1172,7 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     qRollup, qCube, qGroupingSets, qDistinctAgg, qApproxDistinct,
     qSetOps, qWindowFrames, qWindowLag, qWindowDist, qSessionize, qSessionizeNative,
-    qScalarFuncs, qDateFuncs, qRangeJoin, qAsofJoin,
+    qScalarFuncs, qDateFuncs, qMapFuncs, qRangeJoin, qAsofJoin,
     qOuterJoinAgg, qCorrSubquery, qPivot,
     qQ2, qQ3, qQ4, qQ5, qQ7, qQ10, qQ13, qQ14, qQ16, qQ17, qQ18, qQ19,
     qQ21, qQ22, qStringMatch, qSaltedAgg, qPercentiles,
