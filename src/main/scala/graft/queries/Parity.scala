@@ -42,6 +42,12 @@ object Parity {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** [[tbl]] + `Tables.widen`: ONLY for scans feeding CPU-heavy per-row
+    * work (the md5-per-shingle builders) — measured harmful elsewhere
+    * (see Tables.widen scaladoc). */
+  def tblWide(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name, wide = true)
+
   /** Register the named tables as temp views (for spark.sql-built queries —
     * grouping sets, correlated subqueries — so our SQL mirrors the oracle). */
   def views(spark: SparkSession, dir: String, names: String*): Unit =

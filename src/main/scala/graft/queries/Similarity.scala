@@ -503,6 +503,12 @@ FROM stats ORDER BY method, query_id"""),
         .withColumn("rn", row_number().over(wexact))
         .filter(col("rn") <= TopK)
         .select("query_id", "cand_id")
+      // This bk self-join is NOT the double-pipeline trap q_neardup_bucketed
+      // avoids: the probe side filters to the query set, and Catalyst pushes
+      // vec_id < NumQueries below the scoring projection to the scan — so
+      // one side scores 8 vectors, not the corpus. (A grouped collect_list
+      // formulation was measured SLOWER here: it forces a full shuffle of
+      // every (band, bucket) row to build cells the join never needs.)
       val bk = annBuckets(spark, dir)
       val bq = bk.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"),

@@ -48,17 +48,32 @@ object StreamingParity {
 
   private val SinkTable = "graft_stream_tumbling_sink"
 
-  /** Run a (complete-mode-safe) streaming transform over a memory sink and
-    * return the materialized table. */
-  private def runToMemory(df: DataFrame, sink: String): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
+  /** Run a streaming transform over a memory sink and return the
+    * materialized table. Every stateful streaming operator runs one state
+    * store per shuffle partition with FIXED per-micro-batch commit overhead
+    * per partition — so state partitions are sized to stream volume, not to
+    * the CPU-count shuffle default (32 partitions cost ~4x the wall-clock
+    * of 8 on this corpus for identical output; measured first on the
+    * stream-stream join, same effect on the windowed aggs). The partition
+    * count is pinned at stream START (it is baked into the checkpoint);
+    * restore the session default afterwards. */
+  private val StatePartitions = "8"
+
+  private def runToMemory(df: DataFrame, sink: String,
+      mode: String = "complete"): DataFrame = {
+    val spark = df.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+      df.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
-    df.sparkSession.table(sink)
+    spark.table(sink)
   }
 
   private val qStreamTumbling = QueryDef(
@@ -150,25 +165,7 @@ object StreamingParity {
       val joined = graft.streaming.StreamingOps.clickPurchaseJoin(
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"))
-      // A stream-stream join runs 4 state stores per shuffle partition with
-      // per-micro-batch commit overhead that is FIXED per partition — so
-      // state partitions are sized to stream volume, not to the CPU-count
-      // shuffle default (32 partitions cost 4x the wall-clock of 8 on this
-      // corpus for identical output). The partition count is pinned at
-      // stream START (it is baked into the checkpoint); restore the
-      // session default afterwards.
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        joined.writeStream
-          .format("memory")
-          .queryName(JoinSink)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      q.awaitTermination()
-      spark.table(JoinSink)
+      runToMemory(joined, JoinSink, mode = "append")
         .select(col("c_user"), unix_millis(col("c_ts")).as("c_ts_ms"),
           col("c_value"), unix_millis(col("p_ts")).as("p_ts_ms"),
           col("p_value"))
@@ -196,14 +193,7 @@ object StreamingParity {
       val enriched = graft.streaming.StreamingOps.enrich(
         Tables.loadEventsStream(spark, dir), dim, "event_type")
         .select(col("event_id"), col("event_type"), col("type_total"))
-      val q = enriched.writeStream
-        .format("memory")
-        .queryName(EnrichSink)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(EnrichSink).orderBy("event_id")
+      runToMemory(enriched, EnrichSink, mode = "append").orderBy("event_id")
     })
 
   val defs: Seq[QueryDef] =

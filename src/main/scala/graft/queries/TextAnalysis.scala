@@ -211,7 +211,7 @@ object TextAnalysis {
       |FROM ranked WHERE rn <= 3 GROUP BY doc_id ORDER BY doc_id
       |""".stripMargin.trim),
     (spark, dir) => {
-      val sh = tbl(spark, dir, "documents")
+      val sh = tblWide(spark, dir, "documents") // one md5 per shingle
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(1), greatest(length(col("text")) - 6, lit(2)) - 1)).as("i"))
         .select(col("doc_id"), expr("substring(text, i, 8)").as("sh"))
@@ -252,7 +252,7 @@ object TextAnalysis {
       |""".stripMargin.trim),
     (spark, dir) => {
       val mink3 = udaf(new graft.functions.Aggregators.MinK(3))
-      tbl(spark, dir, "documents")
+      tblWide(spark, dir, "documents") // one md5 per shingle
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(1), greatest(length(col("text")) - 6, lit(2)) - 1)).as("i"))
         .select(col("doc_id"), expr("substring(text, i, 8)").as("sh"))

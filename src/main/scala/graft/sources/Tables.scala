@@ -19,15 +19,44 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def load(spark: SparkSession, dir: String, name: String,
+      wide: Boolean = false): DataFrame = {
     // Idempotent per-session function registration: every catalog builder
     // passes through here before its expressions are analyzed, so
     // graft_hash60/float_dot/float_cosine resolve in any session — ours
     // or one the driver built (sessions created with GraftExtensions get
     // them twice, harmlessly).
     graft.plans.GraftFunctions.register(spark)
-    if (name == "events") loadEvents(spark, dir) else
+    val df = if (name == "events") loadEvents(spark, dir) else
       spark.read.parquet(path(dir, name))
+    if (wide) widen(spark, df, path(dir, name)) else df
+  }
+
+  /** OPT-IN local-corpus remedy for an unsplittable scan feeding CPU-heavy
+    * per-row work: the testdata tables are single parquet files with a
+    * single row group, so Spark's byte-range splitting yields ONE populated
+    * scan partition no matter what `maxPartitionBytes` says — and a
+    * generator×hash pipeline above it (char-shingle explode + one md5 per
+    * shingle) runs on one core of 32. A round-robin repartition right above
+    * the scan moves kilobytes to move the compute to every core; Catalyst
+    * still pushes filters and column pruning through a Repartition node, so
+    * PushedFilters/ReadSchema are unchanged. Measured at sf0.1:
+    * q_fingerprint 2.7→0.8s, q_minhash_signatures 2.1→0.75s,
+    * q_dedup_components −1.2s — and measured HARMFUL for join/agg-shaped
+    * queries (q18 +0.8s: the extra exchange stacks under the join's own
+    * hash exchange), which is why only the md5-shingle builders opt in.
+    * On a cluster this never fires: multi-file/multi-row-group tables
+    * split naturally (non-local or directory-shaped paths skip the widen
+    * entirely), and at 100 TB an extra full-corpus exchange would be
+    * exactly the wrong trade. */
+  private def widen(spark: SparkSession, df: DataFrame, p: String): DataFrame = {
+    if (spark.conf.getOption("spark.graft.widen").contains("false")) return df
+    val f = new java.io.File(p)
+    val cores = spark.sparkContext.defaultParallelism
+    if (f.isFile && f.length >= 100L * 1024 && f.length < 64L * 1024 * 1024
+        && cores > 4)
+      df.repartition(cores)
+    else df
   }
 
   /** `events.parquet` carries TIMESTAMP(NANOS) (written by Arrow), which
