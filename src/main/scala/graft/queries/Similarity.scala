@@ -91,7 +91,7 @@ object Similarity {
       |FROM ranked WHERE rnk <= $TopK ORDER BY query_id, rnk
       |""".stripMargin.trim),
     (spark, dir) => {
-      val emb = tbl(spark, dir, "embeddings")
+      val emb = tblWide(spark, dir, "embeddings")
         .select(col("vec_id"), expr(quantizeExpr).as("qv"))
       val q = emb.select(col("vec_id").as("query_id"), col("qv").as("qvec"))
         .filter(col("query_id") < NumQueries)
@@ -158,7 +158,7 @@ bk AS (
     * keeps k — the price of a static column list; at production corpus
     * sizes k = MaxBandBits and nothing is wasted. */
   private def annBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val emb = tbl(spark, dir, "embeddings")
+    val emb = tblWide(spark, dir, "embeddings")
       .select(col("vec_id"), expr(quantizeExpr).as("qv"))
     val spCols = (0 until NumPlanes).map { p =>
       call_function("long_dot", col("qv"), typedlit(weightRow(p))).as(s"sp$p")
@@ -270,7 +270,7 @@ ORDER BY vec_id"""),
             |    struct(x AS qa, y AS vb))))""".stripMargin)).as("p"))
         .select(col("p.qa").as("qa"), col("p.vb").as("vb"))
         .distinct()
-      val emb = tbl(spark, dir, "embeddings")
+      val emb = tblWide(spark, dir, "embeddings")
         .select(col("vec_id"), expr(quantizeExpr).as("qv"))
       val dots = cand
         .join(emb.select(col("vec_id").as("qa"), col("qv").as("qva")), "qa")
@@ -370,7 +370,7 @@ assign AS (
   /** (vec_id, qv, sc) where sc = per-centroid integer-dot scores — ONE
     * broadcast of the packed centroid array + one nested-HOF projection. */
   private def ivfScored(spark: SparkSession, dir: String): DataFrame = {
-    val qvt = tbl(spark, dir, "embeddings")
+    val qvt = tblWide(spark, dir, "embeddings")
       .select(col("vec_id"), expr(quantizeExpr).as("qv"))
     val seedpool = qvt
       .withColumn("hp", PortableHash.hash60(col("vec_id").cast("string")))
@@ -492,7 +492,7 @@ SELECT method, query_id, n_cands, hits,
   CAST(hits AS DOUBLE) / $TopK AS recall_at_$TopK
 FROM stats ORDER BY method, query_id"""),
     (spark, dir) => {
-      val emb = tbl(spark, dir, "embeddings")
+      val emb = tblWide(spark, dir, "embeddings")
         .select(col("vec_id"), expr(quantizeExpr).as("qv"))
       val q8 = emb.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("qv").as("qvec"))

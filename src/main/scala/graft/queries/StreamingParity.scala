@@ -52,12 +52,13 @@ object StreamingParity {
     * materialized table. Every stateful streaming operator runs one state
     * store per shuffle partition with FIXED per-micro-batch commit overhead
     * per partition — so state partitions are sized to stream volume, not to
-    * the CPU-count shuffle default (32 partitions cost ~4x the wall-clock
-    * of 8 on this corpus for identical output; measured first on the
-    * stream-stream join, same effect on the windowed aggs). The partition
-    * count is pinned at stream START (it is baked into the checkpoint);
-    * restore the session default afterwards. */
-  private val StatePartitions = "8"
+    * the CPU-count shuffle default (measured on this corpus: 32 partitions
+    * cost ~4x the wall-clock of 8 for identical output, and 4 beats 8 by a
+    * further ~20% on the stream-stream join, which runs 4 state stores per
+    * partition; wash on the windowed aggs). The partition count is pinned
+    * at stream START (it is baked into the checkpoint); restore the
+    * session default afterwards. */
+  private val StatePartitions = "4"
 
   private def runToMemory(df: DataFrame, sink: String,
       mode: String = "complete"): DataFrame = {

@@ -267,7 +267,49 @@ object TextAnalysis {
         .orderBy("doc_id")
     })
 
+  /** Deterministic STRATIFIED sampling — the reproducible corpus-sampling
+    * op every training pipeline needs ("keep 50% of en, 25% of de, 10% of
+    * everything else"): per-stratum Bernoulli by a SALTED portable hash of
+    * the stable key (`hash60('sample|' || doc_id) mod 1000 < rate‰`).
+    * Never RAND() — no engine can replay it, and resampling must be a
+    * pure function of (key, salt, rates) so a re-run, a backfill, and a
+    * different engine all select the SAME rows. The salt decorrelates this
+    * decision from every other hash-derived assignment (q_pipeline_curate's
+    * train/val split uses the unsalted key — without a salt the 10%
+    * sample would be a subset of the first hash deciles, nesting the two
+    * decisions). Execution is a map-only filter — no shuffle, no state;
+    * at 100 TB it runs at scan speed and composes under any pushdown. */
+  private val sampleRates: Seq[(String, Int)] = Seq("en" -> 500, "de" -> 250)
+  private val DefaultRate = 100 // per-mille
+
+  private val qStratifiedSample = QueryDef(
+    "q_stratified_sample",
+    Some {
+      val caseSql = "CASE " + sampleRates.map { case (l, r) =>
+        s"WHEN lang = '$l' THEN $r"
+      }.mkString(" ") + s" ELSE $DefaultRate END"
+      s"""
+      |SELECT doc_id, lang, h % 1000 AS bucket FROM (
+      |  SELECT doc_id, lang,
+      |    ${PortableHash.sqlHash60("concat('sample|', CAST(doc_id AS VARCHAR))")} AS h
+      |  FROM documents)
+      |WHERE h % 1000 < $caseSql
+      |ORDER BY doc_id
+      |""".stripMargin.trim
+    },
+    (spark, dir) => {
+      val rate = sampleRates.foldRight(lit(DefaultRate)) { case ((l, r), acc) =>
+        when(col("lang") === l, lit(r)).otherwise(acc)
+      }
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          (PortableHash.hash60(concat(lit("sample|"), col("doc_id").cast("string")))
+            % 1000).as("bucket"))
+        .filter(col("bucket") < rate)
+        .orderBy("doc_id")
+    })
+
   val defs: Seq[QueryDef] =
     Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf,
-      qPipelineCurate)
+      qPipelineCurate, qStratifiedSample)
 }
