@@ -74,10 +74,16 @@ object Bench {
     }
     var errors = 0
     val results = ordered.map { case (name, fn) =>
-      // Collect BETWEEN queries so a major GC triggered by the previous
-      // query's garbage is not attributed to this one (observed: a 40s
-      // pause from the dedup queries' shuffle garbage landing inside the
-      // next query's window).
+      // Isolate BETWEEN queries so the previous query's footprint is not
+      // attributed to this one: localCheckpoint blocks (dedup components'
+      // loop state, the jaccard doc-set frame) stay registered in the
+      // block manager until their RDDs are GC'd, and the accumulated
+      // memory pressure was observed as a 4x spike on whichever
+      // checkpoint-heavy query drew the eviction (q_jaccard_pairs 1.9s
+      // isolated vs 8.3s mid-suite). Drop them eagerly, then collect so a
+      // major GC from the garbage lands outside the next timer window.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc()
       val t0 = System.nanoTime()
       // A failed query must be VISIBLE (a silent catch once hid a consumer

@@ -35,6 +35,9 @@ object RunOne {
       fn(spark, sfDir).explain("formatted")
     consume("/root/testdata/sf0.001")
     val times = (1 to reps).map { _ =>
+      // same isolation as Bench: drop leftover localCheckpoint blocks
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc()
       val t0 = System.nanoTime()
       consume(sfDir)

@@ -209,8 +209,14 @@ ORDER BY doc_a, doc_b"""),
       }: _*)
       val cand = candPairsFrom(sigsDf)
         .orderBy(desc("n_bands"), asc("doc_a"), asc("doc_b")).limit(JaccardCap)
-      cand
+      // Broadcast is PINNED on the capped candidate side of BOTH rerank
+      // joins: the doc-set frame's size estimate sits near the
+      // auto-broadcast threshold, so without the hints the planner's
+      // choice flaps between runs — and the wrong pick builds an 11 MB
+      // broadcast (twice) instead of a ≤cap-row one.
+      val withA = broadcast(cand)
         .join(docsets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      broadcast(withA)
         .join(docsets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           size(array_intersect(col("ha"), col("hb"))).cast("long").as("n_inter"),
