@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,13 +25,18 @@ import Parity._
   */
 object SourceParity {
 
-  /** Write `table` out as `format` into a fresh temp dir, read it back
-    * with the SAME explicit schema (no inference pass). */
+  /** Write `table` out as `format` into a STABLE temp path (keyed by
+    * format/table/source dir — a fresh `createTempDirectory` per build
+    * leaked one dir per bench/verify run), read it back with the SAME
+    * explicit schema (no inference pass); overwrite mode makes reuse
+    * idempotent. */
   private def roundTrip(
       spark: SparkSession, dir: String, table: String,
       format: String, options: Map[String, String]): DataFrame = {
     val src = tbl(spark, dir, table)
-    val tmp = Files.createTempDirectory(s"graft_${format}_$table").toString
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_src_${format}_${table}_${Integer.toHexString(dir.hashCode)}")
+      .toString
     src.write.format(format).options(options).mode("overwrite").save(tmp)
     spark.read.format(format).options(options).schema(src.schema).load(tmp)
   }
