@@ -399,6 +399,53 @@ object Relational {
             .cast("double").as("sum_bal"))
         .orderBy("n_name"))
 
+  /** FULL outer join — the reconciliation shape (ledger vs shadow): hourly
+    * per-user click activity against purchase activity, keeping rows that
+    * exist on either side only. Physically distinct from every other join
+    * exhibit: a full outer cannot broadcast either side (both sides must
+    * surface unmatched rows), so at any scale it is the shuffle-both-sides
+    * sort-merge join on the reconciliation key — which is exactly the plan
+    * Spark picks here. The (user, hour) key makes the overlap genuinely
+    * partial in this corpus (every user has every event type, but not in
+    * every hour). */
+  private val qFullOuter = QueryDef(
+    "q_full_outer",
+    Some("""
+      |WITH c AS (
+      |  SELECT user_id, CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,
+      |    count(*) AS n_clicks
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (
+      |  SELECT user_id, CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,
+      |    count(*) AS n_purchases
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT coalesce(c.user_id, p.user_id) AS user_id,
+      |  coalesce(c.hour_ms, p.hour_ms) AS hour_ms,
+      |  coalesce(c.n_clicks, 0) AS n_clicks,
+      |  coalesce(p.n_purchases, 0) AS n_purchases
+      |FROM c FULL JOIN p ON p.user_id = c.user_id AND p.hour_ms = c.hour_ms
+      |ORDER BY user_id, hour_ms
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      def hourly(tpe: String, out: String): DataFrame =
+        tbl(spark, dir, "events")
+          .filter(col("event_type") === tpe)
+          .groupBy(col("user_id"),
+            unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"))
+          .agg(count(lit(1)).as(out))
+      val c = hourly("click", "n_clicks")
+      val p = hourly("purchase", "n_purchases")
+        .withColumnsRenamed(Map("user_id" -> "p_user", "hour_ms" -> "p_hour"))
+      c.join(p,
+          col("p_user") === col("user_id") && col("p_hour") === col("hour_ms"),
+          "full_outer")
+        .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+          coalesce(col("hour_ms"), col("p_hour")).as("hour_ms"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .orderBy("user_id", "hour_ms")
+    })
+
   /** Correlated scalar subquery (orders above 2× their customer's mean),
     * with the division multiplied out so the comparison stays in exact
     * decimal arithmetic (avg would round differently per engine). */
@@ -1173,7 +1220,7 @@ object Relational {
     qRollup, qCube, qGroupingSets, qDistinctAgg, qApproxDistinct,
     qSetOps, qWindowFrames, qWindowLag, qWindowDist, qSessionize, qSessionizeNative,
     qScalarFuncs, qDateFuncs, qMapFuncs, qRangeJoin, qAsofJoin,
-    qOuterJoinAgg, qCorrSubquery, qPivot,
+    qOuterJoinAgg, qFullOuter, qCorrSubquery, qPivot,
     qQ2, qQ3, qQ4, qQ5, qQ7, qQ10, qQ13, qQ14, qQ16, qQ17, qQ18, qQ19,
     qQ21, qQ22, qStringMatch, qSaltedAgg, qPercentiles,
     qFunnel, qRetention, qIntervalBinJoin)
