@@ -36,7 +36,7 @@ object Bench {
     "q9_product_profit", "q18_large_volume", "q21_waiting_supplier",
     "q_wordcount", "q_stopword_wordcount", "q_topk_common_max",
     "q_join_agg", "q_broadcast_join", "q_asof_join", "q_interval_bin_join",
-    "q_range_join",
+    "q_range_join", "q_full_outer",
     "q_cube", "q_window_rank", "q_window_frames", "q_percentiles", "q_pivot",
     "q_salted_agg",
     "q_sessionize_native", "q_session_window", "q_tumbling_window",
@@ -48,7 +48,7 @@ object Bench {
     "q_cosine_topk", "q_ann_buckets", "q_neardup_bucketed", "q_ivf_topk",
     "q_ann_recall",
     "q_token_stats", "q_doc_quality", "q_langid", "q_fingerprint",
-    "q_pipeline_curate",
+    "q_pipeline_curate", "q_stratified_sample", "q_text_search",
     "q_stream_tumbling", "q_stream_sessionize", "q_stream_join",
     "q_stream_enrich",
     "q_funnel")

@@ -309,7 +309,60 @@ object TextAnalysis {
         .orderBy("doc_id")
     })
 
+  /** Term-lookup relevance ranking — the inverted-index probe, as one
+    * declarative plan: tokenize → keep query terms (a 3-row broadcast
+    * join) → per-(doc, term) tf → corpus df per term → tf-idf-style score
+    * → top-20 (TakeOrderedAndProject). At 100 TB the tf frame IS the
+    * inverted index (posting list per term, partitioned by term on disk);
+    * this query is the probe path over it.
+    *
+    * The score is EXACT integer arithmetic — `sum(tf * n_docs * 1e6 div
+    * df)` with floor division — because a double tf-idf sum is
+    * addition-order-sensitive and could differ between engines by an ULP,
+    * which the driver's hash compare would fail. Both engines floor
+    * positive integer division identically; `score = score_micro / 1e6`
+    * is surfaced as the one derived double (a single division of the same
+    * integer → the same double). */
+  private val searchTerms = Seq("query", "join", "stream")
+
+  private val qTextSearch = QueryDef(
+    "q_text_search",
+    Some {
+      val termList = searchTerms.map("'" + _ + "'").mkString(", ")
+      s"""
+      |WITH $tokSql,
+      |tf AS (SELECT doc_id, w AS term, count(*) AS tf FROM tok
+      |  WHERE w IN ($termList) GROUP BY 1, 2),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    CAST(sum(tf.tf * ((n.n_docs * 1000000) // df.df)) AS BIGINT) AS score_micro
+      |  FROM tf JOIN df USING (term), n GROUP BY tf.doc_id)
+      |SELECT doc_id, score_micro, CAST(score_micro AS DOUBLE) / 1e6 AS score
+      |FROM scored ORDER BY score_micro DESC, doc_id LIMIT 20
+      |""".stripMargin.trim
+    },
+    (spark, dir) => {
+      val tf = toks(spark, dir)
+        .filter(col("w").isin(searchTerms: _*))
+        .groupBy(col("doc_id"), col("w").as("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = tbl(spark, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(nDocs))
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * expr("(n_docs * 1000000L) div df")).as("score_micro"))
+        .select(col("doc_id"), col("score_micro"),
+          (col("score_micro").cast("double") / lit(1e6)).as("score"))
+        .orderBy(desc("score_micro"), asc("doc_id"))
+        .limit(20)
+    })
+
   val defs: Seq[QueryDef] =
     Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf,
-      qPipelineCurate, qStratifiedSample)
+      qPipelineCurate, qStratifiedSample, qTextSearch)
 }
