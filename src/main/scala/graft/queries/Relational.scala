@@ -1216,6 +1216,63 @@ object Relational {
         .orderBy("cntrygrp")
     })
 
+  /** CDC upsert (MERGE INTO semantics) as a batch operator: apply a
+    * change set of updates / deletes / inserts onto a base table in one
+    * declarative plan — `WHEN MATCHED AND op='D' THEN DELETE / op='U'
+    * THEN UPDATE / WHEN NOT MATCHED THEN INSERT`. The change set is
+    * derived deterministically from the base (keys mod 97: 0→update with
+    * status 'X' and price+100, 1→delete, 2→insert under a shifted key) so
+    * both engines construct the identical delta.
+    *
+    * Plan shape: matched keys (U∪D) anti-join the base, then the
+    * surviving rows union the upsert payload — one anti-join + one
+    * union, no per-row driver logic. At 100 TB the delta is normally
+    * ≪ the base, so the anti-join broadcasts the delta's key set (or
+    * rides a shared key-bucketing for shuffle-free MERGE); the base is
+    * never rewritten except where touched — exactly the shape a
+    * copy-on-write table format executes underneath. */
+  private val qUpsert = QueryDef(
+    "q_upsert",
+    Some(s"""
+      |WITH base AS (SELECT o_orderkey, o_orderstatus,
+      |    ${sqlDec("o_totalprice")} AS price FROM orders),
+      |upd AS (SELECT o_orderkey, 'X' AS o_orderstatus,
+      |    price + 100.00 AS price FROM base WHERE o_orderkey % 97 = 0),
+      |ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_orderstatus,
+      |    price FROM base WHERE o_orderkey % 97 = 2),
+      |kept AS (SELECT * FROM base WHERE o_orderkey % 97 NOT IN (0, 1))
+      |SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS o_totalprice
+      |FROM (SELECT * FROM kept UNION ALL SELECT * FROM upd
+      |      UNION ALL SELECT * FROM ins)
+      |ORDER BY o_orderkey
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val base = tbl(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          dec("o_totalprice").as("price"))
+      val m = col("o_orderkey") % 97
+      // the change set a CDC feed would deliver: (op, key, new values)
+      val changes = base.filter(m === 0)
+        .select(lit("U").as("op"), col("o_orderkey"),
+          lit("X").as("o_orderstatus"), (col("price") + dec(lit(100))).as("price"))
+        .unionByName(base.filter(m === 1)
+          .select(lit("D").as("op"), col("o_orderkey"),
+            lit(null).cast("string").as("o_orderstatus"),
+            lit(null).cast("decimal(18,2)").as("price")))
+        .unionByName(base.filter(m === 2)
+          .select(lit("I").as("op"),
+            (col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("price")))
+      val matched = changes.filter(col("op").isin("U", "D"))
+        .select("o_orderkey")
+      base.join(broadcast(matched), Seq("o_orderkey"), "left_anti")
+        .unionByName(changes.filter(col("op") =!= "D")
+          .select("o_orderkey", "o_orderstatus", "price"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("price").cast("double").as("o_totalprice"))
+        .orderBy("o_orderkey")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     qRollup, qCube, qGroupingSets, qDistinctAgg, qApproxDistinct,
     qSetOps, qWindowFrames, qWindowLag, qWindowDist, qSessionize, qSessionizeNative,
@@ -1223,5 +1280,5 @@ object Relational {
     qOuterJoinAgg, qFullOuter, qCorrSubquery, qPivot,
     qQ2, qQ3, qQ4, qQ5, qQ7, qQ10, qQ13, qQ14, qQ16, qQ17, qQ18, qQ19,
     qQ21, qQ22, qStringMatch, qSaltedAgg, qPercentiles,
-    qFunnel, qRetention, qIntervalBinJoin)
+    qFunnel, qRetention, qIntervalBinJoin, qUpsert)
 }

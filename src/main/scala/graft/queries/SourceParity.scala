@@ -74,5 +74,36 @@ object SourceParity {
           max("p_size").as("max_size"))
         .orderBy("p_brand"))
 
-  val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource)
+  /** Hive-style partitioned parquet SINK + partition-pruned read-back,
+    * under the oracle hash (SourcesSpec asserts the pruning mechanics —
+    * `PartitionFilters` and file counts — in isolation; this entry proves
+    * the layout is value-exact end-to-end). orders is written
+    * `partitionBy(o_orderpriority)`; the read-back filter on the
+    * partition column resolves at PLANNING time, so the two non-matching
+    * priorities' files are never opened. This layout is the 100 TB
+    * table-organization primitive: a date/tenant-partitioned fact means
+    * every time-ranged query scans only its slice, and the partition
+    * column costs zero bytes in the data files. */
+  private val qPartitionedSink = QueryDef(
+    "q_partitioned_sink",
+    Some(s"""
+      |SELECT o_orderpriority, count(*) AS n,
+      |  ${sqlDsum(sqlDec("o_totalprice"))} AS sum_price
+      |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val src = tbl(spark, dir, "orders")
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_sink_part_orders_${Integer.toHexString(dir.hashCode)}")
+        .toString
+      src.write.partitionBy("o_orderpriority").mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(dec("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    })
+
+  val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qPartitionedSink)
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.PortableHash
+import graft.functions.{Aggregators, PortableHash}
 import Parity._
 
 /** Text-analysis operators over the `documents` corpus (SURVEY.md §2.4):
@@ -362,7 +362,42 @@ object TextAnalysis {
         .limit(20)
     })
 
+  /** Heavy hitters via sketch-prune + exact recount (the two-pass pattern
+    * that replaces a full-vocabulary groupBy at scale):
+    *
+    * pass 1 — a Misra–Gries summary (k=2048, mergeable O(k) state; see
+    * [[graft.functions.Aggregators.MisraGries]]) runs as ONE global
+    * aggregation whose map-side partials ship ≤ k rows per partition —
+    * no per-word shuffle at all;
+    * pass 2 — tokens broadcast-semi-join the ≤ k candidates and only
+    * those rows reach the exact count, so the second shuffle carries the
+    * candidate subset instead of the whole vocabulary.
+    *
+    * The MG guarantee (every word with count > n/(k+1) is a candidate)
+    * makes the exact top-20 provably equal to the oracle's full groupBy
+    * whenever the true 20th count clears n/(k+1) — HeavyHittersSpec
+    * asserts a ≥4× margin on this corpus. At 100 TB the vocabulary is
+    * billions of keys; this plan's shuffles stay O(k · partitions). */
+  private val qHeavyHitters = QueryDef(
+    "q_heavy_hitters",
+    Some(s"""
+      |WITH $tokSql,
+      |c AS (SELECT w AS word, count(*) AS n FROM tok GROUP BY w)
+      |SELECT word, n FROM c ORDER BY n DESC, word DESC LIMIT 20
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val mg = udaf(new Aggregators.MisraGries(2048))
+      val words = toks(spark, dir).select(col("w"))
+      val cands = words.agg(mg(col("w")).as("s"))
+        .select(explode(col("s.words")).as("w"))
+      words.join(broadcast(cands), "w")
+        .groupBy(col("w").as("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), desc("word"))
+        .limit(20)
+    })
+
   val defs: Seq[QueryDef] =
     Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf,
-      qPipelineCurate, qStratifiedSample, qTextSearch)
+      qPipelineCurate, qStratifiedSample, qTextSearch, qHeavyHitters)
 }
