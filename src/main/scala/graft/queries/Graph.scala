@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Parity._
+
+/** Iterative graph analytics beyond connected components (q_dedup_components
+  * is the convergence-loop variant with checkpoint truncation; this module
+  * is the fixed-iteration variant whose whole computation stays ONE
+  * declarative plan).
+  *
+  * q_pagerank runs damped PageRank over the bipartite part↔supplier graph
+  * induced by lineitem (edges both directions, so no node is a universal
+  * sink). All arithmetic is scaled-integer (`div`, never `/`) so the
+  * result is bit-identical across engines — the same discipline as
+  * q_text_search's tf-idf and the quantized cosine queries.
+  *
+  * Scale shape: each iteration is exactly one shuffle (the contribution
+  * sum on dst); the out-degree is pre-joined onto the edge list ONCE and
+  * reused by every iteration, and the per-node rank frame stays (node, pr)
+  * — O(V) rows, never O(E). At 100 TB you run the loop form with a
+  * convergence test and `localCheckpoint` lineage truncation exactly as
+  * q_dedup_components does; 3 iterations are unrolled here so the plan is
+  * static and oracle-comparable. Skewed in-degree (celebrity nodes) salts
+  * the contribution aggregation the same way q_salted_agg does. */
+object Graph {
+
+  private val Scale = 1000000000000L // rank mass ×1e12, integer-exact
+  private val Off = 10000000L        // supplier ids shifted into their own space
+  private val Iters = 3
+
+  private val pagerankSql: String = {
+    val base = s"($Scale * 15) // (100 * nn.cnt)"
+    val iters = (1 to Iters).map { i =>
+      val prev = s"pr${i - 1}"
+      s"""c$i AS (
+  SELECT e.dst, CAST(sum(p.pr // d.outdeg) AS BIGINT) AS cin
+  FROM edges e JOIN deg d ON d.src = e.src JOIN $prev p ON p.node_id = e.src
+  GROUP BY e.dst),
+pr$i AS (
+  SELECT n2.node_id, $base + (85 * coalesce(c$i.cin, 0)) // 100 AS pr
+  FROM nodes n2 CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = n2.node_id)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (SELECT p AS src, s + $Off AS dst FROM e0
+          UNION ALL SELECT s + $Off AS src, p AS dst FROM e0),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node_id FROM edges),
+nn AS (SELECT count(*) AS cnt FROM nodes),
+pr0 AS (SELECT node_id, $Scale // nn.cnt AS pr FROM nodes CROSS JOIN nn),
+$iters
+SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
+  }
+
+  private val qPagerank = QueryDef(
+    "q_pagerank",
+    Some(pagerankSql),
+    (spark, dir) => {
+      val e0 = tbl(spark, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+        .distinct()
+      val edges = e0
+        .select(col("p").as("src"), (col("s") + Off).as("dst"))
+        .unionByName(e0.select((col("s") + Off).as("src"), col("p").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      // degree rides the edge list from here on — joined once, reused by
+      // every iteration (materialized so the distinct+union subtree does
+      // not re-run per iteration)
+      val edgesW = edges.join(deg, "src").localCheckpoint(true)
+      val nodes = edgesW.select(col("src").as("node_id")).distinct()
+        .localCheckpoint(true)
+      val nn = nodes.agg(count(lit(1)).as("cnt"))
+      var pr = nodes.crossJoin(broadcast(nn))
+        .select(col("node_id"), expr(s"${Scale}L div cnt").as("pr"))
+      for (_ <- 1 to Iters) {
+        val contrib = edgesW
+          .join(pr, col("src") === col("node_id"))
+          .groupBy("dst").agg(sum(expr("pr div outdeg")).as("cin"))
+        pr = nodes.crossJoin(broadcast(nn))
+          .join(contrib, col("node_id") === col("dst"), "left")
+          .select(col("node_id"),
+            (expr(s"(${Scale}L * 15) div (100 * cnt)") +
+              expr("(85 * coalesce(cin, 0L)) div 100")).as("pr"))
+      }
+      pr.orderBy(desc("pr"), asc("node_id")).limit(50)
+    })
+
+  val defs: Seq[QueryDef] = Seq(qPagerank)
+}

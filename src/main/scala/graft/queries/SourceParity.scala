@@ -105,5 +105,51 @@ object SourceParity {
         .orderBy("o_orderpriority")
     })
 
-  val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qPartitionedSink)
+  /** Bucketed co-located LARGE×LARGE join under the oracle gate
+    * (SourcesSpec asserts the no-Exchange plan in isolation; this entry
+    * proves the layout end-to-end on values). Both fact tables are
+    * written `bucketBy(16, join key)` + sorted within buckets, so the
+    * sort-merge join reads both sides pre-partitioned and pre-sorted —
+    * zero Exchange, zero Sort on the join itself; the only shuffle in
+    * the plan is the final tiny group-by. This is THE layout decision
+    * for a 100 TB fact-to-fact join: pay the bucketing once at write
+    * time, then every subsequent join on that key is shuffle-free.
+    * External-table paths (stable tmp) keep the repo clean; table names
+    * carry the source-dir hash so warmup (sf0.001) and the measured run
+    * (sf0.1) never collide in one session. */
+  private val qBucketedJoin = QueryDef(
+    "q_bucketed_join",
+    Some(s"""
+      |SELECT o_orderpriority, count(*) AS n,
+      |  ${sqlDsum(sqlDec("l_extendedprice"))} AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_bucketed_$h").toString
+      def bucketed(table: String, key: String, cols: Seq[String]): DataFrame = {
+        val name = s"graft_${table}_bk_$h"
+        tbl(spark, dir, table).select(cols.map(col): _*)
+          .write.mode("overwrite")
+          .bucketBy(16, key).sortBy(key)
+          .option("path", s"$tmp/$table")
+          .saveAsTable(name)
+        spark.table(name)
+      }
+      val li = bucketed("lineitem", "l_orderkey", Seq("l_orderkey", "l_extendedprice"))
+      val ord = bucketed("orders", "o_orderkey", Seq("o_orderkey", "o_orderpriority"))
+      // hint pins the SMJ strategy (at bench SF the dimension-sized side
+      // would broadcast and never exercise the bucket layout); the
+      // bucketed scan's output partitioning+ordering then elides both the
+      // Exchange and the Sort — PlanAuditSpec asserts exactly that
+      li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(dec("l_extendedprice")).as("revenue"))
+        .orderBy("o_orderpriority")
+    })
+
+  val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qPartitionedSink,
+    qBucketedJoin)
 }

@@ -17,7 +17,7 @@ class PlanAuditSpec extends SparkSuite {
   private val bnljAllowed = Set("q_range_join", "q_cosine_topk",
     "q_ann_buckets", "q_ann_bucket_stats", "q_neardup_bucketed",
     "q_ivf_assign", "q_ivf_topk", "q_ann_recall", "q22_global_sales",
-    "q11_important_stock", "q_text_search")
+    "q11_important_stock", "q_text_search", "q_pagerank")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no cartesian product / unexpected nested loop") {
@@ -60,6 +60,14 @@ class PlanAuditSpec extends SparkSuite {
   test("q_window_rank plans a partial/final WindowGroupLimit (rank pushdown)") {
     val p = plan("q_window_rank")
     assert(p.contains("WindowGroupLimit"), s"rank-limit pushdown missing:\n$p")
+  }
+
+  test("q_bucketed_join joins bucket-to-bucket: one Exchange total (the final agg), none on the join") {
+    val p = plan("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"bucketed join must not shuffle either side (only the final agg may):\n$p")
   }
 
   test("q_stopword_wordcount plans the stopword filter as a broadcast anti-join") {
