@@ -57,9 +57,12 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
     "q_pagerank",
     Some(pagerankSql),
     (spark, dir) => {
+      // materialize the distinct pair set ONCE — both edge directions,
+      // the degree count, and the node set all derive from these blocks
       val e0 = tbl(spark, dir, "lineitem")
         .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
         .distinct()
+        .localCheckpoint(true)
       val edges = e0
         .select(col("p").as("src"), (col("s") + Off).as("dst"))
         .unionByName(e0.select((col("s") + Off).as("src"), col("p").as("dst")))
@@ -74,11 +77,19 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
       var pr = nodes.crossJoin(broadcast(nn))
         .select(col("node_id"), expr(s"${Scale}L div cnt").as("pr"))
       for (_ <- 1 to Iters) {
+        // rank and contribution frames are O(V) — broadcast them
+        // EXPLICITLY: checkpoint-backed edge statistics otherwise bait
+        // Catalyst into broadcasting the O(E) edge list (observed
+        // BuildLeft on the 1M-row side, 3× per plan). With the hints,
+        // an iteration is: map-side probe over the edge blocks +
+        // partial agg + one O(V·partitions) exchange — the edge list
+        // never moves. (At V too large to broadcast, drop the hints
+        // and co-partition edges and ranks on src instead.)
         val contrib = edgesW
-          .join(pr, col("src") === col("node_id"))
+          .join(broadcast(pr), col("src") === col("node_id"))
           .groupBy("dst").agg(sum(expr("pr div outdeg")).as("cin"))
         pr = nodes.crossJoin(broadcast(nn))
-          .join(contrib, col("node_id") === col("dst"), "left")
+          .join(broadcast(contrib), col("node_id") === col("dst"), "left")
           .select(col("node_id"),
             (expr(s"(${Scale}L * 15) div (100 * cnt)") +
               expr("(85 * coalesce(cin, 0L)) div 100")).as("pr"))
