@@ -150,6 +150,44 @@ object SourceParity {
         .orderBy("o_orderpriority")
     })
 
+  /** Schema evolution across parquet batches: an early batch written
+    * WITHOUT `p_size`, a later batch written with it, read back together
+    * under `mergeSchema=true` — the widened schema surfaces the missing
+    * column as NULL for old rows, and the aggregate handles it with
+    * `coalesce`. This is the append-only table-evolution contract every
+    * long-lived 100 TB dataset needs (columns arrive over time; old files
+    * are never rewritten). Note the scale caveat the option implies:
+    * merging reads every file's footer — production layouts record the
+    * merged schema once in the catalog instead of re-deriving it per
+    * query. The oracle reconstructs the same widened view from the
+    * original table, so the pass proves the merged read is value-exact. */
+  private val qSchemaEvolution = QueryDef(
+    "q_schema_evolution",
+    Some(s"""
+      |SELECT p_brand, count(*) AS n,
+      |  ${sqlDsum(sqlDec("p_retailprice"))} AS sum_price,
+      |  CAST(sum(CASE WHEN p_partkey % 2 = 1 THEN p_size ELSE 0 END) AS BIGINT) AS sum_size
+      |FROM part GROUP BY p_brand ORDER BY p_brand
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val part = tbl(spark, dir, "part")
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_evolve_part_${Integer.toHexString(dir.hashCode)}").toString
+      part.filter(col("p_partkey") % 2 === 0)
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .write.mode("overwrite").parquet(s"$tmp/batch1")
+      part.filter(col("p_partkey") % 2 === 1)
+        .select("p_partkey", "p_brand", "p_retailprice", "p_size")
+        .write.mode("overwrite").parquet(s"$tmp/batch2")
+      spark.read.option("mergeSchema", "true")
+        .parquet(s"$tmp/batch1", s"$tmp/batch2")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          dsum(dec("p_retailprice")).as("sum_price"),
+          sum(coalesce(col("p_size").cast("long"), lit(0L))).as("sum_size"))
+        .orderBy("p_brand")
+    })
+
   val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qPartitionedSink,
-    qBucketedJoin)
+    qBucketedJoin, qSchemaEvolution)
 }
