@@ -29,6 +29,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // ~100-query catalog × several codegen stages each, warmup + timed:
+  // the default 100-entry codegen class cache evicts a query's compiled
+  // classes between its warmup and its timed run (observed 4x mid-suite
+  // inflation on the widest plan while isolated reps were steady), and
+  // the recompilation churn needs JIT code-cache headroom too
+  "-Dspark.sql.codegen.cache.maxEntries=5000",
+  "-XX:ReservedCodeCacheSize=1g",
   // 128 GiB box; the md5-shingle + broadcast-heavy queries are GC-bound
   // at 24g (observed 2x run-to-run swing from collection pauses)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",

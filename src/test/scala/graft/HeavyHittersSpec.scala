@@ -46,6 +46,34 @@ class HeavyHittersSpec extends SparkSuite {
     }
   }
 
+  test("property: MG superset guarantee holds for random streams, splits, and k") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // mixed-skew streams: a few hot ids + a long distinct tail
+    val genStream: Gen[List[String]] = for {
+      n <- Gen.choose(0, 400)
+      ws <- Gen.listOfN(n, Gen.oneOf(Gen.choose(0, 5), Gen.choose(0, 200)))
+    } yield ws.map(i => s"w$i")
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    (1L to 40L).foreach { seed =>
+      val stream = sample(genStream, seed)
+      val k = 1 + (seed % 16).toInt
+      val cut = sample(Gen.choose(0, stream.length max 1), seed + 1000)
+      val agg = new Aggregators.MisraGries(k)
+      val (l, r) = stream.splitAt(cut)
+      val out = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+      val threshold = stream.length.toDouble / (k + 1)
+      val mustKeep = stream.groupBy(identity)
+        .collect { case (w, os) if os.size > threshold => w }.toSet
+      assert(out.n == stream.length, s"seed=$seed")
+      assert(mustKeep.subsetOf(out.words.toSet),
+        s"seed=$seed k=$k missing=${mustKeep -- out.words.toSet}")
+      assert(out.words.size <= k, s"seed=$seed buffer exceeded k")
+    }
+  }
+
   test("q_heavy_hitters equals the exact full groupBy top-20") {
     val got = Catalog.queries("q_heavy_hitters")(spark, sfDir).collect()
     val exact = spark.read.parquet(s"$sfDir/documents.parquet")
