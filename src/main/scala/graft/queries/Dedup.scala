@@ -197,11 +197,15 @@ ORDER BY doc_a, doc_b"""),
       // ≤JaccardCap candidate side, so the rerank is shuffle-free. At scale
       // the same shape holds: doc-set table ≈ corpus bytes (partitioned by
       // doc), candidate list is capped per shard and broadcast.
-      val dshp = shingles(spark, dir)
+      // collect_set dedups AND gathers in one grouped aggregation — the
+      // per-doc distinct set builds map-side (docs are partition-local
+      // after the scan), so the round-4 global `distinct()` shuffle of the
+      // full (doc_id, hp) multiset is gone; the one wide shuffle carries
+      // the partially-built per-doc sets.
+      val docsets = shingles(spark, dir)
         .select(col("doc_id"), PortableHash.hash60(col("sh")).as("hp"))
-        .distinct()
-      val docsets = dshp.groupBy("doc_id")
-        .agg(sort_array(collect_list(col("hp"))).as("hs"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_set(col("hp"))).as("hs"))
         .localCheckpoint(true)
       val sigsDf = docsets.select(col("doc_id") +: seeds.map { s =>
         array_min(transform(col("hs"),
@@ -273,8 +277,14 @@ FROM reach GROUP BY u ORDER BY doc_id"""
       val edges = cand.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .union(cand.select(col("doc_b").as("u"), col("doc_a").as("v")))
         .localCheckpoint(true)
-      var labels = tbl(spark, dir, "documents")
-        .select(col("doc_id").as("u"), col("doc_id").as("lbl"))
+      // ACTIVE-SET iteration: only edge endpoints can ever change label
+      // (a singleton's component is itself), so the loop runs over the
+      // near-dup subgraph — typically ≪ corpus — and the full corpus is
+      // only touched once, by the final left join. At 100 TB this is the
+      // difference between iterating on every document and iterating on
+      // the few percent that have a candidate edge.
+      var labels = edges.select(col("u")).distinct()
+        .select(col("u"), col("u").as("lbl"))
         .localCheckpoint(true)
       // The per-round frames are one (node, label) row per doc — far below
       // a shuffle-partition's worth of data per core. Narrow the loop's
@@ -290,7 +300,11 @@ FROM reach GROUP BY u ORDER BY doc_id"""
       var iter = 0
       while (!converged && iter < 50) {
         iter += 1
-        // One neighbor-min hop...
+        // One neighbor-min hop. The checkpoint must stay EAGER: a lazy
+        // checkpoint materialized inside the next round's action measured
+        // UNSTABLE (4.8-12.8s vs 3.3s — concurrent broadcast preparation
+        // races recompute the un-persisted lineage), so the round pays its
+        // two jobs and the wins come from the active set + double jump.
         val hop = edges
           .join(labels.select(col("u").as("v"), col("lbl")), "v")
           .select(col("u"), col("lbl"))
@@ -301,12 +315,15 @@ FROM reach GROUP BY u ORDER BY doc_id"""
         // one more step — lbl' = min(lbl(u), lbl(lbl(u))). Labels reach the
         // component minimum in O(log diameter) rounds instead of
         // O(diameter) (measured 4-5 rounds vs 7-11 on this corpus); the
-        // hop frame is checkpointed first so the self-join reads the
-        // materialized blocks instead of re-running the hop subtree twice.
-        // The jump itself is NOT checkpointed: its lineage bottoms out at
-        // the hop blocks (one broadcast self-join above them), so the next
-        // round's re-analysis cost stays O(1) — dropping this second
-        // materialization cut the loop from 3 Spark jobs per round to 2.
+        // convergence aggregation below materializes the hop blocks before
+        // the next round runs, so the self-join reads them instead of
+        // re-running the hop subtree twice. The jump itself is NOT
+        // checkpointed: its lineage bottoms out at the hop blocks (one
+        // broadcast self-join above them), so the next round's re-analysis
+        // cost stays O(1).
+        // (A second jump per round was measured SLOWER despite cutting a
+        // round — each extra broadcast self-join grows the per-round plan
+        // and its codegen; one jump is the sweet spot here.)
         labels = hop
           .join(hop.select(col("u").as("pu"), col("lbl").as("plbl")),
             col("lbl") === col("pu"), "left")
@@ -314,15 +331,23 @@ FROM reach GROUP BY u ORDER BY doc_id"""
             least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
         // Labels only ever decrease (hop_t ≤ labels_{t-1} ≤ hop_{t-1}
         // element-wise), so consecutive hop frames with an unchanged sum
-        // are element-wise equal — i.e. the hop sum IS the fixpoint test,
-        // and it reads the blocks just materialized instead of paying a
-        // separate pass over the jump.
+        // are element-wise equal — i.e. the hop sum IS the fixpoint test.
+        // This aggregation is also the round's ONLY action: it computes
+        // the lazy checkpoint's blocks as it runs, leaving them persisted
+        // for the jump self-join and the next round.
         val s = hop.agg(sum(col("lbl"))).head.getLong(0)
         converged = s == prevSum
         prevSum = s
       }
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      labels.select(col("u").as("doc_id"), col("lbl").as("component_id"))
+      // fold the active-set labels back over the corpus: docs without a
+      // candidate edge are their own component (one broadcast join — the
+      // converged label frame is O(active set))
+      tbl(spark, dir, "documents").select(col("doc_id"))
+        .join(broadcast(labels.select(col("u").as("doc_id"),
+          col("lbl").as("component_id"))), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component_id"), col("doc_id")).as("component_id"))
         .orderBy("doc_id")
     })
 
