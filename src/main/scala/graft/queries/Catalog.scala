@@ -348,7 +348,7 @@ object Catalog {
     qSemiJoin, qAntiJoin, qBroadcastJoin, qWindowRank,
     qTumbling, qSliding, qJson, qDedupExact) ++ Relational.defs ++ Tpch.defs ++
     Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++
-    StreamingParity.defs ++ SourceParity.defs ++ Graph.defs
+    StreamingParity.defs ++ SourceParity.defs ++ Graph.defs ++ Layout.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.build).toMap

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Layout
+import graft.sources.Tables
+
+/** Physical-layout operators (graft.queries.Layout): the z-order write
+  * produces per-file bounding boxes that are tight on BOTH dimensions
+  * simultaneously (the property that makes min/max file skipping work for
+  * predicates on either dimension), and compaction hits the byte-targeted
+  * file count while preserving every row. */
+class LayoutSpec extends SparkSuite {
+
+  test("z-ordered range-partitioned files bound both dimensions tightly") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+    val Array(d) = li.agg(max("pk").as("pkm"), max("sk").as("skm")).collect()
+    val (pkm, skm) = (d.getLong(0), d.getLong(1))
+    val zdf = li.withColumn("zval",
+      Layout.morton(expr(s"(pk * 65536L) div (${pkm + 1}L)"),
+                    expr(s"(sk * 65536L) div (${skm + 1}L)")))
+    val out = Files.createTempDirectory("graft-zorder").toString
+    val files = 8
+    zdf.repartitionByRange(files, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(out)
+
+    val boxes = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"),
+        min("pk").as("pk_min"), max("pk").as("pk_max"),
+        min("sk").as("sk_min"), max("sk").as("sk_max"))
+      .collect()
+    assert(boxes.length == files)
+    assert(boxes.map(_.getAs[Long]("n")).sum == li.count())
+
+    // normalized box area per file: a random or single-column-sorted
+    // layout leaves at least one dimension's range ≈ global on every
+    // file (area ≈ 1); 8 z-range files cut ~3 interleaved bits, so the
+    // expected area is ~1/8 per file
+    val (pkSpan, skSpan) = (pkm.toDouble, skm.toDouble)
+    val areas = boxes.map { r =>
+      val pkr = (r.getAs[Long]("pk_max") - r.getAs[Long]("pk_min")) / pkSpan
+      val skr = (r.getAs[Long]("sk_max") - r.getAs[Long]("sk_min")) / skSpan
+      pkr * skr
+    }
+    val avgArea = areas.sum / areas.length
+    assert(avgArea <= 0.35, s"avg normalized box area $avgArea not tight")
+    assert(areas.max <= 0.7, s"widest box ${areas.max} not tight")
+  }
+
+  test("compaction hits the byte-targeted file count and preserves rows") {
+    val out = Layout.compactedOrdersPath(spark, sfDir)
+    val root = Layout.compactRoot(sfDir)
+
+    val smallFiles = Layout.dataFiles(spark, s"$root/small")
+    assert(smallFiles.length == 48, s"ingest produced ${smallFiles.length} files")
+
+    val totalBytes = smallFiles.map(_.getLen).sum
+    val expected = math.max(1L, (totalBytes + (4L << 20) - 1) / (4L << 20)).toInt
+    val compacted = Layout.dataFiles(spark, out)
+    assert(compacted.length == expected,
+      s"expected $expected compacted files, got ${compacted.length}")
+    assert(compacted.length < smallFiles.length)
+
+    val orig = Tables.load(spark, sfDir, "orders")
+    val back = spark.read.parquet(out)
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+}
