@@ -88,6 +88,23 @@ object StreamingOps {
       s"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL $horizon"))
   }
 
+  /** Idempotent micro-batch writer for `foreachBatch`: each batch lands in
+    * its own `batch_id=` partition with DYNAMIC partition overwrite, so a
+    * replayed batch (failure before the checkpoint commit → at-least-once
+    * re-delivery) overwrites exactly its own partition instead of
+    * appending duplicates — the standard exactly-once-EFFECT recipe for
+    * file sinks that aren't transactional. At 100 TB the same property is
+    * what makes recovery O(one batch): re-running batch N rewrites batch
+    * N's files only. ExactlyOnceSinkSpec replays a batch through this
+    * writer and asserts the output is unchanged. */
+  def idempotentBatchWriter(path: String): (DataFrame, Long) => Unit =
+    (df, batchId) =>
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+
   /** Arbitrary stateful processing: running per-user totals via
     * flatMapGroupsWithState (update mode) — the custom-state escape hatch
     * for semantics windows can't express. */

@@ -52,6 +52,35 @@ class LayoutSpec extends SparkSuite {
     assert(areas.max <= 0.7, s"widest box ${areas.max} not tight")
   }
 
+  test("sorted layout + parquet min/max stats skip row groups for a selective predicate") {
+    val out = Files.createTempDirectory("graft-rowgroup").toString
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_extendedprice")
+    val total = li.count()
+    // one sorted file with many small row groups: each group's min/max
+    // footer stats then cover a narrow key range, which is what the
+    // reader's predicate pushdown prunes on
+    li.repartitionByRange(1, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite")
+      .option("parquet.block.size", 64 * 1024)
+      .parquet(out)
+
+    val Array(k) = li.selectExpr("percentile_approx(l_orderkey, 0.05)").collect()
+    val sel = spark.read.parquet(out)
+      .filter(col("l_orderkey") <= k.getLong(0))
+    sel.collect()
+    val scan = sel.queryExecution.executedPlan.collectLeaves().head
+    val rowsRead = scan.metrics("numOutputRows").value
+    // the scan metric counts rows of SURVIVING row groups (the vectorized
+    // reader filters rows after group pruning): reading ≤ half the table
+    // for a 5% predicate proves groups were skipped; an unsorted layout
+    // spreads the keys over every group and reads ~100%
+    assert(rowsRead < total / 2,
+      s"scan read $rowsRead of $total rows — row groups not skipped")
+    assert(rowsRead > 0)
+  }
+
   test("compaction hits the byte-targeted file count and preserves rows") {
     val out = Layout.compactedOrdersPath(spark, sfDir)
     val root = Layout.compactRoot(sfDir)
