@@ -1273,11 +1273,66 @@ object Relational {
         .orderBy("o_orderkey")
     })
 
+  /** UNPIVOT (melt) — the inverse of q_pivot and the other half of the
+    * reshaping surface: wide measure columns become (measure, value) rows
+    * via `Dataset.unpivot`, a pure generator (1 row → N rows, map-only,
+    * no shuffle; the ORDER BY here is the gate's determinism rule, not
+    * part of the operator). The long layout is what a 100 TB metrics
+    * store wants: new measures arrive as rows, not as schema changes. */
+  private val qUnpivot = QueryDef(
+    "q_unpivot",
+    Some("""
+      |SELECT p_partkey, 'p_retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS value FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+      |ORDER BY p_partkey, measure
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      tbl(spark, dir, "part")
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_retailprice").cast("double").as("p_retailprice"),
+            col("p_size").cast("double").as("p_size")),
+          "measure", "value")
+        .orderBy("p_partkey", "measure"))
+
+  /** Incremental aggregate maintenance (materialized-view delta merge):
+    * yesterday's stored per-group aggregate ⊕ today's delta aggregate =
+    * the aggregate over the full table, without rescanning the base —
+    * sum/count are commutative monoids, so new = old ⊕ delta(group-wise
+    * full outer join + coalesce-add). At 100 TB this is the difference
+    * between aggregating 1 GB of arrivals and re-aggregating the corpus.
+    * The base/delta split here is simulated from `orders` (keys ≡ 0 mod
+    * 10 arrive "today"); the oracle aggregates the whole table, so a
+    * pass proves merge ≡ recompute. */
+  private val qIncrementalAgg = QueryDef(
+    "q_incremental_agg",
+    Some(s"""
+      |SELECT o_orderpriority, count(*) AS n,
+      |  ${sqlDsum(sqlDec("o_totalprice"))} AS sum_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val orders = tbl(spark, dir, "orders")
+      def aggOf(df: DataFrame) = df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(dec("o_totalprice")).as("s"))
+      val stored = aggOf(orders.filter(col("o_orderkey") % 10 =!= 0))
+      val delta = aggOf(orders.filter(col("o_orderkey") % 10 === 0))
+        .select(col("o_orderpriority"), col("n").as("dn"), col("s").as("ds"))
+      stored.join(delta, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("s"), lit(0).cast("decimal(18,2)")) +
+            coalesce(col("ds"), lit(0).cast("decimal(18,2)")))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     qRollup, qCube, qGroupingSets, qDistinctAgg, qApproxDistinct,
     qSetOps, qWindowFrames, qWindowLag, qWindowDist, qSessionize, qSessionizeNative,
     qScalarFuncs, qDateFuncs, qMapFuncs, qRangeJoin, qAsofJoin,
-    qOuterJoinAgg, qFullOuter, qCorrSubquery, qPivot,
+    qOuterJoinAgg, qFullOuter, qCorrSubquery, qPivot, qUnpivot, qIncrementalAgg,
     qQ2, qQ3, qQ4, qQ5, qQ7, qQ10, qQ13, qQ14, qQ16, qQ17, qQ18, qQ19,
     qQ21, qQ22, qStringMatch, qSaltedAgg, qPercentiles,
     qFunnel, qRetention, qIntervalBinJoin, qUpsert)

@@ -32,12 +32,22 @@ object SourceParity {
     * idempotent. */
   private def roundTrip(
       spark: SparkSession, dir: String, table: String,
-      format: String, options: Map[String, String]): DataFrame = {
+      format: String, options: Map[String, String],
+      cached: Boolean = false): DataFrame = {
     val src = tbl(spark, dir, table)
     val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_src_${format}_${table}_${Integer.toHexString(dir.hashCode)}")
       .toString
-    src.write.format(format).options(options).mode("overwrite").save(tmp)
+    // `cached` callers treat the exported file as a PRE-EXISTING source
+    // (q_federated_join: the CSV/JSON "arrived" from an external system;
+    // the operator under test is the cross-format join, not the export),
+    // so the write happens once per machine and a completed export
+    // (_SUCCESS) is reused. The round-trip queries keep cached=false —
+    // there the write path IS half the exhibit.
+    val done = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!cached || !fs.exists(done))
+      src.write.format(format).options(options).mode("overwrite").save(tmp)
     spark.read.format(format).options(options).schema(src.schema).load(tmp)
   }
 
@@ -196,6 +206,37 @@ object SourceParity {
         .orderBy("p_brand")
     })
 
+  /** Federated three-format join: parquet fact (lineitem) ⋈ CSV orders ⋈
+    * JSON customer in ONE plan — Catalyst plans across sources uniformly
+    * (each format contributes a FileScan with its own pushdown rules;
+    * joins/aggregates above them are source-agnostic). This is the lake
+    * reality at 100 TB: the fact table is columnar, but reference data
+    * arrives as CSV/JSON exports, and the engine must join them in place
+    * without an ingest hop. */
+  private val qFederatedJoin = QueryDef(
+    "q_federated_join",
+    Some(s"""
+      |SELECT c_mktsegment, count(*) AS n,
+      |  ${sqlDsum(sqlDec("l_extendedprice"))} AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val ordersCsv = roundTrip(spark, dir, "orders", "csv",
+        Map("header" -> "true"), cached = true)
+        .select("o_orderkey", "o_custkey")
+      val custJson = roundTrip(spark, dir, "customer", "json", Map.empty,
+        cached = true)
+        .select("c_custkey", "c_mktsegment")
+      tbl(spark, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        .join(ordersCsv, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custJson), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum(dec("l_extendedprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+    })
+
   val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qPartitionedSink,
-    qBucketedJoin, qSchemaEvolution)
+    qBucketedJoin, qSchemaEvolution, qFederatedJoin)
 }
