@@ -397,7 +397,71 @@ object TextAnalysis {
         .limit(20)
     })
 
+  /** Dataset profiling — the pre-training data-quality audit every corpus
+    * ingest runs first: per-column null rate, cardinality, bounds, and
+    * length stats, computed in ONE aggregation pass over the table (every
+    * stat is an aggregate over the same scan; no per-column jobs). The
+    * wide-and-flat output (one row) keeps it a single map-side-partial
+    * HashAggregate at any corpus size; distinct counts are the only
+    * non-O(1)-state stats and would switch to approx_count_distinct at
+    * 100 TB (exact here so the oracle can check values). */
+  private val qProfile = QueryDef(
+    "q_profile",
+    Some("""
+      |SELECT count(*) AS n_rows,
+      |  count(DISTINCT doc_id) AS n_ids,
+      |  count(DISTINCT lang) AS n_langs,
+      |  CAST(count(*) FILTER (WHERE text IS NULL OR text = '') AS BIGINT) AS n_empty_text,
+      |  CAST(min(length(text)) AS BIGINT) AS min_len,
+      |  CAST(max(length(text)) AS BIGINT) AS max_len,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+      |  min(lang) AS lang_lo, max(lang) AS lang_hi
+      |FROM documents
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      tbl(spark, dir, "documents")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_ids"),
+          countDistinct(col("lang")).as("n_langs"),
+          count(when(col("text").isNull || col("text") === "", 1))
+            .as("n_empty_text"),
+          min(length(col("text"))).cast("long").as("min_len"),
+          max(length(col("text"))).cast("long").as("max_len"),
+          sum(length(col("text"))).cast("long").as("total_chars"),
+          min(col("lang")).as("lang_lo"), max(col("lang")).as("lang_hi")))
+
+  /** Exact equi-width histogram over integer cents (decimal-exact in both
+    * engines — no double binning drift): bucket = (cents - lo) * NB div
+    * (hi - lo + 1). One stat pass (1-row broadcast) + one map-only bucket
+    * projection + one grouped count — the profile-time distribution
+    * sketch, exact at any scale because the state is O(buckets). */
+  private val qHistogram = QueryDef(
+    "q_histogram",
+    Some("""
+      |WITH c AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c)
+      |SELECT ((cents - lo) * 16) // (hi - lo + 1) AS bucket,
+      |  count(*) AS n, CAST(min(cents) AS BIGINT) AS lo_cents,
+      |  CAST(max(cents) AS BIGINT) AS hi_cents
+      |FROM c, b GROUP BY bucket ORDER BY bucket
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val cents = tbl(spark, dir, "orders")
+        .select((dec("o_totalprice") * 100).cast("long").as("cents"))
+      val bounds = cents.agg(min("cents").as("lo"), max("cents").as("hi"))
+      cents.crossJoin(broadcast(bounds))
+        .select(expr("((cents - lo) * 16) div (hi - lo + 1)").as("bucket"),
+          col("cents"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("cents").as("lo_cents"),
+          max("cents").as("hi_cents"))
+        .orderBy("bucket")
+    })
+
   val defs: Seq[QueryDef] =
     Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf,
-      qPipelineCurate, qStratifiedSample, qTextSearch, qHeavyHitters)
+      qPipelineCurate, qStratifiedSample, qTextSearch, qHeavyHitters,
+      qProfile, qHistogram)
 }

@@ -18,7 +18,8 @@ class PlanAuditSpec extends SparkSuite {
     "q_ann_buckets", "q_ann_bucket_stats", "q_neardup_bucketed",
     "q_ivf_assign", "q_ivf_topk", "q_ann_recall", "q22_global_sales",
     "q11_important_stock", "q_text_search", "q_pagerank",
-    "q_zorder_layout") // 1-row dims/zmax stat frames broadcast-crossed in
+    "q_zorder_layout", // 1-row dims/zmax stat frames broadcast-crossed in
+    "q_histogram")     // 1-row min/max bounds frame, same pattern
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no cartesian product / unexpected nested loop") {
