@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1328,7 +1328,68 @@ object Relational {
         .orderBy("o_orderpriority")
     })
 
+  /** Statistical aggregates (mean / sample variance / stddev /
+    * correlation) with CROSS-ENGINE-EXACT results: the streaming
+    * formulations (`var_samp`, `corr` built-ins) accumulate doubles in
+    * engine-specific orders, so their last bits differ between engines and
+    * the driver's hash would fail on correct code. Instead the moments
+    * (Σx, Σx², Σxy) are summed as DECIMALS — exact, order-independent,
+    * map-side partial like any sum — and the finalization arithmetic runs
+    * once per GROUP in IEEE doubles with the identical expression tree in
+    * both engines. Same discipline as the quantized cosine family; and
+    * the right 100 TB shape anyway — O(1) state per group, one pass. */
+  private val qStatsMoments = QueryDef(
+    "q_stats_moments",
+    Some(s"""
+      |WITH m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(CAST(sum(${sqlDec("l_quantity")}) AS VARCHAR) AS DOUBLE) AS sq,
+      |    CAST(CAST(sum(${sqlDec("l_quantity")} * ${sqlDec("l_quantity")}) AS VARCHAR) AS DOUBLE) AS sq2,
+      |    CAST(CAST(sum(${sqlDec("l_extendedprice")}) AS VARCHAR) AS DOUBLE) AS sp,
+      |    CAST(CAST(sum(${sqlDec("l_extendedprice")} * ${sqlDec("l_extendedprice")}) AS VARCHAR) AS DOUBLE) AS sp2,
+      |    CAST(CAST(sum(${sqlDec("l_quantity")} * ${sqlDec("l_extendedprice")}) AS VARCHAR) AS DOUBLE) AS spq
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  sq / n AS mean_qty,
+      |  (sq2 - sq * sq / n) / (n - 1) AS var_qty,
+      |  sqrt((sq2 - sq * sq / n) / (n - 1)) AS stddev_qty,
+      |  sp / n AS mean_price,
+      |  (n * spq - sq * sp) / (sqrt(n * sq2 - sq * sq) * sqrt(n * sp2 - sp * sp)) AS corr_qty_price
+      |FROM m ORDER BY l_returnflag
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      // decimal → STRING → double: a direct decimal→double cast is a
+      // correctly-rounded single step in Spark but a scaled-int128 divide
+      // in DuckDB, and the two differ by 1 ulp once the raw scaled value
+      // exceeds 2^53 (observed on corr's Σx² at sf0.001). Both engines
+      // render the exact decimal digits and parse them correctly-rounded,
+      // so the string hop is bit-identical at ANY magnitude the decimal
+      // can hold — per GROUP, so the cost is nil.
+      def d2(c: Column) = c.cast("string").cast("double")
+      val m = tbl(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          d2(sum(dec("l_quantity"))).as("sq"),
+          d2(sum(dec("l_quantity") * dec("l_quantity"))).as("sq2"),
+          d2(sum(dec("l_extendedprice"))).as("sp"),
+          d2(sum(dec("l_extendedprice") * dec("l_extendedprice"))).as("sp2"),
+          d2(sum(dec("l_quantity") * dec("l_extendedprice"))).as("spq"))
+      m.select(col("l_returnflag"), col("n"),
+          (col("sq") / col("n")).as("mean_qty"),
+          ((col("sq2") - col("sq") * col("sq") / col("n")) / (col("n") - 1))
+            .as("var_qty"),
+          sqrt((col("sq2") - col("sq") * col("sq") / col("n")) / (col("n") - 1))
+            .as("stddev_qty"),
+          (col("sp") / col("n")).as("mean_price"),
+          ((col("n") * col("spq") - col("sq") * col("sp")) /
+            (sqrt(col("n") * col("sq2") - col("sq") * col("sq")) *
+              sqrt(col("n") * col("sp2") - col("sp") * col("sp"))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    })
+
   val defs: Seq[QueryDef] = Seq(
+    qStatsMoments,
     qRollup, qCube, qGroupingSets, qDistinctAgg, qApproxDistinct,
     qSetOps, qWindowFrames, qWindowLag, qWindowDist, qSessionize, qSessionizeNative,
     qScalarFuncs, qDateFuncs, qMapFuncs, qRangeJoin, qAsofJoin,
