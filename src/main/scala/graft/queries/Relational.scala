@@ -1388,8 +1388,72 @@ object Relational {
         .orderBy("l_returnflag")
     })
 
+  /** Time-series gap filling: generate the complete hourly spine between
+    * each user's first and last click (a per-row `sequence` generator —
+    * map-only, no driver loop), left-join the observed hourly counts, and
+    * surface missed hours as zero. The spine/left-join shape is how a
+    * 100 TB metrics pipeline distinguishes "no data arrived" from "zero
+    * value" — and the generator keeps the spine distributed (each user's
+    * spine is built where the user's row lives; no calendar table scan,
+    * no cross join against a global spine). */
+  private val qGapFill = QueryDef(
+    "q_gap_fill",
+    Some("""
+      |WITH c AS (
+      |  SELECT user_id, CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hr, count(*) AS n
+      |  FROM events WHERE event_type = 'click' AND user_id < 50
+      |  GROUP BY 1, 2),
+      |bounds AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM c GROUP BY user_id),
+      |spine AS (
+      |  SELECT user_id, unnest(range(lo, hi + 3600000, 3600000)) AS hr FROM bounds)
+      |SELECT s.user_id, s.hr AS hour_ms, coalesce(c.n, 0) AS n_clicks
+      |FROM spine s LEFT JOIN c ON c.user_id = s.user_id AND c.hr = s.hr
+      |ORDER BY s.user_id, hour_ms
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val c = tbl(spark, dir, "events")
+        .filter(col("event_type") === "click" && col("user_id") < 50)
+        .groupBy(col("user_id"),
+          unix_millis(date_trunc("hour", col("ts"))).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val spine = c.groupBy("user_id")
+        .agg(min("hr").as("lo"), max("hr").as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), lit(3600000L))).as("hr"))
+      spine.join(c, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr").as("hour_ms"),
+          coalesce(col("n"), lit(0L)).as("n_clicks"))
+        .orderBy("user_id", "hour_ms")
+    })
+
+  /** Last-write-wins dedup (CDC compaction): keep each key's LATEST row
+    * by event time — the other canonical dedup mode next to keep-first
+    * (q_dedup_exact) and MERGE (q_upsert). One window pass with the
+    * rank-limit pushed into the shuffle (WindowGroupLimit: partial top-1
+    * per key map-side, so the exchange carries candidates, not history —
+    * at 100 TB the difference between shuffling the full changelog and
+    * shuffling ~one row per key). */
+  private val qLatestEvent = QueryDef(
+    "q_latest_event",
+    Some("""
+      |SELECT user_id, event_type, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+      |ORDER BY user_id, event_type
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(desc("ts"), desc("event_id"))
+      tbl(spark, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("value"))
+        .orderBy("user_id", "event_type")
+    })
+
   val defs: Seq[QueryDef] = Seq(
-    qStatsMoments,
+    qStatsMoments, qGapFill, qLatestEvent,
     qRollup, qCube, qGroupingSets, qDistinctAgg, qApproxDistinct,
     qSetOps, qWindowFrames, qWindowLag, qWindowDist, qSessionize, qSessionizeNative,
     qScalarFuncs, qDateFuncs, qMapFuncs, qRangeJoin, qAsofJoin,
