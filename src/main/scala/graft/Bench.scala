@@ -45,7 +45,7 @@ object Bench {
     "q_csv_source", "q_json_source", "q_partitioned_sink", "q_upsert",
     "q_heavy_hitters", "q_bucketed_join", "q_pagerank", "q_schema_evolution",
     "q_zorder_layout", "q_compact_small_files", "q_federated_join",
-    "q_incremental_agg",
+    "q_incremental_agg", "q_stats_moments", "q_gap_fill", "q_latest_event",
     "q_dedup_exact", "q_dedup_normalized", "q_minhash_signatures",
     "q_lsh_candidates", "q_jaccard_pairs", "q_simhash", "q_dedup_components",
     "q_cosine_topk", "q_ann_buckets", "q_neardup_bucketed", "q_ivf_topk",
