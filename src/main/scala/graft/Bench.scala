@@ -47,7 +47,8 @@ object Bench {
     "q_zorder_layout", "q_compact_small_files", "q_federated_join",
     "q_incremental_agg", "q_stats_moments", "q_gap_fill", "q_latest_event",
     "q_dedup_exact", "q_dedup_normalized", "q_minhash_signatures",
-    "q_lsh_candidates", "q_jaccard_pairs", "q_simhash", "q_dedup_components",
+    "q_lsh_candidates", "q_jaccard_pairs", "q_simhash", "q_simhash_pairs",
+    "q_dedup_components",
     "q_cosine_topk", "q_ann_buckets", "q_neardup_bucketed", "q_ivf_topk",
     "q_ann_recall",
     "q_token_stats", "q_doc_quality", "q_langid", "q_fingerprint",
