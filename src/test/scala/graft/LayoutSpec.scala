@@ -52,6 +52,24 @@ class LayoutSpec extends SparkSuite {
     assert(areas.max <= 0.7, s"widest box ${areas.max} not tight")
   }
 
+  test("morton interleave matches a per-bit reference on random 16-bit pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(1000)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)) ++
+      Seq((0L, 0L), (65535L, 65535L), (65535L, 0L), (0L, 65535L), (1L, 2L))
+    // independent reference: place x bit i at even position 2i, y at 2i+1
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+    val got = pairs.toDF("x", "y")
+      .select(Layout.morton(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    pairs.zip(got).foreach { case ((x, y), z) =>
+      assert(z == ref(x, y), s"morton($x, $y) = $z, expected ${ref(x, y)}")
+    }
+  }
+
   test("sorted layout + parquet min/max stats skip row groups for a selective predicate") {
     val out = Files.createTempDirectory("graft-rowgroup").toString
     val li = Tables.load(spark, sfDir, "lineitem")
