@@ -101,6 +101,48 @@ object MultimodalOps {
     }
   }
 
+  /** A resized media payload: the decoded grid resampled to (w, h). */
+  final case class ResizedMedia(
+      media_id: Long, kind: String, width: Int, height: Int, media: Array[Byte])
+
+  /** Nearest-neighbor resize: decode dimensions via the codec seam, treat
+    * the payload as a row-major width×height grid (a real codec yields
+    * exactly that after decode), and resample to (targetW, targetH). Pure
+    * per-row compute inside mapPartitions — one decoder per partition,
+    * bytes never shuffle, and the OUTPUT is the bounded-size artifact
+    * (targetW×targetH) that downstream stages consume; at 100 TB the
+    * resize is the step that turns unbounded media bytes into fixed-cost
+    * training inputs. */
+  def resize(
+      ds: Dataset[MediaRecord], targetW: Int, targetH: Int,
+      decoder: Decoder = StubDecoder): Dataset[ResizedMedia] = {
+    import ds.sparkSession.implicits._
+    require(targetW > 0 && targetH > 0)
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val (w0, h0) = decoder.decodeDims(r.media)
+        // clamp the source grid to the bytes actually present
+        val w = w0 min math.max(r.media.length, 1)
+        val h = (h0 min math.max(r.media.length / math.max(w, 1), 1)) max 1
+        val out = new Array[Byte](targetW * targetH)
+        var y = 0
+        while (y < targetH) {
+          val sy = (y.toLong * h / targetH).toInt
+          var x = 0
+          while (x < targetW) {
+            val sx = (x.toLong * w / targetW).toInt
+            val idx = sy * w + sx
+            out(y * targetW + x) =
+              if (r.media.isEmpty) 0 else r.media(idx min (r.media.length - 1))
+            x += 1
+          }
+          y += 1
+        }
+        ResizedMedia(r.media_id, r.kind, targetW, targetH, out)
+      }
+    }
+  }
+
   /** Adapt the documents table into media records (UTF-8 payloads) so the
     * pipeline runs against driver-provided testdata end-to-end. */
   def documentsAsMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {

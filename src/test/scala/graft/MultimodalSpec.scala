@@ -40,4 +40,23 @@ class MultimodalSpec extends SparkSuite {
     val n = MultimodalOps.featureQuery(spark, sfDir).count()
     assert(n == 500L)
   }
+
+  test("resize resamples every payload to the fixed target grid") {
+    import TestSpark.spark.implicits._
+    val recs = Seq(
+      MultimodalOps.MediaRecord(1L, "img", Array.tabulate(64)(i => i.toByte)),
+      MultimodalOps.MediaRecord(2L, "img", Array[Byte](10, 20, 30)),
+      MultimodalOps.MediaRecord(3L, "img", Array.emptyByteArray)).toDS()
+    val out = MultimodalOps.resize(recs, 4, 4).collect().sortBy(_.media_id)
+    assert(out.forall(r => r.width == 4 && r.height == 4 && r.media.length == 16),
+      "every output is exactly the target grid regardless of input size")
+    // nearest-neighbor determinism: resizing the same input twice is identical
+    val again = MultimodalOps.resize(recs, 4, 4).collect().sortBy(_.media_id)
+    out.zip(again).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.media, b.media))
+    }
+    // sampled pixels come from the source payload (not fabricated)
+    val r1 = out.find(_.media_id == 1L).get
+    assert(r1.media.forall(b => (b & 0xff) < 64))
+  }
 }
