@@ -31,7 +31,7 @@ object Bench {
     * HEADLINE subset — one-per-operator-family coverage plus every
     * historically slow query, ~1.4k chars worst-case — and the full
     * per-query map is written to BENCH_FULL.json next to the repo docs. */
-  private val headline: Set[String] = Set(
+  private[graft] val headline: Set[String] = Set(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q9_product_profit", "q18_large_volume", "q21_waiting_supplier",
     "q_wordcount", "q_stopword_wordcount", "q_topk_common_max",

@@ -22,4 +22,10 @@ class CatalogSpec extends SparkSuite {
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("every Bench headline name is a real catalog query") {
+    val stale = Bench.headline.diff(SparkEntry.queries.keySet)
+    assert(stale.isEmpty,
+      s"headline names missing from the catalog (typo or removed query): $stale")
+  }
 }
