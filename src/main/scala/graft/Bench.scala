@@ -52,6 +52,7 @@ object Bench {
     "q_cosine_topk", "q_ann_buckets", "q_neardup_bucketed", "q_ivf_topk",
     "q_ann_recall",
     "q_token_stats", "q_doc_quality", "q_langid", "q_fingerprint",
+    "q_fingerprint_rolling",
     "q_pipeline_curate", "q_stratified_sample", "q_text_search",
     "q_stream_tumbling", "q_stream_sessionize", "q_stream_join",
     "q_stream_enrich",

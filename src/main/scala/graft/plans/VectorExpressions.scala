@@ -185,7 +185,8 @@ object GraftFunctions {
     "float_dot" -> { args => FloatDotProduct(args(0), args(1)) },
     "float_cosine" -> { args => FloatCosineSimilarity(args(0), args(1)) },
     "long_dot" -> { args => LongDotProduct(args(0), args(1)) },
-    "graft_hash60" -> Hash60.builder)
+    "graft_hash60" -> Hash60.builder,
+    "rolling_hashes" -> RollingHashes.builder)
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.registerFunction(
@@ -218,5 +219,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hash60"),
       new ExpressionInfo("graft.plans.Hash60Expression", "graft_hash60"),
       Hash60.builder))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hashes"),
+      new ExpressionInfo("graft.plans.RollingHashExpression", "rolling_hashes"),
+      RollingHashes.builder))
   }
 }

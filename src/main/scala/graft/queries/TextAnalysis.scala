@@ -397,6 +397,48 @@ object TextAnalysis {
         .limit(20)
     })
 
+  /** The k-min fingerprint AGAIN, over the native Rabin–Karp ROLLING hash
+    * (graft.plans.RollingHashes, the 4th custom codegen expression):
+    * each char-8 window hashes in O(1) from its predecessor instead of an
+    * md5 digest per window, and because the whole hash array comes back
+    * from ONE projection, the fingerprint needs ZERO shuffles — distinct,
+    * sort and take-3 are array ops inside the same whole-stage-codegen
+    * span (q_fingerprint's collect_set formulation pays a hash exchange).
+    * The oracle mirrors the polynomial per window (Σ ord·B^k mod P —
+    * equal to the mod-at-each-step rolling value), so parity is exact on
+    * this ASCII corpus, where DuckDB's code points == our UTF-8 bytes. */
+  private val qFingerprintRolling = QueryDef(
+    "q_fingerprint_rolling", {
+      import graft.plans.{RollingHashes => RH}
+      val pows = (0 until RH.Len)
+        .map(j => (0 until (RH.Len - 1 - j)).foldLeft(1L)((v, _) => v * RH.B))
+      val termSum = (0 until RH.Len)
+        .map(j =>
+          s"CAST(ord(substr(text, CAST(i + $j AS INT), 1)) AS BIGINT) * ${pows(j)}")
+        .mkString(" + ")
+      Some(s"""
+      |WITH h AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - ${RH.Len - 2}, 2)),
+      |    i -> ($termSum) % ${RH.P})) AS hp
+      |  FROM documents),
+      |d AS (SELECT DISTINCT doc_id, hp FROM h),
+      |r AS (SELECT doc_id, hp, row_number() OVER (PARTITION BY doc_id ORDER BY hp) AS rn FROM d)
+      |SELECT doc_id,
+      |  md5(concat(max(CASE WHEN rn=1 THEN hp END), '|', max(CASE WHEN rn=2 THEN hp END), '|', max(CASE WHEN rn=3 THEN hp END))) AS fingerprint
+      |FROM r WHERE rn <= 3 GROUP BY doc_id ORDER BY doc_id
+      |""".stripMargin.trim)
+    },
+    (spark, dir) =>
+      tblWide(spark, dir, "documents") // widen: CPU-bound per-row work
+        .select(col("doc_id"),
+          expr("slice(array_sort(array_distinct(rolling_hashes(text))), 1, 3)")
+            .as("h3"))
+        .select(col("doc_id"), md5(concat(
+          element_at(col("h3"), 1).cast("string"), lit("|"),
+          element_at(col("h3"), 2).cast("string"), lit("|"),
+          element_at(col("h3"), 3).cast("string"))).as("fingerprint"))
+        .orderBy("doc_id"))
+
   /** Dataset profiling — the pre-training data-quality audit every corpus
     * ingest runs first: per-column null rate, cardinality, bounds, and
     * length stats, computed in ONE aggregation pass over the table (every
@@ -462,6 +504,6 @@ object TextAnalysis {
 
   val defs: Seq[QueryDef] =
     Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf,
-      qPipelineCurate, qStratifiedSample, qTextSearch, qHeavyHitters,
-      qProfile, qHistogram)
+      qFingerprintRolling, qPipelineCurate, qStratifiedSample, qTextSearch,
+      qHeavyHitters, qProfile, qHistogram)
 }
