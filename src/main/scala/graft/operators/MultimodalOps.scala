@@ -121,9 +121,11 @@ object MultimodalOps {
     ds.mapPartitions { it =>
       it.map { r =>
         val (w0, h0) = decoder.decodeDims(r.media)
-        // clamp the source grid to the bytes actually present
-        val w = w0 min math.max(r.media.length, 1)
-        val h = (h0 min math.max(r.media.length / math.max(w, 1), 1)) max 1
+        // clamp the source grid to [1, bytes present] on BOTH ends: a
+        // hostile/buggy decoder returning zero or negative dims must not
+        // turn into a negative source index (ADVICE r05)
+        val w = (w0 max 1) min math.max(r.media.length, 1)
+        val h = ((h0 max 1) min math.max(r.media.length / w, 1)) max 1
         val out = new Array[Byte](targetW * targetH)
         var y = 0
         while (y < targetH) {

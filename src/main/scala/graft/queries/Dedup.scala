@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.TruncateOps
 import graft.functions.PortableHash
 import Parity._
 
@@ -206,7 +207,7 @@ ORDER BY doc_a, doc_b"""),
         .select(col("doc_id"), PortableHash.hash60(col("sh")).as("hp"))
         .groupBy("doc_id")
         .agg(sort_array(collect_set(col("hp"))).as("hs"))
-        .localCheckpoint(true)
+        .truncateLineage
       val sigsDf = docsets.select(col("doc_id") +: seeds.map { s =>
         array_min(transform(col("hs"),
           x => PortableHash.universal(s, x % PortableHash.P))).as(s"h$s")
@@ -276,7 +277,7 @@ FROM reach GROUP BY u ORDER BY doc_id"""
       val cand = candPairs(spark, dir)
       val edges = cand.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .union(cand.select(col("doc_b").as("u"), col("doc_a").as("v")))
-        .localCheckpoint(true)
+        .truncateLineage
       // ACTIVE-SET iteration: only edge endpoints can ever change label
       // (a singleton's component is itself), so the loop runs over the
       // near-dup subgraph — typically ≪ corpus — and the full corpus is
@@ -285,16 +286,17 @@ FROM reach GROUP BY u ORDER BY doc_id"""
       // the few percent that have a candidate edge.
       var labels = edges.select(col("u")).distinct()
         .select(col("u"), col("u").as("lbl"))
-        .localCheckpoint(true)
+        .truncateLineage
       // The per-round frames are one (node, label) row per doc — far below
       // a shuffle-partition's worth of data per core. Narrow the loop's
-      // shuffle width so each round is a handful of tasks instead of
-      // 2×default stages of scheduling overhead (the loop is latency-bound,
-      // not throughput-bound; a 100 TB corpus would raise this with its
-      // label volume). Restored after the loop — plans built inside the
-      // loop bake the narrow width in, the enclosing query's plans do not.
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // shuffle width with an EXPLICIT repartition on the loop key (below)
+      // so each round is a handful of tasks instead of 2×default stages of
+      // scheduling overhead (the loop is latency-bound, not
+      // throughput-bound; a 100 TB corpus would raise this with its label
+      // volume, or drop the explicit width entirely and let AQE coalesce).
+      // No session-global spark.conf.set here: a mutated
+      // spark.sql.shuffle.partitions would race any concurrently-built
+      // query in the same session (ADVICE/VERDICT r05).
       var prevSum = Long.MaxValue
       var converged = false
       var iter = 0
@@ -305,12 +307,20 @@ FROM reach GROUP BY u ORDER BY doc_id"""
         // UNSTABLE (4.8-12.8s vs 3.3s — concurrent broadcast preparation
         // races recompute the un-persisted lineage), so the round pays its
         // two jobs and the wins come from the active set + double jump.
+        // The explicit 8-way hash repartition on the grouping key IS the
+        // loop's one exchange: hashpartitioning(u, 8) satisfies the
+        // aggregate's required distribution, so the groupBy adds none.
+        // (The union rows are O(E) labels — small enough that losing the
+        // map-side partial under the explicit exchange is noise; at a
+        // label volume where it isn't, remove the repartition and take
+        // the default-width partial-agg plan.)
         val hop = edges
           .join(labels.select(col("u").as("v"), col("lbl")), "v")
           .select(col("u"), col("lbl"))
           .union(labels)
+          .repartition(8, col("u"))
           .groupBy("u").agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint(true)
+          .truncateLineage
         // ...then POINTER JUMPING (path halving): follow the label pointer
         // one more step — lbl' = min(lbl(u), lbl(lbl(u))). Labels reach the
         // component minimum in O(log diameter) rounds instead of
@@ -335,17 +345,20 @@ FROM reach GROUP BY u ORDER BY doc_id"""
         // This aggregation is also the round's ONLY action: it computes
         // the lazy checkpoint's blocks as it runs, leaving them persisted
         // for the jump self-join and the next round.
-        val s = hop.agg(sum(col("lbl"))).head.getLong(0)
+        val s = hop.agg(sum(col("lbl"))).head().getLong(0)
         converged = s == prevSum
         prevSum = s
       }
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       // fold the active-set labels back over the corpus: docs without a
-      // candidate edge are their own component (one broadcast join — the
-      // converged label frame is O(active set))
+      // candidate edge are their own component. NO broadcast hint here —
+      // the label frame is O(edge endpoints), unbounded by design, so a
+      // forced broadcast risks OOM at the corpus scale the loop targets;
+      // AQE sees the checkpointed frame's true size at runtime and picks
+      // BHJ whenever it actually fits (it does at every bench SF),
+      // degrading to a shuffle join instead of failing when it doesn't.
       tbl(spark, dir, "documents").select(col("doc_id"))
-        .join(broadcast(labels.select(col("u").as("doc_id"),
-          col("lbl").as("component_id"))), Seq("doc_id"), "left")
+        .join(labels.select(col("u").as("doc_id"),
+          col("lbl").as("component_id")), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("component_id"), col("doc_id")).as("component_id"))
         .orderBy("doc_id")

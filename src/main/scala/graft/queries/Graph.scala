@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.TruncateOps
+
 import Parity._
 
 /** Iterative graph analytics beyond connected components (q_dedup_components
@@ -62,7 +64,7 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
       val e0 = tbl(spark, dir, "lineitem")
         .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
         .distinct()
-        .localCheckpoint(true)
+        .truncateLineage
       val edges = e0
         .select(col("p").as("src"), (col("s") + Off).as("dst"))
         .unionByName(e0.select((col("s") + Off).as("src"), col("p").as("dst")))
@@ -70,9 +72,9 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
       // degree rides the edge list from here on — joined once, reused by
       // every iteration (materialized so the distinct+union subtree does
       // not re-run per iteration)
-      val edgesW = edges.join(deg, "src").localCheckpoint(true)
+      val edgesW = edges.join(deg, "src").truncateLineage
       val nodes = edgesW.select(col("src").as("node_id")).distinct()
-        .localCheckpoint(true)
+        .truncateLineage
       val nn = nodes.agg(count(lit(1)).as("cnt"))
       var pr = nodes.crossJoin(broadcast(nn))
         .select(col("node_id"), expr(s"${Scale}L div cnt").as("pr"))

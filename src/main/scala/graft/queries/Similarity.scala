@@ -184,16 +184,23 @@ bk AS (
     (spark, dir) => annBuckets(spark, dir).orderBy("vec_id", "band"))
 
   /** Bucket occupancy — the recall/efficiency view of the ANN index
-    * (how much of the corpus a single-bucket probe scans). */
+    * (how much of the corpus a single-bucket probe scans). `n_dropped`
+    * surfaces the [[MaxBucketSize]] skew cap's cost per cell (the rows
+    * q_neardup_bucketed's capped stage deterministically excludes) — the
+    * "no silent caps" rule applied to the index itself: a nonzero total
+    * here is measured recall loss, not an invisible truncation. 0 at
+    * every bench SF (occupancy is corpus-adaptive, see the header). */
   private val qAnnBucketStats = QueryDef(
     "q_ann_bucket_stats",
     Some(s"""WITH $sqlBk
-SELECT band, bucket, count(*) AS n_vecs, min(vec_id) AS min_vec
+SELECT band, bucket, count(*) AS n_vecs, min(vec_id) AS min_vec,
+  greatest(count(*) - $MaxBucketSize, 0) AS n_dropped
 FROM bk GROUP BY band, bucket ORDER BY band, bucket"""),
     (spark, dir) =>
       annBuckets(spark, dir)
         .groupBy("band", "bucket")
-        .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+        .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"),
+          greatest(count(lit(1)) - MaxBucketSize, lit(0L)).as("n_dropped"))
         .orderBy("band", "bucket"))
 
   /** Array-function exhibit over the embedding column (size / index /
@@ -230,7 +237,9 @@ FROM bk GROUP BY band, bucket ORDER BY band, bucket"""),
     * join formulation paid the whole scoring pipeline twice), capped at
     * [[MaxBucketSize]] vectors per cell (deterministic skew guard; at
     * scale the cap is what bounds a degenerate bucket, like the Jaccard
-    * rerank's candidate cap), deduped across bands, then exact integer
+    * rerank's candidate cap — its per-cell drop count is surfaced as
+    * q_ann_bucket_stats.n_dropped, measured 0 at every bench SF, so the
+    * cap currently costs zero recall), deduped across bands, then exact integer
     * cosine reranks each unordered pair ONCE and each vector reports its
     * nearest bucket-mate. The shuffle keys are (band, bucket) — corpus-
     * adaptive cardinality, see the header — and vec_id for the rerank

@@ -29,14 +29,20 @@ object SourceParity {
     * format/table/source dir — a fresh `createTempDirectory` per build
     * leaked one dir per bench/verify run), read it back with the SAME
     * explicit schema (no inference pass); overwrite mode makes reuse
-    * idempotent. */
+    * idempotent. The path also carries a CONTENT fingerprint of the source
+    * parquet (length + mtime), so a `cached` reuse can never join a stale
+    * export against regenerated testdata at the same path (ADVICE r05) —
+    * a signature change simply keys a fresh export directory. */
   private def roundTrip(
       spark: SparkSession, dir: String, table: String,
       format: String, options: Map[String, String],
       cached: Boolean = false): DataFrame = {
     val src = tbl(spark, dir, table)
+    val srcFile = new java.io.File(graft.sources.Tables.path(dir, table))
+    val sig = java.lang.Long.toHexString(
+      srcFile.length * 1000003L + srcFile.lastModified)
     val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_src_${format}_${table}_${Integer.toHexString(dir.hashCode)}")
+      s"graft_src_${format}_${table}_${Integer.toHexString(dir.hashCode)}_$sig")
       .toString
     // `cached` callers treat the exported file as a PRE-EXISTING source
     // (q_federated_join: the CSV/JSON "arrived" from an external system;

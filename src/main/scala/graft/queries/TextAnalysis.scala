@@ -207,7 +207,7 @@ object TextAnalysis {
       |hp AS (SELECT DISTINCT doc_id, ${PortableHash.sqlHash60("sh")} % ${PortableHash.P} AS hp FROM sh),
       |ranked AS (SELECT doc_id, hp, row_number() OVER (PARTITION BY doc_id ORDER BY hp) AS rn FROM hp)
       |SELECT doc_id,
-      |  md5(concat(max(CASE WHEN rn=1 THEN hp END), '|', max(CASE WHEN rn=2 THEN hp END), '|', max(CASE WHEN rn=3 THEN hp END))) AS fingerprint
+      |  md5(concat_ws('|', max(CASE WHEN rn=1 THEN hp END), max(CASE WHEN rn=2 THEN hp END), max(CASE WHEN rn=3 THEN hp END))) AS fingerprint
       |FROM ranked WHERE rn <= 3 GROUP BY doc_id ORDER BY doc_id
       |""".stripMargin.trim),
     (spark, dir) => {
@@ -223,10 +223,14 @@ object TextAnalysis {
         (PortableHash.hash60(col("sh")) % PortableHash.P).as("hp"))
       hp.groupBy("doc_id")
         .agg(sort_array(collect_set(col("hp"))).as("hs"))
-        .select(col("doc_id"), md5(concat(
-          element_at(col("hs"), 1).cast("string"), lit("|"),
-          element_at(col("hs"), 2).cast("string"), lit("|"),
-          element_at(col("hs"), 3).cast("string"))).as("fingerprint"))
+        // concat_ws (not concat): skips NULL slots like DuckDB's concat_ws,
+        // so a degenerate doc with < 3 distinct window hashes fingerprints
+        // identically in both engines; try_element_at keeps the short-array
+        // lookup NULL-safe under ANSI mode (ADVICE r05)
+        .select(col("doc_id"), md5(concat_ws("|",
+          try_element_at(col("hs"), lit(1)).cast("string"),
+          try_element_at(col("hs"), lit(2)).cast("string"),
+          try_element_at(col("hs"), lit(3)).cast("string"))).as("fingerprint"))
         .orderBy("doc_id")
     })
 
@@ -247,7 +251,7 @@ object TextAnalysis {
       |hp AS (SELECT DISTINCT doc_id, ${PortableHash.sqlHash60("sh")} % ${PortableHash.P} AS hp FROM sh),
       |ranked AS (SELECT doc_id, hp, row_number() OVER (PARTITION BY doc_id ORDER BY hp) AS rn FROM hp)
       |SELECT doc_id,
-      |  md5(concat(max(CASE WHEN rn=1 THEN hp END), '|', max(CASE WHEN rn=2 THEN hp END), '|', max(CASE WHEN rn=3 THEN hp END))) AS fingerprint
+      |  md5(concat_ws('|', max(CASE WHEN rn=1 THEN hp END), max(CASE WHEN rn=2 THEN hp END), max(CASE WHEN rn=3 THEN hp END))) AS fingerprint
       |FROM ranked WHERE rn <= 3 GROUP BY doc_id ORDER BY doc_id
       |""".stripMargin.trim),
     (spark, dir) => {
@@ -260,10 +264,14 @@ object TextAnalysis {
           (PortableHash.hash60(col("sh")) % PortableHash.P).as("hp"))
         .groupBy("doc_id")
         .agg(mink3(col("hp")).as("hs"))
-        .select(col("doc_id"), md5(concat(
-          element_at(col("hs"), 1).cast("string"), lit("|"),
-          element_at(col("hs"), 2).cast("string"), lit("|"),
-          element_at(col("hs"), 3).cast("string"))).as("fingerprint"))
+        // concat_ws (not concat): skips NULL slots like DuckDB's concat_ws,
+        // so a degenerate doc with < 3 distinct window hashes fingerprints
+        // identically in both engines; try_element_at keeps the short-array
+        // lookup NULL-safe under ANSI mode (ADVICE r05)
+        .select(col("doc_id"), md5(concat_ws("|",
+          try_element_at(col("hs"), lit(1)).cast("string"),
+          try_element_at(col("hs"), lit(2)).cast("string"),
+          try_element_at(col("hs"), lit(3)).cast("string"))).as("fingerprint"))
         .orderBy("doc_id")
     })
 
@@ -406,25 +414,35 @@ object TextAnalysis {
     * span (q_fingerprint's collect_set formulation pays a hash exchange).
     * The oracle mirrors the polynomial per window (Σ ord·B^k mod P —
     * equal to the mod-at-each-step rolling value), so parity is exact on
-    * this ASCII corpus, where DuckDB's code points == our UTF-8 bytes. */
+    * this ASCII corpus, where DuckDB's code points == our UTF-8 bytes.
+    * The oracle also mirrors RollingHashes' TRUNCATED-WINDOW convention:
+    * a doc shorter than one window hashes over its L = least(len, Len)
+    * bytes with exponents B^(L-1-j) — the inner range() sums only the
+    * positions that exist and the power is looked up by L-j, so short or
+    * empty docs hash identically in both engines (ADVICE r05: the old
+    * static 8-term expansion read past the string and kept B^(7-j)). */
   private val qFingerprintRolling = QueryDef(
     "q_fingerprint_rolling", {
       import graft.plans.{RollingHashes => RH}
-      val pows = (0 until RH.Len)
-        .map(j => (0 until (RH.Len - 1 - j)).foldLeft(1L)((v, _) => v * RH.B))
-      val termSum = (0 until RH.Len)
-        .map(j =>
-          s"CAST(ord(substr(text, CAST(i + $j AS INT), 1)) AS BIGINT) * ${pows(j)}")
-        .mkString(" + ")
+      // powsAsc(e) = B^e for e = 0..Len-1; the window term for position j
+      // in an L-byte window needs B^(L-1-j) = list_extract(powsAsc, L-j)
+      val powsAsc = (0 until RH.Len)
+        .scanLeft(1L)((v, _) => v * RH.B).take(RH.Len)
+        .mkString("[", ", ", "]")
+      val winLen = s"least(length(text), ${RH.Len})"
+      val winHash =
+        s"""CAST(coalesce(list_sum(list_transform(range(0, $winLen),
+           |      j -> CAST(ord(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)
+           |           * list_extract($powsAsc, CAST($winLen - j AS INT)))), 0) AS BIGINT)""".stripMargin
       Some(s"""
       |WITH h AS (
       |  SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - ${RH.Len - 2}, 2)),
-      |    i -> ($termSum) % ${RH.P})) AS hp
+      |    i -> $winHash % ${RH.P})) AS hp
       |  FROM documents),
       |d AS (SELECT DISTINCT doc_id, hp FROM h),
       |r AS (SELECT doc_id, hp, row_number() OVER (PARTITION BY doc_id ORDER BY hp) AS rn FROM d)
       |SELECT doc_id,
-      |  md5(concat(max(CASE WHEN rn=1 THEN hp END), '|', max(CASE WHEN rn=2 THEN hp END), '|', max(CASE WHEN rn=3 THEN hp END))) AS fingerprint
+      |  md5(concat_ws('|', max(CASE WHEN rn=1 THEN hp END), max(CASE WHEN rn=2 THEN hp END), max(CASE WHEN rn=3 THEN hp END))) AS fingerprint
       |FROM r WHERE rn <= 3 GROUP BY doc_id ORDER BY doc_id
       |""".stripMargin.trim)
     },
@@ -433,10 +451,12 @@ object TextAnalysis {
         .select(col("doc_id"),
           expr("slice(array_sort(array_distinct(rolling_hashes(text))), 1, 3)")
             .as("h3"))
-        .select(col("doc_id"), md5(concat(
-          element_at(col("h3"), 1).cast("string"), lit("|"),
-          element_at(col("h3"), 2).cast("string"), lit("|"),
-          element_at(col("h3"), 3).cast("string"))).as("fingerprint"))
+        // concat_ws + try_element_at: same degenerate-doc convention as
+        // q_fingerprint (NULL slots skipped identically in both engines)
+        .select(col("doc_id"), md5(concat_ws("|",
+          try_element_at(col("h3"), lit(1)).cast("string"),
+          try_element_at(col("h3"), lit(2)).cast("string"),
+          try_element_at(col("h3"), lit(3)).cast("string"))).as("fingerprint"))
         .orderBy("doc_id"))
 
   /** Dataset profiling — the pre-training data-quality audit every corpus
