@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** The reliable-checkpoint seam (graft.Checkpoints): iterative queries
+  * default to executor-local lineage truncation, and switch — at the SAME
+  * call sites — to reliable `checkpoint()` when `graft.checkpoint.dir` is
+  * set. The spec runs the two heaviest convergence loops through the
+  * reliable path and asserts they reach the same fixpoint as the default
+  * path (VERDICT r05 item 2: losing an executor mid-loop must not be able
+  * to kill a 100 TB run when the conf opts in to durability). */
+class CheckpointSpec extends SparkSuite {
+
+  private def collectSorted(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  private def withReliableDir[A](f: => A): A = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_spec").toString
+    spark.conf.set(Checkpoints.DirKey, dir)
+    try f
+    finally {
+      spark.conf.unset(Checkpoints.DirKey)
+      // the context keeps the resolved UUID subdir; later suites must not
+      // silently inherit reliable mode semantics from a stale setting —
+      // Checkpoints keys off the conf, not the context dir, so unsetting
+      // the conf restores the default path
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("truncate uses reliable checkpoint files when the conf is set") {
+    import spark.implicits._
+    withReliableDir {
+      val df = Checkpoints.truncate(Seq(1, 2, 3).toDF("x"))
+      // a reliably-checkpointed Dataset's RDD lineage bottoms out in
+      // ReliableCheckpointRDD; the local path keeps LocalCheckpointRDD
+      assert(df.rdd.toDebugString.contains("ReliableCheckpointRDD"))
+      assert(df.as[Int].collect().sorted === Array(1, 2, 3))
+    }
+    val local = Checkpoints.truncate(Seq(4, 5).toDF("x"))
+    assert(!local.rdd.toDebugString.contains("ReliableCheckpointRDD"))
+  }
+
+  test("components loop reaches the same fixpoint through the reliable path") {
+    val q = queries.Catalog.queries("q_dedup_components")
+    val default = collectSorted(q(spark, sfDir))
+    val reliable = withReliableDir(collectSorted(q(spark, sfDir)))
+    assert(reliable === default)
+  }
+
+  test("pagerank matches through the reliable path") {
+    val q = queries.Catalog.queries("q_pagerank")
+    val default = collectSorted(q(spark, sfDir))
+    val reliable = withReliableDir(collectSorted(q(spark, sfDir)))
+    assert(reliable === default)
+  }
+}
