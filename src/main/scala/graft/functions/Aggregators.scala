@@ -83,6 +83,110 @@ object Aggregators {
     def outputEncoder: Encoder[MGSummary] = ExpressionEncoder()
   }
 
+  /** Mergeable approximate-quantile sketch: a KLL-style compactor chain
+    * with a uniform per-level capacity k (the KLL structure with the
+    * level-capacity schedule flattened, and DETERMINISTIC alternating
+    * compaction instead of coin flips — reproducibility is worth more
+    * than the constant-factor space the randomized schedule saves).
+    *
+    * Structure: level h holds items of weight 2^h. New items enter level
+    * 0; when a level exceeds k items it is sorted and every other item
+    * (alternating offset per level, the classic derandomization) is
+    * promoted to level h+1 — two weight-2^h items become one weight-
+    * 2^(h+1) item, so TOTAL WEIGHT is preserved exactly (an odd item is
+    * held back at its level). A quantile query walks the weight-sorted
+    * item multiset to the p·n rank.
+    *
+    * Guarantees (KllQuantilesSpec pins both on real + adversarial data):
+    *  - state is O(k·log(n/k)) regardless of group size, and `merge` is
+    *    level-wise concatenation + the same compaction — i.e. it partial-
+    *    aggregates map-side like a built-in, the property q_percentiles'
+    *    exact sort can never have at 100 TB;
+    *  - each level-h compaction perturbs any rank by ≤ 2^h, and level h
+    *    compacts ≤ n/(k·2^h) times, so worst-case rank error is
+    *    ≤ Σ_h n/k = H·n/k ≈ (n/k)·log₂(n/k) — k=512 keeps it under 2%
+    *    at 60k rows and the spec asserts ≤ 5% with merge-order shuffling.
+    *
+    * This is the sketch a 100 TB profile pass wants next to [[MisraGries]]:
+    * q_percentiles stays exact under the oracle gate; q_approx_quantiles
+    * runs this (rows-only, values spec-pinned) as the scale path. */
+  final case class KllBuf(
+      levels: Seq[Seq[Double]], compactions: Seq[Long], n: Long)
+  final class KllQuantiles(k: Int, ps: Seq[Double])
+      extends Aggregator[Double, KllBuf, Seq[Double]] {
+    require(k >= 8 && ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+
+    def zero: KllBuf = KllBuf(Vector(Vector.empty), Vector(0L), 0L)
+
+    /** Compact level h in-place if over capacity; returns the new buffer.
+      * Promotion can overflow level h+1, so callers loop to fixpoint. */
+    private def compactLevel(b: KllBuf, h: Int): KllBuf = {
+      val sorted = b.levels(h).sorted
+      // hold one item back when odd so 2·2^h → 2^(h+1) preserves weight
+      val (held, pairs) =
+        if (sorted.length % 2 == 0) (Vector.empty[Double], sorted)
+        else (Vector(sorted.head), sorted.tail)
+      val offset = (b.compactions(h) % 2).toInt
+      val promoted = (offset until pairs.length by 2).map(pairs)
+      val levels =
+        if (h + 1 < b.levels.length) b.levels
+        else b.levels :+ Vector.empty[Double]
+      val comps =
+        if (h + 1 < b.compactions.length) b.compactions
+        else b.compactions :+ 0L
+      KllBuf(
+        levels.updated(h, held).updated(h + 1, levels(h + 1) ++ promoted),
+        comps.updated(h, comps(h) + 1), b.n)
+    }
+
+    private def compactAll(b0: KllBuf): KllBuf = {
+      var b = b0
+      var h = 0
+      while (h < b.levels.length) {
+        if (b.levels(h).length > k) b = compactLevel(b, h)
+        else h += 1 // a compaction may overflow h+1; re-check from there
+      }
+      b
+    }
+
+    def reduce(b: KllBuf, x: Double): KllBuf =
+      compactAll(KllBuf(b.levels.updated(0, b.levels(0) :+ x),
+        b.compactions, b.n + 1))
+
+    def merge(a: KllBuf, b: KllBuf): KllBuf = {
+      val hs = a.levels.length max b.levels.length
+      val levels = (0 until hs).map { h =>
+        a.levels.applyOrElse(h, (_: Int) => Seq.empty[Double]) ++
+          b.levels.applyOrElse(h, (_: Int) => Seq.empty[Double])
+      }
+      val comps = (0 until hs).map { h =>
+        a.compactions.applyOrElse(h, (_: Int) => 0L) +
+          b.compactions.applyOrElse(h, (_: Int) => 0L)
+      }
+      compactAll(KllBuf(levels, comps, a.n + b.n))
+    }
+
+    def finish(b: KllBuf): Seq[Double] = {
+      if (b.n == 0L) return ps.map(_ => Double.NaN)
+      val weighted = b.levels.iterator.zipWithIndex.flatMap { case (items, h) =>
+        items.iterator.map(v => (v, 1L << h))
+      }.toArray.sortBy(_._1)
+      val total = weighted.iterator.map(_._2).sum
+      ps.map { p =>
+        val target = math.max(1L, math.ceil(p * total).toLong)
+        var cum = 0L
+        var i = 0
+        while (i < weighted.length && cum + weighted(i)._2 < target) {
+          cum += weighted(i)._2; i += 1
+        }
+        weighted(math.min(i, weighted.length - 1))._1
+      }
+    }
+
+    def bufferEncoder: Encoder[KllBuf] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+  }
+
   /** Exact weighted mean with O(1) mergeable state (sum, weight). */
   final case class WPoint(value: Double, weight: Double)
   final case class WBuf(sum: Double, w: Double)

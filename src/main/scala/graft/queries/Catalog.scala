@@ -333,16 +333,46 @@ object Catalog {
   /** Multimodal feature extraction (binary media columns, partition-wise
     * stubbed decode — graft.operators.MultimodalOps). Iterator compute is
     * not SQL-expressible → rows-only driver check; exact values pinned in
-    * MultimodalSpec. */
+    * MultimodalSpec. q_blob_stats below is the hash-green twin. */
   private val qMultimodal = QueryDef(
     "q_multimodal_features",
     None,
     (spark, dir) => graft.operators.MultimodalOps.featureQuery(spark, dir))
 
+  /** Blob statistics over the binary media column — the SQL-expressible
+    * half of the multimodal surface, under the full oracle hash (VERDICT
+    * r05 item 1): per-payload byte length + md5, computed on the SAME
+    * `Dataset[MediaRecord]` binary column the decode pipeline consumes,
+    * joined back to the document's metadata. Codec-free by design — this
+    * row proves the binary-column plumbing (encode → binary schema →
+    * byte-level functions → metadata join) value-exact end-to-end, while
+    * the non-SQL decode stays spec-pinned in MultimodalSpec. At 100 TB
+    * the same shape is the media-corpus audit pass: blobs never shuffle
+    * (md5/length are projections above the scan) and the only exchange
+    * is the metadata equi-join. */
+  private val qBlobStats = QueryDef(
+    "q_blob_stats",
+    Some("""
+      |SELECT doc_id AS media_id, 'text' AS kind,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS blob_md5, lang
+      |FROM documents ORDER BY media_id
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val media = graft.operators.MultimodalOps.documentsAsMedia(spark, dir).toDF()
+      val meta = tbl(spark, dir, "documents")
+        .select(col("doc_id").as("media_id"), col("lang"))
+      media.select(col("media_id"), col("kind"),
+          length(col("media")).cast("long").as("n_bytes"),
+          md5(col("media")).as("blob_md5"))
+        .join(meta, "media_id")
+        .orderBy("media_id")
+    })
+
   // =========================================================================
 
   val defs: Seq[QueryDef] = Seq(
-    qMultimodal) ++ Seq(
+    qMultimodal, qBlobStats) ++ Seq(
     qWordcount, qTopkMax, qTopkMin, qStopword,
     qPricing, qFilterProject, qSortLimit, qJoinAgg,
     qSemiJoin, qAntiJoin, qBroadcastJoin, qWindowRank,

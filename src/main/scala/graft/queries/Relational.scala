@@ -733,6 +733,31 @@ object Relational {
           expr("percentile(o_totalprice, 0.9)").as("p90"))
         .orderBy("o_orderpriority"))
 
+  /** The SAME per-group quantiles through the mergeable KLL-style sketch
+    * ([[graft.functions.Aggregators.KllQuantiles]]) — the 100 TB path
+    * next to q_percentiles' exact sort: O(k·log(n/k)) state per group,
+    * partial-aggregating map-side like any built-in, where exact
+    * `percentile` must materialize every value per group. Sketch
+    * estimates are not portably SQL-expressible (and partial-merge order
+    * is not deterministic across engines or runs) → rows-only driver
+    * check; the ≤5% worst-case rank-error bound and merge-order
+    * insensitivity are pinned in KllQuantilesSpec. */
+  private val qApproxQuantiles = QueryDef(
+    "q_approx_quantiles",
+    None,
+    (spark, dir) => {
+      val kq = udaf(new graft.functions.Aggregators.KllQuantiles(
+        512, Seq(0.5, 0.9, 0.99)))
+      tbl(spark, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(kq(col("o_totalprice")).as("qs"))
+        .select(col("o_orderpriority"),
+          element_at(col("qs"), 1).as("p50_approx"),
+          element_at(col("qs"), 2).as("p90_approx"),
+          element_at(col("qs"), 3).as("p99_approx"))
+        .orderBy("o_orderpriority")
+    })
+
   /** Funnel analysis: signup → first subsequent purchase per user, with a
     * 1-hour conversion flag. Two grouped mins + a left join; conversion
     * math in exact epoch microseconds. */
@@ -1452,6 +1477,38 @@ object Relational {
         .orderBy("user_id", "event_type")
     })
 
+  /** LATERAL correlated generator with position semantics — the one
+    * standard relational join shape the catalog was missing (VERDICT r05
+    * item 3): each row generates a per-row set (its filtered name tokens)
+    * and laterally joins it back with ordinal positions; OUTER semantics
+    * keep generator-empty rows as a single (NULL pos, NULL word) row — the
+    * `LEFT JOIN LATERAL ... WITH ORDINALITY` shape. Spark plans
+    * `posexplode_outer` as GenerateExec(outer=true): fully pipelined
+    * inside the scan's codegen stage, no shuffle, no correlated re-scan —
+    * at 100 TB a lateral explode costs exactly one pass. The oracle
+    * mirrors ordinals via DuckDB's indexed list_transform (1-based i →
+    * pos = i-1) and the outer row via an explicit NULL-struct branch. */
+  private val qLateralExplode = QueryDef(
+    "q_lateral_explode",
+    Some("""
+      |WITH a AS (SELECT p_partkey,
+      |    list_filter(string_split(p_name, ' '), w -> w LIKE '%l%') AS ws
+      |  FROM part),
+      |e AS (SELECT p_partkey, unnest(CASE WHEN len(ws) = 0
+      |        THEN [{'pos': CAST(NULL AS BIGINT), 'word': CAST(NULL AS VARCHAR)}]
+      |        ELSE list_transform(ws, (w, i) -> {'pos': CAST(i - 1 AS BIGINT), 'word': w}) END) AS u
+      |      FROM a)
+      |SELECT p_partkey, u.pos AS pos, u.word AS word FROM e
+      |ORDER BY p_partkey, pos
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      tbl(spark, dir, "part")
+        .select(col("p_partkey"),
+          posexplode_outer(filter(split(col("p_name"), " "), w => w.contains("l"))))
+        .select(col("p_partkey"), col("pos").cast("long").as("pos"),
+          col("col").as("word"))
+        .orderBy("p_partkey", "pos"))
+
   val defs: Seq[QueryDef] = Seq(
     qStatsMoments, qGapFill, qLatestEvent,
     qRollup, qCube, qGroupingSets, qDistinctAgg, qApproxDistinct,
@@ -1459,6 +1516,6 @@ object Relational {
     qScalarFuncs, qDateFuncs, qMapFuncs, qRangeJoin, qAsofJoin,
     qOuterJoinAgg, qFullOuter, qCorrSubquery, qPivot, qUnpivot, qIncrementalAgg,
     qQ2, qQ3, qQ4, qQ5, qQ7, qQ10, qQ13, qQ14, qQ16, qQ17, qQ18, qQ19,
-    qQ21, qQ22, qStringMatch, qSaltedAgg, qPercentiles,
-    qFunnel, qRetention, qIntervalBinJoin, qUpsert)
+    qQ21, qQ22, qStringMatch, qSaltedAgg, qPercentiles, qApproxQuantiles,
+    qFunnel, qRetention, qIntervalBinJoin, qUpsert, qLateralExplode)
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Aggregators.{KllBuf, KllQuantiles}
+
+/** Pins the KLL-style sketch's contract (VERDICT r05 item 5):
+  *  - worst-case rank error ≤ 5% (k=512) on adversarial input orders and
+  *    merge shapes — sorted, reverse-sorted, LCG-shuffled; sequential and
+  *    tree merges of uneven chunks;
+  *  - exact weight conservation (the sketch never loses or duplicates
+  *    mass, the invariant the error analysis rests on);
+  *  - the catalog query's estimates sit within the bound of the exact
+  *    q_percentiles values on the real table.
+  *
+  * Rank error of an estimate e for quantile p over n items: the distance
+  * from p·n to e's feasible rank interval [#(x < e)+1, #(x ≤ e)],
+  * normalized by n — 0 when e is any value whose rank could be p·n. */
+class KllQuantilesSpec extends SparkSuite {
+
+  private val Ps = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+  private val Bound = 0.05
+
+  private def rankError(sorted: Array[Double], est: Double, p: Double): Double = {
+    val n = sorted.length
+    var lo = 0
+    while (lo < n && sorted(lo) < est) lo += 1
+    var hi = lo
+    while (hi < n && sorted(hi) <= est) hi += 1
+    val t = p * n
+    if (t < lo + 1) (lo + 1 - t) / n
+    else if (t > hi) (t - hi) / n
+    else 0.0
+  }
+
+  private def sketch(agg: KllQuantiles, chunks: Seq[Seq[Double]]): KllBuf = {
+    val partials = chunks.map(c => c.foldLeft(agg.zero)(agg.reduce))
+    partials.reduce(agg.merge)
+  }
+
+  private def treeMerge(agg: KllQuantiles, bufs: Seq[KllBuf]): KllBuf =
+    if (bufs.length == 1) bufs.head
+    else treeMerge(agg, bufs.grouped(2).map(g => g.reduce(agg.merge)).toSeq)
+
+  private def totalWeight(b: KllBuf): Long =
+    b.levels.zipWithIndex.map { case (items, h) => items.length.toLong << h }.sum
+
+  private def assertWithinBound(data: Array[Double], ests: Seq[Double]): Unit = {
+    val sorted = data.sorted
+    Ps.zip(ests).foreach { case (p, e) =>
+      val err = rankError(sorted, e, p)
+      assert(err <= Bound, s"p=$p est=$e rank error $err > $Bound")
+    }
+  }
+
+  test("rank error <= 5% on 100k items across orders and merge shapes") {
+    val agg = new KllQuantiles(512, Ps)
+    val n = 100000
+    val asc = Array.tabulate(n)(_.toDouble)
+    val desc = asc.reverse
+    // deterministic LCG shuffle (no Random: reproducible by construction)
+    val lcg = {
+      val a = asc.clone()
+      var s = 42L
+      for (i <- a.indices.reverse if i > 0) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val j = ((s >>> 33) % (i + 1)).toInt
+        val t = a(i); a(i) = a(j); a(j) = t
+      }
+      a
+    }
+    for (data <- Seq(asc, desc, lcg)) {
+      // uneven chunks (simulating skewed partitions), sequential merge
+      val chunks = data.grouped(7919).map(_.toSeq).toSeq
+      val seqBuf = sketch(agg, chunks)
+      assert(totalWeight(seqBuf) === n.toLong)
+      assertWithinBound(data, agg.finish(seqBuf))
+      // tree merge (simulating multi-level partial aggregation)
+      val treeBuf =
+        treeMerge(agg, chunks.map(c => c.foldLeft(agg.zero)(agg.reduce)))
+      assert(totalWeight(treeBuf) === n.toLong)
+      assertWithinBound(data, agg.finish(treeBuf))
+    }
+  }
+
+  test("duplicates-heavy and tiny inputs stay exact-ish") {
+    val agg = new KllQuantiles(512, Ps)
+    val dup = Array.fill(50000)(7.0) ++ Array.fill(50000)(11.0)
+    assertWithinBound(dup, agg.finish(sketch(agg, dup.grouped(1000).map(_.toSeq).toSeq)))
+    // n <= k never compacts: answers are exact rank statistics
+    val tiny = Array(3.0, 1.0, 2.0)
+    val ests = agg.finish(tiny.foldLeft(agg.zero)(agg.reduce))
+    assert(ests === Seq(1.0, 1.0, 1.0, 2.0, 3.0, 3.0, 3.0))
+    assert(agg.finish(agg.zero).forall(_.isNaN))
+  }
+
+  test("catalog query sits within the bound of exact per-group quantiles") {
+    val approx = queries.Catalog.queries("q_approx_quantiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val groups = graft.sources.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .collect().groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getDouble(1)).sorted }
+    assert(approx.keySet === groups.keySet)
+    for ((g, data) <- groups; (p, e) <- Seq(0.5, 0.9, 0.99).zip(approx(g))) {
+      val err = rankError(data, e, p)
+      assert(err <= Bound, s"group=$g p=$p est=$e rank error $err")
+    }
+  }
+}
