@@ -212,6 +212,65 @@ object SourceParity {
         .orderBy("p_brand")
     })
 
+  /** DYNAMIC PARTITION PRUNING under the oracle gate — the other half of
+    * the partition-layout story next to q_partitioned_sink's STATIC
+    * pruning: here the pruning values are not known until runtime (they
+    * come from a dimension filtered on a NON-key attribute), so Catalyst
+    * injects a `dynamicpruningexpression` into the fact scan's
+    * PartitionFilters that reuses the dimension's broadcast — the fact
+    * partitions for non-matching priorities are never listed or opened.
+    * At 100 TB this is THE mechanism that makes `fact JOIN dim WHERE
+    * dim.attr = x` scan only the matching date/tenant slices without the
+    * query author inlining partition values. The partitioned layout is
+    * written once per machine (same _SUCCESS pay-once guard as the
+    * federated exports); PlanAuditSpec asserts the dynamic-pruning
+    * expression and that the static plan carries no literal priority
+    * filter. Oracle: the same join over the original table with the
+    * dimension inlined as VALUES. */
+  private val qDppPrune = QueryDef(
+    "q_dpp_prune",
+    Some(s"""
+      |WITH svc(prio, svc_class) AS (VALUES
+      |  ('1-URGENT', 'expedite'), ('2-HIGH', 'expedite'), ('3-MEDIUM', 'standard'),
+      |  ('4-NOT SPECIFIED', 'standard'), ('5-LOW', 'standard'))
+      |SELECT o_orderpriority, count(*) AS n,
+      |  ${sqlDsum(sqlDec("o_totalprice"))} AS sum_price
+      |FROM orders JOIN svc ON o_orderpriority = prio
+      |WHERE svc_class = 'expedite'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      import spark.implicits._
+      val src = tbl(spark, dir, "orders")
+      val srcFile = new java.io.File(graft.sources.Tables.path(dir, "orders"))
+      val sig = java.lang.Long.toHexString(
+        srcFile.length * 1000003L + srcFile.lastModified)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_dpp_${Integer.toHexString(dir.hashCode)}_$sig").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/orders/_SUCCESS")))
+        src.write.partitionBy("o_orderpriority").mode("overwrite")
+          .parquet(s"$root/orders")
+      // the dimension must be a FILE source (not an in-memory relation):
+      // ConvertToLocalRelation would constant-fold the filter away and the
+      // pruning rule needs a surviving selective Filter on the dim side —
+      // which is also the realistic shape (dims live in the lake too)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/svc/_SUCCESS")))
+        Seq(
+          ("1-URGENT", "expedite"), ("2-HIGH", "expedite"),
+          ("3-MEDIUM", "standard"), ("4-NOT SPECIFIED", "standard"),
+          ("5-LOW", "standard")).toDF("prio", "svc_class")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/svc")
+      val svc = spark.read.parquet(s"$root/svc")
+      spark.read.parquet(s"$root/orders")
+        .join(broadcast(svc.filter($"svc_class" === "expedite")),
+          col("o_orderpriority") === col("prio"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(dec("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    })
+
   /** Federated three-format join: parquet fact (lineitem) ⋈ CSV orders ⋈
     * JSON customer in ONE plan — Catalyst plans across sources uniformly
     * (each format contributes a FileScan with its own pushdown rules;
@@ -244,5 +303,5 @@ object SourceParity {
     })
 
   val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qPartitionedSink,
-    qBucketedJoin, qSchemaEvolution, qFederatedJoin)
+    qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune)
 }

@@ -197,7 +197,44 @@ object StreamingParity {
       runToMemory(enriched, EnrichSink, mode = "append").orderBy("event_id")
     })
 
+  private val DedupSink = "graft_stream_dedup_sink"
+
+  /** STREAMING EXACT DEDUP under the correctness gate — the ingestion-side
+    * twin of the batch q_dedup_exact, and the standard first-occurrence-wins
+    * guard for at-least-once sources (a redelivered event must not double
+    * count downstream). `StreamingOps.dedupEvents` runs
+    * `dropDuplicatesWithinWatermark(event_id)`: per-key state is kept only
+    * until the watermark passes the key's event time + lateness, so state
+    * is bounded by stream VOLUME PER LATENESS WINDOW, not by stream
+    * lifetime — the property that makes streaming dedup viable on an
+    * unbounded 100 TB/day feed where batch dropDuplicates cannot run.
+    *
+    * event_id is unique in the generated table, so duplicates are
+    * constructed IN-PLAN (each row exploded into two identical copies
+    * before the dedup). This keeps the oracle deterministic — both copies
+    * are byte-identical and created in the same micro-batch, so whichever
+    * survives yields the same output and no copy can be separated from its
+    * twin by a watermark boundary. Dedup output = exactly the distinct
+    * event rows, which DuckDB states as a plain scan. */
+  private val qStreamDedup = QueryDef(
+    "q_stream_dedup",
+    Some("""
+      |SELECT event_id, user_id, event_type,
+      |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value
+      |FROM events ORDER BY event_id
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val doubled = Tables.loadEventsStream(spark, dir)
+        .withColumn("copy", explode(array(lit(1), lit(2))))
+        .drop("copy")
+      val deduped = graft.streaming.StreamingOps.dedupEvents(doubled)
+      runToMemory(deduped, DedupSink, mode = "append")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"), col("value"))
+        .orderBy("event_id")
+    })
+
   val defs: Seq[QueryDef] =
     Seq(qStreamTumbling, qSessionWindow, qStreamSessionize, qStreamJoin,
-      qStreamEnrich)
+      qStreamEnrich, qStreamDedup)
 }

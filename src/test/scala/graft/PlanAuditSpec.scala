@@ -54,6 +54,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("q_dpp_prune injects a dynamic partition-pruning subquery, not a literal filter") {
+    val p = plan("q_dpp_prune")
+    assert(p.contains("dynamicpruningexpression"),
+      s"fact scan must carry a runtime partition-pruning subquery:\n$p")
+    // the pruning values must come from the dim at runtime — the static
+    // plan may not have inlined the matching priorities
+    assert(!p.contains("1-URGENT"),
+      s"partition values must not be statically inlined:\n$p")
+  }
+
   test("q_topk_common_max scans the corpus exactly once (single-pass form)") {
     val scans = "Scan parquet".r.findAllIn(plan("q_topk_common_max")).size
     assert(scans == 1, s"expected one documents scan, found $scans")
