@@ -271,6 +271,75 @@ object SourceParity {
         .orderBy("o_orderpriority")
     })
 
+  /** The custom DataSource V2 connector (`graft.sources.GraftTsvDataSource`)
+    * under the oracle gate: orders is exported ONCE per machine as
+    * schema'd TSV (decimal prices as exact decimal strings, timestamps as
+    * epoch-ms longs — the connector's documented text conventions), then
+    * read back through `format("graft-tsv")` with BOTH pushdown seams
+    * active: the status equality and date-range predicates are evaluated
+    * inside the connector's readers (pushFilters), and only 3 of the 6
+    * exported columns are parsed (pruneColumns). The oracle states the
+    * same filter+agg over the ORIGINAL parquet, so a pass proves the
+    * connector — splits, projection, predicates, type conversion — is
+    * value-exact end-to-end. Dsv2SourceSpec proves split-invariance and
+    * the plan-visible pushdown separately. */
+  private val qDsv2Source = QueryDef(
+    "q_dsv2_source",
+    Some(s"""
+      |SELECT o_orderpriority, count(*) AS n,
+      |  ${sqlDsum(sqlDec("o_totalprice"))} AS sum_price
+      |FROM orders
+      |WHERE o_orderstatus = 'F'
+      |  AND CAST(epoch_ms(o_orderdate) AS BIGINT) >= 757382400000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      import org.apache.spark.sql.types._
+      val tsvPath = dsv2OrdersExport(spark, dir)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice_str", StringType),
+        StructField("o_orderdate_ms", LongType),
+        StructField("o_orderpriority", StringType)))
+      spark.read.format("graft-tsv").schema(schema).load(tsvPath)
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_orderdate_ms") >= 757382400000L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(dec(col("o_totalprice_str"))).as("sum_price"))
+        .orderBy("o_orderpriority")
+    })
+
+  /** Pay-once TSV export for q_dsv2_source (same _SUCCESS + source
+    * fingerprint guard as the federated exports): project orders to the
+    * connector's text conventions — exact decimal STRING for the price
+    * (double→decimal→string is the lossless hop, see oracle-parity
+    * rules), epoch-ms long for the date. Tab-free columns by
+    * construction. */
+  private def dsv2OrdersExport(spark: SparkSession, dir: String): String = {
+    val src = tbl(spark, dir, "orders")
+    val srcFile = new java.io.File(graft.sources.Tables.path(dir, "orders"))
+    val sig = java.lang.Long.toHexString(
+      srcFile.length * 1000003L + srcFile.lastModified)
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_dsv2_orders_${Integer.toHexString(dir.hashCode)}_$sig").toString
+    val done = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done))
+      src.select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        dec("o_totalprice").cast("string").as("o_totalprice_str"),
+        // o_orderdate is TIMESTAMP_NTZ; cast is instant-identity under
+        // the pinned UTC session and satisfies unix_millis' input type
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+        col("o_orderpriority"))
+        .write.option("sep", "\t").option("header", "false")
+        .mode("overwrite").csv(tmp)
+    tmp
+  }
+
   /** Federated three-format join: parquet fact (lineitem) ⋈ CSV orders ⋈
     * JSON customer in ONE plan — Catalyst plans across sources uniformly
     * (each format contributes a FileScan with its own pushdown rules;
@@ -303,5 +372,5 @@ object SourceParity {
     })
 
   val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qPartitionedSink,
-    qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune)
+    qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source)
 }

@@ -1,0 +1,425 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
+import org.apache.hadoop.io.Text
+import org.apache.hadoop.util.LineReader
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-tsv` — a DataSource V2 connector for schema'd tab-separated
+  * text, the third leg of the extension surface next to the custom
+  * Expressions (`graft.plans.VectorExpressions`) and the custom
+  * plan/strategy (`graft.plans.Sessionize`): where those extend Catalyst's
+  * EXPRESSION and OPERATOR seams, this extends the SOURCE seam that
+  * `spark.read` plans through.
+  *
+  * The reference engine's only input contract is line-split text carved
+  * into byte-range splits by `TextInputFormat` (reference
+  * WordCount.java:60, TopkCommonWords.java:172-173 use the default input
+  * format). This connector re-expresses that contract Spark-first as a
+  * `TableProvider`, keeping the two properties that make line-split text
+  * viable at 100 TB and adding the two it lacks:
+  *
+  *   - SPLITTABLE (kept): each file is cut into byte ranges at planning
+  *     time (`split.bytes`, default 64 MiB); readers realign to line
+  *     boundaries with the classic protocol — a non-first split discards
+  *     its first (possibly partial) line, every split reads THROUGH its
+  *     end boundary to finish its last line — so a 1000-executor scan of
+  *     one huge file parallelizes without coordination and every line is
+  *     read exactly once.
+  *   - SCHEMA'D (added): an explicit `StructType` is REQUIRED (no
+  *     inference pass — at 100 TB schema inference is a full extra read
+  *     of the corpus before the first real job).
+  *   - COLUMN PRUNING (added): `SupportsPushDownRequiredColumns` — a
+  *     2-column projection over a 16-column TSV parses 2 fields per line;
+  *     the rest of each line is never materialized (only delimiter
+  *     positions are scanned past).
+  *   - FILTER PUSHDOWN (added): `SupportsPushDownFilters` — =, <, <=, >,
+  *     >=, IN, IS NOT NULL on long/int/double/string/date columns are
+  *     evaluated inside the reader against the parsed field, BEFORE the
+  *     row is built or crosses into the query, and are reported via
+  *     `Scan.description()` so `.explain` shows what was pushed (the
+  *     plan-visibility contract PlanAuditSpec relies on). A filter column
+  *     pruned out of the projection is still parsed for the predicate —
+  *     just never output. Unsupported predicates are returned to Spark as
+  *     residuals and evaluated post-scan as usual.
+  *
+  * Statistics (`SupportsReportStatistics`) report total file bytes so the
+  * planner's broadcast decision sees a real size instead of defaulting to
+  * "unknown = huge" (CBO picks broadcast joins for small TSV dims).
+  *
+  * Conventions (documented, enforced by the exporter in
+  * `SourceParity.q_dsv2_source`): no header by default (`header=true`
+  * skips line one of each file), empty field = NULL for non-string types,
+  * timestamps travel as epoch-ms longs (text has no timezone), dates as
+  * ISO `yyyy-MM-dd`. Fields must not contain the delimiter — this is the
+  * same no-embedded-delimiter contract the reference's tab-separated
+  * output format has (its K\tV sink at TextOutputFormat defaults).
+  */
+final class GraftTsvDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-tsv"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  /** Called only when the caller omitted `.schema(...)` — refuse rather
+    * than silently scan the corpus to guess (the explicit-schema stance
+    * of Tables.scala, applied to the connector). */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "graft-tsv requires an explicit schema: spark.read.format(\"graft-tsv\")" +
+        ".schema(...).load(path) — schema inference would be a full corpus scan")
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftTsvTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-tsv ${options.get("path")}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // DataFrameReader merges load(path) and .option(...) into the TABLE
+    // properties; per-scan options arrive here. Prefer scan-time values.
+    val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
+    new GraftTsvScanBuilder(tableSchema, new CaseInsensitiveStringMap(merged))
+  }
+}
+
+final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  private def supportedType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | StringType | DateType => true
+    case _ => false
+  }
+
+  private def colOk(name: String): Boolean =
+    fullSchema.fieldNames.contains(name) &&
+      supportedType(fullSchema(fullSchema.fieldIndex(name)).dataType)
+
+  private def supported(f: Filter): Boolean = f match {
+    case EqualTo(c, v) => colOk(c) && v != null
+    case GreaterThan(c, v) => colOk(c) && v != null
+    case GreaterThanOrEqual(c, v) => colOk(c) && v != null
+    case LessThan(c, v) => colOk(c) && v != null
+    case LessThanOrEqual(c, v) => colOk(c) && v != null
+    case In(c, vs) => colOk(c) && vs != null && vs.forall(_ != null)
+    case IsNotNull(c) => colOk(c)
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) = filters.partition(supported)
+    pushed = sup
+    residual // Spark keeps evaluating these above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftTsvScan(
+    fullSchema, required, pushed,
+    path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-tsv: no path given")),
+    delimiter = Option(options.get("delimiter")).getOrElse("\t").charAt(0),
+    splitBytes = Option(options.get("split.bytes")).map(_.toLong)
+      .getOrElse(64L * 1024 * 1024),
+    header = Option(options.get("header")).exists(_.equalsIgnoreCase("true")))
+}
+
+final class GraftTsvScan(
+    fullSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter],
+    path: String,
+    delimiter: Char,
+    splitBytes: Long,
+    header: Boolean) extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** Plan visibility: v2 scans surface `description()` in `.explain`, so
+    * the pushed filters and pruned schema are auditable exactly like the
+    * parquet reader's PushedFilters/ReadSchema lines. */
+  override def description(): String =
+    s"GraftTsvScan path=$path, " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  private def listFiles(): Seq[(String, Long)] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    val expanded = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
+    }
+    expanded
+      .filter(st => st.isFile && st.getLen > 0)
+      .filterNot { st =>
+        val n = st.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .map(st => (st.getPath.toString, st.getLen))
+      .sortBy(_._1)
+  }
+
+  /** One InputPartition per byte range: planning is METADATA-ONLY (a file
+    * listing — no data read), so planning cost is O(files), not O(bytes);
+    * the ranges give a 100 TB single-directory scan bytes/splitBytes-way
+    * parallelism regardless of file count. */
+  override def planInputPartitions(): Array[InputPartition] =
+    listFiles().flatMap { case (f, len) =>
+      (0L until len by splitBytes).map { off =>
+        GraftTsvInputPartition(f, off, math.min(splitBytes, len - off))
+      }
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftTsvReaderFactory(fullSchema, required, pushed, delimiter, header)
+
+  override def estimateStatistics(): Statistics = {
+    val bytes = listFiles().map(_._2).sum
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+      override def numRows(): OptionalLong = OptionalLong.empty()
+    }
+  }
+}
+
+final case class GraftTsvInputPartition(file: String, start: Long, length: Long)
+    extends InputPartition
+
+final class GraftTsvReaderFactory(
+    fullSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter],
+    delimiter: Char,
+    header: Boolean) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftTsvInputPartition]
+    new GraftTsvPartitionReader(p, fullSchema, required, pushed, delimiter, header)
+  }
+}
+
+/** Byte-range line reader with in-reader projection and predicate
+  * evaluation. Parses ONLY the fields the projection or a pushed predicate
+  * needs (everything else is skipped by scanning delimiter positions), and
+  * drops non-matching lines before any InternalRow is built. */
+final class GraftTsvPartitionReader(
+    split: GraftTsvInputPartition,
+    fullSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter],
+    delimiter: Char,
+    header: Boolean) extends PartitionReader[InternalRow] {
+
+  private val end = split.start + split.length
+
+  // field indexes (position in the line) needed by projection ∪ predicates
+  private val outIdx: Array[Int] =
+    required.fields.map(f => fullSchema.fieldIndex(f.name))
+  private val filterCols: Array[String] = pushed.flatMap(_.references).distinct
+  private val neededIdx: Array[Int] =
+    (outIdx ++ filterCols.map(fullSchema.fieldIndex)).distinct.sorted
+  private val maxNeeded: Int = if (neededIdx.isEmpty) -1 else neededIdx.max
+
+  // parsed external values land in a dense scratch array indexed by FULL
+  // schema position (bounded by the schema width, not the corpus)
+  private val scratch = new Array[Any](fullSchema.length)
+
+  /** A pushed predicate compiled to (full-schema index, test). Values are
+    * compared in the column's EXTERNAL type (Long/Int/Double/String/Int
+    * epoch-day), converting the literal once here, not per row. */
+  private val preds: Array[(Int, Any => Boolean)] = pushed.map(compile)
+
+  private def toEpochDay(v: Any): Int = v match {
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case d: java.time.LocalDate => d.toEpochDay.toInt
+    case other => throw new IllegalArgumentException(s"date literal: $other")
+  }
+
+  private def litFor(dt: DataType, v: Any): Any = dt match {
+    case LongType => v match {
+      case n: java.lang.Number => n.longValue()
+      case other => other.toString.toLong
+    }
+    case IntegerType => v match {
+      case n: java.lang.Number => n.intValue()
+      case other => other.toString.toInt
+    }
+    case DoubleType => v match {
+      case n: java.lang.Number => n.doubleValue()
+      case other => other.toString.toDouble
+    }
+    case StringType => v.toString
+    case DateType => toEpochDay(v)
+    case other => throw new IllegalArgumentException(s"unsupported type $other")
+  }
+
+  private def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
+    case LongType => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case IntegerType | DateType =>
+      Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case DoubleType =>
+      java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case StringType => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+    case other => throw new IllegalArgumentException(s"unsupported type $other")
+  }
+
+  private def compile(f: Filter): (Int, Any => Boolean) = {
+    def at(c: String): (Int, DataType) = {
+      val i = fullSchema.fieldIndex(c); (i, fullSchema(i).dataType)
+    }
+    f match {
+      case EqualTo(c, v) =>
+        val (i, dt) = at(c); val lit = litFor(dt, v)
+        (i, x => x != null && cmp(dt, x, lit) == 0)
+      case GreaterThan(c, v) =>
+        val (i, dt) = at(c); val lit = litFor(dt, v)
+        (i, x => x != null && cmp(dt, x, lit) > 0)
+      case GreaterThanOrEqual(c, v) =>
+        val (i, dt) = at(c); val lit = litFor(dt, v)
+        (i, x => x != null && cmp(dt, x, lit) >= 0)
+      case LessThan(c, v) =>
+        val (i, dt) = at(c); val lit = litFor(dt, v)
+        (i, x => x != null && cmp(dt, x, lit) < 0)
+      case LessThanOrEqual(c, v) =>
+        val (i, dt) = at(c); val lit = litFor(dt, v)
+        (i, x => x != null && cmp(dt, x, lit) <= 0)
+      case In(c, vs) =>
+        val (i, dt) = at(c); val lits = vs.map(litFor(dt, _)).toSet
+        (i, x => x != null && lits.exists(l => cmp(dt, x, l) == 0))
+      case IsNotNull(c) =>
+        (fullSchema.fieldIndex(c), x => x != null)
+      case other =>
+        throw new IllegalStateException(s"unpushable filter reached reader: $other")
+    }
+  }
+
+  private val fs: FileSystem =
+    new Path(split.file).getFileSystem(new Configuration())
+  private val stream: FSDataInputStream = fs.open(new Path(split.file))
+  private var pos: Long = split.start
+  private val lineReader: LineReader = {
+    if (split.start != 0) {
+      stream.seek(split.start)
+      val lr = new LineReader(stream)
+      // realign: discard the (possibly partial) first line — the previous
+      // split owns every line that STARTS at or before our start boundary
+      pos += lr.readLine(new Text())
+      lr
+    } else {
+      val lr = new LineReader(stream)
+      if (header) pos += lr.readLine(new Text()) // skip the header line
+      lr
+    }
+  }
+
+  private val text = new Text()
+  private var current: InternalRow = _
+
+  /** Splits `line` on the delimiter, parsing only needed fields into
+    * `scratch` (external values). Returns false if the line fails a
+    * pushed predicate. */
+  private def parseAndFilter(line: String): Boolean = {
+    var field = 0
+    var from = 0
+    var n = 0 // needed-idx cursor
+    val len = line.length
+    while (n < neededIdx.length && field <= maxNeeded && from <= len) {
+      val to0 = line.indexOf(delimiter, from)
+      val to = if (to0 < 0) len else to0
+      if (field == neededIdx(n)) {
+        scratch(field) =
+          if (to == from && fullSchema(field).dataType != StringType) null
+          else convert(fullSchema(field).dataType, line, from, to)
+        n += 1
+      }
+      field += 1
+      from = to + 1
+      if (to0 < 0 && field <= maxNeeded && n < neededIdx.length) {
+        // line ended early: remaining needed fields are null
+        while (n < neededIdx.length) { scratch(neededIdx(n)) = null; n += 1 }
+      }
+    }
+    var i = 0
+    while (i < preds.length) {
+      val (idx, test) = preds(i)
+      if (!test(scratch(idx))) return false
+      i += 1
+    }
+    true
+  }
+
+  private def convert(dt: DataType, line: String, from: Int, to: Int): Any = {
+    val s = line.substring(from, to)
+    dt match {
+      case StringType => s
+      case LongType => java.lang.Long.parseLong(s)
+      case IntegerType => Integer.parseInt(s)
+      case DoubleType => java.lang.Double.parseDouble(s)
+      case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
+      case other => throw new IllegalArgumentException(s"unsupported type $other")
+    }
+  }
+
+  private def toRow(): InternalRow = {
+    val row = new GenericInternalRow(outIdx.length)
+    var i = 0
+    while (i < outIdx.length) {
+      val v = scratch(outIdx(i))
+      row.update(i, if (v == null) null else required.fields(i).dataType match {
+        case StringType => UTF8String.fromString(v.asInstanceOf[String])
+        case _ => v // Long/Int/Double/epoch-day Int are already internal
+      })
+      i += 1
+    }
+    row
+  }
+
+  override def next(): Boolean = {
+    // a line belongs to this split iff it STARTS at offset <= end (the
+    // next split discards its first line, so we must read through the
+    // boundary — TextInputFormat's exactly-once protocol)
+    while (pos <= end) {
+      val bytes = lineReader.readLine(text)
+      if (bytes == 0) return false // EOF
+      val line = text.toString
+      pos += bytes
+      if (line.nonEmpty && parseAndFilter(line)) {
+        current = toRow()
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = {
+    lineReader.close() // closes the underlying stream
+  }
+}

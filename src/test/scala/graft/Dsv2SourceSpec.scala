@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The graft-tsv DataSource V2 connector in isolation (the catalog query
+  * q_dsv2_source proves value parity vs DuckDB; these specs prove the
+  * connector's CONTRACTS):
+  *
+  *  - split exactly-once: the same file read under byte-range splits far
+  *    smaller than a line-aligned boundary yields identical rows — the
+  *    discard-first / read-through-end protocol never loses or doubles a
+  *    line, whatever the boundary cuts.
+  *  - pushdown visibility: pushed predicates and the pruned read schema
+  *    appear in the physical plan (the connector's description()), and
+  *    an unsupported predicate is NOT claimed (it stays a residual Spark
+  *    Filter above the scan).
+  *  - in-reader filtering is semantics-preserving: filtered read ==
+  *    unfiltered read + Spark-side filter.
+  *  - type surface: long/int/double/string/date round-trip, empty
+  *    non-string fields are NULL.
+  */
+class Dsv2SourceSpec extends SparkSuite {
+
+  private val dir = Files.createTempDirectory("graft_dsv2_spec").toFile
+  dir.deleteOnExit()
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("grp", StringType),
+    StructField("score", DoubleType),
+    StructField("rank", IntegerType),
+    StructField("day", DateType)))
+
+  // 200 rows, line lengths vary so byte boundaries cut lines unevenly;
+  // id 13 carries an empty score field (NULL contract)
+  private val path = {
+    val f = new java.io.File(dir, "t.tsv")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    (0 until 200).foreach { i =>
+      val score = if (i == 13) "" else s"${i * 1.5}"
+      val day = f"2024-01-${i % 28 + 1}%02d"
+      w.println(s"$i\tg${i % 7}\t$score\t${i % 40}\t$day")
+    }
+    w.close()
+    f.getAbsolutePath
+  }
+
+  private def read(opts: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format("graft-tsv").schema(schema)
+    opts.foreach { case (k, v) => r.option(k, v) }
+    r.load(path)
+  }
+
+  test("tiny byte-range splits read every line exactly once") {
+    val whole = read().collect().map(_.toString).sorted
+    assert(whole.length == 200)
+    // 64-byte splits cut mid-line everywhere; ~20-byte lines → many splits
+    val split = read(Map("split.bytes" -> "64"))
+    assert(split.rdd.getNumPartitions > 10,
+      s"expected many splits, got ${split.rdd.getNumPartitions}")
+    assert(split.collect().map(_.toString).sorted.toSeq === whole.toSeq)
+  }
+
+  test("pushed filters and pruned schema are visible in the physical plan") {
+    val q = read().filter(col("grp") === "g3" && col("id") >= 100L)
+      .select("id", "score")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftTsvScan"), plan)
+    assert(plan.contains("EqualTo(grp,g3)"), s"grp filter not pushed:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(id,100)"), s"id filter not pushed:\n$plan")
+    // projection pruned to the selected columns (+ nothing else): the
+    // filter columns are parsed in-reader but NOT part of the read schema
+    assert(plan.contains("ReadSchema: struct<id:bigint,score:double>"),
+      s"schema not pruned:\n$plan")
+  }
+
+  test("unsupported predicates stay Spark-side residuals") {
+    val q = read().filter(col("grp").endsWith("3")) // EndsWith: not pushed
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(grp)]"),
+      s"only IsNotNull should push:\n$plan")
+    assert(plan.contains("Filter"), s"residual Filter node missing:\n$plan")
+    assert(q.count() == read().collect().count(_.getString(1).endsWith("3")))
+  }
+
+  test("in-reader filtering matches Spark-side filtering") {
+    val inReader = read()
+      .filter(col("day") >= lit("2024-01-20").cast("date") &&
+        col("rank") < 10 && col("score") > 50.0)
+      .collect().map(_.toString).sorted.toSeq
+    val sparkSide = read().collect()
+      .filter(r => !r.isNullAt(2) && !r.isNullAt(4) &&
+        r.getDate(4).toLocalDate.getDayOfMonth >= 20 &&
+        r.getInt(3) < 10 && r.getDouble(2) > 50.0)
+      .map(_.toString).sorted.toSeq
+    assert(inReader === sparkSide)
+    assert(inReader.nonEmpty)
+  }
+
+  test("empty non-string field is NULL; IsNotNull prunes it in-reader") {
+    val all = read().collect()
+    assert(all.count(_.isNullAt(2)) == 1)
+    assert(read().filter(col("score").isNotNull).count() == 199)
+  }
+
+  test("aggregation over the connector matches the same file via Spark csv") {
+    val viaCsv = spark.read.schema(schema)
+      .option("sep", "\t").csv(path)
+      .groupBy("grp").agg(count(lit(1)).as("n"),
+        sum("score").cast("string").as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    val viaDsv2 = read().groupBy("grp").agg(count(lit(1)).as("n"),
+        sum("score").cast("string").as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaDsv2 === viaCsv)
+  }
+
+  test("statistics report file bytes so CBO can size the relation") {
+    val rel = read().queryExecution.optimizedPlan
+    val bytes = new java.io.File(path).length()
+    assert(rel.stats.sizeInBytes == BigInt(bytes),
+      s"expected $bytes, got ${rel.stats.sizeInBytes}")
+  }
+
+  test("count(*) over an empty projection still scans correctly") {
+    assert(read().count() == 200)
+    assert(read(Map("split.bytes" -> "64")).count() == 200)
+  }
+
+  test("header option skips the first line of the file") {
+    val f = new java.io.File(dir, "h.tsv")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.println("id\tgrp\tscore\trank\tday")
+    w.println("1\ta\t2.0\t3\t2024-02-01")
+    w.close()
+    val df = spark.read.format("graft-tsv").schema(schema)
+      .option("header", "true").load(f.getAbsolutePath)
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+}
