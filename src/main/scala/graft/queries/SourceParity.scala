@@ -312,6 +312,43 @@ object SourceParity {
         .orderBy("o_orderpriority")
     })
 
+  /** WRITE path of the DSv2 connector under the oracle gate — the sink
+    * twin of q_dsv2_source, and the catalog's distributed restatement of
+    * the reference's tab-text output contract (single-reducer
+    * TextOutputFormat → parallel two-phase staged commit: dot-prefixed
+    * task staging files, driver-side rename on job commit, overwrite
+    * truncation only after the new generation staged). The write runs
+    * EVERY call (the write is the exhibit, like q_partitioned_sink),
+    * then the same connector reads it back and aggregates; the oracle
+    * states the aggregate over the original parquet, so a pass proves
+    * write serialization + commit protocol + read-back are value-exact
+    * end-to-end. */
+  private val qDsv2Sink = QueryDef(
+    "q_dsv2_sink",
+    Some(s"""
+      |SELECT c_mktsegment, count(*) AS n,
+      |  ${sqlDsum(sqlDec("c_acctbal"))} AS sum_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      import org.apache.spark.sql.types._
+      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_dsv2_sink_${Integer.toHexString(dir.hashCode)}").toString
+      tbl(spark, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        dec("c_acctbal").cast("string").as("c_acctbal_str"))
+        .write.format("graft-tsv").mode("overwrite").save(out)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_mktsegment", StringType),
+        StructField("c_acctbal_str", StringType)))
+      spark.read.format("graft-tsv").schema(schema).load(out)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          dsum(dec(col("c_acctbal_str"))).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    })
+
   /** Pay-once TSV export for q_dsv2_source (same _SUCCESS + source
     * fingerprint guard as the federated exports): project orders to the
     * connector's text conventions — exact decimal STRING for the price
@@ -372,5 +409,6 @@ object SourceParity {
     })
 
   val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qPartitionedSink,
-    qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source)
+    qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source,
+    qDsv2Sink)
 }

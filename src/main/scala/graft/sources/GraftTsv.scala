@@ -89,11 +89,27 @@ final class GraftTsvDataSource extends TableProvider with DataSourceRegister {
 }
 
 final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-tsv ${options.get("path")}"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** Write path in GraftTsvWrite.scala: two-phase commit (dot-prefixed
+    * staging files, driver-side rename) — only committed task output
+    * becomes visible, and the read path's hidden-file filter makes the
+    * staging generation invisible to concurrent readers. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftTsvWriteBuilder(
+      info.schema(),
+      Option(options.get("path")).getOrElse(
+        throw new IllegalArgumentException("graft-tsv: no path given")),
+      Option(options.get("delimiter")).getOrElse("\t").charAt(0),
+      info)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // DataFrameReader merges load(path) and .option(...) into the TABLE
     // properties; per-scan options arrive here. Prefer scan-time values.

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Write path of the graft-tsv DSv2 connector (read path: Dsv2SourceSpec;
+  * value parity of the full write→read→agg loop: q_dsv2_sink).
+  * Contracts proved here:
+  *  - distributed write → connector read round-trips values and NULLs;
+  *  - overwrite truncates the previous generation, append adds to it,
+  *    and part names are job-unique so append never collides;
+  *  - only committed output is visible: no staging files survive a
+  *    successful job, and the read path ignores dot/underscore names by
+  *    construction;
+  *  - the no-embedded-delimiter contract is ENFORCED at write time (a
+  *    tab inside a value fails the job instead of corrupting framing).
+  */
+class Dsv2SinkSpec extends SparkSuite {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("score", DoubleType),
+    StructField("day", DateType)))
+
+  private def mkDf(n: Int, tag: String) = {
+    import spark.implicits._
+    spark.range(n).select(
+      col("id"),
+      concat(lit(tag), col("id")).as("name"),
+      when(col("id") === 3, lit(null)).otherwise(col("id") * 1.5).as("score"),
+      lit("2024-03-05").cast("date").as("day"))
+  }
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("graft_dsv2_sink").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "out").getAbsolutePath
+  }
+
+  test("write then read round-trips values and NULLs") {
+    val dir = freshDir()
+    mkDf(50, "n").repartition(4)
+      .write.format("graft-tsv").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-tsv").schema(schema).load(dir)
+    assert(back.count() == 50)
+    assert(back.filter(col("score").isNull).select("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(3L))
+    assert(back.collect().map(_.toString).sorted.toSeq ===
+      mkDf(50, "n").collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("overwrite truncates, append accumulates without name collisions") {
+    val dir = freshDir()
+    mkDf(10, "a").write.format("graft-tsv").mode("overwrite").save(dir)
+    mkDf(10, "a").write.format("graft-tsv").mode("overwrite").save(dir)
+    val read = () => spark.read.format("graft-tsv").schema(schema).load(dir)
+    assert(read().count() == 10, "overwrite must replace, not accumulate")
+    mkDf(7, "b").write.format("graft-tsv").mode("append").save(dir)
+    assert(read().count() == 17)
+    assert(read().filter(col("name").startsWith("b")).count() == 7)
+  }
+
+  test("a successful job leaves only visible parts and _SUCCESS") {
+    val dir = freshDir()
+    mkDf(20, "v").repartition(3)
+      .write.format("graft-tsv").mode("overwrite").save(dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.count(_.startsWith(".staging-")) == 0,
+      s"staging leak: ${names.mkString(",")}")
+    assert(names.contains("_SUCCESS"))
+    assert(names.count(n => n.startsWith("part-") && n.endsWith(".tsv")) > 0)
+  }
+
+  test("a value containing the delimiter fails the write, not the framing") {
+    val dir = freshDir()
+    import spark.implicits._
+    val bad = Seq((1L, "has\ttab", 1.0, java.sql.Date.valueOf("2024-03-05")))
+      .toDF("id", "name", "score", "day")
+    val e = intercept[Exception] {
+      bad.write.format("graft-tsv").mode("overwrite").save(dir)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("contains the delimiter"))), e.toString)
+    // failed job published nothing
+    val f = new java.io.File(dir)
+    assert(!f.exists() || f.listFiles().forall(x =>
+      !(x.getName.startsWith("part-") || x.getName == "_SUCCESS")))
+  }
+
+  test("empty partitions produce no empty part files") {
+    val dir = freshDir()
+    mkDf(2, "e").repartition(8)
+      .write.format("graft-tsv").mode("overwrite").save(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).toSeq
+    assert(parts.size <= 2, s"expected <=2 non-empty parts, got ${parts.size}")
+    assert(parts.forall(_.length > 0))
+  }
+}
