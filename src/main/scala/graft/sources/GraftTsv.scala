@@ -95,7 +95,8 @@ final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStrin
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
 
   /** Write path in GraftTsvWrite.scala: two-phase commit (dot-prefixed
     * staging files, driver-side rename) — only committed task output
@@ -185,7 +186,7 @@ final class GraftTsvScan(
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
 
-  private def listFiles(): Seq[(String, Long)] = {
+  private[sources] def listFiles(): Seq[(String, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
@@ -223,10 +224,133 @@ final class GraftTsvScan(
       override def numRows(): OptionalLong = OptionalLong.empty()
     }
   }
+
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new GraftTsvLinesReadMetric, new GraftTsvRowsEmittedMetric)
+
+  /** Streaming seam of the same scan — see [[GraftTsvMicroBatchStream]].
+    * The micro-batches reuse this scan's reader factory, so whatever the
+    * ScanBuilder negotiated (projection, predicates, metrics) rides along
+    * unchanged — the "declarative plan doesn't know its source is
+    * bounded" claim at the connector level. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftTsvMicroBatchStream(this, splitBytes)
+}
+
+/** Micro-batch FILE-ARRIVAL streaming over a graft-tsv directory: batch
+  * (start, end] is "the files that arrived since the last trigger", each
+  * cut into the same byte-range splits as the batch scan and read by the
+  * SAME reader factory (pushdown + pruning + metrics included).
+  *
+  * The offset is (count, high-water NAME) of the name-sorted listing —
+  * O(1) in the checkpoint regardless of files-ever-seen, unlike a
+  * seen-files map. That works under the standard log-rotation contract:
+  * file names are MONOTONIC (a new arrival sorts after every processed
+  * file — timestamped or counter-suffixed names give this for free; the
+  * graft-tsv batch writer's job-unique part names do NOT promise
+  * cross-job order, so feed a streaming dir from one writer or
+  * timestamp-rotated names) and processed files are immutable. The
+  * contract is ENFORCED, not assumed, and STATELESSLY — every batch plan
+  * revalidates against its start offset alone, so the check survives
+  * query restarts: if the files at/below start.hi are no longer exactly
+  * start.n (late-sorting arrival ⇒ would be silently skipped; deletion ⇒
+  * the window would shift), the stream fails naming the violation
+  * instead of losing data. */
+final class GraftTsvMicroBatchStream(scan: GraftTsvScan, splitBytes: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class FilesOffset(n: Int, hi: String) extends Offset {
+    override def json(): String = {
+      val esc = hi.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"n":$n,"hi":"$esc"}"""
+    }
+  }
+
+  private val OffsetRe = """\{"n":(\d+),"hi":"(.*)"\}""".r
+
+  override def initialOffset(): Offset = FilesOffset(0, "")
+
+  override def deserializeOffset(json: String): Offset = json.trim match {
+    case OffsetRe(n, hi) =>
+      FilesOffset(n.toInt, hi.replace("\\\"", "\"").replace("\\\\", "\\"))
+    case other =>
+      throw new IllegalArgumentException(s"graft-tsv streaming offset: $other")
+  }
+
+  private def snapshot(): FilesOffset = {
+    val files = scan.listFiles() // name-sorted
+    FilesOffset(files.size, files.lastOption.map(_._1).getOrElse(""))
+  }
+
+  // Trigger.AvailableNow: pin the end offset at prepare time so the run
+  // drains exactly the data present at start and stops — files arriving
+  // mid-run belong to the next invocation.
+  @volatile private var availableNowEnd: Option[FilesOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(snapshot())
+
+  override def latestOffset(): Offset =
+    availableNowEnd.getOrElse(snapshot())
+
+  // admission-control variant (SupportsTriggerAvailableNow extends
+  // SupportsAdmissionControl): no rate limiting — a trigger drains to the
+  // pinned/current snapshot regardless of the advisory ReadLimit
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+
+  override def planInputPartitions(start: Offset, `end`: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FilesOffset]
+    val e = `end`.asInstanceOf[FilesOffset]
+    val files = scan.listFiles()
+    val below = files.filter(_._1 <= s.hi)
+    if (below.size != s.n)
+      throw new IllegalStateException(
+        s"graft-tsv streaming: directory mutated non-monotonically — " +
+          s"expected ${s.n} files at/below processed high-water '${s.hi}', " +
+          s"found ${below.size} (${below.map(_._1).takeRight(3).mkString(", ")}); " +
+          "file names must be monotonic (rotate by timestamp/counter) and " +
+          "processed files immutable; refusing to silently skip or re-read")
+    val slice = files.filter(f => f._1 > s.hi && (e.hi.isEmpty || f._1 <= e.hi))
+    slice.flatMap { case (f, len) =>
+      (0L until len by splitBytes).map { off =>
+        GraftTsvInputPartition(f, off, math.min(splitBytes, len - off))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+
+  override def commit(`end`: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class GraftTsvInputPartition(file: String, start: Long, length: Long)
     extends InputPartition
+
+/** SQL-metric surface of the scan (the no-silent-work rule applied to the
+  * connector): `linesRead` counts every line the readers consumed,
+  * `rowsEmitted` what survived the pushed predicates — their difference
+  * is the measured selectivity the pushdown bought, visible in the Spark
+  * UI / `BatchScanExec.metrics` instead of inferred. */
+final class GraftTsvLinesReadMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "linesRead"
+  override def description(): String = "lines read from byte-range splits"
+}
+final class GraftTsvRowsEmittedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "rowsEmitted"
+  override def description(): String = "rows surviving in-reader pushdown"
+}
+final case class GraftTsvTaskMetric(metricName: String, metricValue: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = metricValue
+}
 
 final class GraftTsvReaderFactory(
     fullSchema: StructType,
@@ -356,6 +480,8 @@ final class GraftTsvPartitionReader(
 
   private val text = new Text()
   private var current: InternalRow = _
+  private var linesRead = 0L
+  private var rowsEmitted = 0L
 
   /** Splits `line` on the delimiter, parsing only needed fields into
     * `scratch` (external values). Returns false if the line fails a
@@ -425,7 +551,9 @@ final class GraftTsvPartitionReader(
       if (bytes == 0) return false // EOF
       val line = text.toString
       pos += bytes
+      linesRead += 1
       if (line.nonEmpty && parseAndFilter(line)) {
+        rowsEmitted += 1
         current = toRow()
         return true
       }
@@ -434,6 +562,11 @@ final class GraftTsvPartitionReader(
   }
 
   override def get(): InternalRow = current
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(GraftTsvTaskMetric("linesRead", linesRead),
+      GraftTsvTaskMetric("rowsEmitted", rowsEmitted))
 
   override def close(): Unit = {
     lineReader.close() // closes the underlying stream

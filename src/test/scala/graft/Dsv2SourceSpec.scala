@@ -131,6 +131,22 @@ class Dsv2SourceSpec extends SparkSuite {
     assert(read(Map("split.bytes" -> "64")).count() == 200)
   }
 
+  test("custom SQL metrics expose pushdown selectivity (linesRead vs rowsEmitted)") {
+    val q = read().filter(col("grp") === "g3")
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+    }.getOrElse(q.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    assert(scan.metrics("linesRead").value == 200,
+      s"all lines consumed: ${scan.metrics("linesRead").value}")
+    val expected = 200 / 7 + (if (3 < 200 % 7) 1 else 0)
+    assert(scan.metrics("rowsEmitted").value == expected,
+      s"only g3 rows should survive pushdown: ${scan.metrics("rowsEmitted").value}")
+  }
+
   test("header option skips the first line of the file") {
     val f = new java.io.File(dir, "h.tsv")
     val w = new java.io.PrintWriter(f, "UTF-8")
