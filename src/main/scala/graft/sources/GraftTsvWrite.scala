@@ -82,10 +82,15 @@ final class GraftTsvBatchWrite(
       }
     // job-unique part names: an APPEND must never rename onto a part
     // published by an earlier job (local-FS rename onto an existing
-    // target silently fails and would strand the staged file)
+    // target silently fails and would strand the staged file). rename's
+    // Boolean is CHECKED — an unpublished staged file is data loss, the
+    // one failure a commit protocol exists to prevent.
     val job = queryId.replaceAll("[^a-zA-Z0-9]", "").take(8)
     staged.zipWithIndex.foreach { case (name, i) =>
-      f.rename(new Path(dir, name), new Path(dir, f"part-$job-$i%05d.tsv"))
+      val target = new Path(dir, f"part-$job-$i%05d.tsv")
+      if (!f.rename(new Path(dir, name), target))
+        throw new IllegalStateException(
+          s"graft-tsv commit: failed to publish staged $name as $target")
     }
     sweep(f, dir) // staging files from failed/speculative attempts
     f.create(new Path(dir, "_SUCCESS"), true).close()

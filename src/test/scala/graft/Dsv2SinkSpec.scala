@@ -92,6 +92,43 @@ class Dsv2SinkSpec extends SparkSuite {
       !(x.getName.startsWith("part-") || x.getName == "_SUCCESS")))
   }
 
+  test("speculative duplicate attempt: only the committed attempt publishes") {
+    // drive the write API directly — the seam Spark's speculation uses:
+    // two attempts of the SAME partition write different staging files;
+    // the driver's commit receives only the winner's message, the
+    // loser's abort() runs. Exactly-once means the loser's rows never
+    // become visible and its staging file is gone.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = freshDir()
+    val s = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = "specjob"
+      override def schema(): StructType = s
+      override def options() =
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap())
+    }
+    val write = new graft.sources.GraftTsvWriteBuilder(s, dir, '\t', info)
+      .build().toBatch
+    val factory = write.createBatchWriterFactory(null)
+    def row(id: Long, name: String) =
+      InternalRow(id, UTF8String.fromString(name))
+    val winner = factory.createWriter(0, 1L)
+    winner.write(row(1, "winner"))
+    val winnerMsg = winner.commit()
+    val loser = factory.createWriter(0, 2L) // speculative twin
+    loser.write(row(2, "loser"))
+    loser.abort() // killed by the scheduler after the winner committed
+    write.commit(Array(winnerMsg))
+    val back = spark.read.format("graft-tsv").schema(s).load(dir).collect()
+    assert(back.map(_.getString(1)).toSeq === Seq("winner"))
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!names.exists(_.startsWith(".staging-")),
+      s"loser's staging must be cleaned: ${names.mkString(",")}")
+  }
+
   test("empty partitions produce no empty part files") {
     val dir = freshDir()
     mkDf(2, "e").repartition(8)
