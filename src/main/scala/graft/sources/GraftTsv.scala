@@ -121,10 +121,32 @@ final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStrin
 }
 
 final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var countStarPushed = false
+
+  /** COUNT(*) pushdown (PARTIAL: one count row per split, Spark sums the
+    * partials): the reader counts lines that pass the pushed predicates
+    * without building a row per line — over 100 TB of text a bare
+    * count(*) parses NOTHING (predicate columns only, when present) and
+    * ships one long per split. Group-bys and other aggregates stay in
+    * Spark, where partial aggregation already does the right thing. */
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    false
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().length == 1 &&
+      aggregation.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) countStarPushed = true
+    ok
+  }
 
   private def supportedType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | StringType | DateType => true
@@ -163,7 +185,8 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
     delimiter = Option(options.get("delimiter")).getOrElse("\t").charAt(0),
     splitBytes = Option(options.get("split.bytes")).map(_.toLong)
       .getOrElse(64L * 1024 * 1024),
-    header = Option(options.get("header")).exists(_.equalsIgnoreCase("true")))
+    header = Option(options.get("header")).exists(_.equalsIgnoreCase("true")),
+    countOnly = countStarPushed)
 }
 
 final class GraftTsvScan(
@@ -173,9 +196,14 @@ final class GraftTsvScan(
     path: String,
     delimiter: Char,
     splitBytes: Long,
-    header: Boolean) extends Scan with Batch with SupportsReportStatistics {
+    header: Boolean,
+    countOnly: Boolean = false) extends Scan with Batch with SupportsReportStatistics {
 
-  override def readSchema(): StructType = required
+  // under pushed COUNT(*) the scan's output is the partial count, one
+  // long per split (Spark's positional mapping; the name is cosmetic)
+  override def readSchema(): StructType =
+    if (countOnly) StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    else required
   override def toBatch: Batch = this
 
   /** Plan visibility: v2 scans surface `description()` in `.explain`, so
@@ -184,7 +212,8 @@ final class GraftTsvScan(
   override def description(): String =
     s"GraftTsvScan path=$path, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.catalogString}"
+      (if (countOnly) "PushedAggregation: [COUNT(*)], " else "") +
+      s"ReadSchema: ${readSchema().catalogString}"
 
   private[sources] def listFiles(): Seq[(String, Long)] = {
     val p = new Path(path)
@@ -215,7 +244,8 @@ final class GraftTsvScan(
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftTsvReaderFactory(fullSchema, required, pushed, delimiter, header)
+    new GraftTsvReaderFactory(fullSchema, required, pushed, delimiter, header,
+      countOnly)
 
   override def estimateStatistics(): Statistics = {
     val bytes = listFiles().map(_._2).sum
@@ -357,10 +387,12 @@ final class GraftTsvReaderFactory(
     required: StructType,
     pushed: Array[Filter],
     delimiter: Char,
-    header: Boolean) extends PartitionReaderFactory {
+    header: Boolean,
+    countOnly: Boolean = false) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftTsvInputPartition]
-    new GraftTsvPartitionReader(p, fullSchema, required, pushed, delimiter, header)
+    new GraftTsvPartitionReader(p, fullSchema, required, pushed, delimiter,
+      header, countOnly)
   }
 }
 
@@ -374,7 +406,8 @@ final class GraftTsvPartitionReader(
     required: StructType,
     pushed: Array[Filter],
     delimiter: Char,
-    header: Boolean) extends PartitionReader[InternalRow] {
+    header: Boolean,
+    countOnly: Boolean = false) extends PartitionReader[InternalRow] {
 
   private val end = split.start + split.length
 
@@ -542,7 +575,29 @@ final class GraftTsvPartitionReader(
     row
   }
 
+  private var countDone = false
+
   override def next(): Boolean = {
+    // Pushed COUNT(*): drain the split counting predicate survivors and
+    // emit ONE partial-count row — no per-line InternalRow ever exists.
+    if (countOnly) {
+      if (countDone) return false
+      var c = 0L
+      while (pos <= end) {
+        val bytes = lineReader.readLine(text)
+        if (bytes == 0) { pos = end + 1 } // EOF
+        else {
+          pos += bytes
+          linesRead += 1
+          if (text.getLength > 0 && (preds.isEmpty || parseAndFilter(text.toString)))
+            c += 1
+        }
+      }
+      rowsEmitted = 1
+      current = new GenericInternalRow(Array[Any](c))
+      countDone = true
+      return true
+    }
     // a line belongs to this split iff it STARTS at offset <= end (the
     // next split discards its first line, so we must read through the
     // boundary — TextInputFormat's exactly-once protocol)

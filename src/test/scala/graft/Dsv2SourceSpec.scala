@@ -147,6 +147,22 @@ class Dsv2SourceSpec extends SparkSuite {
       s"only g3 rows should survive pushdown: ${scan.metrics("rowsEmitted").value}")
   }
 
+  test("COUNT(*) pushes into the source as one partial count per split") {
+    val q = read(Map("split.bytes" -> "512")).groupBy().count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [COUNT(*)]"), plan)
+    assert(q.collect().head.getLong(0) == 200)
+    // pushed predicates are honored by the pushed count
+    val qf = read().filter(col("grp") === "g3").groupBy().count()
+    assert(qf.queryExecution.executedPlan.toString
+      .contains("PushedAggregation: [COUNT(*)]"))
+    assert(qf.collect().head.getLong(0) == 29)
+    // grouped aggregates stay in Spark (partial agg already optimal there)
+    val qg = read().groupBy("grp").count()
+    assert(!qg.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(qg.collect().map(_.getLong(1)).sum == 200)
+  }
+
   test("header option skips the first line of the file") {
     val f = new java.io.File(dir, "h.tsv")
     val w = new java.io.PrintWriter(f, "UTF-8")
