@@ -68,6 +68,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * same no-embedded-delimiter contract the reference's tab-separated
   * output format has (its K\tV sink at TextOutputFormat defaults).
   */
+/** Hadoop `Configuration` is not `java.io.Serializable`, but every task
+  * (reader and writer) needs the DRIVER's filesystem settings —
+  * `spark.hadoop.*`, core-site credentials, object-store endpoints. Built
+  * on the driver from a snapshot COPY of `sparkContext.hadoopConfiguration`
+  * (a copy so concurrent driver-side mutation can't race serialization)
+  * and shipped via `Configuration`'s own Writable encoding. Without this,
+  * `new Configuration()` would silently drop the session's fs config and
+  * the connector would only work on an unauthenticated local FS. */
+final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+object SerializableHadoopConf {
+  /** Snapshot the active session's Hadoop conf (driver side only). */
+  def fromSession(): SerializableHadoopConf = new SerializableHadoopConf(
+    new Configuration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
+}
+
 final class GraftTsvDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-tsv"
 
@@ -100,8 +128,9 @@ final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStrin
 
   /** Write path in GraftTsvWrite.scala: two-phase commit (dot-prefixed
     * staging files, driver-side rename) — only committed task output
-    * becomes visible, and the read path's hidden-file filter makes the
-    * staging generation invisible to concurrent readers. */
+    * becomes visible; visibility itself is the atomic `_gen` manifest
+    * swap (GraftTsvManifest), which the read path resolves, so a
+    * concurrent reader sees exactly one complete generation. */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -178,15 +207,23 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftTsvScan(
-    fullSchema, required, pushed,
-    path = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("graft-tsv: no path given")),
-    delimiter = Option(options.get("delimiter")).getOrElse("\t").charAt(0),
-    splitBytes = Option(options.get("split.bytes")).map(_.toLong)
-      .getOrElse(64L * 1024 * 1024),
-    header = Option(options.get("header")).exists(_.equalsIgnoreCase("true")),
-    countOnly = countStarPushed)
+  override def build(): Scan = {
+    val splitBytes = Option(options.get("split.bytes")).map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+    // a non-positive split size would make every by-splitBytes range empty
+    // and the scan silently return ZERO rows — fail loudly instead
+    require(splitBytes > 0,
+      s"graft-tsv: split.bytes must be positive, got $splitBytes")
+    new GraftTsvScan(
+      fullSchema, required, pushed,
+      path = Option(options.get("path")).getOrElse(
+        throw new IllegalArgumentException("graft-tsv: no path given")),
+      delimiter = Option(options.get("delimiter")).getOrElse("\t").charAt(0),
+      splitBytes = splitBytes,
+      header = Option(options.get("header")).exists(_.equalsIgnoreCase("true")),
+      countOnly = countStarPushed,
+      hconf = SerializableHadoopConf.fromSession())
+  }
 }
 
 final class GraftTsvScan(
@@ -197,7 +234,9 @@ final class GraftTsvScan(
     delimiter: Char,
     splitBytes: Long,
     header: Boolean,
-    countOnly: Boolean = false) extends Scan with Batch with SupportsReportStatistics {
+    countOnly: Boolean = false,
+    hconf: SerializableHadoopConf = SerializableHadoopConf.fromSession())
+    extends Scan with Batch with SupportsReportStatistics {
 
   // under pushed COUNT(*) the scan's output is the partial count, one
   // long per split (Spark's positional mapping; the name is cosmetic)
@@ -215,12 +254,21 @@ final class GraftTsvScan(
       (if (countOnly) "PushedAggregation: [COUNT(*)], " else "") +
       s"ReadSchema: ${readSchema().catalogString}"
 
+  /** Fresh directory listing — streaming triggers need to SEE new files,
+    * so this is uncached; the batch paths go through [[batchListing]]. */
   private[sources] def listFiles(): Seq[(String, Long)] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hconf.value)
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     val expanded = matched.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
+      if (st.isDirectory) {
+        // generation resolution: a directory written by the graft-tsv
+        // sink carries _gen-N manifests; the HIGHEST one defines the
+        // current contents (atomic-overwrite visibility — see
+        // GraftTsvManifest). No manifest = plain listing (legacy dirs).
+        val children = fs.listStatus(st.getPath).toSeq.map(c => c.getPath.getName -> c)
+        GraftTsvManifest.resolve(children, fs, st.getPath).map(_._2)
+      } else Seq(st)
     }
     expanded
       .filter(st => st.isFile && st.getLen > 0)
@@ -232,12 +280,20 @@ final class GraftTsvScan(
       .sortBy(_._1)
   }
 
+  /** One listing per BATCH scan: estimateStatistics and
+    * planInputPartitions (and repeated stats consultations by the
+    * planner) share this snapshot, so a query pays exactly one directory
+    * listing — against an object store with 100k+ files each listing is
+    * thousands of paged LIST calls of driver latency, and a second one
+    * would also race concurrent file arrival between stats and planning. */
+  private lazy val batchListing: Seq[(String, Long)] = listFiles()
+
   /** One InputPartition per byte range: planning is METADATA-ONLY (a file
     * listing — no data read), so planning cost is O(files), not O(bytes);
     * the ranges give a 100 TB single-directory scan bytes/splitBytes-way
     * parallelism regardless of file count. */
   override def planInputPartitions(): Array[InputPartition] =
-    listFiles().flatMap { case (f, len) =>
+    batchListing.flatMap { case (f, len) =>
       (0L until len by splitBytes).map { off =>
         GraftTsvInputPartition(f, off, math.min(splitBytes, len - off))
       }
@@ -245,10 +301,10 @@ final class GraftTsvScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftTsvReaderFactory(fullSchema, required, pushed, delimiter, header,
-      countOnly)
+      countOnly, hconf)
 
   override def estimateStatistics(): Statistics = {
-    val bytes = listFiles().map(_._2).sum
+    val bytes = batchListing.map(_._2).sum
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
       override def numRows(): OptionalLong = OptionalLong.empty()
@@ -311,9 +367,19 @@ final class GraftTsvMicroBatchStream(scan: GraftTsvScan, splitBytes: Long)
       throw new IllegalArgumentException(s"graft-tsv streaming offset: $other")
   }
 
+  // One listing per trigger, not three: snapshot() (latestOffset) caches
+  // the listing keyed by the offset it produced, and planInputPartitions
+  // reuses it when planning to that same end offset — only a restart
+  // (end offset recovered from the checkpoint, no cached snapshot)
+  // re-lists. The monotonic-contract validation runs against whichever
+  // listing is actually used.
+  @volatile private var lastSnapshot: (FilesOffset, Seq[(String, Long)]) = _
+
   private def snapshot(): FilesOffset = {
     val files = scan.listFiles() // name-sorted
-    FilesOffset(files.size, files.lastOption.map(_._1).getOrElse(""))
+    val off = FilesOffset(files.size, files.lastOption.map(_._1).getOrElse(""))
+    lastSnapshot = (off, files)
+    off
   }
 
   // Trigger.AvailableNow: pin the end offset at prepare time so the run
@@ -336,7 +402,8 @@ final class GraftTsvMicroBatchStream(scan: GraftTsvScan, splitBytes: Long)
   override def planInputPartitions(start: Offset, `end`: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FilesOffset]
     val e = `end`.asInstanceOf[FilesOffset]
-    val files = scan.listFiles()
+    val snap = lastSnapshot
+    val files = if (snap != null && snap._1 == e) snap._2 else scan.listFiles()
     val below = files.filter(_._1 <= s.hi)
     if (below.size != s.n)
       throw new IllegalStateException(
@@ -388,11 +455,12 @@ final class GraftTsvReaderFactory(
     pushed: Array[Filter],
     delimiter: Char,
     header: Boolean,
-    countOnly: Boolean = false) extends PartitionReaderFactory {
+    countOnly: Boolean,
+    hconf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftTsvInputPartition]
     new GraftTsvPartitionReader(p, fullSchema, required, pushed, delimiter,
-      header, countOnly)
+      header, countOnly, hconf)
   }
 }
 
@@ -407,7 +475,8 @@ final class GraftTsvPartitionReader(
     pushed: Array[Filter],
     delimiter: Char,
     header: Boolean,
-    countOnly: Boolean = false) extends PartitionReader[InternalRow] {
+    countOnly: Boolean,
+    hconf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
 
   private val end = split.start + split.length
 
@@ -419,13 +488,14 @@ final class GraftTsvPartitionReader(
     (outIdx ++ filterCols.map(fullSchema.fieldIndex)).distinct.sorted
   private val maxNeeded: Int = if (neededIdx.isEmpty) -1 else neededIdx.max
 
-  // parsed external values land in a dense scratch array indexed by FULL
-  // schema position (bounded by the schema width, not the corpus)
+  // parsed INTERNAL values (Long/Int/Double/epoch-day Int/UTF8String)
+  // land in a dense scratch array indexed by FULL schema position
+  // (bounded by the schema width, not the corpus)
   private val scratch = new Array[Any](fullSchema.length)
 
   /** A pushed predicate compiled to (full-schema index, test). Values are
-    * compared in the column's EXTERNAL type (Long/Int/Double/String/Int
-    * epoch-day), converting the literal once here, not per row. */
+    * compared in the column's INTERNAL type, converting the literal once
+    * here, not per row, via [[cmp]]'s Spark-semantics comparators. */
   private val preds: Array[(Int, Any => Boolean)] = pushed.map(compile)
 
   private def toEpochDay(v: Any): Int = v match {
@@ -447,18 +517,29 @@ final class GraftTsvPartitionReader(
       case n: java.lang.Number => n.doubleValue()
       case other => other.toString.toDouble
     }
-    case StringType => v.toString
+    case StringType => UTF8String.fromString(v.toString)
     case DateType => toEpochDay(v)
     case other => throw new IllegalArgumentException(s"unsupported type $other")
   }
 
+  /** Comparison with SPARK's SQL semantics, not Java's — a pushed filter
+    * is not re-evaluated post-scan, so any divergence here is silent
+    * wrong results. Two deliberate departures from the obvious Java code:
+    * doubles normalize -0.0 to 0.0 before Double.compare (Spark: -0.0 =
+    * 0.0 is true, -0.0 < 0.0 is false; Double.compare alone says -1),
+    * keeping Double.compare's NaN handling (NaN = NaN true, NaN largest —
+    * Spark's documented NaN semantics). Strings compare as UTF8String
+    * (unsigned UTF-8 bytes) — String.compareTo is UTF-16 code-unit order,
+    * which disagrees above the BMP (a surrogate 0xD800-0xDFFF sorts below
+    * U+E000..U+FFFF, but its code point is higher). */
   private def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
     case LongType => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
     case IntegerType | DateType =>
       Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
     case DoubleType =>
-      java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
-    case StringType => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+      def norm(d: Double): Double = if (d == 0.0) 0.0 else d
+      java.lang.Double.compare(norm(a.asInstanceOf[Double]), norm(b.asInstanceOf[Double]))
+    case StringType => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
     case other => throw new IllegalArgumentException(s"unsupported type $other")
   }
 
@@ -493,7 +574,7 @@ final class GraftTsvPartitionReader(
   }
 
   private val fs: FileSystem =
-    new Path(split.file).getFileSystem(new Configuration())
+    new Path(split.file).getFileSystem(hconf.value)
   private val stream: FSDataInputStream = fs.open(new Path(split.file))
   private var pos: Long = split.start
   private val lineReader: LineReader = {
@@ -552,7 +633,7 @@ final class GraftTsvPartitionReader(
   private def convert(dt: DataType, line: String, from: Int, to: Int): Any = {
     val s = line.substring(from, to)
     dt match {
-      case StringType => s
+      case StringType => UTF8String.fromString(s)
       case LongType => java.lang.Long.parseLong(s)
       case IntegerType => Integer.parseInt(s)
       case DoubleType => java.lang.Double.parseDouble(s)
@@ -565,11 +646,10 @@ final class GraftTsvPartitionReader(
     val row = new GenericInternalRow(outIdx.length)
     var i = 0
     while (i < outIdx.length) {
-      val v = scratch(outIdx(i))
-      row.update(i, if (v == null) null else required.fields(i).dataType match {
-        case StringType => UTF8String.fromString(v.asInstanceOf[String])
-        case _ => v // Long/Int/Double/epoch-day Int are already internal
-      })
+      // scratch values are already INTERNAL (Long/Int/Double/epoch-day
+      // Int/UTF8String) — parsed once, compared and emitted with no
+      // further conversion
+      row.update(i, scratch(outIdx(i)))
       i += 1
     }
     row

@@ -21,13 +21,31 @@ import org.apache.spark.sql.types._
   *     the read path, which filters `_`/`.` names (GraftTsvScan), so a
   *     concurrent reader never sees a half-written file;
   *   - the task's commit MESSAGE carries the staging name; only the
-  *     driver-side `BatchWrite.commit` renames staged files to visible
-  *     `part-NNNNN.tsv` names — a speculative or failed duplicate task
-  *     attempt is simply never renamed (its message is not in the commit
-  *     set; `abort` sweeps leftovers);
-  *   - overwrite (`SupportsTruncate`) deletes the PREVIOUS visible files
-  *     inside `commit`, after the new generation staged successfully —
-  *     the old data stays readable until the new data is complete.
+  *     driver-side `BatchWrite.commit` renames staged files to
+  *     `part-<job>-NNNNN.tsv` names — a speculative or failed duplicate
+  *     task attempt is simply never renamed (its message is not in the
+  *     commit set; `abort` sweeps leftovers);
+  *   - VISIBILITY IS A MANIFEST SWAP, not the file rename: the table's
+  *     current contents are the part names listed in the
+  *     highest-numbered `_gen-NNNNNNNNNN` file ([[GraftTsvManifest]]),
+  *     which the read path resolves; a part file not referenced there is
+  *     invisible no matter what it is named. Commit renames the new parts
+  *     in (unreferenced = still invisible), then renames ONE tmp file to
+  *     `_gen-<n+1>` — a single atomic metadata operation, so a reader
+  *     always resolves either generation n (complete old data) or n+1
+  *     (complete new data), never empty, never a mix. Only AFTER the swap
+  *     are superseded/unreferenced parts and older `_gen` files deleted;
+  *     a crash anywhere leaves the last published generation fully
+  *     readable (worst case: orphaned unreferenced files, cleaned by the
+  *     next commit). Generations also make overwrite exactly-once against
+  *     a DRIVER retry of commit itself: a replayed rename onto an
+  *     existing `_gen` target fails loudly instead of double-publishing.
+  *     Directories never written by this sink have no manifest and read
+  *     as a plain listing (legacy mode); the first commit into one
+  *     adopts the existing visible parts into generation 1.
+  *     One writer per directory at a time (the standard single-writer
+  *     contract of file-manifest tables); concurrent commits race on the
+  *     `_gen` rename and the loser fails without corrupting state.
   *
   * Values serialize by the connector's documented text conventions
   * (GraftTsv.scala scaladoc): NULL → empty field, dates → ISO, and the
@@ -48,7 +66,51 @@ final class GraftTsvWriteBuilder(
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftTsvBatchWrite(schema, path, delimiter, truncateOnCommit,
-        info.queryId())
+        info.queryId(), SerializableHadoopConf.fromSession())
+  }
+}
+
+/** The generation-manifest layer shared by the writer (publishes) and the
+  * reader (resolves): `_gen-NNNNNNNNNN` files (zero-padded so lexical max
+  * = numeric max) each list the part NAMES visible in that generation,
+  * one per line. Underscore prefix keeps manifests out of the data-file
+  * listing by the connector's own hidden-file rule. */
+object GraftTsvManifest {
+  val Prefix = "_gen-"
+
+  def genName(n: Long): String = f"$Prefix$n%010d"
+
+  def genNumber(name: String): Option[Long] =
+    if (name.startsWith(Prefix)) name.stripPrefix(Prefix).toLongOption else None
+
+  /** Part names of the given manifest file. */
+  def read(fs: FileSystem, manifest: Path): Seq[String] = {
+    val in = fs.open(manifest)
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+    } finally in.close()
+  }
+
+  /** Resolve a directory listing to the CURRENT generation's files:
+    * highest `_gen` manifest wins; no manifest = legacy plain listing.
+    * `files` are (name, status) of the directory's children. */
+  def resolve[A](children: Seq[(String, A)], fs: FileSystem, dir: Path): Seq[(String, A)] = {
+    val gens = children.map(_._1).flatMap(n => genNumber(n).map(_ -> n))
+    if (gens.isEmpty) children
+    else {
+      val latest = gens.maxBy(_._1)._2
+      val referenced = read(fs, new Path(dir, latest)).toSet
+      val present = children.filter(c => referenced.contains(c._1))
+      if (present.size != referenced.size) {
+        val missing = referenced -- present.map(_._1).toSet
+        throw new IllegalStateException(
+          s"graft-tsv: manifest $latest in $dir references missing part files " +
+            s"(${missing.take(3).mkString(", ")}) — directory state corrupted " +
+            "(files deleted outside the commit protocol?)")
+      }
+      present
+    }
   }
 }
 
@@ -59,40 +121,76 @@ final class GraftTsvBatchWrite(
     path: String,
     delimiter: Char,
     truncate: Boolean,
-    queryId: String) extends BatchWrite {
+    queryId: String,
+    hconf: SerializableHadoopConf) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftTsvWriterFactory(schema, path, delimiter, queryId)
+    new GraftTsvWriterFactory(schema, path, delimiter, queryId, hconf)
 
-  private def fs(): FileSystem = new Path(path).getFileSystem(new Configuration())
+  private def fs(): FileSystem = new Path(path).getFileSystem(hconf.value)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs()
     val dir = new Path(path)
+    if (!f.exists(dir)) f.mkdirs(dir) // commit of an all-empty-partition job
     val staged = messages.collect {
       case GraftTsvCommitMessage(Some(name)) => name
     }
-    // truncate AFTER the new generation is fully staged: old files stay
-    // readable up to this point
-    if (truncate && f.exists(dir))
-      f.listStatus(dir).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isFile && !n.startsWith(".") && !n.startsWith("_"))
-          f.delete(st.getPath, false)
-      }
-    // job-unique part names: an APPEND must never rename onto a part
-    // published by an earlier job (local-FS rename onto an existing
-    // target silently fails and would strand the staged file). rename's
-    // Boolean is CHECKED — an unpublished staged file is data loss, the
-    // one failure a commit protocol exists to prevent.
+    def visiblePart(n: String) = !n.startsWith(".") && !n.startsWith("_")
+    val children = f.listStatus(dir).toSeq.map(st => st.getPath.getName -> st)
+    val curGen: Option[Long] =
+      children.flatMap(c => GraftTsvManifest.genNumber(c._1)).maxOption
+    // the CURRENT visible set: highest manifest, or (first commit into a
+    // pre-existing plain directory) the legacy listing, adopted
+    val currentVisible: Seq[String] = curGen match {
+      case Some(g) =>
+        GraftTsvManifest.read(f, new Path(dir, GraftTsvManifest.genName(g)))
+      case None =>
+        children.collect { case (n, st) if st.isFile && visiblePart(n) => n }
+    }
+    // 1. publish new parts under JOB-UNIQUE names — never renaming onto a
+    //    part from an earlier job (local-FS rename onto an existing target
+    //    silently fails and would strand the staged file). The names are
+    //    visible-style but UNREFERENCED, so readers don't see them yet.
+    //    rename's Boolean is CHECKED — an unpublished staged file is data
+    //    loss, the one failure a commit protocol exists to prevent.
     val job = queryId.replaceAll("[^a-zA-Z0-9]", "").take(8)
-    staged.zipWithIndex.foreach { case (name, i) =>
-      val target = new Path(dir, f"part-$job-$i%05d.tsv")
-      if (!f.rename(new Path(dir, name), target))
+    val newParts = staged.zipWithIndex.map { case (name, i) =>
+      val target = f"part-$job-$i%05d.tsv"
+      if (!f.rename(new Path(dir, name), new Path(dir, target)))
         throw new IllegalStateException(
           s"graft-tsv commit: failed to publish staged $name as $target")
+      target
     }
-    sweep(f, dir) // staging files from failed/speculative attempts
+    // 2. the atomic visibility flip: write the next generation's manifest
+    //    to a hidden tmp name, then ONE rename to _gen-<n+1>
+    val nextVisible = (if (truncate) Seq.empty else currentVisible) ++ newParts
+    val tmp = new Path(dir, s".manifest-$job-${UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(nextVisible.map(_ + "\n").mkString.getBytes("UTF-8"))
+    finally out.close()
+    val genPath = new Path(dir, GraftTsvManifest.genName(curGen.getOrElse(0L) + 1))
+    if (!f.rename(tmp, genPath))
+      throw new IllegalStateException(
+        s"graft-tsv commit: failed to publish $genPath — a concurrent writer " +
+          "took this generation or the commit was replayed; directory state " +
+          "is untouched (the previous generation remains current)")
+    // 3. cleanup only AFTER the swap: superseded or orphaned parts, older
+    //    manifests, leftover staging files — a crash before this point
+    //    leaves garbage for the next commit, never a broken table
+    val keep = nextVisible.toSet
+    children.foreach { case (n, st) =>
+      if (st.isFile && visiblePart(n) && !keep.contains(n))
+        f.delete(st.getPath, false)
+      else if (GraftTsvManifest.genNumber(n).isDefined ||
+          n.startsWith(".staging-") || n.startsWith(".manifest-"))
+        // older manifests, and — single-writer contract — staging/tmp
+        // leftovers of CRASHED jobs (this job's were renamed or belong to
+        // uncommitted attempts, swept below); `children` predates this
+        // commit's own files, so nothing current is touched
+        f.delete(st.getPath, false)
+    }
+    sweep(f, dir) // staging files from this job's failed/speculative attempts
     f.create(new Path(dir, "_SUCCESS"), true).close()
   }
 
@@ -114,9 +212,11 @@ final class GraftTsvWriterFactory(
     schema: StructType,
     path: String,
     delimiter: Char,
-    queryId: String) extends DataWriterFactory {
+    queryId: String,
+    hconf: SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftTsvDataWriter(schema, path, delimiter, queryId, partitionId, taskId)
+    new GraftTsvDataWriter(schema, path, delimiter, queryId, partitionId, taskId,
+      hconf)
 }
 
 /** Task-side writer: serialize to a staging file, hand the name back in
@@ -128,14 +228,15 @@ final class GraftTsvDataWriter(
     delimiter: Char,
     queryId: String,
     partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+    taskId: Long,
+    hconf: SerializableHadoopConf) extends DataWriter[InternalRow] {
 
   // task attempt id in the name keeps concurrent speculative attempts of
   // the same partition from colliding on one staging file
   private val stagedName =
     s".staging-$queryId-$partitionId-$taskId-${UUID.randomUUID().toString.take(8)}"
   private var out: java.io.BufferedWriter = _
-  private lazy val fs: FileSystem = new Path(path).getFileSystem(new Configuration())
+  private lazy val fs: FileSystem = new Path(path).getFileSystem(hconf.value)
 
   private def ensureOpen(): Unit = if (out == null) {
     val dir = new Path(path)

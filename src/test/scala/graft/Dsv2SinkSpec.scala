@@ -129,6 +129,63 @@ class Dsv2SinkSpec extends SparkSuite {
       s"loser's staging must be cleaned: ${names.mkString(",")}")
   }
 
+  test("overwrite visibility is atomic: every crash state is a complete generation") {
+    // walk the commit protocol's observable directory states by hand and
+    // assert each one READS as exactly one complete generation — never
+    // empty, never a mix of generations. This is the guarantee the _gen
+    // manifest swap exists for: visibility flips on ONE rename.
+    val s = StructType(Seq(StructField("id", LongType)))
+    val dir = new java.io.File(freshDir()); dir.mkdirs()
+    def put(name: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+      lines.foreach(w.println); w.close()
+    }
+    def readIds(): Seq[Long] = spark.read.format("graft-tsv").schema(s)
+      .load(dir.getAbsolutePath).collect().map(_.getLong(0)).sorted.toSeq
+
+    // generation 1 published: part-old visible
+    put("part-old-00000.tsv", "1", "2")
+    put("_gen-0000000001", "part-old-00000.tsv")
+    assert(readIds() === Seq(1L, 2L))
+    // crash state: new job staged its file — invisible (dot name)
+    put(".staging-job2-0-1-abc", "10", "11")
+    assert(readIds() === Seq(1L, 2L))
+    // crash state: new parts renamed in but manifest NOT yet swapped —
+    // visible-style NAME, still unreferenced, still invisible
+    put("part-new-00000.tsv", "10", "11")
+    assert(readIds() === Seq(1L, 2L), "unreferenced part must stay invisible")
+    // the swap: one file appears and the table flips to the new
+    // generation, old parts still on disk but superseded
+    put("_gen-0000000002", "part-new-00000.tsv")
+    assert(readIds() === Seq(10L, 11L), "highest generation wins")
+    // cleanup happened: state is equivalent either way (reader already
+    // ignores old generation), and the NEXT real overwrite removes it all
+    mkDf(3, "z").write.format("graft-tsv").mode("overwrite")
+      .save(dir.getAbsolutePath)
+    val names = dir.listFiles().map(_.getName).toSeq
+    assert(names.count(_.startsWith("_gen-")) == 1, s"one manifest: $names")
+    assert(!names.contains("part-old-00000.tsv") && !names.contains("part-new-00000.tsv"),
+      s"superseded generations swept: $names")
+    assert(!names.exists(_.startsWith(".staging-")), s"orphan staging swept: $names")
+    val back = spark.read.format("graft-tsv").schema(schema)
+      .load(dir.getAbsolutePath)
+    assert(back.count() == 3)
+  }
+
+  test("a manifest referencing a missing part fails loudly, not silently short") {
+    val dir = new java.io.File(freshDir()); dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "_gen-0000000001"), "UTF-8")
+    w.println("part-ghost-00000.tsv"); w.close()
+    val s = StructType(Seq(StructField("id", LongType)))
+    val e = intercept[Exception] {
+      spark.read.format("graft-tsv").schema(s).load(dir.getAbsolutePath).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("references missing part"))), e.toString)
+  }
+
   test("empty partitions produce no empty part files") {
     val dir = freshDir()
     mkDf(2, "e").repartition(8)

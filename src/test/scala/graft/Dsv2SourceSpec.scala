@@ -163,6 +163,47 @@ class Dsv2SourceSpec extends SparkSuite {
     assert(qg.collect().map(_.getLong(1)).sum == 200)
   }
 
+  test("pushed comparisons use Spark's SQL semantics: ±0.0, NaN, non-BMP strings") {
+    // a pushed filter is NOT re-evaluated post-scan, so the in-reader
+    // comparators must match Spark exactly where Java disagrees with it:
+    // Double.compare says -0.0 < 0.0 (Spark: equal), String.compareTo
+    // orders by UTF-16 units so U+1F600 < U+E000 (Spark compares UTF-8
+    // bytes: U+1F600 > U+E000). Oracle = the same file through Spark csv.
+    val f = new java.io.File(dir, "sem.tsv")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    Seq("1\t😀\t-0.0", "2\t\t0.0", "3\tz\tNaN",
+      "4\ta\t1.0", "5\tb\t-1.0").foreach(w.println)
+    w.close()
+    val s = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("x", DoubleType)))
+    def both(mk: DataFrame => DataFrame): Unit = {
+      val viaDsv2 = mk(spark.read.format("graft-tsv").schema(s)
+        .load(f.getAbsolutePath)).collect().map(_.getLong(0)).sorted.toSeq
+      val viaCsv = mk(spark.read.schema(s).option("sep", "\t")
+        .csv(f.getAbsolutePath)).collect().map(_.getLong(0)).sorted.toSeq
+      assert(viaDsv2 === viaCsv)
+    }
+    both(_.filter(col("x") === 0.0))            // must keep -0.0 AND 0.0
+    both(_.filter(col("x") < 0.0))              // must NOT include -0.0
+    both(_.filter(col("x") >= 0.0))             // -0.0 qualifies; NaN is largest
+    both(_.filter(col("x") > 1.0))              // NaN > everything
+    both(_.filter(col("x") === Double.NaN))     // Spark: NaN = NaN is true
+    both(_.filter(col("s") > ""))         // UTF-8 order: emoji survives
+    both(_.filter(col("s") < ""))
+    both(_.filter(col("s") === "😀"))
+  }
+
+  test("non-positive split.bytes is rejected, not an empty scan") {
+    Seq("-1", "0").foreach { v =>
+      val e = intercept[Exception] {
+        read(Map("split.bytes" -> v)).collect()
+      }
+      assert(e.getMessage.contains("split.bytes must be positive") ||
+        Option(e.getCause).exists(_.getMessage.contains("split.bytes must be positive")),
+        s"split.bytes=$v: ${e.getMessage}")
+    }
+  }
+
   test("header option skips the first line of the file") {
     val f = new java.io.File(dir, "h.tsv")
     val w = new java.io.PrintWriter(f, "UTF-8")
