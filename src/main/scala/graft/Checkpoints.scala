@@ -23,8 +23,25 @@ import org.apache.spark.sql.DataFrame
   *    standard durability/latency trade, chosen per deployment with one
   *    conf instead of a code change.
   *
+  * Re-pointing `graft.checkpoint.dir` mid-session takes effect on the next
+  * truncate (the seam tracks what it last applied to the SparkContext and
+  * re-applies on change — `setCheckpointDir` alone is first-write-wins).
+  *
+  * RETENTION: Spark never deletes reliable checkpoint files on its own
+  * (absent `spark.cleaner.referenceTracking.cleanCheckpoints`, which is
+  * GC-driven and non-deterministic), so a 50-round loop would leak 50
+  * materialized frames into the checkpoint store. The iterative loops
+  * therefore call [[release]] on round N-1's frame once round N is
+  * materialized — the old files are no longer reachable from any live
+  * frame's lineage (checkpointing CUT it), so the store holds O(1) frames
+  * per loop, not O(iterations). The LAST frame's files are left for the
+  * session (deleting them would break the returned, lazily-re-readable
+  * result).
+  *
   * CheckpointSpec runs the components loop through the reliable path and
-  * asserts it reaches the same fixpoint as the default path.
+  * asserts it reaches the same fixpoint as the default path, that a
+  * changed dir conf is honored, and that iteration does not accumulate
+  * checkpoint files.
   */
 object Checkpoints {
 
@@ -32,19 +49,46 @@ object Checkpoints {
     * `checkpoint()` into this directory instead of `localCheckpoint()`. */
   val DirKey = "graft.checkpoint.dir"
 
+  // last dir applied to the SparkContext: re-applying only on CHANGE keeps
+  // one UUID subdir per configured dir, while still honoring a re-point
+  // mid-session (setCheckpointDir alone is first-write-wins)
+  private var applied: Option[String] = None
+
   /** Eagerly truncate `df`'s lineage via the configured checkpoint mode. */
   def truncate(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(DirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        // setCheckpointDir resolves to a fresh UUID subdir; set it once per
-        // context (re-setting per call would scatter files across subdirs)
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        synchronized {
+          if (!applied.contains(dir) || sc.getCheckpointDir.isEmpty) {
+            sc.setCheckpointDir(dir)
+            applied = Some(dir)
+          }
+        }
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }
   }
+
+  /** Best-effort delete of the RELIABLE checkpoint files backing a frame
+    * the caller no longer needs (a superseded loop iteration). No-op for
+    * local checkpoints (block-manager storage is already evicted under
+    * pressure) and for frames that are not checkpoint roots. Only call
+    * once every frame derived from `df` has itself been checkpointed —
+    * after that, nothing can recompute through the deleted files. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile.foreach { path => // Some(..) = reliable only
+          try {
+            val p = new org.apache.hadoop.fs.Path(path)
+            p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          } catch { case _: java.io.IOException => () } // cleanup is advisory
+        }
+      case _ => ()
+    }
 
   /** `.truncateLineage` chain syntax for query builders. */
   implicit final class TruncateOps(private val df: DataFrame) extends AnyVal {

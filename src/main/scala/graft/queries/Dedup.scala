@@ -300,6 +300,7 @@ FROM reach GROUP BY u ORDER BY doc_id"""
       var prevSum = Long.MaxValue
       var converged = false
       var iter = 0
+      var prevHop: org.apache.spark.sql.DataFrame = null
       while (!converged && iter < 50) {
         iter += 1
         // One neighbor-min hop. The checkpoint must stay EAGER: a lazy
@@ -321,6 +322,14 @@ FROM reach GROUP BY u ORDER BY doc_id"""
           .repartition(8, col("u"))
           .groupBy("u").agg(min(col("lbl")).as("lbl"))
           .truncateLineage
+        // round N is materialized ⇒ round N-1's checkpoint is unreachable
+        // from any live lineage (this round's hop read it; the jump below
+        // reads only THIS round's blocks). In reliable mode the superseded
+        // files are deleted here — retention stays O(1) frames per loop,
+        // not O(iterations) (see Checkpoints scaladoc); in local mode
+        // release is a no-op.
+        graft.Checkpoints.release(if (prevHop != null) prevHop else labels)
+        prevHop = hop
         // ...then POINTER JUMPING (path halving): follow the label pointer
         // one more step — lbl' = min(lbl(u), lbl(lbl(u))). Labels reach the
         // component minimum in O(log diameter) rounds instead of
@@ -349,6 +358,9 @@ FROM reach GROUP BY u ORDER BY doc_id"""
         converged = s == prevSum
         prevSum = s
       }
+      // the final fold below reads only `labels` (a jump over the LAST
+      // hop's blocks) — the edge frame is out of every live lineage now
+      graft.Checkpoints.release(edges)
       // fold the active-set labels back over the corpus: docs without a
       // candidate edge are their own component. NO broadcast hint here —
       // the label frame is O(edge endpoints), unbounded by design, so a

@@ -75,6 +75,9 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
       val edgesW = edges.join(deg, "src").truncateLineage
       val nodes = edgesW.select(col("src").as("node_id")).distinct()
         .truncateLineage
+      // edgesW and nodes are materialized ⇒ the seed pair frame's
+      // checkpoint is unreachable; reclaim it in reliable mode
+      graft.Checkpoints.release(e0)
       val nn = nodes.agg(count(lit(1)).as("cnt"))
       var pr = nodes.crossJoin(broadcast(nn))
         .select(col("node_id"), expr(s"${Scale}L div cnt").as("pr"))

@@ -49,6 +49,54 @@ class CheckpointSpec extends SparkSuite {
     assert(reliable === default)
   }
 
+  test("re-pointing graft.checkpoint.dir takes effect (not first-write-wins)") {
+    import spark.implicits._
+    def rddCheckpointDirOf(df: DataFrame): String =
+      df.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.getCheckpointFile.getOrElse(fail("no reliable checkpoint file"))
+        case other => fail(s"not a checkpoint root: $other")
+      }
+    val a = java.nio.file.Files.createTempDirectory("graft_ckpt_a").toString
+    val b = java.nio.file.Files.createTempDirectory("graft_ckpt_b").toString
+    try {
+      spark.conf.set(Checkpoints.DirKey, a)
+      val inA = rddCheckpointDirOf(Checkpoints.truncate(Seq(1).toDF("x")))
+      assert(inA.contains(new java.io.File(a).getName), inA)
+      // store A decommissioned: the conf is re-pointed mid-session — the
+      // seam must follow it, not keep writing into A forever
+      spark.conf.set(Checkpoints.DirKey, b)
+      val inB = rddCheckpointDirOf(Checkpoints.truncate(Seq(2).toDF("x")))
+      assert(inB.contains(new java.io.File(b).getName),
+        s"checkpoint still under the old dir: $inB")
+    } finally {
+      spark.conf.unset(Checkpoints.DirKey)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(a))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(b))
+    }
+  }
+
+  test("iteration retains O(1) checkpointed frames, not O(rounds)") {
+    // Spark never deletes reliable checkpoint files on its own; the loops
+    // release superseded rounds. 50 rounds must not leave 50 rdd-* dirs.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_leak").toString
+    spark.conf.set(Checkpoints.DirKey, dir)
+    try {
+      queries.Catalog.queries("q_dedup_components")(spark, sfDir).collect()
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-"))
+        .filter(p => java.nio.file.Files.isDirectory(p))
+        .count()
+      // live at exit: the last hop (+ the pre-loop candidate/docset
+      // truncations outside the loop) — a handful, NOT one per round
+      assert(rddDirs > 0, "reliable path did not checkpoint at all")
+      assert(rddDirs <= 6, s"checkpoint store leaked $rddDirs rdd-* dirs")
+    } finally {
+      spark.conf.unset(Checkpoints.DirKey)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("pagerank matches through the reliable path") {
     val q = queries.Catalog.queries("q_pagerank")
     val default = collectSorted(q(spark, sfDir))
