@@ -149,6 +149,78 @@ final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStrin
   }
 }
 
+/** Which predicates the reader can evaluate in-line — shared by the
+  * plan-time pushdown (ScanBuilder) and RUNTIME filtering (the scan's
+  * SupportsRuntimeV2Filtering seam). */
+private[sources] object GraftTsvPushdown {
+  def supportedType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | StringType | DateType => true
+    case _ => false
+  }
+
+  private def colOk(schema: StructType, name: String): Boolean =
+    schema.fieldNames.contains(name) &&
+      supportedType(schema(schema.fieldIndex(name)).dataType)
+
+  def supported(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(c, v) => colOk(schema, c) && v != null
+    case GreaterThan(c, v) => colOk(schema, c) && v != null
+    case GreaterThanOrEqual(c, v) => colOk(schema, c) && v != null
+    case LessThan(c, v) => colOk(schema, c) && v != null
+    case LessThanOrEqual(c, v) => colOk(schema, c) && v != null
+    case In(c, vs) => colOk(schema, c) && vs != null && vs.forall(_ != null)
+    case IsNotNull(c) => colOk(schema, c)
+    case _ => false
+  }
+
+  /** V2 `Predicate` → V1 `Filter` for the shapes runtime filtering emits
+    * (the realized join key set is an IN; Spark's own converter is
+    * `private[sql]`). Literal values arrive Catalyst-INTERNAL
+    * (`UTF8String`, epoch-day ints) — the reader's literal conversion
+    * accepts both internal and external forms. Anything unconvertible
+    * maps to None and is dropped: a runtime filter may under-filter
+    * (the join re-checks), never over-filter. */
+  def predicateToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate): Option[Filter] = {
+    import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
+    def ref(e: Expression): Option[String] = e match {
+      case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames()(0))
+      case _ => None
+    }
+    def lit(e: Expression): Option[Any] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.value != null => Some(l.value match {
+        case s: UTF8String => s.toString
+        case v => v
+      })
+      case _ => None
+    }
+    def binary(mk: (String, Any) => Filter): Option[Filter] = p.children() match {
+      case Array(c, v) => for (cc <- ref(c); vv <- lit(v)) yield mk(cc, vv)
+      case _ => None
+    }
+    p.name() match {
+      case "IN" => p.children() match {
+        case kids if kids.length >= 2 =>
+          val vs = kids.tail.map(lit)
+          for (c <- ref(kids.head); _ <- if (vs.forall(_.isDefined)) Some(()) else None)
+            yield In(c, vs.map(_.get))
+        case _ => None
+      }
+      case "=" => binary(EqualTo)
+      case ">" => binary(GreaterThan)
+      case ">=" => binary(GreaterThanOrEqual)
+      case "<" => binary(LessThan)
+      case "<=" => binary(LessThanOrEqual)
+      case "IS_NOT_NULL" => p.children() match {
+        case Array(c) => ref(c).map(IsNotNull)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+}
+
 final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -177,28 +249,9 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
     ok
   }
 
-  private def supportedType(dt: DataType): Boolean = dt match {
-    case LongType | IntegerType | DoubleType | StringType | DateType => true
-    case _ => false
-  }
-
-  private def colOk(name: String): Boolean =
-    fullSchema.fieldNames.contains(name) &&
-      supportedType(fullSchema(fullSchema.fieldIndex(name)).dataType)
-
-  private def supported(f: Filter): Boolean = f match {
-    case EqualTo(c, v) => colOk(c) && v != null
-    case GreaterThan(c, v) => colOk(c) && v != null
-    case GreaterThanOrEqual(c, v) => colOk(c) && v != null
-    case LessThan(c, v) => colOk(c) && v != null
-    case LessThanOrEqual(c, v) => colOk(c) && v != null
-    case In(c, vs) => colOk(c) && vs != null && vs.forall(_ != null)
-    case IsNotNull(c) => colOk(c)
-    case _ => false
-  }
-
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (sup, residual) = filters.partition(supported)
+    val (sup, residual) =
+      filters.partition(GraftTsvPushdown.supported(fullSchema, _))
     pushed = sup
     residual // Spark keeps evaluating these above the scan
   }
@@ -236,7 +289,35 @@ final class GraftTsvScan(
     header: Boolean,
     countOnly: Boolean = false,
     hconf: SerializableHadoopConf = SerializableHadoopConf.fromSession())
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
+
+  /** RUNTIME filtering (dynamic "partition" pruning's DSv2 seam): after a
+    * join's build side executes, Spark hands this scan the realized key
+    * set (typically `IN (<dim keys>)`) and re-plans. A text source has no
+    * per-file statistics to prune whole SPLITS with, but the reader
+    * evaluates predicates per line BEFORE building rows — so the runtime
+    * set rides the same in-reader path as plan-time pushdown and
+    * stream-side rows that cannot match the join die inside the scan,
+    * before the row exists, instead of crossing into the probe. At 100 TB
+    * that is the difference between parsing the corpus and parsing the
+    * fraction that joins. Unconvertible or reader-unsupported runtime
+    * predicates are simply dropped: runtime filters are an optimization
+    * licensed to under-filter (the join re-checks), never to over-filter
+    * — which is also why the comparator semantics in [[cmp]] matching
+    * Spark exactly still matters here. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (countOnly) Array.empty // count already left the row domain
+    else fullSchema.fields
+      .filter(f => GraftTsvPushdown.supportedType(f.dataType))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit =
+    factory.runtimeFilters = predicates.flatMap(GraftTsvPushdown.predicateToV1)
+      .filter(GraftTsvPushdown.supported(fullSchema, _))
 
   // under pushed COUNT(*) the scan's output is the partial count, one
   // long per split (Spark's positional mapping; the name is cosmetic)
@@ -299,9 +380,18 @@ final class GraftTsvScan(
       }
     }.toArray
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  // ONE factory per scan, handed out every time: Spark forces the factory
+  // during PLANNING (supportsColumnar probes it) — before filter() runs at
+  // execution — so a factory built with a frozen filter set would never
+  // see the runtime keys. filter() mutates the cached factory instead;
+  // tasks serialize it at job submit, which is AFTER BatchScanExec calls
+  // filter() (filteredPartitions is evaluated first), so executors get
+  // the final set.
+  private lazy val factory =
     new GraftTsvReaderFactory(fullSchema, required, pushed, delimiter, header,
       countOnly, hconf)
+
+  override def createReaderFactory(): PartitionReaderFactory = factory
 
   override def estimateStatistics(): Statistics = {
     val bytes = batchListing.map(_._2).sum
@@ -457,10 +547,16 @@ final class GraftTsvReaderFactory(
     header: Boolean,
     countOnly: Boolean,
     hconf: SerializableHadoopConf) extends PartitionReaderFactory {
+  /** Set by GraftTsvScan.filter() when runtime filtering delivers the
+    * realized join key set — AFTER this factory was built (see the
+    * factory-caching note on the scan). Shipped to executors by the
+    * factory's own task serialization. */
+  @volatile var runtimeFilters: Array[Filter] = Array.empty
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftTsvInputPartition]
-    new GraftTsvPartitionReader(p, fullSchema, required, pushed, delimiter,
-      header, countOnly, hconf)
+    new GraftTsvPartitionReader(p, fullSchema, required, pushed ++ runtimeFilters,
+      delimiter, header, countOnly, hconf)
   }
 }
 
@@ -501,6 +597,7 @@ final class GraftTsvPartitionReader(
   private def toEpochDay(v: Any): Int = v match {
     case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
     case d: java.time.LocalDate => d.toEpochDay.toInt
+    case n: java.lang.Number => n.intValue() // runtime filters: internal epoch-day
     case other => throw new IllegalArgumentException(s"date literal: $other")
   }
 

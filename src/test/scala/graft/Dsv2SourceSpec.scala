@@ -163,6 +163,49 @@ class Dsv2SourceSpec extends SparkSuite {
     assert(qg.collect().map(_.getLong(1)).sum == 200)
   }
 
+  private def batchScanOf(df: DataFrame) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // AQE wraps executed subtrees in QueryStageExec, which collect() does
+    // not descend into — recurse through the stage boundaries by hand
+    def find(p: SparkPlan): Option[BatchScanExec] = p match {
+      case b: BatchScanExec => Some(b)
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case q: QueryStageExec => find(q.plan)
+      case other => other.children.iterator.flatMap(find(_).iterator)
+        .nextOption()
+    }
+    find(df.queryExecution.executedPlan).getOrElse(fail("no BatchScanExec in plan"))
+  }
+
+  test("a join's runtime key set reaches INTO the reader (runtime V2 filtering)") {
+    import spark.implicits._
+    // dim with a selective filter → Spark plans a dynamic-pruning subquery
+    // against the scan's filterAttributes and hands the realized key set
+    // to GraftTsvScan.filter() after the broadcast executes
+    val dimDir = new java.io.File(dir, "rtdim")
+    Seq(("g1", "keep"), ("g4", "keep"), ("g2", "drop")).toDF("grp", "tag")
+      .write.mode("overwrite").parquet(dimDir.getAbsolutePath)
+    val dim = spark.read.parquet(dimDir.getAbsolutePath)
+      .filter(col("tag") === "keep")
+    val j = read().join(dim, "grp")
+    val rows = j.collect()
+    val expected = read().collect().count(r => Set("g1", "g4").contains(r.getString(1)))
+    assert(rows.length == expected && expected > 0)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruningexpression"),
+      s"runtime filter not planned against the scan:\n${plan.take(1500)}")
+    // the metrics prove rows died INSIDE the reader, not at the join:
+    // every line was consumed, only the runtime key set's rows emitted
+    val scan = batchScanOf(j)
+    assert(scan.metrics("linesRead").value == 200,
+      s"linesRead=${scan.metrics("linesRead").value}")
+    assert(scan.metrics("rowsEmitted").value == expected,
+      s"the runtime IN-set must drop rows in-reader: " +
+        s"rowsEmitted=${scan.metrics("rowsEmitted").value}, expected=$expected")
+  }
+
   test("pushed comparisons use Spark's SQL semantics: ±0.0, NaN, non-BMP strings") {
     // a pushed filter is NOT re-evaluated post-scan, so the in-reader
     // comparators must match Spark exactly where Java disagrees with it:
