@@ -312,6 +312,46 @@ object SourceParity {
         .orderBy("o_orderpriority")
     })
 
+  /** RUNTIME filtering of the DSv2 connector under the oracle gate: the
+    * TSV fact (orders via graft-tsv) joins a selectively-filtered parquet
+    * dim (customer), so dynamic pruning realizes the dim's key set at
+    * runtime and hands it to the scan (`SupportsRuntimeV2Filtering`) —
+    * fact rows whose o_custkey cannot match die INSIDE the text readers,
+    * before the row is built, instead of crossing into the broadcast
+    * probe. The oracle states the same join over the ORIGINAL parquet, so
+    * a pass proves the runtime key set only ever under-filters (never
+    * drops a matching row) on real data; Dsv2SourceSpec proves the
+    * in-reader drop happens (linesRead vs rowsEmitted) separately. */
+  private val qDsv2RuntimeJoin = QueryDef(
+    "q_dsv2_runtime_join",
+    Some(s"""
+      |SELECT o_orderpriority, count(*) AS n,
+      |  ${sqlDsum(sqlDec("o_totalprice"))} AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      import org.apache.spark.sql.types._
+      val tsvPath = dsv2OrdersExport(spark, dir)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice_str", StringType),
+        StructField("o_orderdate_ms", LongType),
+        StructField("o_orderpriority", StringType)))
+      val fact = spark.read.format("graft-tsv").schema(schema).load(tsvPath)
+      val dim = tbl(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      fact.join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(dec(col("o_totalprice_str"))).as("sum_price"))
+        .orderBy("o_orderpriority")
+    })
+
   /** WRITE path of the DSv2 connector under the oracle gate — the sink
     * twin of q_dsv2_source, and the catalog's distributed restatement of
     * the reference's tab-text output contract (single-reducer
@@ -410,5 +450,5 @@ object SourceParity {
 
   val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qPartitionedSink,
     qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source,
-    qDsv2Sink)
+    qDsv2Sink, qDsv2RuntimeJoin)
 }

@@ -309,7 +309,7 @@ final class GraftTsvScan(
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (countOnly) Array.empty // count already left the row domain
-    else fullSchema.fields
+    else required.fields // Spark resolves these against the PRUNED output
       .filter(f => GraftTsvPushdown.supportedType(f.dataType))
       .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 

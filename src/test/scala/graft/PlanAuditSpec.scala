@@ -64,6 +64,13 @@ class PlanAuditSpec extends SparkSuite {
       s"partition values must not be statically inlined:\n$p")
   }
 
+  test("q_dsv2_runtime_join hands the runtime key set to the graft-tsv scan") {
+    val p = plan("q_dsv2_runtime_join")
+    assert(p.contains("GraftTsvScan"), s"fact side must be the connector:\n$p")
+    assert(p.contains("RuntimeFilters: [dynamicpruningexpression"),
+      s"the realized dim key set must reach the v2 scan at runtime:\n$p")
+  }
+
   test("q_topk_common_max scans the corpus exactly once (single-pass form)") {
     val scans = "Scan parquet".r.findAllIn(plan("q_topk_common_max")).size
     assert(scans == 1, s"expected one documents scan, found $scans")
