@@ -56,7 +56,7 @@ object Bench {
     "q_fingerprint_rolling",
     "q_pipeline_curate", "q_stratified_sample", "q_text_search",
     "q_stream_tumbling", "q_stream_sessionize", "q_stream_join",
-    "q_stream_enrich", "q_stream_dedup",
+    "q_stream_enrich", "q_stream_dedup", "q_stream_dsv2_sink",
     "q_blob_stats", "q_lateral_explode", "q_approx_quantiles",
     "q_dpp_prune", "q_dsv2_source", "q_dsv2_sink", "q_dsv2_runtime_join",
     "q_funnel")

@@ -234,7 +234,45 @@ object StreamingParity {
         .orderBy("event_id")
     })
 
+  /** The graft-tsv STREAMING SINK under the oracle gate: stream the
+    * events table through `writeStream.format("graft-tsv")` (stateless
+    * projection, append mode — each micro-batch publishes one manifest
+    * generation through the same atomic swap as a batch commit), then
+    * batch-read the TSV back through the connector and aggregate. The
+    * oracle states the aggregate over the ORIGINAL parquet, so a pass
+    * proves epoch serialization + the per-epoch commit protocol +
+    * read-back are value-exact end-to-end — the sink twin of
+    * q_stream_tumbling's source claim. Fresh tmp dir + checkpoint per
+    * invocation (the write IS the exhibit; replay idempotence is
+    * spec-driven in Dsv2StreamSpec). */
+  private val qStreamDsv2Sink = QueryDef(
+    "q_stream_dsv2_sink",
+    Some(s"""
+      |SELECT event_type, count(*) AS n, ${sqlDsum(sqlDec("value"))} AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      import org.apache.spark.sql.types._
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_tsv").toString
+      val out = s"$root/out"
+      val q = Tables.loadEventsStream(spark, dir)
+        .select(col("event_type"),
+          dec("value").cast("string").as("value_str")) // lossless decimal hop
+        .writeStream.format("graft-tsv")
+        .option("path", out)
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val schema = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("value_str", StringType)))
+      spark.read.format("graft-tsv").schema(schema).load(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(dec(col("value_str"))).as("sum_value"))
+        .orderBy("event_type")
+    })
+
   val defs: Seq[QueryDef] =
     Seq(qStreamTumbling, qSessionWindow, qStreamSessionize, qStreamJoin,
-      qStreamEnrich, qStreamDedup)
+      qStreamEnrich, qStreamDedup, qStreamDsv2Sink)
 }

@@ -124,7 +124,7 @@ final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStrin
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   /** Write path in GraftTsvWrite.scala: two-phase commit (dot-prefixed
     * staging files, driver-side rename) — only committed task output

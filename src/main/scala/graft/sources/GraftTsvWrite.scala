@@ -67,6 +67,13 @@ final class GraftTsvWriteBuilder(
     override def toBatch: BatchWrite =
       new GraftTsvBatchWrite(schema, path, delimiter, truncateOnCommit,
         info.queryId(), SerializableHadoopConf.fromSession())
+    /** Streaming sink = the SAME commit protocol per epoch (Complete mode
+      * arrives as truncate, Append as append), with the epoch id recorded
+      * in the generation manifest as the replay-idempotence token. */
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftTsvBatchWrite(schema, path, delimiter, truncateOnCommit,
+        info.queryId(), SerializableHadoopConf.fromSession())
   }
 }
 
@@ -83,14 +90,25 @@ object GraftTsvManifest {
   def genNumber(name: String): Option[Long] =
     if (name.startsWith(Prefix)) name.stripPrefix(Prefix).toLongOption else None
 
-  /** Part names of the given manifest file. */
-  def read(fs: FileSystem, manifest: Path): Seq[String] = {
+  private def lines(fs: FileSystem, manifest: Path): Seq[String] = {
     val in = fs.open(manifest)
     try {
       scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .filter(_.nonEmpty).toList
     } finally in.close()
   }
+
+  /** Part names of the given manifest file (`#`-prefixed lines are
+    * metadata markers, not part names). */
+  def read(fs: FileSystem, manifest: Path): Seq[String] =
+    lines(fs, manifest).filterNot(_.startsWith("#"))
+
+  private val EpochRe = """#epoch:(-?\d+)""".r
+
+  /** The streaming epoch that produced this generation, if it was a
+    * streaming commit — the idempotence token for epoch replay. */
+  def epochOf(fs: FileSystem, manifest: Path): Option[Long] =
+    lines(fs, manifest).collectFirst { case EpochRe(n) => n.toLong }
 
   /** Resolve a directory listing to the CURRENT generation's files:
     * highest `_gen` manifest wins; no manifest = legacy plain listing.
@@ -115,21 +133,66 @@ object GraftTsvManifest {
 }
 
 /** Driver-side job coordinator: publishes committed task files, cleans
-  * up everything else. */
+  * up everything else. One class serves BOTH write modes — a batch job
+  * commit and a streaming epoch commit are the same generation publish,
+  * differing only in the part-name label (epoch-qualified so successive
+  * epochs never collide on rename targets) and the `#epoch` marker that
+  * makes a REPLAYED epoch a no-op: Spark re-runs the last epoch when a
+  * failure lands between the sink commit and the query's own commit log,
+  * and the marker in the latest manifest is how the second arrival is
+  * recognized and skipped — exactly-once effects without a sink-side
+  * log of every batch id. */
 final class GraftTsvBatchWrite(
     schema: StructType,
     path: String,
     delimiter: Char,
     truncate: Boolean,
     queryId: String,
-    hconf: SerializableHadoopConf) extends BatchWrite {
+    hconf: SerializableHadoopConf) extends BatchWrite
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftTsvWriterFactory(schema, path, delimiter, queryId, hconf)
 
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GraftTsvStreamingWriterFactory(schema, path, delimiter, queryId, hconf)
+
+  // both parent interfaces default this to true; Scala requires the
+  // diamond be resolved explicitly. Keep the coordinator: one committed
+  // attempt per partition is what the staged-name protocol assumes.
+  override def useCommitCoordinator(): Boolean = true
+
   private def fs(): FileSystem = new Path(path).getFileSystem(hconf.value)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  private def jobTag: String = queryId.replaceAll("[^a-zA-Z0-9]", "").take(8)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    publish(messages, jobTag, epochMarker = None)
+
+  /** Streaming epoch commit: same publish, epoch-labeled and marked. */
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs()
+    val dir = new Path(path)
+    val committed = if (!f.exists(dir)) None else {
+      val gens = f.listStatus(dir).toSeq
+        .flatMap(st => GraftTsvManifest.genNumber(st.getPath.getName))
+      gens.maxOption.flatMap(g =>
+        GraftTsvManifest.epochOf(f, new Path(dir, GraftTsvManifest.genName(g))))
+    }
+    if (committed.contains(epochId)) {
+      // replayed epoch: the generation is already published — only the
+      // replay's freshly staged duplicates need collecting
+      sweep(f, dir)
+    } else {
+      publish(messages, s"$jobTag-e$epochId", epochMarker = Some(epochId))
+    }
+  }
+
+  private def publish(
+      messages: Array[WriterCommitMessage],
+      label: String,
+      epochMarker: Option[Long]): Unit = {
     val f = fs()
     val dir = new Path(path)
     if (!f.exists(dir)) f.mkdirs(dir) // commit of an all-empty-partition job
@@ -148,15 +211,15 @@ final class GraftTsvBatchWrite(
       case None =>
         children.collect { case (n, st) if st.isFile && visiblePart(n) => n }
     }
-    // 1. publish new parts under JOB-UNIQUE names — never renaming onto a
-    //    part from an earlier job (local-FS rename onto an existing target
-    //    silently fails and would strand the staged file). The names are
-    //    visible-style but UNREFERENCED, so readers don't see them yet.
-    //    rename's Boolean is CHECKED — an unpublished staged file is data
-    //    loss, the one failure a commit protocol exists to prevent.
-    val job = queryId.replaceAll("[^a-zA-Z0-9]", "").take(8)
+    // 1. publish new parts under JOB-UNIQUE names (epoch-qualified for
+    //    streaming) — never renaming onto a part from an earlier job or
+    //    epoch (local-FS rename onto an existing target silently fails
+    //    and would strand the staged file). The names are visible-style
+    //    but UNREFERENCED, so readers don't see them yet. rename's
+    //    Boolean is CHECKED — an unpublished staged file is data loss,
+    //    the one failure a commit protocol exists to prevent.
     val newParts = staged.zipWithIndex.map { case (name, i) =>
-      val target = f"part-$job-$i%05d.tsv"
+      val target = f"part-$label-$i%05d.tsv"
       if (!f.rename(new Path(dir, name), new Path(dir, target)))
         throw new IllegalStateException(
           s"graft-tsv commit: failed to publish staged $name as $target")
@@ -165,9 +228,10 @@ final class GraftTsvBatchWrite(
     // 2. the atomic visibility flip: write the next generation's manifest
     //    to a hidden tmp name, then ONE rename to _gen-<n+1>
     val nextVisible = (if (truncate) Seq.empty else currentVisible) ++ newParts
-    val tmp = new Path(dir, s".manifest-$job-${UUID.randomUUID().toString.take(8)}")
+    val tmp = new Path(dir, s".manifest-$label-${UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
-    try out.write(nextVisible.map(_ + "\n").mkString.getBytes("UTF-8"))
+    val markers = epochMarker.map(e => s"#epoch:$e").toSeq
+    try out.write((markers ++ nextVisible).map(_ + "\n").mkString.getBytes("UTF-8"))
     finally out.close()
     val genPath = new Path(dir, GraftTsvManifest.genName(curGen.getOrElse(0L) + 1))
     if (!f.rename(tmp, genPath))
@@ -197,12 +261,33 @@ final class GraftTsvBatchWrite(
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     sweep(fs(), new Path(path))
 
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    sweep(fs(), new Path(path))
+
   private def sweep(f: FileSystem, dir: Path): Unit =
     if (f.exists(dir))
       f.listStatus(dir).foreach { st =>
         if (st.getPath.getName.startsWith(s".staging-$queryId"))
           f.delete(st.getPath, false)
       }
+}
+
+/** Streaming twin of [[GraftTsvWriterFactory]]: the epoch id joins the
+  * staging name (under the same `.staging-<queryId>` sweep prefix), so
+  * concurrent attempts of the same partition across epochs and replays
+  * never collide, and an aborted epoch's leftovers are collected by the
+  * same job-scoped sweep. */
+final class GraftTsvStreamingWriterFactory(
+    schema: StructType,
+    path: String,
+    delimiter: Char,
+    queryId: String,
+    hconf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new GraftTsvDataWriter(schema, path, delimiter, s"$queryId-e$epochId",
+      partitionId, taskId, hconf)
 }
 
 final case class GraftTsvCommitMessage(staged: Option[String])

@@ -63,6 +63,80 @@ class Dsv2StreamSpec extends SparkSuite {
       s"resumed stream re-read processed files: ${all.mkString(",")}")
   }
 
+  test("streaming WRITE: graft-tsv → graft-tsv end-to-end, exactly once across resumes") {
+    // the full loop on the connector's own seams: stream-read a TSV
+    // directory, stream-write a TSV directory — each epoch publishes a
+    // generation through the same manifest swap as a batch commit
+    val root = Files.createTempDirectory("graft_dsv2_swrite").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "in"); dir.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val out = new java.io.File(root, "out").getAbsolutePath
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-tsv").schema(schema).load(dir.getAbsolutePath)
+        .filter(col("id") % 2 === 0)
+        .writeStream.format("graft-tsv").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q.stop()
+    }
+    writeFile(dir.getAbsolutePath, "g-000.tsv", 0 until 10)
+    run()
+    def readOut(): Seq[Long] = spark.read.format("graft-tsv").schema(schema)
+      .load(out).collect().map(_.getLong(0)).sorted.toSeq
+    assert(readOut() === (0 until 10 by 2).map(_.toLong))
+    // resume with a new generation: only the delta is appended
+    writeFile(dir.getAbsolutePath, "g-001.tsv", 10 until 20)
+    run()
+    assert(readOut() === (0 until 20 by 2).map(_.toLong),
+      "resumed streaming write must append exactly the new epoch")
+    // the output is manifest-governed: a generation file exists and no
+    // staging leftovers survive
+    val names = new java.io.File(out).listFiles().map(_.getName)
+    assert(names.exists(_.startsWith("_gen-")), names.mkString(","))
+    assert(!names.exists(_.startsWith(".staging-")), names.mkString(","))
+  }
+
+  test("a replayed streaming epoch publishes nothing (manifest epoch marker)") {
+    // drive the streaming write API directly at the seam Spark uses on
+    // recovery: the same epoch commits twice (sink committed, query's own
+    // commit log didn't — the standard replay window). The second commit
+    // must be a no-op, not a duplicate generation.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val out = new java.io.File(
+      Files.createTempDirectory("graft_dsv2_replay").toFile, "out").getAbsolutePath
+    val s = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = "replayq"
+      override def schema(): StructType = s
+      override def options() =
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap())
+    }
+    val write = new graft.sources.GraftTsvWriteBuilder(s, out, '\t', info)
+      .build().toStreaming
+    def commitEpoch(epoch: Long, ids: Seq[Long]): Unit = {
+      val factory = write.createStreamingWriterFactory(null)
+      val w = factory.createWriter(0, epoch * 100 + 1, epoch)
+      ids.foreach(i => w.write(InternalRow(i, UTF8String.fromString(s"v$i"))))
+      write.commit(epoch, Array(w.commit()))
+    }
+    commitEpoch(0, Seq(1L, 2L))
+    commitEpoch(1, Seq(3L))
+    // REPLAY of epoch 1 with the same rows staged again
+    commitEpoch(1, Seq(3L))
+    val back = spark.read.format("graft-tsv").schema(s).load(out)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(back === Seq(1L, 2L, 3L),
+      s"replayed epoch must publish nothing: $back")
+    val names = new java.io.File(out).listFiles().map(_.getName)
+    assert(names.count(_.startsWith("_gen-")) == 1, names.mkString(","))
+    assert(!names.exists(_.startsWith(".staging-")),
+      s"replay's staged duplicate must be swept: ${names.mkString(",")}")
+  }
+
   test("a file sorting below the processed high-water mark fails fast, never skips") {
     val root = Files.createTempDirectory("graft_dsv2_stream_bad").toFile
     root.deleteOnExit()
