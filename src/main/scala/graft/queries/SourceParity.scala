@@ -352,6 +352,62 @@ object SourceParity {
         .orderBy("o_orderpriority")
     })
 
+  /** Hive-PARTITIONED read of the DSv2 connector under the oracle gate:
+    * orders exported as `o_orderpriority=<v>/part-*.csv` (tab-separated,
+    * Spark's own partitioned writer), read back through graft-tsv with
+    * `partition.columns` — partition values come from the PATH, data
+    * columns remap past them, and the priority predicate prunes whole
+    * directories at planning (Dsv2PartitionSpec proves the file-level
+    * skip via linesRead; this query proves the values are right). The
+    * oracle states the same filter+agg over the ORIGINAL parquet. */
+  private val qDsv2Partitioned = QueryDef(
+    "q_dsv2_partitioned",
+    Some(s"""
+      |SELECT o_orderstatus, count(*) AS n,
+      |  ${sqlDsum(sqlDec("o_totalprice"))} AS sum_price
+      |FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      import org.apache.spark.sql.types._
+      val tsvPath = dsv2PartitionedExport(spark, dir)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice_str", StringType),
+        StructField("o_orderpriority", StringType)))
+      spark.read.format("graft-tsv").schema(schema)
+        .option("partition.columns", "o_orderpriority")
+        .load(tsvPath)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          dsum(dec(col("o_totalprice_str"))).as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
+
+  /** Pay-once hive-layout TSV export for q_dsv2_partitioned (same
+    * _SUCCESS + source-fingerprint cache as the other exports). */
+  private def dsv2PartitionedExport(spark: SparkSession, dir: String): String = {
+    val srcFile = new java.io.File(graft.sources.Tables.path(dir, "orders"))
+    val sig = java.lang.Long.toHexString(
+      srcFile.length * 1000003L + srcFile.lastModified)
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_dsv2_part_${Integer.toHexString(dir.hashCode)}_$sig").toString
+    val done = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done))
+      tbl(spark, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        dec("o_totalprice").cast("string").as("o_totalprice_str"),
+        col("o_orderpriority"))
+        .write.partitionBy("o_orderpriority")
+        .option("sep", "\t").option("header", "false")
+        .mode("overwrite").csv(tmp)
+    tmp
+  }
+
   /** WRITE path of the DSv2 connector under the oracle gate — the sink
     * twin of q_dsv2_source, and the catalog's distributed restatement of
     * the reference's tab-text output contract (single-reducer
@@ -450,5 +506,5 @@ object SourceParity {
 
   val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qPartitionedSink,
     qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source,
-    qDsv2Sink, qDsv2RuntimeJoin)
+    qDsv2Sink, qDsv2RuntimeJoin, qDsv2Partitioned)
 }

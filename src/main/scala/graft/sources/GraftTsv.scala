@@ -149,18 +149,130 @@ final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStrin
   }
 }
 
-/** Which predicates the reader can evaluate in-line — shared by the
-  * plan-time pushdown (ScanBuilder) and RUNTIME filtering (the scan's
-  * SupportsRuntimeV2Filtering seam). */
+/** The predicate machinery shared by the reader (per-line evaluation),
+  * plan-time pushdown (ScanBuilder), RUNTIME filtering (the scan's
+  * SupportsRuntimeV2Filtering seam), and PARTITION pruning (the same
+  * compiled predicates evaluated against hive-path values at planning,
+  * where they drop whole files instead of rows). */
 private[sources] object GraftTsvPushdown {
   def supportedType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | StringType | DateType => true
     case _ => false
   }
 
+  private def toEpochDay(v: Any): Int = v match {
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case d: java.time.LocalDate => d.toEpochDay.toInt
+    case n: java.lang.Number => n.intValue() // runtime filters: internal epoch-day
+    case other => throw new IllegalArgumentException(s"date literal: $other")
+  }
+
+  /** A filter literal, converted ONCE to the column's internal form. */
+  def litFor(dt: DataType, v: Any): Any = dt match {
+    case LongType => v match {
+      case n: java.lang.Number => n.longValue()
+      case other => other.toString.toLong
+    }
+    case IntegerType => v match {
+      case n: java.lang.Number => n.intValue()
+      case other => other.toString.toInt
+    }
+    case DoubleType => v match {
+      case n: java.lang.Number => n.doubleValue()
+      case other => other.toString.toDouble
+    }
+    case StringType => UTF8String.fromString(v.toString)
+    case DateType => toEpochDay(v)
+    case other => throw new IllegalArgumentException(s"unsupported type $other")
+  }
+
+  /** A raw text cell (line field or hive partition-path value) converted
+    * to the internal form the comparators and rows use. */
+  def convertCell(dt: DataType, s: String): Any = dt match {
+    case StringType => UTF8String.fromString(s)
+    case LongType => java.lang.Long.parseLong(s)
+    case IntegerType => Integer.parseInt(s)
+    case DoubleType => java.lang.Double.parseDouble(s)
+    case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
+    case other => throw new IllegalArgumentException(s"unsupported type $other")
+  }
+
+  /** Comparison with SPARK's SQL semantics, not Java's — a pushed filter
+    * is not re-evaluated post-scan, so any divergence here is silent
+    * wrong results. Two deliberate departures from the obvious Java code:
+    * doubles normalize -0.0 to 0.0 before Double.compare (Spark: -0.0 =
+    * 0.0 is true, -0.0 < 0.0 is false; Double.compare alone says -1),
+    * keeping Double.compare's NaN handling (NaN = NaN true, NaN largest —
+    * Spark's documented NaN semantics). Strings compare as UTF8String
+    * (unsigned UTF-8 bytes) — String.compareTo is UTF-16 code-unit order,
+    * which disagrees above the BMP (a surrogate 0xD800-0xDFFF sorts below
+    * U+E000..U+FFFF, but its code point is higher). */
+  def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
+    case LongType => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case IntegerType | DateType =>
+      Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case DoubleType =>
+      def norm(d: Double): Double = if (d == 0.0) 0.0 else d
+      java.lang.Double.compare(norm(a.asInstanceOf[Double]), norm(b.asInstanceOf[Double]))
+    case StringType => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case other => throw new IllegalArgumentException(s"unsupported type $other")
+  }
+
+  /** A pushed predicate compiled to (full-schema index, test over the
+    * column's internal value), converting the literal once here, not per
+    * row/file. */
+  def compile(schema: StructType, f: Filter): (Int, Any => Boolean) = {
+    def at(c: String): (Int, DataType) = {
+      val i = schema.fieldIndex(c); (i, schema(i).dataType)
+    }
+    f match {
+      case EqualTo(c, v) =>
+        val (i, dt) = at(c); val lit = litFor(dt, v)
+        (i, x => x != null && cmp(dt, x, lit) == 0)
+      case GreaterThan(c, v) =>
+        val (i, dt) = at(c); val lit = litFor(dt, v)
+        (i, x => x != null && cmp(dt, x, lit) > 0)
+      case GreaterThanOrEqual(c, v) =>
+        val (i, dt) = at(c); val lit = litFor(dt, v)
+        (i, x => x != null && cmp(dt, x, lit) >= 0)
+      case LessThan(c, v) =>
+        val (i, dt) = at(c); val lit = litFor(dt, v)
+        (i, x => x != null && cmp(dt, x, lit) < 0)
+      case LessThanOrEqual(c, v) =>
+        val (i, dt) = at(c); val lit = litFor(dt, v)
+        (i, x => x != null && cmp(dt, x, lit) <= 0)
+      case In(c, vs) =>
+        val (i, dt) = at(c); val lits = vs.map(litFor(dt, _)).toSet
+        (i, x => x != null && lits.exists(l => cmp(dt, x, l) == 0))
+      case IsNotNull(c) =>
+        (schema.fieldIndex(c), x => x != null)
+      case other =>
+        throw new IllegalStateException(s"unpushable filter reached reader: $other")
+    }
+  }
+
   private def colOk(schema: StructType, name: String): Boolean =
     schema.fieldNames.contains(name) &&
       supportedType(schema(schema.fieldIndex(name)).dataType)
+
+  /** Undo Spark/Hive's partition-path escaping (`%XX` per escaped char —
+    * NOT URL encoding: '+' is literal, only '%' sequences decode). */
+  def unescapePathValue(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 3 <= s.length) {
+          try {
+            sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+            i += 3
+          } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
 
   def supported(schema: StructType, f: Filter): Boolean = f match {
     case EqualTo(c, v) => colOk(schema, c) && v != null
@@ -267,6 +379,15 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
     // and the scan silently return ZERO rows — fail loudly instead
     require(splitBytes > 0,
       s"graft-tsv: split.bytes must be positive, got $splitBytes")
+    val partCols = Option(options.get("partition.columns")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    partCols.foreach { c =>
+      require(fullSchema.fieldNames.contains(c),
+        s"graft-tsv: partition column '$c' is not in the schema")
+      require(GraftTsvPushdown.supportedType(
+        fullSchema(fullSchema.fieldIndex(c)).dataType),
+        s"graft-tsv: partition column '$c' has an unsupported type")
+    }
     new GraftTsvScan(
       fullSchema, required, pushed,
       path = Option(options.get("path")).getOrElse(
@@ -275,7 +396,8 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
       splitBytes = splitBytes,
       header = Option(options.get("header")).exists(_.equalsIgnoreCase("true")),
       countOnly = countStarPushed,
-      hconf = SerializableHadoopConf.fromSession())
+      hconf = SerializableHadoopConf.fromSession(),
+      partCols = partCols)
   }
 }
 
@@ -288,7 +410,8 @@ final class GraftTsvScan(
     splitBytes: Long,
     header: Boolean,
     countOnly: Boolean = false,
-    hconf: SerializableHadoopConf = SerializableHadoopConf.fromSession())
+    hconf: SerializableHadoopConf = SerializableHadoopConf.fromSession(),
+    partCols: Seq[String] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -333,32 +456,88 @@ final class GraftTsvScan(
     s"GraftTsvScan path=$path, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       (if (countOnly) "PushedAggregation: [COUNT(*)], " else "") +
+      (if (partCols.nonEmpty) s"PartitionColumns: [${partCols.mkString(", ")}], " else "") +
       s"ReadSchema: ${readSchema().catalogString}"
 
   /** Fresh directory listing — streaming triggers need to SEE new files,
-    * so this is uncached; the batch paths go through [[batchListing]]. */
-  private[sources] def listFiles(): Seq[(String, Long)] = {
+    * so this is uncached; the batch paths go through [[batchListing]].
+    * With `partition.columns` set, directories are walked hive-style
+    * (`col=value` segments in declared order) and each leaf file carries
+    * its partition values; either way, each LEAF directory resolves
+    * through its `_gen` manifest when one exists. */
+  private[sources] def listFiles(): Seq[GraftTsvFileEntry] = {
     val p = new Path(path)
     val fs = p.getFileSystem(hconf.value)
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+
+    def leafFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      // generation resolution: a directory written by the graft-tsv sink
+      // carries _gen-N manifests; the HIGHEST one defines the current
+      // contents (atomic-overwrite visibility — see GraftTsvManifest).
+      // No manifest = plain listing (legacy dirs).
+      val children = fs.listStatus(dir).toSeq.map(c => c.getPath.getName -> c)
+      GraftTsvManifest.resolve(children, fs, dir).map(_._2)
+    }
+    def walk(dir: Path, depth: Int, vals: List[String]): Seq[GraftTsvFileEntry] =
+      if (depth == partCols.length)
+        leafFiles(dir).filter(_.isFile).map(st =>
+          GraftTsvFileEntry(st.getPath.toString, st.getLen, vals.reverse.toArray))
+      else {
+        val want = partCols(depth) + "="
+        fs.listStatus(dir).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith(want)) {
+            val raw = GraftTsvPushdown.unescapePathValue(n.substring(want.length))
+            val v = if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw
+            walk(st.getPath, depth + 1, v :: vals)
+          }
+          else if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+            throw new IllegalStateException(
+              s"graft-tsv: expected ${partCols(depth)}=<value> directories under " +
+                s"$dir (hive layout, partition.columns order), found file $n")
+          else Seq.empty // hidden files, foreign dirs: ignored
+        }
+      }
+
     val expanded = matched.flatMap { st =>
-      if (st.isDirectory) {
-        // generation resolution: a directory written by the graft-tsv
-        // sink carries _gen-N manifests; the HIGHEST one defines the
-        // current contents (atomic-overwrite visibility — see
-        // GraftTsvManifest). No manifest = plain listing (legacy dirs).
-        val children = fs.listStatus(st.getPath).toSeq.map(c => c.getPath.getName -> c)
-        GraftTsvManifest.resolve(children, fs, st.getPath).map(_._2)
-      } else Seq(st)
+      if (st.isDirectory) walk(st.getPath, 0, Nil)
+      else {
+        require(partCols.isEmpty,
+          s"graft-tsv: partition.columns set but $path matches a plain file")
+        Seq(GraftTsvFileEntry(st.getPath.toString, st.getLen, Array.empty))
+      }
     }
     expanded
-      .filter(st => st.isFile && st.getLen > 0)
-      .filterNot { st =>
-        val n = st.getPath.getName
+      .filter(_.len > 0)
+      .filterNot { e =>
+        val n = e.path.substring(e.path.lastIndexOf('/') + 1)
         n.startsWith("_") || n.startsWith(".")
       }
-      .map(st => (st.getPath.toString, st.getLen))
-      .sortBy(_._1)
+      .sortBy(_.path)
+  }
+
+  /** Drop whole FILES whose hive partition values fail a pushed or
+    * runtime predicate that references only partition columns — at scale
+    * this is the pruning that turns a corpus scan into a partition scan,
+    * and it composes with runtime filtering (a join's realized key set
+    * prunes SPLITS here, not just rows). Predicates are the same
+    * compiled Spark-semantics tests the readers use. */
+  private def prunePartitions(
+      files: Seq[GraftTsvFileEntry], filters: Array[Filter]): Seq[GraftTsvFileEntry] = {
+    if (partCols.isEmpty) return files
+    val partSchema = StructType(partCols.map(c => fullSchema(fullSchema.fieldIndex(c))))
+    val partSet = partCols.toSet
+    val preds = filters
+      .filter(f => f.references.length == 1 && partSet.contains(f.references.head))
+      .map(GraftTsvPushdown.compile(partSchema, _))
+    if (preds.isEmpty) return files
+    files.filter { e =>
+      val typed = e.partVals.zipWithIndex.map { case (raw, i) =>
+        if (raw == null) null
+        else GraftTsvPushdown.convertCell(partSchema(i).dataType, raw)
+      }
+      preds.forall { case (i, test) => test(typed(i)) }
+    }
   }
 
   /** One listing per BATCH scan: estimateStatistics and
@@ -367,18 +546,23 @@ final class GraftTsvScan(
     * listing — against an object store with 100k+ files each listing is
     * thousands of paged LIST calls of driver latency, and a second one
     * would also race concurrent file arrival between stats and planning. */
-  private lazy val batchListing: Seq[(String, Long)] = listFiles()
+  private lazy val batchListing: Seq[GraftTsvFileEntry] = listFiles()
 
   /** One InputPartition per byte range: planning is METADATA-ONLY (a file
     * listing — no data read), so planning cost is O(files), not O(bytes);
     * the ranges give a 100 TB single-directory scan bytes/splitBytes-way
-    * parallelism regardless of file count. */
+    * parallelism regardless of file count. Partition-pruned by the static
+    * pushed filters AND — on the re-plan BatchScanExec triggers after
+    * runtime filtering — by the realized join key set, so a selective
+    * join reads only the matching hive partitions' bytes. */
   override def planInputPartitions(): Array[InputPartition] =
-    batchListing.flatMap { case (f, len) =>
-      (0L until len by splitBytes).map { off =>
-        GraftTsvInputPartition(f, off, math.min(splitBytes, len - off))
-      }
-    }.toArray
+    prunePartitions(batchListing, pushed ++ factory.runtimeFilters)
+      .flatMap { e =>
+        (0L until e.len by splitBytes).map { off =>
+          GraftTsvInputPartition(e.path, off, math.min(splitBytes, e.len - off),
+            e.partVals)
+        }
+      }.toArray
 
   // ONE factory per scan, handed out every time: Spark forces the factory
   // during PLANNING (supportsColumnar probes it) — before filter() runs at
@@ -389,12 +573,14 @@ final class GraftTsvScan(
   // the final set.
   private lazy val factory =
     new GraftTsvReaderFactory(fullSchema, required, pushed, delimiter, header,
-      countOnly, hconf)
+      countOnly, hconf, partCols)
 
   override def createReaderFactory(): PartitionReaderFactory = factory
 
   override def estimateStatistics(): Statistics = {
-    val bytes = batchListing.map(_._2).sum
+    // statically-pruned size: CBO decisions see the partitions the query
+    // will actually read, not the whole table
+    val bytes = prunePartitions(batchListing, pushed).map(_.len).sum
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
       override def numRows(): OptionalLong = OptionalLong.empty()
@@ -463,11 +649,11 @@ final class GraftTsvMicroBatchStream(scan: GraftTsvScan, splitBytes: Long)
   // (end offset recovered from the checkpoint, no cached snapshot)
   // re-lists. The monotonic-contract validation runs against whichever
   // listing is actually used.
-  @volatile private var lastSnapshot: (FilesOffset, Seq[(String, Long)]) = _
+  @volatile private var lastSnapshot: (FilesOffset, Seq[GraftTsvFileEntry]) = _
 
   private def snapshot(): FilesOffset = {
     val files = scan.listFiles() // name-sorted
-    val off = FilesOffset(files.size, files.lastOption.map(_._1).getOrElse(""))
+    val off = FilesOffset(files.size, files.lastOption.map(_.path).getOrElse(""))
     lastSnapshot = (off, files)
     off
   }
@@ -494,18 +680,19 @@ final class GraftTsvMicroBatchStream(scan: GraftTsvScan, splitBytes: Long)
     val e = `end`.asInstanceOf[FilesOffset]
     val snap = lastSnapshot
     val files = if (snap != null && snap._1 == e) snap._2 else scan.listFiles()
-    val below = files.filter(_._1 <= s.hi)
+    val below = files.filter(_.path <= s.hi)
     if (below.size != s.n)
       throw new IllegalStateException(
         s"graft-tsv streaming: directory mutated non-monotonically — " +
           s"expected ${s.n} files at/below processed high-water '${s.hi}', " +
-          s"found ${below.size} (${below.map(_._1).takeRight(3).mkString(", ")}); " +
+          s"found ${below.size} (${below.map(_.path).takeRight(3).mkString(", ")}); " +
           "file names must be monotonic (rotate by timestamp/counter) and " +
           "processed files immutable; refusing to silently skip or re-read")
-    val slice = files.filter(f => f._1 > s.hi && (e.hi.isEmpty || f._1 <= e.hi))
-    slice.flatMap { case (f, len) =>
-      (0L until len by splitBytes).map { off =>
-        GraftTsvInputPartition(f, off, math.min(splitBytes, len - off))
+    val slice = files.filter(f => f.path > s.hi && (e.hi.isEmpty || f.path <= e.hi))
+    slice.flatMap { f =>
+      (0L until f.len by splitBytes).map { off =>
+        GraftTsvInputPartition(f.path, off, math.min(splitBytes, f.len - off),
+          f.partVals)
       }
     }.toArray
   }
@@ -517,7 +704,15 @@ final class GraftTsvMicroBatchStream(scan: GraftTsvScan, splitBytes: Long)
   override def stop(): Unit = ()
 }
 
-final case class GraftTsvInputPartition(file: String, start: Long, length: Long)
+/** A listed data file plus the hive partition values carved from its
+  * directory path (empty when the table is unpartitioned; a null element
+  * is `__HIVE_DEFAULT_PARTITION__`). */
+private[sources] final case class GraftTsvFileEntry(
+    path: String, len: Long, partVals: Array[String])
+
+final case class GraftTsvInputPartition(
+    file: String, start: Long, length: Long,
+    partVals: Array[String] = Array.empty)
     extends InputPartition
 
 /** SQL-metric surface of the scan (the no-silent-work rule applied to the
@@ -546,7 +741,8 @@ final class GraftTsvReaderFactory(
     delimiter: Char,
     header: Boolean,
     countOnly: Boolean,
-    hconf: SerializableHadoopConf) extends PartitionReaderFactory {
+    hconf: SerializableHadoopConf,
+    partCols: Seq[String] = Seq.empty) extends PartitionReaderFactory {
   /** Set by GraftTsvScan.filter() when runtime filtering delivers the
     * realized join key set — AFTER this factory was built (see the
     * factory-caching note on the scan). Shipped to executors by the
@@ -556,7 +752,7 @@ final class GraftTsvReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftTsvInputPartition]
     new GraftTsvPartitionReader(p, fullSchema, required, pushed ++ runtimeFilters,
-      delimiter, header, countOnly, hconf)
+      delimiter, header, countOnly, hconf, partCols)
   }
 }
 
@@ -572,103 +768,53 @@ final class GraftTsvPartitionReader(
     delimiter: Char,
     header: Boolean,
     countOnly: Boolean,
-    hconf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
+    hconf: SerializableHadoopConf,
+    partCols: Seq[String] = Seq.empty) extends PartitionReader[InternalRow] {
 
   private val end = split.start + split.length
 
-  // field indexes (position in the line) needed by projection ∪ predicates
+  // hive layout: partition columns are NOT in the data lines — a line's
+  // field at position p is the p-th NON-partition schema field
+  private val partSchemaIdx: Array[Int] = partCols.map(fullSchema.fieldIndex).toArray
+  private val isPart: Array[Boolean] = {
+    val a = new Array[Boolean](fullSchema.length)
+    partSchemaIdx.foreach(a(_) = true); a
+  }
+  private val lineFieldSchemaIdx: Array[Int] =
+    fullSchema.fields.indices.filterNot(isPart).toArray
+  private val schemaToLinePos: Array[Int] = {
+    val a = Array.fill(fullSchema.length)(-1)
+    lineFieldSchemaIdx.zipWithIndex.foreach { case (si, lp) => a(si) = lp }
+    a
+  }
+
+  // line positions needed by projection ∪ predicates (partition columns
+  // excluded — their values come from the split, not the line)
   private val outIdx: Array[Int] =
     required.fields.map(f => fullSchema.fieldIndex(f.name))
   private val filterCols: Array[String] = pushed.flatMap(_.references).distinct
   private val neededIdx: Array[Int] =
-    (outIdx ++ filterCols.map(fullSchema.fieldIndex)).distinct.sorted
+    (outIdx ++ filterCols.map(fullSchema.fieldIndex)).distinct
+      .filterNot(isPart).map(schemaToLinePos).sorted
   private val maxNeeded: Int = if (neededIdx.isEmpty) -1 else neededIdx.max
 
   // parsed INTERNAL values (Long/Int/Double/epoch-day Int/UTF8String)
   // land in a dense scratch array indexed by FULL schema position
-  // (bounded by the schema width, not the corpus)
+  // (bounded by the schema width, not the corpus). Partition values are
+  // CONSTANT for the whole split — converted once here, never re-parsed.
   private val scratch = new Array[Any](fullSchema.length)
+  partSchemaIdx.zipWithIndex.foreach { case (si, j) =>
+    val raw = split.partVals(j)
+    scratch(si) =
+      if (raw == null) null
+      else GraftTsvPushdown.convertCell(fullSchema(si).dataType, raw)
+  }
 
   /** A pushed predicate compiled to (full-schema index, test). Values are
-    * compared in the column's INTERNAL type, converting the literal once
-    * here, not per row, via [[cmp]]'s Spark-semantics comparators. */
-  private val preds: Array[(Int, Any => Boolean)] = pushed.map(compile)
-
-  private def toEpochDay(v: Any): Int = v match {
-    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
-    case d: java.time.LocalDate => d.toEpochDay.toInt
-    case n: java.lang.Number => n.intValue() // runtime filters: internal epoch-day
-    case other => throw new IllegalArgumentException(s"date literal: $other")
-  }
-
-  private def litFor(dt: DataType, v: Any): Any = dt match {
-    case LongType => v match {
-      case n: java.lang.Number => n.longValue()
-      case other => other.toString.toLong
-    }
-    case IntegerType => v match {
-      case n: java.lang.Number => n.intValue()
-      case other => other.toString.toInt
-    }
-    case DoubleType => v match {
-      case n: java.lang.Number => n.doubleValue()
-      case other => other.toString.toDouble
-    }
-    case StringType => UTF8String.fromString(v.toString)
-    case DateType => toEpochDay(v)
-    case other => throw new IllegalArgumentException(s"unsupported type $other")
-  }
-
-  /** Comparison with SPARK's SQL semantics, not Java's — a pushed filter
-    * is not re-evaluated post-scan, so any divergence here is silent
-    * wrong results. Two deliberate departures from the obvious Java code:
-    * doubles normalize -0.0 to 0.0 before Double.compare (Spark: -0.0 =
-    * 0.0 is true, -0.0 < 0.0 is false; Double.compare alone says -1),
-    * keeping Double.compare's NaN handling (NaN = NaN true, NaN largest —
-    * Spark's documented NaN semantics). Strings compare as UTF8String
-    * (unsigned UTF-8 bytes) — String.compareTo is UTF-16 code-unit order,
-    * which disagrees above the BMP (a surrogate 0xD800-0xDFFF sorts below
-    * U+E000..U+FFFF, but its code point is higher). */
-  private def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
-    case LongType => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
-    case IntegerType | DateType =>
-      Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
-    case DoubleType =>
-      def norm(d: Double): Double = if (d == 0.0) 0.0 else d
-      java.lang.Double.compare(norm(a.asInstanceOf[Double]), norm(b.asInstanceOf[Double]))
-    case StringType => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
-    case other => throw new IllegalArgumentException(s"unsupported type $other")
-  }
-
-  private def compile(f: Filter): (Int, Any => Boolean) = {
-    def at(c: String): (Int, DataType) = {
-      val i = fullSchema.fieldIndex(c); (i, fullSchema(i).dataType)
-    }
-    f match {
-      case EqualTo(c, v) =>
-        val (i, dt) = at(c); val lit = litFor(dt, v)
-        (i, x => x != null && cmp(dt, x, lit) == 0)
-      case GreaterThan(c, v) =>
-        val (i, dt) = at(c); val lit = litFor(dt, v)
-        (i, x => x != null && cmp(dt, x, lit) > 0)
-      case GreaterThanOrEqual(c, v) =>
-        val (i, dt) = at(c); val lit = litFor(dt, v)
-        (i, x => x != null && cmp(dt, x, lit) >= 0)
-      case LessThan(c, v) =>
-        val (i, dt) = at(c); val lit = litFor(dt, v)
-        (i, x => x != null && cmp(dt, x, lit) < 0)
-      case LessThanOrEqual(c, v) =>
-        val (i, dt) = at(c); val lit = litFor(dt, v)
-        (i, x => x != null && cmp(dt, x, lit) <= 0)
-      case In(c, vs) =>
-        val (i, dt) = at(c); val lits = vs.map(litFor(dt, _)).toSet
-        (i, x => x != null && lits.exists(l => cmp(dt, x, l) == 0))
-      case IsNotNull(c) =>
-        (fullSchema.fieldIndex(c), x => x != null)
-      case other =>
-        throw new IllegalStateException(s"unpushable filter reached reader: $other")
-    }
-  }
+    * compared in the column's INTERNAL type via GraftTsvPushdown's
+    * Spark-semantics comparators, converting each literal once. */
+  private val preds: Array[(Int, Any => Boolean)] =
+    pushed.map(GraftTsvPushdown.compile(fullSchema, _))
 
   private val fs: FileSystem =
     new Path(split.file).getFileSystem(hconf.value)
@@ -706,16 +852,19 @@ final class GraftTsvPartitionReader(
       val to0 = line.indexOf(delimiter, from)
       val to = if (to0 < 0) len else to0
       if (field == neededIdx(n)) {
-        scratch(field) =
-          if (to == from && fullSchema(field).dataType != StringType) null
-          else convert(fullSchema(field).dataType, line, from, to)
+        val si = lineFieldSchemaIdx(field)
+        scratch(si) =
+          if (to == from && fullSchema(si).dataType != StringType) null
+          else convert(fullSchema(si).dataType, line, from, to)
         n += 1
       }
       field += 1
       from = to + 1
       if (to0 < 0 && field <= maxNeeded && n < neededIdx.length) {
         // line ended early: remaining needed fields are null
-        while (n < neededIdx.length) { scratch(neededIdx(n)) = null; n += 1 }
+        while (n < neededIdx.length) {
+          scratch(lineFieldSchemaIdx(neededIdx(n))) = null; n += 1
+        }
       }
     }
     var i = 0
@@ -727,17 +876,8 @@ final class GraftTsvPartitionReader(
     true
   }
 
-  private def convert(dt: DataType, line: String, from: Int, to: Int): Any = {
-    val s = line.substring(from, to)
-    dt match {
-      case StringType => UTF8String.fromString(s)
-      case LongType => java.lang.Long.parseLong(s)
-      case IntegerType => Integer.parseInt(s)
-      case DoubleType => java.lang.Double.parseDouble(s)
-      case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
-      case other => throw new IllegalArgumentException(s"unsupported type $other")
-    }
-  }
+  private def convert(dt: DataType, line: String, from: Int, to: Int): Any =
+    GraftTsvPushdown.convertCell(dt, line.substring(from, to))
 
   private def toRow(): InternalRow = {
     val row = new GenericInternalRow(outIdx.length)
