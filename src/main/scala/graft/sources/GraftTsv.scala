@@ -255,6 +255,25 @@ private[sources] object GraftTsvPushdown {
     schema.fieldNames.contains(name) &&
       supportedType(schema(schema.fieldIndex(name)).dataType)
 
+  // the characters Hive/Spark escape in partition path segments (plus
+  // everything below 0x20 and DEL); kept in sync with unescapePathValue
+  private val EscapedChars: Set[Char] =
+    "\"#%'*/:=?\\{[]^".toSet
+
+  /** Hive-style partition-path escaping for the WRITE side: each special
+    * char becomes `%XX`. Round-trips through [[unescapePathValue]] and
+    * matches what Spark's own partitioned writers produce. */
+  def escapePathValue(s: String): String =
+    if (!s.exists(c => c < 0x20 || c == 0x7f || EscapedChars(c))) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length + 8)
+      s.foreach { c =>
+        if (c < 0x20 || c == 0x7f || EscapedChars(c)) sb.append(f"%%${c.toInt}%02X")
+        else sb.append(c)
+      }
+      sb.toString
+    }
+
   /** Undo Spark/Hive's partition-path escaping (`%XX` per escaped char —
     * NOT URL encoding: '+' is literal, only '%' sequences decode). */
   def unescapePathValue(s: String): String =
@@ -470,48 +489,70 @@ final class GraftTsvScan(
     val fs = p.getFileSystem(hconf.value)
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
 
-    def leafFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
-      // generation resolution: a directory written by the graft-tsv sink
-      // carries _gen-N manifests; the HIGHEST one defines the current
-      // contents (atomic-overwrite visibility — see GraftTsvManifest).
-      // No manifest = plain listing (legacy dirs).
-      val children = fs.listStatus(dir).toSeq.map(c => c.getPath.getName -> c)
-      GraftTsvManifest.resolve(children, fs, dir).map(_._2)
-    }
-    def walk(dir: Path, depth: Int, vals: List[String]): Seq[GraftTsvFileEntry] =
+    // (status, path relative to the matched ROOT, partition values);
+    // `children` is the already-listed content of the current level
+    def walk(children: Seq[org.apache.hadoop.fs.FileStatus], depth: Int,
+        rel: String, vals: List[String])
+        : Seq[(org.apache.hadoop.fs.FileStatus, String, Array[String])] =
       if (depth == partCols.length)
-        leafFiles(dir).filter(_.isFile).map(st =>
-          GraftTsvFileEntry(st.getPath.toString, st.getLen, vals.reverse.toArray))
+        children.filter(_.isFile).map(st =>
+          (st, rel + st.getPath.getName, vals.reverse.toArray))
       else {
         val want = partCols(depth) + "="
-        fs.listStatus(dir).toSeq.flatMap { st =>
+        children.flatMap { st =>
           val n = st.getPath.getName
           if (st.isDirectory && n.startsWith(want)) {
             val raw = GraftTsvPushdown.unescapePathValue(n.substring(want.length))
             val v = if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw
-            walk(st.getPath, depth + 1, v :: vals)
+            walk(fs.listStatus(st.getPath).toSeq, depth + 1, rel + n + "/", v :: vals)
           }
           else if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
             throw new IllegalStateException(
               s"graft-tsv: expected ${partCols(depth)}=<value> directories under " +
-                s"$dir (hive layout, partition.columns order), found file $n")
+                s"${st.getPath.getParent} (hive layout, partition.columns order), " +
+                s"found file $n")
           else Seq.empty // hidden files, foreign dirs: ignored
         }
       }
 
     val expanded = matched.flatMap { st =>
-      if (st.isDirectory) walk(st.getPath, 0, Nil)
-      else {
+      if (st.isDirectory) {
+        // generation resolution at the TABLE ROOT: the highest _gen-N
+        // manifest lists the current files as ROOT-RELATIVE paths (plain
+        // names for unpartitioned tables, `col=v/part-...` for
+        // partitioned ones), so ONE swap governs every partition
+        // atomically. No manifest = plain listing (legacy dirs).
+        val rootChildren = fs.listStatus(st.getPath).toSeq
+        val entries = walk(rootChildren, 0, "", Nil)
+        val gens = rootChildren
+          .flatMap(c => GraftTsvManifest.genNumber(c.getPath.getName).map(_ -> c.getPath))
+        if (gens.isEmpty) entries
+        else {
+          val latest = gens.maxBy(_._1)._2
+          val referenced = GraftTsvManifest.read(fs, latest).toSet
+          val present = entries.filter(e => referenced.contains(e._2))
+          if (present.size != referenced.size) {
+            val missing = referenced -- present.map(_._2).toSet
+            throw new IllegalStateException(
+              s"graft-tsv: manifest ${latest.getName} in ${st.getPath} references " +
+                s"missing part files (${missing.take(3).mkString(", ")}) — directory " +
+                "state corrupted (files deleted outside the commit protocol?)")
+          }
+          present
+        }
+      } else {
         require(partCols.isEmpty,
           s"graft-tsv: partition.columns set but $path matches a plain file")
-        Seq(GraftTsvFileEntry(st.getPath.toString, st.getLen, Array.empty))
+        Seq((st, st.getPath.getName, Array.empty[String]))
       }
     }
     expanded
-      .filter(_.len > 0)
-      .filterNot { e =>
-        val n = e.path.substring(e.path.lastIndexOf('/') + 1)
-        n.startsWith("_") || n.startsWith(".")
+      .collect { case (st, rel, vals)
+          if st.getLen > 0 && {
+            val n = st.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          } =>
+        GraftTsvFileEntry(st.getPath.toString, st.getLen, vals)
       }
       .sortBy(_.path)
   }

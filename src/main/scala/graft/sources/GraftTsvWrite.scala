@@ -63,17 +63,33 @@ final class GraftTsvWriteBuilder(
 
   override def truncate(): WriteBuilder = { truncateOnCommit = true; this }
 
+  /** Hive-partitioned OUTPUT layout: `.option("partition.columns", ...)`
+    * on the write (the DSv2 path-based writer has no partitionBy seam
+    * without a catalog, so the option carries it — symmetric with the
+    * read side). Writers route rows into `col=value` leaf staging files;
+    * the manifest's root-relative paths keep the commit ONE atomic swap
+    * across every partition. */
+  private val partCols: Seq[String] =
+    Option(info.options().get("partition.columns")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+  partCols.foreach { c =>
+    require(schema.fieldNames.contains(c),
+      s"graft-tsv: partition column '$c' is not in the write schema")
+  }
+  require(partCols.size < schema.length || partCols.isEmpty,
+    "graft-tsv: cannot partition by every column (no data columns left)")
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftTsvBatchWrite(schema, path, delimiter, truncateOnCommit,
-        info.queryId(), SerializableHadoopConf.fromSession())
+        info.queryId(), SerializableHadoopConf.fromSession(), partCols)
     /** Streaming sink = the SAME commit protocol per epoch (Complete mode
       * arrives as truncate, Append as append), with the epoch id recorded
       * in the generation manifest as the replay-idempotence token. */
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftTsvBatchWrite(schema, path, delimiter, truncateOnCommit,
-        info.queryId(), SerializableHadoopConf.fromSession())
+        info.queryId(), SerializableHadoopConf.fromSession(), partCols)
   }
 }
 
@@ -110,26 +126,6 @@ object GraftTsvManifest {
   def epochOf(fs: FileSystem, manifest: Path): Option[Long] =
     lines(fs, manifest).collectFirst { case EpochRe(n) => n.toLong }
 
-  /** Resolve a directory listing to the CURRENT generation's files:
-    * highest `_gen` manifest wins; no manifest = legacy plain listing.
-    * `files` are (name, status) of the directory's children. */
-  def resolve[A](children: Seq[(String, A)], fs: FileSystem, dir: Path): Seq[(String, A)] = {
-    val gens = children.map(_._1).flatMap(n => genNumber(n).map(_ -> n))
-    if (gens.isEmpty) children
-    else {
-      val latest = gens.maxBy(_._1)._2
-      val referenced = read(fs, new Path(dir, latest)).toSet
-      val present = children.filter(c => referenced.contains(c._1))
-      if (present.size != referenced.size) {
-        val missing = referenced -- present.map(_._1).toSet
-        throw new IllegalStateException(
-          s"graft-tsv: manifest $latest in $dir references missing part files " +
-            s"(${missing.take(3).mkString(", ")}) — directory state corrupted " +
-            "(files deleted outside the commit protocol?)")
-      }
-      present
-    }
-  }
 }
 
 /** Driver-side job coordinator: publishes committed task files, cleans
@@ -148,15 +144,17 @@ final class GraftTsvBatchWrite(
     delimiter: Char,
     truncate: Boolean,
     queryId: String,
-    hconf: SerializableHadoopConf) extends BatchWrite
+    hconf: SerializableHadoopConf,
+    partCols: Seq[String] = Seq.empty) extends BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftTsvWriterFactory(schema, path, delimiter, queryId, hconf)
+    new GraftTsvWriterFactory(schema, path, delimiter, queryId, hconf, partCols)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new GraftTsvStreamingWriterFactory(schema, path, delimiter, queryId, hconf)
+    new GraftTsvStreamingWriterFactory(schema, path, delimiter, queryId, hconf,
+      partCols)
 
   // both parent interfaces default this to true; Scala requires the
   // diamond be resolved explicitly. Keep the coordinator: one committed
@@ -189,6 +187,16 @@ final class GraftTsvBatchWrite(
     }
   }
 
+  /** Recursive (relative-path, status) listing — partitioned tables put
+    * parts in `col=value` leaf dirs, and all commit bookkeeping is in
+    * root-relative terms. */
+  private def allFiles(f: FileSystem, dir: Path, rel: String = "")
+      : Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+    f.listStatus(dir).toSeq.flatMap { st =>
+      if (st.isDirectory) allFiles(f, st.getPath, rel + st.getPath.getName + "/")
+      else Seq((rel + st.getPath.getName, st))
+    }
+
   private def publish(
       messages: Array[WriterCommitMessage],
       label: String,
@@ -197,32 +205,40 @@ final class GraftTsvBatchWrite(
     val dir = new Path(path)
     if (!f.exists(dir)) f.mkdirs(dir) // commit of an all-empty-partition job
     val staged = messages.collect {
-      case GraftTsvCommitMessage(Some(name)) => name
+      case GraftTsvCommitMessage(names) => names
+    }.flatten
+    def fileName(rel: String) = rel.substring(rel.lastIndexOf('/') + 1)
+    def visiblePart(rel: String) = {
+      val n = fileName(rel)
+      !n.startsWith(".") && !n.startsWith("_")
     }
-    def visiblePart(n: String) = !n.startsWith(".") && !n.startsWith("_")
-    val children = f.listStatus(dir).toSeq.map(st => st.getPath.getName -> st)
-    val curGen: Option[Long] =
-      children.flatMap(c => GraftTsvManifest.genNumber(c._1)).maxOption
-    // the CURRENT visible set: highest manifest, or (first commit into a
-    // pre-existing plain directory) the legacy listing, adopted
+    val children = allFiles(f, dir)
+    val curGen: Option[Long] = children
+      .collect { case (rel, _) if !rel.contains("/") => rel }
+      .flatMap(GraftTsvManifest.genNumber).maxOption
+    // the CURRENT visible set (root-relative paths): highest manifest, or
+    // (first commit into a pre-existing plain directory) the legacy
+    // listing, adopted
     val currentVisible: Seq[String] = curGen match {
       case Some(g) =>
         GraftTsvManifest.read(f, new Path(dir, GraftTsvManifest.genName(g)))
       case None =>
-        children.collect { case (n, st) if st.isFile && visiblePart(n) => n }
+        children.collect { case (rel, st) if st.isFile && visiblePart(rel) => rel }
     }
     // 1. publish new parts under JOB-UNIQUE names (epoch-qualified for
     //    streaming) — never renaming onto a part from an earlier job or
     //    epoch (local-FS rename onto an existing target silently fails
-    //    and would strand the staged file). The names are visible-style
-    //    but UNREFERENCED, so readers don't see them yet. rename's
-    //    Boolean is CHECKED — an unpublished staged file is data loss,
-    //    the one failure a commit protocol exists to prevent.
-    val newParts = staged.zipWithIndex.map { case (name, i) =>
-      val target = f"part-$label-$i%05d.tsv"
-      if (!f.rename(new Path(dir, name), new Path(dir, target)))
+    //    and would strand the staged file). Renames stay WITHIN each
+    //    partition's leaf dir. The names are visible-style but
+    //    UNREFERENCED, so readers don't see them yet. rename's Boolean
+    //    is CHECKED — an unpublished staged file is data loss, the one
+    //    failure a commit protocol exists to prevent.
+    val newParts = staged.zipWithIndex.map { case (rel, i) =>
+      val leaf = rel.substring(0, rel.lastIndexOf('/') + 1) // "" at root
+      val target = leaf + f"part-$label-$i%05d.tsv"
+      if (!f.rename(new Path(dir, rel), new Path(dir, target)))
         throw new IllegalStateException(
-          s"graft-tsv commit: failed to publish staged $name as $target")
+          s"graft-tsv commit: failed to publish staged $rel as $target")
       target
     }
     // 2. the atomic visibility flip: write the next generation's manifest
@@ -243,10 +259,12 @@ final class GraftTsvBatchWrite(
     //    manifests, leftover staging files — a crash before this point
     //    leaves garbage for the next commit, never a broken table
     val keep = nextVisible.toSet
-    children.foreach { case (n, st) =>
-      if (st.isFile && visiblePart(n) && !keep.contains(n))
+    children.foreach { case (rel, st) =>
+      val n = fileName(rel)
+      if (st.isFile && visiblePart(rel) && !keep.contains(rel))
         f.delete(st.getPath, false)
-      else if (GraftTsvManifest.genNumber(n).isDefined ||
+      else if ((!rel.contains("/") && GraftTsvManifest.genNumber(n).isDefined &&
+          GraftTsvManifest.genNumber(n) != Some(curGen.getOrElse(0L) + 1)) ||
           n.startsWith(".staging-") || n.startsWith(".manifest-"))
         // older manifests, and — single-writer contract — staging/tmp
         // leftovers of CRASHED jobs (this job's were renamed or belong to
@@ -266,7 +284,7 @@ final class GraftTsvBatchWrite(
 
   private def sweep(f: FileSystem, dir: Path): Unit =
     if (f.exists(dir))
-      f.listStatus(dir).foreach { st =>
+      allFiles(f, dir).foreach { case (_, st) =>
         if (st.getPath.getName.startsWith(s".staging-$queryId"))
           f.delete(st.getPath, false)
       }
@@ -282,15 +300,18 @@ final class GraftTsvStreamingWriterFactory(
     path: String,
     delimiter: Char,
     queryId: String,
-    hconf: SerializableHadoopConf)
+    hconf: SerializableHadoopConf,
+    partCols: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new GraftTsvDataWriter(schema, path, delimiter, s"$queryId-e$epochId",
-      partitionId, taskId, hconf)
+      partitionId, taskId, hconf, partCols)
 }
 
-final case class GraftTsvCommitMessage(staged: Option[String])
+/** Root-relative staged paths this task wrote (empty = nothing staged;
+  * several when a task's rows span partition leaves). */
+final case class GraftTsvCommitMessage(staged: Seq[String])
     extends WriterCommitMessage
 
 final class GraftTsvWriterFactory(
@@ -298,10 +319,11 @@ final class GraftTsvWriterFactory(
     path: String,
     delimiter: Char,
     queryId: String,
-    hconf: SerializableHadoopConf) extends DataWriterFactory {
+    hconf: SerializableHadoopConf,
+    partCols: Seq[String] = Seq.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftTsvDataWriter(schema, path, delimiter, queryId, partitionId, taskId,
-      hconf)
+      hconf, partCols)
 }
 
 /** Task-side writer: serialize to a staging file, hand the name back in
@@ -314,28 +336,51 @@ final class GraftTsvDataWriter(
     queryId: String,
     partitionId: Int,
     taskId: Long,
-    hconf: SerializableHadoopConf) extends DataWriter[InternalRow] {
+    hconf: SerializableHadoopConf,
+    partCols: Seq[String] = Seq.empty) extends DataWriter[InternalRow] {
 
   // task attempt id in the name keeps concurrent speculative attempts of
   // the same partition from colliding on one staging file
-  private val stagedName =
-    s".staging-$queryId-$partitionId-$taskId-${UUID.randomUUID().toString.take(8)}"
-  private var out: java.io.BufferedWriter = _
+  private val attempt = UUID.randomUUID().toString.take(8)
   private lazy val fs: FileSystem = new Path(path).getFileSystem(hconf.value)
 
-  private def ensureOpen(): Unit = if (out == null) {
-    val dir = new Path(path)
-    if (!fs.exists(dir)) fs.mkdirs(dir)
-    out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      fs.create(new Path(dir, stagedName), true), "UTF-8"))
+  // hive layout: partition columns route the row to a `col=value` leaf
+  // dir and are NOT serialized into the line (the reader reconstructs
+  // them from the path)
+  private val partIdx: Array[Int] = partCols.map(schema.fieldIndex).toArray
+  private val dataIdx: Array[Int] = {
+    val part = partIdx.toSet
+    schema.fields.indices.filterNot(part).toArray
   }
 
-  private def fieldString(row: InternalRow, i: Int): String = {
+  // one open staging file per partition leaf this task has seen (an
+  // unpartitioned write is the single leaf ""): value = (writer,
+  // root-relative staged path for the commit message)
+  private val open =
+    scala.collection.mutable.LinkedHashMap[String, (java.io.BufferedWriter, String)]()
+
+  private def writerFor(leafRel: String): java.io.BufferedWriter =
+    open.getOrElseUpdate(leafRel, {
+      val stagedName =
+        s".staging-$queryId-$partitionId-$taskId-$attempt-${open.size}"
+      val leafDir =
+        if (leafRel.isEmpty) new Path(path) else new Path(path, leafRel)
+      if (!fs.exists(leafDir)) fs.mkdirs(leafDir)
+      val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        fs.create(new Path(leafDir, stagedName), true), "UTF-8"))
+      (w, (if (leafRel.isEmpty) "" else leafRel + "/") + stagedName)
+    })._1
+
+  /** Text form of a value (the connector's documented conventions);
+    * `checkFraming` rejects delimiter/newline in LINE fields — partition
+    * values instead get path-escaped, where framing is irrelevant. */
+  private def fieldString(row: InternalRow, i: Int, checkFraming: Boolean): String = {
     if (row.isNullAt(i)) return ""
     schema.fields(i).dataType match {
       case StringType =>
         val s = row.getUTF8String(i).toString
-        if (s.indexOf(delimiter) >= 0 || s.indexOf('\n') >= 0 || s.indexOf('\r') >= 0)
+        if (checkFraming &&
+            (s.indexOf(delimiter) >= 0 || s.indexOf('\n') >= 0 || s.indexOf('\r') >= 0))
           throw new IllegalArgumentException(
             s"graft-tsv: value in column '${schema.fields(i).name}' contains " +
               "the delimiter or a newline; line-framed text cannot hold it")
@@ -349,27 +394,36 @@ final class GraftTsvDataWriter(
     }
   }
 
+  private def leafRelOf(row: InternalRow): String =
+    if (partIdx.isEmpty) ""
+    else partIdx.map { i =>
+      val v =
+        if (row.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
+        else GraftTsvPushdown.escapePathValue(fieldString(row, i, checkFraming = false))
+      s"${schema.fields(i).name}=$v"
+    }.mkString("/")
+
   override def write(row: InternalRow): Unit = {
-    ensureOpen()
     val sb = new java.lang.StringBuilder
-    var i = 0
-    while (i < schema.length) {
-      if (i > 0) sb.append(delimiter)
-      sb.append(fieldString(row, i))
-      i += 1
+    var j = 0
+    while (j < dataIdx.length) {
+      if (j > 0) sb.append(delimiter)
+      sb.append(fieldString(row, dataIdx(j), checkFraming = true))
+      j += 1
     }
     sb.append('\n')
-    out.write(sb.toString)
+    writerFor(leafRelOf(row)).write(sb.toString)
   }
 
   override def commit(): WriterCommitMessage = {
-    if (out != null) out.close()
-    GraftTsvCommitMessage(if (out != null) Some(stagedName) else None)
+    open.values.foreach(_._1.close())
+    GraftTsvCommitMessage(open.values.map(_._2).toSeq)
   }
 
-  override def abort(): Unit = {
-    if (out != null) { out.close(); fs.delete(new Path(path, stagedName), false) }
-  }
+  override def abort(): Unit =
+    open.values.foreach { case (w, rel) =>
+      w.close(); fs.delete(new Path(path, rel), false)
+    }
 
   override def close(): Unit = ()
 }
