@@ -254,6 +254,11 @@ object StreamingParity {
     (spark, dir) => {
       import org.apache.spark.sql.types._
       val root = java.nio.file.Files.createTempDirectory("graft_stream_tsv").toString
+      // fresh dir per invocation (checkpoint semantics demand it), but
+      // not LEAKED per invocation: the bench protocol re-runs queries
+      // many times per JVM, so reclaim at JVM exit
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))))
       val out = s"$root/out"
       val q = Tables.loadEventsStream(spark, dir)
         .select(col("event_type"),

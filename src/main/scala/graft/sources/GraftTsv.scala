@@ -242,8 +242,20 @@ private[sources] object GraftTsvPushdown {
         val (i, dt) = at(c); val lit = litFor(dt, v)
         (i, x => x != null && cmp(dt, x, lit) <= 0)
       case In(c, vs) =>
-        val (i, dt) = at(c); val lits = vs.map(litFor(dt, _)).toSet
-        (i, x => x != null && lits.exists(l => cmp(dt, x, l) == 0))
+        // hash lookup, NOT a linear cmp scan: a runtime-filter IN carries
+        // the whole realized dim key set (thousands of keys), and
+        // O(lines × keys) would cost more than not filtering. Internal
+        // values' equals/hashCode agree with cmp==0 once doubles are
+        // normalized (-0.0 → 0.0 on both sides; boxed NaN.equals(NaN) is
+        // true, matching Spark's NaN = NaN).
+        val (i, dt) = at(c)
+        def norm(v: Any): Any = dt match {
+          case DoubleType =>
+            val d = v.asInstanceOf[Double]; if (d == 0.0) 0.0 else d
+          case _ => v
+        }
+        val lits = vs.map(litFor(dt, _)).map(norm).toSet
+        (i, x => x != null && lits.contains(norm(x)))
       case IsNotNull(c) =>
         (schema.fieldIndex(c), x => x != null)
       case other =>
@@ -851,11 +863,21 @@ final class GraftTsvPartitionReader(
       else GraftTsvPushdown.convertCell(fullSchema(si).dataType, raw)
   }
 
-  /** A pushed predicate compiled to (full-schema index, test). Values are
-    * compared in the column's INTERNAL type via GraftTsvPushdown's
-    * Spark-semantics comparators, converting each literal once. */
-  private val preds: Array[(Int, Any => Boolean)] =
-    pushed.map(GraftTsvPushdown.compile(fullSchema, _))
+  /** Pushed predicates compiled to (full-schema index, test), compared in
+    * the column's INTERNAL type via GraftTsvPushdown's Spark-semantics
+    * comparators, converting each literal once. Predicates referencing
+    * ONLY partition columns are split-CONSTANT: they are evaluated once
+    * here against the prefilled scratch values (normally true — planning
+    * already pruned the files — but runtime filters can arrive for
+    * shapes planning could not prune) and excluded from the per-line
+    * set, so a partition-key runtime IN costs nothing per line. */
+  private val (preds, splitAlive): (Array[(Int, Any => Boolean)], Boolean) = {
+    val partSet = partSchemaIdx.toSet
+    val (partOnly, perLine) = pushed
+      .map(GraftTsvPushdown.compile(fullSchema, _))
+      .partition { case (i, _) => partSet.contains(i) }
+    (perLine, partOnly.forall { case (i, test) => test(scratch(i)) })
+  }
 
   private val fs: FileSystem =
     new Path(split.file).getFileSystem(hconf.value)
@@ -938,9 +960,12 @@ final class GraftTsvPartitionReader(
   override def next(): Boolean = {
     // Pushed COUNT(*): drain the split counting predicate survivors and
     // emit ONE partial-count row — no per-line InternalRow ever exists.
+    // (A partition-predicate-dead split still emits its 0 row: the final
+    // sum over zero rows would be NULL, not 0.)
     if (countOnly) {
       if (countDone) return false
       var c = 0L
+      if (!splitAlive) pos = end + 1 // skip the drain entirely
       while (pos <= end) {
         val bytes = lineReader.readLine(text)
         if (bytes == 0) { pos = end + 1 } // EOF
@@ -956,6 +981,7 @@ final class GraftTsvPartitionReader(
       countDone = true
       return true
     }
+    if (!splitAlive) return false // a split-constant predicate failed
     // a line belongs to this split iff it STARTS at offset <= end (the
     // next split discards its first line, so we must read through the
     // boundary — TextInputFormat's exactly-once protocol)

@@ -34,10 +34,12 @@ import org.apache.spark.sql.types._
   *     `_gen-<n+1>` — a single atomic metadata operation, so a reader
   *     always resolves either generation n (complete old data) or n+1
   *     (complete new data), never empty, never a mix. Only AFTER the swap
-  *     are superseded/unreferenced parts and older `_gen` files deleted;
-  *     a crash anywhere leaves the last published generation fully
-  *     readable (worst case: orphaned unreferenced files, cleaned by the
-  *     next commit). Generations also make overwrite exactly-once against
+  *     is anything deleted, and the JUST-SUPERSEDED generation is
+  *     RETAINED (manifest + parts) until the commit after next — a
+  *     reader that resolved generation n right before the swap can
+  *     still open everything its listing promised. A crash anywhere
+  *     leaves the last published generation fully readable (worst case:
+  *     orphaned unreferenced files, cleaned by the next commit). Generations also make overwrite exactly-once against
   *     a DRIVER retry of commit itself: a replayed rename onto an
   *     existing `_gen` target fails loudly instead of double-publishing.
   *     Directories never written by this sink have no manifest and read
@@ -183,7 +185,10 @@ final class GraftTsvBatchWrite(
       // replay's freshly staged duplicates need collecting
       sweep(f, dir)
     } else {
-      publish(messages, s"$jobTag-e$epochId", epochMarker = Some(epochId))
+      // epoch ZERO-PADDED in the published part names: a graft-tsv
+      // streaming SOURCE reading this directory requires monotonic names,
+      // and unpadded e10 would sort below e9
+      publish(messages, f"$jobTag-e$epochId%012d", epochMarker = Some(epochId))
     }
   }
 
@@ -216,6 +221,17 @@ final class GraftTsvBatchWrite(
     val curGen: Option[Long] = children
       .collect { case (rel, _) if !rel.contains("/") => rel }
       .flatMap(GraftTsvManifest.genNumber).maxOption
+    // a rel path the READER would consider: right partition depth, each
+    // segment the declared column. Adoption and cleanup are both scoped
+    // to this — adopting a stray subdirectory file would make the table
+    // permanently unreadable (the reader's walk never lists it, so the
+    // manifest check reports it missing), and deleting one would destroy
+    // data this sink never owned.
+    def inScope(rel: String): Boolean = {
+      val segs = rel.split("/")
+      segs.length == partCols.length + 1 &&
+        partCols.indices.forall(i => segs(i).startsWith(partCols(i) + "="))
+    }
     // the CURRENT visible set (root-relative paths): highest manifest, or
     // (first commit into a pre-existing plain directory) the legacy
     // listing, adopted
@@ -223,7 +239,9 @@ final class GraftTsvBatchWrite(
       case Some(g) =>
         GraftTsvManifest.read(f, new Path(dir, GraftTsvManifest.genName(g)))
       case None =>
-        children.collect { case (rel, st) if st.isFile && visiblePart(rel) => rel }
+        children.collect {
+          case (rel, st) if st.isFile && visiblePart(rel) && inScope(rel) => rel
+        }
     }
     // 1. publish new parts under JOB-UNIQUE names (epoch-qualified for
     //    streaming) — never renaming onto a part from an earlier job or
@@ -255,21 +273,27 @@ final class GraftTsvBatchWrite(
         s"graft-tsv commit: failed to publish $genPath — a concurrent writer " +
           "took this generation or the commit was replayed; directory state " +
           "is untouched (the previous generation remains current)")
-    // 3. cleanup only AFTER the swap: superseded or orphaned parts, older
-    //    manifests, leftover staging files — a crash before this point
-    //    leaves garbage for the next commit, never a broken table
-    val keep = nextVisible.toSet
+    // 3. cleanup only AFTER the swap, with ONE-GENERATION RETENTION: the
+    //    just-superseded generation's manifest and parts stay on disk so
+    //    a reader that resolved gen N before this commit can still open
+    //    its manifest and parts (they are deleted by the NEXT commit).
+    //    Without retention, a concurrent reader mid-resolution races the
+    //    deletes and fails on files its listing promised. Older
+    //    generations, orphans, and crashed jobs' staging/tmp files go
+    //    now — all scoped by inScope so files this sink never published
+    //    are untouched. A crash before this point leaves garbage for the
+    //    next commit, never a broken table.
+    val keep = nextVisible.toSet ++ currentVisible.toSet
     children.foreach { case (rel, st) =>
       val n = fileName(rel)
-      if (st.isFile && visiblePart(rel) && !keep.contains(rel))
+      if (st.isFile && visiblePart(rel) && inScope(rel) && !keep.contains(rel))
         f.delete(st.getPath, false)
-      else if ((!rel.contains("/") && GraftTsvManifest.genNumber(n).isDefined &&
-          GraftTsvManifest.genNumber(n) != Some(curGen.getOrElse(0L) + 1)) ||
+      else if ((!rel.contains("/") &&
+          GraftTsvManifest.genNumber(n).exists(g => curGen.exists(g < _))) ||
           n.startsWith(".staging-") || n.startsWith(".manifest-"))
-        // older manifests, and — single-writer contract — staging/tmp
-        // leftovers of CRASHED jobs (this job's were renamed or belong to
-        // uncommitted attempts, swept below); `children` predates this
-        // commit's own files, so nothing current is touched
+        // manifests BELOW the just-superseded one, and — single-writer
+        // contract — staging/tmp leftovers of CRASHED jobs (this job's
+        // were renamed or belong to uncommitted attempts, swept below)
         f.delete(st.getPath, false)
     }
     sweep(f, dir) // staging files from this job's failed/speculative attempts
@@ -355,21 +379,44 @@ final class GraftTsvDataWriter(
 
   // one open staging file per partition leaf this task has seen (an
   // unpartitioned write is the single leaf ""): value = (writer,
-  // root-relative staged path for the commit message)
+  // root-relative staged path for the commit message). Open-file count is
+  // CAPPED: a task whose rows span many partition values would otherwise
+  // hold one file descriptor per value and exhaust the task's FD budget
+  // on high-cardinality partition columns. On overflow the
+  // least-recently-opened writer closes (its staged path is already
+  // recorded); a revisited leaf simply opens a NEW staging file — the
+  // commit message is a list, so multiple staged files per leaf are
+  // fine. Pathological row orders trade FDs for file count; pre-sorting
+  // by the partition columns (what Spark's own dynamic-partition write
+  // does) restores one file per leaf.
+  private val MaxOpenWriters = 64
+  private var fileSeq = 0
+  private var closedStaged = List.empty[String]
   private val open =
     scala.collection.mutable.LinkedHashMap[String, (java.io.BufferedWriter, String)]()
 
   private def writerFor(leafRel: String): java.io.BufferedWriter =
-    open.getOrElseUpdate(leafRel, {
-      val stagedName =
-        s".staging-$queryId-$partitionId-$taskId-$attempt-${open.size}"
-      val leafDir =
-        if (leafRel.isEmpty) new Path(path) else new Path(path, leafRel)
-      if (!fs.exists(leafDir)) fs.mkdirs(leafDir)
-      val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-        fs.create(new Path(leafDir, stagedName), true), "UTF-8"))
-      (w, (if (leafRel.isEmpty) "" else leafRel + "/") + stagedName)
-    })._1
+    open.get(leafRel) match {
+      case Some((w, _)) => w
+      case None =>
+        if (open.size >= MaxOpenWriters) {
+          val (oldest, (w, rel)) = open.head
+          w.close()
+          closedStaged ::= rel
+          open.remove(oldest)
+        }
+        val stagedName =
+          s".staging-$queryId-$partitionId-$taskId-$attempt-$fileSeq"
+        fileSeq += 1
+        val leafDir =
+          if (leafRel.isEmpty) new Path(path) else new Path(path, leafRel)
+        if (!fs.exists(leafDir)) fs.mkdirs(leafDir)
+        val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          fs.create(new Path(leafDir, stagedName), true), "UTF-8"))
+        open.put(leafRel,
+          (w, (if (leafRel.isEmpty) "" else leafRel + "/") + stagedName))
+        w
+    }
 
   /** Text form of a value (the connector's documented conventions);
     * `checkFraming` rejects delimiter/newline in LINE fields — partition
@@ -417,13 +464,14 @@ final class GraftTsvDataWriter(
 
   override def commit(): WriterCommitMessage = {
     open.values.foreach(_._1.close())
-    GraftTsvCommitMessage(open.values.map(_._2).toSeq)
+    GraftTsvCommitMessage(closedStaged.reverse ++ open.values.map(_._2))
   }
 
-  override def abort(): Unit =
-    open.values.foreach { case (w, rel) =>
-      w.close(); fs.delete(new Path(path, rel), false)
-    }
+  override def abort(): Unit = {
+    open.values.foreach(_._1.close())
+    (closedStaged ++ open.values.map(_._2))
+      .foreach(rel => fs.delete(new Path(path, rel), false))
+  }
 
   override def close(): Unit = ()
 }

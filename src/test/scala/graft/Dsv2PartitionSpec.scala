@@ -189,6 +189,25 @@ class Dsv2PartitionSpec extends SparkSuite {
     assert(back(1).isNullAt(2), "hive default partition must read as NULL")
   }
 
+  test("a task spanning hundreds of partition values stays within the FD cap") {
+    // 200 distinct values cycle through ONE task (coalesce(1)), so the
+    // writer's open-file cap forces evictions and re-opens — multiple
+    // staged files per leaf — and the round trip must still be exact
+    val out = new java.io.File(
+      Files.createTempDirectory("graft_dsv2_hicard").toFile, "t").getAbsolutePath
+    spark.range(400).select(col("id"),
+      concat(lit("p"), col("id") % 200).as("k"))
+      .coalesce(1).write.format("graft-tsv")
+      .option("partition.columns", "k").mode("overwrite").save(out)
+    val s = StructType(Seq(StructField("id", LongType), StructField("k", StringType)))
+    val back = spark.read.format("graft-tsv").schema(s)
+      .option("partition.columns", "k").load(out)
+    assert(back.count() == 400)
+    assert(back.select("k").distinct().count() == 200)
+    assert(back.filter(col("k") === "p7").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(7L, 207L))
+  }
+
   test("a data file where a partition directory belongs fails loudly") {
     val dir = Files.createTempDirectory("graft_dsv2_badlayout").toFile
     val w = new java.io.PrintWriter(new java.io.File(dir, "stray.tsv"), "UTF-8")

@@ -158,18 +158,54 @@ class Dsv2SinkSpec extends SparkSuite {
     // generation, old parts still on disk but superseded
     put("_gen-0000000002", "part-new-00000.tsv")
     assert(readIds() === Seq(10L, 11L), "highest generation wins")
-    // cleanup happened: state is equivalent either way (reader already
-    // ignores old generation), and the NEXT real overwrite removes it all
+    // the NEXT real overwrite cleans older generations but RETAINS the
+    // one it just superseded (gen 2 + part-new) — a reader that resolved
+    // gen 2 moments before this commit must still be able to open it
     mkDf(3, "z").write.format("graft-tsv").mode("overwrite")
       .save(dir.getAbsolutePath)
     val names = dir.listFiles().map(_.getName).toSeq
-    assert(names.count(_.startsWith("_gen-")) == 1, s"one manifest: $names")
-    assert(!names.contains("part-old-00000.tsv") && !names.contains("part-new-00000.tsv"),
-      s"superseded generations swept: $names")
+    assert(names.count(_.startsWith("_gen-")) == 2,
+      s"superseded + current manifests retained: $names")
+    assert(!names.contains("part-old-00000.tsv"),
+      s"generations older than the superseded one swept: $names")
+    assert(names.contains("part-new-00000.tsv"),
+      s"the just-superseded generation is retained for in-flight readers: $names")
     assert(!names.exists(_.startsWith(".staging-")), s"orphan staging swept: $names")
     val back = spark.read.format("graft-tsv").schema(schema)
       .load(dir.getAbsolutePath)
     assert(back.count() == 3)
+    // ...and the commit after next retires it
+    mkDf(2, "w").write.format("graft-tsv").mode("overwrite")
+      .save(dir.getAbsolutePath)
+    val names2 = dir.listFiles().map(_.getName).toSeq
+    assert(!names2.contains("part-new-00000.tsv"),
+      s"retention is one generation deep: $names2")
+  }
+
+  test("adoption and cleanup never touch files outside the table's scope") {
+    // a pre-existing plain directory with a STRAY SUBDIRECTORY: the first
+    // commit adopts only reader-visible files (root level for an
+    // unpartitioned table) — adopting backup/old.tsv would make every
+    // later read fail its manifest check (the reader never lists it),
+    // and cleanup deleting it would destroy data this sink never owned
+    val dir = new java.io.File(freshDir()); dir.mkdirs()
+    val w1 = new java.io.PrintWriter(new java.io.File(dir, "legacy.tsv"), "UTF-8")
+    w1.println("7\tlegacy"); w1.close()
+    val sub = new java.io.File(dir, "backup"); sub.mkdirs()
+    val w2 = new java.io.PrintWriter(new java.io.File(sub, "old.tsv"), "UTF-8")
+    w2.println("8\tforeign"); w2.close()
+    val s = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    import spark.implicits._
+    Seq((1L, "new")).toDF("id", "name").write.format("graft-tsv")
+      .mode("append").save(dir.getAbsolutePath)
+    // table reads: legacy root file adopted + appended row; stays readable
+    val back = spark.read.format("graft-tsv").schema(s)
+      .load(dir.getAbsolutePath).collect().map(_.getLong(0)).sorted.toSeq
+    assert(back === Seq(1L, 7L))
+    // the foreign subdirectory file survived both adoption and cleanup
+    assert(new java.io.File(sub, "old.tsv").exists(),
+      "cleanup must not delete files outside the table's partition scope")
   }
 
   test("a manifest referencing a missing part fails loudly, not silently short") {

@@ -132,9 +132,39 @@ class Dsv2StreamSpec extends SparkSuite {
     assert(back === Seq(1L, 2L, 3L),
       s"replayed epoch must publish nothing: $back")
     val names = new java.io.File(out).listFiles().map(_.getName)
-    assert(names.count(_.startsWith("_gen-")) == 1, names.mkString(","))
+    // current + the one-generation retention for in-flight readers
+    assert(names.count(_.startsWith("_gen-")) == 2, names.mkString(","))
     assert(!names.exists(_.startsWith(".staging-")),
       s"replay's staged duplicate must be swept: ${names.mkString(",")}")
+  }
+
+  test("published part names stay monotonic across epoch 9 to 10 (zero-padded)") {
+    // the graft-tsv streaming SOURCE requires monotonic file names; an
+    // unpadded epoch label would sort e10 below e9 and fail a
+    // tsv-to-tsv streaming chain at the 11th micro-batch
+    import org.apache.spark.sql.catalyst.InternalRow
+    val out = new java.io.File(
+      Files.createTempDirectory("graft_dsv2_epad").toFile, "out").getAbsolutePath
+    val s = StructType(Seq(StructField("id", LongType)))
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = "epadq"
+      override def schema(): StructType = s
+      override def options() =
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap())
+    }
+    val write = new graft.sources.GraftTsvWriteBuilder(s, out, '\t', info)
+      .build().toStreaming
+    Seq(9L, 10L).foreach { epoch =>
+      val w = write.createStreamingWriterFactory(null).createWriter(0, epoch, epoch)
+      w.write(InternalRow(epoch))
+      write.commit(epoch, Array(w.commit()))
+    }
+    val parts = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("part-")).sorted.toSeq
+    assert(parts.size == 2, parts.mkString(","))
+    assert(parts.last.contains("-e000000000010-"),
+      s"epoch 10's parts must sort after epoch 9's: ${parts.mkString(",")}")
   }
 
   test("a file sorting below the processed high-water mark fails fast, never skips") {
