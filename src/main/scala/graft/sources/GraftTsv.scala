@@ -538,13 +538,16 @@ final class GraftTsvScan(
         val entries = walk(rootChildren, 0, "", Nil)
         val gens = rootChildren
           .flatMap(c => GraftTsvManifest.genNumber(c.getPath.getName).map(_ -> c.getPath))
-        if (gens.isEmpty) entries
+        if (gens.isEmpty) entries.map(e => (e._1, e._2, e._3, ""))
         else {
           val latest = gens.maxBy(_._1)._2
-          val referenced = GraftTsvManifest.read(fs, latest).toSet
-          val present = entries.filter(e => referenced.contains(e._2))
-          if (present.size != referenced.size) {
-            val missing = referenced -- present.map(_._2).toSet
+          val refEntries = GraftTsvManifest.readEntries(fs, latest).toMap
+          val present = entries.collect {
+            case (fst, rel, vals) if refEntries.contains(rel) =>
+              (fst, rel, vals, refEntries(rel))
+          }
+          if (present.size != refEntries.size) {
+            val missing = refEntries.keySet -- present.map(_._2).toSet
             throw new IllegalStateException(
               s"graft-tsv: manifest ${latest.getName} in ${st.getPath} references " +
                 s"missing part files (${missing.take(3).mkString(", ")}) — directory " +
@@ -555,41 +558,86 @@ final class GraftTsvScan(
       } else {
         require(partCols.isEmpty,
           s"graft-tsv: partition.columns set but $path matches a plain file")
-        Seq((st, st.getPath.getName, Array.empty[String]))
+        Seq((st, st.getPath.getName, Array.empty[String], ""))
       }
     }
     expanded
-      .collect { case (st, rel, vals)
+      .collect { case (st, rel, vals, stats)
           if st.getLen > 0 && {
             val n = st.getPath.getName
             !n.startsWith("_") && !n.startsWith(".")
           } =>
-        GraftTsvFileEntry(st.getPath.toString, st.getLen, vals)
+        GraftTsvFileEntry(st.getPath.toString, st.getLen, vals,
+          GraftTsvManifest.parseStats(stats))
       }
       .sortBy(_.path)
   }
 
-  /** Drop whole FILES whose hive partition values fail a pushed or
-    * runtime predicate that references only partition columns — at scale
-    * this is the pruning that turns a corpus scan into a partition scan,
-    * and it composes with runtime filtering (a join's realized key set
-    * prunes SPLITS here, not just rows). Predicates are the same
-    * compiled Spark-semantics tests the readers use. */
-  private def prunePartitions(
+  /** Drop whole FILES at planning, two ways, both with the same compiled
+    * Spark-semantics comparators the readers use — and both composing
+    * with runtime filtering (a join's realized key set prunes files here
+    * on the re-plan, not just rows):
+    *  - hive partition values failing a partition-column predicate — the
+    *    pruning that turns a corpus scan into a partition scan;
+    *  - manifest column RANGES excluding a data-column predicate — file
+    *    skipping without partitioning (the writer records per-file
+    *    min/max; absent stats keep the file, so skipping can only ever
+    *    UNDER-prune). */
+  private def pruneFiles(
       files: Seq[GraftTsvFileEntry], filters: Array[Filter]): Seq[GraftTsvFileEntry] = {
-    if (partCols.isEmpty) return files
-    val partSchema = StructType(partCols.map(c => fullSchema(fullSchema.fieldIndex(c))))
-    val partSet = partCols.toSet
-    val preds = filters
-      .filter(f => f.references.length == 1 && partSet.contains(f.references.head))
-      .map(GraftTsvPushdown.compile(partSchema, _))
-    if (preds.isEmpty) return files
-    files.filter { e =>
-      val typed = e.partVals.zipWithIndex.map { case (raw, i) =>
-        if (raw == null) null
-        else GraftTsvPushdown.convertCell(partSchema(i).dataType, raw)
+    val single = filters.filter(_.references.length == 1)
+    val afterPart =
+      if (partCols.isEmpty) files
+      else {
+        val partSchema =
+          StructType(partCols.map(c => fullSchema(fullSchema.fieldIndex(c))))
+        val partSet = partCols.toSet
+        val preds = single
+          .filter(f => partSet.contains(f.references.head))
+          .map(GraftTsvPushdown.compile(partSchema, _))
+        if (preds.isEmpty) files
+        else files.filter { e =>
+          val typed = e.partVals.zipWithIndex.map { case (raw, i) =>
+            if (raw == null) null
+            else GraftTsvPushdown.convertCell(partSchema(i).dataType, raw)
+          }
+          preds.forall { case (i, test) => test(typed(i)) }
+        }
       }
-      preds.forall { case (i, test) => test(typed(i)) }
+    val statFilters = single.filter(f => colIn(fullSchema, f.references.head))
+    if (statFilters.isEmpty) afterPart
+    else afterPart.filter(e =>
+      e.stats.isEmpty || statFilters.forall(f => rangeMayMatch(f, e.stats)))
+  }
+
+  private def colIn(s: StructType, name: String): Boolean =
+    s.fieldNames.contains(name)
+
+  /** Conservative min/max test: false ONLY when the file's recorded
+    * range PROVABLY excludes every matching value. Unparseable or
+    * missing stats keep the file. */
+  private def rangeMayMatch(f: Filter, stats: Map[String, (String, String)]): Boolean = {
+    val c = f.references.head
+    stats.get(c) match {
+      case None => true
+      case Some((mnRaw, mxRaw)) =>
+        val dt = fullSchema(fullSchema.fieldIndex(c)).dataType
+        try {
+          val mn = GraftTsvPushdown.convertCell(dt, mnRaw)
+          val mx = GraftTsvPushdown.convertCell(dt, mxRaw)
+          def lit(v: Any) = GraftTsvPushdown.litFor(dt, v)
+          def inRange(v: Any) =
+            GraftTsvPushdown.cmp(dt, v, mn) >= 0 && GraftTsvPushdown.cmp(dt, v, mx) <= 0
+          f match {
+            case EqualTo(_, v) => inRange(lit(v))
+            case In(_, vs) => vs.exists(v => inRange(lit(v)))
+            case GreaterThan(_, v) => GraftTsvPushdown.cmp(dt, mx, lit(v)) > 0
+            case GreaterThanOrEqual(_, v) => GraftTsvPushdown.cmp(dt, mx, lit(v)) >= 0
+            case LessThan(_, v) => GraftTsvPushdown.cmp(dt, mn, lit(v)) < 0
+            case LessThanOrEqual(_, v) => GraftTsvPushdown.cmp(dt, mn, lit(v)) <= 0
+            case _ => true // IsNotNull etc: min/max cannot exclude
+          }
+        } catch { case _: RuntimeException => true } // corrupt cell: keep
     }
   }
 
@@ -609,7 +657,7 @@ final class GraftTsvScan(
     * runtime filtering — by the realized join key set, so a selective
     * join reads only the matching hive partitions' bytes. */
   override def planInputPartitions(): Array[InputPartition] =
-    prunePartitions(batchListing, pushed ++ factory.runtimeFilters)
+    pruneFiles(batchListing, pushed ++ factory.runtimeFilters)
       .flatMap { e =>
         (0L until e.len by splitBytes).map { off =>
           GraftTsvInputPartition(e.path, off, math.min(splitBytes, e.len - off),
@@ -633,7 +681,7 @@ final class GraftTsvScan(
   override def estimateStatistics(): Statistics = {
     // statically-pruned size: CBO decisions see the partitions the query
     // will actually read, not the whole table
-    val bytes = prunePartitions(batchListing, pushed).map(_.len).sum
+    val bytes = pruneFiles(batchListing, pushed).map(_.len).sum
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
       override def numRows(): OptionalLong = OptionalLong.empty()
@@ -759,9 +807,11 @@ final class GraftTsvMicroBatchStream(scan: GraftTsvScan, splitBytes: Long)
 
 /** A listed data file plus the hive partition values carved from its
   * directory path (empty when the table is unpartitioned; a null element
-  * is `__HIVE_DEFAULT_PARTITION__`). */
+  * is `__HIVE_DEFAULT_PARTITION__`) and the per-file column min/max
+  * ranges recorded in the manifest (empty = unknown, never pruned). */
 private[sources] final case class GraftTsvFileEntry(
-    path: String, len: Long, partVals: Array[String])
+    path: String, len: Long, partVals: Array[String],
+    stats: Map[String, (String, String)] = Map.empty)
 
 final case class GraftTsvInputPartition(
     file: String, start: Long, length: Long,

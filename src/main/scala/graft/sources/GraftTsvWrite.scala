@@ -97,9 +97,12 @@ final class GraftTsvWriteBuilder(
 
 /** The generation-manifest layer shared by the writer (publishes) and the
   * reader (resolves): `_gen-NNNNNNNNNN` files (zero-padded so lexical max
-  * = numeric max) each list the part NAMES visible in that generation,
-  * one per line. Underscore prefix keeps manifests out of the data-file
-  * listing by the connector's own hidden-file rule. */
+  * = numeric max) each list the part paths visible in that generation,
+  * one per line, optionally followed by a TAB and the file's column
+  * min/max stats cell — the metadata that lets the reader skip files on
+  * data-column predicates without opening them. Underscore prefix keeps
+  * manifests out of the data-file listing by the connector's own
+  * hidden-file rule. */
 object GraftTsvManifest {
   val Prefix = "_gen-"
 
@@ -116,10 +119,48 @@ object GraftTsvManifest {
     } finally in.close()
   }
 
+  /** A manifest data line is `relpath<TAB>stats` — the optional stats
+    * cell carries per-file column min/max ranges (`col:min:max,...`,
+    * values %XX-escaped) that the reader uses for FILE SKIPPING on data
+    * columns. Old manifests without the tab parse as stats-less. */
+  def readEntries(fs: FileSystem, manifest: Path): Seq[(String, String)] =
+    lines(fs, manifest).filterNot(_.startsWith("#")).map { l =>
+      val tab = l.indexOf('\t')
+      if (tab < 0) (l, "") else (l.substring(0, tab), l.substring(tab + 1))
+    }
+
   /** Part names of the given manifest file (`#`-prefixed lines are
     * metadata markers, not part names). */
   def read(fs: FileSystem, manifest: Path): Seq[String] =
-    lines(fs, manifest).filterNot(_.startsWith("#"))
+    readEntries(fs, manifest).map(_._1)
+
+  // stats-cell escaping: make the separators and '%' safe inside values;
+  // unescapePathValue's generic %XX decode reverses it
+  def statEscape(s: String): String =
+    if (!s.exists(c => c == '%' || c == ':' || c == ',' || c == '\t' ||
+        c == '\n' || c == '\r')) s
+    else s.flatMap {
+      case '%' => "%25"
+      case ':' => "%3A"
+      case ',' => "%2C"
+      case '\t' => "%09"
+      case '\n' => "%0A"
+      case '\r' => "%0D"
+      case c => c.toString
+    }
+
+  /** Parse a stats cell to col -> (min, max) raw strings. */
+  def parseStats(stats: String): Map[String, (String, String)] =
+    if (stats.isEmpty) Map.empty
+    else stats.split(',').flatMap { entry =>
+      entry.split(':') match {
+        case Array(c, mn, mx) =>
+          Some(GraftTsvPushdown.unescapePathValue(c) ->
+            (GraftTsvPushdown.unescapePathValue(mn),
+              GraftTsvPushdown.unescapePathValue(mx)))
+        case _ => None // unknown shape: ignore, never mis-prune
+      }
+    }.toMap
 
   private val EpochRe = """#epoch:(-?\d+)""".r
 
@@ -232,17 +273,19 @@ final class GraftTsvBatchWrite(
       segs.length == partCols.length + 1 &&
         partCols.indices.forall(i => segs(i).startsWith(partCols(i) + "="))
     }
-    // the CURRENT visible set (root-relative paths): highest manifest, or
-    // (first commit into a pre-existing plain directory) the legacy
-    // listing, adopted
-    val currentVisible: Seq[String] = curGen match {
+    // the CURRENT visible set ((root-relative path, stats cell)): highest
+    // manifest, or (first commit into a pre-existing plain directory) the
+    // legacy listing, adopted stats-less
+    val currentEntries: Seq[(String, String)] = curGen match {
       case Some(g) =>
-        GraftTsvManifest.read(f, new Path(dir, GraftTsvManifest.genName(g)))
+        GraftTsvManifest.readEntries(f, new Path(dir, GraftTsvManifest.genName(g)))
       case None =>
         children.collect {
-          case (rel, st) if st.isFile && visiblePart(rel) && inScope(rel) => rel
+          case (rel, st) if st.isFile && visiblePart(rel) && inScope(rel) =>
+            (rel, "")
         }
     }
+    val currentVisible: Seq[String] = currentEntries.map(_._1)
     // 1. publish new parts under JOB-UNIQUE names (epoch-qualified for
     //    streaming) — never renaming onto a part from an earlier job or
     //    epoch (local-FS rename onto an existing target silently fails
@@ -251,21 +294,28 @@ final class GraftTsvBatchWrite(
     //    UNREFERENCED, so readers don't see them yet. rename's Boolean
     //    is CHECKED — an unpublished staged file is data loss, the one
     //    failure a commit protocol exists to prevent.
-    val newParts = staged.zipWithIndex.map { case (rel, i) =>
+    val newParts = staged.zipWithIndex.map { case ((rel, stats), i) =>
       val leaf = rel.substring(0, rel.lastIndexOf('/') + 1) // "" at root
       val target = leaf + f"part-$label-$i%05d.tsv"
       if (!f.rename(new Path(dir, rel), new Path(dir, target)))
         throw new IllegalStateException(
           s"graft-tsv commit: failed to publish staged $rel as $target")
-      target
+      (target, stats)
     }
     // 2. the atomic visibility flip: write the next generation's manifest
-    //    to a hidden tmp name, then ONE rename to _gen-<n+1>
-    val nextVisible = (if (truncate) Seq.empty else currentVisible) ++ newParts
+    //    to a hidden tmp name, then ONE rename to _gen-<n+1>. Carried
+    //    entries keep their stats cells, so appended generations retain
+    //    file-skipping metadata for the old files too.
+    val nextEntries =
+      (if (truncate) Seq.empty else currentEntries) ++ newParts
+    val nextVisible = nextEntries.map(_._1)
     val tmp = new Path(dir, s".manifest-$label-${UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
     val markers = epochMarker.map(e => s"#epoch:$e").toSeq
-    try out.write((markers ++ nextVisible).map(_ + "\n").mkString.getBytes("UTF-8"))
+    val entryLines = nextEntries.map { case (rel, stats) =>
+      if (stats.isEmpty) rel else s"$rel\t$stats"
+    }
+    try out.write((markers ++ entryLines).map(_ + "\n").mkString.getBytes("UTF-8"))
     finally out.close()
     val genPath = new Path(dir, GraftTsvManifest.genName(curGen.getOrElse(0L) + 1))
     if (!f.rename(tmp, genPath))
@@ -333,9 +383,10 @@ final class GraftTsvStreamingWriterFactory(
       partitionId, taskId, hconf, partCols)
 }
 
-/** Root-relative staged paths this task wrote (empty = nothing staged;
-  * several when a task's rows span partition leaves). */
-final case class GraftTsvCommitMessage(staged: Seq[String])
+/** Root-relative staged paths this task wrote, each with its encoded
+  * column-stats cell (empty = nothing staged; several entries when a
+  * task's rows span partition leaves or the FD cap forced re-opens). */
+final case class GraftTsvCommitMessage(staged: Seq[(String, String)])
     extends WriterCommitMessage
 
 final class GraftTsvWriterFactory(
@@ -391,18 +442,72 @@ final class GraftTsvDataWriter(
   // does) restores one file per leaf.
   private val MaxOpenWriters = 64
   private var fileSeq = 0
-  private var closedStaged = List.empty[String]
+  private var closedStaged = List.empty[(String, String)] // (rel, stats)
   private val open =
-    scala.collection.mutable.LinkedHashMap[String, (java.io.BufferedWriter, String)]()
+    scala.collection.mutable.LinkedHashMap[String, StagedOut]()
 
-  private def writerFor(leafRel: String): java.io.BufferedWriter =
+  // columns worth per-file min/max stats: data columns of supported
+  // types (partition columns are path-constant; unsupported types have
+  // no comparator). The reader turns these into FILE SKIPPING for range
+  // predicates on data columns — pruning without partitioning.
+  private val statIdx: Array[Int] = dataIdx.filter(i =>
+    GraftTsvPushdown.supportedType(schema.fields(i).dataType))
+
+  /** One staged output file + its running column ranges. */
+  private final class StagedOut(val w: java.io.BufferedWriter, val rel: String) {
+    val mins = new Array[Any](schema.length)
+    val maxs = new Array[Any](schema.length)
+
+    def observe(row: InternalRow): Unit = {
+      var j = 0
+      while (j < statIdx.length) {
+        val i = statIdx(j)
+        if (!row.isNullAt(i)) {
+          val dt = schema.fields(i).dataType
+          val v: Any = dt match {
+            case LongType => row.getLong(i)
+            case IntegerType | DateType => row.getInt(i)
+            case DoubleType => row.getDouble(i)
+            // clone: unsafe rows reuse the backing buffer across rows
+            case StringType => row.getUTF8String(i).clone()
+            case _ => null
+          }
+          if (v != null) {
+            if (mins(i) == null || GraftTsvPushdown.cmp(dt, v, mins(i)) < 0)
+              mins(i) = v
+            if (maxs(i) == null || GraftTsvPushdown.cmp(dt, v, maxs(i)) > 0)
+              maxs(i) = v
+          }
+        }
+        j += 1
+      }
+    }
+
+    /** `col:min:max,...` with %XX-escaped values; all-null columns are
+      * simply absent (absent = reader keeps the file). */
+    def statsString: String = statIdx.iterator
+      .filter(i => mins(i) != null)
+      .map { i =>
+        val dt = schema.fields(i).dataType
+        def fmt(v: Any): String = dt match {
+          case DateType => java.time.LocalDate.ofEpochDay(
+            v.asInstanceOf[Int].toLong).toString
+          case _ => v.toString // Long/Int/Double/UTF8String all round-trip
+        }
+        GraftTsvManifest.statEscape(schema.fields(i).name) + ":" +
+          GraftTsvManifest.statEscape(fmt(mins(i))) + ":" +
+          GraftTsvManifest.statEscape(fmt(maxs(i)))
+      }.mkString(",")
+  }
+
+  private def writerFor(leafRel: String): StagedOut =
     open.get(leafRel) match {
-      case Some((w, _)) => w
+      case Some(s) => s
       case None =>
         if (open.size >= MaxOpenWriters) {
-          val (oldest, (w, rel)) = open.head
-          w.close()
-          closedStaged ::= rel
+          val (oldest, s) = open.head
+          s.w.close()
+          closedStaged ::= (s.rel, s.statsString)
           open.remove(oldest)
         }
         val stagedName =
@@ -413,9 +518,10 @@ final class GraftTsvDataWriter(
         if (!fs.exists(leafDir)) fs.mkdirs(leafDir)
         val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
           fs.create(new Path(leafDir, stagedName), true), "UTF-8"))
-        open.put(leafRel,
-          (w, (if (leafRel.isEmpty) "" else leafRel + "/") + stagedName))
-        w
+        val s = new StagedOut(w,
+          (if (leafRel.isEmpty) "" else leafRel + "/") + stagedName)
+        open.put(leafRel, s)
+        s
     }
 
   /** Text form of a value (the connector's documented conventions);
@@ -459,17 +565,20 @@ final class GraftTsvDataWriter(
       j += 1
     }
     sb.append('\n')
-    writerFor(leafRelOf(row)).write(sb.toString)
+    val out = writerFor(leafRelOf(row))
+    out.w.write(sb.toString)
+    out.observe(row)
   }
 
   override def commit(): WriterCommitMessage = {
-    open.values.foreach(_._1.close())
-    GraftTsvCommitMessage(closedStaged.reverse ++ open.values.map(_._2))
+    open.values.foreach(_.w.close())
+    GraftTsvCommitMessage(
+      closedStaged.reverse ++ open.values.map(s => (s.rel, s.statsString)))
   }
 
   override def abort(): Unit = {
-    open.values.foreach(_._1.close())
-    (closedStaged ++ open.values.map(_._2))
+    open.values.foreach(_.w.close())
+    (closedStaged.map(_._1) ++ open.values.map(_.rel))
       .foreach(rel => fs.delete(new Path(path, rel), false))
   }
 

@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column min/max statistics in the graft-tsv generation manifest: the
+  * writer records per-file ranges for data columns; the reader skips
+  * files whose range provably excludes a pushed (or runtime) predicate —
+  * file skipping WITHOUT partitioning. Proves:
+  *  - range predicates skip non-matching files (linesRead, not inference);
+  *  - results are identical to the unpruned read (skipping only ever
+  *    under-prunes);
+  *  - appended generations keep the old files' stats;
+  *  - a runtime join key set prunes files through the same ranges;
+  *  - NaN-bearing doubles and string ranges stay conservative/correct.
+  */
+class Dsv2StatsSpec extends SparkSuite {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("s", StringType),
+    StructField("x", DoubleType)))
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("graft_dsv2_stats").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "t").getAbsolutePath
+  }
+
+  private def write(df: DataFrame, dir: String, mode: String = "overwrite"): Unit =
+    df.write.format("graft-tsv").mode(mode).save(dir)
+
+  private def read(dir: String): DataFrame =
+    spark.read.format("graft-tsv").schema(schema).load(dir)
+
+  private def scanOf(df: DataFrame) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def find(p: SparkPlan): Option[BatchScanExec] = p match {
+      case b: BatchScanExec => Some(b)
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case q: QueryStageExec => find(q.plan)
+      case other => other.children.iterator.flatMap(find(_).iterator).nextOption()
+    }
+    find(df.queryExecution.executedPlan).getOrElse(fail("no BatchScanExec"))
+  }
+
+  private def src(n: Int): DataFrame =
+    spark.range(n).select(col("id"),
+      concat(lit("k"), format_string("%04d", col("id"))).as("s"),
+      (col("id") * 1.5).as("x"))
+
+  test("range predicates skip whole files via manifest stats") {
+    val dir = freshDir()
+    // range-partitioned write → disjoint id ranges per part file
+    write(src(120).repartitionByRange(4, col("id")), dir)
+    val full = read(dir)
+    assert(full.count() == 120)
+
+    val q = full.filter(col("id") < 15L)
+    val rows = q.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq === (0L until 15L))
+    val lines = scanOf(q).metrics("linesRead").value
+    assert(lines < 120 && lines >= 15,
+      s"id<15 must skip files whose min exceeds it: linesRead=$lines")
+
+    // equality and IN hit exactly one file's range
+    val q2 = full.filter(col("id") === 100L)
+    assert(q2.collect().map(_.getLong(0)).toSeq === Seq(100L))
+    assert(scanOf(q2).metrics("linesRead").value <= 40,
+      "a point lookup must read only the covering file")
+
+    // string ranges prune too (k0000..k0119 sorts like the ids)
+    val q3 = full.filter(col("s") >= "k0110")
+    assert(q3.collect().length == 10)
+    val l3 = scanOf(q3).metrics("linesRead").value
+    assert(l3 > 0 && l3 < 120, s"string range must skip files: $l3")
+
+    // double ranges
+    val q4 = full.filter(col("x") > 150.0)
+    assert(q4.collect().length == 19)
+    val l4 = scanOf(q4).metrics("linesRead").value
+    assert(l4 > 0 && l4 < 120, s"double range must skip files: $l4")
+  }
+
+  test("skipping never changes results (conservative under-pruning)") {
+    val dir = freshDir()
+    write(src(200).repartitionByRange(5, col("id")), dir)
+    val full = read(dir)
+    val expected = full.collect().filter(r =>
+      r.getLong(0) % 7 == 0 && r.getDouble(2) <= 100.0).map(_.toString).sorted.toSeq
+    val got = full.filter(col("x") <= 100.0)
+      .collect().filter(_.getLong(0) % 7 == 0).map(_.toString).sorted.toSeq
+    assert(got === expected)
+  }
+
+  test("append keeps prior generations' stats prunable") {
+    val dir = freshDir()
+    write(src(50).coalesce(1), dir)
+    write(spark.range(1000, 1050).select(col("id"),
+      concat(lit("k"), format_string("%04d", col("id"))).as("s"),
+      (col("id") * 1.5).as("x")).coalesce(1), dir, mode = "append")
+    val full = read(dir)
+    assert(full.count() == 100)
+    // predicate excludes the appended file entirely; the OLD file's
+    // stats must still be present in the new generation's manifest
+    val q = full.filter(col("id") < 50L)
+    assert(q.collect().length == 50)
+    assert(scanOf(q).metrics("linesRead").value == 50,
+      "the appended high-range file must be skipped by carried-over stats")
+  }
+
+  test("a runtime join key set prunes files through the same ranges") {
+    import spark.implicits._
+    val dir = freshDir()
+    write(src(120).repartitionByRange(4, col("id")), dir)
+    val dimDir = Files.createTempDirectory("graft_dsv2_stats_dim").toFile
+    Seq((5L, "keep"), (7L, "keep"), (9999L, "drop")).toDF("id", "tag")
+      .write.mode("overwrite").parquet(dimDir.getAbsolutePath)
+    val dim = spark.read.parquet(dimDir.getAbsolutePath)
+      .filter(col("tag") === "keep").select("id")
+    val j = read(dir).join(broadcast(dim), "id")
+    assert(j.collect().map(_.getLong(0)).sorted.toSeq === Seq(5L, 7L))
+    val lines = scanOf(j).metrics("linesRead").value
+    assert(lines < 120,
+      s"the realized key set {5,7} must skip files whose range excludes it: $lines")
+  }
+
+  test("NaN-bearing files are never skipped by > predicates") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1L, "a", 1.0), (2L, "b", Double.NaN))
+      .toDF("id", "s", "x").coalesce(1).write.format("graft-tsv")
+      .mode("overwrite").save(dir)
+    // NaN is Spark's largest double: the file's max is NaN, so x > 1e9
+    // must keep the file and return the NaN row — skipping here would be
+    // an over-prune
+    val got = read(dir).filter(col("x") > 1e9).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(2L),
+      s"NaN row must survive: ${got.mkString(",")}")
+  }
+}
