@@ -59,7 +59,7 @@ object Bench {
     "q_stream_enrich", "q_stream_dedup", "q_stream_dsv2_sink",
     "q_blob_stats", "q_lateral_explode", "q_approx_quantiles",
     "q_dpp_prune", "q_dsv2_source", "q_dsv2_sink", "q_dsv2_runtime_join",
-    "q_dsv2_partitioned",
+    "q_dsv2_partitioned", "q_dsv2_stats_skip",
     "q_funnel")
 
   private def fmt(v: Double): String = f"$v%.3f"

@@ -445,6 +445,45 @@ object SourceParity {
         .orderBy("c_mktsegment")
     })
 
+  /** Column-stats FILE SKIPPING under the oracle gate: orders written
+    * through the connector's own sink RANGE-partitioned on o_orderkey
+    * (disjoint key ranges per part file → per-file min/max in the
+    * manifest), read back with a key-range predicate that lets the
+    * planner skip the non-covering files before any byte is read
+    * (Dsv2StatsSpec proves the skip via linesRead; this query proves the
+    * surviving values are right). The oracle states the same filter+agg
+    * over the ORIGINAL parquet, so a pass proves stats recording,
+    * manifest round-trip, and range pruning never drop a matching row. */
+  private val qDsv2StatsSkip = QueryDef(
+    "q_dsv2_stats_skip",
+    Some(s"""
+      |SELECT o_orderstatus, count(*) AS n,
+      |  ${sqlDsum(sqlDec("o_totalprice"))} AS sum_price
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 1000 AND 3000
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      import org.apache.spark.sql.types._
+      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_dsv2_stats_${Integer.toHexString(dir.hashCode)}").toString
+      tbl(spark, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        dec("o_totalprice").cast("string").as("o_totalprice_str"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.format("graft-tsv").mode("overwrite").save(out)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice_str", StringType)))
+      spark.read.format("graft-tsv").schema(schema).load(out)
+        .filter(col("o_orderkey") >= 1000L && col("o_orderkey") <= 3000L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          dsum(dec(col("o_totalprice_str"))).as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
+
   /** Pay-once TSV export for q_dsv2_source (same _SUCCESS + source
     * fingerprint guard as the federated exports): project orders to the
     * connector's text conventions — exact decimal STRING for the price
@@ -506,5 +545,5 @@ object SourceParity {
 
   val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qPartitionedSink,
     qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source,
-    qDsv2Sink, qDsv2RuntimeJoin, qDsv2Partitioned)
+    qDsv2Sink, qDsv2RuntimeJoin, qDsv2Partitioned, qDsv2StatsSkip)
 }
