@@ -139,7 +139,9 @@ final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStrin
       Option(options.get("path")).getOrElse(
         throw new IllegalArgumentException("graft-tsv: no path given")),
       Option(options.get("delimiter")).getOrElse("\t").charAt(0),
-      info)
+      info,
+      tablePartCols = Option(options.get("partition.columns")).toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // DataFrameReader merges load(path) and .option(...) into the TABLE
     // properties; per-scan options arrive here. Prefer scan-time values.

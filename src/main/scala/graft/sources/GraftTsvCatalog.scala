@@ -1,0 +1,205 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A `TableCatalog` for graft-tsv tables — the SQL DDL surface of the
+  * connector. Registered as a session catalog
+  * (`spark.sql.catalog.<name> = graft.sources.GraftTsvCatalog`,
+  * `spark.sql.catalog.<name>.root = <base dir>`), it makes the full SQL
+  * lifecycle work against the text format:
+  *
+  * {{{
+  *   CREATE NAMESPACE g.db
+  *   CREATE TABLE g.db.t (id BIGINT, day STRING) USING graft-tsv
+  *     PARTITIONED BY (day)
+  *   INSERT INTO g.db.t SELECT ...      -- epoch/stats/manifest commit
+  *   SELECT * FROM g.db.t WHERE day='x' -- partition + stats pruning
+  *   INSERT OVERWRITE g.db.t SELECT ... -- atomic manifest swap
+  *   DROP TABLE g.db.t
+  * }}}
+  *
+  * Layout is filesystem-native, matching the connector's zero-service
+  * stance: a namespace is a directory under the root, a table is a
+  * directory holding a `_graft_table` descriptor (schema JSON + declared
+  * partition columns + delimiter) next to its data — the descriptor is
+  * what lets `loadTable` hand back a fully-configured [[GraftTsvTable]]
+  * with no side-channel options, so SQL INSERTs inherit the table's
+  * partitioning and every read resolves the generation manifest as
+  * usual. Only IDENTITY partition transforms are accepted (hive layout
+  * has no bucket/truncate transforms). Concurrency follows the
+  * connector's single-writer-per-table contract; DDL operations are
+  * driver-side metadata-file writes.
+  */
+final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: Path = _
+
+  override def name(): String = catalogName
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = new Path(Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name': set spark.sql.catalog.$name.root to a base directory")))
+  }
+
+  private def fs(): FileSystem = root.getFileSystem(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  private def nsDir(namespace: Array[String]): Path =
+    namespace.foldLeft(root)((p, n) => new Path(p, n))
+
+  private def tableDir(ident: Identifier): Path =
+    new Path(nsDir(ident.namespace()), ident.name())
+
+  private val MetaName = "_graft_table"
+
+  private def metaPath(dir: Path): Path = new Path(dir, MetaName)
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val f = fs()
+    val dir = nsDir(namespace)
+    if (!f.exists(dir)) throw noSuchNamespace(namespace)
+    f.listStatus(dir).collect {
+      case st if st.isDirectory && f.exists(metaPath(st.getPath)) =>
+        Identifier.of(namespace, st.getPath.getName)
+    }
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    fs().exists(metaPath(tableDir(ident)))
+
+  override def loadTable(ident: Identifier): Table = {
+    val f = fs()
+    val dir = tableDir(ident)
+    val mp = metaPath(dir)
+    if (!f.exists(mp)) throw noSuchTable(ident)
+    // descriptor: line 1 = schema JSON, line 2 = partition cols (CSV,
+    // possibly empty), line 3 = delimiter (as a code point number)
+    val in = f.open(mp)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
+    val partCols = lines.lift(1).getOrElse("").split(",").filter(_.nonEmpty)
+    val delim = lines.lift(2).map(_.toInt.toChar).getOrElse('\t')
+    val opts = Map(
+      "path" -> dir.toString,
+      "delimiter" -> delim.toString) ++
+      (if (partCols.nonEmpty) Map("partition.columns" -> partCols.mkString(","))
+       else Map.empty)
+    new GraftTsvTable(schema, new CaseInsensitiveStringMap(opts.asJava))
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val f = fs()
+    val dir = tableDir(ident)
+    if (f.exists(metaPath(dir))) throw tableExistsErr(ident)
+    if (!f.exists(nsDir(ident.namespace()))) throw noSuchNamespace(ident.namespace())
+    val partCols = partitions.map { t =>
+      require(t.name() == "identity" && t.references().length == 1 &&
+        t.references()(0).fieldNames().length == 1,
+        s"graft-tsv tables support only identity partitioning, got $t")
+      t.references()(0).fieldNames()(0)
+    }
+    val delim = Option(properties.get("delimiter")).getOrElse("\t").charAt(0)
+    f.mkdirs(dir)
+    val out = f.create(metaPath(dir), false) // no overwrite: create-once
+    try out.write(
+      (schema.json + "\n" + partCols.mkString(",") + "\n" + delim.toInt + "\n")
+        .getBytes("UTF-8"))
+    finally out.close()
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported (descriptors are immutable)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val f = fs()
+    val dir = tableDir(ident)
+    f.exists(metaPath(dir)) && f.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val f = fs()
+    if (!f.exists(metaPath(tableDir(oldIdent)))) throw noSuchTable(oldIdent)
+    if (f.exists(tableDir(newIdent))) throw tableExistsErr(newIdent)
+    if (!f.rename(tableDir(oldIdent), tableDir(newIdent)))
+      throw new IllegalStateException(
+        s"graft catalog: rename ${oldIdent} -> ${newIdent} failed")
+  }
+
+  // ---- namespaces (directories under the root) ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val f = fs()
+    if (!f.exists(root)) Array.empty
+    else f.listStatus(root).collect {
+      case st if st.isDirectory => Array(st.getPath.getName)
+    }
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw noSuchNamespace(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || fs().exists(nsDir(namespace))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] =
+    if (namespaceExists(namespace)) java.util.Collections.emptyMap()
+    else throw noSuchNamespace(namespace)
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    fs().mkdirs(nsDir(namespace))
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean = {
+    val f = fs()
+    val dir = nsDir(namespace)
+    if (!f.exists(dir)) false
+    else {
+      if (!cascade && f.listStatus(dir).nonEmpty)
+        throw new IllegalStateException(
+          s"graft catalog: namespace ${namespace.mkString(".")} is not empty")
+      f.delete(dir, true)
+    }
+  }
+
+  private def noSuchTable(ident: Identifier) =
+    new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+      Array(catalogName) ++ ident.namespace() :+ ident.name())
+
+  private def tableExistsErr(ident: Identifier) =
+    new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+      (Array(catalogName) ++ ident.namespace() :+ ident.name()).toSeq)
+
+  private def noSuchNamespace(namespace: Array[String]) =
+    new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+      Array(catalogName) ++ namespace)
+}

@@ -59,7 +59,8 @@ final class GraftTsvWriteBuilder(
     schema: StructType,
     path: String,
     delimiter: Char,
-    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+    info: LogicalWriteInfo,
+    tablePartCols: Seq[String] = Seq.empty) extends WriteBuilder with SupportsTruncate {
 
   private var truncateOnCommit = false
 
@@ -68,12 +69,14 @@ final class GraftTsvWriteBuilder(
   /** Hive-partitioned OUTPUT layout: `.option("partition.columns", ...)`
     * on the write (the DSv2 path-based writer has no partitionBy seam
     * without a catalog, so the option carries it — symmetric with the
-    * read side). Writers route rows into `col=value` leaf staging files;
-    * the manifest's root-relative paths keep the commit ONE atomic swap
-    * across every partition. */
-  private val partCols: Seq[String] =
-    Option(info.options().get("partition.columns")).toSeq
+    * read side), or the TABLE's declared partitioning when writing
+    * through the graft catalog (`tablePartCols` — SQL INSERTs carry no
+    * write options, the table metadata is authoritative). */
+  private val partCols: Seq[String] = {
+    val opt = Option(info.options().get("partition.columns")).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    if (opt.nonEmpty) opt else tablePartCols
+  }
   partCols.foreach { c =>
     require(schema.fieldNames.contains(c),
       s"graft-tsv: partition column '$c' is not in the write schema")

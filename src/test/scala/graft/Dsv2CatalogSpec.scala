@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The graft TableCatalog: full SQL DDL/DML lifecycle against graft-tsv
+  * tables — create/list/rename/drop namespaces and tables, INSERT INTO /
+  * INSERT OVERWRITE through the manifest commit protocol, and catalog
+  * reads that inherit the table's declared partitioning (pruning
+  * included) with no side-channel options. */
+class Dsv2CatalogSpec extends SparkSuite {
+
+  private val rootDir = Files.createTempDirectory("graft_catalog").toString
+  spark.conf.set("spark.sql.catalog.gcat",
+    classOf[graft.sources.GraftTsvCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gcat.root", rootDir)
+
+  private def scanOf(df: DataFrame) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def find(p: SparkPlan): Option[BatchScanExec] = p match {
+      case b: BatchScanExec => Some(b)
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case q: QueryStageExec => find(q.plan)
+      case other => other.children.iterator.flatMap(find(_).iterator).nextOption()
+    }
+    find(df.queryExecution.executedPlan).getOrElse(fail("no BatchScanExec"))
+  }
+
+  test("SQL DDL/DML lifecycle: namespace, partitioned table, insert, prune, overwrite, rename, drop") {
+    spark.sql("CREATE NAMESPACE gcat.db")
+    spark.sql("""CREATE TABLE gcat.db.t (id BIGINT, v STRING, day STRING)
+      USING `graft-tsv` PARTITIONED BY (day)""")
+    assert(spark.sql("SHOW TABLES IN gcat.db").collect()
+      .map(_.getString(1)).contains("t"))
+
+    // INSERT INTO runs the connector's staged commit with the TABLE's
+    // declared partitioning — no write options anywhere
+    spark.sql("""INSERT INTO gcat.db.t
+      SELECT id, concat('v', id), concat('d', id % 3) FROM range(30)""")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.t").head().getLong(0) == 30)
+    // the layout on disk is hive partitions under one table manifest
+    val tdir = new java.io.File(s"$rootDir/db/t")
+    val names = tdir.listFiles().map(_.getName)
+    assert(names.exists(_.startsWith("day=")), names.mkString(","))
+    assert(names.count(_.startsWith("_gen-")) == 1, names.mkString(","))
+
+    // catalog reads resolve the descriptor: partition column reconstructed
+    // and PRUNED on (only day=d1 files are opened)
+    val q = spark.sql("SELECT id FROM gcat.db.t WHERE day = 'd1'")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ===
+      (1L until 30L by 3L).toSeq)
+    assert(scanOf(q).metrics("linesRead").value == 10,
+      "catalog read must prune partitions from the table's own metadata")
+
+    // the DataFrame writeTo API appends through the same table
+    import spark.implicits._
+    Seq((100L, "x", "d1")).toDF("id", "v", "day").writeTo("gcat.db.t").append()
+    assert(spark.sql("SELECT count(*) FROM gcat.db.t").head().getLong(0) == 31)
+
+    // INSERT OVERWRITE = the atomic manifest swap, all partitions at once
+    spark.sql("INSERT OVERWRITE gcat.db.t SELECT id, 'y', 'd9' FROM range(5)")
+    val after = spark.sql("SELECT id, day FROM gcat.db.t").collect()
+    assert(after.length == 5 && after.forall(_.getString(1) == "d9"))
+
+    // rename keeps data and metadata; drop removes the directory
+    spark.sql("ALTER TABLE gcat.db.t RENAME TO db.t2") // target is catalog-relative
+    assert(spark.sql("SELECT count(*) FROM gcat.db.t2").head().getLong(0) == 5)
+    spark.sql("DROP TABLE gcat.db.t2")
+    assert(!spark.sql("SHOW TABLES IN gcat.db").collect()
+      .map(_.getString(1)).contains("t2"))
+  }
+
+  test("catalog errors are loud: missing table, duplicate create, bad transform") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.errs")
+    val e1 = intercept[Exception] { spark.sql("SELECT * FROM gcat.errs.nope") }
+    assert(e1.getMessage.toLowerCase.contains("table"), e1.getMessage)
+    spark.sql("CREATE TABLE gcat.errs.a (id BIGINT) USING `graft-tsv`")
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.errs.a (id BIGINT) USING `graft-tsv`")
+    }
+    assert(e2.getMessage.toLowerCase.contains("exists") ||
+      e2.getMessage.contains("TABLE_OR_VIEW_ALREADY_EXISTS"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("""CREATE TABLE gcat.errs.b (id BIGINT, day STRING)
+        USING `graft-tsv` PARTITIONED BY (bucket(4, id))""")
+    }
+    assert(e3.getMessage.contains("identity partitioning"), e3.getMessage)
+  }
+}
