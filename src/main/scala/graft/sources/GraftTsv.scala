@@ -606,41 +606,57 @@ final class GraftTsvScan(
           preds.forall { case (i, test) => test(typed(i)) }
         }
       }
-    val statFilters = single.filter(f => colIn(fullSchema, f.references.head))
-    if (statFilters.isEmpty) afterPart
-    else afterPart.filter(e =>
-      e.stats.isEmpty || statFilters.forall(f => rangeMayMatch(f, e.stats)))
+    // stats predicates compile ONCE per planning — literals converted
+    // here, not per file (a runtime IN carries thousands of keys, and
+    // per-file literal conversion would make re-planning O(files × keys))
+    val statPreds = single.flatMap(compileStatPred)
+    if (statPreds.isEmpty) afterPart
+    else afterPart.filter { e =>
+      e.stats.isEmpty || statPreds.forall { case (c, tn, dt, test) =>
+        e.stats.get(c) match {
+          case Some((fileType, mnRaw, mxRaw)) if fileType == tn =>
+            // the TYPE TAG must match the READ schema's type: min/max
+            // order is type-specific, and a reader may legally declare a
+            // different type than the writer used — mismatched ordering
+            // would over-prune, so such entries are ignored
+            try test(GraftTsvPushdown.convertCell(dt, mnRaw),
+              GraftTsvPushdown.convertCell(dt, mxRaw))
+            catch { case _: RuntimeException => true } // corrupt cell: keep
+          case _ => true
+        }
+      }
+    }
   }
 
-  private def colIn(s: StructType, name: String): Boolean =
-    s.fieldNames.contains(name)
-
-  /** Conservative min/max test: false ONLY when the file's recorded
-    * range PROVABLY excludes every matching value. Unparseable or
-    * missing stats keep the file. */
-  private def rangeMayMatch(f: Filter, stats: Map[String, (String, String)]): Boolean = {
+  /** A single-column filter compiled to a conservative (min, max) test:
+    * false ONLY when the file's recorded range PROVABLY excludes every
+    * matching value. */
+  private def compileStatPred(f: Filter)
+      : Option[(String, String, DataType, (Any, Any) => Boolean)] = {
     val c = f.references.head
-    stats.get(c) match {
-      case None => true
-      case Some((mnRaw, mxRaw)) =>
-        val dt = fullSchema(fullSchema.fieldIndex(c)).dataType
-        try {
-          val mn = GraftTsvPushdown.convertCell(dt, mnRaw)
-          val mx = GraftTsvPushdown.convertCell(dt, mxRaw)
-          def lit(v: Any) = GraftTsvPushdown.litFor(dt, v)
-          def inRange(v: Any) =
-            GraftTsvPushdown.cmp(dt, v, mn) >= 0 && GraftTsvPushdown.cmp(dt, v, mx) <= 0
-          f match {
-            case EqualTo(_, v) => inRange(lit(v))
-            case In(_, vs) => vs.exists(v => inRange(lit(v)))
-            case GreaterThan(_, v) => GraftTsvPushdown.cmp(dt, mx, lit(v)) > 0
-            case GreaterThanOrEqual(_, v) => GraftTsvPushdown.cmp(dt, mx, lit(v)) >= 0
-            case LessThan(_, v) => GraftTsvPushdown.cmp(dt, mn, lit(v)) < 0
-            case LessThanOrEqual(_, v) => GraftTsvPushdown.cmp(dt, mn, lit(v)) <= 0
-            case _ => true // IsNotNull etc: min/max cannot exclude
-          }
-        } catch { case _: RuntimeException => true } // corrupt cell: keep
+    if (!fullSchema.fieldNames.contains(c)) return None
+    val dt = fullSchema(fullSchema.fieldIndex(c)).dataType
+    if (!GraftTsvPushdown.supportedType(dt)) return None
+    def lit(v: Any) = GraftTsvPushdown.litFor(dt, v)
+    def cmp(a: Any, b: Any) = GraftTsvPushdown.cmp(dt, a, b)
+    val testOpt: Option[(Any, Any) => Boolean] = f match {
+      case EqualTo(_, v) if v != null =>
+        val l = lit(v)
+        Some((mn, mx) => cmp(l, mn) >= 0 && cmp(l, mx) <= 0)
+      case In(_, vs) if vs != null && vs.forall(_ != null) =>
+        val ls = vs.map(lit)
+        Some((mn, mx) => ls.exists(l => cmp(l, mn) >= 0 && cmp(l, mx) <= 0))
+      case GreaterThan(_, v) if v != null =>
+        val l = lit(v); Some((_, mx) => cmp(mx, l) > 0)
+      case GreaterThanOrEqual(_, v) if v != null =>
+        val l = lit(v); Some((_, mx) => cmp(mx, l) >= 0)
+      case LessThan(_, v) if v != null =>
+        val l = lit(v); Some((mn, _) => cmp(mn, l) < 0)
+      case LessThanOrEqual(_, v) if v != null =>
+        val l = lit(v); Some((mn, _) => cmp(mn, l) <= 0)
+      case _ => None // IsNotNull etc: min/max cannot exclude
     }
+    testOpt.map(t => (c, dt.typeName, dt, t))
   }
 
   /** One listing per BATCH scan: estimateStatistics and
@@ -809,11 +825,12 @@ final class GraftTsvMicroBatchStream(scan: GraftTsvScan, splitBytes: Long)
 
 /** A listed data file plus the hive partition values carved from its
   * directory path (empty when the table is unpartitioned; a null element
-  * is `__HIVE_DEFAULT_PARTITION__`) and the per-file column min/max
-  * ranges recorded in the manifest (empty = unknown, never pruned). */
+  * is `__HIVE_DEFAULT_PARTITION__`) and the per-file column
+  * (typeName, min, max) ranges recorded in the manifest (empty =
+  * unknown, never pruned). */
 private[sources] final case class GraftTsvFileEntry(
     path: String, len: Long, partVals: Array[String],
-    stats: Map[String, (String, String)] = Map.empty)
+    stats: Map[String, (String, String, String)] = Map.empty)
 
 final case class GraftTsvInputPartition(
     file: String, start: Long, length: Long,

@@ -110,6 +110,16 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     if (f.exists(metaPath(dir))) throw tableExistsErr(ident)
     if (!f.exists(nsDir(ident.namespace()))) throw noSuchNamespace(ident.namespace())
+    // loud failure over silent divergence: a LOCATION/EXTERNAL clause
+    // this catalog cannot honor must not "succeed" with the data landing
+    // somewhere the user did not ask for
+    Seq("location", "external").foreach { k =>
+      if (properties.containsKey(k) &&
+          !java.util.Objects.equals(properties.get(k), "false"))
+        throw new UnsupportedOperationException(
+          s"graft catalog: $k is not supported — tables live under the " +
+            s"catalog root at <root>/<namespace>/<table>")
+    }
     val partCols = partitions.map { t =>
       require(t.name() == "identity" && t.references().length == 1 &&
         t.references()(0).fieldNames().length == 1,
@@ -118,11 +128,19 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
     }
     val delim = Option(properties.get("delimiter")).getOrElse("\t").charAt(0)
     f.mkdirs(dir)
-    val out = f.create(metaPath(dir), false) // no overwrite: create-once
+    // descriptor birth is ATOMIC (hidden tmp + rename, the manifest's own
+    // trick): a crash mid-create must not leave an empty descriptor that
+    // can neither load nor be re-created
+    val tmp = new Path(dir, s".${MetaName}-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
     try out.write(
       (schema.json + "\n" + partCols.mkString(",") + "\n" + delim.toInt + "\n")
         .getBytes("UTF-8"))
     finally out.close()
+    if (!f.rename(tmp, metaPath(dir))) {
+      f.delete(tmp, false)
+      throw tableExistsErr(ident) // concurrent create took the name
+    }
     loadTable(ident)
   }
 
@@ -170,8 +188,15 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createNamespace(
       namespace: Array[String],
-      metadata: java.util.Map[String, String]): Unit =
+      metadata: java.util.Map[String, String]): Unit = {
+    require(namespace.length == 1,
+      s"graft catalog: namespaces are single-level directories, " +
+        s"got ${namespace.mkString(".")}")
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(Array(catalogName) ++ namespace)
     fs().mkdirs(nsDir(namespace))
+  }
 
   override def alterNamespace(
       namespace: Array[String], changes: NamespaceChange*): Unit =

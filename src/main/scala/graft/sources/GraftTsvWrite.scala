@@ -152,15 +152,20 @@ object GraftTsvManifest {
       case c => c.toString
     }
 
-  /** Parse a stats cell to col -> (min, max) raw strings. */
-  def parseStats(stats: String): Map[String, (String, String)] =
+  /** Parse a stats cell to col -> (typeName, min, max) raw strings. The
+    * TYPE TAG is load-bearing: min/max order is type-specific, and a
+    * reader is free to declare a different type for the column than the
+    * writer used (e.g. read a long column as string) — comparing string
+    * literals against numerically-ordered stats would over-prune, so the
+    * reader ignores any entry whose recorded type differs from its own. */
+  def parseStats(stats: String): Map[String, (String, String, String)] =
     if (stats.isEmpty) Map.empty
     else stats.split(',').flatMap { entry =>
       entry.split(':') match {
-        case Array(c, mn, mx) =>
+        case Array(c, tn, mn, mx) =>
           Some(GraftTsvPushdown.unescapePathValue(c) ->
-            (GraftTsvPushdown.unescapePathValue(mn),
-              GraftTsvPushdown.unescapePathValue(mx)))
+            ((tn, GraftTsvPushdown.unescapePathValue(mn),
+              GraftTsvPushdown.unescapePathValue(mx))))
         case _ => None // unknown shape: ignore, never mis-prune
       }
     }.toMap
@@ -257,9 +262,14 @@ final class GraftTsvBatchWrite(
       case GraftTsvCommitMessage(names) => names
     }.flatten
     def fileName(rel: String) = rel.substring(rel.lastIndexOf('/') + 1)
+    // a name containing a tab or newline can neither be adopted (tab is
+    // the manifest line separator — adoption would corrupt the manifest
+    // and the next cleanup would misread keep-sets and DELETE the file)
+    // nor cleaned: such files are simply outside the table's scope
     def visiblePart(rel: String) = {
       val n = fileName(rel)
-      !n.startsWith(".") && !n.startsWith("_")
+      !n.startsWith(".") && !n.startsWith("_") &&
+        !rel.exists(c => c == '\t' || c == '\n' || c == '\r')
     }
     val children = allFiles(f, dir)
     val curGen: Option[Long] = children
@@ -471,23 +481,32 @@ final class GraftTsvDataWriter(
             case LongType => row.getLong(i)
             case IntegerType | DateType => row.getInt(i)
             case DoubleType => row.getDouble(i)
-            // clone: unsafe rows reuse the backing buffer across rows
-            case StringType => row.getUTF8String(i).clone()
+            case StringType => row.getUTF8String(i)
             case _ => null
           }
           if (v != null) {
+            // clone only when a string value is actually RETAINED as a
+            // new extreme (unsafe rows reuse the backing buffer across
+            // rows; cmp itself does not retain) — cloning every cell
+            // doubled string allocations on the write hot path
+            def kept: Any = v match {
+              case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+              case other => other
+            }
             if (mins(i) == null || GraftTsvPushdown.cmp(dt, v, mins(i)) < 0)
-              mins(i) = v
+              mins(i) = kept
             if (maxs(i) == null || GraftTsvPushdown.cmp(dt, v, maxs(i)) > 0)
-              maxs(i) = v
+              maxs(i) = kept
           }
         }
         j += 1
       }
     }
 
-    /** `col:min:max,...` with %XX-escaped values; all-null columns are
-      * simply absent (absent = reader keeps the file). */
+    /** `col:type:min:max,...` with %XX-escaped values; all-null columns
+      * are simply absent (absent = reader keeps the file). The type tag
+      * lets a reader that declares a DIFFERENT type for the column
+      * ignore ranges whose ordering no longer applies. */
     def statsString: String = statIdx.iterator
       .filter(i => mins(i) != null)
       .map { i =>
@@ -498,6 +517,7 @@ final class GraftTsvDataWriter(
           case _ => v.toString // Long/Int/Double/UTF8String all round-trip
         }
         GraftTsvManifest.statEscape(schema.fields(i).name) + ":" +
+          dt.typeName + ":" +
           GraftTsvManifest.statEscape(fmt(mins(i))) + ":" +
           GraftTsvManifest.statEscape(fmt(maxs(i)))
       }.mkString(",")

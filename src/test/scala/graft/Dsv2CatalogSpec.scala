@@ -89,5 +89,20 @@ class Dsv2CatalogSpec extends SparkSuite {
         USING `graft-tsv` PARTITIONED BY (bucket(4, id))""")
     }
     assert(e3.getMessage.contains("identity partitioning"), e3.getMessage)
+    // a LOCATION this catalog cannot honor fails loudly instead of
+    // silently placing data under the root
+    val e4 = intercept[Exception] {
+      spark.sql("""CREATE TABLE gcat.errs.c (id BIGINT)
+        USING `graft-tsv` LOCATION '/tmp/elsewhere'""")
+    }
+    assert(e4.getMessage.contains("not supported"), e4.getMessage)
+    // duplicate namespace creation is an error, not a silent no-op
+    val e5 = intercept[Exception] { spark.sql("CREATE NAMESPACE gcat.errs") }
+    assert(e5.getMessage.toLowerCase.contains("exists") ||
+      e5.getMessage.contains("SCHEMA_ALREADY_EXISTS"), e5.getMessage)
+    // namespaces are single-level: nested creation is rejected up front
+    // (it would otherwise be invisible to SHOW NAMESPACES)
+    val e6 = intercept[Exception] { spark.sql("CREATE NAMESPACE gcat.a.b") }
+    assert(e6.getMessage.contains("single-level"), e6.getMessage)
   }
 }

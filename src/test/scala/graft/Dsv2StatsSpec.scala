@@ -130,6 +130,29 @@ class Dsv2StatsSpec extends SparkSuite {
       s"the realized key set {5,7} must skip files whose range excludes it: $lines")
   }
 
+  test("stats recorded under a different type are ignored, never over-prune") {
+    // write longs (stats in NUMERIC order), re-read the column as STRING
+    // (legal — the reader takes any explicit schema) and filter
+    // LEXICALLY: "9" >= "50" but 9 < 50, so numeric ranges would wrongly
+    // skip the file. The type tag makes the reader ignore them.
+    val dir = freshDir()
+    spark.range(200).select(col("id"),
+      concat(lit("s"), col("id")).as("s"), (col("id") * 1.0).as("x"))
+      .repartitionByRange(4, col("id"))
+      .write.format("graft-tsv").mode("overwrite").save(dir)
+    val asString = StructType(Seq(
+      StructField("id", StringType),
+      StructField("s", StringType),
+      StructField("x", DoubleType)))
+    val got = spark.read.format("graft-tsv").schema(asString).load(dir)
+      .filter(col("id") >= "50")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val expected = (0L until 200L).map(_.toString).filter(_ >= "50").sorted
+    assert(got === expected,
+      s"lexical filter over retyped column lost rows: got ${got.size}, " +
+        s"expected ${expected.size}")
+  }
+
   test("NaN-bearing files are never skipped by > predicates") {
     import spark.implicits._
     val dir = freshDir()
