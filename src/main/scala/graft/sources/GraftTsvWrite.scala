@@ -84,7 +84,32 @@ final class GraftTsvWriteBuilder(
   require(partCols.size < schema.length || partCols.isEmpty,
     "graft-tsv: cannot partition by every column (no data columns left)")
 
-  override def build(): Write = new Write {
+  /** Partitioned writes REQUEST clustering + ordering by the partition
+    * columns (what Spark's own dynamic-partition insert does with a
+    * sort): each task then sees one partition value at a time and writes
+    * exactly one file per leaf it owns — no file proliferation, and the
+    * writer's FD cap never engages. Advisory, not load-bearing: the
+    * writer stays correct for ANY row order (the cap + reopen path), so
+    * distributionStrictlyRequired=false lets Spark skip the exchange
+    * when the data is already clustered. */
+  override def build(): Write = new Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      if (partCols.isEmpty)
+        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        partCols.toArray.map(c =>
+          Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression))
+
+    override def distributionStrictlyRequired(): Boolean = false
+
+    override def requiredOrdering(): Array[SortOrder] =
+      partCols.toArray.map(c =>
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+
     override def toBatch: BatchWrite =
       new GraftTsvBatchWrite(schema, path, delimiter, truncateOnCommit,
         info.queryId(), SerializableHadoopConf.fromSession(), partCols)
@@ -579,6 +604,11 @@ final class GraftTsvDataWriter(
       s"${schema.fields(i).name}=$v"
     }.mkString("/")
 
+  // the Write requests clustering + partition-column ordering, so in the
+  // normal plan rows arrive leaf-contiguously and the open-writer map
+  // naturally holds one file per leaf (an eviction under the cap only
+  // ever closes an already-finished leaf). Unsorted input (the request
+  // is advisory) degrades to eviction + reopen and stays correct.
   override def write(row: InternalRow): Unit = {
     val sb = new java.lang.StringBuilder
     var j = 0

@@ -189,6 +189,26 @@ class Dsv2PartitionSpec extends SparkSuite {
     assert(back(1).isNullAt(2), "hive default partition must read as NULL")
   }
 
+  test("the write requests clustering: one part file per partition leaf") {
+    // the Write declares RequiresDistributionAndOrdering(partition cols),
+    // so Spark clusters + sorts rows before the writers and each leaf is
+    // written by exactly one task as exactly one file — no per-task file
+    // proliferation across 3 input partitions x 12 leaves
+    val out = new java.io.File(
+      Files.createTempDirectory("graft_dsv2_cluster").toFile, "t").getAbsolutePath
+    src().repartition(3).write.format("graft-tsv")
+      .option("partition.columns", "day,grp")
+      .mode("overwrite").save(out)
+    val leaves = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.isDirectory)
+    assert(leaves.length == 12, s"12 leaves expected, got ${leaves.length}")
+    leaves.foreach { leaf =>
+      val parts = leaf.listFiles().map(_.getName).filter(_.startsWith("part-"))
+      assert(parts.length == 1,
+        s"clustered write must produce ONE file in ${leaf.getName}: ${parts.mkString(",")}")
+    }
+  }
+
   test("a task spanning hundreds of partition values stays within the FD cap") {
     // 200 distinct values cycle through ONE task (coalesce(1)), so the
     // writer's open-file cap forces evictions and re-opens — multiple
