@@ -570,7 +570,8 @@ final class GraftTsvScan(
             !n.startsWith("_") && !n.startsWith(".")
           } =>
         GraftTsvFileEntry(st.getPath.toString, st.getLen, vals,
-          GraftTsvManifest.parseStats(stats))
+          GraftTsvManifest.parseStats(stats),
+          GraftTsvManifest.rowCountOf(stats))
       }
       .sortBy(_.path)
   }
@@ -697,12 +698,20 @@ final class GraftTsvScan(
   override def createReaderFactory(): PartitionReaderFactory = factory
 
   override def estimateStatistics(): Statistics = {
-    // statically-pruned size: CBO decisions see the partitions the query
-    // will actually read, not the whole table
-    val bytes = pruneFiles(batchListing, pushed).map(_.len).sum
+    // statically-pruned size: CBO decisions see the partitions/files the
+    // query will actually read, not the whole table. When every
+    // surviving file carries a writer-recorded row count, report exact
+    // numRows too — cardinality beats bytes-only for join estimates.
+    val pruned = pruneFiles(batchListing, pushed)
+    val bytes = pruned.map(_.len).sum
+    val rowTotal: Option[Long] =
+      if (pruned.nonEmpty && pruned.forall(_.rows.isDefined))
+        Some(pruned.flatMap(_.rows).sum)
+      else None
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
-      override def numRows(): OptionalLong = OptionalLong.empty()
+      override def numRows(): OptionalLong =
+        rowTotal.fold(OptionalLong.empty())(OptionalLong.of)
     }
   }
 
@@ -830,7 +839,8 @@ final class GraftTsvMicroBatchStream(scan: GraftTsvScan, splitBytes: Long)
   * unknown, never pruned). */
 private[sources] final case class GraftTsvFileEntry(
     path: String, len: Long, partVals: Array[String],
-    stats: Map[String, (String, String, String)] = Map.empty)
+    stats: Map[String, (String, String, String)] = Map.empty,
+    rows: Option[Long] = None)
 
 final case class GraftTsvInputPartition(
     file: String, start: Long, length: Long,

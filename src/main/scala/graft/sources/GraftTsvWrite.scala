@@ -182,11 +182,14 @@ object GraftTsvManifest {
     * reader is free to declare a different type for the column than the
     * writer used (e.g. read a long column as string) — comparing string
     * literals against numerically-ordered stats would over-prune, so the
-    * reader ignores any entry whose recorded type differs from its own. */
+    * reader ignores any entry whose recorded type differs from its own.
+    * `#`-prefixed elements are file-level metadata (`#n:<rowcount>`),
+    * not column entries. */
   def parseStats(stats: String): Map[String, (String, String, String)] =
     if (stats.isEmpty) Map.empty
     else stats.split(',').flatMap { entry =>
-      entry.split(':') match {
+      if (entry.startsWith("#")) None
+      else entry.split(':') match {
         case Array(c, tn, mn, mx) =>
           Some(GraftTsvPushdown.unescapePathValue(c) ->
             ((tn, GraftTsvPushdown.unescapePathValue(mn),
@@ -194,6 +197,15 @@ object GraftTsvManifest {
         case _ => None // unknown shape: ignore, never mis-prune
       }
     }.toMap
+
+  private val RowsRe = """#n:(\d+)""".r
+
+  /** The file's exact row count, recorded by the writer — fed to CBO as
+    * `numRows` (summed over the PRUNED listing), which upgrades join
+    * cardinality estimates from bytes-only guesses. */
+  def rowCountOf(stats: String): Option[Long] =
+    if (stats.isEmpty) None
+    else stats.split(',').collectFirst { case RowsRe(n) => n.toLong }
 
   private val EpochRe = """#epoch:(-?\d+)""".r
 
@@ -491,12 +503,14 @@ final class GraftTsvDataWriter(
   private val statIdx: Array[Int] = dataIdx.filter(i =>
     GraftTsvPushdown.supportedType(schema.fields(i).dataType))
 
-  /** One staged output file + its running column ranges. */
+  /** One staged output file + its running column ranges and row count. */
   private final class StagedOut(val w: java.io.BufferedWriter, val rel: String) {
     val mins = new Array[Any](schema.length)
     val maxs = new Array[Any](schema.length)
+    var rows = 0L
 
     def observe(row: InternalRow): Unit = {
+      rows += 1
       var j = 0
       while (j < statIdx.length) {
         val i = statIdx(j)
@@ -532,7 +546,7 @@ final class GraftTsvDataWriter(
       * are simply absent (absent = reader keeps the file). The type tag
       * lets a reader that declares a DIFFERENT type for the column
       * ignore ranges whose ordering no longer applies. */
-    def statsString: String = statIdx.iterator
+    def statsString: String = (Iterator(s"#n:$rows") ++ statIdx.iterator
       .filter(i => mins(i) != null)
       .map { i =>
         val dt = schema.fields(i).dataType
@@ -545,7 +559,7 @@ final class GraftTsvDataWriter(
           dt.typeName + ":" +
           GraftTsvManifest.statEscape(fmt(mins(i))) + ":" +
           GraftTsvManifest.statEscape(fmt(maxs(i)))
-      }.mkString(",")
+      }).mkString(",")
   }
 
   private def writerFor(leafRel: String): StagedOut =

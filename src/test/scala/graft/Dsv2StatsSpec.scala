@@ -153,6 +153,20 @@ class Dsv2StatsSpec extends SparkSuite {
         s"expected ${expected.size}")
   }
 
+  test("writer-recorded row counts feed CBO numRows, pruned listing included") {
+    val dir = freshDir()
+    write(src(120).repartitionByRange(4, col("id")), dir)
+    // exact table cardinality, straight from manifest metadata
+    val full = read(dir)
+    assert(full.queryExecution.optimizedPlan.stats.rowCount.contains(BigInt(120)),
+      s"stats: ${full.queryExecution.optimizedPlan.stats}")
+    // after static pruning, numRows reflects only the surviving files
+    val part = read(dir).filter(col("id") < 15L)
+    val rc = part.queryExecution.optimizedPlan.stats.rowCount
+    assert(rc.isDefined && rc.get < BigInt(120) && rc.get >= BigInt(15),
+      s"pruned rowCount should cover only surviving files: $rc")
+  }
+
   test("NaN-bearing files are never skipped by > predicates") {
     import spark.implicits._
     val dir = freshDir()
