@@ -703,6 +703,18 @@ final class GraftTsvScan(
     // surviving file carries a writer-recorded row count, report exact
     // numRows too — cardinality beats bytes-only for join estimates.
     val pruned = pruneFiles(batchListing, pushed)
+    if (countOnly) {
+      // under pushed COUNT(*) the scan's REAL output is one partial-count
+      // row per planned split — reporting the table's row total here
+      // would hand post-pushdown CBO a cardinality orders of magnitude
+      // above the relation's actual output
+      val splits = pruned.map(e => (e.len + splitBytes - 1) / splitBytes).sum
+      return new Statistics {
+        override def sizeInBytes(): OptionalLong =
+          OptionalLong.of(splits * 8L) // one long per split
+        override def numRows(): OptionalLong = OptionalLong.of(splits)
+      }
+    }
     val bytes = pruned.map(_.len).sum
     val rowTotal: Option[Long] =
       if (pruned.nonEmpty && pruned.forall(_.rows.isDefined))
@@ -817,6 +829,17 @@ final class GraftTsvMicroBatchStream(scan: GraftTsvScan, splitBytes: Long)
           "file names must be monotonic (rotate by timestamp/counter) and " +
           "processed files immutable; refusing to silently skip or re-read")
     val slice = files.filter(f => f.path > s.hi && (e.hi.isEmpty || f.path <= e.hi))
+    // replay of a committed batch (query restart): the slice between the
+    // two offsets must still hold exactly the files the original batch
+    // read — a file deleted from INSIDE the (start.hi, end.hi] window
+    // would otherwise be silently omitted from the replayed batch
+    if (slice.size != e.n - s.n)
+      throw new IllegalStateException(
+        s"graft-tsv streaming: directory mutated non-monotonically — " +
+          s"batch (${s.hi}, ${e.hi}] expected ${e.n - s.n} files, found " +
+          s"${slice.size} (${slice.map(_.path).takeRight(3).mkString(", ")}); " +
+          "file names must be monotonic and processed files immutable; " +
+          "refusing to silently skip or re-read")
     slice.flatMap { f =>
       (0L until f.len by splitBytes).map { off =>
         GraftTsvInputPartition(f.path, off, math.min(splitBytes, f.len - off),
@@ -982,6 +1005,14 @@ final class GraftTsvPartitionReader(
   private var linesRead = 0L
   private var rowsEmitted = 0L
 
+  // A table with EXACTLY ONE data column serializes a NULL (or
+  // empty-string) row as an empty line — the writer's documented
+  // NULL→empty-field convention leaves nothing else on the line. Such
+  // lines are therefore valid rows and must round-trip, not be skipped
+  // as garbage; with two or more data columns an empty line can never be
+  // a writer-produced row (it would have delimiters) and stays ignored.
+  private val emptyLineIsRow: Boolean = lineFieldSchemaIdx.length == 1
+
   /** Splits `line` on the delimiter, parsing only needed fields into
     * `scratch` (external values). Returns false if the line fails a
     * pushed predicate. */
@@ -1051,7 +1082,8 @@ final class GraftTsvPartitionReader(
         else {
           pos += bytes
           linesRead += 1
-          if (text.getLength > 0 && (preds.isEmpty || parseAndFilter(text.toString)))
+          if ((text.getLength > 0 || emptyLineIsRow) &&
+              (preds.isEmpty || parseAndFilter(text.toString)))
             c += 1
         }
       }
@@ -1070,7 +1102,7 @@ final class GraftTsvPartitionReader(
       val line = text.toString
       pos += bytes
       linesRead += 1
-      if (line.nonEmpty && parseAndFilter(line)) {
+      if ((line.nonEmpty || emptyLineIsRow) && parseAndFilter(line)) {
         rowsEmitted += 1
         current = toRow()
         return true

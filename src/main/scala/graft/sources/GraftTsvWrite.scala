@@ -344,9 +344,21 @@ final class GraftTsvBatchWrite(
     //    UNREFERENCED, so readers don't see them yet. rename's Boolean
     //    is CHECKED — an unpublished staged file is data loss, the one
     //    failure a commit protocol exists to prevent.
+    val existing = children.map(_._1).toSet
+    val currentSet = currentVisible.toSet
     val newParts = staged.zipWithIndex.map { case ((rel, stats), i) =>
       val leaf = rel.substring(0, rel.lastIndexOf('/') + 1) // "" at root
       val target = leaf + f"part-$label-$i%05d.tsv"
+      // a crash between a previous attempt's part renames and its _gen
+      // swap leaves UNREFERENCED files at exactly these target names
+      // (labels and indices are deterministic across a replay); on
+      // filesystems where rename-onto-existing returns false the replay
+      // would wedge permanently. An existing target NOT referenced by the
+      // current manifest can only be such a crashed attempt (single-writer
+      // contract) — delete it first. A referenced target stays: renaming
+      // onto it must fail loudly, never silently replace published data.
+      if (existing.contains(target) && !currentSet.contains(target))
+        f.delete(new Path(dir, target), false)
       if (!f.rename(new Path(dir, rel), new Path(dir, target)))
         throw new IllegalStateException(
           s"graft-tsv commit: failed to publish staged $rel as $target")

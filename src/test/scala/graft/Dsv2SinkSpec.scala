@@ -222,6 +222,77 @@ class Dsv2SinkSpec extends SparkSuite {
       .exists(_.contains("references missing part"))), e.toString)
   }
 
+  test("single-data-column NULL/empty rows round-trip (no empty-line loss)") {
+    // the writer serializes a row whose ONLY data column is NULL or
+    // empty-string as an empty LINE; the reader must treat such lines as
+    // rows (they are writer-produced), not skip them as garbage —
+    // skipping was silent round-trip data loss through the connector's
+    // own sink. Multi-column tables keep ignoring empty lines (a real
+    // row there always carries delimiters).
+    import spark.implicits._
+    val dir = freshDir()
+    val s = StructType(Seq(StructField("v", StringType)))
+    Seq(Some("a"), None, Some(""), Some("b")).toDF("v")
+      .coalesce(1).write.format("graft-tsv").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-tsv").schema(s).load(dir)
+    assert(back.count() == 4, "pushed COUNT(*) must count empty-line rows")
+    val vals = back.collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(vals.length == 4, "the row path must emit empty-line rows")
+    // text convention: NULL and "" both serialize to an empty field and
+    // read back as "" for strings (the documented lossy string case)
+    assert(vals.sorted.toSeq === Seq("", "", "a", "b"))
+
+    val dir2 = freshDir()
+    val s2 = StructType(Seq(StructField("x", LongType)))
+    Seq[Option[Long]](Some(1L), None, Some(3L)).toDF("x")
+      .coalesce(1).write.format("graft-tsv").mode("overwrite").save(dir2)
+    val b2 = spark.read.format("graft-tsv").schema(s2).load(dir2).collect()
+    assert(b2.length == 3)
+    assert(b2.count(_.isNullAt(0)) == 1, "a NULL long row must round-trip as NULL")
+    assert(b2.filterNot(_.isNullAt(0)).map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+  }
+
+  test("a crashed publish's orphan targets are replaced on replay, not wedged") {
+    // crash window: a previous attempt renamed its parts to their
+    // visible-style names but died before the _gen swap. The replay uses
+    // the SAME label and indices, so its rename targets already exist;
+    // on HDFS/object stores rename-onto-existing returns false and the
+    // job would wedge permanently. The commit must delete unreferenced
+    // orphans at its target names first — and the result must be the
+    // replay's data, never the crashed attempt's.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = freshDir()
+    val s = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    def mkWrite(qid: String) = {
+      val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+        override def queryId(): String = qid
+        override def schema(): StructType = s
+        override def options() =
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+            java.util.Collections.emptyMap())
+      }
+      new graft.sources.GraftTsvWriteBuilder(s, dir, '\t', info).build().toBatch
+    }
+    def commitOne(qid: String, id: Long, name: String): Unit = {
+      val write = mkWrite(qid)
+      val w = write.createBatchWriterFactory(null).createWriter(0, 1L)
+      w.write(InternalRow(id, UTF8String.fromString(name)))
+      write.commit(Array(w.commit()))
+    }
+    commitOne("basejob", 7L, "base") // a published generation exists
+    // the crashed attempt's orphan, at exactly the replay's target name
+    val w = new java.io.PrintWriter(
+      new java.io.File(dir, "part-orphjob0-00000.tsv"), "UTF-8")
+    w.println("999\tstale"); w.close()
+    commitOne("orphjob0", 1L, "fresh") // the replay
+    val back = spark.read.format("graft-tsv").schema(s).load(dir)
+      .collect().map(_.getString(1)).sorted.toSeq
+    assert(back === Seq("base", "fresh"),
+      s"replay must replace the orphan, never surface stale data: $back")
+  }
+
   test("empty partitions produce no empty part files") {
     val dir = freshDir()
     mkDf(2, "e").repartition(8)

@@ -167,6 +167,37 @@ class Dsv2StatsSpec extends SparkSuite {
       s"pruned rowCount should cover only surviving files: $rc")
   }
 
+  test("pushed COUNT(*) reports split-count cardinality, not table rows") {
+    // under aggregate pushdown the scan's real output is ONE partial-count
+    // row per split — estimateStatistics must not keep reporting the
+    // manifest's table numRows (orders of magnitude above the relation's
+    // post-pushdown cardinality, poisoning CBO estimates above it)
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+    import org.apache.spark.sql.connector.expressions.Expression
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = freshDir()
+    write(src(120).repartitionByRange(4, col("id")), dir)
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.length > 0)
+    def scanStats(pushCount: Boolean) = {
+      val b = new graft.sources.GraftTsvScanBuilder(schema,
+        new CaseInsensitiveStringMap(Map("path" -> dir).asJava))
+      if (pushCount)
+        assert(b.pushAggregation(new Aggregation(
+          Array(new CountStar), Array.empty[Expression])))
+      b.build().asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    }
+    val plain = scanStats(pushCount = false)
+    assert(plain.numRows().getAsLong == 120)
+    val counted = scanStats(pushCount = true)
+    // every part file is far below split.bytes → one split per file
+    assert(counted.numRows().getAsLong == nFiles,
+      s"countOnly numRows must be the planned split count ($nFiles), " +
+        s"got ${counted.numRows()}")
+  }
+
   test("NaN-bearing files are never skipped by > predicates") {
     import spark.implicits._
     val dir = freshDir()

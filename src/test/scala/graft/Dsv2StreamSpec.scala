@@ -167,6 +167,37 @@ class Dsv2StreamSpec extends SparkSuite {
       s"epoch 10's parts must sort after epoch 9's: ${parts.mkString(",")}")
   }
 
+  test("replaying a batch whose window lost a file fails fast, never shrinks") {
+    // restart replay of a committed batch (start, end]: the original
+    // validation only checked the files at/below start.hi — a file
+    // deleted from INSIDE the window (external compaction) was silently
+    // omitted from the replayed batch. The slice must hold exactly
+    // end.n - start.n files or fail the monotonic contract by name.
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val root = Files.createTempDirectory("graft_dsv2_replay_del").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "in"); dir.mkdirs()
+    writeFile(dir.getAbsolutePath, "f-000.tsv", 0 until 5)
+    writeFile(dir.getAbsolutePath, "f-001.tsv", 5 until 10)
+    writeFile(dir.getAbsolutePath, "f-002.tsv", 10 until 15)
+    def mkStream() = new graft.sources.GraftTsvScanBuilder(schema,
+      new CaseInsensitiveStringMap(Map("path" -> dir.getAbsolutePath).asJava))
+      .build().toMicroBatchStream("unused")
+    val s1 = mkStream()
+    val start = s1.initialOffset()
+    val end = s1.latestOffset()
+    // a RESTARTED stream recovers both offsets from the checkpoint and
+    // re-lists; meanwhile the middle file vanished
+    assert(new java.io.File(dir, "f-001.tsv").delete())
+    val s2 = mkStream()
+    val e = intercept[IllegalStateException] {
+      s2.planInputPartitions(
+        s2.deserializeOffset(start.json()), s2.deserializeOffset(end.json()))
+    }
+    assert(e.getMessage.contains("non-monotonically"), e.getMessage)
+  }
+
   test("a file sorting below the processed high-water mark fails fast, never skips") {
     val root = Files.createTempDirectory("graft_dsv2_stream_bad").toFile
     root.deleteOnExit()
