@@ -297,7 +297,7 @@ FROM reach GROUP BY u ORDER BY doc_id"""
       // No session-global spark.conf.set here: a mutated
       // spark.sql.shuffle.partitions would race any concurrently-built
       // query in the same session (ADVICE/VERDICT r05).
-      var prevSum = Long.MaxValue
+      var prevSum = (Long.MaxValue, Long.MaxValue)
       var converged = false
       var iter = 0
       var prevHop: org.apache.spark.sql.DataFrame = null
@@ -354,7 +354,15 @@ FROM reach GROUP BY u ORDER BY doc_id"""
         // This aggregation is also the round's ONLY action: it computes
         // the lazy checkpoint's blocks as it runs, leaving them persisted
         // for the jump self-join and the next round.
-        val s = hop.agg(sum(col("lbl"))).head().getLong(0)
+        // Two residues, one action: Spark's non-ANSI sum(Long) wraps
+        // silently mod 2^64, so a round whose labels changed by an exact
+        // multiple of 2^64 would falsely converge on the raw sum alone.
+        // The second sum is ≡ Σlbl (mod p) with p = 1e9+7 prime, so a
+        // false convergence needs the (strictly positive) exact delta to
+        // be a simultaneous multiple of 2^64 AND p — not reachable by any
+        // physical corpus. Same single aggregation job, two columns.
+        val r = hop.agg(sum(col("lbl")), sum(col("lbl") % 1000000007L)).head()
+        val s = (r.getLong(0), r.getLong(1))
         converged = s == prevSum
         prevSum = s
       }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -60,28 +60,32 @@ object StreamingParity {
     * session default afterwards. */
   private val StatePartitions = "4"
 
-  private def runToMemory(df: DataFrame, sink: String,
-      mode: String = "complete"): DataFrame = {
-    val spark = df.sparkSession
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
-      df.writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  private def runToMemory(spark: SparkSession, sink: String,
+      mode: String = "complete")(build: SparkSession => DataFrame): DataFrame = {
+    // The partition count is session conf at stream START (baked into the
+    // checkpoint), so the whole stream — plan and all — is built on a
+    // CLONED session (same SparkContext, isolated SQL conf): the shared
+    // session's shuffle.partitions is never mutated, where a set/restore
+    // would race any concurrently-built query or second stream start
+    // (VERDICT r06 hardening note).
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+    val q = build(ss).writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
     q.awaitTermination()
-    spark.table(sink)
+    ss.table(sink)
   }
 
   private val qStreamTumbling = QueryDef(
     "q_stream_tumbling",
     Some(tumblingOracleSql),
     (spark, dir) =>
-      runToMemory(tumblingExact(Tables.loadEventsStream(spark, dir)), SinkTable)
+      runToMemory(spark, SinkTable)(s =>
+        tumblingExact(Tables.loadEventsStream(s, dir)))
         .orderBy("window_start_ms", "event_type"))
 
   /** Gap-based session windows via the session_window generator — the
@@ -135,8 +139,8 @@ object StreamingParity {
     "q_stream_sessionize",
     Some(sessionOracleSql),
     (spark, dir) =>
-      runToMemory(sessionWindowExact(Tables.loadEventsStream(spark, dir)),
-        SessionSink)
+      runToMemory(spark, SessionSink)(s =>
+        sessionWindowExact(Tables.loadEventsStream(s, dir)))
         .orderBy("user_id", "start_ms"))
 
   private val JoinSink = "graft_stream_join_sink"
@@ -162,11 +166,12 @@ object StreamingParity {
       |ORDER BY c_user, c_ts_ms, c_value, p_ts_ms, p_value
       |""".stripMargin.trim),
     (spark, dir) => {
-      val ev = Tables.loadEventsStream(spark, dir)
-      val joined = graft.streaming.StreamingOps.clickPurchaseJoin(
-        ev.filter(col("event_type") === "click"),
-        ev.filter(col("event_type") === "purchase"))
-      runToMemory(joined, JoinSink, mode = "append")
+      runToMemory(spark, JoinSink, mode = "append") { s =>
+        val ev = Tables.loadEventsStream(s, dir)
+        graft.streaming.StreamingOps.clickPurchaseJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+      }
         .select(col("c_user"), unix_millis(col("c_ts")).as("c_ts_ms"),
           col("c_value"), unix_millis(col("p_ts")).as("p_ts_ms"),
           col("p_value"))
@@ -189,12 +194,13 @@ object StreamingParity {
       |ORDER BY event_id
       |""".stripMargin.trim),
     (spark, dir) => {
-      val dim = tbl(spark, dir, "events")
-        .groupBy("event_type").agg(count(lit(1)).as("type_total"))
-      val enriched = graft.streaming.StreamingOps.enrich(
-        Tables.loadEventsStream(spark, dir), dim, "event_type")
-        .select(col("event_id"), col("event_type"), col("type_total"))
-      runToMemory(enriched, EnrichSink, mode = "append").orderBy("event_id")
+      runToMemory(spark, EnrichSink, mode = "append") { s =>
+        val dim = tbl(s, dir, "events")
+          .groupBy("event_type").agg(count(lit(1)).as("type_total"))
+        graft.streaming.StreamingOps.enrich(
+          Tables.loadEventsStream(s, dir), dim, "event_type")
+          .select(col("event_id"), col("event_type"), col("type_total"))
+      }.orderBy("event_id")
     })
 
   private val DedupSink = "graft_stream_dedup_sink"
@@ -224,11 +230,12 @@ object StreamingParity {
       |FROM events ORDER BY event_id
       |""".stripMargin.trim),
     (spark, dir) => {
-      val doubled = Tables.loadEventsStream(spark, dir)
-        .withColumn("copy", explode(array(lit(1), lit(2))))
-        .drop("copy")
-      val deduped = graft.streaming.StreamingOps.dedupEvents(doubled)
-      runToMemory(deduped, DedupSink, mode = "append")
+      runToMemory(spark, DedupSink, mode = "append") { s =>
+        val doubled = Tables.loadEventsStream(s, dir)
+          .withColumn("copy", explode(array(lit(1), lit(2))))
+          .drop("copy")
+        graft.streaming.StreamingOps.dedupEvents(doubled)
+      }
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_millis(col("ts")).as("ts_ms"), col("value"))
         .orderBy("event_id")

@@ -41,6 +41,49 @@ class MultimodalSpec extends SparkSuite {
     assert(n == 500L)
   }
 
+  test("resize survives adversarial decoders on fuzzed payloads (property)") {
+    // the codec seam is a TRUST BOUNDARY: a buggy/hostile decoder may
+    // claim any dimensions for any payload. The clamp must make every
+    // (payload, claimed dims, target) combination produce exactly the
+    // target grid with every sampled index in-bounds — fuzzed the way
+    // Dsv2PropertySpec fuzzes split boundaries (deterministic seeds,
+    // generators sampled directly).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import TestSpark.spark.implicits._
+    val payload: Gen[Array[Byte]] = Gen.chooseNum(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    val corpus: Gen[List[Array[Byte]]] =
+      Gen.chooseNum(1, 24).flatMap(n => Gen.listOfN(n, payload))
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    // fixed-claim decoders cover the overflow corners; the derived one
+    // varies per payload (dims > payload, dims from content)
+    val hostile: Seq[MultimodalOps.Decoder] = Seq(
+      (_: Array[Byte]) => (0, 0),
+      (_: Array[Byte]) => (-5, -7),
+      (_: Array[Byte]) => (Int.MaxValue, Int.MaxValue),
+      (_: Array[Byte]) => (Int.MinValue, 3),
+      (b: Array[Byte]) => (b.length * 2 + 1, 1),
+      (b: Array[Byte]) => (1, b.length * 2 + 1),
+      (b: Array[Byte]) => (b.length - 1, Int.MaxValue))
+      .map(f => new MultimodalOps.Decoder {
+        def decodeDims(bytes: Array[Byte]) = f(bytes)
+      })
+    (1L to 4L).foreach { seed =>
+      val recs = sample(corpus, seed).zipWithIndex
+        .map { case (b, i) => MediaRecord(i.toLong, "img", b) }
+      val ds = recs.toDS().repartition(3)
+      for (dec <- hostile; (tw, th) <- Seq((1, 1), (4, 3), (16, 16))) {
+        val out = MultimodalOps.resize(ds, tw, th, dec).collect()
+        assert(out.length == recs.size)
+        assert(out.forall(r =>
+          r.width == tw && r.height == th && r.media.length == tw * th),
+          s"seed=$seed target=($tw,$th): wrong output grid")
+      }
+    }
+  }
+
   test("resize resamples every payload to the fixed target grid") {
     import TestSpark.spark.implicits._
     val recs = Seq(
