@@ -484,6 +484,54 @@ object SourceParity {
         .orderBy("o_orderstatus")
     })
 
+  /** Row-level DELETE under the oracle gate — the corpus-curation
+    * mutation (VERDICT r06 #1): orders loaded into a graft CATALOG table
+    * range-clustered on o_orderkey, then `DELETE FROM ... WHERE status
+    * AND key-range` runs the copy-on-write generation rewrite
+    * (GraftTsvDelete) — manifest stats prune the rewrite to the files
+    * whose key range can match, partition/data predicates evaluate with
+    * the reader's own comparators, and visibility flips on one `_gen`
+    * rename. The full create→insert→delete→read loop runs EVERY call
+    * (the delete is the exhibit, like q_dsv2_sink's write). The oracle
+    * states the same aggregate over the ORIGINAL parquet with the delete
+    * predicate negated (SQL DELETE removes rows where the predicate is
+    * TRUE), so a pass proves the rewrite dropped exactly the matching
+    * rows and the carried/rewritten stats never hid a survivor.
+    * Atomicity/crash/pruning mechanics: Dsv2DeleteSpec. */
+  private val qDsv2Delete = QueryDef(
+    "q_dsv2_delete",
+    Some(s"""
+      |SELECT o_orderstatus, count(*) AS n,
+      |  ${sqlDsum(sqlDec("o_totalprice"))} AS sum_price
+      |FROM orders
+      |WHERE NOT (o_orderstatus = 'F' AND o_orderkey < 30000)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.orders_del_$h" // warmup/measure SFs never collide
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t (o_orderkey BIGINT, o_orderstatus STRING,
+        o_totalprice_str STRING) USING `graft-tsv`""")
+      tbl(spark, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        dec("o_totalprice").cast("string").as("o_totalprice_str"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .writeTo(t).append()
+      spark.sql(s"DELETE FROM $t WHERE o_orderstatus = 'F' AND o_orderkey < 30000")
+      spark.table(t)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          dsum(dec(col("o_totalprice_str"))).as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
+
   /** Pay-once TSV export for q_dsv2_source (same _SUCCESS + source
     * fingerprint guard as the federated exports): project orders to the
     * connector's text conventions — exact decimal STRING for the price
@@ -545,5 +593,5 @@ object SourceParity {
 
   val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qPartitionedSink,
     qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source,
-    qDsv2Sink, qDsv2RuntimeJoin, qDsv2Partitioned, qDsv2StatsSkip)
+    qDsv2Sink, qDsv2RuntimeJoin, qDsv2Partitioned, qDsv2StatsSkip, qDsv2Delete)
 }

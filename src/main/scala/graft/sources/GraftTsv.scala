@@ -118,13 +118,36 @@ final class GraftTsvDataSource extends TableProvider with DataSourceRegister {
 
 final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft-tsv ${options.get("path")}"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+
+  private def headerOn: Boolean =
+    Option(options.get("header")).exists(_.equalsIgnoreCase("true"))
+  private def declaredPartCols: Seq[String] =
+    Option(options.get("partition.columns")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  /** Row-level DELETE (`DELETE FROM cat.ns.t WHERE ...` through
+    * [[GraftTsvCatalog]]): copy-on-write generation rewrite of only the
+    * files the predicate can touch — see [[GraftTsvDelete]]. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    GraftTsvDelete.canDelete(tableSchema, headerOn, filters)
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    GraftTsvDelete.deleteWhere(
+      tableSchema,
+      Option(options.get("path")).getOrElse(
+        throw new IllegalArgumentException("graft-tsv: no path given")),
+      Option(options.get("delimiter")).getOrElse("\t").charAt(0),
+      declaredPartCols,
+      headerOn,
+      filters)
 
   /** Write path in GraftTsvWrite.scala: two-phase commit (dot-prefixed
     * staging files, driver-side rename) — only committed task output
@@ -569,7 +592,7 @@ final class GraftTsvScan(
             val n = st.getPath.getName
             !n.startsWith("_") && !n.startsWith(".")
           } =>
-        GraftTsvFileEntry(st.getPath.toString, st.getLen, vals,
+        GraftTsvFileEntry(st.getPath.toString, rel, st.getLen, vals,
           GraftTsvManifest.parseStats(stats),
           GraftTsvManifest.rowCountOf(stats))
       }
@@ -586,7 +609,7 @@ final class GraftTsvScan(
     *    skipping without partitioning (the writer records per-file
     *    min/max; absent stats keep the file, so skipping can only ever
     *    UNDER-prune). */
-  private def pruneFiles(
+  private[sources] def pruneFiles(
       files: Seq[GraftTsvFileEntry], filters: Array[Filter]): Seq[GraftTsvFileEntry] = {
     val single = filters.filter(_.references.length == 1)
     val afterPart =
@@ -861,7 +884,7 @@ final class GraftTsvMicroBatchStream(scan: GraftTsvScan, splitBytes: Long)
   * (typeName, min, max) ranges recorded in the manifest (empty =
   * unknown, never pruned). */
 private[sources] final case class GraftTsvFileEntry(
-    path: String, len: Long, partVals: Array[String],
+    path: String, rel: String, len: Long, partVals: Array[String],
     stats: Map[String, (String, String, String)] = Map.empty,
     rows: Option[Long] = None)
 

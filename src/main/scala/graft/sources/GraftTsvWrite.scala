@@ -207,6 +207,28 @@ object GraftTsvManifest {
     if (stats.isEmpty) None
     else stats.split(',').collectFirst { case RowsRe(n) => n.toLong }
 
+  /** Render a stats cell (`#n:<rows>,col:type:min:max,...`, %XX-escaped
+    * values, all-null columns absent) from per-column internal min/max
+    * arrays indexed by schema position — the ONE encoder for the format
+    * [[parseStats]]/[[rowCountOf]] decode, shared by the writer's
+    * per-file tracking and the delete path's rewrite tracking. */
+  def statsCell(schema: StructType, statIdx: Array[Int],
+      mins: Array[Any], maxs: Array[Any], rows: Long): String =
+    (Iterator(s"#n:$rows") ++ statIdx.iterator
+      .filter(i => mins(i) != null)
+      .map { i =>
+        val dt = schema.fields(i).dataType
+        def fmt(v: Any): String = dt match {
+          case DateType => java.time.LocalDate.ofEpochDay(
+            v.asInstanceOf[Int].toLong).toString
+          case _ => v.toString // Long/Int/Double/UTF8String all round-trip
+        }
+        statEscape(schema.fields(i).name) + ":" +
+          dt.typeName + ":" +
+          statEscape(fmt(mins(i))) + ":" +
+          statEscape(fmt(maxs(i)))
+      }).mkString(",")
+
   private val EpochRe = """#epoch:(-?\d+)""".r
 
   /** The streaming epoch that produced this generation, if it was a
@@ -256,6 +278,17 @@ final class GraftTsvBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     publish(messages, jobTag, epochMarker = None)
 
+  private def publish(
+      messages: Array[WriterCommitMessage],
+      label: String,
+      epochMarker: Option[Long]): Unit = {
+    val staged = messages.collect {
+      case GraftTsvCommitMessage(names) => names
+    }.flatten.toSeq
+    GraftTsvPublisher.publish(fs(), new Path(path), staged, label, epochMarker,
+      truncate, dropped = Set.empty, partCols, sweepPrefix = s".staging-$queryId")
+  }
+
   /** Streaming epoch commit: same publish, epoch-labeled and marked. */
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val f = fs()
@@ -278,26 +311,46 @@ final class GraftTsvBatchWrite(
     }
   }
 
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftTsvPublisher.sweep(fs(), new Path(path), s".staging-$queryId")
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftTsvPublisher.sweep(fs(), new Path(path), s".staging-$queryId")
+
+  private def sweep(f: FileSystem, dir: Path): Unit =
+    GraftTsvPublisher.sweep(f, dir, s".staging-$queryId")
+}
+
+/** The shared generation-publish protocol — the ONE place a graft-tsv
+  * table's visible state changes. Used by batch job commits, streaming
+  * epoch commits (both via [[GraftTsvBatchWrite]]), and row-level DELETE
+  * ([[GraftTsvDelete]], which passes `dropped` = the rewritten files'
+  * old names). See the protocol walkthrough on [[GraftTsvWriteBuilder]]:
+  * rename staged parts in under job-unique names, swap `_gen` atomically,
+  * clean up with one-generation retention. */
+private[sources] object GraftTsvPublisher {
+
   /** Recursive (relative-path, status) listing — partitioned tables put
     * parts in `col=value` leaf dirs, and all commit bookkeeping is in
     * root-relative terms. */
-  private def allFiles(f: FileSystem, dir: Path, rel: String = "")
+  def allFiles(f: FileSystem, dir: Path, rel: String = "")
       : Seq[(String, org.apache.hadoop.fs.FileStatus)] =
     f.listStatus(dir).toSeq.flatMap { st =>
       if (st.isDirectory) allFiles(f, st.getPath, rel + st.getPath.getName + "/")
       else Seq((rel + st.getPath.getName, st))
     }
 
-  private def publish(
-      messages: Array[WriterCommitMessage],
+  def publish(
+      f: FileSystem,
+      dir: Path,
+      staged: Seq[(String, String)],
       label: String,
-      epochMarker: Option[Long]): Unit = {
-    val f = fs()
-    val dir = new Path(path)
+      epochMarker: Option[Long],
+      truncate: Boolean,
+      dropped: Set[String],
+      partCols: Seq[String],
+      sweepPrefix: String): Unit = {
     if (!f.exists(dir)) f.mkdirs(dir) // commit of an all-empty-partition job
-    val staged = messages.collect {
-      case GraftTsvCommitMessage(names) => names
-    }.flatten
     def fileName(rel: String) = rel.substring(rel.lastIndexOf('/') + 1)
     // a name containing a tab or newline can neither be adopted (tab is
     // the manifest line separator — adoption would corrupt the manifest
@@ -369,7 +422,8 @@ final class GraftTsvBatchWrite(
     //    entries keep their stats cells, so appended generations retain
     //    file-skipping metadata for the old files too.
     val nextEntries =
-      (if (truncate) Seq.empty else currentEntries) ++ newParts
+      (if (truncate) Seq.empty
+       else currentEntries.filterNot(e => dropped.contains(e._1))) ++ newParts
     val nextVisible = nextEntries.map(_._1)
     val tmp = new Path(dir, s".manifest-$label-${UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
@@ -408,20 +462,14 @@ final class GraftTsvBatchWrite(
         // were renamed or belong to uncommitted attempts, swept below)
         f.delete(st.getPath, false)
     }
-    sweep(f, dir) // staging files from this job's failed/speculative attempts
+    sweep(f, dir, sweepPrefix) // this job's failed/speculative attempts
     f.create(new Path(dir, "_SUCCESS"), true).close()
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    sweep(fs(), new Path(path))
-
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    sweep(fs(), new Path(path))
-
-  private def sweep(f: FileSystem, dir: Path): Unit =
+  def sweep(f: FileSystem, dir: Path, sweepPrefix: String): Unit =
     if (f.exists(dir))
       allFiles(f, dir).foreach { case (_, st) =>
-        if (st.getPath.getName.startsWith(s".staging-$queryId"))
+        if (st.getPath.getName.startsWith(sweepPrefix))
           f.delete(st.getPath, false)
       }
 }
@@ -558,20 +606,8 @@ final class GraftTsvDataWriter(
       * are simply absent (absent = reader keeps the file). The type tag
       * lets a reader that declares a DIFFERENT type for the column
       * ignore ranges whose ordering no longer applies. */
-    def statsString: String = (Iterator(s"#n:$rows") ++ statIdx.iterator
-      .filter(i => mins(i) != null)
-      .map { i =>
-        val dt = schema.fields(i).dataType
-        def fmt(v: Any): String = dt match {
-          case DateType => java.time.LocalDate.ofEpochDay(
-            v.asInstanceOf[Int].toLong).toString
-          case _ => v.toString // Long/Int/Double/UTF8String all round-trip
-        }
-        GraftTsvManifest.statEscape(schema.fields(i).name) + ":" +
-          dt.typeName + ":" +
-          GraftTsvManifest.statEscape(fmt(mins(i))) + ":" +
-          GraftTsvManifest.statEscape(fmt(maxs(i)))
-      }).mkString(",")
+    def statsString: String =
+      GraftTsvManifest.statsCell(schema, statIdx, mins, maxs, rows)
   }
 
   private def writerFor(leafRel: String): StagedOut =
