@@ -484,6 +484,48 @@ object SourceParity {
         .orderBy("o_orderstatus")
     })
 
+  /** SPLIT-level (block-stats) skipping under the oracle gate — the
+    * inside-the-file twin of q_dsv2_stats_skip: orders written through
+    * the connector's sink as ONE file sorted by o_orderkey with 64 KiB
+    * stats blocks, read back with 256 KiB splits and a key-range
+    * predicate. File-level min/max cannot skip anything (the single
+    * file's range covers the predicate); the per-block manifest stats
+    * must prune the non-covering SPLITS — parquet-row-group-style
+    * skipping for line text, which is where most of a 100 TB corpus
+    * lives (Dsv2StatsSpec proves the skip via linesRead; this entry
+    * proves the surviving values are right). */
+  private val qDsv2SplitSkip = QueryDef(
+    "q_dsv2_split_skip",
+    Some(s"""
+      |SELECT o_orderstatus, count(*) AS n,
+      |  ${sqlDsum(sqlDec("o_totalprice"))} AS sum_price
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 5000 AND 15000
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      import org.apache.spark.sql.types._
+      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_dsv2_split_${Integer.toHexString(dir.hashCode)}").toString
+      tbl(spark, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        dec("o_totalprice").cast("string").as("o_totalprice_str"))
+        .repartition(1).sortWithinPartitions("o_orderkey")
+        .write.format("graft-tsv").option("stats.block.bytes", "65536")
+        .mode("overwrite").save(out)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice_str", StringType)))
+      spark.read.format("graft-tsv").schema(schema)
+        .option("split.bytes", "262144").load(out)
+        .filter(col("o_orderkey") >= 5000L && col("o_orderkey") <= 15000L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          dsum(dec(col("o_totalprice_str"))).as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
+
   /** Row-level DELETE under the oracle gate — the corpus-curation
     * mutation (VERDICT r06 #1): orders loaded into a graft CATALOG table
     * range-clustered on o_orderkey, then `DELETE FROM ... WHERE status
@@ -593,5 +635,6 @@ object SourceParity {
 
   val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qPartitionedSink,
     qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source,
-    qDsv2Sink, qDsv2RuntimeJoin, qDsv2Partitioned, qDsv2StatsSkip, qDsv2Delete)
+    qDsv2Sink, qDsv2RuntimeJoin, qDsv2Partitioned, qDsv2StatsSkip,
+    qDsv2SplitSkip, qDsv2Delete)
 }

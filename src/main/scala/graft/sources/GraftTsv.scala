@@ -498,6 +498,8 @@ final class GraftTsvScan(
     factory.runtimeFilters = predicates.flatMap(GraftTsvPushdown.predicateToV1)
       .filter(GraftTsvPushdown.supported(fullSchema, _))
 
+  private[sources] def pushedFilters: Array[Filter] = pushed
+
   // under pushed COUNT(*) the scan's output is the partial count, one
   // long per split (Spark's positional mapping; the name is cosmetic)
   override def readSchema(): StructType =
@@ -594,7 +596,8 @@ final class GraftTsvScan(
           } =>
         GraftTsvFileEntry(st.getPath.toString, rel, st.getLen, vals,
           GraftTsvManifest.parseStats(stats),
-          GraftTsvManifest.rowCountOf(stats))
+          GraftTsvManifest.rowCountOf(stats),
+          GraftTsvManifest.parseBlocks(stats))
       }
       .sortBy(_.path)
   }
@@ -697,15 +700,56 @@ final class GraftTsvScan(
     * parallelism regardless of file count. Partition-pruned by the static
     * pushed filters AND — on the re-plan BatchScanExec triggers after
     * runtime filtering — by the realized join key set, so a selective
-    * join reads only the matching hive partitions' bytes. */
-  override def planInputPartitions(): Array[InputPartition] =
-    pruneFiles(batchListing, pushed ++ factory.runtimeFilters)
-      .flatMap { e =>
-        (0L until e.len by splitBytes).map { off =>
-          GraftTsvInputPartition(e.path, off, math.min(splitBytes, e.len - off),
-            e.partVals)
+    * join reads only the matching hive partitions' bytes; split-pruned
+    * by the per-block manifest stats ([[splitsFor]]). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val filters = pushed ++ factory.runtimeFilters
+    val statPreds = compiledStatPreds(filters)
+    pruneFiles(batchListing, filters).flatMap(splitsFor(_, statPreds)).toArray
+  }
+
+  /** The stat predicates compiled ONCE per planning (literal conversion
+    * is per-predicate here, not per file or per split — a runtime IN can
+    * carry thousands of keys). */
+  private[sources] def compiledStatPreds(filters: Array[Filter])
+      : Array[(String, String, DataType, (Any, Any) => Boolean)] =
+    filters.filter(_.references.length == 1).flatMap(compileStatPred)
+
+  /** Byte-range splits of one file, minus the splits whose overlapping
+    * stats BLOCKS all provably exclude a predicate — parquet-row-group-
+    * style skipping INSIDE large files, where file-level pruning is
+    * powerless (one big sorted file matches almost any range overall,
+    * but each split overlaps only a few blocks). Correctness: block
+    * bounds are line boundaries, and every line a split is responsible
+    * for (start position in (off, off+len], plus 0 for the first split)
+    * lies inside a block intersecting [off, off+len] — so a split whose
+    * intersecting blocks are ALL excluded provably owns no matching
+    * line. Absent blocks, absent stats, or type-tag mismatches keep the
+    * split: skipping only ever under-prunes. */
+  private[sources] def splitsFor(
+      e: GraftTsvFileEntry,
+      statPreds: Array[(String, String, DataType, (Any, Any) => Boolean)])
+      : Seq[GraftTsvInputPartition] = {
+    def blockExcluded(stats: Map[String, (String, String, String)]): Boolean =
+      statPreds.exists { case (c, tn, dt, test) =>
+        stats.get(c) match {
+          case Some((fileType, mnRaw, mxRaw)) if fileType == tn =>
+            try !test(GraftTsvPushdown.convertCell(dt, mnRaw),
+              GraftTsvPushdown.convertCell(dt, mxRaw))
+            catch { case _: RuntimeException => false } // corrupt cell: keep
+          case _ => false
         }
-      }.toArray
+      }
+    (0L until e.len by splitBytes).flatMap { off =>
+      val len = math.min(splitBytes, e.len - off)
+      val dead = statPreds.nonEmpty && e.blocks.nonEmpty && {
+        val hit = e.blocks.filter { case (bs, be, _) => bs <= off + len && be > off }
+        hit.nonEmpty && hit.forall(b => blockExcluded(b._3))
+      }
+      if (dead) None
+      else Some(GraftTsvInputPartition(e.path, off, len, e.partVals))
+    }
+  }
 
   // ONE factory per scan, handed out every time: Spark forces the factory
   // during PLANNING (supportsColumnar probes it) — before filter() runs at
@@ -731,7 +775,8 @@ final class GraftTsvScan(
       // row per planned split — reporting the table's row total here
       // would hand post-pushdown CBO a cardinality orders of magnitude
       // above the relation's actual output
-      val splits = pruned.map(e => (e.len + splitBytes - 1) / splitBytes).sum
+      val statPreds = compiledStatPreds(pushed)
+      val splits = pruned.iterator.map(e => splitsFor(e, statPreds).size.toLong).sum
       return new Statistics {
         override def sizeInBytes(): OptionalLong =
           OptionalLong.of(splits * 8L) // one long per split
@@ -863,12 +908,10 @@ final class GraftTsvMicroBatchStream(scan: GraftTsvScan, splitBytes: Long)
           s"${slice.size} (${slice.map(_.path).takeRight(3).mkString(", ")}); " +
           "file names must be monotonic and processed files immutable; " +
           "refusing to silently skip or re-read")
-    slice.flatMap { f =>
-      (0L until f.len by splitBytes).map { off =>
-        GraftTsvInputPartition(f.path, off, math.min(splitBytes, f.len - off),
-          f.partVals)
-      }
-    }.toArray
+    // the same block-stats split pruning as the batch path — the pushed
+    // predicates ride the scan, so a filtered stream skips dead splits
+    val statPreds = scan.compiledStatPreds(scan.pushedFilters)
+    slice.flatMap(f => scan.splitsFor(f, statPreds)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -886,7 +929,8 @@ final class GraftTsvMicroBatchStream(scan: GraftTsvScan, splitBytes: Long)
 private[sources] final case class GraftTsvFileEntry(
     path: String, rel: String, len: Long, partVals: Array[String],
     stats: Map[String, (String, String, String)] = Map.empty,
-    rows: Option[Long] = None)
+    rows: Option[Long] = None,
+    blocks: Seq[(Long, Long, Map[String, (String, String, String)])] = Seq.empty)
 
 final case class GraftTsvInputPartition(
     file: String, start: Long, length: Long,

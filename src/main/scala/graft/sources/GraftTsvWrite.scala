@@ -112,14 +112,28 @@ final class GraftTsvWriteBuilder(
 
     override def toBatch: BatchWrite =
       new GraftTsvBatchWrite(schema, path, delimiter, truncateOnCommit,
-        info.queryId(), SerializableHadoopConf.fromSession(), partCols)
+        info.queryId(), SerializableHadoopConf.fromSession(), partCols,
+        blockBytes)
     /** Streaming sink = the SAME commit protocol per epoch (Complete mode
       * arrives as truncate, Append as append), with the epoch id recorded
       * in the generation manifest as the replay-idempotence token. */
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftTsvBatchWrite(schema, path, delimiter, truncateOnCommit,
-        info.queryId(), SerializableHadoopConf.fromSession(), partCols)
+        info.queryId(), SerializableHadoopConf.fromSession(), partCols,
+        blockBytes)
+  }
+
+  /** Block-stats granularity (`stats.block.bytes`): how often the writer
+    * closes a stats block inside each file — the split-skipping
+    * resolution for large sorted files. The default trades manifest size
+    * (one escaped cell per ~4 MiB of data) for sub-file pruning at any
+    * read split size above it. */
+  private val blockBytes: Long = {
+    val b = Option(info.options().get("stats.block.bytes")).map(_.toLong)
+      .getOrElse(4L * 1024 * 1024)
+    require(b > 0, s"graft-tsv: stats.block.bytes must be positive, got $b")
+    b
   }
 }
 
@@ -198,6 +212,24 @@ object GraftTsvManifest {
       }
     }.toMap
 
+  /** Per-block (byte-range) stats recorded by the writer:
+    * `#b:<startByte>:<endByte>:<escaped inner cell>` where the inner
+    * cell is a full [[statsCell]] escaped once more (so its `:`/`,` are
+    * inert in the outer grammar). Block bounds are LINE boundaries.
+    * Returns (start, end, col → (type, min, max)); malformed entries are
+    * dropped (never mis-prune). */
+  def parseBlocks(stats: String): Seq[(Long, Long, Map[String, (String, String, String)])] =
+    if (stats.isEmpty || !stats.contains("#b:")) Seq.empty
+    else stats.split(',').toSeq.flatMap { entry =>
+      if (!entry.startsWith("#b:")) None
+      else entry.split(':') match {
+        case Array(_, s, e, inner) =>
+          for (ss <- s.toLongOption; ee <- e.toLongOption)
+            yield (ss, ee, parseStats(GraftTsvPushdown.unescapePathValue(inner)))
+        case _ => None
+      }
+    }
+
   private val RowsRe = """#n:(\d+)""".r
 
   /** The file's exact row count, recorded by the writer — fed to CBO as
@@ -255,16 +287,18 @@ final class GraftTsvBatchWrite(
     truncate: Boolean,
     queryId: String,
     hconf: SerializableHadoopConf,
-    partCols: Seq[String] = Seq.empty) extends BatchWrite
+    partCols: Seq[String] = Seq.empty,
+    blockBytes: Long = 4L * 1024 * 1024) extends BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftTsvWriterFactory(schema, path, delimiter, queryId, hconf, partCols)
+    new GraftTsvWriterFactory(schema, path, delimiter, queryId, hconf, partCols,
+      blockBytes)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new GraftTsvStreamingWriterFactory(schema, path, delimiter, queryId, hconf,
-      partCols)
+      partCols, blockBytes)
 
   // both parent interfaces default this to true; Scala requires the
   // diamond be resolved explicitly. Keep the coordinator: one committed
@@ -485,12 +519,13 @@ final class GraftTsvStreamingWriterFactory(
     delimiter: Char,
     queryId: String,
     hconf: SerializableHadoopConf,
-    partCols: Seq[String] = Seq.empty)
+    partCols: Seq[String] = Seq.empty,
+    blockBytes: Long = 4L * 1024 * 1024)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new GraftTsvDataWriter(schema, path, delimiter, s"$queryId-e$epochId",
-      partitionId, taskId, hconf, partCols)
+      partitionId, taskId, hconf, partCols, blockBytes)
 }
 
 /** Root-relative staged paths this task wrote, each with its encoded
@@ -505,10 +540,11 @@ final class GraftTsvWriterFactory(
     delimiter: Char,
     queryId: String,
     hconf: SerializableHadoopConf,
-    partCols: Seq[String] = Seq.empty) extends DataWriterFactory {
+    partCols: Seq[String] = Seq.empty,
+    blockBytes: Long = 4L * 1024 * 1024) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftTsvDataWriter(schema, path, delimiter, queryId, partitionId, taskId,
-      hconf, partCols)
+      hconf, partCols, blockBytes)
 }
 
 /** Task-side writer: serialize to a staging file, hand the name back in
@@ -522,7 +558,8 @@ final class GraftTsvDataWriter(
     partitionId: Int,
     taskId: Long,
     hconf: SerializableHadoopConf,
-    partCols: Seq[String] = Seq.empty) extends DataWriter[InternalRow] {
+    partCols: Seq[String] = Seq.empty,
+    blockBytes: Long = 4L * 1024 * 1024) extends DataWriter[InternalRow] {
 
   // task attempt id in the name keeps concurrent speculative attempts of
   // the same partition from colliding on one staging file
@@ -563,11 +600,29 @@ final class GraftTsvDataWriter(
   private val statIdx: Array[Int] = dataIdx.filter(i =>
     GraftTsvPushdown.supportedType(schema.fields(i).dataType))
 
-  /** One staged output file + its running column ranges and row count. */
-  private final class StagedOut(val w: java.io.BufferedWriter, val rel: String) {
-    val mins = new Array[Any](schema.length)
-    val maxs = new Array[Any](schema.length)
-    var rows = 0L
+  /** One staged output file + its running column ranges and row count,
+    * tracked per BLOCK — a byte range closed at a line boundary roughly
+    * every `blockBytes` bytes. Blocks are the parquet-row-group analog
+    * for line text: the manifest records each block's column ranges, so
+    * a multi-split scan of ONE large sorted file can skip the splits
+    * whose overlapping blocks provably exclude a predicate — where most
+    * of a 100 TB corpus lives. File-level stats are the merge of the
+    * blocks (tracked once, not twice). */
+  private final class StagedOut(
+      val out: java.io.BufferedOutputStream, val rel: String, blockBytes: Long) {
+    // closed blocks: (startByte, endByte, mins, maxs, rows)
+    private val blocks =
+      scala.collection.mutable.ListBuffer[(Long, Long, Array[Any], Array[Any], Long)]()
+    private var mins = new Array[Any](schema.length)
+    private var maxs = new Array[Any](schema.length)
+    private var rows = 0L
+    private var written = 0L
+    private var blockStart = 0L
+
+    def write(bytes: Array[Byte]): Unit = {
+      out.write(bytes)
+      written += bytes.length
+    }
 
     def observe(row: InternalRow): Unit = {
       rows += 1
@@ -600,14 +655,52 @@ final class GraftTsvDataWriter(
         }
         j += 1
       }
+      // close at the LINE boundary just written, so block bounds are
+      // always line starts (the property split pruning relies on)
+      if (written - blockStart >= blockBytes) closeBlock()
     }
 
-    /** `col:type:min:max,...` with %XX-escaped values; all-null columns
-      * are simply absent (absent = reader keeps the file). The type tag
-      * lets a reader that declares a DIFFERENT type for the column
-      * ignore ranges whose ordering no longer applies. */
-    def statsString: String =
-      GraftTsvManifest.statsCell(schema, statIdx, mins, maxs, rows)
+    private def closeBlock(): Unit = if (rows > 0) {
+      blocks += ((blockStart, written, mins, maxs, rows))
+      mins = new Array[Any](schema.length)
+      maxs = new Array[Any](schema.length)
+      rows = 0L
+      blockStart = written
+    }
+
+    /** File-level `#n` + `col:type:min:max,...` (the merge of the
+      * blocks), followed by one `#b:start:end:<escaped inner cell>` per
+      * block when the file closed more than one — a single block would
+      * duplicate the file stats byte for byte. The type tag lets a
+      * reader that declares a DIFFERENT type for a column ignore ranges
+      * whose ordering no longer applies. */
+    def statsString: String = {
+      closeBlock()
+      val fm = new Array[Any](schema.length)
+      val fx = new Array[Any](schema.length)
+      var fr = 0L
+      blocks.foreach { case (_, _, m, x, r) =>
+        fr += r
+        var j = 0
+        while (j < statIdx.length) {
+          val i = statIdx(j)
+          val dt = schema.fields(i).dataType
+          if (m(i) != null &&
+              (fm(i) == null || GraftTsvPushdown.cmp(dt, m(i), fm(i)) < 0))
+            fm(i) = m(i)
+          if (x(i) != null &&
+              (fx(i) == null || GraftTsvPushdown.cmp(dt, x(i), fx(i)) > 0))
+            fx(i) = x(i)
+          j += 1
+        }
+      }
+      val fileCell = GraftTsvManifest.statsCell(schema, statIdx, fm, fx, fr)
+      if (blocks.size <= 1) fileCell
+      else fileCell + "," + blocks.map { case (s, e, m, x, r) =>
+        s"#b:$s:$e:" + GraftTsvManifest.statEscape(
+          GraftTsvManifest.statsCell(schema, statIdx, m, x, r))
+      }.mkString(",")
+    }
   }
 
   private def writerFor(leafRel: String): StagedOut =
@@ -616,7 +709,7 @@ final class GraftTsvDataWriter(
       case None =>
         if (open.size >= MaxOpenWriters) {
           val (oldest, s) = open.head
-          s.w.close()
+          s.out.close()
           closedStaged ::= (s.rel, s.statsString)
           open.remove(oldest)
         }
@@ -626,10 +719,10 @@ final class GraftTsvDataWriter(
         val leafDir =
           if (leafRel.isEmpty) new Path(path) else new Path(path, leafRel)
         if (!fs.exists(leafDir)) fs.mkdirs(leafDir)
-        val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-          fs.create(new Path(leafDir, stagedName), true), "UTF-8"))
+        val w = new java.io.BufferedOutputStream(
+          fs.create(new Path(leafDir, stagedName), true))
         val s = new StagedOut(w,
-          (if (leafRel.isEmpty) "" else leafRel + "/") + stagedName)
+          (if (leafRel.isEmpty) "" else leafRel + "/") + stagedName, blockBytes)
         open.put(leafRel, s)
         s
     }
@@ -681,18 +774,21 @@ final class GraftTsvDataWriter(
     }
     sb.append('\n')
     val out = writerFor(leafRelOf(row))
-    out.w.write(sb.toString)
+    // serialize to BYTES here (not a chained encoder stream): the block
+    // tracker needs exact byte offsets at line granularity, and UTF-8
+    // lengths are only knowable at encode time
+    out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.observe(row)
   }
 
   override def commit(): WriterCommitMessage = {
-    open.values.foreach(_.w.close())
+    open.values.foreach(_.out.close())
     GraftTsvCommitMessage(
       closedStaged.reverse ++ open.values.map(s => (s.rel, s.statsString)))
   }
 
   override def abort(): Unit = {
-    open.values.foreach(_.w.close())
+    open.values.foreach(_.out.close())
     (closedStaged.map(_._1) ++ open.values.map(_.rel))
       .foreach(rel => fs.delete(new Path(path, rel), false))
   }

@@ -167,6 +167,45 @@ class Dsv2StatsSpec extends SparkSuite {
       s"pruned rowCount should cover only surviving files: $rc")
   }
 
+  test("block stats skip SPLITS inside one large sorted file") {
+    // file-level min/max cannot skip anything here: ONE sorted file whose
+    // overall range covers every predicate. Per-block stats must prune
+    // the SPLITS whose overlapping blocks exclude the range — the
+    // parquet-row-group analog, where most of a big corpus lives.
+    val dir = freshDir()
+    src(4000).repartition(1).sortWithinPartitions("id")
+      .write.format("graft-tsv")
+      .option("stats.block.bytes", "4096")
+      .mode("overwrite").save(dir)
+    val nParts = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.length > 0)
+    assert(nParts == 1, s"test needs exactly one data file, got $nParts")
+
+    def readSplit(): DataFrame = spark.read.format("graft-tsv").schema(schema)
+      .option("split.bytes", "16384").load(dir)
+    assert(readSplit().count() == 4000)
+
+    val q = readSplit().filter(col("id") < 100L)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq === (0L until 100L))
+    val lines = scanOf(q).metrics("linesRead").value
+    assert(lines < 2000,
+      s"id<100 over a sorted file must skip most splits: linesRead=$lines")
+    assert(lines >= 100, s"the covering split must be read: linesRead=$lines")
+
+    // a mid-range predicate: interior splits only
+    val q2 = readSplit().filter(col("id") >= 2000L && col("id") < 2100L)
+    assert(q2.collect().length == 100)
+    assert(scanOf(q2).metrics("linesRead").value < 2000,
+      "an interior range must not read the whole file")
+
+    // conservative: split-pruned results equal the unpruned read
+    val all = readSplit().filter(col("x") <= 1500.0).collect()
+      .map(_.toString).sorted.toSeq
+    val expected = src(4000).filter(col("x") <= 1500.0).collect()
+      .map(_.toString).sorted.toSeq
+    assert(all === expected)
+  }
+
   test("pushed COUNT(*) reports split-count cardinality, not table rows") {
     // under aggregate pushdown the scan's real output is ONE partial-count
     // row per split — estimateStatistics must not keep reporting the
