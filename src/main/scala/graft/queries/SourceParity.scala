@@ -500,7 +500,7 @@ object SourceParity {
       |SELECT o_orderstatus, count(*) AS n,
       |  ${sqlDsum(sqlDec("o_totalprice"))} AS sum_price
       |FROM orders
-      |WHERE o_orderkey BETWEEN 5000 AND 15000
+      |WHERE o_orderkey BETWEEN 400 AND 1200
       |GROUP BY o_orderstatus ORDER BY o_orderstatus
       |""".stripMargin.trim),
     (spark, dir) => {
@@ -519,7 +519,7 @@ object SourceParity {
         StructField("o_totalprice_str", StringType)))
       spark.read.format("graft-tsv").schema(schema)
         .option("split.bytes", "262144").load(out)
-        .filter(col("o_orderkey") >= 5000L && col("o_orderkey") <= 15000L)
+        .filter(col("o_orderkey") >= 400L && col("o_orderkey") <= 1200L)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
           dsum(dec(col("o_totalprice_str"))).as("sum_price"))

@@ -453,7 +453,9 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
       header = Option(options.get("header")).exists(_.equalsIgnoreCase("true")),
       countOnly = countStarPushed,
       hconf = SerializableHadoopConf.fromSession(),
-      partCols = partCols)
+      partCols = partCols,
+      vectorized = !Option(options.get("vectorized.read"))
+        .exists(_.equalsIgnoreCase("false")))
   }
 }
 
@@ -467,7 +469,8 @@ final class GraftTsvScan(
     header: Boolean,
     countOnly: Boolean = false,
     hconf: SerializableHadoopConf = SerializableHadoopConf.fromSession(),
-    partCols: Seq[String] = Seq.empty)
+    partCols: Seq[String] = Seq.empty,
+    vectorized: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -760,7 +763,7 @@ final class GraftTsvScan(
   // the final set.
   private lazy val factory =
     new GraftTsvReaderFactory(fullSchema, required, pushed, delimiter, header,
-      countOnly, hconf, partCols)
+      countOnly, hconf, partCols, vectorized)
 
   override def createReaderFactory(): PartitionReaderFactory = factory
 
@@ -964,12 +967,28 @@ final class GraftTsvReaderFactory(
     header: Boolean,
     countOnly: Boolean,
     hconf: SerializableHadoopConf,
-    partCols: Seq[String] = Seq.empty) extends PartitionReaderFactory {
+    partCols: Seq[String] = Seq.empty,
+    vectorized: Boolean = true) extends PartitionReaderFactory {
   /** Set by GraftTsvScan.filter() when runtime filtering delivers the
     * realized join key set — AFTER this factory was built (see the
     * factory-caching note on the scan). Shipped to executors by the
     * factory's own task serialization. */
   @volatile var runtimeFilters: Array[Filter] = Array.empty
+
+  /** Vectorized by default ([[GraftTsvColumnarReader]]); the pushed
+    * COUNT(*) path stays row-based (its output is one partial-count row
+    * per split — nothing to vectorize). Spark probes this at PLANNING
+    * (it decides whether a `ColumnarToRow` bridge is planned), which is
+    * why the factory is scan-cached and runtime filters mutate it. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    vectorized && !countOnly
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftTsvInputPartition]
+    new GraftTsvColumnarReader(p, fullSchema, required, pushed ++ runtimeFilters,
+      delimiter, header, hconf, partCols)
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftTsvInputPartition]

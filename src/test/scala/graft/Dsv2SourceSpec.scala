@@ -247,6 +247,64 @@ class Dsv2SourceSpec extends SparkSuite {
     }
   }
 
+  test("vectorized read: ColumnarToRow above the scan, results equal the row path") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.ColumnarToRowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def hasColumnarBridge(p: SparkPlan): Boolean = p match {
+      case _: ColumnarToRowExec => true
+      case a: AdaptiveSparkPlanExec => hasColumnarBridge(a.executedPlan)
+      case q: QueryStageExec => hasColumnarBridge(q.plan)
+      case other => other.children.exists(hasColumnarBridge)
+    }
+    // default is vectorized: the plan carries the batch→row bridge
+    val vec = read(Map("split.bytes" -> "512"))
+    assert(hasColumnarBridge(vec.queryExecution.executedPlan),
+      vec.queryExecution.executedPlan.toString)
+    // identical rows (nulls, doubles, dates, tiny splits) vs the row path
+    val row = read(Map("split.bytes" -> "512", "vectorized.read" -> "false"))
+    assert(!hasColumnarBridge(row.queryExecution.executedPlan),
+      "vectorized.read=false must plan the row reader")
+    assert(vec.collect().map(_.toString).sorted.toSeq ===
+      row.collect().map(_.toString).sorted.toSeq)
+    // predicates + projection through the columnar path, metrics intact
+    val q = read(Map("split.bytes" -> "512"))
+      .filter(col("grp") === "g3" && col("score") > 10.0).select("id", "day")
+    val expected = read(Map("vectorized.read" -> "false"))
+      .filter(col("grp") === "g3" && col("score") > 10.0).select("id", "day")
+      .collect().map(_.toString).sorted.toSeq
+    assert(q.collect().map(_.toString).sorted.toSeq === expected)
+  }
+
+  test("byte-level numeric parsers match the JDK exactly (fuzz + edges)") {
+    import graft.sources.GraftTsvColumnarReader.{parseDateDays, parseLong}
+    def bytes(s: String) = s.getBytes("UTF-8")
+    val edges = Seq("0", "-0", "+7", "9223372036854775807", "-9223372036854775808",
+      "000123", "-000123", "42")
+    edges.foreach { s =>
+      assert(parseLong(bytes(s), 0, s.length) == java.lang.Long.parseLong(s), s)
+    }
+    val bad = Seq("", "-", "+", "1x", "9223372036854775808",
+      "-9223372036854775809", "12 ", "1.5")
+    bad.foreach { s =>
+      intercept[NumberFormatException] { parseLong(bytes(s), 0, s.length) }
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val v = rnd.nextLong()
+      val s = v.toString
+      assert(parseLong(bytes(s), 0, s.length) == v)
+    }
+    // dates: fast path (padded ISO) and fallback agree with LocalDate.parse
+    Seq("2024-03-05", "0001-01-01", "1969-12-31", "9999-12-31", "+10000-01-02")
+      .foreach { s =>
+        assert(parseDateDays(bytes(s), 0, s.length) ==
+          java.time.LocalDate.parse(s).toEpochDay.toInt, s)
+      }
+    intercept[RuntimeException] { parseDateDays(bytes("2024-13-05"), 0, 10) }
+    intercept[RuntimeException] { parseDateDays(bytes("2024-02-30"), 0, 10) }
+  }
+
   test("header option skips the first line of the file") {
     val f = new java.io.File(dir, "h.tsv")
     val w = new java.io.PrintWriter(f, "UTF-8")
