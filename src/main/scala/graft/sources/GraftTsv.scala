@@ -786,16 +786,142 @@ final class GraftTsvScan(
         override def numRows(): OptionalLong = OptionalLong.of(splits)
       }
     }
-    val bytes = pruned.map(_.len).sum
+    // Pushed predicates never leave a residual Filter node (the reader
+    // evaluates them exactly), so no FilterEstimation ever runs above
+    // this scan — if the estimate ignored them, a 1%-selective pushed
+    // range would still be costed as the full (file-pruned) table and a
+    // broadcast-able join side would stay sort-merge. Estimate their
+    // selectivity here from the SAME manifest column bounds file
+    // skipping uses (uniformity assumption, miniature FilterEstimation),
+    // and scale rows and bytes by it.
+    val sel = pushedSelectivity(pruned)
+    val bytes = math.max(1L, math.round(pruned.map(_.len).sum * sel))
     val rowTotal: Option[Long] =
       if (pruned.nonEmpty && pruned.forall(_.rows.isDefined))
-        Some(pruned.flatMap(_.rows).sum)
+        Some(math.max(1L, math.round(pruned.flatMap(_.rows).sum * sel)))
       else None
+    // Column bounds for CBO (per-column min/max over the PRUNED listing,
+    // the same manifest ranges file skipping uses): with these, filter
+    // estimation can compute a range predicate's selectivity and shrink
+    // the estimated output — which is what lets the planner flip a
+    // selective-filter join to broadcast on a TSV dim instead of
+    // assuming the filter keeps everything. A column qualifies only when
+    // EVERY surviving file records a matching-type range for it (one
+    // unknown file = unbounded column); numeric/date only (string
+    // bounds don't drive estimation).
+    val colStats = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (pruned.nonEmpty) fullSchema.fields.foreach { f =>
+      val dt = f.dataType
+      val numeric = dt match {
+        case LongType | IntegerType | DoubleType | DateType => true
+        case _ => false
+      }
+      if (numeric) {
+        val cells = pruned.map(_.stats.get(f.name))
+        if (cells.forall(_.exists(_._1 == dt.typeName))) {
+          try {
+            val bounds = cells.map(_.get).map { case (_, mnRaw, mxRaw) =>
+              (GraftTsvPushdown.convertCell(dt, mnRaw),
+                GraftTsvPushdown.convertCell(dt, mxRaw))
+            }
+            val mn = bounds.map(_._1)
+              .reduce((a, b) => if (GraftTsvPushdown.cmp(dt, a, b) <= 0) a else b)
+            val mx = bounds.map(_._2)
+              .reduce((a, b) => if (GraftTsvPushdown.cmp(dt, a, b) >= 0) a else b)
+            colStats.put(
+              org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def min(): java.util.Optional[Object] =
+                  java.util.Optional.of(mn.asInstanceOf[Object])
+                override def max(): java.util.Optional[Object] =
+                  java.util.Optional.of(mx.asInstanceOf[Object])
+              })
+          } catch { case _: RuntimeException => () } // corrupt cell: omit column
+        }
+      }
+    }
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
       override def numRows(): OptionalLong =
         rowTotal.fold(OptionalLong.empty())(OptionalLong.of)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
+  }
+
+  /** Numeric/date internal value → double axis for interpolation. */
+  private def toD(v: Any): Double = v match {
+    case l: java.lang.Long => l.toDouble
+    case i: java.lang.Integer => i.toDouble
+    case d: java.lang.Double => d
+    case other => throw new IllegalArgumentException(s"non-numeric $other")
+  }
+
+  /** Estimated fraction of rows surviving the pushed predicates, from
+    * the pruned listing's aggregated column bounds: linear interpolation
+    * for ranges (uniformity assumption — CBO's own default), a fixed
+    * default for equality/IN (no distinct counts in the manifest), 1.0
+    * where bounds are unknown. Estimation only — execution correctness
+    * never depends on it. */
+  private def pushedSelectivity(pruned: Seq[GraftTsvFileEntry]): Double = {
+    if (pruned.isEmpty || pushed.isEmpty) return 1.0
+    def boundsOf(c: String): Option[(Double, Double)] = {
+      if (!fullSchema.fieldNames.contains(c)) return None
+      val dt = fullSchema(fullSchema.fieldIndex(c)).dataType
+      val numeric = dt match {
+        case LongType | IntegerType | DoubleType | DateType => true
+        case _ => false
+      }
+      if (!numeric) return None
+      val cells = pruned.map(_.stats.get(c))
+      if (!cells.forall(_.exists(_._1 == dt.typeName))) return None
+      try {
+        val bs = cells.map(_.get).map { case (_, mn, mx) =>
+          (toD(GraftTsvPushdown.convertCell(dt, mn)),
+            toD(GraftTsvPushdown.convertCell(dt, mx)))
+        }
+        val mn = bs.map(_._1).min
+        val mx = bs.map(_._2).max
+        if (mn.isNaN || mx.isNaN) None else Some((mn, mx))
+      } catch { case _: RuntimeException => None }
+    }
+    def litD(c: String, v: Any): Option[Double] = {
+      val dt = fullSchema(fullSchema.fieldIndex(c)).dataType
+      try Some(toD(GraftTsvPushdown.litFor(dt, v)))
+      catch { case _: RuntimeException => None }
+    }
+    def frac(c: String, v: Any, below: Boolean): Double =
+      (boundsOf(c), litD(c, v)) match {
+        case (Some((mn, mx)), Some(l)) =>
+          if (mx <= mn) { // degenerate range: all rows share one value
+            val in = if (below) l >= mn else l <= mn
+            if (in) 1.0 else 0.0
+          } else {
+            val f = (l - mn) / (mx - mn)
+            val g = if (below) f else 1.0 - f
+            math.min(1.0, math.max(0.0, g))
+          }
+        case _ => 1.0
+      }
+    val EqSel = 0.05 // CBO default in the absence of distinct counts
+    val sels = pushed.iterator.map {
+      case LessThan(c, v) => frac(c, v, below = true)
+      case LessThanOrEqual(c, v) => frac(c, v, below = true)
+      case GreaterThan(c, v) => frac(c, v, below = false)
+      case GreaterThanOrEqual(c, v) => frac(c, v, below = false)
+      case EqualTo(c, v) if boundsOf(c).isDefined =>
+        (boundsOf(c), litD(c, v)) match {
+          case (Some((mn, mx)), Some(l)) if l < mn || l > mx => 0.0
+          case _ => EqSel
+        }
+      case In(c, vs) if boundsOf(c).isDefined && vs != null =>
+        math.min(1.0, EqSel * vs.length)
+      case _ => 1.0 // IsNotNull, string predicates: unknown
+    }
+    sels.product
   }
 
   override def supportedCustomMetrics()

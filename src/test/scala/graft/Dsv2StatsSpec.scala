@@ -237,6 +237,58 @@ class Dsv2StatsSpec extends SparkSuite {
         s"got ${counted.numRows()}")
   }
 
+  test("manifest column bounds estimate pushed selectivity: join flips to broadcast") {
+    // a pushed predicate never leaves a residual Filter node (the reader
+    // evaluates it exactly), so NO FilterEstimation runs above the scan —
+    // the scan's own estimate must apply the predicate's selectivity or
+    // a 1%-selective join side is costed at full size forever. The
+    // manifest column bounds give a range predicate's fraction by linear
+    // interpolation; a predicate with no usable bounds (string column
+    // here) keeps the full estimate and the join stays sort-merge.
+    // Isolated on a cloned session (AQE + threshold are session confs).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val dir = freshDir()
+    val dimDir = freshDir()
+    write(src(20000).repartitionByRange(4, col("id")), dir)
+    write(src(20000).repartitionByRange(4, col("id")), dimDir)
+
+    def planOf(selective: Boolean): SparkPlan = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+      def rd(d: String) = ss.read.format("graft-tsv").schema(schema).load(d)
+      // both sides ~500 KB unfiltered — neither broadcasts on its own.
+      // x < 300 keeps 1% (x = id * 1.5, bounds recorded); the string
+      // filter keeps ~99% but has no numeric bounds → estimate unchanged
+      val fact = rd(dimDir).select(col("id"), col("x").as("dim_x"))
+      val filtered =
+        if (selective) rd(dir).filter(col("x") < 300.0).select("id", "s")
+        else rd(dir).filter(col("s") >= "k0100").select("id", "s")
+      fact.join(filtered, "id").queryExecution.sparkPlan
+    }
+    def joins(p: SparkPlan): Seq[String] = p.collect {
+      case _: BroadcastHashJoinExec => "bhj"
+      case _: SortMergeJoinExec => "smj"
+    }
+    assert(joins(planOf(selective = true)) === Seq("bhj"),
+      s"a 1% pushed range must shrink the estimate below the broadcast " +
+        s"threshold:\n${planOf(selective = true)}")
+    assert(joins(planOf(selective = false)) === Seq("smj"),
+      s"a predicate without numeric bounds must keep the full-size " +
+        s"estimate:\n${planOf(selective = false)}")
+    // the bounds also surface as V2 column statistics for CBO consumers
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    val stats = ss.read.format("graft-tsv").schema(schema).load(dir)
+      .queryExecution.optimizedPlan.stats
+    assert(stats.attributeStats.nonEmpty,
+      s"column bounds must reach catalyst attributeStats: $stats")
+    val idStat = stats.attributeStats.find(_._1.name == "id").map(_._2)
+    assert(idStat.exists(s => s.min.contains(0L) && s.max.contains(19999L)),
+      s"id bounds must be [0, 19999]: $idStat")
+  }
+
   test("NaN-bearing files are never skipped by > predicates") {
     import spark.implicits._
     val dir = freshDir()
