@@ -163,8 +163,7 @@ final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStrin
         throw new IllegalArgumentException("graft-tsv: no path given")),
       Option(options.get("delimiter")).getOrElse("\t").charAt(0),
       info,
-      tablePartCols = Option(options.get("partition.columns")).toSeq
-        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
+      tablePartCols = declaredPartCols)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // DataFrameReader merges load(path) and .option(...) into the TABLE
     // properties; per-scan options arrive here. Prefer scan-time values.
@@ -743,15 +742,46 @@ final class GraftTsvScan(
           case _ => false
         }
       }
-    (0L until e.len by splitBytes).flatMap { off =>
-      val len = math.min(splitBytes, e.len - off)
-      val dead = statPreds.nonEmpty && e.blocks.nonEmpty && {
-        val hit = e.blocks.filter { case (bs, be, _) => bs <= off + len && be > off }
-        hit.nonEmpty && hit.forall(b => blockExcluded(b._3))
+    def allSplits: Seq[GraftTsvInputPartition] =
+      (0L until e.len by splitBytes).map { off =>
+        GraftTsvInputPartition(e.path, off, math.min(splitBytes, e.len - off),
+          e.partVals)
       }
-      if (dead) None
-      else Some(GraftTsvInputPartition(e.path, off, len, e.partVals))
+    // pruning is sound only when the blocks TILE the whole file — a gap
+    // (corrupt/dropped entry, external rewrite) means a split's rows can
+    // live in bytes no surviving block represents, and "all intersecting
+    // blocks excluded" proves nothing about them. One O(blocks) check per
+    // file; failure keeps every split (under-prune only).
+    val blocks = e.blocks
+    val tiled = blocks.nonEmpty && blocks.head._1 == 0L &&
+      blocks.last._2 >= e.len &&
+      (1 until blocks.length).forall(i => blocks(i)._1 == blocks(i - 1)._2)
+    if (statPreds.isEmpty || !tiled) return allSplits
+    // per-block exclusion decided ONCE per file (literal/stat conversion
+    // per block, not per overlapping split), then a single merge-style
+    // sweep: blocks are in ascending byte order, so planning is
+    // O(splits + blocks) per file, not O(splits × blocks) — a TB-scale
+    // sorted file has ~16k splits × ~260k blocks, where the quadratic
+    // form is minutes of driver time per (re-)plan.
+    val excl = blocks.map(b => blockExcluded(b._3)).toArray
+    val out = Seq.newBuilder[GraftTsvInputPartition]
+    var j = 0
+    var off = 0L
+    while (off < e.len) {
+      val len = math.min(splitBytes, e.len - off)
+      while (j < blocks.length && blocks(j)._2 <= off) j += 1
+      // blocks intersecting [off, off+len] start at j (tiling ⇒ nonempty);
+      // a split stays dead only while every intersecting block excludes
+      var k = j
+      var dead = true
+      while (dead && k < blocks.length && blocks(k)._1 <= off + len) {
+        if (!excl(k)) dead = false
+        k += 1
+      }
+      if (!dead) out += GraftTsvInputPartition(e.path, off, len, e.partVals)
+      off += splitBytes
     }
+    out.result()
   }
 
   // ONE factory per scan, handed out every time: Spark forces the factory
@@ -794,53 +824,31 @@ final class GraftTsvScan(
     // selectivity here from the SAME manifest column bounds file
     // skipping uses (uniformity assumption, miniature FilterEstimation),
     // and scale rows and bytes by it.
-    val sel = pushedSelectivity(pruned)
+    val bounds = manifestBounds(pruned)
+    val sel = pushedSelectivity(bounds)
     val bytes = math.max(1L, math.round(pruned.map(_.len).sum * sel))
     val rowTotal: Option[Long] =
       if (pruned.nonEmpty && pruned.forall(_.rows.isDefined))
         Some(math.max(1L, math.round(pruned.flatMap(_.rows).sum * sel)))
       else None
-    // Column bounds for CBO (per-column min/max over the PRUNED listing,
-    // the same manifest ranges file skipping uses): with these, filter
-    // estimation can compute a range predicate's selectivity and shrink
-    // the estimated output — which is what lets the planner flip a
-    // selective-filter join to broadcast on a TSV dim instead of
-    // assuming the filter keeps everything. A column qualifies only when
-    // EVERY surviving file records a matching-type range for it (one
-    // unknown file = unbounded column); numeric/date only (string
-    // bounds don't drive estimation).
+    // The same bounds surface as V2 column statistics: with these,
+    // catalyst filter estimation can compute a (non-pushed) range
+    // predicate's selectivity and shrink the estimated output — which
+    // is what lets the planner flip a selective-filter join to
+    // broadcast on a TSV dim instead of assuming the filter keeps
+    // everything.
     val colStats = new java.util.HashMap[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-    if (pruned.nonEmpty) fullSchema.fields.foreach { f =>
-      val dt = f.dataType
-      val numeric = dt match {
-        case LongType | IntegerType | DoubleType | DateType => true
-        case _ => false
-      }
-      if (numeric) {
-        val cells = pruned.map(_.stats.get(f.name))
-        if (cells.forall(_.exists(_._1 == dt.typeName))) {
-          try {
-            val bounds = cells.map(_.get).map { case (_, mnRaw, mxRaw) =>
-              (GraftTsvPushdown.convertCell(dt, mnRaw),
-                GraftTsvPushdown.convertCell(dt, mxRaw))
-            }
-            val mn = bounds.map(_._1)
-              .reduce((a, b) => if (GraftTsvPushdown.cmp(dt, a, b) <= 0) a else b)
-            val mx = bounds.map(_._2)
-              .reduce((a, b) => if (GraftTsvPushdown.cmp(dt, a, b) >= 0) a else b)
-            colStats.put(
-              org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
-              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-                override def min(): java.util.Optional[Object] =
-                  java.util.Optional.of(mn.asInstanceOf[Object])
-                override def max(): java.util.Optional[Object] =
-                  java.util.Optional.of(mx.asInstanceOf[Object])
-              })
-          } catch { case _: RuntimeException => () } // corrupt cell: omit column
-        }
-      }
+    bounds.foreach { case (name, (_, mn, mx)) =>
+      colStats.put(
+        org.apache.spark.sql.connector.expressions.Expressions.column(name),
+        new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+          override def min(): java.util.Optional[Object] =
+            java.util.Optional.of(mn.asInstanceOf[Object])
+          override def max(): java.util.Optional[Object] =
+            java.util.Optional.of(mx.asInstanceOf[Object])
+        })
     }
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
@@ -852,6 +860,40 @@ final class GraftTsvScan(
     }
   }
 
+  /** Per-column (type, typed min, typed max) aggregated over the PRUNED
+    * listing — the ONE place manifest stats cells become planner bound
+    * inputs, shared by the V2 column statistics and the pushed-filter
+    * selectivity estimate. A column qualifies only when EVERY surviving
+    * file records a matching-type cell for it (one unknown file =
+    * unbounded column); numeric/date only (string bounds don't drive
+    * estimation); a corrupt cell omits the column. */
+  private def manifestBounds(pruned: Seq[GraftTsvFileEntry])
+      : Map[String, (DataType, Any, Any)] =
+    if (pruned.isEmpty) Map.empty
+    else fullSchema.fields.iterator.flatMap { f =>
+      val dt = f.dataType
+      val numeric = dt match {
+        case LongType | IntegerType | DoubleType | DateType => true
+        case _ => false
+      }
+      if (!numeric) None
+      else {
+        val cells = pruned.map(_.stats.get(f.name))
+        if (!cells.forall(_.exists(_._1 == dt.typeName))) None
+        else try {
+          val bs = cells.map(_.get).map { case (_, mnRaw, mxRaw) =>
+            (GraftTsvPushdown.convertCell(dt, mnRaw),
+              GraftTsvPushdown.convertCell(dt, mxRaw))
+          }
+          val mn = bs.map(_._1)
+            .reduce((a, b) => if (GraftTsvPushdown.cmp(dt, a, b) <= 0) a else b)
+          val mx = bs.map(_._2)
+            .reduce((a, b) => if (GraftTsvPushdown.cmp(dt, a, b) >= 0) a else b)
+          Some(f.name -> ((dt, mn, mx)))
+        } catch { case _: RuntimeException => None }
+      }
+    }.toMap
+
   /** Numeric/date internal value → double axis for interpolation. */
   private def toD(v: Any): Double = v match {
     case l: java.lang.Long => l.toDouble
@@ -861,33 +903,20 @@ final class GraftTsvScan(
   }
 
   /** Estimated fraction of rows surviving the pushed predicates, from
-    * the pruned listing's aggregated column bounds: linear interpolation
-    * for ranges (uniformity assumption — CBO's own default), a fixed
-    * default for equality/IN (no distinct counts in the manifest), 1.0
-    * where bounds are unknown. Estimation only — execution correctness
-    * never depends on it. */
-  private def pushedSelectivity(pruned: Seq[GraftTsvFileEntry]): Double = {
-    if (pruned.isEmpty || pushed.isEmpty) return 1.0
-    def boundsOf(c: String): Option[(Double, Double)] = {
-      if (!fullSchema.fieldNames.contains(c)) return None
-      val dt = fullSchema(fullSchema.fieldIndex(c)).dataType
-      val numeric = dt match {
-        case LongType | IntegerType | DoubleType | DateType => true
-        case _ => false
+    * the aggregated [[manifestBounds]]: linear interpolation for ranges
+    * (uniformity assumption — CBO's own default), a fixed default for
+    * equality/IN (no distinct counts in the manifest), 1.0 where bounds
+    * are unknown. Estimation only — execution correctness never depends
+    * on it. */
+  private def pushedSelectivity(bounds: Map[String, (DataType, Any, Any)]): Double = {
+    if (bounds.isEmpty || pushed.isEmpty) return 1.0
+    def boundsOf(c: String): Option[(Double, Double)] =
+      bounds.get(c).flatMap { case (_, mnV, mxV) =>
+        try {
+          val (mn, mx) = (toD(mnV), toD(mxV))
+          if (mn.isNaN || mx.isNaN) None else Some((mn, mx))
+        } catch { case _: RuntimeException => None }
       }
-      if (!numeric) return None
-      val cells = pruned.map(_.stats.get(c))
-      if (!cells.forall(_.exists(_._1 == dt.typeName))) return None
-      try {
-        val bs = cells.map(_.get).map { case (_, mn, mx) =>
-          (toD(GraftTsvPushdown.convertCell(dt, mn)),
-            toD(GraftTsvPushdown.convertCell(dt, mx)))
-        }
-        val mn = bs.map(_._1).min
-        val mx = bs.map(_._2).max
-        if (mn.isNaN || mx.isNaN) None else Some((mn, mx))
-      } catch { case _: RuntimeException => None }
-    }
     def litD(c: String, v: Any): Option[Double] = {
       val dt = fullSchema(fullSchema.fieldIndex(c)).dataType
       try Some(toD(GraftTsvPushdown.litFor(dt, v)))

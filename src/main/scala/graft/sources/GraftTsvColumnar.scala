@@ -122,6 +122,22 @@ final class GraftTsvColumnarReader(
   private val fFrom = new Array[Int](math.max(maxNeeded + 1, 1))
   private val fTo = new Array[Int](math.max(maxNeeded + 1, 1))
 
+  // columns both FILTERED and PROJECTED would otherwise parse twice per
+  // surviving row (boxed for the predicate, again from bytes in
+  // appendRow) — cache the predicate's parsed value and unbox it in the
+  // append instead. Numeric/date only: a string's "parse" is one
+  // UTF8String wrap, and appending from a cached UTF8String would COPY
+  // (getBytes on an offset view) where the direct byte append doesn't.
+  private val reuseFromScratch: Array[Boolean] = {
+    val out = outIdx.toSet
+    val a = new Array[Boolean](fullSchema.length)
+    preds.foreach { case (si, _) =>
+      if (out.contains(si) && fullSchema(si).dataType != StringType) a(si) = true
+    }
+    a
+  }
+  private val scratch = new Array[Any](fullSchema.length)
+
   private def scanFields(b: Array[Byte], len: Int): Unit = {
     var field = 0
     var from = 0
@@ -180,6 +196,16 @@ final class GraftTsvColumnarReader(
           case DoubleType => v.putDouble(rowId, c.asInstanceOf[Double])
           case other => throw new IllegalArgumentException(s"$other")
         }
+      } else if (reuseFromScratch(si)) {
+        // parsed moments ago for the predicate — unbox, don't re-parse
+        val c = scratch(si)
+        if (c == null) v.putNull(rowId)
+        else fullSchema(si).dataType match {
+          case LongType => v.putLong(rowId, c.asInstanceOf[Long])
+          case IntegerType | DateType => v.putInt(rowId, c.asInstanceOf[Int])
+          case DoubleType => v.putDouble(rowId, c.asInstanceOf[Double])
+          case other => throw new IllegalArgumentException(s"$other")
+        }
       } else {
         val from = fFrom(p)
         val to = fTo(p)
@@ -223,7 +249,9 @@ final class GraftTsvColumnarReader(
           var j = 0
           while (pass && j < preds.length) {
             val (si, test) = preds(j)
-            if (!test(internalValue(b, si))) pass = false
+            val v = internalValue(b, si)
+            if (reuseFromScratch(si)) scratch(si) = v
+            if (!test(v)) pass = false
             j += 1
           }
           if (pass) {
@@ -257,11 +285,16 @@ object GraftTsvColumnarReader {
     new NumberFormatException(
       s"graft-tsv: not a number: '${new String(b, from, to - from, "UTF-8")}'")
 
-  /** `Long.parseLong` replicated over a byte slice (same overflow checks,
-    * same accepted grammar, no String) — negative accumulation so
-    * Long.MinValue parses. */
+  /** `Long.parseLong` over a byte slice: allocation-free digit loop for
+    * the ASCII grammar every writer produces (same overflow checks,
+    * negative accumulation so Long.MinValue parses); anything the fast
+    * grammar rejects — including non-ASCII Unicode digits, which
+    * `Long.parseLong` accepts via `Character.digit` — falls back to the
+    * REAL `Long.parseLong`, so accepted inputs and thrown rejections
+    * match the row reader's `convertCell` exactly (same pattern as
+    * [[parseDateDays]]). */
   def parseLong(b: Array[Byte], from: Int, to: Int): Long = {
-    if (from >= to) throw nfe(b, from, to)
+    if (from >= to) return parseLongSlow(b, from, to)
     var i = from
     var negative = false
     b(i) match {
@@ -269,21 +302,28 @@ object GraftTsvColumnarReader {
       case '+' => i += 1
       case _ =>
     }
-    if (i >= to) throw nfe(b, from, to)
+    if (i >= to) return parseLongSlow(b, from, to)
     val limit = if (negative) Long.MinValue else -Long.MaxValue
     val multmin = limit / 10
     var result = 0L
     while (i < to) {
       val d = b(i) - '0'
-      if (d < 0 || d > 9) throw nfe(b, from, to)
-      if (result < multmin) throw nfe(b, from, to)
+      if (d < 0 || d > 9) return parseLongSlow(b, from, to)
+      if (result < multmin) return parseLongSlow(b, from, to)
       result *= 10
-      if (result < limit + d) throw nfe(b, from, to)
+      if (result < limit + d) return parseLongSlow(b, from, to)
       result -= d
       i += 1
     }
     if (negative) result else -result
   }
+
+  /** The row path's grammar, verbatim — the arbiter for anything the
+    * byte loop declines (genuinely malformed input throws the same
+    * NumberFormatException here that the row reader throws). */
+  private def parseLongSlow(b: Array[Byte], from: Int, to: Int): Long =
+    java.lang.Long.parseLong(
+      new String(b, from, to - from, java.nio.charset.StandardCharsets.UTF_8))
 
   /** `Integer.parseInt` over a byte slice: parseLong + range check. */
   def parseInt(b: Array[Byte], from: Int, to: Int): Int = {

@@ -110,8 +110,16 @@ object GraftTsvDelete {
         val slices = math.min(work.size, math.max(1, spark.sparkContext.defaultParallelism))
         spark.sparkContext.parallelize(work, slices)
           .map { case ((abs, rel), i) =>
+            // the attempt token is generated TASK-SIDE so speculative /
+            // zombie retry attempts of the same file write distinct
+            // staging paths and can never interleave bytes into the
+            // winner's file (same protocol as GraftTsvDataWriter's
+            // staged names); the losing attempt's file stays invisible
+            // and is swept by publish's .staging-$lbl prefix sweep
             rewriteOne(hconf, schema, delimiter, partCols, dataFilters,
-              abs, rel, f".staging-$lbl-$i%05d")
+              abs, rel,
+              f".staging-$lbl-$i%05d-a" +
+                java.util.UUID.randomUUID().toString.replace("-", "").take(8))
           }
           .collect().toSeq.flatten
       }

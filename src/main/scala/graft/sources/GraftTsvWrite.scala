@@ -220,14 +220,24 @@ object GraftTsvManifest {
     * dropped (never mis-prune). */
   def parseBlocks(stats: String): Seq[(Long, Long, Map[String, (String, String, String)])] =
     if (stats.isEmpty || !stats.contains("#b:")) Seq.empty
-    else stats.split(',').toSeq.flatMap { entry =>
-      if (!entry.startsWith("#b:")) None
-      else entry.split(':') match {
-        case Array(_, s, e, inner) =>
-          for (ss <- s.toLongOption; ee <- e.toLongOption)
-            yield (ss, ee, parseStats(GraftTsvPushdown.unescapePathValue(inner)))
-        case _ => None
+    else {
+      val entries = stats.split(',').toSeq.filter(_.startsWith("#b:"))
+      val parsed = entries.flatMap { entry =>
+        entry.split(':') match {
+          case Array(_, s, e, inner) =>
+            for (ss <- s.toLongOption; ee <- e.toLongOption)
+              yield (ss, ee, parseStats(GraftTsvPushdown.unescapePathValue(inner)))
+          case _ => None
+        }
       }
+      // ALL-OR-NOTHING: dropping one structurally-corrupt block entry
+      // while keeping the rest leaves a coverage gap — splitsFor would
+      // then prune a split whose matching rows lived in the dropped
+      // entry's byte range, silently losing rows. One bad entry
+      // invalidates the whole block list for the file (the file is
+      // still read; only sub-file skipping is lost). splitsFor
+      // independently re-verifies the surviving blocks tile the file.
+      if (parsed.length == entries.length) parsed else Seq.empty
     }
 
   private val RowsRe = """#n:(\d+)""".r

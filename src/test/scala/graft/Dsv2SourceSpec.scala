@@ -289,6 +289,14 @@ class Dsv2SourceSpec extends SparkSuite {
     bad.foreach { s =>
       intercept[NumberFormatException] { parseLong(bytes(s), 0, s.length) }
     }
+    // Long.parseLong accepts any Unicode Nd digit via Character.digit —
+    // the byte fast path must FALL BACK, not diverge from the row reader
+    val unicode = Seq("١٢٣" /* Arabic-Indic 123 */,
+      "-৪৫" /* Bengali -45 */, "１０" /* fullwidth 10 */)
+    unicode.foreach { s =>
+      assert(parseLong(bytes(s), 0, bytes(s).length) ==
+        java.lang.Long.parseLong(s), s)
+    }
     val rnd = new scala.util.Random(7)
     (1 to 2000).foreach { _ =>
       val v = rnd.nextLong()

@@ -289,6 +289,65 @@ class Dsv2StatsSpec extends SparkSuite {
       s"id bounds must be [0, 19999]: $idStat")
   }
 
+  // --- block-list corruption: sub-file skipping must fail SAFE --------
+  // Both tests corrupt the committed manifest's block stats for a sorted
+  // single-file table and assert the reader returns every matching row
+  // with skipping fully disabled for that file (linesRead = whole file).
+  // Partial block coverage is the one corruption shape that could LOSE
+  // rows: a split whose only surviving intersecting blocks exclude the
+  // predicate would be pruned even though its matching rows lived in a
+  // dropped entry's byte range.
+
+  private def blockTable(): String = {
+    val dir = freshDir()
+    src(4000).repartition(1).sortWithinPartitions("id")
+      .write.format("graft-tsv").option("stats.block.bytes", "4096")
+      .mode("overwrite").save(dir)
+    dir
+  }
+
+  private def corruptManifest(dir: String)(f: String => String): Unit = {
+    val gen = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_gen-")).maxBy(_.getName)
+    val txt = new String(Files.readAllBytes(gen.toPath), "UTF-8")
+    val out = f(txt)
+    assert(out != txt, "corruption must change the manifest")
+    Files.write(gen.toPath, out.getBytes("UTF-8"))
+    // drop the ChecksumFileSystem sidecar — the edit is out-of-band
+    new java.io.File(gen.getParent, s".${gen.getName}.crc").delete()
+  }
+
+  private def assertNoSkipStillCorrect(dir: String): Unit = {
+    val q = spark.read.format("graft-tsv").schema(schema)
+      .option("split.bytes", "16384").load(dir).filter(col("id") < 100L)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq === (0L until 100L),
+      "corrupt block stats must never lose rows")
+    assert(scanOf(q).metrics("linesRead").value == 4000,
+      "skipping must be fully disabled for a file with corrupt blocks")
+  }
+
+  test("a structurally corrupt block entry disables ALL blocks for the file") {
+    val dir = blockTable()
+    // truncate the FIRST #b entry to `#b:<s>:<e>` (no inner cell): the
+    // parse is all-or-nothing, so every block of the file is discarded
+    corruptManifest(dir)(txt =>
+      txt.replaceFirst("#b:(\\d+):(\\d+):[^,\\n]*", "#b:$1:$2"))
+    assertNoSkipStillCorrect(dir)
+  }
+
+  test("a coverage gap in otherwise well-formed blocks disables skipping") {
+    val dir = blockTable()
+    // delete the SECOND block entry entirely — every survivor parses,
+    // but the blocks no longer tile the file; the reader must detect the
+    // gap and keep every split
+    corruptManifest(dir) { txt =>
+      val m = "(,#b:\\d+:\\d+:[^,\\n]*)".r.findAllMatchIn(txt).toSeq
+      assert(m.size >= 3, s"need several block entries, got ${m.size}")
+      txt.substring(0, m(1).start) + txt.substring(m(1).end)
+    }
+    assertNoSkipStillCorrect(dir)
+  }
+
   test("NaN-bearing files are never skipped by > predicates") {
     import spark.implicits._
     val dir = freshDir()
