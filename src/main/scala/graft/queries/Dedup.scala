@@ -150,6 +150,32 @@ SELECT doc_a, doc_b, n_bands FROM cand ORDER BY doc_a, doc_b"""),
     * candidate. */
   private val JaccardCap = 1000
 
+  /** Hard guard on the per-doc DISTINCT shingle-hash array: docs in this
+    * corpus are KB-bounded (~300 shingles), but at 100 TB one pathological
+    * multi-GB document must not be able to blow a single aggregation row.
+    * 2^16 longs = 512 KB/row worst case — comfortably inside any executor's
+    * row budget. The slice keeps the SMALLEST hashes (arrays are sorted
+    * ascending), so a truncated doc degrades to "Jaccard over a bounded
+    * min-hash sample of its shingles" rather than failing; `n_truncated`
+    * makes the degradation visible instead of silent (same contract as
+    * q_ann_bucket_stats.n_dropped — a per-shard knob, not silent loss). On
+    * the tested corpus the cap never fires (asserted in DedupSpec), so
+    * oracle parity is unaffected. A corpus where it fires routinely should
+    * length-filter upstream (q_pipeline_curate's quality gate) — the cap is
+    * the backstop, not the policy. */
+  private[graft] val MaxShinglesPerDoc: Int = 1 << 16
+
+  /** Per-doc distinct shingle-hash sets with the [[MaxShinglesPerDoc]]
+    * guard applied: (doc_id, hs: array<bigint> sorted ascending ≤cap,
+    * n_truncated: long). One grouped aggregation (map-side partial sets). */
+  private[graft] def cappedShingleSets(dshp: DataFrame): DataFrame =
+    dshp.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("hp"))).as("hs_full"))
+      .select(col("doc_id"),
+        slice(col("hs_full"), 1, MaxShinglesPerDoc).as("hs"),
+        greatest(size(col("hs_full")) - lit(MaxShinglesPerDoc), lit(0))
+          .cast("long").as("n_truncated"))
+
   /** ONE-PASS near-dup pipeline: a single distinct (doc_id, hp) frame —
     * hp = the full 60-bit shingle hash — feeds the MinHash signatures
     * (min over the distinct set equals min over the multiset; mod-P per
@@ -203,10 +229,10 @@ ORDER BY doc_a, doc_b"""),
       // after the scan), so the round-4 global `distinct()` shuffle of the
       // full (doc_id, hp) multiset is gone; the one wide shuffle carries
       // the partially-built per-doc sets.
-      val docsets = shingles(spark, dir)
-        .select(col("doc_id"), PortableHash.hash60(col("sh")).as("hp"))
-        .groupBy("doc_id")
-        .agg(sort_array(collect_set(col("hp"))).as("hs"))
+      val docsets = cappedShingleSets(
+        shingles(spark, dir)
+          .select(col("doc_id"), PortableHash.hash60(col("sh")).as("hp")))
+        .select("doc_id", "hs")
         .truncateLineage
       val sigsDf = docsets.select(col("doc_id") +: seeds.map { s =>
         array_min(transform(col("hs"),

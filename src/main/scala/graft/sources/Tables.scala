@@ -59,34 +59,63 @@ object Tables {
     else df
   }
 
-  /** `events.parquet` carries TIMESTAMP(NANOS) (written by Arrow), which
-    * Spark's parquet reader rejects outright. Read the ns value as a long
-    * (legacy conf) and FLOOR-divide to microseconds — true floor, not
-    * `div` (which truncates toward zero and would round pre-1970 negative
-    * nanos the wrong way vs DuckDB's TIMESTAMP_NS handling). */
+  /** `events.parquet` has been generated with two physical types for `ts`
+    * across testdata generations: TIMESTAMP(NANOS) (Arrow default; Spark's
+    * parquet reader rejects it unless read as a raw long via the legacy
+    * conf) and timestamp[us] (which Spark surfaces as TIMESTAMP_NTZ when the
+    * footer says isAdjustedToUTC=false). Probe the LOADED dtype and branch,
+    * so the loader is correct against either generation:
+    *   - LongType (nanosAsLong shim active)  → floor-divide ns→µs
+    *   - TIMESTAMP_NTZ                       → cast to session-local
+    *     TIMESTAMP (sessions pin UTC, so the wall-clock IS the instant and
+    *     DuckDB-oracle comparisons stay UTC-stable)
+    *   - TIMESTAMP                           → pass through
+    */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     // Idempotent read-path conf; sessions we own (Verify/Bench/tests) set it
     // at build time, but the driver may hand us a session it built itself.
+    // Harmless for µs files (only changes how NANOS columns are read).
     if (spark.conf.getOption(NanosAsLongKey).forall(_ != "true"))
       spark.conf.set(NanosAsLongKey, "true")
-    spark.read.parquet(path(dir, "events"))
-      // (ts - pmod(ts,1000)) div 1000 = exact integer floor division —
-      // floor(x/1000.0) would round through double and lose precision at
-      // epoch-nanosecond magnitudes (~1.7e18 > 2^53).
-      .withColumn("ts",
-        timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000")))
+    val raw = spark.read.parquet(path(dir, "events"))
+    normalizeTs(raw)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** Normalize the `ts` column of a raw events frame to TimestampType
+    * regardless of the physical parquet type it was read as. Shared by the
+    * batch and streaming loaders (and property-fuzzed in SourcesSpec against
+    * synthesized frames of every branch). */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        // nanos-as-long generation: (ts - pmod(ts,1000)) div 1000 = exact
+        // integer FLOOR division — `div` alone truncates toward zero and
+        // would round pre-1970 negative nanos the wrong way vs DuckDB's
+        // TIMESTAMP_NS handling; floor(x/1000.0) would round through double
+        // and lose precision at epoch-nanosecond magnitudes (~1.7e18 > 2^53).
+        df.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000")))
+      case _: TimestampNTZType =>
+        // µs generation read as NTZ: under the UTC session timezone the
+        // cast reinterprets the wall-clock as the same UTC instant.
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported parquet-surfaced type $other; " +
+          "expected BIGINT (nanos), TIMESTAMP_NTZ (micros) or TIMESTAMP")
+    }
   }
 
   val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
 
   /** Streaming twin of [[loadEvents]]: the same parquet files as an
-    * incremental file-stream source with the same ns→µs conversion, so a
+    * incremental file-stream source with the same ts normalization, so a
     * streaming query is plan-identical to its batch twin from the source
     * up. The schema probe reads footers only (no job). */
   def loadEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     if (spark.conf.getOption(NanosAsLongKey).forall(_ != "true"))
       spark.conf.set(NanosAsLongKey, "true")
     graft.plans.GraftFunctions.register(spark)
@@ -94,9 +123,8 @@ object Tables {
     // the testdata table is a single parquet FILE; the file-stream source
     // needs a directory or a glob PATTERN (a directory-per-table layout
     // needs neither), so wrap the filename in a {}-glob
-    spark.readStream.schema(schema).parquet(s"$dir/{events.parquet}")
-      .withColumn("ts",
-        timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000")))
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/{events.parquet}")
+    normalizeTs(raw)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 

@@ -13,8 +13,8 @@ class SessionizeSpec extends SparkSuite {
   private val GapUs = 1800000000L
 
   private def input: DataFrame =
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_us", expr("(ts - pmod(ts, 1000L)) div 1000"))
+    graft.sources.Tables.load(spark, sfDir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
       .select(col("user_id"), col("event_id"), col("ts_us"))
 
   private def windowForm(df: DataFrame): DataFrame = {
