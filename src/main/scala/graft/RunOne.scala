@@ -33,6 +33,11 @@ object RunOne {
     }
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
       fn(spark, sfDir).explain("formatted")
+    // SPARK_GRAFT_DUMP=<dir>: write the result once for ad-hoc oracle
+    // comparison (the single-query analog of Verify's full dump)
+    sys.env.get("SPARK_GRAFT_DUMP").foreach { d =>
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$d/$name")
+    }
     consume("/root/testdata/sf0.001")
     val times = (1 to reps).map { _ =>
       // same isolation as Bench: drop leftover localCheckpoint blocks

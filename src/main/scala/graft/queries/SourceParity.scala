@@ -574,6 +574,59 @@ object SourceParity {
         .orderBy("o_orderstatus")
     })
 
+  /** ALTER TABLE column evolution on the graft CATALOG under the oracle
+    * gate (VERDICT r08 item 6) — the DSv2 twin of q_schema_evolution's
+    * parquet mergeSchema path: an old generation INSERTed at 3 columns,
+    * `ALTER TABLE ... ADD COLUMN` (descriptor-only, atomic rename, no data
+    * rewrite), a new generation INSERTed at 4, read back together — the
+    * readers NULL-backfill the added column for old-generation lines
+    * (positional TSV: the old lines simply end early), and the aggregate
+    * makes the backfill visible with coalesce. This is the append-only
+    * evolution contract a long-lived 100 TB table needs: columns arrive
+    * over time, old files are never rewritten, and the catalog (not a
+    * per-query footer merge) owns the widened schema. The full
+    * create→insert→alter→insert→read loop runs EVERY call (the ALTER is
+    * the exhibit); the oracle reconstructs the same widened view from the
+    * original parquet. Rejection paths (non-trailing, non-nullable,
+    * drop/rename) are spec-pinned in Dsv2CatalogSpec. */
+  private val qDsv2AddColumn = QueryDef(
+    "q_dsv2_add_column",
+    Some(s"""
+      |SELECT c_mktsegment, count(*) AS n,
+      |  ${sqlDsum(sqlDec("c_acctbal"))} AS sum_bal,
+      |  CAST(sum(CASE WHEN c_custkey % 2 = 1 THEN c_nationkey ELSE -1 END) AS BIGINT) AS sum_nation
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.cust_evolve_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t (c_custkey BIGINT, c_mktsegment STRING,
+        c_acctbal_str STRING) USING `graft-tsv`""")
+      val cust = tbl(spark, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        dec("c_acctbal").cast("string").as("c_acctbal_str"),
+        col("c_nationkey").cast("long").as("c_nationkey"))
+      cust.filter(col("c_custkey") % 2 === 0)
+        .drop("c_nationkey")
+        .writeTo(t).append()
+      spark.sql(s"ALTER TABLE $t ADD COLUMN c_nationkey BIGINT")
+      cust.filter(col("c_custkey") % 2 === 1)
+        .writeTo(t).append()
+      spark.table(t)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          dsum(dec(col("c_acctbal_str"))).as("sum_bal"),
+          sum(coalesce(col("c_nationkey"), lit(-1L))).as("sum_nation"))
+        .orderBy("c_mktsegment")
+    })
+
   /** Pay-once TSV export for q_dsv2_source (same _SUCCESS + source
     * fingerprint guard as the federated exports): project orders to the
     * connector's text conventions — exact decimal STRING for the price
@@ -636,5 +689,5 @@ object SourceParity {
   val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qPartitionedSink,
     qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source,
     qDsv2Sink, qDsv2RuntimeJoin, qDsv2Partitioned, qDsv2StatsSkip,
-    qDsv2SplitSkip, qDsv2Delete)
+    qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn)
 }

@@ -178,6 +178,51 @@ object StreamingParity {
         .orderBy("c_user", "c_ts_ms", "c_value", "p_ts_ms", "p_value")
     })
 
+  private val OuterJoinSink = "graft_stream_join_outer_sink"
+
+  /** Stream-stream LEFT-OUTER watermarked interval join (VERDICT r08 item
+    * 7) — the "clicks with no purchase within the horizon" shape that
+    * funnel/attribution pipelines need. Matches emit as they arrive (inner
+    * path); an UNMATCHED click emits once with NULL purchase columns when
+    * the global watermark (min of both sides' watermarks, each max-event-ts
+    * minus lateness) passes the end of its match window — so the oracle is
+    * the batch left join PLUS the watermark gate on NULL rows: an unmatched
+    * click whose window end the final watermark never crossed is still
+    * held in state at AvailableNow termination and must NOT appear.
+    * Horizon (47 min) and lateness (61 min) are deliberately non-round so
+    * no generated event time can tie the eviction boundary exactly. */
+  private val qStreamJoinOuter = QueryDef(
+    "q_stream_join_outer",
+    Some("""
+      |WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+      |         - INTERVAL 61 MINUTE AS w)
+      |SELECT c.user_id AS c_user, CAST(epoch_ms(c.ts) AS BIGINT) AS c_ts_ms,
+      |  c.value AS c_value, CAST(epoch_ms(p.ts) AS BIGINT) AS p_ts_ms,
+      |  p.value AS p_value
+      |FROM c LEFT JOIN p
+      |  ON p.user_id = c.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 47 MINUTE
+      |WHERE p.ts IS NOT NULL
+      |   OR c.ts + INTERVAL 47 MINUTE < (SELECT w FROM wm)
+      |ORDER BY c_user, c_ts_ms, c_value, p_ts_ms, p_value
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      runToMemory(spark, OuterJoinSink, mode = "append") { s =>
+        val ev = Tables.loadEventsStream(s, dir)
+        graft.streaming.StreamingOps.clickPurchaseJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          horizon = "47 minutes", lateness = "61 minutes",
+          joinType = "leftOuter")
+      }
+        .select(col("c_user"), unix_millis(col("c_ts")).as("c_ts_ms"),
+          col("c_value"), unix_millis(col("p_ts")).as("p_ts_ms"),
+          col("p_value"))
+        .orderBy("c_user", "c_ts_ms", "c_value", "p_ts_ms", "p_value")
+    })
+
   private val EnrichSink = "graft_stream_enrich_sink"
 
   /** Stream-STATIC enrichment under the correctness gate: each streamed
@@ -286,5 +331,5 @@ object StreamingParity {
 
   val defs: Seq[QueryDef] =
     Seq(qStreamTumbling, qSessionWindow, qStreamSessionize, qStreamJoin,
-      qStreamEnrich, qStreamDedup, qStreamDsv2Sink)
+      qStreamJoinOuter, qStreamEnrich, qStreamDedup, qStreamDsv2Sink)
 }

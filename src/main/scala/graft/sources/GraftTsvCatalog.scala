@@ -144,9 +144,59 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported (descriptors are immutable)")
+  /** Column evolution: ALTER TABLE ... ADD COLUMN(S), appended at the end,
+    * nullable only. No data is rewritten — old-generation data lines simply
+    * end before the new field and BOTH readers (row and columnar) already
+    * emit NULL for fields past a line's last delimiter, so the backfill is
+    * free at read time; new INSERTs write the full width. Per-block manifest
+    * stats are keyed by column name, so the added column has no stats and
+    * every split conservatively stays readable. The descriptor rewrite is
+    * atomic (tmp + OVERWRITE rename) — a reader that races the ALTER sees
+    * either the old or the new schema, never a torn file. Everything other
+    * than trailing nullable ADD COLUMN is rejected loudly: reordering,
+    * renames, drops and type changes would silently remap positional TSV
+    * fields under existing generations. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val f = fs()
+    val dir = tableDir(ident)
+    val mp = metaPath(dir)
+    if (!f.exists(mp)) throw noSuchTable(ident)
+    val in = f.open(mp)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    var schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
+    val partCols = lines.lift(1).getOrElse("")
+    val delim = lines.lift(2).getOrElse('\t'.toInt.toString)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          s"graft catalog: nested columns are not supported " +
+            s"(got ${add.fieldNames().mkString(".")})")
+        val colName = add.fieldNames()(0)
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
+          s"graft catalog: column $colName already exists in ${ident.name()}")
+        require(add.isNullable,
+          s"graft catalog: added column $colName must be nullable — old " +
+            "generations backfill it with NULL")
+        require(add.position() == null,
+          s"graft catalog: ADD COLUMN supports only appending at the end " +
+            "(FIRST/AFTER would remap positional TSV fields in existing data)")
+        schema = schema.add(colName, add.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change $other — only " +
+          "trailing nullable ADD COLUMN is allowed on positional TSV data")
+    }
+    val tmp = new Path(dir, s".${MetaName}-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write((schema.json + "\n" + partCols + "\n" + delim + "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dir.toUri, SparkSession.active.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, mp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val f = fs()

@@ -66,18 +66,25 @@ object StreamingOps {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
 
-  /** Stream-stream inner join with an event-time range condition: each
-    * click joins the purchases of the same user within the following
-    * `horizon`. Both sides carry watermarks and the join condition bounds
-    * event time on both, so Spark can evict buffered state — the REQUIRED
-    * shape for an unbounded stream-stream join (without the time bound,
-    * both sides buffer forever). Column prefixes keep the two event
-    * schemas apart. */
+  /** Stream-stream join with an event-time range condition: each click
+    * joins the purchases of the same user within the following `horizon`.
+    * Both sides carry watermarks and the join condition bounds event time
+    * on both, so Spark can evict buffered state — the REQUIRED shape for
+    * an unbounded stream-stream join (without the time bound, both sides
+    * buffer forever). Column prefixes keep the two event schemas apart.
+    *
+    * `joinType = "leftOuter"` is the "clicks with no purchase" shape: an
+    * unmatched click is held in state until the watermark passes the end
+    * of its match window (c_ts + horizon), then emitted once with NULL
+    * purchase columns — so outer results arrive with a bounded delay of
+    * horizon + lateness, and state stays bounded by the same eviction.
+    * Inner semantics are unchanged (matches emit as they arrive). */
   def clickPurchaseJoin(
       clicks: DataFrame,
       purchases: DataFrame,
       horizon: String = "1 hour",
-      lateness: String = "1 hour"): DataFrame = {
+      lateness: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", lateness)
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("value").as("c_value"))
@@ -85,7 +92,8 @@ object StreamingOps {
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("value").as("p_value"))
     c.join(p, expr(
-      s"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL $horizon"))
+      s"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL $horizon"),
+      joinType)
   }
 
   /** Idempotent micro-batch writer for `foreachBatch`: each batch lands in

@@ -105,4 +105,63 @@ class Dsv2CatalogSpec extends SparkSuite {
     val e6 = intercept[Exception] { spark.sql("CREATE NAMESPACE gcat.a.b") }
     assert(e6.getMessage.contains("single-level"), e6.getMessage)
   }
+
+  test("ALTER TABLE ADD COLUMN: NULL backfill on old generations, full width on new") {
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.evo")
+    spark.sql("CREATE TABLE gcat.evo.t (id BIGINT, v STRING) USING `graft-tsv`")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").writeTo("gcat.evo.t").append()
+    spark.sql("ALTER TABLE gcat.evo.t ADD COLUMN score DOUBLE")
+    // widened schema is live immediately, old rows read as NULL
+    assert(spark.table("gcat.evo.t").schema.fieldNames.toSeq ==
+      Seq("id", "v", "score"))
+    Seq((3L, "c", 0.5)).toDF("id", "v", "score").writeTo("gcat.evo.t").append()
+    val rows = spark.table("gcat.evo.t").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, "a", null), (2L, "b", null), (3L, "c", 0.5)),
+      s"old generations must NULL-backfill the added column: ${rows.toSeq}")
+    // the added column is filterable (null semantics through the reader)
+    assert(spark.table("gcat.evo.t").filter(col("score").isNotNull).count() == 1)
+    // multiple ADDs in one statement append in order
+    spark.sql("ALTER TABLE gcat.evo.t ADD COLUMNS (x BIGINT, y STRING)")
+    assert(spark.table("gcat.evo.t").schema.fieldNames.toSeq ==
+      Seq("id", "v", "score", "x", "y"))
+  }
+
+  test("ALTER TABLE rejections: positioned add, non-nullable add, drop, rename") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.evo2")
+    spark.sql("CREATE TABLE gcat.evo2.t (id BIGINT, v STRING) USING `graft-tsv`")
+    // FIRST/AFTER would remap positional TSV fields under existing data
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.evo2.t ADD COLUMN w STRING FIRST")
+    }
+    assert(e1.getMessage.contains("appending at the end"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.evo2.t ADD COLUMN w STRING AFTER id")
+    }
+    assert(e2.getMessage.contains("appending at the end"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.evo2.t ADD COLUMN w STRING NOT NULL")
+    }
+    assert(e3.getMessage.contains("nullable"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.evo2.t DROP COLUMN v")
+    }
+    assert(e4.getMessage.contains("only") || e4.getMessage.contains("unsupported"),
+      e4.getMessage)
+    val e5 = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.evo2.t RENAME COLUMN v TO w")
+    }
+    assert(e5.getMessage.contains("only") || e5.getMessage.contains("unsupported"),
+      e5.getMessage)
+    // duplicate name (case-insensitive, Spark's resolution default)
+    val e6 = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.evo2.t ADD COLUMN ID BIGINT")
+    }
+    assert(e6.getMessage.toLowerCase.contains("exists"), e6.getMessage)
+    // a failed ALTER leaves the descriptor untouched
+    assert(spark.table("gcat.evo2.t").schema.fieldNames.toSeq == Seq("id", "v"))
+  }
 }

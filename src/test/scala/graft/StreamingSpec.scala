@@ -191,6 +191,43 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits NULL purchase once the watermark passes the window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val cIn = MemoryStream[UserEvent]
+    val pIn = MemoryStream[UserEvent]
+    val q = StreamingOps.clickPurchaseJoin(cIn.toDF(), pIn.toDF(),
+      joinType = "leftOuter")
+      .writeStream.format("memory").queryName("cp_join_outer")
+      .outputMode("append").start()
+    def rows() = s.table("cp_join_outer")
+      .select("c_user", "c_value", "p_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    try {
+      // batch 1: user 1's click matches; user 2's click has no purchase
+      cIn.addData(Seq(
+        UserEvent(1L, ts("2024-01-01 00:00:00"), 1.0),
+        UserEvent(2L, ts("2024-01-01 00:05:00"), 3.0)))
+      pIn.addData(Seq(UserEvent(1L, ts("2024-01-01 00:30:00"), 10.0)))
+      q.processAllAvailable()
+      // the match emits immediately; the unmatched click must NOT emit yet —
+      // its window (to 01:05) is still open under the current watermark
+      assert(rows() == Set((1L, 1.0, 10.0)),
+        s"outer row must be withheld while its window can still match: ${rows()}")
+      // batch 2: advance BOTH watermarks past 01:05 + 1h lateness →
+      // user 2's click is evicted and emits exactly once with NULL purchase
+      cIn.addData(Seq(UserEvent(9L, ts("2024-01-01 06:00:00"), 0.0)))
+      pIn.addData(Seq(UserEvent(9L, ts("2024-01-01 06:00:00"), 0.0)))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 1.0, 10.0), (2L, 3.0, null), (9L, 0.0, 0.0)),
+        s"late NULL emission missing or duplicated: ${rows()}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running totals across batches") {
     val s = spark
     import s.implicits._
