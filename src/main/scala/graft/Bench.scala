@@ -29,24 +29,27 @@ object Bench {
     * (observed 2000 chars: rounds 3-4 grew the catalog past it and the
     * line was truncated mid-JSON → unparseable). So stdout carries a
     * HEADLINE subset — one-per-operator-family coverage plus every
-    * historically slow query, measured ~1.8k chars worst-case against the
-    * 2000-char bound (family-redundant fast queries trimmed as the round-6
-    * sources/streaming additions joined) — and the full per-query map is
-    * written to BENCH_FULL.json next to the repo docs. */
+    * historically slow query, measured ~1.9k chars worst-case against the
+    * 2000-char bound (family-redundant fast queries trimmed each time an
+    * addition grows the set: round 6 sources/streaming, round 9 the outer
+    * stream join) — plus any ERRORED query (sentinel -1, so a failure is
+    * visible in the tail capture even when it's not a headline query).
+    * The full per-query map is written to BENCH_FULL.json next to the
+    * repo docs. */
   private[graft] val headline: Set[String] = Set(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q9_product_profit", "q18_large_volume", "q21_waiting_supplier",
     "q_wordcount", "q_stopword_wordcount", "q_topk_common_max",
     "q_join_agg", "q_broadcast_join", "q_asof_join", "q_interval_bin_join",
-    "q_range_join", "q_full_outer",
+    "q_range_join",
     "q_cube", "q_window_rank", "q_window_frames", "q_percentiles", "q_pivot",
     "q_salted_agg",
     "q_sessionize_native", "q_session_window", "q_tumbling_window",
-    "q_scalar_funcs", "q_array_funcs", "q_json_extract",
+    "q_scalar_funcs", "q_json_extract",
     "q_csv_source", "q_partitioned_sink", "q_upsert",
     "q_heavy_hitters", "q_bucketed_join", "q_pagerank", "q_schema_evolution",
     "q_zorder_layout", "q_compact_small_files", "q_federated_join",
-    "q_incremental_agg", "q_stats_moments", "q_gap_fill", "q_latest_event",
+    "q_incremental_agg", "q_stats_moments", "q_gap_fill",
     "q_dedup_exact", "q_minhash_signatures",
     "q_lsh_candidates", "q_jaccard_pairs", "q_simhash", "q_simhash_pairs",
     "q_dedup_components",
@@ -56,7 +59,8 @@ object Bench {
     "q_fingerprint_rolling",
     "q_pipeline_curate", "q_stratified_sample", "q_text_search",
     "q_stream_tumbling", "q_stream_sessionize", "q_stream_join",
-    "q_stream_enrich", "q_stream_dedup", "q_stream_dsv2_sink",
+    "q_stream_join_outer", "q_stream_enrich", "q_stream_dedup",
+    "q_stream_dsv2_sink",
     "q_blob_stats", "q_lateral_explode", "q_approx_quantiles",
     "q_dpp_prune", "q_dsv2_source", "q_dsv2_sink", "q_dsv2_runtime_join",
     "q_dsv2_partitioned", "q_dsv2_stats_skip",
@@ -89,7 +93,6 @@ object Bench {
       try consumeAll(fn(spark, sfDir))
       catch { case _: Throwable => () }
     }
-    var errors = 0
     val results = ordered.map { case (name, fn) =>
       // Isolate BETWEEN queries so the previous query's footprint is not
       // attributed to this one: localCheckpoint blocks (dedup components'
@@ -105,21 +108,32 @@ object Bench {
       val t0 = System.nanoTime()
       // A failed query must be VISIBLE (a silent catch once hid a consumer
       // overflow that aborted every result stage) — but one bad query must
-      // not zero the whole round, so: count it, log to stderr (stdout
-      // stays parseable), and keep timing the rest.
-      try consumeAll(fn(spark, sfDir)) catch { case e: Throwable =>
-        errors += 1
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      // not zero the whole round, so: log to stderr (stdout stays
+      // parseable) and keep timing the rest.
+      val ok =
+        try { consumeAll(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    def jsonLine(rs: Seq[(String, Double)], extra: String): String = {
-      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val errored = results.filter(!_._3).map(_._1)
+    // Totals and per-query timings cover SUCCESSFUL queries only: a
+    // time-to-failure is not a runtime, and recording it (r08 lesson) made
+    // failures read as speedups in per-query trend tooling. An errored
+    // entry appears as the sentinel -1 plus its name in `errored`.
+    val total = results.collect { case (_, t, true) => t }.sum
+    def jsonLine(rs: Seq[(String, Double, Boolean)], extra: String): String = {
+      val qs = rs.map { case (k, v, ok) =>
+        "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
     }
-    val errTag = if (errors > 0) s""","errors":$errors""" else ""
+    val errTag = if (errored.nonEmpty)
+      s""","errors":${errored.size},"errored":${
+        errored.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    else ""
     // Full per-query breakdown → file (the judge reads it from the repo).
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"))
@@ -127,7 +141,7 @@ object Bench {
       (jsonLine(results, s""","n_queries":${results.size}$errTag""") + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Headline subset → stdout (must fit the driver's bounded tail capture).
-    println(jsonLine(results.filter(r => headline(r._1)),
+    println(jsonLine(results.filter(r => headline(r._1) || !r._3),
       s""","n_queries":${results.size}$errTag,"full":"BENCH_FULL.json""""))
     spark.stop()
   }
