@@ -223,6 +223,87 @@ object StreamingParity {
         .orderBy("c_user", "c_ts_ms", "c_value", "p_ts_ms", "p_value")
     })
 
+  private val FullJoinSink = "graft_stream_join_full_sink"
+
+  /** Stream-stream FULL-outer watermarked interval join — completes the
+    * outer matrix (inner `q_stream_join`, left `q_stream_join_outer`):
+    * unmatched CLICKS emit NULL purchase columns when the watermark passes
+    * the end of their match window (c_ts + horizon, as in the left-outer
+    * twin), and unmatched PURCHASES emit NULL click columns when the
+    * watermark passes the purchase's own event time — a purchase can match
+    * any click in [p_ts − horizon, p_ts], so it is safe to evict as soon
+    * as no on-time click at or before p_ts can still arrive. Oracle: the
+    * batch full join with BOTH watermark gates on the respective NULL
+    * sides (empirically value-exact at every SF; same non-round
+    * horizon/lateness trick to keep the eviction boundary tie-free). */
+  private val qStreamJoinFull = QueryDef(
+    "q_stream_join_full",
+    Some("""
+      |WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+      |         - INTERVAL 61 MINUTE AS w)
+      |SELECT c.user_id AS c_user, CAST(epoch_ms(c.ts) AS BIGINT) AS c_ts_ms,
+      |  c.value AS c_value, p.user_id AS p_user,
+      |  CAST(epoch_ms(p.ts) AS BIGINT) AS p_ts_ms, p.value AS p_value
+      |FROM c FULL JOIN p
+      |  ON p.user_id = c.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 47 MINUTE
+      |WHERE (c.ts IS NOT NULL AND p.ts IS NOT NULL)
+      |   OR (p.ts IS NULL AND c.ts + INTERVAL 47 MINUTE < (SELECT w FROM wm))
+      |   OR (c.ts IS NULL AND p.ts < (SELECT w FROM wm))
+      |ORDER BY c_user, c_ts_ms, c_value, p_user, p_ts_ms, p_value
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      runToMemory(spark, FullJoinSink, mode = "append") { s =>
+        val ev = Tables.loadEventsStream(s, dir)
+        graft.streaming.StreamingOps.clickPurchaseJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          horizon = "47 minutes", lateness = "61 minutes",
+          joinType = "fullOuter")
+      }
+        .select(col("c_user"), unix_millis(col("c_ts")).as("c_ts_ms"),
+          col("c_value"), col("p_user"),
+          unix_millis(col("p_ts")).as("p_ts_ms"), col("p_value"))
+        .orderBy("c_user", "c_ts_ms", "c_value", "p_user", "p_ts_ms", "p_value")
+    })
+
+  private val SemiJoinSink = "graft_stream_join_semi_sink"
+
+  /** Stream-stream LEFT-SEMI watermarked interval join: "clicks that DID
+    * convert within the horizon", emitted exactly once per click no matter
+    * how many purchases match. Unlike the outer variants the output needs
+    * no watermark gate in the oracle — a click emits as soon as its first
+    * match arrives, and a click with no match never emits — so the oracle
+    * is the plain batch EXISTS. (State is still watermark-evicted; the
+    * semantics just don't depend on the final watermark position.) */
+  private val qStreamJoinSemi = QueryDef(
+    "q_stream_join_semi",
+    Some("""
+      |SELECT c.user_id AS c_user, CAST(epoch_ms(c.ts) AS BIGINT) AS c_ts_ms,
+      |  c.value AS c_value
+      |FROM events c
+      |WHERE c.event_type = 'click' AND EXISTS (
+      |  SELECT 1 FROM events p
+      |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 47 MINUTE)
+      |ORDER BY c_user, c_ts_ms, c_value
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      runToMemory(spark, SemiJoinSink, mode = "append") { s =>
+        val ev = Tables.loadEventsStream(s, dir)
+        graft.streaming.StreamingOps.clickPurchaseJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          horizon = "47 minutes", lateness = "61 minutes",
+          joinType = "leftSemi")
+      }
+        .select(col("c_user"), unix_millis(col("c_ts")).as("c_ts_ms"),
+          col("c_value"))
+        .orderBy("c_user", "c_ts_ms", "c_value")
+    })
+
   private val EnrichSink = "graft_stream_enrich_sink"
 
   /** Stream-STATIC enrichment under the correctness gate: each streamed
@@ -331,5 +412,6 @@ object StreamingParity {
 
   val defs: Seq[QueryDef] =
     Seq(qStreamTumbling, qSessionWindow, qStreamSessionize, qStreamJoin,
-      qStreamJoinOuter, qStreamEnrich, qStreamDedup, qStreamDsv2Sink)
+      qStreamJoinOuter, qStreamJoinFull, qStreamJoinSemi,
+      qStreamEnrich, qStreamDedup, qStreamDsv2Sink)
 }

@@ -228,6 +228,81 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("full-outer interval join emits NULLs on both unmatched sides after eviction") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val cIn = MemoryStream[UserEvent]
+    val pIn = MemoryStream[UserEvent]
+    val q = StreamingOps.clickPurchaseJoin(cIn.toDF(), pIn.toDF(),
+      joinType = "fullOuter")
+      .writeStream.format("memory").queryName("cp_join_full")
+      .outputMode("append").start()
+    def rows() = s.table("cp_join_full")
+      .select("c_user", "c_value", "p_user", "p_value")
+      .collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    try {
+      // user 1 matches; user 2's click never converts; user 3's purchase
+      // has no preceding click
+      cIn.addData(Seq(
+        UserEvent(1L, ts("2024-01-01 00:00:00"), 1.0),
+        UserEvent(2L, ts("2024-01-01 00:05:00"), 3.0)))
+      pIn.addData(Seq(
+        UserEvent(1L, ts("2024-01-01 00:30:00"), 10.0),
+        UserEvent(3L, ts("2024-01-01 00:10:00"), 30.0)))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 1.0, 1L, 10.0)),
+        s"only the match may emit before eviction: ${rows()}")
+      // advance both watermarks far past every window end
+      cIn.addData(Seq(UserEvent(9L, ts("2024-01-01 06:00:00"), 0.0)))
+      pIn.addData(Seq(UserEvent(9L, ts("2024-01-01 06:00:00"), 0.0)))
+      q.processAllAvailable()
+      assert(rows() == Set(
+        (1L, 1.0, 1L, 10.0),
+        (2L, 3.0, null, null),   // unmatched click → NULL purchase side
+        (null, null, 3L, 30.0),  // unmatched purchase → NULL click side
+        (9L, 0.0, 9L, 0.0)),
+        s"both unmatched sides must emit exactly once: ${rows()}")
+    } finally q.stop()
+  }
+
+  test("left-semi interval join emits each converting click once, never duplicates") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val cIn = MemoryStream[UserEvent]
+    val pIn = MemoryStream[UserEvent]
+    val q = StreamingOps.clickPurchaseJoin(cIn.toDF(), pIn.toDF(),
+      joinType = "leftSemi")
+      .writeStream.format("memory").queryName("cp_join_semi")
+      .outputMode("append").start()
+    def rows() = s.table("cp_join_semi")
+      .select("c_user", "c_value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    try {
+      cIn.addData(Seq(
+        UserEvent(1L, ts("2024-01-01 00:00:00"), 1.0),
+        UserEvent(2L, ts("2024-01-01 00:05:00"), 3.0)))
+      pIn.addData(Seq(UserEvent(1L, ts("2024-01-01 00:30:00"), 10.0)))
+      q.processAllAvailable()
+      assert(rows() == Seq((1L, 1.0)), s"click 1 converted, click 2 did not: ${rows()}")
+      // a SECOND matching purchase for user 1 must not re-emit the click;
+      // a cross-batch purchase for user 2 must emit click 2 exactly once
+      pIn.addData(Seq(
+        UserEvent(1L, ts("2024-01-01 00:45:00"), 11.0),
+        UserEvent(2L, ts("2024-01-01 00:20:00"), 30.0)))
+      q.processAllAvailable()
+      assert(rows() == Seq((1L, 1.0), (2L, 3.0)),
+        s"semi join must emit once per click, no duplicates: ${rows()}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running totals across batches") {
     val s = spark
     import s.implicits._
