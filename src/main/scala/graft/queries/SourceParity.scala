@@ -627,6 +627,64 @@ object SourceParity {
         .orderBy("c_mktsegment")
     })
 
+  /** Generation TIME TRAVEL under the oracle gate: customer loaded into a
+    * graft catalog table with `retain.generations = 2`, then a curation
+    * DELETE rewrites it to a filtered generation — and the query reads the
+    * PRE-DELETE snapshot via VERSION AS OF while the current generation
+    * serves the filtered view. Both reads run in one result (union with a
+    * `snapshot` tag column), so the pass proves (a) the superseded
+    * generation's manifest AND parts survive cleanup inside the retention
+    * window, (b) a pinned read resolves exactly the old visible set, and
+    * (c) the current read is unaffected. This is the reproducibility
+    * contract a training pipeline needs at 100 TB: pin the snapshot a run
+    * read, mutate the table freely, re-run byte-identical — no data
+    * copying (generations share unchanged part files). The oracle
+    * reconstructs both snapshots from the original parquet. Retention
+    * mechanics, window slide, and VERSION AS OF misses: Dsv2TimeTravelSpec. */
+  private val qDsv2TimeTravel = QueryDef(
+    "q_dsv2_time_travel",
+    Some(s"""
+      |WITH pre AS (SELECT c_mktsegment, count(*) AS n,
+      |    ${sqlDsum(sqlDec("c_acctbal"))} AS sum_bal
+      |  FROM customer GROUP BY c_mktsegment),
+      |post AS (SELECT c_mktsegment, count(*) AS n,
+      |    ${sqlDsum(sqlDec("c_acctbal"))} AS sum_bal
+      |  FROM customer WHERE NOT (c_custkey < 700) GROUP BY c_mktsegment)
+      |SELECT 'v1' AS snapshot, * FROM pre
+      |UNION ALL SELECT 'v2' AS snapshot, * FROM post
+      |ORDER BY snapshot, c_mktsegment
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.cust_tt_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t (c_custkey BIGINT, c_mktsegment STRING,
+        c_acctbal_str STRING) USING `graft-tsv`
+        TBLPROPERTIES ('retain.generations' = '2')""")
+      tbl(spark, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        dec("c_acctbal").cast("string").as("c_acctbal_str"))
+        .writeTo(t).append()                                   // generation 1
+      // the curation mutation: a key-range slice rewritten out (range
+      // predicates ride the connector's typed pushdown comparators)
+      spark.sql(s"DELETE FROM $t WHERE c_custkey < 700")       // generation 2
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            dsum(dec(col("c_acctbal_str"))).as("sum_bal"))
+          .select(lit(tag).as("snapshot"), col("c_mktsegment"),
+            col("n"), col("sum_bal"))
+      agg(spark.sql(s"SELECT * FROM $t VERSION AS OF 1"), "v1")
+        .unionAll(agg(spark.table(t), "v2"))
+        .orderBy("snapshot", "c_mktsegment")
+    })
+
   /** Pay-once TSV export for q_dsv2_source (same _SUCCESS + source
     * fingerprint guard as the federated exports): project orders to the
     * connector's text conventions — exact decimal STRING for the price
@@ -689,5 +747,5 @@ object SourceParity {
   val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qPartitionedSink,
     qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source,
     qDsv2Sink, qDsv2RuntimeJoin, qDsv2Partitioned, qDsv2StatsSkip,
-    qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn)
+    qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn, qDsv2TimeTravel)
 }

@@ -132,6 +132,11 @@ final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStrin
   private def declaredPartCols: Seq[String] =
     Option(options.get("partition.columns")).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+  /** Table-level generation retention (time-travel history depth); catalog
+    * tables carry it from the descriptor, path tables from a read/write
+    * option. Per-write `retain.generations` options still win. */
+  private def tableRetain: Int =
+    Option(options.get("retain.generations")).map(_.toInt).getOrElse(1)
 
   /** Row-level DELETE (`DELETE FROM cat.ns.t WHERE ...` through
     * [[GraftTsvCatalog]]): copy-on-write generation rewrite of only the
@@ -147,7 +152,8 @@ final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStrin
       Option(options.get("delimiter")).getOrElse("\t").charAt(0),
       declaredPartCols,
       headerOn,
-      filters)
+      filters,
+      retainGenerations = tableRetain)
 
   /** Write path in GraftTsvWrite.scala: two-phase commit (dot-prefixed
     * staging files, driver-side rename) — only committed task output
@@ -163,7 +169,8 @@ final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStrin
         throw new IllegalArgumentException("graft-tsv: no path given")),
       Option(options.get("delimiter")).getOrElse("\t").charAt(0),
       info,
-      tablePartCols = declaredPartCols)
+      tablePartCols = declaredPartCols,
+      tableRetain = tableRetain)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // DataFrameReader merges load(path) and .option(...) into the TABLE
     // properties; per-scan options arrive here. Prefer scan-time values.
@@ -454,7 +461,8 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
       hconf = SerializableHadoopConf.fromSession(),
       partCols = partCols,
       vectorized = !Option(options.get("vectorized.read"))
-        .exists(_.equalsIgnoreCase("false")))
+        .exists(_.equalsIgnoreCase("false")),
+      generation = Option(options.get("generation")).map(_.toLong))
   }
 }
 
@@ -469,7 +477,8 @@ final class GraftTsvScan(
     countOnly: Boolean = false,
     hconf: SerializableHadoopConf = SerializableHadoopConf.fromSession(),
     partCols: Seq[String] = Seq.empty,
-    vectorized: Boolean = true)
+    vectorized: Boolean = true,
+    generation: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -516,6 +525,7 @@ final class GraftTsvScan(
     s"GraftTsvScan path=$path, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       (if (countOnly) "PushedAggregation: [COUNT(*)], " else "") +
+      generation.map(g => s"Generation: $g, ").getOrElse("") +
       (if (partCols.nonEmpty) s"PartitionColumns: [${partCols.mkString(", ")}], " else "") +
       s"ReadSchema: ${readSchema().catalogString}"
 
@@ -567,9 +577,28 @@ final class GraftTsvScan(
         val entries = walk(rootChildren, 0, "", Nil)
         val gens = rootChildren
           .flatMap(c => GraftTsvManifest.genNumber(c.getPath.getName).map(_ -> c.getPath))
-        if (gens.isEmpty) entries.map(e => (e._1, e._2, e._3, ""))
-        else {
-          val latest = gens.maxBy(_._1)._2
+        if (gens.isEmpty) {
+          // TIME TRAVEL needs a manifest history — a legacy plain dir has none
+          generation.foreach { g =>
+            throw new IllegalArgumentException(
+              s"graft-tsv: generation $g requested but ${st.getPath} has no " +
+                "generation manifests (plain directory, no time-travel history)")
+          }
+          entries.map(e => (e._1, e._2, e._3, ""))
+        } else {
+          // TIME TRAVEL: a pinned generation resolves ITS manifest instead of
+          // the latest — the snapshot a reproducible training run pins. Only
+          // generations inside the retention window survive cleanup, so a
+          // miss names what IS retained and the knob that widens the window.
+          val latest = generation match {
+            case None => gens.maxBy(_._1)._2
+            case Some(g) => gens.collectFirst { case (`g`, p) => p }.getOrElse(
+              throw new IllegalArgumentException(
+                s"graft-tsv: generation $g is not available in ${st.getPath} " +
+                  s"(retained: ${gens.map(_._1).sorted.mkString(", ")}) — " +
+                  "older generations are reclaimed by cleanup; raise the " +
+                  "retain.generations write option to keep a deeper history"))
+          }
           val refEntries = GraftTsvManifest.readEntries(fs, latest).toMap
           val present = entries.collect {
             case (fst, rel, vals) if refEntries.contains(rel) =>

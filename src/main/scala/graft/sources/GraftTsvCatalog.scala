@@ -64,6 +64,57 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
 
   private def metaPath(dir: Path): Path = new Path(dir, MetaName)
 
+  /** Descriptor layout: line 1 schema JSON, line 2 partition cols (CSV),
+    * line 3 delimiter code point, line 4 (optional, added with time
+    * travel) table properties as `k=v` pairs joined by `;`. Older
+    * three-line descriptors read as propertyless — forward-compatible. */
+  private case class Descriptor(schema: StructType, partColsCsv: String,
+      delimLine: String, props: Map[String, String]) {
+    def serialized: String = {
+      val base = schema.json + "\n" + partColsCsv + "\n" + delimLine + "\n"
+      if (props.isEmpty) base
+      else base + props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";") + "\n"
+    }
+  }
+
+  private def readDescriptor(f: FileSystem, mp: Path): Descriptor = {
+    val in = f.open(mp)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    Descriptor(
+      DataType.fromJson(lines.head).asInstanceOf[StructType],
+      lines.lift(1).getOrElse(""),
+      lines.lift(2).getOrElse('\t'.toInt.toString),
+      lines.lift(3).toSeq.flatMap(_.split(";").filter(_.contains("=")).map { kv =>
+        val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1)
+      }).toMap)
+  }
+
+  /** Atomic descriptor (re)write: hidden tmp + OVERWRITE rename — a reader
+    * racing a DDL sees the old or new descriptor, never a torn file. */
+  private def writeDescriptor(f: FileSystem, dir: Path, d: Descriptor): Unit = {
+    val tmp = new Path(dir, s".${MetaName}-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(d.serialized.getBytes("UTF-8"))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dir.toUri, SparkSession.active.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, metaPath(dir), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The one table property with storage-level meaning; anything else is
+    * rejected loudly rather than silently recorded and ignored. */
+  private val RetainKey = "retain.generations"
+  private def validateProps(props: Map[String, String]): Unit =
+    props.foreach { case (k, v) =>
+      require(k == RetainKey,
+        s"graft catalog: unsupported table property '$k' — only $RetainKey " +
+          "(time-travel history depth) is meaningful for graft-tsv tables")
+      require(v.toIntOption.exists(_ >= 1),
+        s"graft catalog: $RetainKey must be an integer >= 1, got '$v'")
+    }
+
   // ---- tables ----
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -79,26 +130,35 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     fs().exists(metaPath(tableDir(ident)))
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table =
+    loadTableAt(ident, generation = None)
+
+  /** SQL time travel (`SELECT ... FROM t VERSION AS OF <gen>`): Spark
+    * routes the version literal here; it pins the generation the scan
+    * resolves. Only generations inside the table's `retain.generations`
+    * window still exist — a miss fails at scan planning, naming what IS
+    * retained. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadTableAt(ident, Some(version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog: VERSION AS OF expects a numeric generation, got '$version'"))))
+
+  private def loadTableAt(ident: Identifier, generation: Option[Long]): Table = {
     val f = fs()
     val dir = tableDir(ident)
     val mp = metaPath(dir)
     if (!f.exists(mp)) throw noSuchTable(ident)
-    // descriptor: line 1 = schema JSON, line 2 = partition cols (CSV,
-    // possibly empty), line 3 = delimiter (as a code point number)
-    val in = f.open(mp)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-    val schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
-    val partCols = lines.lift(1).getOrElse("").split(",").filter(_.nonEmpty)
-    val delim = lines.lift(2).map(_.toInt.toChar).getOrElse('\t')
+    val d = readDescriptor(f, mp)
+    val partCols = d.partColsCsv.split(",").filter(_.nonEmpty)
+    val delim = d.delimLine.toInt.toChar
     val opts = Map(
       "path" -> dir.toString,
       "delimiter" -> delim.toString) ++
       (if (partCols.nonEmpty) Map("partition.columns" -> partCols.mkString(","))
-       else Map.empty)
-    new GraftTsvTable(schema, new CaseInsensitiveStringMap(opts.asJava))
+       else Map.empty) ++
+      d.props ++
+      generation.map(g => Map("generation" -> g.toString)).getOrElse(Map.empty)
+    new GraftTsvTable(d.schema, new CaseInsensitiveStringMap(opts.asJava))
   }
 
   override def createTable(
@@ -127,6 +187,15 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
       t.references()(0).fieldNames()(0)
     }
     val delim = Option(properties.get("delimiter")).getOrElse("\t").charAt(0)
+    // storage-meaningful TBLPROPERTIES persist in the descriptor; Spark's
+    // own bookkeeping keys (provider, owner, ...) are not table semantics
+    val sparkInternal = Set("provider", "owner", "delimiter",
+      "option.delimiter", "transient_lastDdlTime")
+    val props = properties.asScala.toMap
+      .filter { case (k, _) => !sparkInternal.contains(k) &&
+        !k.startsWith("option.") && k != "location" && k != "external" &&
+        k != "comment" }
+    validateProps(props)
     f.mkdirs(dir)
     // descriptor birth is ATOMIC (hidden tmp + rename, the manifest's own
     // trick): a crash mid-create must not leave an empty descriptor that
@@ -134,8 +203,8 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
     val tmp = new Path(dir, s".${MetaName}-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
     try out.write(
-      (schema.json + "\n" + partCols.mkString(",") + "\n" + delim.toInt + "\n")
-        .getBytes("UTF-8"))
+      Descriptor(schema, partCols.mkString(","), delim.toInt.toString, props)
+        .serialized.getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, metaPath(dir))) {
       f.delete(tmp, false)
@@ -161,14 +230,19 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     val mp = metaPath(dir)
     if (!f.exists(mp)) throw noSuchTable(ident)
-    val in = f.open(mp)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-    var schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
-    val partCols = lines.lift(1).getOrElse("")
-    val delim = lines.lift(2).getOrElse('\t'.toInt.toString)
+    val d0 = readDescriptor(f, mp)
+    var schema = d0.schema
+    var props = d0.props
     changes.foreach {
+      case set: TableChange.SetProperty =>
+        // ALTER TABLE ... SET TBLPROPERTIES: the time-travel retention
+        // knob is table metadata, so widening/narrowing the history
+        // window is a catalog DDL (takes effect on the NEXT commit's
+        // cleanup; already-deleted generations do not come back)
+        validateProps(Map(set.property() -> set.value()))
+        props = props + (set.property() -> set.value())
+      case rm: TableChange.RemoveProperty =>
+        props = props - rm.property()
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           s"graft catalog: nested columns are not supported " +
@@ -185,16 +259,10 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
         schema = schema.add(colName, add.dataType(), nullable = true)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other — only " +
-          "trailing nullable ADD COLUMN is allowed on positional TSV data")
+          "trailing nullable ADD COLUMN and SET/UNSET TBLPROPERTIES are " +
+          "allowed on positional TSV data")
     }
-    val tmp = new Path(dir, s".${MetaName}-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = f.create(tmp, true)
-    try out.write((schema.json + "\n" + partCols + "\n" + delim + "\n")
-      .getBytes("UTF-8"))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      dir.toUri, SparkSession.active.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, mp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    writeDescriptor(f, dir, d0.copy(schema = schema, props = props))
     loadTable(ident)
   }
 

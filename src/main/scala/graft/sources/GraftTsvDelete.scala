@@ -65,7 +65,8 @@ object GraftTsvDelete {
       delimiter: Char,
       partCols: Seq[String],
       header: Boolean,
-      filters: Array[Filter]): Unit = {
+      filters: Array[Filter],
+      retainGenerations: Int = 1): Unit = {
     require(canDelete(schema, header, filters),
       s"graft-tsv DELETE: unsupported predicate in [${filters.mkString(", ")}]")
     // a FALSE conjunct makes the whole conjunction false: nothing matches
@@ -90,7 +91,7 @@ object GraftTsvDelete {
       // DELETE without WHERE: publish an empty generation, rewrite nothing
       GraftTsvPublisher.publish(fs, dir, Seq.empty, lbl, epochMarker = None,
         truncate = true, dropped = Set.empty, partCols,
-        sweepPrefix = s".staging-$lbl")
+        sweepPrefix = s".staging-$lbl", retainGenerations = retainGenerations)
       return
     }
 
@@ -126,7 +127,7 @@ object GraftTsvDelete {
 
     GraftTsvPublisher.publish(fs, dir, staged, lbl, epochMarker = None,
       truncate = false, dropped = affected.map(_.rel).toSet, partCols,
-      sweepPrefix = s".staging-$lbl")
+      sweepPrefix = s".staging-$lbl", retainGenerations = retainGenerations)
   }
 
   /** Task-side copy-on-write of one file: stream lines, keep those whose

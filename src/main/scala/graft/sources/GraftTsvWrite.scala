@@ -60,7 +60,16 @@ final class GraftTsvWriteBuilder(
     path: String,
     delimiter: Char,
     info: LogicalWriteInfo,
-    tablePartCols: Seq[String] = Seq.empty) extends WriteBuilder with SupportsTruncate {
+    tablePartCols: Seq[String] = Seq.empty,
+    tableRetain: Int = 1) extends WriteBuilder with SupportsTruncate {
+
+  /** Generation-history depth kept by commit cleanup (time travel window).
+    * Write option wins over the table's own `retain.generations` property
+    * (catalog tables persist it in the descriptor); floor 1 = the
+    * concurrent-reader safety minimum, enforced at publish. */
+  private val retainGenerations: Int =
+    Option(info.options().get("retain.generations")).map(_.toInt)
+      .getOrElse(tableRetain)
 
   private var truncateOnCommit = false
 
@@ -113,7 +122,7 @@ final class GraftTsvWriteBuilder(
     override def toBatch: BatchWrite =
       new GraftTsvBatchWrite(schema, path, delimiter, truncateOnCommit,
         info.queryId(), SerializableHadoopConf.fromSession(), partCols,
-        blockBytes)
+        blockBytes, retainGenerations)
     /** Streaming sink = the SAME commit protocol per epoch (Complete mode
       * arrives as truncate, Append as append), with the epoch id recorded
       * in the generation manifest as the replay-idempotence token. */
@@ -121,7 +130,7 @@ final class GraftTsvWriteBuilder(
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftTsvBatchWrite(schema, path, delimiter, truncateOnCommit,
         info.queryId(), SerializableHadoopConf.fromSession(), partCols,
-        blockBytes)
+        blockBytes, retainGenerations)
   }
 
   /** Block-stats granularity (`stats.block.bytes`): how often the writer
@@ -298,7 +307,8 @@ final class GraftTsvBatchWrite(
     queryId: String,
     hconf: SerializableHadoopConf,
     partCols: Seq[String] = Seq.empty,
-    blockBytes: Long = 4L * 1024 * 1024) extends BatchWrite
+    blockBytes: Long = 4L * 1024 * 1024,
+    retainGenerations: Int = 1) extends BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -330,7 +340,8 @@ final class GraftTsvBatchWrite(
       case GraftTsvCommitMessage(names) => names
     }.flatten.toSeq
     GraftTsvPublisher.publish(fs(), new Path(path), staged, label, epochMarker,
-      truncate, dropped = Set.empty, partCols, sweepPrefix = s".staging-$queryId")
+      truncate, dropped = Set.empty, partCols, sweepPrefix = s".staging-$queryId",
+      retainGenerations = retainGenerations)
   }
 
   /** Streaming epoch commit: same publish, epoch-labeled and marked. */
@@ -393,7 +404,13 @@ private[sources] object GraftTsvPublisher {
       truncate: Boolean,
       dropped: Set[String],
       partCols: Seq[String],
-      sweepPrefix: String): Unit = {
+      sweepPrefix: String,
+      retainGenerations: Int = 1): Unit = {
+    // retention < 1 would delete the just-superseded generation a
+    // concurrent reader may still be resolving — the floor IS the
+    // concurrent-reader safety contract, not a tunable
+    require(retainGenerations >= 1,
+      s"graft-tsv: retain.generations must be >= 1, got $retainGenerations")
     if (!f.exists(dir)) f.mkdirs(dir) // commit of an all-empty-partition job
     def fileName(rel: String) = rel.substring(rel.lastIndexOf('/') + 1)
     // a name containing a tab or newline can neither be adopted (tab is
@@ -483,25 +500,38 @@ private[sources] object GraftTsvPublisher {
         s"graft-tsv commit: failed to publish $genPath — a concurrent writer " +
           "took this generation or the commit was replayed; directory state " +
           "is untouched (the previous generation remains current)")
-    // 3. cleanup only AFTER the swap, with ONE-GENERATION RETENTION: the
-    //    just-superseded generation's manifest and parts stay on disk so
-    //    a reader that resolved gen N before this commit can still open
-    //    its manifest and parts (they are deleted by the NEXT commit).
-    //    Without retention, a concurrent reader mid-resolution races the
-    //    deletes and fails on files its listing promised. Older
-    //    generations, orphans, and crashed jobs' staging/tmp files go
-    //    now — all scoped by inScope so files this sink never published
-    //    are untouched. A crash before this point leaves garbage for the
-    //    next commit, never a broken table.
-    val keep = nextVisible.toSet ++ currentVisible.toSet
+    // 3. cleanup only AFTER the swap, with K-GENERATION RETENTION
+    //    (`retain.generations`, default 1): the newest K superseded
+    //    generations' manifests and parts stay on disk. K=1 is the
+    //    concurrent-reader floor — a reader that resolved gen N before
+    //    this commit can still open its manifest and parts. K>1 is TIME
+    //    TRAVEL retention: a pinned `generation` read (or catalog
+    //    `VERSION AS OF`) resolves any retained manifest, giving
+    //    reproducible snapshots of a mutating table without copying data
+    //    (superseded generations share unchanged part files with their
+    //    successors — append-heavy tables retain history nearly free;
+    //    only overwritten/deleted parts cost bytes). Older generations,
+    //    orphans, and crashed jobs' staging/tmp files go now — all scoped
+    //    by inScope so files this sink never published are untouched. A
+    //    crash before this point leaves garbage for the next commit,
+    //    never a broken table.
+    val newGen = curGen.getOrElse(0L) + 1
+    val oldestRetained = newGen - retainGenerations
+    val retainedGens = children
+      .collect { case (rel, _) if !rel.contains("/") => rel }
+      .flatMap(GraftTsvManifest.genNumber)
+      .filter(g => g >= oldestRetained && curGen.exists(g <= _))
+    val keep = nextVisible.toSet ++ retainedGens.flatMap(g =>
+      GraftTsvManifest.readEntries(f, new Path(dir, GraftTsvManifest.genName(g)))
+        .map(_._1)).toSet
     children.foreach { case (rel, st) =>
       val n = fileName(rel)
       if (st.isFile && visiblePart(rel) && inScope(rel) && !keep.contains(rel))
         f.delete(st.getPath, false)
       else if ((!rel.contains("/") &&
-          GraftTsvManifest.genNumber(n).exists(g => curGen.exists(g < _))) ||
+          GraftTsvManifest.genNumber(n).exists(_ < oldestRetained)) ||
           n.startsWith(".staging-") || n.startsWith(".manifest-"))
-        // manifests BELOW the just-superseded one, and — single-writer
+        // manifests below the retention window, and — single-writer
         // contract — staging/tmp leftovers of CRASHED jobs (this job's
         // were renamed or belong to uncommitted attempts, swept below)
         f.delete(st.getPath, false)
