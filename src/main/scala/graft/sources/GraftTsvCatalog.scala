@@ -143,6 +143,34 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalArgumentException(
         s"graft catalog: VERSION AS OF expects a numeric generation, got '$version'"))))
 
+  /** SQL `TIMESTAMP AS OF <t>`: Spark hands the literal as MICROSECONDS
+    * since the epoch; it resolves to the newest retained generation whose
+    * manifest was published at or before that instant (manifest
+    * modification time — set by the atomic `_gen` rename, i.e. the moment
+    * the generation became visible). "Published before t" is exactly the
+    * snapshot a reader at time t would have resolved. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val f = fs()
+    val dir = tableDir(ident)
+    if (!f.exists(metaPath(dir))) throw noSuchTable(ident)
+    val tsMillis = timestamp / 1000L
+    val gens = f.listStatus(dir).toSeq.flatMap(st =>
+      GraftTsvManifest.genNumber(st.getPath.getName)
+        .map(g => (g, st.getModificationTime)))
+    if (gens.isEmpty)
+      throw new IllegalArgumentException(
+        s"graft catalog: TIMESTAMP AS OF on ${ident.name()} — table has no " +
+          "generation manifests yet (no committed write)")
+    val eligible = gens.filter(_._2 <= tsMillis)
+    if (eligible.isEmpty)
+      throw new IllegalArgumentException(
+        s"graft catalog: TIMESTAMP AS OF resolves before the oldest RETAINED " +
+          s"generation of ${ident.name()} (earliest retained was published at " +
+          s"epoch-ms ${gens.map(_._2).min}) — older history was reclaimed; " +
+          "raise retain.generations to keep a deeper window")
+    loadTableAt(ident, Some(eligible.maxBy(_._1)._1))
+  }
+
   private def loadTableAt(ident: Identifier, generation: Option[Long]): Table = {
     val f = fs()
     val dir = tableDir(ident)

@@ -85,6 +85,93 @@ class Dsv2TimeTravelSpec extends SparkSuite {
     assert(e.getMessage.contains("no generation manifests"), e.getMessage)
   }
 
+  test("TIMESTAMP AS OF resolves the generation visible at that instant") {
+    val s = spark
+    import s.implicits._
+    val rootDir = Files.createTempDirectory("graft_tt_ts").toString
+    s.conf.set("spark.sql.catalog.gts",
+      classOf[graft.sources.GraftTsvCatalog].getName)
+    s.conf.set("spark.sql.catalog.gts.root", rootDir)
+    s.sql("CREATE NAMESPACE gts.db")
+    s.sql("""CREATE TABLE gts.db.t (id BIGINT, v STRING) USING `graft-tsv`
+      TBLPROPERTIES ('retain.generations' = '3')""")
+    def fmt(ms: Long) = java.time.Instant.ofEpochMilli(ms).toString
+      .replace("T", " ").replace("Z", "")
+    val before = System.currentTimeMillis() - 5
+    Seq((1L, "a")).toDF("id", "v").writeTo("gts.db.t").append()    // gen 1
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    Seq((2L, "b")).toDF("id", "v").writeTo("gts.db.t").append()    // gen 2
+    val after = System.currentTimeMillis() + 5
+    def q(ts: Long) = s.sql(
+      s"SELECT * FROM gts.db.t TIMESTAMP AS OF '${fmt(ts)}'")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(q(between) == Set((1L, "a")),
+      "an instant between the commits must see generation 1 only")
+    assert(q(after) == Set((1L, "a"), (2L, "b")))
+    val e = intercept[Exception](q(before))
+    assert(e.getMessage.contains("before the oldest RETAINED"), e.getMessage)
+  }
+
+  test("property: random append/overwrite/delete history matches a tracked model per generation") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    // 3 randomized histories; each: 5-7 commits of random ops, retention 3.
+    // After the history, EVERY retained generation must read back exactly
+    // the model's snapshot at that commit — the invariant that makes
+    // time travel trustworthy under arbitrary mutation interleavings.
+    (1 to 3).foreach { trial =>
+      val out = tmp()
+      var nextId = 0L
+      var snapshots = Vector.empty[Set[(Long, String)]] // index g-1 = gen g
+      var current = Set.empty[(Long, String)]
+      val nCommits = 5 + rnd.nextInt(3)
+      while (snapshots.size < nCommits) {
+        val didCommit = rnd.nextInt(4) match {
+          case 0 | 1 => // append 1-4 fresh rows
+            val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
+              nextId += 1; (nextId, s"v$nextId")
+            }
+            write(out, rows, retain = Some(3))
+            current = current ++ rows
+            true
+          case 2 => // overwrite with 1-3 fresh rows
+            val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+              nextId += 1; (nextId, s"o$nextId")
+            }
+            write(out, rows, mode = "overwrite", retain = Some(3))
+            current = rows.toSet
+            true
+          case 3 if current.nonEmpty =>
+            // delete a key-range slice that provably hits >= 1 row (a
+            // no-match delete publishes no generation, which the model
+            // does not track — guaranteed-hit keeps gen counting aligned)
+            val cutoff = current.map(_._1).min + 1
+            graft.sources.GraftTsvDelete.deleteWhere(
+              schema, out, '\t', Seq.empty, header = false,
+              Array(org.apache.spark.sql.sources.LessThan("id", cutoff)),
+              retainGenerations = 3)
+            current = current.filterNot(_._1 < cutoff)
+            true
+          case _ => false // delete drawn on an empty table: no commit, redraw
+        }
+        if (didCommit) snapshots = snapshots :+ current
+      }
+      val newest = snapshots.size.toLong
+      val oldestRetained = math.max(1L, newest - 3 + 1)
+      (oldestRetained to newest).foreach { g =>
+        assert(readGen(out, Some(g)) == snapshots((g - 1).toInt),
+          s"trial $trial: generation $g diverged from the model")
+      }
+      assert(readGen(out, None) == current, s"trial $trial: latest diverged")
+      if (oldestRetained > 1L)
+        assert(intercept[Exception](readGen(out, Some(1L)))
+          .getMessage.contains("not available"), s"trial $trial: gen 1 should be gone")
+    }
+  }
+
   test("catalog time travel: TBLPROPERTIES retention, VERSION AS OF, ALTER SET") {
     val s = spark
     import s.implicits._
