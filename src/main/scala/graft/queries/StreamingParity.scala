@@ -304,6 +304,51 @@ object StreamingParity {
         .orderBy("c_user", "c_ts_ms", "c_value")
     })
 
+  private val AntiJoinSink = "graft_stream_join_anti_sink"
+
+  /** Stream-stream LEFT-ANTI watermarked interval join — "clicks that did
+    * NOT convert within the horizon", the abandoned-funnel query. Spark
+    * has no native stream-stream anti join (`leftAnti` on a streaming
+    * right side is rejected at analysis), but anti ≡ the LEFT-OUTER
+    * join's NULL-match rows, so the operator is the outer join filtered
+    * to `p_ts IS NULL` — a pure post-join filter that Spark pipelines
+    * into the same stage, no extra state or shuffle. An anti row can only
+    * be decided NEGATIVELY once no on-time purchase can still arrive, so
+    * every output row waits for the watermark to pass its match window
+    * (the outer variant's NULL-row eviction gate). Oracle: batch NOT
+    * EXISTS plus that watermark gate. */
+  private val qStreamJoinAnti = QueryDef(
+    "q_stream_join_anti",
+    Some("""
+      |WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+      |         - INTERVAL 61 MINUTE AS w)
+      |SELECT c.user_id AS c_user, CAST(epoch_ms(c.ts) AS BIGINT) AS c_ts_ms,
+      |  c.value AS c_value
+      |FROM c
+      |WHERE NOT EXISTS (
+      |    SELECT 1 FROM p
+      |    WHERE p.user_id = c.user_id
+      |      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 47 MINUTE)
+      |  AND c.ts + INTERVAL 47 MINUTE < (SELECT w FROM wm)
+      |ORDER BY c_user, c_ts_ms, c_value
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      runToMemory(spark, AntiJoinSink, mode = "append") { s =>
+        val ev = Tables.loadEventsStream(s, dir)
+        graft.streaming.StreamingOps.clickPurchaseJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          horizon = "47 minutes", lateness = "61 minutes",
+          joinType = "leftOuter")
+          .filter(col("p_ts").isNull)
+      }
+        .select(col("c_user"), unix_millis(col("c_ts")).as("c_ts_ms"),
+          col("c_value"))
+        .orderBy("c_user", "c_ts_ms", "c_value")
+    })
+
   private val EnrichSink = "graft_stream_enrich_sink"
 
   /** Stream-STATIC enrichment under the correctness gate: each streamed
@@ -412,6 +457,6 @@ object StreamingParity {
 
   val defs: Seq[QueryDef] =
     Seq(qStreamTumbling, qSessionWindow, qStreamSessionize, qStreamJoin,
-      qStreamJoinOuter, qStreamJoinFull, qStreamJoinSemi,
+      qStreamJoinOuter, qStreamJoinFull, qStreamJoinSemi, qStreamJoinAnti,
       qStreamEnrich, qStreamDedup, qStreamDsv2Sink)
 }

@@ -303,6 +303,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("anti composition (outer + IS NULL) emits only never-converting clicks, after eviction") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val cIn = MemoryStream[UserEvent]
+    val pIn = MemoryStream[UserEvent]
+    val q = StreamingOps.clickPurchaseJoin(cIn.toDF(), pIn.toDF(),
+      joinType = "leftOuter")
+      .filter(col("p_ts").isNull)
+      .writeStream.format("memory").queryName("cp_join_anti")
+      .outputMode("append").start()
+    def rows() = s.table("cp_join_anti").select("c_user", "c_value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    try {
+      cIn.addData(Seq(
+        UserEvent(1L, ts("2024-01-01 00:00:00"), 1.0),   // converts
+        UserEvent(2L, ts("2024-01-01 00:05:00"), 3.0)))  // never converts
+      pIn.addData(Seq(UserEvent(1L, ts("2024-01-01 00:30:00"), 10.0)))
+      q.processAllAvailable()
+      assert(rows() == Set.empty,
+        s"no anti row may emit while windows are still open: ${rows()}")
+      cIn.addData(Seq(UserEvent(9L, ts("2024-01-01 06:00:00"), 0.0)))
+      pIn.addData(Seq(UserEvent(9L, ts("2024-01-01 06:00:01"), 0.0)))
+      q.processAllAvailable()
+      // user 9's click converts (purchase 1s later), so after eviction the
+      // only anti row is user 2's abandoned click — user 1 must NOT appear
+      assert(rows() == Set((2L, 3.0)),
+        s"exactly the abandoned click must emit: ${rows()}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running totals across batches") {
     val s = spark
     import s.implicits._
