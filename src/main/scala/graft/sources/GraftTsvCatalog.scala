@@ -374,3 +374,36 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
     new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
       Array(catalogName) ++ namespace)
 }
+
+object GraftTsvCatalog {
+
+  /** Generation history of a graft-tsv table directory — the time-travel
+    * discovery surface (what DESCRIBE HISTORY is to a Delta table): one
+    * row per RETAINED generation with its publish instant and the visible
+    * file/row footprint, assembled from manifests alone (no data scan —
+    * metadata-only at any table size; row counts come from the per-file
+    * stats cells when recorded). Works on any graft-tsv path,
+    * catalog-managed or not. */
+  def history(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val dir = new Path(path)
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows =
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq
+        .flatMap(st => GraftTsvManifest.genNumber(st.getPath.getName)
+          .map(g => (g, st.getPath, st.getModificationTime)))
+        .sortBy(_._1)
+        .map { case (g, mp, publishedMs) =>
+          val entries = GraftTsvManifest.readEntries(f, mp)
+          val rowCounts = entries.map(e => GraftTsvManifest.rowCountOf(e._2))
+          (g, publishedMs, entries.size.toLong,
+            // total rows only when EVERY entry carries a count — a partial
+            // sum would read as a real total
+            if (rowCounts.nonEmpty && rowCounts.forall(_.isDefined))
+              rowCounts.flatten.sum else -1L,
+            GraftTsvManifest.epochOf(f, mp).getOrElse(-1L))
+        }
+    rows.toDF("generation", "published_ms", "n_files", "n_rows", "epoch")
+  }
+}

@@ -172,6 +172,24 @@ class Dsv2TimeTravelSpec extends SparkSuite {
     }
   }
 
+  test("history() lists retained generations with publish time and footprint") {
+    val out = tmp()
+    write(out, Seq((1L, "a"), (2L, "b")), retain = Some(3))   // gen 1
+    write(out, Seq((3L, "c")), retain = Some(3))              // gen 2
+    write(out, Seq((9L, "z")), mode = "overwrite", retain = Some(3)) // gen 3
+    val h = graft.sources.GraftTsvCatalog.history(spark, out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(h.map(_._1).toSeq == Seq(1L, 2L, 3L), s"history: ${h.toSeq}")
+    // publish instants are monotone with generation numbers
+    assert(h.sliding(2).forall { case Array(a, b) => a._2 <= b._2 })
+    // footprint: gen 1 = one file of 2 rows, gen 2 = two files of 3 rows
+    // total, gen 3 (overwrite) = one file of 1 row
+    assert(h.map(x => (x._3, x._4)).toSeq == Seq((1L, 2L), (2L, 3L), (1L, 1L)),
+      s"files/rows: ${h.toSeq}")
+    // empty / nonexistent path: empty history, no error
+    assert(graft.sources.GraftTsvCatalog.history(spark, out + "-nope").count() == 0)
+  }
+
   test("catalog time travel: TBLPROPERTIES retention, VERSION AS OF, ALTER SET") {
     val s = spark
     import s.implicits._
