@@ -190,6 +190,33 @@ class Dsv2TimeTravelSpec extends SparkSuite {
     assert(graft.sources.GraftTsvCatalog.history(spark, out + "-nope").count() == 0)
   }
 
+  test("streaming epochs publish retained generations readable by pin, with epoch ids in history") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val root = tmp()
+    val out = s"$root/out"
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "v")
+      .writeStream.format("graft-tsv")
+      .option("path", out)
+      .option("checkpointLocation", s"$root/ckpt")
+      .option("retain.generations", "3")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a")); q.processAllAvailable()   // epoch 0 → gen 1
+      input.addData((2L, "b")); q.processAllAvailable()   // epoch 1 → gen 2
+    } finally q.stop()
+    // each micro-batch is one generation; the pin sees the table as it
+    // stood after that epoch's atomic swap
+    assert(readGen(out, Some(1L)) == Set((1L, "a")))
+    assert(readGen(out, Some(2L)) == Set((1L, "a"), (2L, "b")))
+    val h = graft.sources.GraftTsvCatalog.history(spark, out)
+      .collect().map(r => (r.getLong(0), r.getLong(4)))
+    assert(h.toSeq == Seq((1L, 0L), (2L, 1L)),
+      s"history must carry the replay-idempotence epoch ids: ${h.toSeq}")
+  }
+
   test("catalog time travel: TBLPROPERTIES retention, VERSION AS OF, ALTER SET") {
     val s = spark
     import s.implicits._
