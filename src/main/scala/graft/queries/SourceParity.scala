@@ -685,6 +685,135 @@ object SourceParity {
         .orderBy("snapshot", "c_mktsegment")
     })
 
+  /** SQL `MERGE INTO` on the graft CATALOG under the oracle gate
+    * (VERDICT r09 #1) — the upsert verb a corpus-curation pipeline runs
+    * on every refresh ("merge today's crawl: update changed docs, drop
+    * condemned ones, insert new ones"), now first-class on the connector
+    * instead of the manual anti-join+union shape (q_upsert). All three
+    * arms fire: matched-'F' rows update (status + doubled price),
+    * matched-'P' rows delete, unmatched source rows insert (tagged
+    * status). The plan is the group-based copy-on-write rewrite
+    * (GraftTsvRowLevelOperation): Spark's runtime group filter collects
+    * the `_file` values of matched rows, so only the files containing
+    * matches are read and rewritten — at 100 TB a MERGE touching one
+    * day's files rewrites those files, not the corpus; visibility is one
+    * `_gen` swap (a concurrent reader sees pre- or post-merge, never a
+    * mix). The oracle reconstructs the merge with a left join + anti
+    * join over the original parquet. Arm semantics, group-filter file
+    * identity, and crash atomicity: Dsv2MergeSpec. */
+  private val qDsv2Merge = QueryDef(
+    "q_dsv2_merge",
+    Some(s"""
+      |WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, ${sqlDec("o_totalprice")} AS price
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |src AS (
+      |  SELECT o_orderkey, o_orderstatus, ${sqlDec("o_totalprice")} * 2 AS price2
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |merged AS (
+      |  SELECT
+      |    CASE WHEN s.o_orderkey IS NOT NULL AND s.o_orderstatus = 'F'
+      |      THEN 'X' ELSE b.o_orderstatus END AS st,
+      |    CASE WHEN s.o_orderkey IS NOT NULL AND s.o_orderstatus = 'F'
+      |      THEN s.price2 ELSE b.price END AS price
+      |  FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+      |  WHERE NOT (s.o_orderkey IS NOT NULL AND s.o_orderstatus = 'P')
+      |  UNION ALL
+      |  SELECT concat('N', s.o_orderstatus) AS st, s.price2 AS price
+      |  FROM src s WHERE NOT EXISTS (
+      |    SELECT 1 FROM base b WHERE b.o_orderkey = s.o_orderkey))
+      |SELECT st AS o_orderstatus, count(*) AS n,
+      |  CAST(sum(price) AS DOUBLE) AS sum_price
+      |FROM merged GROUP BY st ORDER BY st
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.orders_merge_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t (o_orderkey BIGINT, o_orderstatus STRING,
+        o_totalprice_str STRING) USING `graft-tsv`""")
+      val orders = tbl(spark, dir, "orders")
+      orders.filter(col("o_orderkey") % 3 =!= 0).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        dec("o_totalprice").cast("string").as("o_totalprice_str"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .writeTo(t).append()
+      orders.filter(col("o_orderkey") % 2 === 0).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        (dec("o_totalprice") * 2).cast("string").as("price2_str"))
+        .createOrReplaceTempView(s"mrg_src_$h")
+      spark.sql(s"""
+        MERGE INTO $t t USING mrg_src_$h s ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.o_orderstatus = 'F' THEN
+          UPDATE SET o_orderstatus = 'X', o_totalprice_str = s.price2_str
+        WHEN MATCHED AND s.o_orderstatus = 'P' THEN DELETE
+        WHEN NOT MATCHED THEN
+          INSERT (o_orderkey, o_orderstatus, o_totalprice_str)
+          VALUES (s.o_orderkey, concat('N', s.o_orderstatus), s.price2_str)
+      """)
+      spark.table(t)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          dsum(dec(col("o_totalprice_str"))).as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
+
+  /** SQL row-level `UPDATE` on the graft CATALOG under the oracle gate —
+    * the reweight/rescore verb ("bump these documents' quality scores"):
+    * same copy-on-write rewrite as MERGE, with a deliberately
+    * NON-pushdown predicate (`c_custkey % 10 = 3`) so the statement
+    * exercises the rewrite path end-to-end (a translatable predicate
+    * would too — UPDATE has no metadata fast path — but this pins the
+    * harder shape). The oracle applies the same conditional rewrite over
+    * the original parquet. */
+  private val qDsv2Update = QueryDef(
+    "q_dsv2_update",
+    Some(s"""
+      |SELECT
+      |  CASE WHEN c_custkey % 10 = 3 THEN concat('U_', c_mktsegment)
+      |    ELSE c_mktsegment END AS c_mktsegment,
+      |  count(*) AS n,
+      |  CAST(sum(CASE WHEN c_custkey % 10 = 3
+      |    THEN ${sqlDec("c_acctbal")} + 100 ELSE ${sqlDec("c_acctbal")} END)
+      |    AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY 1 ORDER BY 1
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.cust_upd_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t (c_custkey BIGINT, c_mktsegment STRING,
+        c_acctbal_str STRING) USING `graft-tsv`""")
+      tbl(spark, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        dec("c_acctbal").cast("string").as("c_acctbal_str"))
+        .writeTo(t).append()
+      spark.sql(s"""
+        UPDATE $t SET
+          c_mktsegment = concat('U_', c_mktsegment),
+          c_acctbal_str =
+            CAST(CAST(c_acctbal_str AS DECIMAL(18,2)) + 100 AS STRING)
+        WHERE c_custkey % 10 = 3
+      """)
+      spark.table(t)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          dsum(dec(col("c_acctbal_str"))).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    })
+
   /** Pay-once TSV export for q_dsv2_source (same _SUCCESS + source
     * fingerprint guard as the federated exports): project orders to the
     * connector's text conventions — exact decimal STRING for the price
@@ -747,5 +876,6 @@ object SourceParity {
   val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qPartitionedSink,
     qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source,
     qDsv2Sink, qDsv2RuntimeJoin, qDsv2Partitioned, qDsv2StatsSkip,
-    qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn, qDsv2TimeTravel)
+    qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn, qDsv2TimeTravel,
+    qDsv2Merge, qDsv2Update)
 }

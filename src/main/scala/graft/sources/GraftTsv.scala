@@ -119,9 +119,40 @@ final class GraftTsvDataSource extends TableProvider with DataSourceRegister {
 final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft-tsv ${options.get("path")}"
   override def schema(): StructType = tableSchema
+
+  /** `_file` — the row's source file path, split-constant in the readers;
+    * also the GROUP IDENTITY for copy-on-write row-level operations (see
+    * [[GraftTsvMeta]]). A real column named `_file` shadows it (default
+    * `canRenameConflictingMetadataColumns` = false). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftTsvMeta.FileMetadataColumn)
+
+  /** SQL `UPDATE` / `MERGE INTO` / non-pushdown `DELETE` — the group-based
+    * copy-on-write rewrite ([[GraftTsvRowLevelOperation]]). Pushdown-
+    * translatable DELETEs still take the [[GraftTsvDelete]] fast path via
+    * Spark's metadata-only-delete optimizer rule. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(!headerOn,
+      s"graft-tsv: row-level ${info.command()} is not supported on headered " +
+        "tables (a rewrite would have to re-thread per-file header lines; " +
+        "catalog tables never write headers)")
+    () => new GraftTsvRowLevelOperation(
+      info.command(),
+      tableSchema,
+      Option(options.get("path")).getOrElse(
+        throw new IllegalArgumentException("graft-tsv: no path given")),
+      Option(options.get("delimiter")).getOrElse("\t").charAt(0),
+      declaredPartCols,
+      tableRetain)
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
@@ -375,7 +406,10 @@ private[sources] object GraftTsvPushdown {
     }
     p.name() match {
       case "IN" => p.children() match {
-        case kids if kids.length >= 2 =>
+        // a zero-value IN is legitimate (a runtime group filter whose
+        // build side matched nothing) and prunes EVERYTHING — dropping it
+        // would turn "touch no files" into "touch every file"
+        case kids if kids.length >= 1 =>
           val vs = kids.tail.map(lit)
           for (c <- ref(kids.head); _ <- if (vs.forall(_.isDefined)) Some(()) else None)
             yield In(c, vs.map(_.get))
@@ -478,7 +512,9 @@ final class GraftTsvScan(
     hconf: SerializableHadoopConf = SerializableHadoopConf.fromSession(),
     partCols: Seq[String] = Seq.empty,
     vectorized: Boolean = true,
-    generation: Option[Long] = None)
+    generation: Option[Long] = None,
+    fileFilterOnly: Boolean = false,
+    onPlanned: Option[Seq[String] => Unit] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -499,6 +535,12 @@ final class GraftTsvScan(
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (countOnly) Array.empty // count already left the row domain
+    else if (fileFilterOnly)
+      // row-level rewrite scan: the only runtime filter it accepts is the
+      // group filter on `_file` — a data-column filter would drop rows of
+      // an affected file, which group-based semantics forbid
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(GraftTsvMeta.FileCol))
     else required.fields // Spark resolves these against the PRUNED output
       .filter(f => GraftTsvPushdown.supportedType(f.dataType))
       .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
@@ -507,7 +549,7 @@ final class GraftTsvScan(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Unit =
     factory.runtimeFilters = predicates.flatMap(GraftTsvPushdown.predicateToV1)
-      .filter(GraftTsvPushdown.supported(fullSchema, _))
+      .filter(GraftTsvPushdown.supported(GraftTsvMeta.augment(fullSchema), _))
 
   private[sources] def pushedFilters: Array[Filter] = pushed
 
@@ -646,8 +688,24 @@ final class GraftTsvScan(
   private[sources] def pruneFiles(
       files: Seq[GraftTsvFileEntry], filters: Array[Filter]): Seq[GraftTsvFileEntry] = {
     val single = filters.filter(_.references.length == 1)
+    // `_file` predicates (the row-level runtime group filter, typically
+    // IN(<matched files>)) prune at file granularity against the listed
+    // absolute path — the reader-side constant uses the same string, so
+    // pruning here and evaluating there can never disagree
+    val afterFile = {
+      val filePreds = single
+        .filter(f => f.references.head == GraftTsvMeta.FileCol &&
+          !fullSchema.fieldNames.contains(GraftTsvMeta.FileCol))
+        .map(GraftTsvPushdown.compile(
+          StructType(Seq(StructField(GraftTsvMeta.FileCol, StringType))), _))
+      if (filePreds.isEmpty) files
+      else files.filter { e =>
+        val v = UTF8String.fromString(e.path)
+        filePreds.forall { case (_, test) => test(v) }
+      }
+    }
     val afterPart =
-      if (partCols.isEmpty) files
+      if (partCols.isEmpty) afterFile
       else {
         val partSchema =
           StructType(partCols.map(c => fullSchema(fullSchema.fieldIndex(c))))
@@ -655,8 +713,8 @@ final class GraftTsvScan(
         val preds = single
           .filter(f => partSet.contains(f.references.head))
           .map(GraftTsvPushdown.compile(partSchema, _))
-        if (preds.isEmpty) files
-        else files.filter { e =>
+        if (preds.isEmpty) afterFile
+        else afterFile.filter { e =>
           val typed = e.partVals.zipWithIndex.map { case (raw, i) =>
             if (raw == null) null
             else GraftTsvPushdown.convertCell(partSchema(i).dataType, raw)
@@ -736,7 +794,11 @@ final class GraftTsvScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val filters = pushed ++ factory.runtimeFilters
     val statPreds = compiledStatPreds(filters)
-    pruneFiles(batchListing, filters).flatMap(splitsFor(_, statPreds)).toArray
+    val pruned = pruneFiles(batchListing, filters)
+    // row-level rewrite scans report the planned FILES (the groups the
+    // operation replaces) back to the operation; see GraftTsvRowLevelOperation
+    onPlanned.foreach(_(pruned.map(_.rel)))
+    pruned.flatMap(splitsFor(_, statPreds)).toArray
   }
 
   /** The stat predicates compiled ONCE per planning (literal conversion
@@ -1161,11 +1223,16 @@ final class GraftTsvReaderFactory(
 
   /** Vectorized by default ([[GraftTsvColumnarReader]]); the pushed
     * COUNT(*) path stays row-based (its output is one partial-count row
-    * per split — nothing to vectorize). Spark probes this at PLANNING
+    * per split — nothing to vectorize). A projection of the VIRTUAL
+    * `_file` metadata column also takes the row path (it's a rare,
+    * metadata-driven shape — the group-filter scan of a row-level
+    * operation — not a data hot path). Spark probes this at PLANNING
     * (it decides whether a `ColumnarToRow` bridge is planned), which is
     * why the factory is scan-cached and runtime filters mutate it. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    vectorized && !countOnly
+    vectorized && !countOnly &&
+      !(required.fieldNames.contains(GraftTsvMeta.FileCol) &&
+        !fullSchema.fieldNames.contains(GraftTsvMeta.FileCol))
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -1198,57 +1265,69 @@ final class GraftTsvPartitionReader(
 
   private val end = split.start + split.length
 
+  // index math runs over the AUGMENTED schema (fullSchema + the virtual
+  // `_file` metadata column appended, when no real column shadows it) —
+  // `_file` is split-constant exactly like a hive partition value
+  private val augSchema: StructType = GraftTsvMeta.augment(fullSchema)
+  private val virtFileIdx: Int =
+    if (augSchema.length > fullSchema.length) fullSchema.length else -1
+
   // hive layout: partition columns are NOT in the data lines — a line's
-  // field at position p is the p-th NON-partition schema field
+  // field at position p is the p-th NON-constant schema field
   private val partSchemaIdx: Array[Int] = partCols.map(fullSchema.fieldIndex).toArray
-  private val isPart: Array[Boolean] = {
-    val a = new Array[Boolean](fullSchema.length)
-    partSchemaIdx.foreach(a(_) = true); a
+  private val isConst: Array[Boolean] = {
+    val a = new Array[Boolean](augSchema.length)
+    partSchemaIdx.foreach(a(_) = true)
+    if (virtFileIdx >= 0) a(virtFileIdx) = true
+    a
   }
   private val lineFieldSchemaIdx: Array[Int] =
-    fullSchema.fields.indices.filterNot(isPart).toArray
+    augSchema.fields.indices.filterNot(isConst).toArray
   private val schemaToLinePos: Array[Int] = {
-    val a = Array.fill(fullSchema.length)(-1)
+    val a = Array.fill(augSchema.length)(-1)
     lineFieldSchemaIdx.zipWithIndex.foreach { case (si, lp) => a(si) = lp }
     a
   }
 
-  // line positions needed by projection ∪ predicates (partition columns
-  // excluded — their values come from the split, not the line)
+  // line positions needed by projection ∪ predicates (split-constant
+  // columns excluded — their values come from the split, not the line)
   private val outIdx: Array[Int] =
-    required.fields.map(f => fullSchema.fieldIndex(f.name))
+    required.fields.map(f => augSchema.fieldIndex(f.name))
   private val filterCols: Array[String] = pushed.flatMap(_.references).distinct
   private val neededIdx: Array[Int] =
-    (outIdx ++ filterCols.map(fullSchema.fieldIndex)).distinct
-      .filterNot(isPart).map(schemaToLinePos).sorted
+    (outIdx ++ filterCols.map(augSchema.fieldIndex)).distinct
+      .filterNot(isConst).map(schemaToLinePos).sorted
   private val maxNeeded: Int = if (neededIdx.isEmpty) -1 else neededIdx.max
 
   // parsed INTERNAL values (Long/Int/Double/epoch-day Int/UTF8String)
-  // land in a dense scratch array indexed by FULL schema position
-  // (bounded by the schema width, not the corpus). Partition values are
-  // CONSTANT for the whole split — converted once here, never re-parsed.
-  private val scratch = new Array[Any](fullSchema.length)
+  // land in a dense scratch array indexed by AUGMENTED schema position
+  // (bounded by the schema width, not the corpus). Partition values and
+  // `_file` are CONSTANT for the whole split — converted once here,
+  // never re-parsed.
+  private val scratch = new Array[Any](augSchema.length)
   partSchemaIdx.zipWithIndex.foreach { case (si, j) =>
     val raw = split.partVals(j)
     scratch(si) =
       if (raw == null) null
       else GraftTsvPushdown.convertCell(fullSchema(si).dataType, raw)
   }
+  if (virtFileIdx >= 0) scratch(virtFileIdx) = UTF8String.fromString(split.file)
 
-  /** Pushed predicates compiled to (full-schema index, test), compared in
-    * the column's INTERNAL type via GraftTsvPushdown's Spark-semantics
-    * comparators, converting each literal once. Predicates referencing
-    * ONLY partition columns are split-CONSTANT: they are evaluated once
-    * here against the prefilled scratch values (normally true — planning
-    * already pruned the files — but runtime filters can arrive for
-    * shapes planning could not prune) and excluded from the per-line
-    * set, so a partition-key runtime IN costs nothing per line. */
+  /** Pushed predicates compiled to (augmented-schema index, test),
+    * compared in the column's INTERNAL type via GraftTsvPushdown's
+    * Spark-semantics comparators, converting each literal once.
+    * Predicates referencing ONLY split-constant columns (partition
+    * values, `_file`) are evaluated once here against the prefilled
+    * scratch values (normally true — planning already pruned the files —
+    * but runtime filters can arrive for shapes planning could not prune)
+    * and excluded from the per-line set, so a partition-key or
+    * group-filter runtime IN costs nothing per line. */
   private val (preds, splitAlive): (Array[(Int, Any => Boolean)], Boolean) = {
-    val partSet = partSchemaIdx.toSet
-    val (partOnly, perLine) = pushed
-      .map(GraftTsvPushdown.compile(fullSchema, _))
-      .partition { case (i, _) => partSet.contains(i) }
-    (perLine, partOnly.forall { case (i, test) => test(scratch(i)) })
+    val constSet = augSchema.fields.indices.filter(isConst).toSet
+    val (constOnly, perLine) = pushed
+      .map(GraftTsvPushdown.compile(augSchema, _))
+      .partition { case (i, _) => constSet.contains(i) }
+    (perLine, constOnly.forall { case (i, test) => test(scratch(i)) })
   }
 
   private val fs: FileSystem =

@@ -43,8 +43,11 @@ import org.apache.spark.sql.types._
   * Supported predicates are exactly the reader's pushdown surface
   * (=, <, <=, >, >=, IN, IS NOT NULL over long/int/double/string/date,
   * plus DELETE-without-WHERE as an empty-generation truncate);
-  * `canDeleteWhere` refuses anything else, so Spark fails the statement
-  * loudly instead of half-applying it.
+  * `canDeleteWhere` refuses anything else, and Spark then routes the
+  * statement through the group-based copy-on-write rewrite
+  * ([[GraftTsvRowLevelOperation]]) instead — this fast path only ever
+  * serves the metadata-only-translatable shapes (Spark's
+  * OptimizeMetadataOnlyDeleteFromTable rule picks between the two).
   */
 object GraftTsvDelete {
 

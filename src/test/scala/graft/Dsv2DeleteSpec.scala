@@ -15,7 +15,8 @@ import org.apache.spark.sql.types._
   *    the table; rewritten files carry fresh, still-prunable stats;
   *  - crash states stay invisible (staging garbage never surfaces, the
   *    old generation stays readable, the next commit sweeps);
-  *  - unsupported predicates are refused loudly, not half-applied. */
+  *  - non-translatable predicates fall back to the row-level rewrite
+  *    (GraftTsvRowLevelOperation; arm-level coverage in Dsv2MergeSpec). */
 class Dsv2DeleteSpec extends SparkSuite {
 
   private val rootDir = Files.createTempDirectory("graft_delete").toString
@@ -127,17 +128,18 @@ class Dsv2DeleteSpec extends SparkSuite {
       s"crashed delete staging must be swept: ${names("c").mkString(",")}")
   }
 
-  test("unsupported predicates are refused loudly, not half-applied") {
+  test("non-translatable predicates fall back to the row-level rewrite") {
+    // pre-row-level-operations this was refused loudly; with
+    // SupportsRowLevelOperations the group-based copy-on-write rewrite
+    // (GraftTsvRowLevelOperation) handles any predicate Spark can
+    // evaluate — the translatable ones above still take the
+    // GraftTsvDelete metadata fast path (file-identity assertions in
+    // "only files whose stats can match are rewritten" prove it)
     spark.sql("CREATE TABLE gdel.db.u (id BIGINT, v STRING) USING `graft-tsv`")
     spark.sql("INSERT INTO gdel.db.u SELECT id, concat('v', id) FROM range(10)")
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM gdel.db.u WHERE id % 2 = 0")
-    }
-    assert(Option(e.getMessage).exists(m =>
-      m.toLowerCase.contains("delete") || m.toLowerCase.contains("filter")),
-      e.toString)
-    assert(spark.sql("SELECT count(*) FROM gdel.db.u").head().getLong(0) == 10,
-      "refused delete must leave the table untouched")
+    spark.sql("DELETE FROM gdel.db.u WHERE id % 2 = 0")
+    assert(spark.sql("SELECT id FROM gdel.db.u ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L, 5L, 7L, 9L))
   }
 
   test("canDeleteWhere surface: pushdown-shaped filters yes, others no") {
