@@ -814,6 +814,53 @@ object SourceParity {
         .orderBy("c_mktsegment")
     })
 
+  /** OPTIMIZE / compaction on the graft CATALOG under the oracle gate
+    * (VERDICT r09 #2): customer lands as 12 sub-target part files (the
+    * shape a per-epoch streaming sink leaves behind), then
+    * `CALL g.system.compact(...)` (GraftTsvMaintenance) bin-packs each
+    * group into one file by BYTE-LEVEL concatenation — no parse, no
+    * shuffle, one task per output — and publishes a new generation whose
+    * manifest merges the inputs' column stats (metadata-only, skipping
+    * survives). The builder asserts the file count actually dropped (the
+    * compaction is the exhibit), and the oracle states the aggregate over
+    * the original parquet: a pass proves compaction changed LAYOUT, never
+    * content. History/retention/vacuum mechanics: Dsv2MaintenanceSpec. */
+  private val qDsv2Compact = QueryDef(
+    "q_dsv2_compact",
+    Some(s"""
+      |SELECT c_mktsegment, count(*) AS n,
+      |  ${sqlDsum(sqlDec("c_acctbal"))} AS sum_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.cust_compact_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t (c_custkey BIGINT, c_mktsegment STRING,
+        c_acctbal_str STRING) USING `graft-tsv`""")
+      tbl(spark, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        dec("c_acctbal").cast("string").as("c_acctbal_str"))
+        .repartition(12)
+        .writeTo(t).append()
+      val res = spark.sql(
+        s"CALL gparity.system.compact(`table` => 'db.cust_compact_$h')")
+        .collect().head
+      require(res.getLong(1) < res.getLong(0),
+        s"compaction must reduce the file count, got $res")
+      spark.table(t)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          dsum(dec(col("c_acctbal_str"))).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    })
+
   /** Pay-once TSV export for q_dsv2_source (same _SUCCESS + source
     * fingerprint guard as the federated exports): project orders to the
     * connector's text conventions — exact decimal STRING for the price
@@ -877,5 +924,5 @@ object SourceParity {
     qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source,
     qDsv2Sink, qDsv2RuntimeJoin, qDsv2Partitioned, qDsv2StatsSkip,
     qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn, qDsv2TimeTravel,
-    qDsv2Merge, qDsv2Update)
+    qDsv2Merge, qDsv2Update, qDsv2Compact)
 }

@@ -37,7 +37,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * connector's single-writer-per-table contract; DDL operations are
   * driver-side metadata-file writes.
   */
-final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -292,6 +293,43 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
     }
     writeDescriptor(f, dir, d0.copy(schema = schema, props = props))
     loadTable(ident)
+  }
+
+  // ---- maintenance procedures (SQL CALL) ----
+
+  /** `CALL <cat>.system.compact('db.t' [, target_bytes])` and
+    * `CALL <cat>.system.vacuum('db.t' [, older_than_ms])` — see
+    * [[GraftTsvMaintenance]]. The namespace in the CALL is cosmetic
+    * (any resolves); the table argument is `namespace.table` under THIS
+    * catalog. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    ident.name().toLowerCase(java.util.Locale.ROOT) match {
+      case "compact" => GraftTsvProcedures.compact(resolveForMaintenance)
+      case "vacuum" => GraftTsvProcedures.vacuum(resolveForMaintenance)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unknown procedure '$other' — available: compact, vacuum")
+    }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "vacuum"))
+
+  /** Table-name string (`'db.t'`) → (dir, partition columns, retention)
+    * for the maintenance procedures. */
+  private def resolveForMaintenance(tableName: String): (Path, Seq[String], Int) = {
+    val parts = tableName.split("\\.")
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"graft catalog: procedure table argument must be 'namespace.table', " +
+        s"got '$tableName'")
+    val ident = Identifier.of(parts.init, parts.last)
+    val f = fs()
+    val dir = tableDir(ident)
+    val mp = metaPath(dir)
+    if (!f.exists(mp)) throw noSuchTable(ident)
+    val d = readDescriptor(f, mp)
+    val partCols = d.partColsCsv.split(",").filter(_.nonEmpty).toSeq
+    val retain = d.props.get(RetainKey).flatMap(_.toIntOption).getOrElse(1)
+    (dir, partCols, retain)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -1,0 +1,341 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Table-maintenance verbs of the graft catalog, exposed as SQL stored
+  * procedures (Spark 4's `ProcedureCatalog` seam):
+  *
+  * {{{
+  *   CALL g.system.compact(`table` => 'db.t', target_bytes => 67108864)
+  *   CALL g.system.vacuum(`table` => 'db.t', older_than_ms => 3600000)
+  * }}}
+  *
+  * COMPACT is the OPTIMIZE verb a streamed table needs: every streaming
+  * epoch publishes one generation with its own small part files
+  * (exactly-once commits cannot coalesce across epochs), so a long-lived
+  * sink accumulates thousands of sub-split files whose per-file overhead
+  * (open, seek, list) dominates a scan at 100 TB. Compaction bin-packs
+  * each partition leaf's sub-target files into concatenation groups and
+  * rewrites each group as ONE new part — a pure byte-level concatenation
+  * (line-framed text concatenates verbatim; no parse, no shuffle), run
+  * one Spark task per output file. The new generation's manifest drops
+  * the consumed smalls and carries everything else untouched; column
+  * stats for a merged file are the min/max MERGE of its inputs' manifest
+  * cells (metadata-only — the rewrite never inspects values), so file
+  * skipping survives compaction. Visibility is the usual single `_gen`
+  * swap, and time-travel retention keeps the pre-compaction snapshot
+  * readable: compaction changes layout, never content or history.
+  *
+  * VACUUM is the orphan sweeper: the commit protocol guarantees a crash
+  * leaves only INVISIBLE garbage (dot-prefixed staging/tmp files, or
+  * renamed-but-never-referenced parts from a crash between the part
+  * renames and the manifest swap), and each next commit sweeps what it
+  * can — but a table that is never written again keeps its orphans
+  * forever. VACUUM deletes exactly the files no retained manifest
+  * references, age-gated (`older_than_ms`) so an IN-FLIGHT write's
+  * staging files are never swept from under it. Retained generations,
+  * manifests, and the descriptor are never touched — a concurrent
+  * reader of any retained snapshot is unaffected.
+  */
+private[sources] object GraftTsvMaintenance {
+
+  private def typeFor(tn: String): Option[DataType] = tn match {
+    case "long" => Some(LongType)
+    case "integer" => Some(IntegerType)
+    case "double" => Some(DoubleType)
+    case "string" => Some(StringType)
+    case "date" => Some(DateType)
+    case _ => None
+  }
+
+  /** Merge the manifest stats cells of a concatenation group,
+    * metadata-only. Row counts sum; a column's range is the min/max over
+    * the inputs that RECORD it (absence in a cell means the file had no
+    * non-null value for it, so skipping the absent input is exact, not
+    * approximate); conflicting type tags drop the column. Any input
+    * without a cell poisons the merge (its values are unknown) — the
+    * merged file simply carries no stats and is never pruned. Per-block
+    * entries are not carried (the inputs are sub-target files — at most
+    * a handful of blocks each; file-level stats keep skipping useful). */
+  private[sources] def mergeStats(cells: Seq[String]): String = {
+    if (cells.exists(_.isEmpty)) return ""
+    val rows = cells.map(GraftTsvManifest.rowCountOf)
+    if (rows.exists(_.isEmpty)) return ""
+    val parsed = cells.map(GraftTsvManifest.parseStats)
+    val colsInOrder = parsed.flatMap(_.keys).distinct
+    val merged = colsInOrder.flatMap { c =>
+      val occ = parsed.flatMap(_.get(c))
+      val tn = occ.head._1
+      if (!occ.forall(_._1 == tn)) None
+      else typeFor(tn).flatMap { dt =>
+        try {
+          val typed = occ.map { case (_, mnRaw, mxRaw) =>
+            ((GraftTsvPushdown.convertCell(dt, mnRaw), mnRaw),
+              (GraftTsvPushdown.convertCell(dt, mxRaw), mxRaw))
+          }
+          val mn = typed.map(_._1)
+            .reduce((a, b) => if (GraftTsvPushdown.cmp(dt, a._1, b._1) <= 0) a else b)
+          val mx = typed.map(_._2)
+            .reduce((a, b) => if (GraftTsvPushdown.cmp(dt, a._1, b._1) >= 0) a else b)
+          Some(GraftTsvManifest.statEscape(c) + ":" + tn + ":" +
+            GraftTsvManifest.statEscape(mn._2) + ":" +
+            GraftTsvManifest.statEscape(mx._2))
+        } catch { case _: RuntimeException => None } // corrupt cell: no entry
+      }
+    }
+    (s"#n:${rows.flatten.sum}" +: merged).mkString(",")
+  }
+
+  /** One compaction group: the ordered rel paths to concatenate (all in
+    * the same partition leaf) and the merged stats cell for the output. */
+  private[sources] final case class CompactGroup(
+      rels: Seq[String], lens: Seq[Long], stats: String)
+
+  /** Plan the concatenation groups for one generation's entries: within
+    * each partition leaf, name-ordered sub-target files greedily pack
+    * into groups capped at `targetBytes`; only groups of 2+ files are
+    * rewrite units (a lone small file gains nothing from a rewrite).
+    * Name order keeps the relative row order of the inputs — compaction
+    * preserves content AND per-leaf ordering, so a downstream consumer
+    * relying on the (documented-unordered, but stable) listing order
+    * sees no value-level change. */
+  private[sources] def planGroups(
+      entries: Seq[(String, String)], lenOf: Map[String, Long],
+      targetBytes: Long): Seq[CompactGroup] = {
+    entries
+      .filter(e => lenOf.get(e._1).exists(l => l > 0 && l < targetBytes))
+      .groupBy { case (rel, _) =>
+        if (rel.contains('/')) rel.substring(0, rel.lastIndexOf('/') + 1) else ""
+      }
+      .toSeq.sortBy(_._1)
+      .flatMap { case (_, leafEntries) =>
+        val sorted = leafEntries.sortBy(_._1)
+        val groups = Seq.newBuilder[Seq[(String, String)]]
+        var cur = List.empty[(String, String)]
+        var curBytes = 0L
+        sorted.foreach { e =>
+          val len = lenOf(e._1)
+          if (cur.nonEmpty && curBytes + len > targetBytes) {
+            groups += cur.reverse; cur = Nil; curBytes = 0L
+          }
+          cur ::= e; curBytes += len
+        }
+        if (cur.nonEmpty) groups += cur.reverse
+        groups.result().filter(_.size >= 2).map { g =>
+          CompactGroup(g.map(_._1), g.map(e => lenOf(e._1)),
+            mergeStats(g.map(_._2)))
+        }
+      }
+  }
+
+  /** Byte-level concatenation of one group into a staged file in the
+    * same partition leaf (task-side; the attempt token in the staged
+    * name keeps speculative retries from interleaving, same protocol as
+    * every other staged write). Inputs the writer produced always end in
+    * a newline; an adopted legacy file that doesn't gets one appended so
+    * the next input starts on a fresh line. */
+  private def concatOne(
+      hconf: SerializableHadoopConf, dirStr: String, rels: Seq[String],
+      stagedName: String): String = {
+    val dir = new Path(dirStr)
+    val fs = dir.getFileSystem(hconf.value)
+    val head = rels.head
+    val leaf = if (head.contains('/')) head.substring(0, head.lastIndexOf('/') + 1) else ""
+    val stagedRel = leaf + stagedName
+    val out = fs.create(new Path(dir, stagedRel), true)
+    val buf = new Array[Byte](1 << 20)
+    try {
+      rels.foreach { rel =>
+        val in = fs.open(new Path(dir, rel))
+        var last: Byte = '\n'
+        try {
+          var n = in.read(buf)
+          while (n > 0) {
+            out.write(buf, 0, n)
+            last = buf(n - 1)
+            n = in.read(buf)
+          }
+        } finally in.close()
+        if (last != '\n') out.write('\n')
+      }
+    } finally out.close()
+    stagedRel
+  }
+
+  /** Run compaction; returns (files_before, files_after, bytes_compacted,
+    * generation or -1 when nothing to do). */
+  def compact(
+      spark: SparkSession, dir: Path, partCols: Seq[String],
+      retainGenerations: Int, targetBytes: Long): (Long, Long, Long, Long) = {
+    require(targetBytes > 0,
+      s"graft catalog compact: target_bytes must be positive, got $targetBytes")
+    val hconf = SerializableHadoopConf.fromSession()
+    val fs = dir.getFileSystem(hconf.value)
+    if (!fs.exists(dir)) return (0L, 0L, 0L, -1L)
+    val children = GraftTsvPublisher.allFiles(fs, dir)
+    val curGen = children
+      .collect { case (rel, _) if !rel.contains("/") => rel }
+      .flatMap(GraftTsvManifest.genNumber).maxOption
+    val entries: Seq[(String, String)] = curGen match {
+      case Some(g) =>
+        GraftTsvManifest.readEntries(fs, new Path(dir, GraftTsvManifest.genName(g)))
+      case None => // legacy plain dir: adopt the visible listing, stats-less
+        children.collect {
+          case (rel, st) if st.isFile && {
+            val n = st.getPath.getName
+            !n.startsWith(".") && !n.startsWith("_")
+          } => (rel, "")
+        }
+    }
+    val lenOf = children.collect { case (rel, st) if st.isFile => rel -> st.getLen }.toMap
+    val groups = planGroups(entries, lenOf, targetBytes)
+    if (groups.isEmpty) return (entries.size.toLong, entries.size.toLong, 0L, -1L)
+
+    val label = "cp" + java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+    val dirStr = dir.toString
+    val slices = math.min(groups.size,
+      math.max(1, spark.sparkContext.defaultParallelism))
+    val staged = spark.sparkContext
+      .parallelize(groups.zipWithIndex, slices)
+      .map { case (g, i) =>
+        val rel = concatOne(hconf, dirStr, g.rels,
+          f".staging-$label-$i%05d-a" +
+            java.util.UUID.randomUUID().toString.replace("-", "").take(8))
+        (rel, g.stats)
+      }
+      .collect().toSeq
+    val dropped = groups.flatMap(_.rels).toSet
+    GraftTsvPublisher.publish(fs, dir, staged, label, epochMarker = None,
+      truncate = false, dropped = dropped, partCols,
+      sweepPrefix = s".staging-$label", retainGenerations = retainGenerations)
+    val after = entries.size - dropped.size + groups.size
+    (entries.size.toLong, after.toLong, groups.flatMap(_.lens).sum,
+      curGen.getOrElse(0L) + 1)
+  }
+
+  /** Run the orphan sweep; returns (files_deleted, bytes_reclaimed).
+    * Deletes only (a) this connector's own staging/tmp leftovers
+    * (`.staging-*`, `.manifest-*`, `._graft_table-tmp-*`) and (b)
+    * in-scope visible-style part files referenced by NO retained
+    * manifest — both only when older than `olderThanMs` (the in-flight-
+    * write guard). Foreign files (other dot-names, out-of-scope paths)
+    * are never touched. */
+  def vacuum(
+      dir: Path, partCols: Seq[String], olderThanMs: Long): (Long, Long) = {
+    require(olderThanMs >= 0,
+      s"graft catalog vacuum: older_than_ms must be >= 0, got $olderThanMs")
+    val fs = dir.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return (0L, 0L)
+    val children = GraftTsvPublisher.allFiles(fs, dir)
+    val gens = children.collect {
+      case (rel, _) if !rel.contains("/") &&
+        GraftTsvManifest.genNumber(rel).isDefined => rel
+    }
+    val referenced: Set[String] = gens.flatMap(g =>
+      GraftTsvManifest.read(fs, new Path(dir, g))).toSet
+    def inScope(rel: String): Boolean = {
+      val segs = rel.split("/")
+      segs.length == partCols.length + 1 &&
+        partCols.indices.forall(i => segs(i).startsWith(partCols(i) + "="))
+    }
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var deleted = 0L
+    var bytes = 0L
+    children.foreach { case (rel, st) =>
+      val n = st.getPath.getName
+      val ours = n.startsWith(".staging-") || n.startsWith(".manifest-") ||
+        n.startsWith("._graft_table-tmp-")
+      val orphanPart = st.isFile && !n.startsWith(".") && !n.startsWith("_") &&
+        inScope(rel) && !referenced.contains(rel)
+      if ((ours || orphanPart) && st.getModificationTime <= cutoff) {
+        val len = st.getLen
+        if (fs.delete(st.getPath, false)) { deleted += 1; bytes += len }
+      }
+    }
+    (deleted, bytes)
+  }
+}
+
+/** The `ProcedureCatalog` half of [[GraftTsvCatalog]]: unbound/bound
+  * procedure adapters around [[GraftTsvMaintenance]]. Each CALL returns
+  * one summary row (a `LocalScan`) so the operation's effect is
+  * observable in SQL, not just in the filesystem. */
+private[sources] object GraftTsvProcedures {
+
+  /** (dir, partCols, retain) resolver the catalog supplies — procedures
+    * take the table name as a string argument (`'db.t'`). */
+  type Resolve = String => (Path, Seq[String], Int)
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  private def singleRowScan(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(row)
+      override def description(): String = "graft-tsv maintenance result"
+    }).iterator()
+
+  def compact(resolve: Resolve): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "compact"
+    override def description(): String =
+      "rewrite a table's sub-target part files into target-sized ones " +
+        "(byte-level concatenation, new generation, history retained)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "compact"
+      override def description(): String = "graft-tsv compact"
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("target_bytes", LongType)
+          .defaultValue((64L * 1024 * 1024).toString)
+          .comment("pack smaller files up to this output size").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (dir, partCols, retain) = resolve(input.getString(0))
+        val (before, after, bytes, gen) = GraftTsvMaintenance.compact(
+          SparkSession.active, dir, partCols, retain, input.getLong(1))
+        singleRowScan(
+          StructType(Seq(
+            StructField("files_before", LongType, nullable = false),
+            StructField("files_after", LongType, nullable = false),
+            StructField("bytes_compacted", LongType, nullable = false),
+            StructField("generation", LongType, nullable = false))),
+          new GenericInternalRow(Array[Any](before, after, bytes, gen)))
+      }
+    }
+  }
+
+  def vacuum(resolve: Resolve): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "reclaim crash-orphaned staging and unreferenced part files older " +
+        "than the age gate; retained generations are never touched"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "vacuum"
+      override def description(): String = "graft-tsv vacuum"
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("older_than_ms", LongType)
+          .defaultValue((60L * 60 * 1000).toString)
+          .comment("only files at least this old are reclaimed").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (dir, partCols, _) = resolve(input.getString(0))
+        val (deleted, bytes) =
+          GraftTsvMaintenance.vacuum(dir, partCols, input.getLong(1))
+        singleRowScan(
+          StructType(Seq(
+            StructField("files_deleted", LongType, nullable = false),
+            StructField("bytes_reclaimed", LongType, nullable = false))),
+          new GenericInternalRow(Array[Any](deleted, bytes)))
+      }
+    }
+  }
+}
