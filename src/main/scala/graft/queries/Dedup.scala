@@ -156,13 +156,17 @@ SELECT doc_a, doc_b, n_bands FROM cand ORDER BY doc_a, doc_b"""),
     * 2^16 longs = 512 KB/row worst case — comfortably inside any executor's
     * row budget. The slice keeps the SMALLEST hashes (arrays are sorted
     * ascending), so a truncated doc degrades to "Jaccard over a bounded
-    * min-hash sample of its shingles" rather than failing; `n_truncated`
-    * makes the degradation visible instead of silent (same contract as
-    * q_ann_bucket_stats.n_dropped — a per-shard knob, not silent loss). On
-    * the tested corpus the cap never fires (asserted in DedupSpec), so
-    * oracle parity is unaffected. A corpus where it fires routinely should
-    * length-filter upstream (q_pipeline_curate's quality gate) — the cap is
-    * the backstop, not the policy. */
+    * min-hash sample of its shingles" rather than failing. Visibility of
+    * the degradation lives in [[cappedShingleSets]]'s `n_truncated`
+    * column and in ShingleCapSpec's corpus assertion — the production
+    * pipeline itself projects the column away (counting truncated docs
+    * inline would cost an extra aggregation pass on the hot path), so an
+    * operator auditing a new corpus should query `cappedShingleSets(...)
+    * .filter(n_truncated > 0)` once rather than expect a per-run metric.
+    * On the tested corpus the cap never fires (asserted in ShingleCapSpec),
+    * so oracle parity is unaffected. A corpus where it fires routinely
+    * should length-filter upstream (q_pipeline_curate's quality gate) —
+    * the cap is the backstop, not the policy. */
   private[graft] val MaxShinglesPerDoc: Int = 1 << 16
 
   /** Per-doc distinct shingle-hash sets with the [[MaxShinglesPerDoc]]

@@ -48,19 +48,30 @@ object StreamingParity {
 
   private val SinkTable = "graft_stream_tumbling_sink"
 
-  /** Run a streaming transform over a memory sink and return the
-    * materialized table. Every stateful streaming operator runs one state
-    * store per shuffle partition with FIXED per-micro-batch commit overhead
-    * per partition — so state partitions are sized to stream volume, not to
-    * the CPU-count shuffle default (measured on this corpus: 32 partitions
-    * cost ~4x the wall-clock of 8 for identical output, and 4 beats 8 by a
-    * further ~20% on the stream-stream join, which runs 4 state stores per
-    * partition; wash on the windowed aggs). The partition count is pinned
-    * at stream START (it is baked into the checkpoint); restore the
-    * session default afterwards. */
-  private val StatePartitions = "4"
+  /** Streaming state-partition sizing, derived from STREAM VOLUME
+    * instead of the CPU-count shuffle default: every stateful streaming
+    * operator runs one state store per shuffle partition with FIXED
+    * per-micro-batch commit overhead per partition (measured on this
+    * corpus in round 8: 32 partitions cost ~4x the wall-clock of 8 for
+    * identical output, and 4 beat 8 by a further ~20% on the
+    * stream-stream join, which runs 4 state stores per partition; wash
+    * on the windowed aggs). The rule: one state partition per 512 KiB of
+    * source input, clamped to [1, defaultParallelism] — at the bench
+    * corpus (sf0.1, ~2 MiB events) it derives exactly the measured
+    * optimum of 4, and a cluster-scale stream derives up to the
+    * session's full parallelism instead of a pinned constant. */
+  private val StateBytesPerPartition = 512L * 1024
 
-  private def runToMemory(spark: SparkSession, sink: String,
+  private def statePartitionsFor(spark: SparkSession, dir: String): Int = {
+    val bytes = math.max(1L,
+      new java.io.File(Tables.path(dir, "events")).length)
+    val derived =
+      ((bytes + StateBytesPerPartition - 1) / StateBytesPerPartition).toInt
+    math.min(math.max(1, derived),
+      math.max(1, spark.sparkContext.defaultParallelism))
+  }
+
+  private def runToMemory(spark: SparkSession, sink: String, dir: String,
       mode: String = "complete")(build: SparkSession => DataFrame): DataFrame = {
     // The partition count is session conf at stream START (baked into the
     // checkpoint), so the whole stream — plan and all — is built on a
@@ -69,7 +80,8 @@ object StreamingParity {
     // would race any concurrently-built query or second stream start
     // (VERDICT r06 hardening note).
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+    ss.conf.set("spark.sql.shuffle.partitions",
+      statePartitionsFor(spark, dir).toString)
     val q = build(ss).writeStream
       .format("memory")
       .queryName(sink)
@@ -84,7 +96,7 @@ object StreamingParity {
     "q_stream_tumbling",
     Some(tumblingOracleSql),
     (spark, dir) =>
-      runToMemory(spark, SinkTable)(s =>
+      runToMemory(spark, SinkTable, dir)(s =>
         tumblingExact(Tables.loadEventsStream(s, dir)))
         .orderBy("window_start_ms", "event_type"))
 
@@ -139,7 +151,7 @@ object StreamingParity {
     "q_stream_sessionize",
     Some(sessionOracleSql),
     (spark, dir) =>
-      runToMemory(spark, SessionSink)(s =>
+      runToMemory(spark, SessionSink, dir)(s =>
         sessionWindowExact(Tables.loadEventsStream(s, dir)))
         .orderBy("user_id", "start_ms"))
 
@@ -166,7 +178,7 @@ object StreamingParity {
       |ORDER BY c_user, c_ts_ms, c_value, p_ts_ms, p_value
       |""".stripMargin.trim),
     (spark, dir) => {
-      runToMemory(spark, JoinSink, mode = "append") { s =>
+      runToMemory(spark, JoinSink, dir, mode = "append") { s =>
         val ev = Tables.loadEventsStream(s, dir)
         graft.streaming.StreamingOps.clickPurchaseJoin(
           ev.filter(col("event_type") === "click"),
@@ -209,7 +221,7 @@ object StreamingParity {
       |ORDER BY c_user, c_ts_ms, c_value, p_ts_ms, p_value
       |""".stripMargin.trim),
     (spark, dir) => {
-      runToMemory(spark, OuterJoinSink, mode = "append") { s =>
+      runToMemory(spark, OuterJoinSink, dir, mode = "append") { s =>
         val ev = Tables.loadEventsStream(s, dir)
         graft.streaming.StreamingOps.clickPurchaseJoin(
           ev.filter(col("event_type") === "click"),
@@ -255,13 +267,57 @@ object StreamingParity {
       |ORDER BY c_user, c_ts_ms, c_value, p_user, p_ts_ms, p_value
       |""".stripMargin.trim),
     (spark, dir) => {
-      runToMemory(spark, FullJoinSink, mode = "append") { s =>
+      runToMemory(spark, FullJoinSink, dir, mode = "append") { s =>
         val ev = Tables.loadEventsStream(s, dir)
         graft.streaming.StreamingOps.clickPurchaseJoin(
           ev.filter(col("event_type") === "click"),
           ev.filter(col("event_type") === "purchase"),
           horizon = "47 minutes", lateness = "61 minutes",
           joinType = "fullOuter")
+      }
+        .select(col("c_user"), unix_millis(col("c_ts")).as("c_ts_ms"),
+          col("c_value"), col("p_user"),
+          unix_millis(col("p_ts")).as("p_ts_ms"), col("p_value"))
+        .orderBy("c_user", "c_ts_ms", "c_value", "p_user", "p_ts_ms", "p_value")
+    })
+
+  private val RightJoinSink = "graft_stream_join_right_sink"
+
+  /** Stream-stream RIGHT-outer watermarked interval join — the mirror of
+    * `q_stream_join_outer`, closing the join matrix symmetrically:
+    * matches emit as they arrive; an unmatched PURCHASE emits once with
+    * NULL click columns when the watermark passes the purchase's own
+    * event time (a purchase can match any click in [p_ts − horizon,
+    * p_ts], so it is safe to evict as soon as no on-time click at or
+    * before p_ts can still arrive — the full-outer variant's
+    * purchase-side gate). Oracle: the batch right join with that
+    * watermark gate on the NULL-click rows; same non-round horizon (47
+    * min) and lateness (61 min) keep the eviction boundary tie-free. */
+  private val qStreamJoinRight = QueryDef(
+    "q_stream_join_right",
+    Some("""
+      |WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+      |         - INTERVAL 61 MINUTE AS w)
+      |SELECT c.user_id AS c_user, CAST(epoch_ms(c.ts) AS BIGINT) AS c_ts_ms,
+      |  c.value AS c_value, p.user_id AS p_user,
+      |  CAST(epoch_ms(p.ts) AS BIGINT) AS p_ts_ms, p.value AS p_value
+      |FROM c RIGHT JOIN p
+      |  ON p.user_id = c.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 47 MINUTE
+      |WHERE c.ts IS NOT NULL
+      |   OR p.ts < (SELECT w FROM wm)
+      |ORDER BY c_user, c_ts_ms, c_value, p_user, p_ts_ms, p_value
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      runToMemory(spark, RightJoinSink, dir, mode = "append") { s =>
+        val ev = Tables.loadEventsStream(s, dir)
+        graft.streaming.StreamingOps.clickPurchaseJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          horizon = "47 minutes", lateness = "61 minutes",
+          joinType = "rightOuter")
       }
         .select(col("c_user"), unix_millis(col("c_ts")).as("c_ts_ms"),
           col("c_value"), col("p_user"),
@@ -291,7 +347,7 @@ object StreamingParity {
       |ORDER BY c_user, c_ts_ms, c_value
       |""".stripMargin.trim),
     (spark, dir) => {
-      runToMemory(spark, SemiJoinSink, mode = "append") { s =>
+      runToMemory(spark, SemiJoinSink, dir, mode = "append") { s =>
         val ev = Tables.loadEventsStream(s, dir)
         graft.streaming.StreamingOps.clickPurchaseJoin(
           ev.filter(col("event_type") === "click"),
@@ -335,7 +391,7 @@ object StreamingParity {
       |ORDER BY c_user, c_ts_ms, c_value
       |""".stripMargin.trim),
     (spark, dir) => {
-      runToMemory(spark, AntiJoinSink, mode = "append") { s =>
+      runToMemory(spark, AntiJoinSink, dir, mode = "append") { s =>
         val ev = Tables.loadEventsStream(s, dir)
         graft.streaming.StreamingOps.clickPurchaseJoin(
           ev.filter(col("event_type") === "click"),
@@ -365,7 +421,7 @@ object StreamingParity {
       |ORDER BY event_id
       |""".stripMargin.trim),
     (spark, dir) => {
-      runToMemory(spark, EnrichSink, mode = "append") { s =>
+      runToMemory(spark, EnrichSink, dir, mode = "append") { s =>
         val dim = tbl(s, dir, "events")
           .groupBy("event_type").agg(count(lit(1)).as("type_total"))
         graft.streaming.StreamingOps.enrich(
@@ -401,7 +457,7 @@ object StreamingParity {
       |FROM events ORDER BY event_id
       |""".stripMargin.trim),
     (spark, dir) => {
-      runToMemory(spark, DedupSink, mode = "append") { s =>
+      runToMemory(spark, DedupSink, dir, mode = "append") { s =>
         val doubled = Tables.loadEventsStream(s, dir)
           .withColumn("copy", explode(array(lit(1), lit(2))))
           .drop("copy")
@@ -457,6 +513,6 @@ object StreamingParity {
 
   val defs: Seq[QueryDef] =
     Seq(qStreamTumbling, qSessionWindow, qStreamSessionize, qStreamJoin,
-      qStreamJoinOuter, qStreamJoinFull, qStreamJoinSemi, qStreamJoinAnti,
-      qStreamEnrich, qStreamDedup, qStreamDsv2Sink)
+      qStreamJoinOuter, qStreamJoinFull, qStreamJoinRight, qStreamJoinSemi,
+      qStreamJoinAnti, qStreamEnrich, qStreamDedup, qStreamDsv2Sink)
 }

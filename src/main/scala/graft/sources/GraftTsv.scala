@@ -165,9 +165,16 @@ final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStrin
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
   /** Table-level generation retention (time-travel history depth); catalog
     * tables carry it from the descriptor, path tables from a read/write
-    * option. Per-write `retain.generations` options still win. */
+    * option. Per-write `retain.generations` options still win. Catalog
+    * DDL validates the value; a path table's option is arbitrary user
+    * input, so parse failures name the option instead of surfacing as a
+    * bare NumberFormatException. */
   private def tableRetain: Int =
-    Option(options.get("retain.generations")).map(_.toInt).getOrElse(1)
+    Option(options.get("retain.generations")).map { v =>
+      v.toIntOption.filter(_ >= 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-tsv: retain.generations must be an integer >= 1, got '$v'"))
+    }.getOrElse(1)
 
   /** Row-level DELETE (`DELETE FROM cat.ns.t WHERE ...` through
     * [[GraftTsvCatalog]]): copy-on-write generation rewrite of only the

@@ -72,6 +72,16 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
   private case class Descriptor(schema: StructType, partColsCsv: String,
       delimLine: String, props: Map[String, String]) {
     def serialized: String = {
+      // the k=v;k=v line has no escaping, so the separators must not
+      // appear in keys or values — today validateProps restricts props to
+      // an integer-valued retain.generations, but the invariant is
+      // enforced HERE, where it is relied on, so a future property cannot
+      // silently corrupt the descriptor
+      props.foreach { case (k, v) =>
+        require(!(k + v).exists(c => c == ';' || c == '=' || c == '\n' || c == '\r'),
+          s"graft catalog: table property '$k'='$v' contains a descriptor " +
+            "separator (';', '=', newline) — unsupported in the k=v;k=v line")
+      }
       val base = schema.json + "\n" + partColsCsv + "\n" + delimLine + "\n"
       if (props.isEmpty) base
       else base + props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";") + "\n"
@@ -146,10 +156,14 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
 
   /** SQL `TIMESTAMP AS OF <t>`: Spark hands the literal as MICROSECONDS
     * since the epoch; it resolves to the newest retained generation whose
-    * manifest was published at or before that instant (manifest
-    * modification time — set by the atomic `_gen` rename, i.e. the moment
-    * the generation became visible). "Published before t" is exactly the
-    * snapshot a reader at time t would have resolved. */
+    * manifest was published at or before that instant. The publish
+    * instant is the manifest's own `#published:` marker (stamped by the
+    * commit immediately before the atomic `_gen` rename); pre-marker
+    * manifests fall back to file modification time — a write-time
+    * approximation that slightly precedes visibility and can collide at
+    * coarse filesystem granularity, which is why the marker exists.
+    * "Published before t" is exactly the snapshot a reader at time t
+    * would have resolved. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val f = fs()
     val dir = tableDir(ident)
@@ -157,7 +171,8 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     val tsMillis = timestamp / 1000L
     val gens = f.listStatus(dir).toSeq.flatMap(st =>
       GraftTsvManifest.genNumber(st.getPath.getName)
-        .map(g => (g, st.getModificationTime)))
+        .map(g => (g, GraftTsvManifest.publishedOf(f, st.getPath)
+          .getOrElse(st.getModificationTime))))
     if (gens.isEmpty)
       throw new IllegalArgumentException(
         s"graft catalog: TIMESTAMP AS OF on ${ident.name()} — table has no " +
@@ -430,7 +445,9 @@ object GraftTsvCatalog {
       if (!f.exists(dir)) Seq.empty
       else f.listStatus(dir).toSeq
         .flatMap(st => GraftTsvManifest.genNumber(st.getPath.getName)
-          .map(g => (g, st.getPath, st.getModificationTime)))
+          .map(g => (g, st.getPath,
+            GraftTsvManifest.publishedOf(f, st.getPath)
+              .getOrElse(st.getModificationTime))))
         .sortBy(_._1)
         .map { case (g, mp, publishedMs) =>
           val entries = GraftTsvManifest.readEntries(f, mp)

@@ -68,8 +68,11 @@ final class GraftTsvWriteBuilder(
     * (catalog tables persist it in the descriptor); floor 1 = the
     * concurrent-reader safety minimum, enforced at publish. */
   private val retainGenerations: Int =
-    Option(info.options().get("retain.generations")).map(_.toInt)
-      .getOrElse(tableRetain)
+    Option(info.options().get("retain.generations")).map { v =>
+      v.toIntOption.filter(_ >= 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-tsv: retain.generations must be an integer >= 1, got '$v'"))
+    }.getOrElse(tableRetain)
 
   private var truncateOnCommit = false
 
@@ -287,6 +290,18 @@ object GraftTsvManifest {
   def epochOf(fs: FileSystem, manifest: Path): Option[Long] =
     lines(fs, manifest).collectFirst { case EpochRe(n) => n.toLong }
 
+  private val PublishedRe = """#published:(-?\d+)""".r
+
+  /** The epoch-ms instant the generation was COMMITTED (`#published:`
+    * marker, written by publish just before the atomic `_gen` rename) —
+    * the authoritative input for `TIMESTAMP AS OF`. Pre-marker manifests
+    * return None and resolve by file modification time instead; note
+    * that mtime is the staged tmp file's WRITE time (rename preserves
+    * it), which slightly precedes visibility and has filesystem-coarse
+    * granularity — exactly the imprecision the marker removes. */
+  def publishedOf(fs: FileSystem, manifest: Path): Option[Long] =
+    lines(fs, manifest).collectFirst { case PublishedRe(n) => n.toLong }
+
 }
 
 /** Driver-side job coordinator: publishes committed task files, cleans
@@ -488,7 +503,13 @@ private[sources] object GraftTsvPublisher {
     val nextVisible = nextEntries.map(_._1)
     val tmp = new Path(dir, s".manifest-$label-${UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
-    val markers = epochMarker.map(e => s"#epoch:$e").toSeq
+    // the publish instant rides the manifest itself (`#published:` —
+    // resolved by TIMESTAMP AS OF and DESCRIBE-history), not the file
+    // mtime: rename preserves the tmp file's write-time mtime, so the
+    // mtime slightly precedes actual visibility and collides on
+    // filesystems with coarse (1s) granularity
+    val markers = epochMarker.map(e => s"#epoch:$e").toSeq :+
+      s"#published:${System.currentTimeMillis()}"
     val entryLines = nextEntries.map { case (rel, stats) =>
       if (stats.isEmpty) rel else s"$rel\t$stats"
     }

@@ -114,6 +114,31 @@ class Dsv2TimeTravelSpec extends SparkSuite {
     assert(e.getMessage.contains("before the oldest RETAINED"), e.getMessage)
   }
 
+  test("manifests carry the #published instant; resolution prefers it over mtime") {
+    val s = spark
+    import s.implicits._
+    val rootDir = Files.createTempDirectory("graft_tt_pub").toString
+    s.conf.set("spark.sql.catalog.gpub",
+      classOf[graft.sources.GraftTsvCatalog].getName)
+    s.conf.set("spark.sql.catalog.gpub.root", rootDir)
+    s.sql("CREATE NAMESPACE gpub.db")
+    s.sql("CREATE TABLE gpub.db.t (id BIGINT, v STRING) USING `graft-tsv`")
+    val t0 = System.currentTimeMillis()
+    Seq((1L, "a")).toDF("id", "v").writeTo("gpub.db.t").append()
+    val t1 = System.currentTimeMillis()
+    val fs = new org.apache.hadoop.fs.Path(rootDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val gen = new org.apache.hadoop.fs.Path(s"$rootDir/db/t/_gen-0000000001")
+    val published = graft.sources.GraftTsvManifest.publishedOf(fs, gen)
+    assert(published.isDefined, "new manifests must carry #published")
+    assert(published.get >= t0 && published.get <= t1,
+      s"publish instant $published outside [$t0, $t1]")
+    // the marker rides history() too (same resolution path)
+    val hist = graft.sources.GraftTsvCatalog
+      .history(s, s"$rootDir/db/t").collect()
+    assert(hist.length == 1 && hist.head.getLong(1) == published.get)
+  }
+
   test("property: random append/overwrite/delete history matches a tracked model per generation") {
     val s = spark
     import s.implicits._

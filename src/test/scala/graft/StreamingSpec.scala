@@ -228,6 +228,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("right-outer interval join emits NULL click for unmatched purchases after eviction") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val cIn = MemoryStream[UserEvent]
+    val pIn = MemoryStream[UserEvent]
+    val q = StreamingOps.clickPurchaseJoin(cIn.toDF(), pIn.toDF(),
+      joinType = "rightOuter")
+      .writeStream.format("memory").queryName("cp_join_right")
+      .outputMode("append").start()
+    def rows() = s.table("cp_join_right")
+      .select("c_value", "p_user", "p_value")
+      .collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getDouble(0),
+        r.getLong(1), r.getDouble(2))).toSet
+    try {
+      // batch 1: user 1's purchase matches a click; user 2's purchase has
+      // no click in [p_ts - 1h, p_ts]
+      cIn.addData(Seq(UserEvent(1L, ts("2024-01-01 00:00:00"), 1.0)))
+      pIn.addData(Seq(
+        UserEvent(1L, ts("2024-01-01 00:30:00"), 10.0),
+        UserEvent(2L, ts("2024-01-01 00:05:00"), 30.0)))
+      q.processAllAvailable()
+      // the match emits immediately; the unmatched purchase is withheld —
+      // an on-time click at or before 00:05 could still arrive
+      assert(rows() == Set((1.0, 1L, 10.0)),
+        s"right-outer row must be withheld while a click can still arrive: ${rows()}")
+      // batch 2: advance both watermarks far past 00:05 + 1h lateness →
+      // user 2's purchase is evicted and emits once with a NULL click
+      cIn.addData(Seq(UserEvent(9L, ts("2024-01-01 06:00:00"), 0.0)))
+      pIn.addData(Seq(UserEvent(9L, ts("2024-01-01 06:00:00"), 0.0)))
+      q.processAllAvailable()
+      assert(rows() == Set((1.0, 1L, 10.0), (null, 2L, 30.0), (0.0, 9L, 0.0)),
+        s"late NULL-click emission missing or duplicated: ${rows()}")
+    } finally q.stop()
+  }
+
   test("full-outer interval join emits NULLs on both unmatched sides after eviction") {
     val s = spark
     import s.implicits._
