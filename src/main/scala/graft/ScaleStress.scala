@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measured scale behavior ABOVE the bench SF (SCALE.md §11).
+  *
+  * Every 100 TB claim in SCALE.md argues from plan shape; this harness
+  * measures the claim at a corpus `mult`× the bench SF. It synthesizes
+  * the scaled corpus by unioning `mult` key-disjoint copies of sf0.1 —
+  * salted so no pairing stage can match ACROSS copies, because a scaled
+  * corpus that introduces cross-copy near-duplicates would measure the
+  * (quadratic) answer getting bigger, not the algorithm scaling:
+  *  - documents: doc_id offset per copy AND the copy digit spliced into
+  *    the text every 5 characters, so EVERY char-8 shingle window
+  *    contains a copy-distinct character — shingle sets are fully
+  *    copy-disjoint and LSH/Jaccard/SimHash pair counts scale linearly
+  *    by construction. (A first attempt suffixed each word instead;
+  *    windows INSIDE words ≥8 chars stayed identical across copies,
+  *    minhash minima collided, copies of each doc shared LSH buckets and
+  *    the pair count grew ~quadratically — 98× at mult=10 — which
+  *    measured the synthetic corpus, not the engine.);
+  *  - events: event_id/user_id offset per copy — sessions and interval
+  *    joins stay user-local, hence copy-local;
+  *  - embeddings: vec_id offset and a small per-copy vector perturbation
+  *    (keeps LSH/IVF buckets from collapsing `mult` identical corpora
+  *    into the same cells);
+  *  - lineitem: partkey/suppkey offset per copy — `mult` disjoint
+  *    pagerank graphs.
+  * Everything else symlinks to the base SF (dims; not read by the hot
+  * set). The scaled tables are parquet DIRECTORIES — which also makes
+  * this the one place the engine is exercised on multi-file tables
+  * (the driver's testdata is single-file).
+  *
+  *   sbt "runMain graft.ScaleStress [mult] [queries...]"
+  *
+  * Output: one JSON line per query with base/scaled seconds (min of 2
+  * after a warmup pass each) and the time ratio; a ratio near `mult` is
+  * linear scaling, below it is amortized fixed cost, above ~1.5× `mult`
+  * is flagged super-linear. Results are summarized in SCALE.md §11.
+  */
+object ScaleStress {
+
+  /** The measured hot set: the most expensive catalog queries over the
+    * scalable tables (documents/events/embeddings/lineitem). */
+  val DefaultQueries: Seq[String] = Seq(
+    "q_jaccard_pairs", "q_dedup_components", "q_minhash_signatures",
+    "q_lsh_candidates", "q_simhash_pairs", "q_dedup_exact",
+    "q_cosine_topk", "q_ann_recall", "q_pagerank",
+    "q_stream_join", "q_stream_join_outer", "q_sessionize_native")
+
+  private def consume(spark: SparkSession, name: String, dir: String): Unit = {
+    SparkEntry.queries(name)(spark, dir)
+      .agg(expr("bit_xor(xxhash64(struct(*)))")).collect()
+    ()
+  }
+
+  def build(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
+    val done = new java.io.File(s"$out/_SUCCESS")
+    if (done.exists) return
+    new java.io.File(out).mkdirs()
+    val copies = 0 until mult
+
+    def scaled(name: String)(one: (DataFrame, Int) => DataFrame): Unit = {
+      val src = spark.read.parquet(s"$base/$name.parquet")
+      copies.map(i => one(src, i)).reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+
+    require(mult <= 10, "copy tag is a single digit; mult > 10 needs a wider splice")
+    scaled("documents") { (d, i) =>
+      d.select(
+        (col("doc_id") + i * 100000000L).as("doc_id"),
+        // splice the copy digit in every 5 chars → every char-8 shingle
+        // window carries a copy-distinct character (see class doc)
+        regexp_replace(col("text"), "(.{5})", s"$$1$i").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    scaled("events") { (e, i) =>
+      e.select(
+        (col("event_id") + i * 1000000000L).as("event_id"), col("ts"),
+        (col("user_id") + i * 1000000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    scaled("embeddings") { (e, i) =>
+      e.select(
+        (col("vec_id") + i * 100000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x + lit(i * 0.0137f)).cast("float")).as("embedding"),
+        col("label"))
+    }
+    scaled("lineitem") { (l, i) =>
+      l.withColumn("l_partkey", col("l_partkey") + i * 100000000L)
+        .withColumn("l_suppkey", col("l_suppkey") + i * 100000000L)
+    }
+
+    Seq("region", "nation", "customer", "supplier", "part", "orders")
+      .foreach { t =>
+        val link = java.nio.file.Paths.get(out, s"$t.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(link,
+            java.nio.file.Paths.get(base, s"$t.parquet"))
+      }
+    done.createNewFile()
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.flatMap(_.toIntOption).getOrElse(10)
+    val queries =
+      if (args.length > 1) args.drop(1).toSeq else DefaultQueries
+    val base = "/root/testdata/sf0.1"
+    val out = s"/tmp/graft_scale_x$mult"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.sources.Tables.NanosAsLongKey, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    build(spark, base, out, mult)
+
+    def isolate(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+    def time(name: String, dir: String): Double = {
+      isolate()
+      val t0 = System.nanoTime()
+      consume(spark, name, dir)
+      (System.nanoTime() - t0) / 1e9
+    }
+    def minOf2(name: String, dir: String): Double =
+      math.min(time(name, dir), time(name, dir))
+
+    val results = queries.map { q =>
+      consume(spark, q, "/root/testdata/sf0.001") // codegen warmup
+      val b = minOf2(q, base)
+      val s = minOf2(q, out)
+      val ratio = s / b
+      val flag = if (ratio > mult * 1.5) "SUPER-LINEAR" else "ok"
+      println(f"""{"query":"$q","base_s":$b%.3f,"x${mult}_s":$s%.3f,"ratio":$ratio%.2f,"flag":"$flag"}""")
+      (q, b, s, ratio)
+    }
+    val worst = results.maxBy(_._4)
+    println(f"""{"summary":"scale x$mult","queries":${results.size},"worst":"${worst._1}","worst_ratio":${worst._4}%.2f}""")
+    spark.stop()
+  }
+}

@@ -491,6 +491,14 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
         fullSchema(fullSchema.fieldIndex(c)).dataType),
         s"graft-tsv: partition column '$c' has an unsupported type")
     }
+    // RENAME COLUMN name map (catalog-provided): current name → the
+    // historical names old manifests may key stats under
+    val aliases: Map[String, Seq[String]] =
+      Option(options.get("column.aliases")).toSeq
+        .flatMap(_.split(";").toSeq.filter(_.contains(">")).map { e =>
+          val i = e.indexOf('>')
+          e.take(i) -> e.drop(i + 1).split(",").toSeq.filter(_.nonEmpty)
+        }).toMap
     new GraftTsvScan(
       fullSchema, required, pushed,
       path = Option(options.get("path")).getOrElse(
@@ -503,7 +511,8 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
       partCols = partCols,
       vectorized = !Option(options.get("vectorized.read"))
         .exists(_.equalsIgnoreCase("false")),
-      generation = Option(options.get("generation")).map(_.toLong))
+      generation = Option(options.get("generation")).map(_.toLong),
+      aliases = aliases)
   }
 }
 
@@ -521,9 +530,22 @@ final class GraftTsvScan(
     vectorized: Boolean = true,
     generation: Option[Long] = None,
     fileFilterOnly: Boolean = false,
-    onPlanned: Option[Seq[String] => Unit] = None)
+    onPlanned: Option[Seq[String] => Unit] = None,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
+
+  /** Manifest stats lookup through the RENAME COLUMN name map: a cell
+    * written before a rename is keyed under the column's historical name,
+    * so a miss under the current name retries each alias (catalog option
+    * `column.aliases`, from the descriptor's rename history). The type
+    * tag check at every consumer still applies to whatever cell this
+    * returns — an alias can restore skipping, never mis-prune. */
+  private def statsFor(
+      stats: Map[String, (String, String, String)], c: String)
+      : Option[(String, String, String)] =
+    stats.get(c).orElse(aliases.getOrElse(c, Nil).iterator
+      .flatMap(stats.get).nextOption())
 
   /** RUNTIME filtering (dynamic "partition" pruning's DSv2 seam): after a
     * join's build side executes, Spark hands this scan the realized key
@@ -736,7 +758,7 @@ final class GraftTsvScan(
     if (statPreds.isEmpty) afterPart
     else afterPart.filter { e =>
       e.stats.isEmpty || statPreds.forall { case (c, tn, dt, test) =>
-        e.stats.get(c) match {
+        statsFor(e.stats, c) match {
           case Some((fileType, mnRaw, mxRaw)) if fileType == tn =>
             // the TYPE TAG must match the READ schema's type: min/max
             // order is type-specific, and a reader may legally declare a
@@ -832,7 +854,7 @@ final class GraftTsvScan(
       : Seq[GraftTsvInputPartition] = {
     def blockExcluded(stats: Map[String, (String, String, String)]): Boolean =
       statPreds.exists { case (c, tn, dt, test) =>
-        stats.get(c) match {
+        statsFor(stats, c) match {
           case Some((fileType, mnRaw, mxRaw)) if fileType == tn =>
             try !test(GraftTsvPushdown.convertCell(dt, mnRaw),
               GraftTsvPushdown.convertCell(dt, mxRaw))
@@ -976,7 +998,7 @@ final class GraftTsvScan(
       }
       if (!numeric) None
       else {
-        val cells = pruned.map(_.stats.get(f.name))
+        val cells = pruned.map(e => statsFor(e.stats, f.name))
         if (!cells.forall(_.exists(_._1 == dt.typeName))) None
         else try {
           val bs = cells.map(_.get).map { case (_, mnRaw, mxRaw) =>

@@ -67,24 +67,39 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
 
   /** Descriptor layout: line 1 schema JSON, line 2 partition cols (CSV),
     * line 3 delimiter code point, line 4 (optional, added with time
-    * travel) table properties as `k=v` pairs joined by `;`. Older
-    * three-line descriptors read as propertyless — forward-compatible. */
+    * travel) table properties as `k=v` pairs joined by `;`, line 5
+    * (optional, added with RENAME COLUMN) the column-rename history as
+    * `#renames:` + `historical>current` pairs joined by `;`. Older
+    * shorter descriptors read as propertyless / rename-free —
+    * forward-compatible. */
   private case class Descriptor(schema: StructType, partColsCsv: String,
-      delimLine: String, props: Map[String, String]) {
+      delimLine: String, props: Map[String, String],
+      renames: Seq[(String, String)] = Seq.empty) {
     def serialized: String = {
-      // the k=v;k=v line has no escaping, so the separators must not
-      // appear in keys or values — today validateProps restricts props to
-      // an integer-valued retain.generations, but the invariant is
-      // enforced HERE, where it is relied on, so a future property cannot
-      // silently corrupt the descriptor
+      // the k=v;k=v and old>new;old>new lines have no escaping, so the
+      // separators must not appear in keys or values — today
+      // validateProps/alterTable restrict the content, but the invariant
+      // is enforced HERE, where it is relied on, so a future property or
+      // exotic column name cannot silently corrupt the descriptor
       props.foreach { case (k, v) =>
         require(!(k + v).exists(c => c == ';' || c == '=' || c == '\n' || c == '\r'),
           s"graft catalog: table property '$k'='$v' contains a descriptor " +
             "separator (';', '=', newline) — unsupported in the k=v;k=v line")
       }
+      renames.foreach { case (o, n) =>
+        require(!(o + n).exists(c => c == ';' || c == '>' || c == ':' ||
+            c == ',' || c == '\n' || c == '\r'),
+          s"graft catalog: rename '$o'>'$n' contains a descriptor separator")
+      }
       val base = schema.json + "\n" + partColsCsv + "\n" + delimLine + "\n"
-      if (props.isEmpty) base
-      else base + props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";") + "\n"
+      if (props.isEmpty && renames.isEmpty) base
+      else {
+        val propsLine =
+          props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
+        if (renames.isEmpty) base + propsLine + "\n"
+        else base + propsLine + "\n" + "#renames:" +
+          renames.map { case (o, n) => s"$o>$n" }.mkString(";") + "\n"
+      }
     }
   }
 
@@ -99,7 +114,12 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
       lines.lift(2).getOrElse('\t'.toInt.toString),
       lines.lift(3).toSeq.flatMap(_.split(";").filter(_.contains("=")).map { kv =>
         val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1)
-      }).toMap)
+      }).toMap,
+      lines.lift(4).toSeq.filter(_.startsWith("#renames:"))
+        .flatMap(_.stripPrefix("#renames:").split(";").filter(_.contains(">"))
+          .map { on =>
+            val i = on.indexOf('>'); on.take(i) -> on.drop(i + 1)
+          }))
   }
 
   /** Atomic descriptor (re)write: hidden tmp + OVERWRITE rename — a reader
@@ -195,12 +215,20 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     val d = readDescriptor(f, mp)
     val partCols = d.partColsCsv.split(",").filter(_.nonEmpty)
     val delim = d.delimLine.toInt.toChar
+    // rename history → the scan's stats-alias option: for each CURRENT
+    // name, the historical names old-generation manifest cells may be
+    // keyed under (`cur>hist1,hist2;...`)
+    val aliasOpt =
+      if (d.renames.isEmpty) Map.empty[String, String]
+      else Map("column.aliases" -> d.renames.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (cur, hist) => s"$cur>${hist.map(_._1).mkString(",")}" }
+        .mkString(";"))
     val opts = Map(
       "path" -> dir.toString,
       "delimiter" -> delim.toString) ++
       (if (partCols.nonEmpty) Map("partition.columns" -> partCols.mkString(","))
        else Map.empty) ++
-      d.props ++
+      d.props ++ aliasOpt ++
       generation.map(g => Map("generation" -> g.toString)).getOrElse(Map.empty)
     new GraftTsvTable(d.schema, new CaseInsensitiveStringMap(opts.asJava))
   }
@@ -257,18 +285,27 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  /** Column evolution: ALTER TABLE ... ADD COLUMN(S), appended at the end,
-    * nullable only. No data is rewritten — old-generation data lines simply
-    * end before the new field and BOTH readers (row and columnar) already
-    * emit NULL for fields past a line's last delimiter, so the backfill is
-    * free at read time; new INSERTs write the full width. Per-block manifest
-    * stats are keyed by column name, so the added column has no stats and
-    * every split conservatively stays readable. The descriptor rewrite is
-    * atomic (tmp + OVERWRITE rename) — a reader that races the ALTER sees
-    * either the old or the new schema, never a torn file. Everything other
-    * than trailing nullable ADD COLUMN is rejected loudly: reordering,
-    * renames, drops and type changes would silently remap positional TSV
-    * fields under existing generations. */
+  /** Column evolution: ALTER TABLE ... ADD COLUMN(S) (appended at the
+    * end, nullable only) and RENAME COLUMN. No data is rewritten for
+    * either:
+    *  - ADD: old-generation data lines simply end before the new field
+    *    and BOTH readers (row and columnar) already emit NULL for fields
+    *    past a line's last delimiter, so the backfill is free at read
+    *    time; new INSERTs write the full width. The added column has no
+    *    manifest stats, so every split conservatively stays readable.
+    *  - RENAME: positional TSV data never stores names, so the data
+    *    needs nothing — but manifest STATS cells are keyed by the name
+    *    the writer used, so the rename is recorded in the descriptor's
+    *    rename history and the scan looks old-generation stats up under
+    *    the column's historical names (name-mapped evolution; without
+    *    the map, file/split skipping would silently stop working for
+    *    pre-rename generations). PARTITION column renames are refused:
+    *    the hive `col=value` paths bake the name into the layout.
+    * The descriptor rewrite is atomic (tmp + OVERWRITE rename) — a
+    * reader that races the ALTER sees either the old or the new schema,
+    * never a torn file. Everything else is rejected loudly: reordering,
+    * drops and type changes would silently remap positional TSV fields
+    * under existing generations. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val f = fs()
     val dir = tableDir(ident)
@@ -277,12 +314,35 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     val d0 = readDescriptor(f, mp)
     var schema = d0.schema
     var props = d0.props
+    var renames = d0.renames
+    val partSet = d0.partColsCsv.split(",").filter(_.nonEmpty).toSet
     changes.foreach {
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1,
+          s"graft catalog: nested columns are not supported " +
+            s"(got ${rn.fieldNames().mkString(".")})")
+        val oldName = rn.fieldNames()(0)
+        val newName = rn.newName()
+        require(schema.fieldNames.contains(oldName),
+          s"graft catalog: no column $oldName in ${ident.name()}")
+        require(!partSet.contains(oldName),
+          s"graft catalog: cannot rename partition column $oldName — the " +
+            "hive col=value directory layout bakes the name into every " +
+            "existing partition path")
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+          s"graft catalog: column $newName already exists in ${ident.name()}")
+        require(!(oldName + newName).exists(c => c == ';' || c == '>' ||
+            c == ':' || c == ',' || c == '\n' || c == '\r'),
+          s"graft catalog: rename involves a reserved separator character")
+        schema = StructType(schema.fields.map(fld =>
+          if (fld.name == oldName) fld.copy(name = newName) else fld))
+        // keep the history FLAT: every historical name maps to the
+        // CURRENT name, so a→b→c stores a>c and b>c (one lookup hop)
+        renames = renames.map { case (h, cur) =>
+          (h, if (cur == oldName) newName else cur)
+        } :+ (oldName -> newName)
       case set: TableChange.SetProperty =>
-        // ALTER TABLE ... SET TBLPROPERTIES: the time-travel retention
-        // knob is table metadata, so widening/narrowing the history
-        // window is a catalog DDL (takes effect on the NEXT commit's
-        // cleanup; already-deleted generations do not come back)
+        // (fallthrough to the shared handling below)
         validateProps(Map(set.property() -> set.value()))
         props = props + (set.property() -> set.value())
       case rm: TableChange.RemoveProperty =>
@@ -303,10 +363,11 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
         schema = schema.add(colName, add.dataType(), nullable = true)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other — only " +
-          "trailing nullable ADD COLUMN and SET/UNSET TBLPROPERTIES are " +
-          "allowed on positional TSV data")
+          "trailing nullable ADD COLUMN, RENAME COLUMN (non-partition) and " +
+          "SET/UNSET TBLPROPERTIES are allowed on positional TSV data")
     }
-    writeDescriptor(f, dir, d0.copy(schema = schema, props = props))
+    writeDescriptor(f, dir,
+      d0.copy(schema = schema, props = props, renames = renames))
     loadTable(ident)
   }
 

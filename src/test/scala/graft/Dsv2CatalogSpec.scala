@@ -130,7 +130,7 @@ class Dsv2CatalogSpec extends SparkSuite {
       Seq("id", "v", "score", "x", "y"))
   }
 
-  test("ALTER TABLE rejections: positioned add, non-nullable add, drop, rename") {
+  test("ALTER TABLE rejections: positioned add, non-nullable add, drop") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.evo2")
     spark.sql("CREATE TABLE gcat.evo2.t (id BIGINT, v STRING) USING `graft-tsv`")
     // FIRST/AFTER would remap positional TSV fields under existing data
@@ -151,11 +151,6 @@ class Dsv2CatalogSpec extends SparkSuite {
     }
     assert(e4.getMessage.contains("only") || e4.getMessage.contains("unsupported"),
       e4.getMessage)
-    val e5 = intercept[Exception] {
-      spark.sql("ALTER TABLE gcat.evo2.t RENAME COLUMN v TO w")
-    }
-    assert(e5.getMessage.contains("only") || e5.getMessage.contains("unsupported"),
-      e5.getMessage)
     // duplicate name (case-insensitive, Spark's resolution default)
     val e6 = intercept[Exception] {
       spark.sql("ALTER TABLE gcat.evo2.t ADD COLUMN ID BIGINT")
@@ -163,5 +158,65 @@ class Dsv2CatalogSpec extends SparkSuite {
     assert(e6.getMessage.toLowerCase.contains("exists"), e6.getMessage)
     // a failed ALTER leaves the descriptor untouched
     assert(spark.table("gcat.evo2.t").schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("RENAME COLUMN: name-mapped evolution keeps data AND old-name stats pruning") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ren")
+    spark.sql("CREATE TABLE gcat.ren.t (id BIGINT, v STRING) USING `graft-tsv`")
+    // generation 1 written under the ORIGINAL name: its manifest stats
+    // cells are keyed `id:...`
+    spark.sql("""INSERT INTO gcat.ren.t
+      SELECT id, concat('v', id) FROM range(100)""")
+    spark.sql("ALTER TABLE gcat.ren.t RENAME COLUMN id TO doc_id")
+    assert(spark.table("gcat.ren.t").schema.fieldNames.toSeq ==
+      Seq("doc_id", "v"))
+    // positional data resolves under the new name unchanged
+    val got = spark.sql("SELECT doc_id FROM gcat.ren.t WHERE doc_id >= 90")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (90L until 100L))
+    // generation 2 written under the NEW name; both generations readable
+    spark.sql("""INSERT INTO gcat.ren.t
+      SELECT id + 100, concat('v', id + 100) FROM range(100)""")
+    assert(spark.sql("SELECT count(*) FROM gcat.ren.t").head().getLong(0) == 200)
+    // the scan PRUNES pre-rename files via the alias map: a predicate on
+    // doc_id must look stats up under the historical name `id`. Prove at
+    // the planning seam: only the covering file's splits are planned.
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val rootTable = s"$rootDir/ren/t"
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("v", StringType)))
+    def plannedSplits(opts: Map[String, String]): Int = {
+      val b = new graft.sources.GraftTsvScanBuilder(schema,
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          (opts + ("path" -> rootTable)).asJava))
+      b.pushFilters(Array(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 150L)))
+      b.build().asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+        .planInputPartitions().length
+    }
+    val withAlias = plannedSplits(Map("column.aliases" -> "doc_id>id"))
+    val withoutAlias = plannedSplits(Map.empty)
+    // without the alias the gen-1 file (stats keyed `id`) cannot be
+    // excluded; with it, only the gen-2 file (keyed `doc_id`, range
+    // 100-199) survives the predicate
+    assert(withAlias < withoutAlias,
+      s"alias map must restore pre-rename file skipping: $withAlias vs $withoutAlias")
+    // chained rename: doc_id -> document_id must still resolve `id` stats
+    spark.sql("ALTER TABLE gcat.ren.t RENAME COLUMN doc_id TO document_id")
+    assert(spark.sql(
+      "SELECT count(*) FROM gcat.ren.t WHERE document_id < 100")
+      .head().getLong(0) == 100)
+    // rejections: partition column, existing target
+    spark.sql("""CREATE TABLE gcat.ren.p (id BIGINT, day STRING)
+      USING `graft-tsv` PARTITIONED BY (day)""")
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.ren.p RENAME COLUMN day TO d")
+    }
+    assert(e1.getMessage.contains("partition"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.ren.t RENAME COLUMN v TO document_id")
+    }
+    assert(e2.getMessage.toLowerCase.contains("exists"), e2.getMessage)
   }
 }
