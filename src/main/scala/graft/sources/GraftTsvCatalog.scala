@@ -373,8 +373,10 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
 
   // ---- maintenance procedures (SQL CALL) ----
 
-  /** `CALL <cat>.system.compact('db.t' [, target_bytes])` and
-    * `CALL <cat>.system.vacuum('db.t' [, older_than_ms])` — see
+  /** `CALL <cat>.system.compact('db.t' [, target_bytes])`,
+    * `CALL <cat>.system.vacuum('db.t' [, older_than_ms])`,
+    * `CALL <cat>.system.history('db.t')` and
+    * `CALL <cat>.system.rollback('db.t', <generation>)` — see
     * [[GraftTsvMaintenance]]. The namespace in the CALL is cosmetic
     * (any resolves); the table argument is `namespace.table` under THIS
     * catalog. */
@@ -383,12 +385,16 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     ident.name().toLowerCase(java.util.Locale.ROOT) match {
       case "compact" => GraftTsvProcedures.compact(resolveForMaintenance)
       case "vacuum" => GraftTsvProcedures.vacuum(resolveForMaintenance)
+      case "history" => GraftTsvProcedures.history(resolveForMaintenance)
+      case "rollback" => GraftTsvProcedures.rollback(resolveForMaintenance)
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: unknown procedure '$other' — available: compact, vacuum")
+        s"graft catalog: unknown procedure '$other' — available: " +
+          "compact, history, rollback, vacuum")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "vacuum"))
+    Array("compact", "history", "rollback", "vacuum")
+      .map(Identifier.of(namespace, _))
 
   /** Table-name string (`'db.t'`) → (dir, partition columns, retention)
     * for the maintenance procedures. */

@@ -212,12 +212,96 @@ private[sources] object GraftTsvMaintenance {
       }
       .collect().toSeq
     val dropped = groups.flatMap(_.rels).toSet
-    GraftTsvPublisher.publish(fs, dir, staged, label, epochMarker = None,
+    // the current generation's #epoch replay marker is CARRIED into the
+    // compacted generation: a streaming sink's epoch-replay idempotence
+    // check reads the latest manifest's marker, so a compact run between
+    // two streaming invocations must not erase the last committed epoch
+    // id (a replayed epoch would otherwise double-publish). Running
+    // compact CONCURRENTLY with a live streaming writer is outside the
+    // single-writer-per-table contract, as for every other writer pair.
+    val carriedEpoch = curGen.flatMap(g =>
+      GraftTsvManifest.epochOf(fs, new Path(dir, GraftTsvManifest.genName(g))))
+    GraftTsvPublisher.publish(fs, dir, staged, label, epochMarker = carriedEpoch,
       truncate = false, dropped = dropped, partCols,
       sweepPrefix = s".staging-$label", retainGenerations = retainGenerations)
     val after = entries.size - dropped.size + groups.size
     (entries.size.toLong, after.toLong, groups.flatMap(_.lens).sum,
       curGen.getOrElse(0L) + 1)
+  }
+
+  /** ROLLBACK to a retained generation: publish a NEW generation whose
+    * manifest lists exactly the target generation's entries — history
+    * moves forward (the bad generations stay retained and inspectable
+    * until the window slides past them), visibility flips on the same
+    * single `_gen` rename as every commit, and no data is copied (the
+    * target's part files are still on disk precisely BECAUSE the target
+    * is inside the retention window). The undo verb for a bad merge,
+    * delete, compact or overwrite — the operational complement of time
+    * travel: `VERSION AS OF` reads the old snapshot, rollback makes it
+    * current. Returns (fromGeneration, newGeneration). */
+  def rollback(
+      dir: Path, partCols: Seq[String], retainGenerations: Int,
+      toGen: Long): (Long, Long) = {
+    val fs = dir.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir), s"graft catalog rollback: no table directory $dir")
+    val children = GraftTsvPublisher.allFiles(fs, dir)
+    val gens = children
+      .collect { case (rel, _) if !rel.contains("/") => rel }
+      .flatMap(GraftTsvManifest.genNumber)
+    val curGen = gens.maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        "graft catalog rollback: table has no generation manifests yet"))
+    if (toGen == curGen) return (curGen, curGen) // no-op
+    require(gens.contains(toGen),
+      s"graft catalog rollback: generation $toGen is not retained " +
+        s"(retained: ${gens.sorted.mkString(", ")}) — raise retain.generations " +
+        "to keep a deeper undo window")
+    val entries =
+      GraftTsvManifest.readEntries(fs, new Path(dir, GraftTsvManifest.genName(toGen)))
+    // retention guarantees these files exist; verify anyway — publishing
+    // a manifest referencing a missing part would poison every read
+    val onDisk = children.map(_._1).toSet
+    val missing = entries.map(_._1).filterNot(onDisk.contains)
+    require(missing.isEmpty,
+      s"graft catalog rollback: generation $toGen references missing part " +
+        s"files (${missing.take(3).mkString(", ")}) — state corrupted outside " +
+        "the commit protocol")
+    val newGen = curGen + 1
+    val label = "rb" + java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+    val tmp = new Path(dir, s".manifest-$label")
+    val out = fs.create(tmp, true)
+    val lines = (s"#published:${System.currentTimeMillis()}" +:
+      entries.map { case (rel, stats) =>
+        if (stats.isEmpty) rel else s"$rel\t$stats"
+      }).map(_ + "\n").mkString
+    try out.write(lines.getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(dir, GraftTsvManifest.genName(newGen))))
+      throw new IllegalStateException(
+        s"graft catalog rollback: failed to publish generation $newGen — a " +
+          "concurrent writer took it; directory state is untouched")
+    // retention sweep, same keep-set rule as a commit: everything any
+    // retained manifest references stays; manifests below the window go
+    val retained = (newGen - retainGenerations to newGen)
+      .filter(g => gens.contains(g) || g == newGen)
+    val keep = retained.flatMap(g =>
+      GraftTsvManifest.read(fs, new Path(dir, GraftTsvManifest.genName(g)))).toSet
+    def inScope(rel: String): Boolean = {
+      val segs = rel.split("/")
+      segs.length == partCols.length + 1 &&
+        partCols.indices.forall(i => segs(i).startsWith(partCols(i) + "="))
+    }
+    children.foreach { case (rel, st) =>
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith(".") && !n.startsWith("_") &&
+          inScope(rel) && !keep.contains(rel))
+        fs.delete(st.getPath, false)
+      else if (!rel.contains("/") &&
+          GraftTsvManifest.genNumber(n).exists(_ < newGen - retainGenerations))
+        fs.delete(st.getPath, false)
+    }
+    (curGen, newGen)
   }
 
   /** Run the orphan sweep; returns (files_deleted, bytes_reclaimed).
@@ -276,12 +360,16 @@ private[sources] object GraftTsvProcedures {
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
-  private def singleRowScan(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
+  private def multiRowScan(schema: StructType, rowArr: Array[InternalRow])
+      : java.util.Iterator[Scan] =
     java.util.Collections.singletonList[Scan](new LocalScan {
       override def readSchema(): StructType = schema
-      override def rows(): Array[InternalRow] = Array(row)
+      override def rows(): Array[InternalRow] = rowArr
       override def description(): String = "graft-tsv maintenance result"
     }).iterator()
+
+  private def singleRowScan(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
+    multiRowScan(schema, Array(row))
 
   def compact(resolve: Resolve): UnboundProcedure = new UnboundProcedure {
     override def name(): String = "compact"
@@ -308,6 +396,62 @@ private[sources] object GraftTsvProcedures {
             StructField("bytes_compacted", LongType, nullable = false),
             StructField("generation", LongType, nullable = false))),
           new GenericInternalRow(Array[Any](before, after, bytes, gen)))
+      }
+    }
+  }
+
+  def history(resolve: Resolve): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "history"
+    override def description(): String =
+      "list a table's retained generations (publish instant, file/row " +
+        "footprint, streaming epoch) — metadata-only at any table size"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "history"
+      override def description(): String = "graft-tsv history"
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (dir, _, _) = resolve(input.getString(0))
+        val rows = GraftTsvCatalog
+          .history(SparkSession.active, dir.toString).collect()
+          .map(r => new GenericInternalRow(Array[Any](
+            r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4))): InternalRow)
+        multiRowScan(
+          StructType(Seq(
+            StructField("generation", LongType, nullable = false),
+            StructField("published_ms", LongType, nullable = false),
+            StructField("n_files", LongType, nullable = false),
+            StructField("n_rows", LongType, nullable = false),
+            StructField("epoch", LongType, nullable = false))),
+          rows)
+      }
+    }
+  }
+
+  def rollback(resolve: Resolve): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "rollback"
+    override def description(): String =
+      "make a retained generation current again by publishing its file " +
+        "list as a new generation (no data copied; history moves forward)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "rollback"
+      override def description(): String = "graft-tsv rollback"
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("to_generation", LongType)
+          .comment("retained generation to restore").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (dir, partCols, retain) = resolve(input.getString(0))
+        val (from, to) = GraftTsvMaintenance.rollback(
+          dir, partCols, retain, input.getLong(1))
+        singleRowScan(
+          StructType(Seq(
+            StructField("from_generation", LongType, nullable = false),
+            StructField("new_generation", LongType, nullable = false))),
+          new GenericInternalRow(Array[Any](from, to)))
       }
     }
   }

@@ -123,6 +123,92 @@ class Dsv2MaintenanceSpec extends SparkSuite {
     assert(spark.sql("SELECT count(*) FROM gmnt.db.v").head().getLong(0) == 50)
   }
 
+  test("rollback restores a retained generation; history lists the chain") {
+    spark.sql("""CREATE TABLE gmnt.db.r (id BIGINT, v STRING) USING `graft-tsv`
+      TBLPROPERTIES ('retain.generations' = '3')""")
+    spark.sql("INSERT INTO gmnt.db.r SELECT id, 'x' FROM range(100)") // gen 1
+    spark.sql("DELETE FROM gmnt.db.r WHERE id < 90")                  // gen 2
+    assert(spark.sql("SELECT count(*) FROM gmnt.db.r").head().getLong(0) == 10)
+    // the undo: generation 1's file list republished as generation 3
+    val res = spark.sql(
+      "CALL gmnt.system.rollback(`table` => 'db.r', to_generation => 1)")
+      .collect().head
+    assert(res.getLong(0) == 2 && res.getLong(1) == 3, res.toString)
+    assert(spark.sql("SELECT count(*) FROM gmnt.db.r").head().getLong(0) == 100,
+      "rollback must restore the pre-delete row set")
+    // history shows all three generations; gen 3's footprint equals gen 1's
+    val hist = spark.sql("CALL gmnt.system.history(`table` => 'db.r')")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(hist.map(_._1).toSeq == Seq(1L, 2L, 3L), hist.mkString(","))
+    assert(hist.head._2 == hist.last._2 && hist.head._3 == hist.last._3,
+      s"restored generation must have gen 1's footprint: ${hist.mkString(",")}")
+    // the deleted-state generation 2 stays pinnable until the window slides
+    assert(spark.sql("SELECT count(*) FROM gmnt.db.r VERSION AS OF 2")
+      .head().getLong(0) == 10)
+    // rollback to the current generation is a no-op
+    val noop = spark.sql(
+      "CALL gmnt.system.rollback(`table` => 'db.r', to_generation => 3)")
+      .collect().head
+    assert(noop.getLong(0) == 3 && noop.getLong(1) == 3)
+    // rollback past the retention window fails loudly
+    spark.sql("INSERT INTO gmnt.db.r SELECT id, 'y' FROM range(5)")   // gen 4
+    spark.sql("INSERT INTO gmnt.db.r SELECT id, 'z' FROM range(5)")   // gen 5 (gen 1 reclaimed)
+    val e = intercept[Exception] {
+      spark.sql("CALL gmnt.system.rollback(`table` => 'db.r', to_generation => 1)")
+        .collect()
+    }
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+  }
+
+  test("streamed table: per-epoch small files compact into one, stream resumes") {
+    import org.apache.spark.sql.streaming.Trigger
+    val s = spark
+    import s.implicits._
+    spark.sql("""CREATE TABLE gmnt.db.st (id BIGINT, v STRING) USING `graft-tsv`
+      TBLPROPERTIES ('retain.generations' = '2')""")
+    val tdir = s"$rootDir/db/st"
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_maint_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_maint_ck").toString
+    def feed(i: Int): Unit = {
+      (i * 10 until (i + 1) * 10).map(j => (j.toLong, s"v$j"))
+        .toDF("id", "v").coalesce(1).write.mode("append").parquet(srcDir)
+      val q = spark.readStream.schema("id BIGINT, v STRING").parquet(srcDir)
+        .writeStream.format("graft-tsv")
+        .option("path", tdir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // four epochs → four generations, each with its own small part file
+    (0 until 4).foreach(feed)
+    val partsBefore = names("st").count(n =>
+      n.startsWith("part-") && !n.endsWith(".crc"))
+    assert(partsBefore >= 4, s"expected per-epoch files, got ${names("st")}")
+    val fs = new org.apache.hadoop.fs.Path(rootDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def latestEpoch(): Option[Long] = {
+      val gen = names("st").filter(_.startsWith("_gen-")).max
+      graft.sources.GraftTsvManifest.epochOf(fs,
+        new org.apache.hadoop.fs.Path(s"$tdir/$gen"))
+    }
+    val epochBefore = latestEpoch()
+    assert(epochBefore.isDefined, "streaming sink must record its epoch")
+    val res = spark.sql("CALL gmnt.system.compact(`table` => 'db.st')")
+      .collect().head
+    assert(res.getLong(1) == 1, s"all epoch files pack into one: $res")
+    assert(spark.sql("SELECT count(*) FROM gmnt.db.st").head().getLong(0) == 40)
+    // the compacted generation CARRIES the last epoch marker, so a
+    // replayed epoch across the compaction boundary stays idempotent
+    assert(latestEpoch() == epochBefore,
+      "compact must carry the #epoch replay marker")
+    // the stream RESUMES across the compaction: the sink's epoch-replay
+    // marker rides the generation chain, so the next epoch appends to the
+    // compacted generation instead of double-publishing
+    feed(4)
+    assert(spark.sql("SELECT count(*) FROM gmnt.db.st").head().getLong(0) == 50)
+    assert(spark.sql("SELECT min(id), max(id) FROM gmnt.db.st").head().toSeq ==
+      Seq(0L, 49L))
+  }
+
   test("unknown procedures and bad arguments fail loudly") {
     val e = intercept[Exception] {
       spark.sql("CALL gmnt.system.rewrite_everything('db.v')").collect()
@@ -132,7 +218,7 @@ class Dsv2MaintenanceSpec extends SparkSuite {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("compact, vacuum")),
+    assert(messages(e).exists(_.contains("compact, history, rollback, vacuum")),
       messages(e).mkString(" | "))
     val e2 = intercept[Exception] {
       spark.sql("CALL gmnt.system.compact(`table` => 'db.nosuch')").collect()

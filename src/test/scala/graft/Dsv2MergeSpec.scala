@@ -103,6 +103,49 @@ class Dsv2MergeSpec extends SparkSuite {
     assert(spark.sql("SELECT count(*) FROM gmrg.db.u").head().getLong(0) == 30)
   }
 
+  test("MERGE with NOT MATCHED BY SOURCE clauses (sync-to-source shape)") {
+    // the full sync verb: update matched, insert new, delete rows the
+    // source no longer carries — the "make the table equal the feed"
+    // refresh a curation pipeline runs
+    spark.sql("CREATE TABLE gmrg.db.s2 (id BIGINT, v STRING) USING `graft-tsv`")
+    spark.sql("INSERT INTO gmrg.db.s2 SELECT id, concat('v', id) FROM range(10)")
+    spark.range(5, 15).select(col("id"), concat(lit("s"), col("id")).as("sv"))
+      .createOrReplaceTempView("mrg_sync")
+    spark.sql("""
+      MERGE INTO gmrg.db.s2 t USING mrg_sync s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.sv
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.sv)
+      WHEN NOT MATCHED BY SOURCE THEN DELETE
+    """)
+    val got = spark.sql("SELECT id, v FROM gmrg.db.s2 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === (5L to 14L).map(i => (i, s"s$i")),
+      s"table must equal the source after sync: $got")
+  }
+
+  test("MERGE routes inserts and updates into hive partition leaves") {
+    spark.sql("""CREATE TABLE gmrg.db.pm (id BIGINT, day STRING)
+      USING `graft-tsv` PARTITIONED BY (day)""")
+    spark.sql("""INSERT INTO gmrg.db.pm
+      SELECT id, concat('d', id % 2) FROM range(10)""")
+    // update moves id=0 to day d7; insert lands id=100 in day d8
+    spark.sql("""SELECT * FROM VALUES (0L, 'd7'), (100L, 'd8') AS s(id, day)""")
+      .createOrReplaceTempView("mrg_part")
+    spark.sql("""
+      MERGE INTO gmrg.db.pm t USING mrg_part s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET day = s.day
+      WHEN NOT MATCHED THEN INSERT (id, day) VALUES (s.id, s.day)
+    """)
+    assert(spark.sql("SELECT day FROM gmrg.db.pm WHERE id = 0")
+      .head().getString(0) == "d7")
+    assert(names("pm").exists(_.startsWith("day=d7/")))
+    assert(names("pm").exists(_.startsWith("day=d8/")))
+    assert(spark.sql("SELECT count(*) FROM gmrg.db.pm").head().getLong(0) == 11)
+    // partition pruning still works over the merged layout
+    assert(spark.sql("SELECT count(*) FROM gmrg.db.pm WHERE day = 'd8'")
+      .head().getLong(0) == 1)
+  }
+
   test("a no-op MERGE publishes no generation") {
     spark.sql("CREATE TABLE gmrg.db.n (id BIGINT, v STRING) USING `graft-tsv`")
     spark.sql("INSERT INTO gmrg.db.n SELECT id, 'x' FROM range(10)")
