@@ -90,6 +90,29 @@ object SourceParity {
           max("p_size").as("max_size"))
         .orderBy("p_brand"))
 
+  /** ORC file source: supplier → ORC → grouped agg. ORC is the second
+    * columnar format next to parquet (SURVEY §2.3's secondary formats);
+    * unlike the line-oriented CSV/JSON round-trips above, this one proves
+    * the engine's columnar write/read seam is not parquet-specific —
+    * predicate pushdown, column pruning and vectorized reads all ride
+    * Spark's native OrcFileFormat. At 100 TB the choice is organizational
+    * (existing ORC lakes), not a performance fork: both formats split by
+    * stripe/row-group and prune by column identically here. */
+  private val qOrcSource = QueryDef(
+    "q_orc_source",
+    Some(s"""
+      |SELECT s_nationkey, count(*) AS n,
+      |  ${sqlDsum(sqlDec("s_acctbal"))} AS sum_bal,
+      |  max(s_name) AS max_name
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      roundTrip(spark, dir, "supplier", "orc", Map.empty)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), dsum(dec("s_acctbal")).as("sum_bal"),
+          max("s_name").as("max_name"))
+        .orderBy("s_nationkey"))
+
   /** Hive-style partitioned parquet SINK + partition-pruned read-back,
     * under the oracle hash (SourcesSpec asserts the pruning mechanics —
     * `PartitionFilters` and file counts — in isolation; this entry proves
@@ -403,6 +426,80 @@ object SourceParity {
         dec("o_totalprice").cast("string").as("o_totalprice_str"),
         col("o_orderpriority"))
         .write.partitionBy("o_orderpriority")
+        .option("sep", "\t").option("header", "false")
+        .mode("overwrite").csv(tmp)
+    tmp
+  }
+
+  /** STORAGE-PARTITIONED JOIN through the DSv2 connector under the
+    * oracle gate: customer and supplier both exported hive-partitioned
+    * on nationkey, then joined on that key with
+    * `spark.sql.sources.v2.bucketing.enabled` — the scan reports
+    * `KeyGroupedPartitioning(identity(nationkey))` and every split
+    * carries a typed `HasPartitionKey`, so Spark aligns the two tables'
+    * partition groups and the join plans with NO Exchange on either side
+    * (Dsv2SpjSpec asserts the zero-shuffle plan; this entry proves the
+    * aligned values on real data against the parquet oracle). This is
+    * the 100 TB co-location story completing the bucketed-parquet
+    * exhibit (q_bucketed_join) on the connector side: two corpora laid
+    * out on the same key join partition-by-partition and the shuffle
+    * that would move both never exists. The conf rides a CLONED session
+    * so the grouping stays scoped to this query. */
+  private val qDsv2Spj = QueryDef(
+    "q_dsv2_spj",
+    Some(s"""
+      |SELECT c_nationkey AS nationkey, count(*) AS n_pairs,
+      |  CAST(sum(${sqlDec("c_acctbal")} + ${sqlDec("s_acctbal")}) AS DOUBLE)
+      |    AS sum_bal
+      |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+      |GROUP BY c_nationkey ORDER BY nationkey
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      import org.apache.spark.sql.types._
+      val custPath = spjExport(spark, dir, "customer", "c_nationkey")(
+        _.select(col("c_custkey"),
+          dec("c_acctbal").cast("string").as("c_acctbal_str"),
+          col("c_nationkey")))
+      val suppPath = spjExport(spark, dir, "supplier", "s_nationkey")(
+        _.select(col("s_suppkey"),
+          dec("s_acctbal").cast("string").as("s_acctbal_str"),
+          col("s_nationkey")))
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cust = s2.read.format("graft-tsv").schema(StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_acctbal_str", StringType),
+        StructField("c_nationkey", IntegerType))))
+        .option("partition.columns", "c_nationkey").load(custPath)
+      val supp = s2.read.format("graft-tsv").schema(StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_acctbal_str", StringType),
+        StructField("s_nationkey", IntegerType))))
+        .option("partition.columns", "s_nationkey").load(suppPath)
+      cust.join(supp, col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          dsum(dec(col("c_acctbal_str")) + dec(col("s_acctbal_str")))
+            .as("sum_bal"))
+        .withColumnRenamed("c_nationkey", "nationkey")
+        .orderBy("nationkey")
+    })
+
+  /** Pay-once nationkey-partitioned TSV export for q_dsv2_spj (same
+    * _SUCCESS + source-fingerprint cache as the other exports). */
+  private def spjExport(spark: SparkSession, dir: String, table: String,
+      partCol: String)(sel: DataFrame => DataFrame): String = {
+    val srcFile = new java.io.File(graft.sources.Tables.path(dir, table))
+    val sig = java.lang.Long.toHexString(
+      srcFile.length * 1000003L + srcFile.lastModified)
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_dsv2_spj_${table}_${Integer.toHexString(dir.hashCode)}_$sig")
+      .toString
+    val done = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done))
+      sel(tbl(spark, dir, table)).write.partitionBy(partCol)
         .option("sep", "\t").option("header", "false")
         .mode("overwrite").csv(tmp)
     tmp
@@ -920,9 +1017,10 @@ object SourceParity {
         .orderBy("c_mktsegment")
     })
 
-  val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qPartitionedSink,
+  val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qOrcSource,
+    qPartitionedSink,
     qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source,
-    qDsv2Sink, qDsv2RuntimeJoin, qDsv2Partitioned, qDsv2StatsSkip,
+    qDsv2Sink, qDsv2RuntimeJoin, qDsv2Partitioned, qDsv2Spj, qDsv2StatsSkip,
     qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn, qDsv2TimeTravel,
     qDsv2Merge, qDsv2Update, qDsv2Compact)
 }

@@ -533,7 +533,43 @@ final class GraftTsvScan(
     onPlanned: Option[Seq[String] => Unit] = None,
     aliases: Map[String, Seq[String]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
+
+  /** Partition-column data types in `partition.columns` order — drives
+    * both the typed [[HasPartitionKey]] keys on every planned split and
+    * the reported [[outputPartitioning]]. */
+  private lazy val partTypes: Array[DataType] =
+    partCols.map(c => fullSchema(fullSchema.fieldIndex(c)).dataType).toArray
+
+  /** STORAGE-PARTITIONED JOINS: a hive-partitioned table reports
+    * `KeyGroupedPartitioning(identity(partition cols))`, so two tables
+    * laid out on the same keys join with ZERO Exchange — Spark groups
+    * this scan's splits by their [[HasPartitionKey]] values and aligns
+    * the groups across the join instead of shuffling both sides
+    * (`spark.sql.sources.v2.bucketing.enabled`; off = grouping is never
+    * consulted and planning is unchanged). At 100 TB this is the
+    * connector-side half of the bucketed-join story: a date/tenant-
+    * partitioned fact co-located with a same-partitioned snapshot joins
+    * partition-by-partition, and the shuffle that would otherwise move
+    * BOTH corpora never exists. The reported partition count is the
+    * distinct partition-value count of the statically-pruned listing —
+    * the groups the batch will actually produce. Count-only and
+    * row-level-rewrite scans report unknown: their output rows are not
+    * the table's rows. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val groups =
+      if (partCols.isEmpty || countOnly || fileFilterOnly) 0
+      else pruneFiles(batchListing, pushed)
+        .map(_.partVals.toSeq).distinct.size
+    if (groups == 0)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        partCols.map(c => org.apache.spark.sql.connector.expressions.Expressions
+          .identity(c)).toArray,
+        groups)
+  }
 
   /** Manifest stats lookup through the RENAME COLUMN name map: a cell
     * written before a rename is keyed under the column's historical name,
@@ -865,7 +901,7 @@ final class GraftTsvScan(
     def allSplits: Seq[GraftTsvInputPartition] =
       (0L until e.len by splitBytes).map { off =>
         GraftTsvInputPartition(e.path, off, math.min(splitBytes, e.len - off),
-          e.partVals)
+          e.partVals, partTypes)
       }
     // pruning is sound only when the blocks TILE the whole file — a gap
     // (corrupt/dropped entry, external rewrite) means a split's rows can
@@ -898,7 +934,8 @@ final class GraftTsvScan(
         if (!excl(k)) dead = false
         k += 1
       }
-      if (!dead) out += GraftTsvInputPartition(e.path, off, len, e.partVals)
+      if (!dead) out += GraftTsvInputPartition(e.path, off, len, e.partVals,
+        partTypes)
       off += splitBytes
     }
     out.result()
@@ -1210,10 +1247,26 @@ private[sources] final case class GraftTsvFileEntry(
     rows: Option[Long] = None,
     blocks: Seq[(Long, Long, Map[String, (String, String, String)])] = Seq.empty)
 
+/** One byte-range split of one file. When the table is hive-partitioned,
+  * the split carries its partition values TWICE: raw strings (`partVals`,
+  * what the readers append to every row) and, via [[HasPartitionKey]],
+  * the typed internal form (`partTypes` drives the conversion) — the key
+  * Spark's storage-partitioned-join machinery groups splits by. The key
+  * is built once per split object and is stable across calls, as the
+  * interface requires; an unpartitioned split answers an EMPTY row, which
+  * is never consulted because the scan then reports unknown partitioning. */
 final case class GraftTsvInputPartition(
     file: String, start: Long, length: Long,
-    partVals: Array[String] = Array.empty)
-    extends InputPartition
+    partVals: Array[String] = Array.empty,
+    partTypes: Array[DataType] = Array.empty)
+    extends InputPartition with HasPartitionKey {
+  @transient private lazy val key: InternalRow =
+    new GenericInternalRow(partVals.zip(partTypes).map {
+      case (null, _) => null
+      case (raw, dt) => GraftTsvPushdown.convertCell(dt, raw)
+    }: Array[Any])
+  override def partitionKey(): InternalRow = key
+}
 
 /** SQL-metric surface of the scan (the no-silent-work rule applied to the
   * connector): `linesRead` counts every line the readers consumed,
