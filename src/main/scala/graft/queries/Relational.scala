@@ -463,6 +463,57 @@ object Relational {
       spark.sql(corrSubquerySql)
     })
 
+  /** RECURSIVE CTE (`WITH RECURSIVE`, Spark 4's linear-recursion fixpoint):
+    * a month spine generated by recursion from the data's own min month to
+    * its max, left-joined to per-month order totals — the recursive
+    * restatement of the gap-fill shape (q_gap_fill does it with
+    * `sequence()`). The bounds ride a non-recursive CTE and are CARRIED
+    * through the recursion as a column, so the recursive branch needs no
+    * subquery (a documented recursive-reference restriction in both
+    * engines); each step is one +1 MONTH projection, so the fixpoint runs
+    * months-of-history iterations over one-row frames — driver-cheap at
+    * any corpus scale, the heavy side (orders) is touched exactly once by
+    * the join. The recursion-depth limit rides a cloned session (a
+    * century-long corpus would trip Spark's default 100): the oracle is
+    * the same recursion in DuckDB dialect (strftime / bare INTERVAL). */
+  private val qRecursiveCte = QueryDef(
+    "q_recursive_cte",
+    Some("""
+      |WITH RECURSIVE bounds AS (
+      |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+      |         CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+      |  FROM orders),
+      |months(m, hi) AS (
+      |  SELECT lo, hi FROM bounds
+      |  UNION ALL
+      |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi FROM months WHERE m < hi)
+      |SELECT strftime(m, '%Y-%m') AS month,
+      |  count(o_orderkey) AS n_orders,
+      |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_price
+      |FROM months LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+      |GROUP BY m ORDER BY month
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
+      views(s2, dir, "orders")
+      s2.sql("""
+        |WITH RECURSIVE bounds AS (
+        |  SELECT CAST(date_trunc('MONTH', min(o_orderdate)) AS DATE) AS lo,
+        |         CAST(date_trunc('MONTH', max(o_orderdate)) AS DATE) AS hi
+        |  FROM orders),
+        |months(m, hi) AS (
+        |  SELECT lo, hi FROM bounds
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE), hi FROM months WHERE m < hi)
+        |SELECT date_format(m, 'yyyy-MM') AS month,
+        |  count(o_orderkey) AS n_orders,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_price
+        |FROM months LEFT JOIN orders ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
+        |GROUP BY m ORDER BY month
+        |""".stripMargin.trim)
+    })
+
   /** PIVOT: event counts per user spread into one column per event type
     * (explicit value list → single-pass pivoted aggregation; missing
     * combinations coalesced to 0 to match SQL conditional counts). */
@@ -1514,7 +1565,8 @@ object Relational {
     qRollup, qCube, qGroupingSets, qDistinctAgg, qApproxDistinct,
     qSetOps, qWindowFrames, qWindowLag, qWindowDist, qSessionize, qSessionizeNative,
     qScalarFuncs, qDateFuncs, qMapFuncs, qRangeJoin, qAsofJoin,
-    qOuterJoinAgg, qFullOuter, qCorrSubquery, qPivot, qUnpivot, qIncrementalAgg,
+    qOuterJoinAgg, qFullOuter, qCorrSubquery, qRecursiveCte, qPivot, qUnpivot,
+    qIncrementalAgg,
     qQ2, qQ3, qQ4, qQ5, qQ7, qQ10, qQ13, qQ14, qQ16, qQ17, qQ18, qQ19,
     qQ21, qQ22, qStringMatch, qSaltedAgg, qPercentiles, qApproxQuantiles,
     qFunnel, qRetention, qIntervalBinJoin, qUpsert, qLateralExplode)
