@@ -151,7 +151,8 @@ final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStrin
         throw new IllegalArgumentException("graft-tsv: no path given")),
       Option(options.get("delimiter")).getOrElse("\t").charAt(0),
       declaredPartCols,
-      tableRetain)
+      tableRetain,
+      tablePinned)
   }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -176,6 +177,19 @@ final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStrin
           s"graft-tsv: retain.generations must be an integer >= 1, got '$v'"))
     }.getOrElse(1)
 
+  /** Tag-pinned generations (`tags.pinned`, CSV of generation numbers —
+    * set by [[GraftTsvCatalog]] from the descriptor's tag map): every
+    * publish path retains these manifests and their parts regardless of
+    * the `retain.generations` window, so a tagged snapshot stays
+    * resolvable until untagged. */
+  private def tablePinned: Set[Long] =
+    Option(options.get("tags.pinned")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .map(v => v.toLongOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-tsv: tags.pinned must be a CSV of generation numbers, got '$v'")))
+      .toSet
+
   /** Row-level DELETE (`DELETE FROM cat.ns.t WHERE ...` through
     * [[GraftTsvCatalog]]): copy-on-write generation rewrite of only the
     * files the predicate can touch — see [[GraftTsvDelete]]. */
@@ -191,7 +205,8 @@ final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStrin
       declaredPartCols,
       headerOn,
       filters,
-      retainGenerations = tableRetain)
+      retainGenerations = tableRetain,
+      pinnedGens = tablePinned)
 
   /** Write path in GraftTsvWrite.scala: two-phase commit (dot-prefixed
     * staging files, driver-side rename) — only committed task output
@@ -208,7 +223,8 @@ final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStrin
       Option(options.get("delimiter")).getOrElse("\t").charAt(0),
       info,
       tablePartCols = declaredPartCols,
-      tableRetain = tableRetain)
+      tableRetain = tableRetain,
+      tablePinned = tablePinned)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // DataFrameReader merges load(path) and .option(...) into the TABLE
     // properties; per-scan options arrive here. Prefer scan-time values.

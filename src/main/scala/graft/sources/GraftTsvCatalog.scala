@@ -74,7 +74,8 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     * forward-compatible. */
   private case class Descriptor(schema: StructType, partColsCsv: String,
       delimLine: String, props: Map[String, String],
-      renames: Seq[(String, String)] = Seq.empty) {
+      renames: Seq[(String, String)] = Seq.empty,
+      tags: Map[String, Long] = Map.empty) {
     def serialized: String = {
       // the k=v;k=v and old>new;old>new lines have no escaping, so the
       // separators must not appear in keys or values — today
@@ -91,35 +92,60 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
             c == ',' || c == '\n' || c == '\r'),
           s"graft catalog: rename '$o'>'$n' contains a descriptor separator")
       }
+      tags.keys.foreach { t =>
+        require(TagNameRe.matches(t) && !t.forall(_.isDigit),
+          s"graft catalog: tag '$t' must match [A-Za-z0-9._-]+ and not be " +
+            "all digits (a numeric VERSION AS OF names a generation)")
+      }
       val base = schema.json + "\n" + partColsCsv + "\n" + delimLine + "\n"
-      if (props.isEmpty && renames.isEmpty) base
+      if (props.isEmpty && renames.isEmpty && tags.isEmpty) base
       else {
         val propsLine =
           props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
-        if (renames.isEmpty) base + propsLine + "\n"
-        else base + propsLine + "\n" + "#renames:" +
-          renames.map { case (o, n) => s"$o>$n" }.mkString(";") + "\n"
+        base + propsLine + "\n" +
+          (if (renames.isEmpty) ""
+           else "#renames:" +
+             renames.map { case (o, n) => s"$o>$n" }.mkString(";") + "\n") +
+          (if (tags.isEmpty) ""
+           else "#tags:" + tags.toSeq.sortBy(_._1)
+             .map { case (t, g) => s"$t:$g" }.mkString(";") + "\n")
       }
     }
   }
+
+  /** Tag-name charset: path/descriptor-safe, and syntactically disjoint
+    * from generation numbers so `VERSION AS OF` dispatch is unambiguous. */
+  private val TagNameRe = "[A-Za-z0-9._-]+".r
 
   private def readDescriptor(f: FileSystem, mp: Path): Descriptor = {
     val in = f.open(mp)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
+    // trailing lines are PREFIX-dispatched (older descriptors simply end
+    // early): index 3 is the props k=v line unless '#'-marked, everything
+    // after carries its own marker — adding a marker line never shifts an
+    // existing one
+    val trailing = lines.drop(3)
     Descriptor(
       DataType.fromJson(lines.head).asInstanceOf[StructType],
       lines.lift(1).getOrElse(""),
       lines.lift(2).getOrElse('\t'.toInt.toString),
-      lines.lift(3).toSeq.flatMap(_.split(";").filter(_.contains("=")).map { kv =>
-        val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1)
-      }).toMap,
-      lines.lift(4).toSeq.filter(_.startsWith("#renames:"))
+      trailing.headOption.filterNot(_.startsWith("#")).toSeq
+        .flatMap(_.split(";").filter(_.contains("=")).map { kv =>
+          val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1)
+        }).toMap,
+      trailing.filter(_.startsWith("#renames:"))
         .flatMap(_.stripPrefix("#renames:").split(";").filter(_.contains(">"))
           .map { on =>
             val i = on.indexOf('>'); on.take(i) -> on.drop(i + 1)
-          }))
+          }),
+      trailing.filter(_.startsWith("#tags:"))
+        .flatMap(_.stripPrefix("#tags:").split(";").filter(_.contains(":"))
+          .map { tg =>
+            val i = tg.lastIndexOf(':')
+            tg.take(i) -> tg.drop(i + 1).toLong
+          }).toMap)
   }
 
   /** Atomic descriptor (re)write: hidden tmp + OVERWRITE rename — a reader
@@ -170,9 +196,22 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     * window still exist — a miss fails at scan planning, naming what IS
     * retained. */
   override def loadTable(ident: Identifier, version: String): Table =
-    loadTableAt(ident, Some(version.toLongOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"graft catalog: VERSION AS OF expects a numeric generation, got '$version'"))))
+    loadTableAt(ident, Some(version.toLongOption.getOrElse {
+      // non-numeric version = a NAMED TAG (CALL g.system.tag): resolve it
+      // through the descriptor's tag map; tagged generations are pinned
+      // past retention, so a hit always has its manifest on disk
+      val f = fs()
+      val mp = metaPath(tableDir(ident))
+      if (!f.exists(mp)) throw noSuchTable(ident)
+      val d = readDescriptor(f, mp)
+      d.tags.getOrElse(version,
+        throw new IllegalArgumentException(
+          s"graft catalog: VERSION AS OF '$version' — no such tag on " +
+            s"${ident.name()} (tags: " +
+            (if (d.tags.isEmpty) "none"
+             else d.tags.toSeq.sortBy(_._1)
+               .map { case (t, g) => s"$t->$g" }.mkString(", ")) + ")"))
+    }))
 
   /** SQL `TIMESTAMP AS OF <t>`: Spark hands the literal as MICROSECONDS
     * since the epoch; it resolves to the newest retained generation whose
@@ -229,6 +268,9 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
       (if (partCols.nonEmpty) Map("partition.columns" -> partCols.mkString(","))
        else Map.empty) ++
       d.props ++ aliasOpt ++
+      (if (d.tags.isEmpty) Map.empty
+       else Map("tags.pinned" ->
+         d.tags.values.toSeq.distinct.sorted.mkString(","))) ++
       generation.map(g => Map("generation" -> g.toString)).getOrElse(Map.empty)
     new GraftTsvTable(d.schema, new CaseInsensitiveStringMap(opts.asJava))
   }
@@ -387,18 +429,21 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
       case "vacuum" => GraftTsvProcedures.vacuum(resolveForMaintenance)
       case "history" => GraftTsvProcedures.history(resolveForMaintenance)
       case "rollback" => GraftTsvProcedures.rollback(resolveForMaintenance)
+      case "tag" => GraftTsvProcedures.tag(tagImpl)
+      case "untag" => GraftTsvProcedures.untag(untagImpl)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unknown procedure '$other' — available: " +
-          "compact, history, rollback, vacuum")
+          "compact, history, rollback, tag, untag, vacuum")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array("compact", "history", "rollback", "vacuum")
+    Array("compact", "history", "rollback", "tag", "untag", "vacuum")
       .map(Identifier.of(namespace, _))
 
-  /** Table-name string (`'db.t'`) → (dir, partition columns, retention)
-    * for the maintenance procedures. */
-  private def resolveForMaintenance(tableName: String): (Path, Seq[String], Int) = {
+  /** Table-name string (`'db.t'`) → (dir, partition columns, retention,
+    * tag-pinned generations) for the maintenance procedures. */
+  private def resolveForMaintenance(tableName: String)
+      : (Path, Seq[String], Int, Set[Long]) = {
     val parts = tableName.split("\\.")
     require(parts.nonEmpty && parts.forall(_.nonEmpty),
       s"graft catalog: procedure table argument must be 'namespace.table', " +
@@ -411,7 +456,45 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     val d = readDescriptor(f, mp)
     val partCols = d.partColsCsv.split(",").filter(_.nonEmpty).toSeq
     val retain = d.props.get(RetainKey).flatMap(_.toIntOption).getOrElse(1)
-    (dir, partCols, retain)
+    (dir, partCols, retain, d.tags.values.toSet)
+  }
+
+  /** tag/untag backends for the SQL procedures: descriptor rewrite is the
+    * same atomic tmp+rename as every DDL. Tagging validates the target
+    * generation's manifest EXISTS (retained or already pinned) — a tag
+    * must never point at a snapshot that cannot be opened. Returns
+    * whether an existing tag was moved. */
+  private def tagImpl(tableName: String, tag: String, gen: Long): Boolean = {
+    val (dir, _, _, _) = resolveForMaintenance(tableName)
+    require(TagNameRe.matches(tag) && !tag.forall(_.isDigit),
+      s"graft catalog: tag '$tag' must match [A-Za-z0-9._-]+ and not be " +
+        "all digits (a numeric VERSION AS OF names a generation)")
+    val f = fs()
+    require(f.exists(new Path(dir, GraftTsvManifest.genName(gen))),
+      s"graft catalog: cannot tag generation $gen of $tableName — its " +
+        "manifest is not on disk (outside the retention window or never " +
+        "committed); raise retain.generations to keep a deeper window")
+    val mp = metaPath(dir)
+    val d = readDescriptor(f, mp)
+    writeDescriptor(f, dir, d.copy(tags = d.tags + (tag -> gen)))
+    d.tags.contains(tag)
+  }
+
+  /** Untag: returns the generation the tag pointed at. The generation is
+    * NOT deleted here — the next publish's retention sweep reclaims it
+    * if (and only if) it is outside the window. */
+  private def untagImpl(tableName: String, tag: String): Long = {
+    val (dir, _, _, _) = resolveForMaintenance(tableName)
+    val f = fs()
+    val mp = metaPath(dir)
+    val d = readDescriptor(f, mp)
+    val gen = d.tags.getOrElse(tag,
+      throw new IllegalArgumentException(
+        s"graft catalog: no tag '$tag' on $tableName (tags: " +
+          (if (d.tags.isEmpty) "none"
+           else d.tags.keys.toSeq.sorted.mkString(", ")) + ")"))
+    writeDescriptor(f, dir, d.copy(tags = d.tags - tag))
+    gen
   }
 
   override def dropTable(ident: Identifier): Boolean = {

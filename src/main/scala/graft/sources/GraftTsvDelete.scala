@@ -69,7 +69,8 @@ object GraftTsvDelete {
       partCols: Seq[String],
       header: Boolean,
       filters: Array[Filter],
-      retainGenerations: Int = 1): Unit = {
+      retainGenerations: Int = 1,
+      pinnedGens: Set[Long] = Set.empty): Unit = {
     require(canDelete(schema, header, filters),
       s"graft-tsv DELETE: unsupported predicate in [${filters.mkString(", ")}]")
     // a FALSE conjunct makes the whole conjunction false: nothing matches
@@ -94,7 +95,8 @@ object GraftTsvDelete {
       // DELETE without WHERE: publish an empty generation, rewrite nothing
       GraftTsvPublisher.publish(fs, dir, Seq.empty, lbl, epochMarker = None,
         truncate = true, dropped = Set.empty, partCols,
-        sweepPrefix = s".staging-$lbl", retainGenerations = retainGenerations)
+        sweepPrefix = s".staging-$lbl", retainGenerations = retainGenerations,
+        pinnedGens = pinnedGens)
       return
     }
 
@@ -130,7 +132,8 @@ object GraftTsvDelete {
 
     GraftTsvPublisher.publish(fs, dir, staged, lbl, epochMarker = None,
       truncate = false, dropped = affected.map(_.rel).toSet, partCols,
-      sweepPrefix = s".staging-$lbl", retainGenerations = retainGenerations)
+      sweepPrefix = s".staging-$lbl", retainGenerations = retainGenerations,
+      pinnedGens = pinnedGens)
   }
 
   /** Task-side copy-on-write of one file: stream lines, keep those whose

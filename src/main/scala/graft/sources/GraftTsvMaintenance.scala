@@ -173,7 +173,8 @@ private[sources] object GraftTsvMaintenance {
     * generation or -1 when nothing to do). */
   def compact(
       spark: SparkSession, dir: Path, partCols: Seq[String],
-      retainGenerations: Int, targetBytes: Long): (Long, Long, Long, Long) = {
+      retainGenerations: Int, targetBytes: Long,
+      pinnedGens: Set[Long] = Set.empty): (Long, Long, Long, Long) = {
     require(targetBytes > 0,
       s"graft catalog compact: target_bytes must be positive, got $targetBytes")
     val hconf = SerializableHadoopConf.fromSession()
@@ -223,7 +224,8 @@ private[sources] object GraftTsvMaintenance {
       GraftTsvManifest.epochOf(fs, new Path(dir, GraftTsvManifest.genName(g))))
     GraftTsvPublisher.publish(fs, dir, staged, label, epochMarker = carriedEpoch,
       truncate = false, dropped = dropped, partCols,
-      sweepPrefix = s".staging-$label", retainGenerations = retainGenerations)
+      sweepPrefix = s".staging-$label", retainGenerations = retainGenerations,
+      pinnedGens = pinnedGens)
     val after = entries.size - dropped.size + groups.size
     (entries.size.toLong, after.toLong, groups.flatMap(_.lens).sum,
       curGen.getOrElse(0L) + 1)
@@ -241,7 +243,7 @@ private[sources] object GraftTsvMaintenance {
     * current. Returns (fromGeneration, newGeneration). */
   def rollback(
       dir: Path, partCols: Seq[String], retainGenerations: Int,
-      toGen: Long): (Long, Long) = {
+      toGen: Long, pinnedGens: Set[Long] = Set.empty): (Long, Long) = {
     val fs = dir.getFileSystem(
       SparkSession.active.sparkContext.hadoopConfiguration)
     require(fs.exists(dir), s"graft catalog rollback: no table directory $dir")
@@ -283,8 +285,8 @@ private[sources] object GraftTsvMaintenance {
           "concurrent writer took it; directory state is untouched")
     // retention sweep, same keep-set rule as a commit: everything any
     // retained manifest references stays; manifests below the window go
-    val retained = (newGen - retainGenerations to newGen)
-      .filter(g => gens.contains(g) || g == newGen)
+    val retained = ((newGen - retainGenerations to newGen) ++ pinnedGens)
+      .distinct.filter(g => gens.contains(g) || g == newGen)
     val keep = retained.flatMap(g =>
       GraftTsvManifest.read(fs, new Path(dir, GraftTsvManifest.genName(g)))).toSet
     def inScope(rel: String): Boolean = {
@@ -298,7 +300,8 @@ private[sources] object GraftTsvMaintenance {
           inScope(rel) && !keep.contains(rel))
         fs.delete(st.getPath, false)
       else if (!rel.contains("/") &&
-          GraftTsvManifest.genNumber(n).exists(_ < newGen - retainGenerations))
+          GraftTsvManifest.genNumber(n).exists(g =>
+            g < newGen - retainGenerations && !pinnedGens(g)))
         fs.delete(st.getPath, false)
     }
     (curGen, newGen)
@@ -354,9 +357,10 @@ private[sources] object GraftTsvMaintenance {
   * observable in SQL, not just in the filesystem. */
 private[sources] object GraftTsvProcedures {
 
-  /** (dir, partCols, retain) resolver the catalog supplies — procedures
-    * take the table name as a string argument (`'db.t'`). */
-  type Resolve = String => (Path, Seq[String], Int)
+  /** (dir, partCols, retain, tag-pinned gens) resolver the catalog
+    * supplies — procedures take the table name as a string argument
+    * (`'db.t'`). */
+  type Resolve = String => (Path, Seq[String], Int, Set[Long])
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
@@ -386,9 +390,9 @@ private[sources] object GraftTsvProcedures {
           .defaultValue((64L * 1024 * 1024).toString)
           .comment("pack smaller files up to this output size").build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
-        val (dir, partCols, retain) = resolve(input.getString(0))
+        val (dir, partCols, retain, pinned) = resolve(input.getString(0))
         val (before, after, bytes, gen) = GraftTsvMaintenance.compact(
-          SparkSession.active, dir, partCols, retain, input.getLong(1))
+          SparkSession.active, dir, partCols, retain, input.getLong(1), pinned)
         singleRowScan(
           StructType(Seq(
             StructField("files_before", LongType, nullable = false),
@@ -412,7 +416,7 @@ private[sources] object GraftTsvProcedures {
       override def parameters(): Array[ProcedureParameter] = Array(
         ProcedureParameter.in("table", StringType).build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
-        val (dir, _, _) = resolve(input.getString(0))
+        val (dir, _, _, _) = resolve(input.getString(0))
         val rows = GraftTsvCatalog
           .history(SparkSession.active, dir.toString).collect()
           .map(r => new GenericInternalRow(Array[Any](
@@ -444,9 +448,9 @@ private[sources] object GraftTsvProcedures {
         ProcedureParameter.in("to_generation", LongType)
           .comment("retained generation to restore").build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
-        val (dir, partCols, retain) = resolve(input.getString(0))
+        val (dir, partCols, retain, pinned) = resolve(input.getString(0))
         val (from, to) = GraftTsvMaintenance.rollback(
-          dir, partCols, retain, input.getLong(1))
+          dir, partCols, retain, input.getLong(1), pinned)
         singleRowScan(
           StructType(Seq(
             StructField("from_generation", LongType, nullable = false),
@@ -471,7 +475,7 @@ private[sources] object GraftTsvProcedures {
           .defaultValue((60L * 60 * 1000).toString)
           .comment("only files at least this old are reclaimed").build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
-        val (dir, partCols, _) = resolve(input.getString(0))
+        val (dir, partCols, _, _) = resolve(input.getString(0))
         val (deleted, bytes) =
           GraftTsvMaintenance.vacuum(dir, partCols, input.getLong(1))
         singleRowScan(
@@ -482,4 +486,67 @@ private[sources] object GraftTsvProcedures {
       }
     }
   }
+
+  /** NAMED TAG on a retained generation (`CALL g.system.tag('db.t',
+    * 'v1', 3)`): records name → generation in the table descriptor and
+    * PINS the generation — every publish path's retention sweep keeps a
+    * tagged manifest and its parts regardless of the window, so
+    * `VERSION AS OF 'v1'` stays resolvable until untag. Re-tagging an
+    * existing name moves it (`replaced` reports which). */
+  def tag(doTag: (String, String, Long) => Boolean): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "tag"
+      override def description(): String =
+        "name a retained generation; the tag pins it past retention and " +
+          "resolves via VERSION AS OF '<name>'"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = "tag"
+        override def description(): String = "graft-tsv tag"
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("tag", StringType)
+            .comment("snapshot name ([A-Za-z0-9._-], not all digits)").build(),
+          ProcedureParameter.in("generation", LongType)
+            .comment("retained generation to pin").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val replaced = doTag(
+            input.getString(0), input.getString(1), input.getLong(2))
+          singleRowScan(
+            StructType(Seq(
+              StructField("tag", StringType, nullable = false),
+              StructField("generation", LongType, nullable = false),
+              StructField("replaced", BooleanType, nullable = false))),
+            new GenericInternalRow(Array[Any](
+              utf8(input.getString(1)), input.getLong(2), replaced)))
+        }
+      }
+    }
+
+  /** Remove a tag: the generation stays on disk until the NEXT publish's
+    * retention sweep decides (still inside the window = kept; outside =
+    * reclaimed then — untag never deletes anything itself). */
+  def untag(doUntag: (String, String) => Long): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "untag"
+      override def description(): String =
+        "remove a named tag; the generation unpins and follows normal " +
+          "retention from the next commit"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = "untag"
+        override def description(): String = "graft-tsv untag"
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("tag", StringType).build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val gen = doUntag(input.getString(0), input.getString(1))
+          singleRowScan(
+            StructType(Seq(
+              StructField("tag", StringType, nullable = false),
+              StructField("generation", LongType, nullable = false))),
+            new GenericInternalRow(Array[Any](utf8(input.getString(1)), gen)))
+        }
+      }
+    }
 }

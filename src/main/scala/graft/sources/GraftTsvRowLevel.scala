@@ -77,7 +77,8 @@ final class GraftTsvRowLevelOperation(
     path: String,
     delimiter: Char,
     partCols: Seq[String],
-    retainGenerations: Int) extends RowLevelOperation {
+    retainGenerations: Int,
+    pinnedGens: Set[Long] = Set.empty) extends RowLevelOperation {
 
   /** Root-relative paths of the files the rewrite scan planned — the
     * groups whose rows the ReplaceData query read and whose replacement
@@ -178,7 +179,7 @@ final class GraftTsvRowLevelOperation(
         GraftTsvPublisher.publish(f, dir, staged, label, epochMarker = None,
           truncate = false, dropped = dropped, partCols,
           sweepPrefix = s".staging-$queryId",
-          retainGenerations = retainGenerations)
+          retainGenerations = retainGenerations, pinnedGens = pinnedGens)
       }
     }
 

@@ -61,7 +61,8 @@ final class GraftTsvWriteBuilder(
     delimiter: Char,
     info: LogicalWriteInfo,
     tablePartCols: Seq[String] = Seq.empty,
-    tableRetain: Int = 1) extends WriteBuilder with SupportsTruncate {
+    tableRetain: Int = 1,
+    tablePinned: Set[Long] = Set.empty) extends WriteBuilder with SupportsTruncate {
 
   /** Generation-history depth kept by commit cleanup (time travel window).
     * Write option wins over the table's own `retain.generations` property
@@ -125,7 +126,7 @@ final class GraftTsvWriteBuilder(
     override def toBatch: BatchWrite =
       new GraftTsvBatchWrite(schema, path, delimiter, truncateOnCommit,
         info.queryId(), SerializableHadoopConf.fromSession(), partCols,
-        blockBytes, retainGenerations)
+        blockBytes, retainGenerations, tablePinned)
     /** Streaming sink = the SAME commit protocol per epoch (Complete mode
       * arrives as truncate, Append as append), with the epoch id recorded
       * in the generation manifest as the replay-idempotence token. */
@@ -133,7 +134,7 @@ final class GraftTsvWriteBuilder(
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftTsvBatchWrite(schema, path, delimiter, truncateOnCommit,
         info.queryId(), SerializableHadoopConf.fromSession(), partCols,
-        blockBytes, retainGenerations)
+        blockBytes, retainGenerations, tablePinned)
   }
 
   /** Block-stats granularity (`stats.block.bytes`): how often the writer
@@ -323,7 +324,8 @@ final class GraftTsvBatchWrite(
     hconf: SerializableHadoopConf,
     partCols: Seq[String] = Seq.empty,
     blockBytes: Long = 4L * 1024 * 1024,
-    retainGenerations: Int = 1) extends BatchWrite
+    retainGenerations: Int = 1,
+    pinnedGens: Set[Long] = Set.empty) extends BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -356,7 +358,7 @@ final class GraftTsvBatchWrite(
     }.flatten.toSeq
     GraftTsvPublisher.publish(fs(), new Path(path), staged, label, epochMarker,
       truncate, dropped = Set.empty, partCols, sweepPrefix = s".staging-$queryId",
-      retainGenerations = retainGenerations)
+      retainGenerations = retainGenerations, pinnedGens = pinnedGens)
   }
 
   /** Streaming epoch commit: same publish, epoch-labeled and marked. */
@@ -420,7 +422,8 @@ private[sources] object GraftTsvPublisher {
       dropped: Set[String],
       partCols: Seq[String],
       sweepPrefix: String,
-      retainGenerations: Int = 1): Unit = {
+      retainGenerations: Int = 1,
+      pinnedGens: Set[Long] = Set.empty): Unit = {
     // retention < 1 would delete the just-superseded generation a
     // concurrent reader may still be resolving — the floor IS the
     // concurrent-reader safety contract, not a tunable
@@ -536,12 +539,16 @@ private[sources] object GraftTsvPublisher {
     //    by inScope so files this sink never published are untouched. A
     //    crash before this point leaves garbage for the next commit,
     //    never a broken table.
+    //    TAG PINNING: generations named by a catalog tag (`tags.pinned`,
+    //    from the descriptor) are retained REGARDLESS of the window —
+    //    a tagged snapshot stays resolvable until untagged, so `VERSION
+    //    AS OF '<tag>'` can never dangle while the tag exists.
     val newGen = curGen.getOrElse(0L) + 1
     val oldestRetained = newGen - retainGenerations
     val retainedGens = children
       .collect { case (rel, _) if !rel.contains("/") => rel }
       .flatMap(GraftTsvManifest.genNumber)
-      .filter(g => g >= oldestRetained && curGen.exists(g <= _))
+      .filter(g => (g >= oldestRetained || pinnedGens(g)) && curGen.exists(g <= _))
     val keep = nextVisible.toSet ++ retainedGens.flatMap(g =>
       GraftTsvManifest.readEntries(f, new Path(dir, GraftTsvManifest.genName(g)))
         .map(_._1)).toSet
@@ -550,7 +557,8 @@ private[sources] object GraftTsvPublisher {
       if (st.isFile && visiblePart(rel) && inScope(rel) && !keep.contains(rel))
         f.delete(st.getPath, false)
       else if ((!rel.contains("/") &&
-          GraftTsvManifest.genNumber(n).exists(_ < oldestRetained)) ||
+          GraftTsvManifest.genNumber(n).exists(g =>
+            g < oldestRetained && !pinnedGens(g))) ||
           n.startsWith(".staging-") || n.startsWith(".manifest-"))
         // manifests below the retention window, and — single-writer
         // contract — staging/tmp leftovers of CRASHED jobs (this job's

@@ -261,9 +261,11 @@ class Dsv2TimeTravelSpec extends SparkSuite {
     assert(q("SELECT * FROM gtt.db.t VERSION AS OF 1") == Set((1L, "a")))
     assert(q("SELECT * FROM gtt.db.t VERSION AS OF 2") == Set((1L, "a"), (2L, "b")))
     assert(q("SELECT * FROM gtt.db.t VERSION AS OF 3") == Set((9L, "z")))
-    // non-numeric version and unknown property fail loudly
+    // non-numeric version = a tag lookup (Dsv2TagSpec): with no tags
+    // defined it fails loudly naming the (empty) tag set
     val e1 = intercept[Exception](s.sql("SELECT * FROM gtt.db.t VERSION AS OF 'x'"))
-    assert(e1.getMessage.contains("numeric generation"), e1.getMessage)
+    assert(e1.getMessage.contains("no such tag") &&
+      e1.getMessage.contains("none"), e1.getMessage)
     val e2 = intercept[Exception](
       s.sql("ALTER TABLE gtt.db.t SET TBLPROPERTIES ('nope' = '1')"))
     assert(e2.getMessage.contains("unsupported table property"), e2.getMessage)
