@@ -410,6 +410,61 @@ object SourceParity {
         .orderBy("o_orderstatus")
     })
 
+  /** METADATA-COMPLETE aggregate pushdown under the oracle gate: orders
+    * exported THROUGH the graft-tsv writer (so the generation manifest
+    * carries `#n:` row counts and per-column ranges), then a filterless
+    * global COUNT(*)/MIN/MAX — the scan answers from the manifest as a
+    * driver-local LocalTableScan and NO distributed job runs
+    * (Dsv2MetaAggSpec asserts the plan structurally; this entry proves
+    * the metadata VALUES against DuckDB aggregating the original
+    * parquet). At 100 TB this is the strongest pushdown in the engine:
+    * table-wide count/extremes as one manifest read instead of a
+    * cluster-wide scan. */
+  private val qDsv2AggMeta = QueryDef(
+    "q_dsv2_agg_meta",
+    Some("""
+      |SELECT count(*) AS n,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |  min(o_orderpriority) AS min_pri, max(o_orderpriority) AS max_pri,
+      |  CAST(min(epoch_ms(o_orderdate)) AS BIGINT) AS min_ms,
+      |  CAST(max(epoch_ms(o_orderdate)) AS BIGINT) AS max_ms
+      |FROM orders
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      import org.apache.spark.sql.types._
+      val p = metaAggExport(spark, dir)
+      spark.read.format("graft-tsv").schema(StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderpriority", StringType),
+        StructField("o_orderdate_ms", LongType)))).load(p)
+        .agg(count(lit(1)).as("n"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+          min("o_orderpriority").as("min_pri"),
+          max("o_orderpriority").as("max_pri"),
+          min("o_orderdate_ms").as("min_ms"),
+          max("o_orderdate_ms").as("max_ms"))
+    })
+
+  /** Pay-once graft-tsv-written export for q_dsv2_agg_meta (the write
+    * must go through the connector so the manifest records the stats the
+    * metadata path answers from; `_SUCCESS` + fingerprint cache as for
+    * the other exports). */
+  private def metaAggExport(spark: SparkSession, dir: String): String = {
+    val srcFile = new java.io.File(graft.sources.Tables.path(dir, "orders"))
+    val sig = java.lang.Long.toHexString(
+      srcFile.length * 1000003L + srcFile.lastModified)
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_dsv2_meta_${Integer.toHexString(dir.hashCode)}_$sig").toString
+    val done = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done))
+      tbl(spark, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"))
+        .write.format("graft-tsv").mode("overwrite").save(tmp)
+    tmp
+  }
+
   /** Pay-once hive-layout TSV export for q_dsv2_partitioned (same
     * _SUCCESS + source-fingerprint cache as the other exports). */
   private def dsv2PartitionedExport(spark: SparkSession, dir: String): String = {
@@ -1020,7 +1075,8 @@ object SourceParity {
   val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qOrcSource,
     qPartitionedSink,
     qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source,
-    qDsv2Sink, qDsv2RuntimeJoin, qDsv2Partitioned, qDsv2Spj, qDsv2StatsSkip,
+    qDsv2Sink, qDsv2RuntimeJoin, qDsv2Partitioned, qDsv2Spj, qDsv2AggMeta,
+    qDsv2StatsSkip,
     qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn, qDsv2TimeTravel,
     qDsv2Merge, qDsv2Update, qDsv2Compact)
 }

@@ -459,6 +459,34 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var countStarPushed = false
+  private var metaAgg: Option[(StructType, Array[Any])] = None
+
+  /** METADATA-COMPLETE aggregates: a filterless global COUNT(*) / MIN /
+    * MAX whose answer the generation manifest already holds (writer-
+    * recorded `#n:` row counts and per-column min/max cells) is answered
+    * on the DRIVER from the listing — the scan becomes a [[LocalScan]]
+    * and NO distributed job runs at all. Over 100 TB that is the
+    * difference between a cluster-wide read and one manifest read. The
+    * proof obligations (checked per file, any miss falls back):
+    *  - every listed file carries a writer row count (`#n:` present) —
+    *    provenance that the stats cell is OURS, so an absent column cell
+    *    provably means the column is all-null in that file (the writer
+    *    omits all-null columns), which contributes nothing to MIN/MAX —
+    *    exactly Spark's null semantics;
+    *  - a present cell's type tag matches the read schema (the reader
+    *    may re-type columns; a mismatch means the recorded order is not
+    *    this type's order);
+    *  - partition-column MIN/MAX reads the hive path values of files
+    *    with rows > 0 (an empty file's partition value has no rows to
+    *    contribute).
+    * Pushed filters or group-bys disable the metadata path (per-file
+    * ranges cannot re-aggregate under a predicate); a bare COUNT(*) then
+    * still takes the PARTIAL pushdown below. */
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    metaAgg = planMetaAgg(aggregation)
+    metaAgg.isDefined
+  }
 
   /** COUNT(*) pushdown (PARTIAL: one count row per split, Spark sums the
     * partials): the reader counts lines that pass the pushed predicates
@@ -466,12 +494,9 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
     * count(*) parses NOTHING (predicate columns only, when present) and
     * ships one long per split. Group-bys and other aggregates stay in
     * Spark, where partial aggregation already does the right thing. */
-  override def supportCompletePushDown(
-      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    false
-
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (metaAgg.isDefined) return true
     val ok = aggregation.groupByExpressions().isEmpty &&
       aggregation.aggregateExpressions().length == 1 &&
       aggregation.aggregateExpressions()(0)
@@ -479,6 +504,93 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
     if (ok) countStarPushed = true
     ok
   }
+
+  private def planMetaAgg(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (pushed.nonEmpty || aggregation.groupByExpressions().nonEmpty) return None
+    // a headered table can only have gotten a manifest by hand (the
+    // writer never writes headers) — its row counts are untrusted
+    if (Option(options.get("header")).exists(_.equalsIgnoreCase("true")))
+      return None
+    sealed trait Op
+    case object CountAll extends Op
+    final case class MinOf(c: String) extends Op
+    final case class MaxOf(c: String) extends Op
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        Some(nr.fieldNames()(0)).filter(c =>
+          fullSchema.fieldNames.contains(c) && GraftTsvPushdown.supportedType(
+            fullSchema(fullSchema.fieldIndex(c)).dataType))
+      case _ => None
+    }
+    val exprs = aggregation.aggregateExpressions().toSeq
+    val ops: Seq[Op] = exprs.flatMap {
+      case _: CountStar => Seq(CountAll)
+      case m: Min => colOf(m.column()).map(MinOf.apply).toSeq
+      case m: Max => colOf(m.column()).map(MaxOf.apply).toSeq
+      case _ => Seq.empty
+    }
+    if (ops.length != exprs.length || ops.isEmpty) return None
+    // the same manifest-resolved listing the batch scan would read
+    // (generation pin and hive layout included); the listing is
+    // O(files) driver metadata, no data bytes
+    val entries =
+      try mkScan(fullSchema, countOnly = false).listFiles()
+      catch { case _: Exception => return None } // unreadable: let the scan surface it
+    if (!entries.forall(_.rows.isDefined)) return None // unknown provenance
+    val partCols = Option(options.get("partition.columns")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val aliases = aliasMap
+    def minMax(c: String, wantMin: Boolean): Option[Any] = {
+      val dt = fullSchema(fullSchema.fieldIndex(c)).dataType
+      val pi = partCols.indexOf(c)
+      var acc: Any = null
+      for (e <- entries if e.rows.exists(_ > 0)) {
+        val v: Option[Any] =
+          if (pi >= 0) Option(e.partVals(pi))
+            .map(GraftTsvPushdown.convertCell(dt, _))
+          else e.stats.get(c)
+            .orElse(aliases.getOrElse(c, Nil).iterator
+              .flatMap(e.stats.get).nextOption()) match {
+            case Some((tn, mn, mx)) if tn == dt.typeName =>
+              try Some(GraftTsvPushdown.convertCell(dt, if (wantMin) mn else mx))
+              catch { case _: RuntimeException => return None } // corrupt cell
+            case Some(_) => return None // re-typed column: order untrusted
+            case None => None // all-null in this file: contributes nothing
+          }
+        v.foreach { x =>
+          if (acc == null ||
+              (if (wantMin) GraftTsvPushdown.cmp(dt, x, acc) < 0
+               else GraftTsvPushdown.cmp(dt, x, acc) > 0)) acc = x
+        }
+      }
+      Some(acc)
+    }
+    val out = ops.map {
+      case CountAll =>
+        Some(StructField("count(*)", LongType, nullable = false) ->
+          (entries.flatMap(_.rows).sum: Any))
+      case MinOf(c) =>
+        minMax(c, wantMin = true).map(v => StructField(s"min($c)",
+          fullSchema(fullSchema.fieldIndex(c)).dataType) -> v)
+      case MaxOf(c) =>
+        minMax(c, wantMin = false).map(v => StructField(s"max($c)",
+          fullSchema(fullSchema.fieldIndex(c)).dataType) -> v)
+    }
+    if (out.exists(_.isEmpty)) None
+    else Some((StructType(out.map(_.get._1)), out.map(_.get._2).toArray))
+  }
+
+  private def aliasMap: Map[String, Seq[String]] =
+    Option(options.get("column.aliases")).toSeq
+      .flatMap(_.split(";").toSeq.filter(_.contains(">")).map { e =>
+        val i = e.indexOf('>')
+        e.take(i) -> e.drop(i + 1).split(",").toSeq.filter(_.nonEmpty)
+      }).toMap
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, residual) =
@@ -491,7 +603,24 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
+  override def build(): Scan = metaAgg match {
+    case Some((aggSchema, row)) =>
+      // metadata answered the whole aggregation: a driver-local one-row
+      // scan — Spark plans LocalTableScan, no cluster job at all
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = aggSchema
+        override def rows(): Array[InternalRow] =
+          Array(new GenericInternalRow(row))
+        override def description(): String =
+          s"GraftTsvMetaAggScan path=${options.get("path")}, " +
+            s"PushedAggregation(metadata-complete): " +
+            s"[${aggSchema.fieldNames.mkString(", ")}]"
+      }
+    case None => mkScan(required, countOnly = countStarPushed)
+  }
+
+  private def mkScan(requiredSchema: StructType, countOnly: Boolean)
+      : GraftTsvScan = {
     val splitBytes = Option(options.get("split.bytes")).map(_.toLong)
       .getOrElse(64L * 1024 * 1024)
     // a non-positive split size would make every by-splitBytes range empty
@@ -507,28 +636,22 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
         fullSchema(fullSchema.fieldIndex(c)).dataType),
         s"graft-tsv: partition column '$c' has an unsupported type")
     }
-    // RENAME COLUMN name map (catalog-provided): current name → the
-    // historical names old manifests may key stats under
-    val aliases: Map[String, Seq[String]] =
-      Option(options.get("column.aliases")).toSeq
-        .flatMap(_.split(";").toSeq.filter(_.contains(">")).map { e =>
-          val i = e.indexOf('>')
-          e.take(i) -> e.drop(i + 1).split(",").toSeq.filter(_.nonEmpty)
-        }).toMap
     new GraftTsvScan(
-      fullSchema, required, pushed,
+      fullSchema, requiredSchema, pushed,
       path = Option(options.get("path")).getOrElse(
         throw new IllegalArgumentException("graft-tsv: no path given")),
       delimiter = Option(options.get("delimiter")).getOrElse("\t").charAt(0),
       splitBytes = splitBytes,
       header = Option(options.get("header")).exists(_.equalsIgnoreCase("true")),
-      countOnly = countStarPushed,
+      countOnly = countOnly,
       hconf = SerializableHadoopConf.fromSession(),
       partCols = partCols,
       vectorized = !Option(options.get("vectorized.read"))
         .exists(_.equalsIgnoreCase("false")),
       generation = Option(options.get("generation")).map(_.toLong),
-      aliases = aliases)
+      // RENAME COLUMN name map (catalog-provided): current name → the
+      // historical names old manifests may key stats under
+      aliases = aliasMap)
   }
 }
 
