@@ -651,7 +651,12 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
       generation = Option(options.get("generation")).map(_.toLong),
       // RENAME COLUMN name map (catalog-provided): current name → the
       // historical names old manifests may key stats under
-      aliases = aliasMap)
+      aliases = aliasMap,
+      maxFilesPerTrigger = Option(options.get("max.files.per.trigger"))
+        .map(v => v.toIntOption.filter(_ >= 1).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-tsv: max.files.per.trigger must be an integer >= 1, " +
+              s"got '$v'"))))
   }
 }
 
@@ -670,7 +675,8 @@ final class GraftTsvScan(
     generation: Option[Long] = None,
     fileFilterOnly: Boolean = false,
     onPlanned: Option[Seq[String] => Unit] = None,
-    aliases: Map[String, Seq[String]] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
 
@@ -1260,7 +1266,7 @@ final class GraftTsvScan(
     * bounded" claim at the connector level. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftTsvMicroBatchStream(this, splitBytes)
+    new GraftTsvMicroBatchStream(this, splitBytes, maxFilesPerTrigger)
 }
 
 /** Micro-batch FILE-ARRIVAL streaming over a graft-tsv directory: batch
@@ -1282,10 +1288,11 @@ final class GraftTsvScan(
   * start.n (late-sorting arrival ⇒ would be silently skipped; deletion ⇒
   * the window would shift), the stream fails naming the violation
   * instead of losing data. */
-final class GraftTsvMicroBatchStream(scan: GraftTsvScan, splitBytes: Long)
+final class GraftTsvMicroBatchStream(scan: GraftTsvScan, splitBytes: Long,
+    maxFilesPerTrigger: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   private case class FilesOffset(n: Int, hi: String) extends Offset {
     override def json(): String = {
@@ -1330,12 +1337,40 @@ final class GraftTsvMicroBatchStream(scan: GraftTsvScan, splitBytes: Long)
   override def latestOffset(): Offset =
     availableNowEnd.getOrElse(snapshot())
 
-  // admission-control variant (SupportsTriggerAvailableNow extends
-  // SupportsAdmissionControl): no rate limiting — a trigger drains to the
-  // pinned/current snapshot regardless of the advisory ReadLimit
-  override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+  /** ADMISSION CONTROL (`max.files.per.trigger`): the source advertises
+    * `ReadLimit.maxFiles(k)` as its default, and the per-trigger end
+    * offset advances at most k files past `start` — a backlogged
+    * directory drains in bounded micro-batches instead of one giant
+    * catch-up batch whose state update and sink commit dwarf the steady
+    * state. Under Trigger.AvailableNow the PINNED snapshot stays the
+    * overall goalpost: each batch takes ≤ k files from the remaining
+    * window and Spark keeps triggering until the pinned end is reached,
+    * so the drain-everything-then-stop contract survives rate limiting.
+    * Without the option the previous behavior is unchanged (drain to the
+    * snapshot in one batch). */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val endAll = latestOffset().asInstanceOf[FilesOffset]
+    val cap = limit match {
+      case mf: ReadMaxFiles => Some(mf.maxFiles())
+      case _ => None
+    }
+    cap match {
+      case None => endAll
+      case Some(k) =>
+        val s = start.asInstanceOf[FilesOffset]
+        val snap = lastSnapshot
+        val files =
+          if (snap != null && snap._1 == endAll) snap._2 else scan.listFiles()
+        val window = files.filter(f =>
+          f.path > s.hi && (endAll.hi.isEmpty || f.path <= endAll.hi))
+        val take = window.take(k)
+        if (take.isEmpty) s
+        else FilesOffset(s.n + take.size, take.last.path)
+    }
+  }
 
   override def planInputPartitions(start: Offset, `end`: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FilesOffset]

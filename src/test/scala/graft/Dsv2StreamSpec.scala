@@ -220,4 +220,47 @@ class Dsv2StreamSpec extends SparkSuite {
     // and nothing from the violating generation got published
     assert(spark.read.parquet(out).count() == 3)
   }
+
+  test("max.files.per.trigger drains a backlog in bounded batches, exactly once") {
+    val root = Files.createTempDirectory("graft_dsv2_stream_rate").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "in"); dir.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val out = new java.io.File(root, "out").getAbsolutePath
+    (0 until 5).foreach(i =>
+      writeFile(dir.getAbsolutePath, f"f-$i%03d.tsv", i * 10 until (i + 1) * 10))
+    val q = spark.readStream.format("graft-tsv").schema(schema)
+      .option("max.files.per.trigger", "2").load(dir.getAbsolutePath)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    q.stop()
+    // 5 files / cap 2 = 3 non-empty micro-batches, not one catch-up batch
+    assert(batches.length == 3,
+      s"expected 3 bounded batches, got ${batches.map(_.numInputRows).toSeq}")
+    assert(batches.map(_.numInputRows).toSeq == Seq(20L, 20L, 10L))
+    // exactly once despite the multi-batch drain
+    assert(spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until 50L))
+  }
+
+  test("a malformed max.files.per.trigger fails loudly naming the option") {
+    val root = Files.createTempDirectory("graft_dsv2_stream_badopt").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "in"); dir.mkdirs()
+    writeFile(dir.getAbsolutePath, "f-000.tsv", 0 until 3)
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft-tsv").schema(schema)
+        .option("max.files.per.trigger", "zero").load(dir.getAbsolutePath)
+        .writeStream.format("noop")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("max.files.per.trigger"))), e.toString)
+  }
 }
