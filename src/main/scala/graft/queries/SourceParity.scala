@@ -445,6 +445,50 @@ object SourceParity {
           max("o_orderdate_ms").as("max_ms"))
     })
 
+  /** Partition-GROUPED metadata aggregates under the oracle gate: the
+    * same manifest answers `GROUP BY <partition col>` — the hive listing
+    * already partitions files by the key, so per-leaf row counts and
+    * ranges re-aggregate exactly and the whole grouped aggregate is one
+    * LocalTableScan row per partition value (Dsv2MetaAggSpec asserts the
+    * plan; this entry proves the per-group values against DuckDB). The
+    * 100 TB shape: "rows and extremes per day/tenant" over a partitioned
+    * corpus without reading a byte of data. */
+  private val qDsv2AggGroup = QueryDef(
+    "q_dsv2_agg_group",
+    Some("""
+      |SELECT o_orderpriority, count(*) AS n,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      import org.apache.spark.sql.types._
+      val p = metaAggGroupExport(spark, dir)
+      spark.read.format("graft-tsv").schema(StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderpriority", StringType))))
+        .option("partition.columns", "o_orderpriority").load(p)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("o_orderpriority")
+    })
+
+  /** Pay-once hive-partitioned graft-tsv export for q_dsv2_agg_group. */
+  private def metaAggGroupExport(spark: SparkSession, dir: String): String = {
+    val srcFile = new java.io.File(graft.sources.Tables.path(dir, "orders"))
+    val sig = java.lang.Long.toHexString(
+      srcFile.length * 1000003L + srcFile.lastModified)
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_dsv2_metagrp_${Integer.toHexString(dir.hashCode)}_$sig").toString
+    val done = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done))
+      tbl(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        .write.format("graft-tsv").mode("overwrite")
+        .option("partition.columns", "o_orderpriority").save(tmp)
+    tmp
+  }
+
   /** Pay-once graft-tsv-written export for q_dsv2_agg_meta (the write
     * must go through the connector so the manifest records the stats the
     * metadata path answers from; `_SUCCESS` + fingerprint cache as for
@@ -1076,6 +1120,7 @@ object SourceParity {
     qPartitionedSink,
     qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source,
     qDsv2Sink, qDsv2RuntimeJoin, qDsv2Partitioned, qDsv2Spj, qDsv2AggMeta,
+    qDsv2AggGroup,
     qDsv2StatsSkip,
     qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn, qDsv2TimeTravel,
     qDsv2Merge, qDsv2Update, qDsv2Compact)

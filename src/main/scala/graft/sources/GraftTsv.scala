@@ -459,7 +459,7 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var countStarPushed = false
-  private var metaAgg: Option[(StructType, Array[Any])] = None
+  private var metaAgg: Option[(StructType, Seq[Array[Any]])] = None
 
   /** METADATA-COMPLETE aggregates: a filterless global COUNT(*) / MIN /
     * MAX whose answer the generation manifest already holds (writer-
@@ -507,19 +507,17 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
 
   private def planMetaAgg(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Array[Any])] = {
+      : Option[(StructType, Seq[Array[Any]])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    if (pushed.nonEmpty || aggregation.groupByExpressions().nonEmpty) return None
+    if (pushed.nonEmpty) return None
     // a headered table can only have gotten a manifest by hand (the
     // writer never writes headers) — its row counts are untrusted
     if (Option(options.get("header")).exists(_.equalsIgnoreCase("true")))
       return None
-    sealed trait Op
-    case object CountAll extends Op
-    final case class MinOf(c: String) extends Op
-    final case class MaxOf(c: String) extends Op
-    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+    val partCols = Option(options.get("partition.columns")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    def refOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: NamedReference if nr.fieldNames().length == 1 =>
         Some(nr.fieldNames()(0)).filter(c =>
@@ -527,11 +525,23 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
             fullSchema(fullSchema.fieldIndex(c)).dataType))
       case _ => None
     }
+    // GROUP BY is metadata-answerable exactly when every key is a hive
+    // partition column (possibly a subset of them): the listing already
+    // partitions files by those values, so each group is a set of whole
+    // files and the per-file counts/ranges re-aggregate exactly
+    val gbExprs = aggregation.groupByExpressions().toSeq
+    val gbCols: Seq[String] = gbExprs.flatMap(refOf)
+    if (gbCols.length != gbExprs.length ||
+        !gbCols.forall(partCols.contains)) return None
+    sealed trait Op
+    case object CountAll extends Op
+    final case class MinOf(c: String) extends Op
+    final case class MaxOf(c: String) extends Op
     val exprs = aggregation.aggregateExpressions().toSeq
     val ops: Seq[Op] = exprs.flatMap {
       case _: CountStar => Seq(CountAll)
-      case m: Min => colOf(m.column()).map(MinOf.apply).toSeq
-      case m: Max => colOf(m.column()).map(MaxOf.apply).toSeq
+      case m: Min => refOf(m.column()).map(MinOf.apply).toSeq
+      case m: Max => refOf(m.column()).map(MaxOf.apply).toSeq
       case _ => Seq.empty
     }
     if (ops.length != exprs.length || ops.isEmpty) return None
@@ -542,14 +552,14 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
       try mkScan(fullSchema, countOnly = false).listFiles()
       catch { case _: Exception => return None } // unreadable: let the scan surface it
     if (!entries.forall(_.rows.isDefined)) return None // unknown provenance
-    val partCols = Option(options.get("partition.columns")).toSeq
-      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     val aliases = aliasMap
-    def minMax(c: String, wantMin: Boolean): Option[Any] = {
-      val dt = fullSchema(fullSchema.fieldIndex(c)).dataType
+    def dtOf(c: String): DataType = fullSchema(fullSchema.fieldIndex(c)).dataType
+    def minMax(es: Seq[GraftTsvFileEntry], c: String, wantMin: Boolean)
+        : Option[Any] = {
+      val dt = dtOf(c)
       val pi = partCols.indexOf(c)
       var acc: Any = null
-      for (e <- entries if e.rows.exists(_ > 0)) {
+      for (e <- es if e.rows.exists(_ > 0)) {
         val v: Option[Any] =
           if (pi >= 0) Option(e.partVals(pi))
             .map(GraftTsvPushdown.convertCell(dt, _))
@@ -570,19 +580,40 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
       }
       Some(acc)
     }
-    val out = ops.map {
-      case CountAll =>
-        Some(StructField("count(*)", LongType, nullable = false) ->
-          (entries.flatMap(_.rows).sum: Any))
-      case MinOf(c) =>
-        minMax(c, wantMin = true).map(v => StructField(s"min($c)",
-          fullSchema(fullSchema.fieldIndex(c)).dataType) -> v)
-      case MaxOf(c) =>
-        minMax(c, wantMin = false).map(v => StructField(s"max($c)",
-          fullSchema(fullSchema.fieldIndex(c)).dataType) -> v)
+    def aggRow(es: Seq[GraftTsvFileEntry]): Option[Seq[Any]] = {
+      val vals = ops.map {
+        case CountAll => Some(es.flatMap(_.rows).sum: Any)
+        case MinOf(c) => minMax(es, c, wantMin = true)
+        case MaxOf(c) => minMax(es, c, wantMin = false)
+      }
+      if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
     }
-    if (out.exists(_.isEmpty)) None
-    else Some((StructType(out.map(_.get._1)), out.map(_.get._2).toArray))
+    // complete-pushdown output contract: group-by columns FIRST (in the
+    // pushed order), then the aggregate columns
+    val aggFields = ops.map {
+      case CountAll => StructField("count(*)", LongType, nullable = false)
+      case MinOf(c) => StructField(s"min($c)", dtOf(c))
+      case MaxOf(c) => StructField(s"max($c)", dtOf(c))
+    }
+    if (gbCols.isEmpty) {
+      aggRow(entries).map(r => (StructType(aggFields), Seq(r.toArray)))
+    } else {
+      val gbIdx = gbCols.map(partCols.indexOf)
+      // a group exists only if it has ROWS: a partition directory whose
+      // files are all empty contributes no group (SQL GROUP BY semantics)
+      val groups = entries.groupBy(e => gbIdx.map(e.partVals(_)))
+        .filter(_._2.flatMap(_.rows).sum > 0)
+      val rows = groups.toSeq.map { case (key, es) =>
+        aggRow(es).map { r =>
+          (key.zip(gbCols).map { case (raw, c) =>
+            if (raw == null) null else GraftTsvPushdown.convertCell(dtOf(c), raw)
+          } ++ r).toArray
+        }
+      }
+      if (rows.exists(_.isEmpty)) None
+      else Some((StructType(gbCols.map(c => StructField(c, dtOf(c)))
+        ++ aggFields), rows.map(_.get)))
+    }
   }
 
   private def aliasMap: Map[String, Seq[String]] =
@@ -604,13 +635,14 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
     required = requiredSchema
 
   override def build(): Scan = metaAgg match {
-    case Some((aggSchema, row)) =>
-      // metadata answered the whole aggregation: a driver-local one-row
-      // scan — Spark plans LocalTableScan, no cluster job at all
+    case Some((aggSchema, outRows)) =>
+      // metadata answered the whole aggregation: a driver-local scan —
+      // Spark plans LocalTableScan, no cluster job at all (one row for a
+      // global aggregate, one per partition value for a grouped one)
       new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = aggSchema
         override def rows(): Array[InternalRow] =
-          Array(new GenericInternalRow(row))
+          outRows.map(r => new GenericInternalRow(r): InternalRow).toArray
         override def description(): String =
           s"GraftTsvMetaAggScan path=${options.get("path")}, " +
             s"PushedAggregation(metadata-complete): " +

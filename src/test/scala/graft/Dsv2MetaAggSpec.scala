@@ -111,6 +111,35 @@ class Dsv2MetaAggSpec extends SparkSuite {
     assert(plans(q)._1.isEmpty, "no manifest row counts → no metadata answer")
   }
 
+  test("GROUP BY a partition column answers metadata-only, per hive leaf") {
+    val dir = Files.createTempDirectory("graft_metaagg_grp").toString + "/t"
+    spark.range(60).select(
+      col("id"), (col("id") % 3).as("k"),
+      concat(lit("g"), col("id") % 2).as("grp"))
+      .coalesce(1).write.format("graft-tsv").mode("append")
+      .option("partition.columns", "grp").save(dir)
+    val s2 = StructType(Seq(
+      StructField("id", LongType), StructField("k", LongType),
+      StructField("grp", StringType)))
+    val rd = spark.read.format("graft-tsv").schema(s2)
+      .option("partition.columns", "grp").load(dir)
+    val q = rd.groupBy("grp")
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+      .orderBy("grp")
+    val rows = q.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq(("g0", 30L, 0L, 58L), ("g1", 30L, 1L, 59L)))
+    val (local, batch) = plans(q)
+    assert(local.nonEmpty && batch.isEmpty,
+      s"partition-grouped agg should be metadata-only:\n${q.queryExecution.executedPlan}")
+
+    // grouping by a NON-partition column must fall back to the real scan
+    val byK = rd.groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+    assert(byK.collect().map(_.getLong(1)).toSeq == Seq(20L, 20L, 20L))
+    assert(plans(byK)._1.isEmpty,
+      "a data-column GROUP BY cannot be answered from the manifest")
+  }
+
   test("time travel composes: the pinned generation's metadata answers") {
     val dir = Files.createTempDirectory("graft_metaagg_tt").toString + "/t"
     val s2 = StructType(Seq(StructField("id", LongType)))
