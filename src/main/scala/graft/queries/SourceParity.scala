@@ -881,6 +881,62 @@ object SourceParity {
         .orderBy("snapshot", "c_mktsegment")
     })
 
+  /** NAMED TAGS under the oracle gate: generation 1 is tagged, then TWO
+    * later mutations push it outside the retain=1 window — it survives
+    * ONLY through the tag's pin, and `VERSION AS OF '<tag>'` still
+    * resolves the full pre-mutation snapshot (Dsv2TagSpec proves the
+    * pinning/untag mechanics; this entry proves the tagged snapshot's
+    * VALUES against a DuckDB reconstruction). The ops shape: tag the
+    * known-good corpus generation before a curation run, and any later
+    * query — or rollback — can name it, however many commits later. */
+  private val qDsv2Tag = QueryDef(
+    "q_dsv2_tag",
+    Some(s"""
+      |WITH pre AS (SELECT c_mktsegment, count(*) AS n,
+      |    ${sqlDsum(sqlDec("c_acctbal"))} AS sum_bal
+      |  FROM customer GROUP BY c_mktsegment),
+      |post AS (SELECT c_mktsegment, count(*) AS n,
+      |    ${sqlDsum(sqlDec("c_acctbal"))} AS sum_bal
+      |  FROM customer
+      |  WHERE c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE')
+      |  GROUP BY c_mktsegment)
+      |SELECT 'tagged' AS snapshot, * FROM pre
+      |UNION ALL SELECT 'current' AS snapshot, * FROM post
+      |ORDER BY snapshot, c_mktsegment
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.cust_tag_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t (c_custkey BIGINT, c_mktsegment STRING,
+        c_acctbal_str STRING) USING `graft-tsv`""")
+      tbl(spark, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        dec("c_acctbal").cast("string").as("c_acctbal_str"))
+        .writeTo(t).append()                                   // generation 1
+      spark.sql(s"CALL gparity.system.tag(`table` => 'db.cust_tag_$h', " +
+        "tag => 'known_good', generation => 1)")
+      // two curation mutations: with default retain=1 the window alone
+      // keeps only generation 2 — generation 1 lives on the tag's pin
+      spark.sql(s"DELETE FROM $t WHERE c_mktsegment = 'BUILDING'")   // gen 2
+      spark.sql(s"DELETE FROM $t WHERE c_mktsegment = 'AUTOMOBILE'") // gen 3
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            dsum(dec(col("c_acctbal_str"))).as("sum_bal"))
+          .select(lit(tag).as("snapshot"), col("c_mktsegment"),
+            col("n"), col("sum_bal"))
+      agg(spark.sql(s"SELECT * FROM $t VERSION AS OF 'known_good'"), "tagged")
+        .unionAll(agg(spark.table(t), "current"))
+        .orderBy("snapshot", "c_mktsegment")
+    })
+
   /** SQL `MERGE INTO` on the graft CATALOG under the oracle gate
     * (VERDICT r09 #1) — the upsert verb a corpus-curation pipeline runs
     * on every refresh ("merge today's crawl: update changed docs, drop
@@ -1122,6 +1178,6 @@ object SourceParity {
     qDsv2Sink, qDsv2RuntimeJoin, qDsv2Partitioned, qDsv2Spj, qDsv2AggMeta,
     qDsv2AggGroup,
     qDsv2StatsSkip,
-    qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn, qDsv2TimeTravel,
+    qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn, qDsv2TimeTravel, qDsv2Tag,
     qDsv2Merge, qDsv2Update, qDsv2Compact)
 }
