@@ -454,12 +454,27 @@ private[sources] object GraftTsvPushdown {
 
 final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var countStarPushed = false
   private var metaAgg: Option[(StructType, Seq[Array[Any]])] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown: planning TRUNCATES the file list using the
+    * manifest's writer row counts — `SELECT * FROM t LIMIT n` over a
+    * million-file corpus plans just enough leading files to cover n rows
+    * instead of scheduling a task per split of the corpus (the readers
+    * are pull-based iterators, so rows beyond the limit were never
+    * parsed; the task COUNT is what this buys). Partial by contract
+    * (`isPartiallyPushed` stays true): the planned files hold AT LEAST n
+    * rows and Spark's own Limit does the exact cut. Declined when any
+    * filter is pushed (a file's rows may not match), when a file lacks a
+    * row count (unknown provenance), or on partitioned tables (the
+    * storage-partitioned-join report counts the FULL listing's partition
+    * values — truncation would desynchronize them). */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
   /** METADATA-COMPLETE aggregates: a filterless global COUNT(*) / MIN /
     * MAX whose answer the generation manifest already holds (writer-
@@ -688,7 +703,8 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
         .map(v => v.toIntOption.filter(_ >= 1).getOrElse(
           throw new IllegalArgumentException(
             s"graft-tsv: max.files.per.trigger must be an integer >= 1, " +
-              s"got '$v'"))))
+              s"got '$v'"))),
+      pushedLimit = limit)
   }
 }
 
@@ -708,7 +724,8 @@ final class GraftTsvScan(
     fileFilterOnly: Boolean = false,
     onPlanned: Option[Seq[String] => Unit] = None,
     aliases: Map[String, Seq[String]] = Map.empty,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    pushedLimit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
 
@@ -809,6 +826,7 @@ final class GraftTsvScan(
     s"GraftTsvScan path=$path, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       (if (countOnly) "PushedAggregation: [COUNT(*)], " else "") +
+      pushedLimit.map(n => s"PushedLimit: $n, ").getOrElse("") +
       generation.map(g => s"Generation: $g, ").getOrElse("") +
       (if (partCols.nonEmpty) s"PartitionColumns: [${partCols.mkString(", ")}], " else "") +
       s"ReadSchema: ${readSchema().catalogString}"
@@ -1040,7 +1058,22 @@ final class GraftTsvScan(
     // row-level rewrite scans report the planned FILES (the groups the
     // operation replaces) back to the operation; see GraftTsvRowLevelOperation
     onPlanned.foreach(_(pruned.map(_.rel)))
-    pruned.flatMap(splitsFor(_, statPreds)).toArray
+    // pushed LIMIT: enough leading files to cover n rows (see pushLimit's
+    // scaladoc for the decline conditions — all re-checked here because
+    // runtime filters arrive after the limit was pushed)
+    val planned = pushedLimit match {
+      case Some(n) if filters.isEmpty && partCols.isEmpty &&
+          pruned.forall(_.rows.isDefined) =>
+        var cum = 0L
+        val b = Seq.newBuilder[GraftTsvFileEntry]
+        val it = pruned.iterator
+        while (cum < n && it.hasNext) {
+          val e = it.next(); b += e; cum += e.rows.getOrElse(0L)
+        }
+        b.result()
+      case _ => pruned
+    }
+    planned.flatMap(splitsFor(_, statPreds)).toArray
   }
 
   /** The stat predicates compiled ONCE per planning (literal conversion
