@@ -532,7 +532,45 @@ FROM cand ORDER BY hamming, doc_a, doc_b LIMIT 20"""),
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("keep_id"))
 
+  /** DECONTAMINATION — the training-pipeline verb next to dedup: find
+    * training documents sharing any char-[[ShingleLen]] shingle with a
+    * benchmark/holdout set (here the deterministic doc_id%17 sample
+    * stands in for the benchmark suite), so evaluation data can be
+    * scrubbed from the corpus before training. Per contaminated doc:
+    * distinct shared shingles and distinct benchmark docs matched.
+    *
+    * Scale shape: the benchmark side is TINY relative to the corpus
+    * (that is the premise of decontamination), so its shingle-hash set
+    * BROADCASTS and the corpus side never shuffles for the join — one
+    * scan, an 8-byte-hash broadcast probe in the map stage, then a
+    * single per-doc aggregation shuffle (count-distincts dedupe in the
+    * agg, so no standalone global DISTINCT pass is paid). The 60-bit
+    * shingle hash keeps the probe narrow; both engines hash identically
+    * so parity is exact. */
+  private val qDecontaminate = QueryDef(
+    "q_decontaminate",
+    Some(s"""WITH sh AS ($shingleSql),
+h AS (SELECT doc_id, ${PortableHash.sqlHash60("sh")} AS hp FROM sh),
+bench AS (SELECT doc_id AS b_id, hp FROM h WHERE doc_id % 17 = 0),
+train AS (SELECT * FROM h WHERE doc_id % 17 <> 0)
+SELECT t.doc_id, count(DISTINCT t.hp) AS n_hits,
+  count(DISTINCT b.b_id) AS n_bench
+FROM train t JOIN bench b ON t.hp = b.hp
+GROUP BY t.doc_id ORDER BY doc_id"""),
+    (spark, dir) => {
+      def hashed = shingles(spark, dir)
+        .select(col("doc_id"), PortableHash.hash60(col("sh")).as("hp"))
+      val bench = hashed.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("b_id"), col("hp").as("b_hp"))
+      hashed.filter(col("doc_id") % 17 =!= 0)
+        .join(broadcast(bench), col("hp") === col("b_hp"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("hp")).as("n_hits"),
+          countDistinct(col("b_id")).as("n_bench"))
+        .orderBy("doc_id")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     qMinhashSignatures, qLshCandidates, qJaccardPairs, qSimhash,
-    qSimhashPairs, qDedupNear, qDedupComponents)
+    qSimhashPairs, qDedupNear, qDedupComponents, qDecontaminate)
 }

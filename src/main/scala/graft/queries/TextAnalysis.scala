@@ -522,8 +522,59 @@ object TextAnalysis {
         .orderBy("bucket")
     })
 
+  /** PII SCRUBBING — redact emails and phone numbers before a corpus
+    * ships to training, with per-doc accounting. The synthetic corpus
+    * carries no PII, so the harness INJECTS a deterministic, per-doc-
+    * varying amount (doc_id%3 emails, doc_id%2 phone numbers appended)
+    * and then scrubs it — the exhibit is the regex count + global
+    * replacement machinery, value-pinned by an md5 of every redacted
+    * document against DuckDB running the same injection + scrub (dialect
+    * note: DuckDB's regexp_replace needs the 'g' flag for global; Spark
+    * is global by default). Scale shape: pure per-row map work — no
+    * shuffle except the final sort; at 100 TB this pipelines with the
+    * scan and the regex cost is the whole cost. */
+  private val qPiiScrub = {
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val phone = """[0-9]{3}-[0-9]{3}-[0-9]{4}"""
+    QueryDef(
+      "q_pii_scrub",
+      Some(s"""
+        |WITH aug AS (SELECT doc_id,
+        |    text || repeat(' mail u@example.com', CAST(doc_id % 3 AS INT))
+        |         || repeat(' call 555-123-4567', CAST(doc_id % 2 AS INT)) AS text
+        |  FROM documents),
+        |red AS (SELECT doc_id,
+        |    length(regexp_extract_all(text, '$email')) AS n_emails,
+        |    length(regexp_extract_all(text, '$phone')) AS n_phones,
+        |    regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+        |      '$phone', '<PHONE>', 'g') AS r
+        |  FROM aug)
+        |SELECT doc_id, n_emails, n_phones, length(r) AS len_after,
+        |  md5(r) AS sig
+        |FROM red ORDER BY doc_id
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val aug = tbl(spark, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            expr("repeat(' mail u@example.com', CAST(doc_id % 3 AS INT))"),
+            expr("repeat(' call 555-123-4567', CAST(doc_id % 2 AS INT))"))
+            .as("text"))
+        val red = aug.select(col("doc_id"),
+          regexp_count(col("text"), lit(email)).as("n_emails"),
+          regexp_count(col("text"), lit(phone)).as("n_phones"),
+          regexp_replace(regexp_replace(col("text"), lit(email), lit("<EMAIL>")),
+            lit(phone), lit("<PHONE>")).as("r"))
+        red.select(col("doc_id"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          length(col("r")).cast("long").as("len_after"),
+          md5(col("r")).as("sig"))
+          .orderBy("doc_id")
+      })
+  }
+
   val defs: Seq[QueryDef] =
     Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf,
       qFingerprintRolling, qPipelineCurate, qStratifiedSample, qTextSearch,
-      qHeavyHitters, qProfile, qHistogram)
+      qHeavyHitters, qProfile, qHistogram, qPiiScrub)
 }
