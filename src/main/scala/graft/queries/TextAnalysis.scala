@@ -573,8 +573,70 @@ object TextAnalysis {
       })
   }
 
+  /** REPETITION FILTER (the Gopher/MassiveText-style repetition gate —
+    * the quality dimension q_doc_quality does NOT measure): per document,
+    * the duplicate-word fraction (1 − distinct/total) and the top-word
+    * fraction (most frequent word's share), plus the keep/drop decision a
+    * curation pipeline makes on them. Degenerate machine-generated text
+    * (boilerplate loops, keyword stuffing, decode glitches) scores high
+    * on exactly these two axes while passing length/stopword gates.
+    *
+    * Plan shape: MAP-ONLY — no explode, no shuffle, not even a doc_id
+    * grouping. The whole computation is codegen'd array HOFs on the text
+    * column: `array_distinct` (first-occurrence semantics) for the
+    * distinct count and `aggregate` over `array_sort`ed words for the top
+    * frequency (max equal-run in sorted order = max per-word count),
+    * O(n log n) per doc with O(1) accumulator state. At 100 TB this runs
+    * at scan speed with zero exchange — the contrast to the relational
+    * tokenize→group→group shape (two shuffles) is the point, and the
+    * oracle reconstructs the same numbers relationally in DuckDB. */
+  private val qRepetitionFilter = QueryDef(
+    "q_repetition_filter",
+    Some(s"""
+      |WITH $tokSql,
+      |freq AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+      |per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+      |    CAST(count(*) AS BIGINT) AS n_distinct,
+      |    CAST(max(c) AS BIGINT) AS top_count
+      |  FROM freq GROUP BY doc_id)
+      |SELECT doc_id, n_words, n_distinct, top_count,
+      |  CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_words AS dup_ratio,
+      |  CAST(top_count AS DOUBLE) / n_words AS top_ratio,
+      |  CAST((CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_words) <= 0.55
+      |    AND CAST(top_count AS DOUBLE) / n_words <= 0.12 AS INT) AS keep
+      |FROM per ORDER BY doc_id
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val words = filter(split(col("text"), "\\s+"), w => w =!= "")
+      // max equal-run over the sorted words == max per-word frequency;
+      // the accumulator carries (prev word, current run, best run)
+      val top = aggregate(
+        array_sort(words),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+            acc.getField("run") + lit(1L)).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      val nWords = size(words).cast("long")
+      val nDistinct = size(array_distinct(words)).cast("long")
+      val dupRatio = lit(1.0d) - nDistinct.cast("double") / nWords
+      val topRatio = col("top_count").cast("double") / col("n_words")
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"), nWords.as("n_words"),
+          nDistinct.as("n_distinct"), top.as("top_count"),
+          dupRatio.as("dup_ratio"))
+        .select(col("*"), topRatio.as("top_ratio"))
+        .select(col("*"),
+          (col("dup_ratio") <= 0.55 && col("top_ratio") <= 0.12)
+            .cast("int").as("keep"))
+        .orderBy("doc_id")
+    })
+
   val defs: Seq[QueryDef] =
     Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf,
       qFingerprintRolling, qPipelineCurate, qStratifiedSample, qTextSearch,
-      qHeavyHitters, qProfile, qHistogram, qPiiScrub)
+      qHeavyHitters, qProfile, qHistogram, qPiiScrub, qRepetitionFilter)
 }
