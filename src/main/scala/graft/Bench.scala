@@ -33,7 +33,9 @@ object Bench {
     * 2000-char bound (family-redundant fast queries trimmed each time an
     * addition grows the set: round 6 sources/streaming, round 9 the outer
     * stream join, round 10 the DML/maintenance verbs displacing
-    * q_window_frames/q_simhash/q_csv_source/q_dsv2_partitioned) — plus
+    * q_window_frames/q_simhash/q_csv_source/q_dsv2_partitioned, then the
+    * changes feed displacing q_dsv2_sink, whose commit path
+    * q_stream_dsv2_sink already exercises) — plus
     * any ERRORED query (sentinel -1, so a failure is
     * visible in the tail capture even when it's not a headline query).
     * The full per-query map is written to BENCH_FULL.json next to the
@@ -64,9 +66,9 @@ object Bench {
     "q_stream_join_outer", "q_stream_join_right", "q_stream_enrich",
     "q_stream_dedup", "q_stream_dsv2_sink",
     "q_blob_stats", "q_lateral_explode", "q_approx_quantiles",
-    "q_dpp_prune", "q_dsv2_source", "q_dsv2_sink", "q_dsv2_runtime_join",
+    "q_dpp_prune", "q_dsv2_source", "q_dsv2_runtime_join",
     "q_dsv2_stats_skip",
-    "q_dsv2_merge", "q_dsv2_update", "q_dsv2_compact",
+    "q_dsv2_merge", "q_dsv2_update", "q_dsv2_compact", "q_dsv2_changes",
     "q_funnel")
 
   private def fmt(v: Double): String = f"$v%.3f"

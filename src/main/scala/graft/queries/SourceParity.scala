@@ -1172,6 +1172,66 @@ object SourceParity {
         .orderBy("c_mktsegment")
     })
 
+  /** CHANGES FEED (generation diff) under the oracle gate
+    * (GraftTsvCatalog.changes): three commits — load a base corpus (gen
+    * 1), DELETE a segment (gen 2), INSERT a held-out slice (gen 3) — then
+    * ask for the net row-level diff of [1, 3] and aggregate it. What
+    * Delta's CDF answers from logged change rows, reconstructed here from
+    * the copy-on-write file history alone: each diff side lists ONLY the
+    * part files the other endpoint's manifest lacks
+    * (`diff.exclude.generation`, applied at planning), so the scan is
+    * sized by the DELTA, not the table — at 100 TB, "what changed since
+    * the tagged snapshot my last training run read?" reads the changed
+    * files, never the corpus. The deleted segment's rewritten survivors
+    * cancel in the exceptAll pair; the oracle reconstructs both arms from
+    * the original parquet. Planning seam, net semantics, multiplicity,
+    * compact-invisibility, tags: Dsv2ChangesSpec. */
+  private val qDsv2Changes = QueryDef(
+    "q_dsv2_changes",
+    Some(s"""
+      |WITH base AS (
+      |  SELECT c_custkey, c_mktsegment, ${sqlDec("c_acctbal")} AS bal
+      |  FROM customer),
+      |del AS (SELECT 'delete' AS change_type, c_mktsegment, bal
+      |  FROM base WHERE c_custkey % 3 <> 0 AND c_mktsegment = 'BUILDING'),
+      |ins AS (SELECT 'insert' AS change_type, c_mktsegment, bal
+      |  FROM base WHERE c_custkey % 3 = 0)
+      |SELECT change_type, c_mktsegment, count(*) AS n,
+      |  ${sqlDsum("bal")} AS sum_bal
+      |FROM (SELECT * FROM del UNION ALL SELECT * FROM ins)
+      |GROUP BY change_type, c_mktsegment
+      |ORDER BY change_type, c_mktsegment
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.cust_chg_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t (c_custkey BIGINT, c_mktsegment STRING,
+        c_acctbal_str STRING) USING `graft-tsv`
+        TBLPROPERTIES ('retain.generations' = '4')""")
+      val cust = tbl(spark, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        dec("c_acctbal").cast("string").as("c_acctbal_str"))
+      cust.filter(col("c_custkey") % 3 =!= 0).writeTo(t).append()   // gen 1
+      spark.sql(s"DELETE FROM $t WHERE c_mktsegment = 'BUILDING'")  // gen 2
+      cust.filter(col("c_custkey") % 3 === 0).writeTo(t).append()   // gen 3
+      val cat = spark.sessionState.catalogManager.catalog("gparity")
+        .asInstanceOf[graft.sources.GraftTsvCatalog]
+      cat.changes(spark,
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            Array("db"), s"cust_chg_$h"), "1", "3")
+        .groupBy(col("_change_type").as("change_type"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          dsum(dec(col("c_acctbal_str"))).as("sum_bal"))
+        .orderBy("change_type", "c_mktsegment")
+    })
+
   val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qOrcSource,
     qPartitionedSink,
     qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source,
@@ -1179,5 +1239,5 @@ object SourceParity {
     qDsv2AggGroup,
     qDsv2StatsSkip,
     qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn, qDsv2TimeTravel, qDsv2Tag,
-    qDsv2Merge, qDsv2Update, qDsv2Compact)
+    qDsv2Merge, qDsv2Update, qDsv2Compact, qDsv2Changes)
 }

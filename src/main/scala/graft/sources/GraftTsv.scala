@@ -696,6 +696,14 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
       vectorized = !Option(options.get("vectorized.read"))
         .exists(_.equalsIgnoreCase("false")),
       generation = Option(options.get("generation")).map(_.toLong),
+      // CHANGES (generation diff): list only files NOT also present in
+      // this other generation's manifest — copy-on-write part files are
+      // content-immutable, so a shared relpath cannot contribute changes
+      excludeGeneration = Option(options.get("diff.exclude.generation"))
+        .map(v => v.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-tsv: diff.exclude.generation must be an integer " +
+              s"generation number, got '$v'"))),
       // RENAME COLUMN name map (catalog-provided): current name → the
       // historical names old manifests may key stats under
       aliases = aliasMap,
@@ -721,6 +729,7 @@ final class GraftTsvScan(
     partCols: Seq[String] = Seq.empty,
     vectorized: Boolean = true,
     generation: Option[Long] = None,
+    excludeGeneration: Option[Long] = None,
     fileFilterOnly: Boolean = false,
     onPlanned: Option[Seq[String] => Unit] = None,
     aliases: Map[String, Seq[String]] = Map.empty,
@@ -828,6 +837,7 @@ final class GraftTsvScan(
       (if (countOnly) "PushedAggregation: [COUNT(*)], " else "") +
       pushedLimit.map(n => s"PushedLimit: $n, ").getOrElse("") +
       generation.map(g => s"Generation: $g, ").getOrElse("") +
+      excludeGeneration.map(g => s"DiffExcludeGeneration: $g, ").getOrElse("") +
       (if (partCols.nonEmpty) s"PartitionColumns: [${partCols.mkString(", ")}], " else "") +
       s"ReadSchema: ${readSchema().catalogString}"
 
@@ -881,7 +891,7 @@ final class GraftTsvScan(
           .flatMap(c => GraftTsvManifest.genNumber(c.getPath.getName).map(_ -> c.getPath))
         if (gens.isEmpty) {
           // TIME TRAVEL needs a manifest history — a legacy plain dir has none
-          generation.foreach { g =>
+          (generation orElse excludeGeneration).foreach { g =>
             throw new IllegalArgumentException(
               s"graft-tsv: generation $g requested but ${st.getPath} has no " +
                 "generation manifests (plain directory, no time-travel history)")
@@ -913,7 +923,29 @@ final class GraftTsvScan(
                 s"missing part files (${missing.take(3).mkString(", ")}) — directory " +
                 "state corrupted (files deleted outside the commit protocol?)")
           }
-          present
+          // GENERATION DIFF (the changes-feed planning seam): drop every
+          // file the OTHER generation also lists. Part files are
+          // content-immutable under the copy-on-write protocol (every
+          // mutation writes new parts and swaps one manifest), so a
+          // relpath shared by both manifests is byte-identical in both
+          // snapshots and cannot contribute a row-level change — at
+          // 100 TB this is what makes a changes read scale with the size
+          // of the DELTA, not the table: an append's diff plans only the
+          // appended files, and only rewritten files ever reach the
+          // exceptAll refinement.
+          excludeGeneration match {
+            case None => present
+            case Some(x) =>
+              val exclManifest = gens.collectFirst { case (`x`, mp) => mp }
+                .getOrElse(throw new IllegalArgumentException(
+                  s"graft-tsv: diff.exclude.generation $x is not available " +
+                    s"in ${st.getPath} (retained: " +
+                    s"${gens.map(_._1).sorted.mkString(", ")}) — older " +
+                    "generations are reclaimed by cleanup; raise the " +
+                    "retain.generations write option to keep a deeper history"))
+              val shared = GraftTsvManifest.read(fs, exclManifest).toSet
+              present.filterNot(e => shared.contains(e._2))
+          }
         }
       } else {
         require(partCols.isEmpty,

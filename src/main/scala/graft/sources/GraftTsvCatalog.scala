@@ -247,6 +247,15 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private def loadTableAt(ident: Identifier, generation: Option[Long]): Table = {
+    val (d, opts) = tableOptions(ident, generation)
+    new GraftTsvTable(d.schema, new CaseInsensitiveStringMap(opts.asJava))
+  }
+
+  /** The reader option map `loadTableAt` hands the table — factored out so
+    * [[changes]] can assemble the SAME options (schema, delimiter, hive
+    * layout, rename aliases, pins) with an extra generation-diff knob. */
+  private def tableOptions(ident: Identifier, generation: Option[Long])
+      : (Descriptor, Map[String, String]) = {
     val f = fs()
     val dir = tableDir(ident)
     val mp = metaPath(dir)
@@ -272,7 +281,60 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
        else Map("tags.pinned" ->
          d.tags.values.toSeq.distinct.sorted.mkString(","))) ++
       generation.map(g => Map("generation" -> g.toString)).getOrElse(Map.empty)
-    new GraftTsvTable(d.schema, new CaseInsensitiveStringMap(opts.asJava))
+    (d, opts)
+  }
+
+  /** CHANGES FEED (generation diff): the net row-level difference between
+    * two retained snapshots of a catalog table, as a DataFrame of the
+    * table's rows plus a `_change_type` column (`insert` | `delete`) —
+    * what Delta's CDF / Iceberg's changelog read answer, reconstructed
+    * from the copy-on-write file history instead of logged change rows.
+    *
+    * Plan shape (the 100 TB story): each side scans ONLY the part files
+    * its manifest lists that the other's does not (`diff.exclude
+    * .generation`, applied at file-listing time) — a shared relpath is
+    * byte-identical in both snapshots under the commit protocol and never
+    * leaves the driver's metadata. An append's diff therefore reads just
+    * the appended files; a DELETE/MERGE diff reads the rewritten files
+    * plus their originals, and the `exceptAll` pair cancels the surviving
+    * rows that were merely copied over. Multiplicity is preserved
+    * (exceptAll, not except): a row appearing twice and deleted once
+    * diffs as ONE delete. Net semantics over [from, to]: a row inserted
+    * then deleted between the endpoints does not appear.
+    *
+    * This is a DataFrame API rather than a `CALL` procedure deliberately:
+    * procedures return driver-materialized rows, and a changes feed is
+    * data-sized — it must stay a distributed scan. Both sides read under
+    * the CURRENT schema (trailing ADD COLUMN fills old generations with
+    * null, exactly like a time-travel read), so a column added between
+    * the endpoints diffs as a value change where the data differs, not a
+    * schema error. Tag names (VERSION AS OF's named pins) resolve too. */
+  def changes(spark: org.apache.spark.sql.SparkSession, ident: Identifier,
+      from: String, to: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val f = fs()
+    val mp = metaPath(tableDir(ident))
+    if (!f.exists(mp)) throw noSuchTable(ident)
+    val d0 = readDescriptor(f, mp)
+    def resolve(v: String): Long = v.toLongOption.getOrElse(
+      d0.tags.getOrElse(v, throw new IllegalArgumentException(
+        s"graft catalog: changes($v) — neither a generation number nor a " +
+          s"tag on ${ident.name()} (tags: " +
+          (if (d0.tags.isEmpty) "none"
+           else d0.tags.keys.toSeq.sorted.mkString(", ")) + ")")))
+    val (fromGen, toGen) = (resolve(from), resolve(to))
+    require(fromGen < toGen,
+      s"graft catalog: changes requires from < to, got $fromGen >= $toGen")
+    def side(gen: Long, excl: Long): org.apache.spark.sql.DataFrame = {
+      val (d, opts) = tableOptions(ident, Some(gen))
+      spark.read.format("graft-tsv").schema(d.schema)
+        .options(opts + ("diff.exclude.generation" -> excl.toString))
+        .load() // `path` rides the option map, same as loadTableAt
+    }
+    val removed = side(fromGen, toGen) // rows of files dropped from→to
+    val added = side(toGen, fromGen)   // rows of files new in to
+    added.exceptAll(removed).withColumn("_change_type", lit("insert"))
+      .unionByName(removed.exceptAll(added).withColumn("_change_type", lit("delete")))
   }
 
   override def createTable(

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.types._
+
+/** CHANGES FEED (generation diff) on the graft catalog
+  * (`GraftTsvCatalog.changes`): the net row-level difference between two
+  * retained snapshots, reconstructed from the copy-on-write file history —
+  * no change log is ever written. The planning seam is
+  * `diff.exclude.generation`: each side lists ONLY the part files its
+  * manifest has that the other's does not, so an append's diff scans just
+  * the appended files and a rewrite's diff scans the rewritten pair, never
+  * the table. Correctness of the exceptAll refinement (surviving rows of a
+  * rewritten file cancel), net semantics over the interval, multiplicity,
+  * compaction invisibility, tag endpoints, and the error surface. */
+class Dsv2ChangesSpec extends SparkSuite {
+
+  private val rootDir = Files.createTempDirectory("graft_changes").toString
+  spark.conf.set("spark.sql.catalog.gchg",
+    classOf[graft.sources.GraftTsvCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gchg.root", rootDir)
+  spark.sql("CREATE NAMESPACE IF NOT EXISTS gchg.db")
+
+  private def cat: graft.sources.GraftTsvCatalog =
+    spark.sessionState.catalogManager.catalog("gchg")
+      .asInstanceOf[graft.sources.GraftTsvCatalog]
+
+  private def ident(t: String) = Identifier.of(Array("db"), t)
+
+  /** (change_type, id, v) triples of changes(from, to). */
+  private def diff(t: String, from: String, to: String): Seq[(String, Long, String)] =
+    cat.changes(spark, ident(t), from, to)
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getString(1)))
+      .toSeq.sorted
+
+  test("append-only diff: inserts of exactly the appended rows") {
+    spark.sql("""CREATE TABLE gchg.db.a (id BIGINT, v STRING)
+      USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '4')""")
+    spark.sql("INSERT INTO gchg.db.a VALUES (1, 'a'), (2, 'b')") // gen 1
+    spark.sql("INSERT INTO gchg.db.a VALUES (3, 'c')")           // gen 2
+    assert(diff("a", "1", "2") == Seq(("insert", 3L, "c")))
+    // and the planning seam proves the shared files never entered the
+    // scan: gen 2 excluding gen 1 plans only the appended file's splits,
+    // gen 1 excluding gen 2 plans ZERO (every gen-1 file is shared)
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    def planned(gen: Long, excl: Long): Int =
+      new graft.sources.GraftTsvScanBuilder(schema,
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(Map(
+          "path" -> s"$rootDir/db/a", "generation" -> gen.toString,
+          "diff.exclude.generation" -> excl.toString).asJava))
+        .build().asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+        .planInputPartitions().length
+    assert(planned(2L, 1L) >= 1)
+    assert(planned(1L, 2L) == 0,
+      "all gen-1 files are shared with gen 2 — the diff scan must plan none")
+  }
+
+  test("delete diff: rewritten file's surviving rows cancel, removed rows surface") {
+    spark.sql("""CREATE TABLE gchg.db.d (id BIGINT, v STRING)
+      USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '4')""")
+    spark.sql(
+      "INSERT INTO gchg.db.d VALUES (1, 'a'), (2, 'b'), (3, 'c')") // gen 1
+    spark.sql("DELETE FROM gchg.db.d WHERE id = 2")                // gen 2
+    // the copy-on-write rewrite produced a NEW file holding 1 and 3; the
+    // exceptAll pair must cancel those carried-over rows
+    assert(diff("d", "1", "2") == Seq(("delete", 2L, "b")))
+  }
+
+  test("net semantics: a row inserted then deleted inside the interval is invisible") {
+    spark.sql("""CREATE TABLE gchg.db.n (id BIGINT, v STRING)
+      USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '6')""")
+    spark.sql("INSERT INTO gchg.db.n VALUES (1, 'a')")  // gen 1
+    spark.sql("INSERT INTO gchg.db.n VALUES (9, 'zz')") // gen 2
+    spark.sql("DELETE FROM gchg.db.n WHERE id = 9")     // gen 3
+    spark.sql("INSERT INTO gchg.db.n VALUES (2, 'b')")  // gen 4
+    assert(diff("n", "1", "4") == Seq(("insert", 2L, "b")))
+    // the intermediate states still diff individually
+    assert(diff("n", "1", "2") == Seq(("insert", 9L, "zz")))
+    assert(diff("n", "2", "3") == Seq(("delete", 9L, "zz")))
+  }
+
+  test("multiplicity: exceptAll keeps duplicate-row counts honest") {
+    spark.sql("""CREATE TABLE gchg.db.m (id BIGINT, v STRING)
+      USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '4')""")
+    spark.sql("INSERT INTO gchg.db.m VALUES (1, 'a')")           // gen 1
+    spark.sql("INSERT INTO gchg.db.m VALUES (1, 'a'), (1, 'a')") // gen 2
+    assert(diff("m", "1", "2") == Seq(("insert", 1L, "a"), ("insert", 1L, "a")))
+  }
+
+  test("compaction is layout-only: diff across a compact generation is empty") {
+    spark.sql("""CREATE TABLE gchg.db.c (id BIGINT, v STRING)
+      USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '4')""")
+    spark.sql("INSERT INTO gchg.db.c VALUES (1, 'a'), (2, 'b')") // gen 1
+    spark.sql("INSERT INTO gchg.db.c VALUES (3, 'c')")           // gen 2
+    val res = spark.sql("CALL gchg.system.compact(`table` => 'db.c')")
+      .collect().head
+    assert(res.getLong(0) >= 2 && res.getLong(1) == 1, res.toString) // parts merged
+    assert(diff("c", "2", "3").isEmpty,
+      "compaction changed every file but no row — the diff must be empty")
+    // and the pre/post-compact endpoints still diff correctly THROUGH it
+    assert(diff("c", "1", "3") == Seq(("insert", 3L, "c")))
+  }
+
+  test("tag endpoints resolve; error surface names what exists") {
+    spark.sql("""CREATE TABLE gchg.db.t (id BIGINT, v STRING)
+      USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '4')""")
+    spark.sql("INSERT INTO gchg.db.t VALUES (1, 'a')") // gen 1
+    spark.sql("CALL gchg.system.tag(`table` => 'db.t', tag => 'base', " +
+      "generation => 1)")
+    spark.sql("INSERT INTO gchg.db.t VALUES (2, 'b')") // gen 2
+    assert(diff("t", "base", "2") == Seq(("insert", 2L, "b")))
+    val badTag = intercept[IllegalArgumentException](
+      cat.changes(spark, ident("t"), "nope", "2"))
+    assert(badTag.getMessage.contains("neither a generation number nor a tag")
+      && badTag.getMessage.contains("base"), badTag.getMessage)
+    val badOrder = intercept[IllegalArgumentException](
+      cat.changes(spark, ident("t"), "2", "1"))
+    assert(badOrder.getMessage.contains("from < to"), badOrder.getMessage)
+    // an endpoint outside the retained window fails at scan planning,
+    // naming the retained generations and the widening knob
+    val missing = intercept[Exception](
+      cat.changes(spark, ident("t"), "1", "99").collect())
+    assert(missing.getMessage.contains("not available") ||
+      missing.getMessage.contains("retained"), missing.getMessage)
+  }
+}
