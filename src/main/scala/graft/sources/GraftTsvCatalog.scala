@@ -337,6 +337,39 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
       .unionByName(removed.exceptAll(added).withColumn("_change_type", lit("delete")))
   }
 
+  /** CHANGELOG: [[changes]] with per-commit attribution — one consecutive
+    * generation-pair diff per commit in (from, to], each tagged
+    * `_commit_generation`, unioned. Where [[changes]] answers "what is
+    * the NET difference between these snapshots", this answers "what did
+    * each commit do" — the ordered change stream a downstream
+    * incremental consumer replays. Cost is the sum of the per-commit
+    * deltas (each pair diff plans only the files that commit touched),
+    * which for an append-heavy history is the appended bytes once — NOT
+    * per-commit rescans of the table. Needs every generation in [from,
+    * to] retained; a reclaimed intermediate fails at planning naming the
+    * retained window (deepen `retain.generations` — or use [[changes]],
+    * which only needs the endpoints). */
+  def changesByCommit(spark: org.apache.spark.sql.SparkSession,
+      ident: Identifier, from: String, to: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val f = fs()
+    val mp = metaPath(tableDir(ident))
+    if (!f.exists(mp)) throw noSuchTable(ident)
+    val d = readDescriptor(f, mp)
+    def resolve(v: String): Long = v.toLongOption.getOrElse(
+      d.tags.getOrElse(v, throw new IllegalArgumentException(
+        s"graft catalog: changesByCommit($v) — neither a generation " +
+          s"number nor a tag on ${ident.name()}")))
+    val (fromGen, toGen) = (resolve(from), resolve(to))
+    require(fromGen < toGen,
+      s"graft catalog: changesByCommit requires from < to, got $fromGen >= $toGen")
+    (fromGen until toGen).map { g =>
+      changes(spark, ident, g.toString, (g + 1).toString)
+        .withColumn("_commit_generation", lit(g + 1))
+    }.reduce(_.unionByName(_))
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,

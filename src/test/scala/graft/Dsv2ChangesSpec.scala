@@ -105,6 +105,75 @@ class Dsv2ChangesSpec extends SparkSuite {
     assert(diff("c", "1", "3") == Seq(("insert", 3L, "c")))
   }
 
+  test("changesByCommit attributes each commit's delta; net diff stays the union's collapse") {
+    spark.sql("""CREATE TABLE gchg.db.l (id BIGINT, v STRING)
+      USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '6')""")
+    spark.sql("INSERT INTO gchg.db.l VALUES (1, 'a'), (2, 'b')") // gen 1
+    spark.sql("INSERT INTO gchg.db.l VALUES (3, 'c')")           // gen 2
+    spark.sql("DELETE FROM gchg.db.l WHERE id = 1")              // gen 3
+    val log = cat.changesByCommit(spark, ident("l"), "1", "3")
+      .collect()
+      .map(r => (r.getLong(3), r.getString(2), r.getLong(0), r.getString(1)))
+      .toSeq.sorted
+    assert(log == Seq(
+      (2L, "insert", 3L, "c"),
+      (3L, "delete", 1L, "a")))
+    // the per-commit stream collapses to the same net diff as changes()
+    assert(diff("l", "1", "3") ==
+      Seq(("delete", 1L, "a"), ("insert", 3L, "c")))
+  }
+
+  test("model check: every endpoint pair of a mixed insert/delete/compact history") {
+    spark.sql("""CREATE TABLE gchg.db.f (id BIGINT, v STRING)
+      USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '12')""")
+    // deterministic mixed history; snapshots[g] is the multiset after gen g
+    val rnd = new scala.util.Random(42)
+    var next = 0L
+    var live = Vector.empty[(Long, String)]
+    var snapshots = Vector(live) // index 0 unused (gen numbering is 1-based)
+    def commit(sql: String, after: Vector[(Long, String)]): Unit = {
+      spark.sql(sql); live = after; snapshots :+= live
+    }
+    (1 to 8).foreach { i =>
+      rnd.nextInt(3) match {
+        case 0 | 1 => // insert 2 fresh rows (dup values on purpose)
+          val rows = Seq((next, s"v${next % 3}"), (next + 1, s"v${next % 3}"))
+          next += 2
+          commit(s"INSERT INTO gchg.db.f VALUES " +
+            rows.map { case (k, s) => s"($k, '$s')" }.mkString(", "),
+            live ++ rows)
+        case 2 if live.nonEmpty => // delete a key range
+          val cut = live(rnd.nextInt(live.size))._1
+          commit(s"DELETE FROM gchg.db.f WHERE id <= $cut",
+            live.filter(_._1 > cut))
+        case _ =>
+          commit(s"INSERT INTO gchg.db.f VALUES ($next, 'x')",
+            live :+ (next, "x"))
+          next += 1
+      }
+      if (i == 4) { // a compact mid-history must be invisible to every diff
+        spark.sql("CALL gchg.system.compact(`table` => 'db.f')")
+        snapshots :+= live // compact publishes a generation, content unchanged
+      }
+    }
+    def multiset(s: Seq[(Long, String)]) = s.groupBy(identity).view.mapValues(_.size).toMap
+    val nGens = snapshots.size - 1
+    for (a <- 1 until nGens; b <- (a + 1) to nGens) {
+      val got = cat.changes(spark, ident("f"), a.toString, b.toString)
+        .collect().map(r => ((r.getLong(0), r.getString(1)), r.getString(2)))
+      val inserts = multiset(got.collect { case (row, "insert") => row }.toSeq)
+      val deletes = multiset(got.collect { case (row, "delete") => row }.toSeq)
+      val ma = multiset(snapshots(a))
+      val mb = multiset(snapshots(b))
+      val expIns = mb.map { case (k, n) => k -> (n - ma.getOrElse(k, 0)) }
+        .filter(_._2 > 0)
+      val expDel = ma.map { case (k, n) => k -> (n - mb.getOrElse(k, 0)) }
+        .filter(_._2 > 0)
+      assert(inserts == expIns, s"inserts mismatch for ($a,$b)")
+      assert(deletes == expDel, s"deletes mismatch for ($a,$b)")
+    }
+  }
+
   test("tag endpoints resolve; error surface names what exists") {
     spark.sql("""CREATE TABLE gchg.db.t (id BIGINT, v STRING)
       USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '4')""")
