@@ -38,20 +38,16 @@ import Parity._
 object Layout {
 
   // ---- 16-bit Morton interleave, portable integer arithmetic ----
+  // (Column side lives in graft.functions.ZOrder, shared with the
+  // graft-tsv catalog's `CALL g.system.zorder` rewrite; the SQL mirror
+  // below stays here for the DuckDB oracle.)
 
   private val Masks: Seq[(Int, Long)] = Seq(
     8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL, 2 -> 0x33333333L, 1 -> 0x55555555L)
 
-  /** Spread the low 16 bits of `c` to the even bit positions of a 32-bit
-    * value (classic bit-twiddling; all BIGINT so both engines agree). */
-  private def spread(c: Column): Column =
-    Masks.foldLeft(c) { case (x, (s, m)) =>
-      x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
-    }
-
   /** zval = interleave(nx, ny): nx in even bits, ny in odd bits. */
   def morton(nx: Column, ny: Column): Column =
-    spread(nx).bitwiseOR(shiftleft(spread(ny), 1))
+    graft.functions.ZOrder.morton(nx, ny)
 
   private def sqlSpread(e: String): String =
     Masks.foldLeft(e) { case (x, (s, m)) => s"((($x) | (($x) << $s)) & $m)" }

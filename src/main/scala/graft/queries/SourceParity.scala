@@ -1232,6 +1232,61 @@ object SourceParity {
         .orderBy("change_type", "c_mktsegment")
     })
 
+  /** Z-ORDER REWRITE under the oracle gate (`CALL g.system.zorder`,
+    * GraftTsvMaintenance.zorder): load orders into a graft table,
+    * cluster it by the Morton interleave of (o_orderkey, o_custkey) —
+    * a REAL distributed rewrite through the connector's own scan and
+    * commit paths, not the byte-concat compact — then answer a
+    * two-dimensional box predicate from the rewritten table. The oracle
+    * reconstructs the same box over the original parquet, so a pass
+    * proves the normalize→interleave→range-shuffle→sort→overwrite loop
+    * is value-exact end-to-end. The pruning payoff (per-file stats
+    * become tight boxes on BOTH dimensions; either-dimension predicates
+    * skip most files, proven at the planning seam against the retained
+    * pre-rewrite generation) and content/diff invariants live in
+    * Dsv2ZorderSpec; q_zorder_layout proves the same clustering math on
+    * parquet row groups. */
+  private val qDsv2Zorder = QueryDef(
+    "q_dsv2_zorder",
+    Some(s"""
+      |WITH b AS (SELECT max(o_orderkey) AS km, max(o_custkey) AS cm
+      |  FROM orders)
+      |SELECT o_orderstatus, count(*) AS n,
+      |  ${sqlDsum(sqlDec("o_totalprice"))} AS sum_price
+      |FROM orders, b
+      |WHERE o_orderkey <= km // 4 AND o_custkey <= cm // 4
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.ord_zo_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT,
+        o_orderstatus STRING, o_totalprice_str STRING) USING `graft-tsv`
+        TBLPROPERTIES ('retain.generations' = '2')""")
+      tbl(spark, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        dec("o_totalprice").cast("string").as("o_totalprice_str"))
+        .writeTo(t).append()                                  // generation 1
+      spark.sql(s"CALL gparity.system.zorder(`table` => 'db.ord_zo_$h', " +
+        "columns => 'o_orderkey,o_custkey', target_bytes => 262144)") // gen 2
+      val bounds = spark.table(t)
+        .agg(max("o_orderkey").as("km"), max("o_custkey").as("cm"))
+      spark.table(t).crossJoin(broadcast(bounds))
+        .filter(col("o_orderkey") <= expr("km div 4") &&
+          col("o_custkey") <= expr("cm div 4"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          dsum(dec(col("o_totalprice_str"))).as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
+
   val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qOrcSource,
     qPartitionedSink,
     qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source,
@@ -1239,5 +1294,5 @@ object SourceParity {
     qDsv2AggGroup,
     qDsv2StatsSkip,
     qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn, qDsv2TimeTravel, qDsv2Tag,
-    qDsv2Merge, qDsv2Update, qDsv2Compact, qDsv2Changes)
+    qDsv2Merge, qDsv2Update, qDsv2Compact, qDsv2Changes, qDsv2Zorder)
 }

@@ -526,13 +526,14 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
       case "rollback" => GraftTsvProcedures.rollback(resolveForMaintenance)
       case "tag" => GraftTsvProcedures.tag(tagImpl)
       case "untag" => GraftTsvProcedures.untag(untagImpl)
+      case "zorder" => GraftTsvProcedures.zorder(catalogName, resolveForMaintenance)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unknown procedure '$other' — available: " +
-          "compact, history, rollback, tag, untag, vacuum")
+          "compact, history, rollback, tag, untag, vacuum, zorder")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array("compact", "history", "rollback", "tag", "untag", "vacuum")
+    Array("compact", "history", "rollback", "tag", "untag", "vacuum", "zorder")
       .map(Identifier.of(namespace, _))
 
   /** Table-name string (`'db.t'`) → (dir, partition columns, retention,

@@ -231,6 +231,97 @@ private[sources] object GraftTsvMaintenance {
       curGen.getOrElse(0L) + 1)
   }
 
+  /** Z-ORDER REWRITE (`CALL g.system.zorder`): rewrite the table
+    * clustered by the Morton interleave of two integral dimensions —
+    * what OPTIMIZE ZORDER is to a Delta table. Where [[compact]] is a
+    * layout-only byte concatenation (no parse, preserves row order),
+    * this is a REAL distributed rewrite: scan → range-normalize each
+    * dimension to 16 bits from its measured min/max (one tiny agg) →
+    * `repartitionByRange` + in-partition sort on the z-value → overwrite
+    * through the table's own connector write. The payoff compounds with
+    * the stats the writer already records: per-file AND per-block
+    * min/max ranges become tight boxes on BOTH dimensions, so a
+    * selective predicate on EITHER skips most files/splits — a
+    * single-key sort only ever serves one dimension. Everything else
+    * composes for free because the result is an ordinary generation
+    * commit: time travel retains the pre-rewrite snapshot, tags pin it,
+    * rollback undoes it, and the changes feed diffs it EMPTY (content
+    * identical, layout changed — the same invariant as compact).
+    *
+    * Scale: the rewrite is one shuffle of the table (the unavoidable
+    * cost of re-clustering), sized to `target_bytes` output files; the
+    * dimension bounds come from one scalar aggregate, not a sort. NULL
+    * dimension values normalize to the minimum (cluster together at z
+    * low end). On a hive-partitioned table rows re-cluster WITHIN each
+    * leaf (the writer routes by partition value as always); the z-sort
+    * then orders each task's rows per leaf.
+    *
+    * Returns (files_before, files_after, new generation), or
+    * (n, n, -1) when the table is empty or has no committed manifest. */
+  def zorder(
+      spark: SparkSession, fullSqlName: String, dir: Path,
+      c1: String, c2: String, targetBytes: Long): (Long, Long, Long) = {
+    require(targetBytes > 0,
+      s"graft catalog zorder: target_bytes must be positive, got $targetBytes")
+    require(c1 != c2,
+      s"graft catalog zorder: the two clustering columns must differ, got '$c1' twice")
+    val df = spark.table(fullSqlName)
+    val schema = df.schema
+    def check(c: String): Unit = {
+      require(schema.fieldNames.contains(c),
+        s"graft catalog zorder: column '$c' is not in the table schema " +
+          s"(${schema.fieldNames.mkString(", ")})")
+      schema(c).dataType match {
+        case LongType | IntegerType | DateType => ()
+        case dt => throw new IllegalArgumentException(
+          s"graft catalog zorder: column '$c' has type ${dt.typeName} — " +
+            "z-order clustering supports integral (bigint/int/date) dimensions")
+      }
+    }
+    check(c1); check(c2)
+    val hconf = SerializableHadoopConf.fromSession()
+    val fs = dir.getFileSystem(hconf.value)
+    val curGen = if (fs.exists(dir))
+      fs.listStatus(dir).toSeq
+        .flatMap(st => GraftTsvManifest.genNumber(st.getPath.getName)).maxOption
+    else None
+    if (curGen.isEmpty) return (0L, 0L, -1L)
+    val entries = GraftTsvManifest.readEntries(fs,
+      new Path(dir, GraftTsvManifest.genName(curGen.get)))
+    if (entries.isEmpty) return (0L, 0L, -1L)
+    import org.apache.spark.sql.functions._
+    val b = df.agg(
+      min(col(c1)).cast("long"), max(col(c1)).cast("long"),
+      min(col(c2)).cast("long"), max(col(c2)).cast("long")).head()
+    if (b.isNullAt(0) || b.isNullAt(2))
+      return (entries.size.toLong, entries.size.toLong, -1L) // all-null dims
+    // bucket width via BigInt so an extreme span cannot overflow the
+    // multiply-then-divide normalization; the quotient is ≤ 2^48
+    def width(lo: Long, hi: Long): Long =
+      ((BigInt(hi) - BigInt(lo)) / 65536 + 1).toLong
+    def nrm(c: String, lo: Long, w: Long): org.apache.spark.sql.Column =
+      expr(s"(coalesce(cast(`$c` as bigint), ${lo}L) - ${lo}L) div ${w}L")
+    val z = graft.functions.ZOrder.morton(
+      nrm(c1, b.getLong(0), width(b.getLong(0), b.getLong(1))),
+      nrm(c2, b.getLong(2), width(b.getLong(2), b.getLong(3))))
+    val totalBytes = {
+      val lenOf = GraftTsvPublisher.allFiles(fs, dir)
+        .collect { case (rel, st) if st.isFile => rel -> st.getLen }.toMap
+      entries.flatMap(e => lenOf.get(e._1)).sum
+    }
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    df.withColumn("__graft_zval", z)
+      .repartitionByRange(nFiles, col("__graft_zval"))
+      .sortWithinPartitions("__graft_zval")
+      .drop("__graft_zval")
+      .writeTo(fullSqlName).overwrite(lit(true))
+    val newGen = fs.listStatus(dir).toSeq
+      .flatMap(st => GraftTsvManifest.genNumber(st.getPath.getName)).max
+    val after = GraftTsvManifest.readEntries(fs,
+      new Path(dir, GraftTsvManifest.genName(newGen))).size
+    (entries.size.toLong, after.toLong, newGen)
+  }
+
   /** ROLLBACK to a retained generation: publish a NEW generation whose
     * manifest lists exactly the target generation's entries — history
     * moves forward (the bad generations stay retained and inspectable
@@ -403,6 +494,50 @@ private[sources] object GraftTsvProcedures {
       }
     }
   }
+
+  /** `CALL g.system.zorder(table, columns => 'c1,c2' [, target_bytes])`
+    * — see [[GraftTsvMaintenance.zorder]]. Needs the catalog's NAME (not
+    * just the resolved dir) because the rewrite reads and overwrites the
+    * table through its SQL identifier — the connector's own scan and
+    * commit paths do the work. */
+  def zorder(catalogName: String, resolve: Resolve): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "zorder"
+      override def description(): String =
+        "rewrite a table clustered by the Morton interleave of two " +
+          "integral columns (new generation; stats become tight on both)"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = "zorder"
+        override def description(): String = "graft-tsv zorder rewrite"
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("columns", StringType)
+            .comment("two comma-separated integral columns to cluster by").build(),
+          ProcedureParameter.in("target_bytes", LongType)
+            .defaultValue((64L * 1024 * 1024).toString)
+            .comment("output file size target").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val tableName = input.getString(0)
+          val (dir, _, _, _) = resolve(tableName)
+          val cols = input.getString(1).split(",").map(_.trim).filter(_.nonEmpty)
+          require(cols.length == 2,
+            "graft catalog zorder: columns must name exactly two " +
+              s"comma-separated dimensions (the 16-bit Morton interleave " +
+              s"is two-dimensional), got '${input.getString(1)}'")
+          val full = (catalogName +: tableName.split("\\.").toSeq)
+            .map(p => s"`$p`").mkString(".")
+          val (before, after, gen) = GraftTsvMaintenance.zorder(
+            SparkSession.active, full, dir, cols(0), cols(1), input.getLong(2))
+          singleRowScan(
+            StructType(Seq(
+              StructField("files_before", LongType, nullable = false),
+              StructField("files_after", LongType, nullable = false),
+              StructField("generation", LongType, nullable = false))),
+            new GenericInternalRow(Array[Any](before, after, gen)))
+        }
+      }
+    }
 
   def history(resolve: Resolve): UnboundProcedure = new UnboundProcedure {
     override def name(): String = "history"
