@@ -1287,6 +1287,68 @@ object SourceParity {
         .orderBy("o_orderstatus")
     })
 
+  /** GENERATION STREAMING under the oracle gate
+    * (`stream.by.generation=true`, GraftTsvGenerationStream): a graft
+    * table is committed TWICE (half the corpus each), then a streaming
+    * read follows the table's COMMIT clock — initial snapshot of the
+    * current generation, then per-commit increments — into a memory
+    * sink, and the drained result must equal the full corpus exactly
+    * once. This is the incremental-consumer loop a curation pipeline
+    * runs downstream of a mutating catalog table ("each refresh commit's
+    * new documents, exactly once, resumable"); where the file-arrival
+    * stream needs name-monotonic rotation, the generation stream pins
+    * file sets by manifest and needs no name contract at all. Append-only
+    * enforcement, restart exactly-once, rewrite refusal + opt-out, and
+    * retention interaction: Dsv2GenStreamSpec. */
+  private val qStreamGenerations = QueryDef(
+    "q_stream_generations",
+    Some(s"""
+      |SELECT c_mktsegment, count(*) AS n,
+      |  ${sqlDsum(sqlDec("c_acctbal"))} AS sum_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.cust_gs_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t (c_custkey BIGINT, c_mktsegment STRING,
+        c_acctbal_str STRING) USING `graft-tsv`
+        TBLPROPERTIES ('retain.generations' = '3')""")
+      val cust = tbl(spark, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        dec("c_acctbal").cast("string").as("c_acctbal_str"))
+      cust.filter(col("c_custkey") % 2 === 0).writeTo(t).append() // gen 1
+      cust.filter(col("c_custkey") % 2 =!= 0).writeTo(t).append() // gen 2
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_mktsegment",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_acctbal_str",
+          org.apache.spark.sql.types.StringType)))
+      val ss = spark.newSession()
+      val sink = s"gen_stream_sink_$h"
+      val q = ss.readStream.format("graft-tsv").schema(schema)
+        .option("stream.by.generation", "true")
+        .load(s"$root/db/cust_gs_$h")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(); q.stop()
+      ss.table(sink)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          dsum(dec(col("c_acctbal_str"))).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    })
+
   val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qOrcSource,
     qPartitionedSink,
     qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source,
@@ -1294,5 +1356,6 @@ object SourceParity {
     qDsv2AggGroup,
     qDsv2StatsSkip,
     qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn, qDsv2TimeTravel, qDsv2Tag,
-    qDsv2Merge, qDsv2Update, qDsv2Compact, qDsv2Changes, qDsv2Zorder)
+    qDsv2Merge, qDsv2Update, qDsv2Compact, qDsv2Changes, qDsv2Zorder,
+    qStreamGenerations)
 }

@@ -712,7 +712,11 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
           throw new IllegalArgumentException(
             s"graft-tsv: max.files.per.trigger must be an integer >= 1, " +
               s"got '$v'"))),
-      pushedLimit = limit)
+      pushedLimit = limit,
+      streamByGeneration = Option(options.get("stream.by.generation"))
+        .exists(_.equalsIgnoreCase("true")),
+      streamAllowRewrites = Option(options.get("stream.allow.rewrites"))
+        .exists(_.equalsIgnoreCase("true")))
   }
 }
 
@@ -734,7 +738,9 @@ final class GraftTsvScan(
     onPlanned: Option[Seq[String] => Unit] = None,
     aliases: Map[String, Seq[String]] = Map.empty,
     maxFilesPerTrigger: Option[Int] = None,
-    pushedLimit: Option[Int] = None)
+    pushedLimit: Option[Int] = None,
+    streamByGeneration: Boolean = false,
+    streamAllowRewrites: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
 
@@ -847,7 +853,14 @@ final class GraftTsvScan(
     * (`col=value` segments in declared order) and each leaf file carries
     * its partition values; either way, each LEAF directory resolves
     * through its `_gen` manifest when one exists. */
-  private[sources] def listFiles(): Seq[GraftTsvFileEntry] = {
+  private[sources] def listFiles(): Seq[GraftTsvFileEntry] =
+    listFilesAt(generation, excludeGeneration)
+
+  /** [[listFiles]] with explicit generation endpoints — the generation
+    * STREAM re-lists with per-batch pins ((start, end] = end's manifest
+    * minus start's), where the batch scan uses the scan-fixed options. */
+  private[sources] def listFilesAt(generation: Option[Long],
+      excludeGeneration: Option[Long]): Seq[GraftTsvFileEntry] = {
     val p = new Path(path)
     val fs = p.getFileSystem(hconf.value)
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
@@ -1363,7 +1376,24 @@ final class GraftTsvScan(
     * bounded" claim at the connector level. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftTsvMicroBatchStream(this, splitBytes, maxFilesPerTrigger)
+    if (streamByGeneration)
+      new GraftTsvGenerationStream(this, streamAllowRewrites)
+    else new GraftTsvMicroBatchStream(this, splitBytes, maxFilesPerTrigger)
+
+  /** Retained generation numbers of the table directory, sorted — the
+    * generation stream's offset domain. Single-directory tables only
+    * (a glob of directories has no shared generation clock). */
+  private[sources] def listGenerations(): Seq[Long] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(hconf.value)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.isDirectory)
+    require(matched.size <= 1,
+      s"graft-tsv: stream.by.generation needs ONE table directory, " +
+        s"$path matches ${matched.size}")
+    matched.flatMap(st => fs.listStatus(st.getPath).toSeq
+      .flatMap(c => GraftTsvManifest.genNumber(c.getPath.getName))).sorted
+  }
 }
 
 /** Micro-batch FILE-ARRIVAL streaming over a graft-tsv directory: batch
@@ -1498,6 +1528,109 @@ final class GraftTsvMicroBatchStream(scan: GraftTsvScan, splitBytes: Long,
     // predicates ride the scan, so a filtered stream skips dead splits
     val statPreds = scan.compiledStatPreds(scan.pushedFilters)
     slice.flatMap(f => scan.splitsFor(f, statPreds)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+
+  override def commit(`end`: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** GENERATION streaming (`stream.by.generation=true`): micro-batches
+  * follow the table's COMMIT clock instead of file arrival — offset =
+  * generation number, batch (s, e] = the part files e's manifest lists
+  * that s's does not (the same planning seam as the changes feed). The
+  * first batch from a fresh checkpoint is the INITIAL SNAPSHOT (every
+  * file of the then-current generation); each later batch is exactly one
+  * or more commits' appended files. This is the incremental-consumer
+  * contract a curation pipeline wants downstream of a mutating catalog
+  * table: "give me each commit's inserts, exactly once, resumable" —
+  * where the file-arrival stream wants a log-rotation directory, this
+  * wants a TABLE, and inherits none of the name-monotonicity contract
+  * (manifests pin file sets; names are irrelevant).
+  *
+  * APPEND-ONLY BY CONTRACT: a commit that DROPPED files (delete, merge,
+  * compact, zorder, overwrite — any copy-on-write rewrite) fails the
+  * stream with a named error, because a file-level feed would re-emit a
+  * rewritten file's carried-over rows as if they were new data. The
+  * `stream.allow.rewrites=true` opt-out accepts that re-emission
+  * (downstream dedup by key, or layout-only compacts where re-reads are
+  * tolerable); row-exact rewrite diffs are the batch changes feed's job
+  * (`GraftTsvCatalog.changes` — exceptAll needs two complete sides and
+  * is not expressible inside a streaming scan).
+  *
+  * Retention interaction: offsets are generations, so a paused consumer
+  * must resume within the retention window — a reclaimed start
+  * generation fails at planning naming the retained window and the
+  * `retain.generations` knob (deepen it to the longest pause you need
+  * to survive). Batches re-list by pinned endpoints, so a replayed
+  * committed batch reads byte-identical input (manifests are immutable
+  * once published). */
+final class GraftTsvGenerationStream(scan: GraftTsvScan, allowRewrites: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class GenOffset(gen: Long) extends Offset {
+    override def json(): String = s"""{"gen":$gen}"""
+  }
+
+  private val OffsetRe = """\{"gen":(\d+)\}""".r
+
+  /** 0 = nothing consumed: the first batch (0, current] is the initial
+    * snapshot of whatever generation is current at the first trigger. */
+  override def initialOffset(): Offset = GenOffset(0L)
+
+  override def deserializeOffset(json: String): Offset = json.trim match {
+    case OffsetRe(g) => GenOffset(g.toLong)
+    case other =>
+      throw new IllegalArgumentException(s"graft-tsv generation offset: $other")
+  }
+
+  @volatile private var availableNowEnd: Option[GenOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(current())
+
+  private def current(): GenOffset =
+    GenOffset(scan.listGenerations().lastOption.getOrElse(0L))
+
+  override def latestOffset(): Offset = availableNowEnd.getOrElse(current())
+
+  /** Admission control seam (required by SupportsTriggerAvailableNow's
+    * parent): generation batches are commit-sized already, so the limit
+    * is not subdivided — one trigger drains to the (possibly pinned)
+    * latest generation. */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+
+  override def planInputPartitions(start: Offset, `end`: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[GenOffset].gen
+    val e = `end`.asInstanceOf[GenOffset].gen
+    if (e <= s) return Array.empty
+    // initial snapshot reads e whole; an increment excludes s's files
+    val files =
+      if (s == 0L) scan.listFilesAt(Some(e), None)
+      else {
+        if (!allowRewrites) {
+          val dropped = scan.listFilesAt(Some(s), Some(e))
+          if (dropped.nonEmpty)
+            throw new IllegalStateException(
+              s"graft-tsv generation stream: commits ($s, $e] REWROTE " +
+                s"${dropped.size} file(s) (${dropped.take(3).map(_.rel).mkString(", ")}) " +
+                "— delete/merge/compact/zorder/overwrite break the " +
+                "append-only feed contract (a file-level stream would " +
+                "re-emit carried-over rows as new data). Use the batch " +
+                "changes feed (GraftTsvCatalog.changes) for row-exact " +
+                "diffs, or set stream.allow.rewrites=true to accept " +
+                "re-emission")
+        }
+        scan.listFilesAt(Some(e), Some(s))
+      }
+    val statPreds = scan.compiledStatPreds(scan.pushedFilters)
+    files.flatMap(f => scan.splitsFor(f, statPreds)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

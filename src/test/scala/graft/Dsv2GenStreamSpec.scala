@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** GENERATION streaming (`stream.by.generation=true`,
+  * GraftTsvGenerationStream): micro-batches follow the table's commit
+  * clock — initial snapshot of the current generation, then each commit's
+  * appended files, exactly once across restarts. The append-only contract
+  * is enforced: a rewrite commit (DELETE's copy-on-write) fails the
+  * stream with a named error unless `stream.allow.rewrites=true`. */
+class Dsv2GenStreamSpec extends SparkSuite {
+
+  private val rootDir = Files.createTempDirectory("graft_genstream").toString
+  spark.conf.set("spark.sql.catalog.ggen",
+    classOf[graft.sources.GraftTsvCatalog].getName)
+  spark.conf.set("spark.sql.catalog.ggen.root", rootDir)
+  spark.sql("CREATE NAMESPACE IF NOT EXISTS ggen.db")
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def runOnce(table: String, ckpt: String, out: String,
+      allowRewrites: Boolean = false): Unit = {
+    val r = spark.readStream.format("graft-tsv").schema(schema)
+      .option("stream.by.generation", "true")
+    val q = (if (allowRewrites) r.option("stream.allow.rewrites", "true") else r)
+      .load(s"$rootDir/db/$table")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.stop()
+  }
+
+  private def sunk(out: String): Seq[Long] =
+    spark.read.schema(StructType(schema)).parquet(out)
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+  test("initial snapshot, then per-commit increments, exactly once across resumes") {
+    spark.sql("""CREATE TABLE ggen.db.s (id BIGINT, v STRING)
+      USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '6')""")
+    spark.sql("INSERT INTO ggen.db.s VALUES (1, 'a'), (2, 'b')") // gen 1
+    spark.sql("INSERT INTO ggen.db.s VALUES (3, 'c')")           // gen 2
+    val root = Files.createTempDirectory("genstream_s").toString
+    val (ckpt, out) = (s"$root/ckpt", s"$root/out")
+    // fresh checkpoint: first run snapshots the CURRENT generation (both
+    // commits, no double-read of gen 1's files through gen 2's manifest)
+    runOnce("s", ckpt, out)
+    assert(sunk(out) == Seq(1L, 2L, 3L))
+    // two more commits; the resumed run delivers exactly their rows
+    spark.sql("INSERT INTO ggen.db.s VALUES (4, 'd')")           // gen 3
+    spark.sql("INSERT INTO ggen.db.s VALUES (5, 'e'), (6, 'f')") // gen 4
+    runOnce("s", ckpt, out)
+    assert(sunk(out) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // no new commits: a third run delivers nothing
+    runOnce("s", ckpt, out)
+    assert(sunk(out) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("a rewrite commit fails the append-only feed; the opt-out re-emits carried rows") {
+    spark.sql("""CREATE TABLE ggen.db.r (id BIGINT, v STRING)
+      USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '6')""")
+    // BOTH rows must land in ONE part file: a multi-file insert would let
+    // DELETE drop a whole file metadata-only (no rewrite, nothing carried
+    // — the stream correctly emits nothing for that case)
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .writeTo("ggen.db.r").append() // gen 1
+    val root = Files.createTempDirectory("genstream_r").toString
+    val (ckpt, out) = (s"$root/ckpt", s"$root/out")
+    runOnce("r", ckpt, out)
+    assert(sunk(out) == Seq(1L, 2L))
+    spark.sql("DELETE FROM ggen.db.r WHERE id = 1") // gen 2: rewrite
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      runOnce("r", ckpt, out))
+    assert(e.getCause.getMessage.contains("REWROTE") &&
+      e.getCause.getMessage.contains("stream.allow.rewrites"),
+      e.getCause.getMessage)
+    // opt-out: the rewritten file's surviving row re-emits (documented)
+    runOnce("r", ckpt, out, allowRewrites = true)
+    assert(sunk(out) == Seq(1L, 2L, 2L))
+  }
+
+  test("a metadata-only whole-file delete also breaks the feed; the opt-out emits nothing") {
+    spark.sql("""CREATE TABLE ggen.db.m (id BIGINT, v STRING)
+      USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '6')""")
+    spark.sql("INSERT INTO ggen.db.m VALUES (1, 'a')") // gen 1, file A
+    spark.sql("INSERT INTO ggen.db.m VALUES (2, 'b')") // gen 2, file B
+    val root = Files.createTempDirectory("genstream_m").toString
+    val (ckpt, out) = (s"$root/ckpt", s"$root/out")
+    runOnce("m", ckpt, out)
+    assert(sunk(out) == Seq(1L, 2L))
+    // id=1 is ALL of file A: the delete drops the file from the manifest
+    // without writing anything — still a non-append commit
+    spark.sql("DELETE FROM ggen.db.m WHERE id = 1") // gen 3
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      runOnce("m", ckpt, out))
+    assert(e.getCause.getMessage.contains("stream.allow.rewrites"),
+      e.getCause.getMessage)
+    // opt-out: no files were added, so nothing re-emits
+    runOnce("m", ckpt, out, allowRewrites = true)
+    assert(sunk(out) == Seq(1L, 2L))
+  }
+
+  test("offsets are generations: a resume past a reclaimed start names the retention knob") {
+    spark.sql("""CREATE TABLE ggen.db.w (id BIGINT, v STRING)
+      USING `graft-tsv`""") // default retain = 1
+    spark.sql("INSERT INTO ggen.db.w VALUES (1, 'a')")  // gen 1
+    val root = Files.createTempDirectory("genstream_w").toString
+    val (ckpt, out) = (s"$root/ckpt", s"$root/out")
+    runOnce("w", ckpt, out) // consumed through gen 1
+    assert(sunk(out) == Seq(1L))
+    // three more commits slide gen 1 out of the retain=1 window
+    (2 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO ggen.db.w VALUES ($i, 'x')"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      runOnce("w", ckpt, out))
+    assert(e.getCause.getMessage.contains("retain.generations"),
+      e.getCause.getMessage)
+  }
+}

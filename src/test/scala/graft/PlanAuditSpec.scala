@@ -19,7 +19,8 @@ class PlanAuditSpec extends SparkSuite {
     "q_ivf_assign", "q_ivf_topk", "q_ann_recall", "q22_global_sales",
     "q11_important_stock", "q_text_search", "q_pagerank",
     "q_zorder_layout", // 1-row dims/zmax stat frames broadcast-crossed in
-    "q_histogram")     // 1-row min/max bounds frame, same pattern
+    "q_histogram",     // 1-row min/max bounds frame, same pattern
+    "q_dsv2_zorder")   // 1-row key-bounds frame for the box predicate
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no cartesian product / unexpected nested loop") {
