@@ -1349,6 +1349,65 @@ object SourceParity {
         .orderBy("c_mktsegment")
     })
 
+  /** PER-COMMIT CHANGELOG under the oracle gate
+    * (`GraftTsvCatalog.changesByCommit`): the same three-commit history
+    * as q_dsv2_changes, but asked "what did EACH commit do" — one
+    * consecutive generation-pair diff per commit, tagged
+    * `_commit_generation`, the ordered change stream an incremental
+    * consumer replays. The oracle reconstructs both commits' arms
+    * independently (commit 2 = the segment delete, commit 3 = the
+    * held-out insert), so a pass proves the attribution, not just the
+    * collapsed net. Cost shape: each pair diff plans only that commit's
+    * touched files (sum of deltas, not commits × table). */
+  private val qDsv2Changelog = QueryDef(
+    "q_dsv2_changelog",
+    Some(s"""
+      |WITH base AS (
+      |  SELECT c_custkey, c_mktsegment, ${sqlDec("c_acctbal")} AS bal
+      |  FROM customer),
+      |c2 AS (SELECT 2 AS commit_gen, 'delete' AS change_type,
+      |    c_mktsegment, bal
+      |  FROM base WHERE c_custkey % 3 <> 0 AND c_mktsegment = 'BUILDING'),
+      |c3 AS (SELECT 3 AS commit_gen, 'insert' AS change_type,
+      |    c_mktsegment, bal
+      |  FROM base WHERE c_custkey % 3 = 0)
+      |SELECT commit_gen, change_type, c_mktsegment, count(*) AS n,
+      |  ${sqlDsum("bal")} AS sum_bal
+      |FROM (SELECT * FROM c2 UNION ALL SELECT * FROM c3)
+      |GROUP BY commit_gen, change_type, c_mktsegment
+      |ORDER BY commit_gen, change_type, c_mktsegment
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.cust_cl_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t (c_custkey BIGINT, c_mktsegment STRING,
+        c_acctbal_str STRING) USING `graft-tsv`
+        TBLPROPERTIES ('retain.generations' = '4')""")
+      val cust = tbl(spark, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        dec("c_acctbal").cast("string").as("c_acctbal_str"))
+      cust.filter(col("c_custkey") % 3 =!= 0).writeTo(t).append()   // gen 1
+      spark.sql(s"DELETE FROM $t WHERE c_mktsegment = 'BUILDING'")  // gen 2
+      cust.filter(col("c_custkey") % 3 === 0).writeTo(t).append()   // gen 3
+      val cat = spark.sessionState.catalogManager.catalog("gparity")
+        .asInstanceOf[graft.sources.GraftTsvCatalog]
+      cat.changesByCommit(spark,
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            Array("db"), s"cust_cl_$h"), "1", "3")
+        .groupBy(col("_commit_generation").cast("int").as("commit_gen"),
+          col("_change_type").as("change_type"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          dsum(dec(col("c_acctbal_str"))).as("sum_bal"))
+        .orderBy("commit_gen", "change_type", "c_mktsegment")
+    })
+
   val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qOrcSource,
     qPartitionedSink,
     qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source,
@@ -1356,6 +1415,6 @@ object SourceParity {
     qDsv2AggGroup,
     qDsv2StatsSkip,
     qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn, qDsv2TimeTravel, qDsv2Tag,
-    qDsv2Merge, qDsv2Update, qDsv2Compact, qDsv2Changes, qDsv2Zorder,
-    qStreamGenerations)
+    qDsv2Merge, qDsv2Update, qDsv2Compact, qDsv2Changes, qDsv2Changelog,
+    qDsv2Zorder, qStreamGenerations)
 }
