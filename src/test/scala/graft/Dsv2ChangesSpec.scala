@@ -174,6 +174,35 @@ class Dsv2ChangesSpec extends SparkSuite {
     }
   }
 
+  test("hive-partitioned table: diff carries partition values; leaf-local commits diff leaf-local") {
+    spark.sql("""CREATE TABLE gchg.db.p (id BIGINT, day STRING)
+      USING `graft-tsv` PARTITIONED BY (day)
+      TBLPROPERTIES ('retain.generations' = '4')""")
+    spark.sql("INSERT INTO gchg.db.p VALUES (1, 'd0'), (2, 'd1')") // gen 1
+    spark.sql("INSERT INTO gchg.db.p VALUES (3, 'd1')")            // gen 2
+    spark.sql("DELETE FROM gchg.db.p WHERE day = 'd0'")            // gen 3
+    val got = cat.changes(spark, ident("p"), "1", "3")
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getString(1)))
+      .toSeq.sorted
+    assert(got == Seq(("delete", 1L, "d0"), ("insert", 3L, "d1")),
+      got.toString)
+  }
+
+  test("ADD COLUMN between the endpoints: both sides diff under the current schema") {
+    spark.sql("""CREATE TABLE gchg.db.e (id BIGINT, v STRING)
+      USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '4')""")
+    spark.sql("INSERT INTO gchg.db.e VALUES (1, 'a')")            // gen 1
+    spark.sql("ALTER TABLE gchg.db.e ADD COLUMN score DOUBLE")
+    spark.sql("INSERT INTO gchg.db.e VALUES (2, 'b', 0.5)")       // gen 2
+    val got = cat.changes(spark, ident("e"), "1", "2")
+      .collect().map(r => (r.getString(3), r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    // gen-1 files never rescan (shared); only the new row surfaces, with
+    // the evolved column populated — and the widened schema applies to
+    // BOTH sides, so the union is well-typed
+    assert(got == Seq(("insert", 2L, "b", 0.5)), got.toString)
+  }
+
   test("tag endpoints resolve; error surface names what exists") {
     spark.sql("""CREATE TABLE gchg.db.t (id BIGINT, v STRING)
       USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '4')""")
