@@ -1016,6 +1016,89 @@ object SourceParity {
         .orderBy("o_orderstatus")
     })
 
+  /** MERGE with `WHEN NOT MATCHED BY SOURCE` arms under the oracle gate —
+    * the SYNC-TO-SOURCE verb that completes the clause matrix
+    * (q_dsv2_merge covers matched-update/matched-delete/not-matched-
+    * insert; Dsv2MergeSpec pins the clause mechanics). The shape is the
+    * corpus-refresh contract "make the table agree with today's feed":
+    * rows the feed still carries update in place, rows the feed no
+    * longer carries are condemned (one slice deleted outright, one
+    * slice stale-marked for audit), and the feed's new rows insert.
+    * Plan-wise the target side can no longer be pruned to matched files
+    * only — every target row is either matched or not-matched-by-source
+    * — so Spark's rewrite reads the table once through the same
+    * copy-on-write machinery and publishes ONE generation; at 100 TB
+    * this is the full-sync you schedule, while the incremental MERGE
+    * (q_dsv2_merge) is the one you run per batch. The oracle
+    * reconstructs all four arms with a left join + anti join over the
+    * original parquet. */
+  private val qDsv2MergeSource = QueryDef(
+    "q_dsv2_merge_source",
+    Some(s"""
+      |WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, ${sqlDec("o_totalprice")} AS price
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |src AS (
+      |  SELECT o_orderkey, o_orderstatus, ${sqlDec("o_totalprice")} * 2 AS price2
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |merged AS (
+      |  SELECT
+      |    CASE
+      |      WHEN s.o_orderkey IS NOT NULL AND s.o_orderstatus = 'F' THEN 'X'
+      |      WHEN s.o_orderkey IS NULL AND b.o_orderkey % 5 = 2 THEN 'S'
+      |      ELSE b.o_orderstatus END AS st,
+      |    CASE WHEN s.o_orderkey IS NOT NULL AND s.o_orderstatus = 'F'
+      |      THEN s.price2 ELSE b.price END AS price
+      |  FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+      |  WHERE NOT (s.o_orderkey IS NULL AND b.o_orderkey % 5 = 1)
+      |  UNION ALL
+      |  SELECT concat('N', s.o_orderstatus) AS st, s.price2 AS price
+      |  FROM src s WHERE NOT EXISTS (
+      |    SELECT 1 FROM base b WHERE b.o_orderkey = s.o_orderkey))
+      |SELECT st AS o_orderstatus, count(*) AS n,
+      |  CAST(sum(price) AS DOUBLE) AS sum_price
+      |FROM merged GROUP BY st ORDER BY st
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.orders_sync_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t (o_orderkey BIGINT, o_orderstatus STRING,
+        o_totalprice_str STRING) USING `graft-tsv`""")
+      val orders = tbl(spark, dir, "orders")
+      orders.filter(col("o_orderkey") % 3 =!= 0).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        dec("o_totalprice").cast("string").as("o_totalprice_str"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .writeTo(t).append()
+      orders.filter(col("o_orderkey") % 2 === 0).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        (dec("o_totalprice") * 2).cast("string").as("price2_str"))
+        .createOrReplaceTempView(s"sync_src_$h")
+      spark.sql(s"""
+        MERGE INTO $t t USING sync_src_$h s ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.o_orderstatus = 'F' THEN
+          UPDATE SET o_orderstatus = 'X', o_totalprice_str = s.price2_str
+        WHEN NOT MATCHED THEN
+          INSERT (o_orderkey, o_orderstatus, o_totalprice_str)
+          VALUES (s.o_orderkey, concat('N', s.o_orderstatus), s.price2_str)
+        WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 5 = 1 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 5 = 2 THEN
+          UPDATE SET o_orderstatus = 'S'
+      """)
+      spark.table(t)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          dsum(dec(col("o_totalprice_str"))).as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
+
   /** SQL row-level `UPDATE` on the graft CATALOG under the oracle gate —
     * the reweight/rescore verb ("bump these documents' quality scores"):
     * same copy-on-write rewrite as MERGE, with a deliberately
@@ -1415,6 +1498,7 @@ object SourceParity {
     qDsv2AggGroup,
     qDsv2StatsSkip,
     qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn, qDsv2TimeTravel, qDsv2Tag,
-    qDsv2Merge, qDsv2Update, qDsv2Compact, qDsv2Changes, qDsv2Changelog,
+    qDsv2Merge, qDsv2MergeSource, qDsv2Update, qDsv2Compact, qDsv2Changes,
+    qDsv2Changelog,
     qDsv2Zorder, qStreamGenerations)
 }
