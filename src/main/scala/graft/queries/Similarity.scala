@@ -552,7 +552,156 @@ FROM stats ORDER BY method, query_id"""),
         .orderBy("method", "query_id")
     })
 
+  // =========================================================================
+  // k-means (Lloyd) — the semantic-clustering stage of a curation pipeline
+  // =========================================================================
+  //
+  // The IVF index above deliberately subs a hash-sample for its centroids
+  // ("k-means is an offline training job"); THIS is that job, run as one
+  // declarative plan: deterministic seeds → assign → centroid update →
+  // reassign. SemDeDup-style curation (cluster the corpus, then dedup or
+  // budget WITHIN clusters) is exactly this followed by the in-cluster
+  // pairing stages the dedup module already has.
+  //
+  // Exactness: distances are integer (||x||² − 2x·c + ||c||² on the
+  // 1e6-quantized vectors — long_dot everywhere), and the centroid UPDATE
+  // uses truncated integer division (`sum div n` ≡ DuckDB `sum // n`,
+  // both truncate toward zero), so every iteration is bit-identical
+  // across engines — the same discipline as q_pagerank's scaled-integer
+  // rank mass. Ties (equal distance to two centroids) break to the
+  // smaller cid in both engines.
+  //
+  // Scale shape (100 TB):
+  //  - ASSIGNMENT is the IVF zero-shuffle pattern: K centroids collapse
+  //    to one packed row, broadcast, and every vector computes its K
+  //    distances + argmin in a single codegen projection — map-only over
+  //    the corpus, per iteration.
+  //  - UPDATE is one hash aggregate keyed (cid, dim): posexplode amplifies
+  //    rows K·d-fold INSIDE the stage, but map-side partial agg collapses
+  //    each task to ≤ K·d rows, so the exchange carries
+  //    O(K·d·partitions), never O(n·d). No join for the divisor — the
+  //    per-(cid,dim) count IS the cluster size.
+  //  - more iterations = repeat the two stages; production loops with a
+  //    movement test + checkpoint truncation exactly as q_dedup_components
+  //    does. Two passes are unrolled here so the plan is static and
+  //    oracle-comparable.
+  private val KmK = 8
+
+  /** Packed-centroid SQL fragment: cl = [(cid, cv, cc=||cv||²)] sorted. */
+  private def sqlKmPack(cents: String): String = s"""
+(SELECT list(struct_pack(cid := cid, cv := cv,
+    cc := CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+      list_extract(cv, CAST(i AS INT)) * list_extract(cv, CAST(i AS INT)))) AS BIGINT))
+  ORDER BY cid) AS cl FROM $cents)"""
+
+  /** Assignment SQL fragment over packed centroids `arr(cl)`:
+    * (vec_id, qv, cid, dist) — argmin of integer L2², tie → min cid. */
+  private def sqlKmAssign(arr: String): String = s"""
+(SELECT vec_id, qv,
+  list_min(list_transform(list_filter(sc, s -> s.dist = best), s -> s.cid)) AS cid,
+  best AS dist
+FROM (SELECT vec_id, qv, sc, list_min(list_transform(sc, s -> s.dist)) AS best
+  FROM (SELECT vec_id, qv,
+    list_transform(cl, s -> struct_pack(cid := s.cid,
+      dist := xx - 2 * CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+        list_extract(qv, CAST(i AS INT)) * list_extract(s.cv, CAST(i AS INT)))) AS BIGINT)
+        + s.cc)) AS sc
+  FROM (SELECT vec_id, qv,
+      CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+        list_extract(qv, CAST(i AS INT)) * list_extract(qv, CAST(i AS INT)))) AS BIGINT) AS xx
+    FROM qvt), $arr)))"""
+
+  /** Shared oracle CTE chain ending in a1(vec_id, qv, cid, dist). */
+  private val sqlKmeans: String = s"""$sqlQvt,
+kseeds AS (
+  SELECT vec_id, qv, $sqlHash60VecId AS hp FROM qvt
+  QUALIFY row_number() OVER (ORDER BY $sqlHash60VecId, vec_id) <= $KmK),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY hp, vec_id) AS BIGINT) AS cid, qv AS cv
+  FROM kseeds),
+c0arr AS ${sqlKmPack("c0")},
+a0 AS ${sqlKmAssign("c0arr")},
+ksums AS (
+  SELECT cid, t.i AS pos,
+    CAST(sum(list_extract(qv, CAST(t.i AS INT))) AS BIGINT) AS sx,
+    count(*) AS n
+  FROM a0, range(1, ${Dim + 1}) t(i) GROUP BY cid, t.i),
+c1 AS (SELECT cid, list(sx // n ORDER BY pos) AS cv FROM ksums GROUP BY cid),
+c1arr AS ${sqlKmPack("c1")},
+a1 AS ${sqlKmAssign("c1arr")}"""
+
+  /** Spark packed-centroid frame: one row, cl = sorted [(cid, cv, cc)]. */
+  private def kmPack(cents: DataFrame): DataFrame =
+    cents
+      .select(col("cid"), col("cv"),
+        call_function("long_dot", col("cv"), col("cv")).as("cc"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv"), col("cc"))))
+        .as("cl"))
+
+  /** Spark assignment: broadcast the packed centroids, one nested-HOF
+    * projection per vector (K distances + argmin), zero shuffle. */
+  private def kmAssign(qvt: DataFrame, packed: DataFrame): DataFrame =
+    qvt.crossJoin(broadcast(packed))
+      .withColumn("xx", call_function("long_dot", col("qv"), col("qv")))
+      .withColumn("sc", expr(
+        "transform(cl, s -> struct(s.cid AS cid, xx - 2 * long_dot(qv, s.cv) + s.cc AS dist))"))
+      .withColumn("best", expr("array_min(transform(sc, s -> s.dist))"))
+      .select(col("vec_id"), col("qv"),
+        expr("array_min(transform(filter(sc, s -> s.dist = best), s -> s.cid))")
+          .as("cid"),
+        col("best").as("dist"))
+
+  /** Final assignment frame after seeds → assign → update → reassign. */
+  private def kmeansFinal(spark: SparkSession, dir: String): DataFrame = {
+    val qvt = tblWide(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(quantizeExpr).as("qv"))
+    val wseed = Window.orderBy("hp", "vec_id")
+    // TakeOrdered pool, window over <= KmK rows (the IVF seed pattern)
+    val c0 = qvt
+      .withColumn("hp", PortableHash.hash60(col("vec_id").cast("string")))
+      .orderBy("hp", "vec_id").limit(KmK)
+      .select(row_number().over(wseed).cast("long").as("cid"),
+        col("qv").as("cv"))
+    val a0 = kmAssign(qvt, kmPack(c0))
+    // one hash aggregate keyed (cid, pos): partial agg bounds each task's
+    // output at K·d rows regardless of input size
+    val ksums = a0
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    val c1 = ksums
+      .select(col("cid"), col("pos"), expr("sx div n").as("m"))
+      .groupBy("cid")
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), expr("transform(pm, p -> p.m)").as("cv"))
+    kmAssign(qvt, kmPack(c1))
+  }
+
+  /** Per-vector final assignment — the granular parity check (any vector
+    * landing in the wrong cell after the centroid update fails here). */
+  private val qKmeansAssign = QueryDef(
+    "q_kmeans_assign",
+    Some(s"WITH $sqlKmeans\nSELECT vec_id, cid, dist FROM a1 ORDER BY vec_id"),
+    (spark, dir) =>
+      kmeansFinal(spark, dir)
+        .select("vec_id", "cid", "dist").orderBy("vec_id"))
+
+  /** Per-cluster profile: size, representative, inertia — the frame a
+    * curation budget (per-cluster sampling quota) is computed from. */
+  private val qKmeansProfile = QueryDef(
+    "q_kmeans_profile",
+    Some(s"""WITH $sqlKmeans
+SELECT cid, count(*) AS n_vecs, min(vec_id) AS min_vec,
+  CAST(sum(dist) AS BIGINT) AS inertia
+FROM a1 GROUP BY cid ORDER BY cid"""),
+    (spark, dir) =>
+      kmeansFinal(spark, dir)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"),
+          sum(col("dist")).as("inertia"))
+        .orderBy("cid"))
+
   val defs: Seq[QueryDef] = Seq(
     qCosineTopk, qAnnBuckets, qAnnBucketStats, qArrayFuncs, qNeardupBucketed,
-    qIvfAssign, qIvfTopk, qAnnRecall)
+    qIvfAssign, qIvfTopk, qAnnRecall, qKmeansAssign, qKmeansProfile)
 }
