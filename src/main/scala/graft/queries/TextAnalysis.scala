@@ -635,8 +635,72 @@ object TextAnalysis {
         .orderBy("doc_id")
     })
 
+  /** Cross-document n-gram duplication profile — the distributed proxy
+    * for exact-substring dedup (Lee et al. 2022 build suffix arrays; the
+    * cluster-practical version fingerprints fixed-width token windows):
+    * for every document, what fraction of its word-3-gram OCCURRENCES
+    * also appears in at least one OTHER document? High-dup docs are
+    * boilerplate/templated content a curation pass down-weights;
+    * q_repetition_filter is the WITHIN-doc twin of this cross-doc
+    * measure. Gram width 3 is corpus-tuned: this vocabulary gives a
+    * ~64% corpus dup fraction with real per-doc variance (width 2
+    * saturates at ~1.0, width 5 thins to ~0.09).
+    *
+    * Scale shape: grams are materialized as 60-bit md5 hashes (never the
+    * strings — the shuffle carries 8 bytes per occurrence, same
+    * discipline as the MinHash shingles), built in one scan by a
+    * transform-over-sequence projection (no intermediate explode of
+    * token positions). Three linear shuffles: docs-per-gram aggregate on
+    * gh, the gram↔frequency join on gh (co-partitioned with the
+    * aggregate's output), and the final per-doc rollup. At 100 TB the
+    * docs-per-gram frame is the big one; it is exactly the structure the
+    * suffix-array papers shard by hash range — and a skewed gram (a
+    * corpus-wide boilerplate line) is ONE row of that aggregate, not a
+    * hot partition of pairs. */
+  private val NGramW = 3
+
+  private val qCrossdocNgrams = QueryDef(
+    "q_crossdoc_ngrams",
+    Some(s"""
+      |WITH ws AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, ${PortableHash.sqlHash60("g")} AS gh FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - ${NGramW - 2}),
+      |      i -> array_to_string(list_slice(ws, i, i + ${NGramW - 1}), ' '))) AS g
+      |    FROM ws WHERE len(ws) >= $NGramW)),
+      |gd AS (SELECT gh, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY gh)
+      |SELECT g.doc_id, count(*) AS n_grams,
+      |  CAST(count(*) FILTER (WHERE gd.n_docs >= 2) AS BIGINT) AS n_dup,
+      |  CAST(count(*) FILTER (WHERE gd.n_docs >= 2) AS DOUBLE) / count(*) AS dup_frac
+      |FROM grams g JOIN gd USING (gh)
+      |GROUP BY g.doc_id ORDER BY g.doc_id
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val grams = tblWide(spark, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, '\\\\s+'), w -> w <> '')").as("ws"))
+        .filter(size(col("ws")) >= NGramW)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(ws) - ${NGramW - 1}), " +
+            s"i -> concat_ws(' ', slice(ws, i, $NGramW)))")).as("g"))
+        .select(col("doc_id"), PortableHash.hash60(col("g")).as("gh"))
+      val gd = grams.groupBy("gh")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      grams.join(gd, "gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup"),
+          (col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
+        .orderBy("doc_id")
+    })
+
   val defs: Seq[QueryDef] =
     Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf,
       qFingerprintRolling, qPipelineCurate, qStratifiedSample, qTextSearch,
-      qHeavyHitters, qProfile, qHistogram, qPiiScrub, qRepetitionFilter)
+      qHeavyHitters, qProfile, qHistogram, qPiiScrub, qRepetitionFilter,
+      qCrossdocNgrams)
 }
