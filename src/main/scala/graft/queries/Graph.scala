@@ -102,5 +102,89 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
       pr.orderBy(desc("pr"), asc("node_id")).limit(50)
     })
 
-  val defs: Seq[QueryDef] = Seq(qPagerank)
+  /** Triangle counting over the part co-purchase graph (parts appearing
+    * in the same order are adjacent) — the third classic iterative/graph
+    * kernel next to connected components (q_dedup_components) and
+    * PageRank, and the standard cohesion measure for community detection
+    * over a corpus graph. Top-20 nodes by triangle participation, each
+    * triangle counted once at every corner.
+    *
+    * Scale design: edges are oriented LOW-DEGREE → HIGH-DEGREE (the
+    * Suri/Vassilvitskii MapReduce orientation; (degree, id) encoded as
+    * one BIGINT order key so ties break by id identically in both
+    * engines). Wedges are then built only at each edge's LOW end, which
+    * bounds per-node wedge fan-out by O(√E) regardless of hub degree —
+    * an id-ordered orientation would square a celebrity node's degree.
+    * The plan is three linear shuffles (pair distinct, wedge build on x,
+    * triangle close on (y1, y2)) — no iteration, no driver state. Pair
+    * GENERATION is the collect-per-order + HOF-expansion shape (one
+    * shuffle, map-side pair blowup bounded by order size), not a
+    * lineitem self-join; the degree frame is O(V) and broadcast, same
+    * contract as q_pagerank's rank frames (at V beyond broadcast, hash
+    * join on node instead — one more linear shuffle). */
+  private val qTriangles = QueryDef(
+    "q_triangles",
+    Some(s"""
+      |WITH e0 AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT node, count(*) AS dg FROM (
+      |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY node),
+      |d AS (
+      |  SELECT
+      |    CASE WHEN du.dg * 1000000000 + u < dv.dg * 1000000000 + v
+      |      THEN u ELSE v END AS x,
+      |    CASE WHEN du.dg * 1000000000 + u < dv.dg * 1000000000 + v
+      |      THEN v ELSE u END AS y,
+      |    greatest(du.dg * 1000000000 + u, dv.dg * 1000000000 + v) AS oky
+      |  FROM e0 JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+      |tri AS (
+      |  SELECT d1.x AS a, d1.y AS b, d2.y AS c
+      |  FROM d d1 JOIN d d2 ON d2.x = d1.x AND d1.oky < d2.oky
+      |  JOIN d d3 ON d3.x = d1.y AND d3.y = d2.y)
+      |SELECT node, count(*) AS n_tri FROM (
+      |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri)
+      |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val pairsExpr =
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+      val e0 = tbl(spark, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(pairsExpr)).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .distinct()
+        .truncateLineage                 // feeds deg AND both orient joins
+      val deg = e0.select(col("u").as("node"))
+        .unionAll(e0.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      val oku = expr("dgu * 1000000000L + u")
+      val okv = expr("dgv * 1000000000L + v")
+      val d = e0
+        .join(broadcast(deg.select(col("node").as("nu"), col("dg").as("dgu"))),
+          col("u") === col("nu"))
+        .join(broadcast(deg.select(col("node").as("nv"), col("dg").as("dgv"))),
+          col("v") === col("nv"))
+        .select(
+          when(oku < okv, col("u")).otherwise(col("v")).as("x"),
+          when(oku < okv, col("v")).otherwise(col("u")).as("y"),
+          greatest(oku, okv).as("oky"))
+        .truncateLineage                 // probed three times (d1, d2, d3)
+      graft.Checkpoints.release(e0)
+      val tri = d.as("d1")
+        .join(d.as("d2"),
+          col("d2.x") === col("d1.x") && col("d1.oky") < col("d2.oky"))
+        .join(d.as("d3"),
+          col("d3.x") === col("d1.y") && col("d3.y") === col("d2.y"))
+        .select(col("d1.x").as("a"), col("d1.y").as("b"), col("d2.y").as("c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+        .orderBy(desc("n_tri"), asc("node")).limit(20)
+    })
+
+  val defs: Seq[QueryDef] = Seq(qPagerank, qTriangles)
 }
