@@ -1491,6 +1491,95 @@ object SourceParity {
         .orderBy("commit_gen", "change_type", "c_mktsegment")
     })
 
+  /** INCREMENTAL VIEW MAINTENANCE off the changes feed — the consumer
+    * side of CDC, closing the loop q_dsv2_changes opens: materialize a
+    * per-segment aggregate at generation 1, run three mutating commits
+    * (DELETE / INSERT / row-level UPDATE — the update surfaces in the
+    * feed as delete-old + insert-new, so a segment-moving update
+    * transfers its group's mass correctly), then maintain the aggregate
+    * by APPLYING THE NET DELTA: signed count/sum over changes(1, 4),
+    * full-outer-joined onto the stored view (groups may appear or
+    * vanish). Sum/count are commutative monoids, so delta-apply ≡
+    * recompute — and the ORACLE IS the full recompute over the original
+    * parquet, so a pass proves exactly that identity. At 100 TB this is
+    * the nightly-ETL contract: the view update reads the delta FILES
+    * (diff planning excludes everything both manifests share), never
+    * the corpus; q_incremental_agg proves the same algebra where the
+    * delta arrives as a table, this proves it wired to the connector's
+    * own change feed. */
+  private val qDsv2Ivm = QueryDef(
+    "q_dsv2_ivm",
+    Some(s"""
+      |WITH final_rows AS (
+      |  SELECT
+      |    CASE WHEN c_custkey % 10 = 3 THEN concat('U_', c_mktsegment)
+      |      ELSE c_mktsegment END AS seg,
+      |    CASE WHEN c_custkey % 10 = 3 THEN ${sqlDec("c_acctbal")} + 50
+      |      ELSE ${sqlDec("c_acctbal")} END AS bal
+      |  FROM customer
+      |  WHERE (c_custkey % 3 <> 0 AND c_custkey % 7 <> 1)
+      |     OR c_custkey % 3 = 0)
+      |SELECT seg AS c_mktsegment, count(*) AS n,
+      |  ${sqlDsum("bal")} AS sum_bal
+      |FROM final_rows GROUP BY seg ORDER BY seg
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.cust_ivm_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t (c_custkey BIGINT, c_mktsegment STRING,
+        c_acctbal_str STRING) USING `graft-tsv`
+        TBLPROPERTIES ('retain.generations' = '5')""")
+      val cust = tbl(spark, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        dec("c_acctbal").cast("string").as("c_acctbal_str"))
+      cust.filter(col("c_custkey") % 3 =!= 0).writeTo(t).append()   // gen 1
+      spark.sql(s"DELETE FROM $t WHERE c_custkey % 7 = 1")          // gen 2
+      cust.filter(col("c_custkey") % 3 === 0).writeTo(t).append()   // gen 3
+      spark.sql(s"""
+        UPDATE $t SET
+          c_mktsegment = concat('U_', c_mktsegment),
+          c_acctbal_str =
+            CAST(CAST(c_acctbal_str AS DECIMAL(18,2)) + 50 AS STRING)
+        WHERE c_custkey % 10 = 3
+      """)                                                          // gen 4
+      // the stored materialized view: aggregated once at generation 1
+      val mv0 = spark.sql(s"SELECT * FROM $t VERSION AS OF 1")
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n0"),
+          sum(dec(col("c_acctbal_str"))).as("s0"))
+      // the net delta since: signed count/sum over the changes feed
+      val cat = spark.sessionState.catalogManager.catalog("gparity")
+        .asInstanceOf[graft.sources.GraftTsvCatalog]
+      val sign = when(col("_change_type") === "insert", lit(1))
+        .otherwise(lit(-1))
+      val delta = cat.changes(spark,
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            Array("db"), s"cust_ivm_$h"), "1", "4")
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(sum(sign.cast("long")).as("dn"),
+          sum(sign.cast("decimal(18,2)") * dec(col("c_acctbal_str")))
+            .as("ds"))
+      // delta-apply: view ⊕ delta, groups appearing (U_*) and vanishing
+      // both handled by the full outer + coalesce; exact DECIMAL all the
+      // way, one cast to double at the end
+      val zeroDec = lit(0).cast("decimal(18,2)")
+      mv0.join(delta, Seq("seg"), "full_outer")
+        .select(col("seg").as("c_mktsegment"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n"),
+          (coalesce(col("s0"), zeroDec) + coalesce(col("ds"), zeroDec))
+            .cast("double").as("sum_bal"))
+        .filter(col("n") > 0)
+        .orderBy("c_mktsegment")
+    })
+
   val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qOrcSource,
     qPartitionedSink,
     qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source,
@@ -1499,6 +1588,6 @@ object SourceParity {
     qDsv2StatsSkip,
     qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn, qDsv2TimeTravel, qDsv2Tag,
     qDsv2Merge, qDsv2MergeSource, qDsv2Update, qDsv2Compact, qDsv2Changes,
-    qDsv2Changelog,
+    qDsv2Changelog, qDsv2Ivm,
     qDsv2Zorder, qStreamGenerations)
 }
