@@ -35,7 +35,10 @@ object Bench {
     * stream join, round 10 the DML/maintenance verbs displacing
     * q_window_frames/q_simhash/q_csv_source/q_dsv2_partitioned, then the
     * changes feed displacing q_dsv2_sink, whose commit path
-    * q_stream_dsv2_sink already exercises) — plus
+    * q_stream_dsv2_sink already exercises, then the clustering/graph/CDC
+    * additions displacing q_token_stats/q_langid/q_fingerprint (family
+    * kept via q_doc_quality/q_fingerprint_rolling) and q_dsv2_update
+    * (same rewrite path as q_dsv2_merge)) — plus
     * any ERRORED query (sentinel -1, so a failure is
     * visible in the tail capture even when it's not a headline query).
     * The full per-query map is written to BENCH_FULL.json next to the
@@ -58,9 +61,8 @@ object Bench {
     "q_lsh_candidates", "q_jaccard_pairs", "q_simhash_pairs",
     "q_dedup_components",
     "q_cosine_topk", "q_ann_buckets", "q_neardup_bucketed", "q_ivf_topk",
-    "q_ann_recall",
-    "q_token_stats", "q_doc_quality", "q_langid", "q_fingerprint",
-    "q_fingerprint_rolling",
+    "q_ann_recall", "q_kmeans_profile", "q_semdedup", "q_triangles",
+    "q_doc_quality", "q_fingerprint_rolling", "q_crossdoc_ngrams",
     "q_pipeline_curate", "q_stratified_sample", "q_text_search",
     "q_stream_tumbling", "q_stream_sessionize", "q_stream_join",
     "q_stream_join_outer", "q_stream_join_right", "q_stream_enrich",
@@ -68,7 +70,7 @@ object Bench {
     "q_blob_stats", "q_lateral_explode", "q_approx_quantiles",
     "q_dpp_prune", "q_dsv2_source", "q_dsv2_runtime_join",
     "q_dsv2_stats_skip",
-    "q_dsv2_merge", "q_dsv2_update", "q_dsv2_compact", "q_dsv2_changes",
+    "q_dsv2_merge", "q_dsv2_compact", "q_dsv2_changes", "q_dsv2_ivm",
     "q_funnel")
 
   private def fmt(v: Double): String = f"$v%.3f"

@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of a (count, decimal-sum) aggregate from a
+  * CDC-style change feed — the delta-apply step q_dsv2_ivm wires to the
+  * graft-tsv changes feed, factored out so the group-lifecycle edge cases
+  * (a group appearing only in the delta, a group deleted down to zero)
+  * are testable on bare frames without a catalog table.
+  *
+  * Contract: `view` has columns (key, n0: long, s0: decimal); `delta` has
+  * (key, dn: long, ds: decimal) where dn/ds are SIGNED net changes
+  * (+1/+bal per insert, −1/−bal per delete — an update contributes its
+  * delete-old and insert-new rows, so a key-moving update transfers its
+  * mass between groups). Sum and count are commutative monoids, so
+  * view ⊕ delta ≡ recompute; groups reaching n = 0 leave the view (their
+  * sum is exactly 0 too, by the same algebra). */
+object CdcApply {
+
+  def applyDelta(view: DataFrame, delta: DataFrame, key: String): DataFrame = {
+    val zeroDec = lit(0).cast("decimal(18,2)")
+    view.join(delta, Seq(key), "full_outer")
+      .select(col(key),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("s0"), zeroDec) + coalesce(col("ds"), zeroDec)).as("s"))
+      .filter(col("n") > 0)
+  }
+}

@@ -701,7 +701,51 @@ FROM a1 GROUP BY cid ORDER BY cid"""),
           sum(col("dist")).as("inertia"))
         .orderBy("cid"))
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): k-means the corpus,
+    * then WITHIN each cluster drop every vector that has a cluster-mate
+    * with cosine ≥ τ and a smaller id (greedy keep-min-id — the
+    * deterministic representative rule; both engines apply it
+    * identically, so transitive chains resolve the same way). This is
+    * the payoff of q_kmeans_*: the cluster bounds the quadratic — the
+    * pair join is cid-local (cells are ~corpus/K), never corpus², the
+    * same "bucket the pairing" discipline as the LSH/IVF/simhash stages.
+    * τ = 0.35 is corpus-tuned (the 99.9th percentile of this corpus's
+    * pair cosine; real embedding corpora with planted near-dups run at
+    * 0.95+ — the parameter, not the plan, changes). Output is the
+    * per-vector keep/drop verdict a curation pipeline joins back to the
+    * documents. */
+  private val SemTau = 350000000000L // cosine 0.35 at the 1e12 integer scale
+
+  private val qSemdedup = QueryDef(
+    "q_semdedup",
+    Some(s"""WITH $sqlKmeans,
+drp AS (
+  SELECT DISTINCT a.vec_id
+  FROM a1 a JOIN a1 b ON a.cid = b.cid AND b.vec_id < a.vec_id
+    AND CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+      list_extract(a.qv, CAST(i AS INT)) * list_extract(b.qv, CAST(i AS INT)))) AS BIGINT)
+      >= $SemTau)
+SELECT a1.vec_id, a1.cid,
+  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM a1 LEFT JOIN drp d ON d.vec_id = a1.vec_id
+ORDER BY a1.vec_id"""),
+    (spark, dir) => {
+      val a1 = kmeansFinal(spark, dir)
+      val dropped = a1.as("a")
+        .join(a1.as("b"),
+          col("a.cid") === col("b.cid") &&
+            col("b.vec_id") < col("a.vec_id") &&
+            call_function("long_dot", col("a.qv"), col("b.qv")) >= SemTau)
+        .select(col("a.vec_id").as("vec_id")).distinct()
+        .withColumn("dropped", lit(1))
+      a1.join(dropped, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("cid"),
+          when(col("dropped").isNotNull, 0L).otherwise(1L).as("keep"))
+        .orderBy("vec_id")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     qCosineTopk, qAnnBuckets, qAnnBucketStats, qArrayFuncs, qNeardupBucketed,
-    qIvfAssign, qIvfTopk, qAnnRecall, qKmeansAssign, qKmeansProfile)
+    qIvfAssign, qIvfTopk, qAnnRecall, qKmeansAssign, qKmeansProfile,
+    qSemdedup)
 }

@@ -1567,16 +1567,11 @@ object SourceParity {
           sum(sign.cast("decimal(18,2)") * dec(col("c_acctbal_str")))
             .as("ds"))
       // delta-apply: view ⊕ delta, groups appearing (U_*) and vanishing
-      // both handled by the full outer + coalesce; exact DECIMAL all the
-      // way, one cast to double at the end
-      val zeroDec = lit(0).cast("decimal(18,2)")
-      mv0.join(delta, Seq("seg"), "full_outer")
-        .select(col("seg").as("c_mktsegment"),
-          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
-            .as("n"),
-          (coalesce(col("s0"), zeroDec) + coalesce(col("ds"), zeroDec))
-            .cast("double").as("sum_bal"))
-        .filter(col("n") > 0)
+      // both handled by CdcApply (group-lifecycle edges spec-pinned in
+      // CdcApplySpec); exact DECIMAL all the way, one cast at the end
+      graft.operators.CdcApply.applyDelta(mv0, delta, "seg")
+        .select(col("seg").as("c_mktsegment"), col("n"),
+          col("s").cast("double").as("sum_bal"))
         .orderBy("c_mktsegment")
     })
 
