@@ -47,7 +47,8 @@ object ScaleStress {
     "q_jaccard_pairs", "q_dedup_components", "q_minhash_signatures",
     "q_lsh_candidates", "q_simhash_pairs", "q_dedup_exact",
     "q_cosine_topk", "q_ann_recall", "q_pagerank",
-    "q_stream_join", "q_stream_join_outer", "q_sessionize_native")
+    "q_stream_join", "q_stream_join_outer", "q_sessionize_native",
+    "q_kmeans_assign", "q_semdedup", "q_triangles", "q_crossdoc_ngrams")
 
   private def consume(spark: SparkSession, name: String, dir: String): Unit = {
     SparkEntry.queries(name)(spark, dir)
@@ -92,6 +93,12 @@ object ScaleStress {
     scaled("lineitem") { (l, i) =>
       l.withColumn("l_partkey", col("l_partkey") + i * 100000000L)
         .withColumn("l_suppkey", col("l_suppkey") + i * 100000000L)
+        // orderkey offset keeps ORDERS copy-local too: without it, ten
+        // copies of an order share its key, co-purchase pair generation
+        // (q_triangles) would build pairs across copies and the pair
+        // count would grow ~mult² — the same methodology trap the
+        // documents splice fixes (see class doc)
+        .withColumn("l_orderkey", col("l_orderkey") + i * 1000000000L)
     }
 
     Seq("region", "nation", "customer", "supplier", "part", "orders")

@@ -112,16 +112,25 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
     * Scale design: edges are oriented LOW-DEGREE → HIGH-DEGREE (the
     * Suri/Vassilvitskii MapReduce orientation; (degree, id) encoded as
     * one BIGINT order key so ties break by id identically in both
-    * engines). Wedges are then built only at each edge's LOW end, which
-    * bounds per-node wedge fan-out by O(√E) regardless of hub degree —
-    * an id-ordered orientation would square a celebrity node's degree.
-    * The plan is three linear shuffles (pair distinct, wedge build on x,
-    * triangle close on (y1, y2)) — no iteration, no driver state. Pair
-    * GENERATION is the collect-per-order + HOF-expansion shape (one
-    * shuffle, map-side pair blowup bounded by order size), not a
-    * lineitem self-join; the degree frame is O(V) and broadcast, same
-    * contract as q_pagerank's rank frames (at V beyond broadcast, hash
-    * join on node instead — one more linear shuffle). */
+    * engines), which bounds out-adjacency at O(√E) regardless of hub
+    * degree. The close step is ADJACENCY-LIST INTERSECTION, not a wedge
+    * join: each oriented edge (x, y) intersects N⁺(x) with N⁺(y) in a
+    * single codegen `array_intersect` — the orientation makes every
+    * triangle appear at exactly one edge (lowest→middle), so no
+    * dedup/double-count. The first cut of this query materialized the
+    * wedge stream and shuffled it into an equi-join on (y₁, y₂); the 10×
+    * scale harness flagged it 18.8× (wedges are E·O(√E) ROWS — 411M at
+    * x10 — and exchanging+sorting them dwarfs the linear work even
+    * though the COUNT was exactly 10×). With the intersection form the
+    * shuffled rows stay O(E) across all three stages (pair distinct,
+    * adjacency build on x, edge↔adjacency joins); the per-edge arrays
+    * ride inside partitions. Pair GENERATION is the collect-per-order +
+    * HOF-expansion shape (one shuffle, map-side pair blowup bounded by
+    * order size), not a lineitem self-join; the degree frame is O(V) and
+    * broadcast, same contract as q_pagerank's rank frames (at V beyond
+    * broadcast, hash join on node instead — one more linear shuffle).
+    * The DuckDB oracle keeps the wedge-join formulation — the triangle
+    * SET is orientation-identical, only the engine's plan differs. */
   private val qTriangles = QueryDef(
     "q_triangles",
     Some(s"""
@@ -171,18 +180,32 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
           col("v") === col("nv"))
         .select(
           when(oku < okv, col("u")).otherwise(col("v")).as("x"),
-          when(oku < okv, col("v")).otherwise(col("u")).as("y"),
-          greatest(oku, okv).as("oky"))
-        .truncateLineage                 // probed three times (d1, d2, d3)
+          when(oku < okv, col("v")).otherwise(col("u")).as("y"))
+        .truncateLineage          // feeds the adjacency build + both joins
       graft.Checkpoints.release(e0)
-      val tri = d.as("d1")
-        .join(d.as("d2"),
-          col("d2.x") === col("d1.x") && col("d1.oky") < col("d2.oky"))
-        .join(d.as("d3"),
-          col("d3.x") === col("d1.y") && col("d3.y") === col("d2.y"))
-        .select(col("d1.x").as("a"), col("d1.y").as("b"), col("d2.y").as("c"))
-      tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      // sorted out-neighbor lists, O(√E)-bounded by the orientation
+      val adj = d.groupBy(col("x"))
+        .agg(sort_array(collect_list(col("y"))).as("nb"))
+      // per-edge intersection: triangle (x, y, w) surfaces exactly once,
+      // at its (lowest-order → middle) edge
+      val closed = d
+        .join(adj.select(col("x").as("ax"), col("nb").as("nx")),
+          col("x") === col("ax"))
+        .join(adj.select(col("x").as("ay"), col("nb").as("ny")),
+          col("y") === col("ay"))
+        .select(col("x"), col("y"),
+          expr("array_intersect(nx, ny)").as("ww"))
+        .filter(size(col("ww")) > 0)
+      // all three corners' contributions in ONE pass over the join: a
+      // 3-branch union would recompute the join+intersect subtree per
+      // branch (measured 3× the close stage at the 10× harness)
+      val contrib = closed.select(explode(concat(
+          array(
+            struct(col("x").as("node"), size(col("ww")).cast("long").as("c")),
+            struct(col("y").as("node"), size(col("ww")).cast("long").as("c"))),
+          expr("transform(ww, w -> struct(w AS node, 1L AS c))"))).as("p"))
+        .select(col("p.node").as("node"), col("p.c").as("c"))
+      contrib.groupBy("node").agg(sum(col("c")).as("n_tri"))
         .orderBy(desc("n_tri"), asc("node")).limit(20)
     })
 

@@ -585,7 +585,15 @@ FROM stats ORDER BY method, query_id"""),
   //    movement test + checkpoint truncation exactly as q_dedup_components
   //    does. Two passes are unrolled here so the plan is static and
   //    oracle-comparable.
-  private val KmK = 8
+  //  - K is CORPUS-ADAPTIVE, same clamp discipline as the IVF index:
+  //    K = clamp(n / KmTargetCell, KmMinK, KmMaxK), derived from count(*)
+  //    inside the plan — cells stay ~KmTargetCell-sized as the corpus
+  //    grows, which is what keeps q_semdedup's in-cluster pair join
+  //    LINEAR (a fixed K would grow cells with the corpus and square the
+  //    pair stage; production raises KmMaxK with one constant).
+  private val KmMinK = 8
+  private val KmMaxK = 64           // = seed pool size: every pooled seed usable
+  private val KmTargetCell = 64
 
   /** Packed-centroid SQL fragment: cl = [(cid, cv, cc=||cv||²)] sorted. */
   private def sqlKmPack(cents: String): String = s"""
@@ -613,12 +621,17 @@ FROM (SELECT vec_id, qv, sc, list_min(list_transform(sc, s -> s.dist)) AS best
 
   /** Shared oracle CTE chain ending in a1(vec_id, qv, cid, dist). */
   private val sqlKmeans: String = s"""$sqlQvt,
+kparams AS (SELECT greatest($KmMinK, least($KmMaxK,
+    CAST(count(*) AS BIGINT) // $KmTargetCell)) AS k FROM embeddings),
 kseeds AS (
   SELECT vec_id, qv, $sqlHash60VecId AS hp FROM qvt
-  QUALIFY row_number() OVER (ORDER BY $sqlHash60VecId, vec_id) <= $KmK),
+  QUALIFY row_number() OVER (ORDER BY $sqlHash60VecId, vec_id) <= $KmMaxK),
 c0 AS (
-  SELECT CAST(row_number() OVER (ORDER BY hp, vec_id) AS BIGINT) AS cid, qv AS cv
-  FROM kseeds),
+  SELECT cid, cv FROM (
+    SELECT CAST(row_number() OVER (ORDER BY hp, vec_id) AS BIGINT) AS cid,
+      qv AS cv
+    FROM kseeds), kparams
+  WHERE cid <= k),
 c0arr AS ${sqlKmPack("c0")},
 a0 AS ${sqlKmAssign("c0arr")},
 ksums AS (
@@ -651,17 +664,26 @@ a1 AS ${sqlKmAssign("c1arr")}"""
           .as("cid"),
         col("best").as("dist"))
 
+  /** In-plan adaptive K (1-row frame, broadcast) — the IVF clamp. */
+  private def kmParams(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "embeddings").agg(count(lit(1)).as("n"))
+      .select(greatest(lit(KmMinK.toLong), least(lit(KmMaxK.toLong),
+        expr(s"n div $KmTargetCell"))).as("k"))
+
   /** Final assignment frame after seeds → assign → update → reassign. */
   private def kmeansFinal(spark: SparkSession, dir: String): DataFrame = {
     val qvt = tblWide(spark, dir, "embeddings")
       .select(col("vec_id"), expr(quantizeExpr).as("qv"))
     val wseed = Window.orderBy("hp", "vec_id")
-    // TakeOrdered pool, window over <= KmK rows (the IVF seed pattern)
+    // TakeOrdered pool, window over <= KmMaxK rows (the IVF seed pattern)
     val c0 = qvt
       .withColumn("hp", PortableHash.hash60(col("vec_id").cast("string")))
-      .orderBy("hp", "vec_id").limit(KmK)
+      .orderBy("hp", "vec_id").limit(KmMaxK)
       .select(row_number().over(wseed).cast("long").as("cid"),
         col("qv").as("cv"))
+      .crossJoin(broadcast(kmParams(spark, dir)))
+      .filter(col("cid") <= col("k"))
+      .select("cid", "cv")
     val a0 = kmAssign(qvt, kmPack(c0))
     // one hash aggregate keyed (cid, pos): partial agg bounds each task's
     // output at K·d rows regardless of input size
@@ -707,8 +729,9 @@ FROM a1 GROUP BY cid ORDER BY cid"""),
     * deterministic representative rule; both engines apply it
     * identically, so transitive chains resolve the same way). This is
     * the payoff of q_kmeans_*: the cluster bounds the quadratic — the
-    * pair join is cid-local (cells are ~corpus/K), never corpus², the
-    * same "bucket the pairing" discipline as the LSH/IVF/simhash stages.
+    * pair join is cid-local, and because K adapts to the corpus (cells
+    * stay ~KmTargetCell), the pair stage is LINEAR in n, the same
+    * "bucket the pairing" discipline as the LSH/IVF/simhash stages.
     * τ = 0.35 is corpus-tuned (the 99.9th percentile of this corpus's
     * pair cosine; real embedding corpora with planted near-dups run at
     * 0.95+ — the parameter, not the plan, changes). Output is the
