@@ -20,7 +20,10 @@ class PlanAuditSpec extends SparkSuite {
     "q11_important_stock", "q_text_search", "q_pagerank",
     "q_zorder_layout", // 1-row dims/zmax stat frames broadcast-crossed in
     "q_histogram",     // 1-row min/max bounds frame, same pattern
-    "q_dsv2_zorder")   // 1-row key-bounds frame for the box predicate
+    "q_dsv2_zorder",   // 1-row key-bounds frame for the box predicate
+    // the k-means family: packed-centroid and adaptive-K frames are
+    // 1-row aggregates broadcast-crossed in (the IVF pattern)
+    "q_kmeans_assign", "q_kmeans_profile", "q_semdedup")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no cartesian product / unexpected nested loop") {
