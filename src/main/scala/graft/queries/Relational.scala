@@ -704,6 +704,48 @@ object Relational {
         .agg(sum(col("pn")).as("n"), sum(col("pq")).cast("double").as("sum_qty"))
         .orderBy("l_returnflag"))
 
+  /** Salted SKEW JOIN — q_salted_agg's sibling for the join side: a
+    * CASE-mapped key funnels ~37% of lineitem onto one hot nation, the
+    * fact side salts that key S ways (pmod of the row's own orderkey —
+    * deterministic, never rand()), the dimension replicates each of its
+    * rows S times via a sequence explode, and the join runs on
+    * (key, salt) — so the hot key's rows land on S reducers instead of
+    * melting one. The dim side carries a MERGE hint standing in for a
+    * dimension too big to broadcast (a broadcast join has no skew
+    * problem; AQE's OptimizeSkewedJoin handles the sort-merge case
+    * adaptively — AdaptiveSpec — and salting is the explicit form that
+    * also survives hash joins and pre-AQE engines). The salt never
+    * reaches the output, so the oracle is the PLAIN join — a pass
+    * proves the mitigation is semantically free. */
+  private val qSaltedJoin = QueryDef(
+    "q_salted_join",
+    Some(s"""
+      |WITH f AS (SELECT CASE WHEN l_partkey % 3 = 0 THEN 7
+      |    ELSE l_partkey % 25 END AS sk,
+      |    ${sqlDec("l_extendedprice")} AS price FROM lineitem)
+      |SELECT n_name, count(*) AS n, ${sqlDsum("price")} AS revenue
+      |FROM f JOIN nation ON n_nationkey = sk
+      |GROUP BY n_name ORDER BY n_name
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val S = 8
+      val fact = tbl(spark, dir, "lineitem")
+        .select(
+          when(col("l_partkey") % 3 === 0, lit(7L))
+            .otherwise(col("l_partkey") % 25).as("sk"),
+          dec("l_extendedprice").as("price"),
+          pmod(col("l_orderkey"), lit(S.toLong)).as("salt"))
+      val dim = tbl(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"),
+          explode(sequence(lit(0L), lit(S - 1L))).as("dsalt"))
+        .hint("merge")
+      fact.join(dim,
+          col("sk") === col("n_nationkey") && col("salt") === col("dsalt"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), dsum(col("price")).as("revenue"))
+        .orderBy("n_name")
+    })
+
   /** Map-typed column surface: per-user event_type→count built as a real
     * MapType (map_from_entries over a collected struct list), then probed
     * with element_at / size / map_keys. The map exists only INSIDE the
@@ -1568,6 +1610,7 @@ object Relational {
     qOuterJoinAgg, qFullOuter, qCorrSubquery, qRecursiveCte, qPivot, qUnpivot,
     qIncrementalAgg,
     qQ2, qQ3, qQ4, qQ5, qQ7, qQ10, qQ13, qQ14, qQ16, qQ17, qQ18, qQ19,
-    qQ21, qQ22, qStringMatch, qSaltedAgg, qPercentiles, qApproxQuantiles,
+    qQ21, qQ22, qStringMatch, qSaltedAgg, qSaltedJoin, qPercentiles,
+    qApproxQuantiles,
     qFunnel, qRetention, qIntervalBinJoin, qUpsert, qLateralExplode)
 }

@@ -511,8 +511,105 @@ object StreamingParity {
         .orderBy("event_type")
     })
 
+  /** STREAMING CDC UPSERT into the graft catalog — foreachBatch running
+    * SQL `MERGE INTO` per micro-batch, the streaming-lakehouse write verb
+    * (Delta/Iceberg's `foreachBatch + MERGE` recipe) on this engine's own
+    * connector: a three-micro-batch upsert feed (maxFilesPerTrigger=1
+    * over a 3-file directory) lands on a seeded table; matched keys
+    * UPDATE to the feed's ABSOLUTE values — absolute, not incremental,
+    * which is what makes a replayed micro-batch idempotent, the
+    * foreachBatch at-least-once contract — and unmatched keys INSERT.
+    * Each batch's merge is one copy-on-write generation commit, so a
+    * concurrent reader sees batch boundaries, never partial batches. The
+    * oracle reconstructs the final table (base ⊕ full feed) — a pass
+    * proves three incremental merges ≡ one logical upsert. Keys are
+    * unique across batches here; colliding keys across batches would
+    * last-write-win by arrival order, which the feed's file order makes
+    * deterministic. */
+  private val qStreamUpsert = QueryDef(
+    "q_stream_upsert",
+    Some(s"""
+      |WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, ${sqlDec("o_totalprice")} AS price
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |src AS (
+      |  SELECT o_orderkey, o_orderstatus, ${sqlDec("o_totalprice")} * 2 AS price2
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |merged AS (
+      |  SELECT
+      |    CASE WHEN s.o_orderkey IS NOT NULL
+      |      THEN concat('U', s.o_orderstatus) ELSE b.o_orderstatus END AS st,
+      |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.price2 ELSE b.price END AS price
+      |  FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+      |  UNION ALL
+      |  SELECT concat('N', s.o_orderstatus) AS st, s.price2 AS price
+      |  FROM src s WHERE NOT EXISTS (
+      |    SELECT 1 FROM base b WHERE b.o_orderkey = s.o_orderkey))
+      |SELECT st AS o_orderstatus, count(*) AS n,
+      |  CAST(sum(price) AS DOUBLE) AS sum_price
+      |FROM merged GROUP BY st ORDER BY st
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.orders_sup_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t (o_orderkey BIGINT, o_orderstatus STRING,
+        o_totalprice_str STRING) USING `graft-tsv`""")
+      val orders = tbl(spark, dir, "orders")
+      orders.filter(col("o_orderkey") % 3 =!= 0).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        dec("o_totalprice").cast("string").as("o_totalprice_str"))
+        .writeTo(t).append()                               // seed: gen 1
+      // the upsert feed: 3 parquet files = 3 micro-batches (fresh dir +
+      // checkpoint per invocation; reclaimed at JVM exit like the other
+      // streaming sinks)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_up").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))))
+      orders.filter(col("o_orderkey") % 2 === 0).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        (dec("o_totalprice") * 2).cast("string").as("price2_str"))
+        .repartitionByRange(3, col("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$tmp/feed")
+      val feedSchema = spark.read.parquet(s"$tmp/feed").schema
+      val q = spark.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/feed")
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val view = s"up_batch_${h}_$batchId"
+          batch.createOrReplaceTempView(view)
+          batch.sparkSession.sql(s"""
+            MERGE INTO $t t USING $view s ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED THEN UPDATE SET
+              o_orderstatus = concat('U', s.o_orderstatus),
+              o_totalprice_str = s.price2_str
+            WHEN NOT MATCHED THEN
+              INSERT (o_orderkey, o_orderstatus, o_totalprice_str)
+              VALUES (s.o_orderkey, concat('N', s.o_orderstatus), s.price2_str)
+          """)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      spark.table(t)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          dsum(dec(col("o_totalprice_str"))).as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
+
   val defs: Seq[QueryDef] =
     Seq(qStreamTumbling, qSessionWindow, qStreamSessionize, qStreamJoin,
       qStreamJoinOuter, qStreamJoinFull, qStreamJoinRight, qStreamJoinSemi,
-      qStreamJoinAnti, qStreamEnrich, qStreamDedup, qStreamDsv2Sink)
+      qStreamJoinAnti, qStreamEnrich, qStreamDedup, qStreamDsv2Sink,
+      qStreamUpsert)
 }
