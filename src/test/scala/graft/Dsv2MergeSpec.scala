@@ -123,6 +123,34 @@ class Dsv2MergeSpec extends SparkSuite {
       s"table must equal the source after sync: $got")
   }
 
+  test("a replayed upsert MERGE is state-idempotent (foreachBatch contract)") {
+    // q_stream_upsert's at-least-once guarantee: a micro-batch whose
+    // MERGE already committed can be replayed after a crash. With
+    // ABSOLUTE update values the replay's matched arm rewrites the same
+    // values and the replay's not-matched arm finds its previous inserts
+    // now matched — table state is a fixed point. (A generation IS
+    // published by the replay — the rewrite reads and rewrites matched
+    // files — but its CONTENT is identical.)
+    spark.sql("CREATE TABLE gmrg.db.rp (id BIGINT, v STRING) USING `graft-tsv`")
+    spark.sql("INSERT INTO gmrg.db.rp SELECT id, concat('v', id) FROM range(6)")
+    spark.range(3, 9).select(col("id"), concat(lit("s"), col("id")).as("sv"))
+      .createOrReplaceTempView("mrg_replay")
+    val upsert = """
+      MERGE INTO gmrg.db.rp t USING mrg_replay s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.sv
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.sv)
+    """
+    spark.sql(upsert)
+    val first = spark.sql("SELECT id, v FROM gmrg.db.rp ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    spark.sql(upsert) // the replay
+    val second = spark.sql("SELECT id, v FROM gmrg.db.rp ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(first === (0L to 2L).map(i => (i, s"v$i")) ++
+      (3L to 8L).map(i => (i, s"s$i")))
+    assert(second === first, "replayed MERGE must be a state fixed point")
+  }
+
   test("MERGE routes inserts and updates into hive partition leaves") {
     spark.sql("""CREATE TABLE gmrg.db.pm (id BIGINT, day STRING)
       USING `graft-tsv` PARTITIONED BY (day)""")
