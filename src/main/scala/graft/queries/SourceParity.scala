@@ -823,6 +823,49 @@ object SourceParity {
         .orderBy("c_mktsegment")
     })
 
+  /** `ALTER TABLE DROP COLUMN` (trailing) under the oracle gate —
+    * q_dsv2_add_column's inverse: a wide slice lands (3 columns), the
+    * trailing column is dropped, a narrow slice lands (2 columns), and
+    * one read answers over BOTH generations — the wide generation's
+    * extra trailing field is simply never scanned (positional readers
+    * stop at the last needed index; no data rewrite). The hard edges —
+    * middle/partition drops refused, the narrowed width refusing ANY
+    * re-extension because retained wide bytes would resurrect into the
+    * new position — are pinned in Dsv2CatalogSpec; the oracle here
+    * proves the VALUES across the mixed-width generations. */
+  private val qDsv2DropColumn = QueryDef(
+    "q_dsv2_drop_column",
+    Some(s"""
+      |SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(c_custkey) AS BIGINT) AS sum_key
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.cust_narrow_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t (c_custkey BIGINT, c_mktsegment STRING,
+        c_acctbal_str STRING) USING `graft-tsv`""")
+      val cust = tbl(spark, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        dec("c_acctbal").cast("string").as("c_acctbal_str"))
+      cust.filter(col("c_custkey") % 2 === 0).writeTo(t).append() // wide gen
+      spark.sql(s"ALTER TABLE $t DROP COLUMN c_acctbal_str")
+      cust.filter(col("c_custkey") % 2 === 1)
+        .drop("c_acctbal_str")
+        .writeTo(t).append()                                      // narrow gen
+      spark.table(t)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sum_key"))
+        .orderBy("c_mktsegment")
+    })
+
   /** Generation TIME TRAVEL under the oracle gate: customer loaded into a
     * graft catalog table with `retain.generations = 2`, then a curation
     * DELETE rewrites it to a filtered generation — and the query reads the
@@ -1581,7 +1624,8 @@ object SourceParity {
     qDsv2Sink, qDsv2RuntimeJoin, qDsv2Partitioned, qDsv2Spj, qDsv2AggMeta,
     qDsv2AggGroup,
     qDsv2StatsSkip,
-    qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn, qDsv2TimeTravel, qDsv2Tag,
+    qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn, qDsv2DropColumn,
+    qDsv2TimeTravel, qDsv2Tag,
     qDsv2Merge, qDsv2MergeSource, qDsv2Update, qDsv2Compact, qDsv2Changes,
     qDsv2Changelog, qDsv2Ivm,
     qDsv2Zorder, qStreamGenerations)

@@ -75,7 +75,8 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
   private case class Descriptor(schema: StructType, partColsCsv: String,
       delimLine: String, props: Map[String, String],
       renames: Seq[(String, String)] = Seq.empty,
-      tags: Map[String, Long] = Map.empty) {
+      tags: Map[String, Long] = Map.empty,
+      drops: Seq[String] = Seq.empty) {
     def serialized: String = {
       // the k=v;k=v and old>new;old>new lines have no escaping, so the
       // separators must not appear in keys or values — today
@@ -92,13 +93,18 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
             c == ',' || c == '\n' || c == '\r'),
           s"graft catalog: rename '$o'>'$n' contains a descriptor separator")
       }
+      drops.foreach { d =>
+        require(!d.exists(c => c == ';' || c == '\n' || c == '\r'),
+          s"graft catalog: dropped-column name '$d' contains a descriptor separator")
+      }
       tags.keys.foreach { t =>
         require(TagNameRe.matches(t) && !t.forall(_.isDigit),
           s"graft catalog: tag '$t' must match [A-Za-z0-9._-]+ and not be " +
             "all digits (a numeric VERSION AS OF names a generation)")
       }
       val base = schema.json + "\n" + partColsCsv + "\n" + delimLine + "\n"
-      if (props.isEmpty && renames.isEmpty && tags.isEmpty) base
+      if (props.isEmpty && renames.isEmpty && tags.isEmpty && drops.isEmpty)
+        base
       else {
         val propsLine =
           props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
@@ -108,7 +114,9 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
              renames.map { case (o, n) => s"$o>$n" }.mkString(";") + "\n") +
           (if (tags.isEmpty) ""
            else "#tags:" + tags.toSeq.sortBy(_._1)
-             .map { case (t, g) => s"$t:$g" }.mkString(";") + "\n")
+             .map { case (t, g) => s"$t:$g" }.mkString(";") + "\n") +
+          (if (drops.isEmpty) ""
+           else "#drops:" + drops.mkString(";") + "\n")
       }
     }
   }
@@ -145,7 +153,10 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
           .map { tg =>
             val i = tg.lastIndexOf(':')
             tg.take(i) -> tg.drop(i + 1).toLong
-          }).toMap)
+          }).toMap,
+      trailing.filter(_.startsWith("#drops:"))
+        .flatMap(_.stripPrefix("#drops:").split(";").filter(_.nonEmpty)
+          .toSeq))
   }
 
   /** Atomic descriptor (re)write: hidden tmp + OVERWRITE rename — a reader
@@ -438,11 +449,24 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     *    the map, file/split skipping would silently stop working for
     *    pre-rename generations). PARTITION column renames are refused:
     *    the hive `col=value` paths bake the name into the layout.
+    *  - DROP: only the LAST column (a middle drop would remap every
+    *    later positional field under existing generations). Old
+    *    generations keep the dropped field's bytes as an extra trailing
+    *    field the positional readers never scan (they stop at the last
+    *    needed index); new INSERTs write the narrowed width. The dropped
+    *    name and its historical aliases are retired in the descriptor's
+    *    `#drops:` history, and ADD COLUMN is refused outright once any
+    *    drop happened: a new trailing column — whatever its name —
+    *    would re-occupy the retired POSITION, and retained wide
+    *    generations' bytes would resurrect into it instead of
+    *    NULL-backfilling (the problem Iceberg solves with field ids;
+    *    positional TSV solves it by refusing to re-extend a narrowed
+    *    width).
     * The descriptor rewrite is atomic (tmp + OVERWRITE rename) — a
     * reader that races the ALTER sees either the old or the new schema,
-    * never a torn file. Everything else is rejected loudly: reordering,
-    * drops and type changes would silently remap positional TSV fields
-    * under existing generations. */
+    * never a torn file. Everything else is rejected loudly: reordering
+    * and type changes would silently remap positional TSV fields under
+    * existing generations. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val f = fs()
     val dir = tableDir(ident)
@@ -452,8 +476,39 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     var schema = d0.schema
     var props = d0.props
     var renames = d0.renames
+    var drops = d0.drops
     val partSet = d0.partColsCsv.split(",").filter(_.nonEmpty).toSet
     changes.foreach {
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          s"graft catalog: nested columns are not supported " +
+            s"(got ${del.fieldNames().mkString(".")})")
+        val colName = del.fieldNames()(0)
+        if (!schema.fieldNames.contains(colName)) {
+          if (!del.ifExists())
+            throw new IllegalArgumentException(
+              s"graft catalog: no column $colName in ${ident.name()}")
+        } else {
+          require(!partSet.contains(colName),
+            s"graft catalog: cannot drop partition column $colName — the " +
+              "hive col=value directory layout depends on it")
+          require(schema.fields.last.name == colName,
+            s"graft catalog: DROP COLUMN supports only the LAST column " +
+              s"(${schema.fields.last.name}) — dropping $colName would " +
+              "remap every later positional TSV field in existing data")
+          require(schema.length > 1,
+            s"graft catalog: cannot drop the only column of ${ident.name()}")
+          schema = StructType(schema.fields.init)
+          // the dropped name AND its historical aliases join the drop
+          // history: old generations still carry the field's bytes, so
+          // re-adding any of these names would silently RESURRECT old
+          // values instead of NULL-backfilling (the AddColumn guard
+          // below refuses them — Iceberg solves this with field ids;
+          // positional TSV solves it by retiring the names)
+          drops = (drops ++ renames.collect { case (h, cur) if cur == colName => h }
+            :+ colName).distinct
+          renames = renames.filterNot(_._2 == colName)
+        }
       case rn: TableChange.RenameColumn =>
         require(rn.fieldNames().length == 1,
           s"graft catalog: nested columns are not supported " +
@@ -491,6 +546,14 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
         val colName = add.fieldNames()(0)
         require(!schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
           s"graft catalog: column $colName already exists in ${ident.name()}")
+        require(drops.isEmpty,
+          s"graft catalog: ${ident.name()} has dropped columns " +
+            s"(${drops.mkString(", ")}) — positional TSV cannot append " +
+            "columns past a narrowed width: retained wide generations " +
+            "still carry bytes at the retired position, and ANY new " +
+            "trailing column (whatever its name) would read them as " +
+            "values instead of NULL-backfilling; create a fresh table " +
+            "or rewrite the corpus")
         require(add.isNullable,
           s"graft catalog: added column $colName must be nullable — old " +
             "generations backfill it with NULL")
@@ -500,11 +563,13 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
         schema = schema.add(colName, add.dataType(), nullable = true)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other — only " +
-          "trailing nullable ADD COLUMN, RENAME COLUMN (non-partition) and " +
-          "SET/UNSET TBLPROPERTIES are allowed on positional TSV data")
+          "trailing nullable ADD COLUMN, trailing DROP COLUMN, RENAME " +
+          "COLUMN (non-partition) and SET/UNSET TBLPROPERTIES are " +
+          "allowed on positional TSV data")
     }
     writeDescriptor(f, dir,
-      d0.copy(schema = schema, props = props, renames = renames))
+      d0.copy(schema = schema, props = props, renames = renames,
+        drops = drops))
     loadTable(ident)
   }
 

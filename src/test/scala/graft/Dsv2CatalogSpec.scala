@@ -146,11 +146,11 @@ class Dsv2CatalogSpec extends SparkSuite {
       spark.sql("ALTER TABLE gcat.evo2.t ADD COLUMN w STRING NOT NULL")
     }
     assert(e3.getMessage.contains("nullable"), e3.getMessage)
+    // a MIDDLE drop would remap every later positional field
     val e4 = intercept[Exception] {
-      spark.sql("ALTER TABLE gcat.evo2.t DROP COLUMN v")
+      spark.sql("ALTER TABLE gcat.evo2.t DROP COLUMN id")
     }
-    assert(e4.getMessage.contains("only") || e4.getMessage.contains("unsupported"),
-      e4.getMessage)
+    assert(e4.getMessage.contains("LAST column"), e4.getMessage)
     // duplicate name (case-insensitive, Spark's resolution default)
     val e6 = intercept[Exception] {
       spark.sql("ALTER TABLE gcat.evo2.t ADD COLUMN ID BIGINT")
@@ -158,6 +158,56 @@ class Dsv2CatalogSpec extends SparkSuite {
     assert(e6.getMessage.toLowerCase.contains("exists"), e6.getMessage)
     // a failed ALTER leaves the descriptor untouched
     assert(spark.table("gcat.evo2.t").schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("DROP COLUMN (trailing): old generations' extra field invisible, width retired") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.evo3")
+    spark.sql("CREATE TABLE gcat.evo3.t (id BIGINT, v STRING, score BIGINT) USING `graft-tsv`")
+    spark.sql("INSERT INTO gcat.evo3.t SELECT id, concat('v', id), id * 10 FROM range(3)")
+    spark.sql("ALTER TABLE gcat.evo3.t DROP COLUMN score")
+    assert(spark.table("gcat.evo3.t").schema.fieldNames.toSeq == Seq("id", "v"))
+    // the wide generation's trailing field is simply never scanned
+    spark.sql("INSERT INTO gcat.evo3.t VALUES (10, 'n10')") // narrow write
+    val got = spark.sql("SELECT id, v FROM gcat.evo3.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((0L, "v0"), (1L, "v1"), (2L, "v2"), (10L, "n10")))
+    // the width cannot re-extend: ANY new trailing column (fresh name or
+    // not) re-occupies the retired POSITION, and the wide generation's
+    // bytes would resurrect into it instead of NULL-backfilling
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.evo3.t ADD COLUMN score BIGINT")
+    }
+    assert(e.getMessage.contains("dropped columns"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.evo3.t ADD COLUMN fresh_name STRING")
+    }
+    assert(e2.getMessage.contains("narrowed width"), e2.getMessage)
+    // renames stay legal after a drop (no width change)
+    spark.sql("ALTER TABLE gcat.evo3.t RENAME COLUMN v TO label")
+    assert(spark.table("gcat.evo3.t").schema.fieldNames.toSeq ==
+      Seq("id", "label"))
+  }
+
+  test("DROP COLUMN guards: renamed-column drops, partition columns, middle columns") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.evo4")
+    spark.sql("CREATE TABLE gcat.evo4.t (id BIGINT, tmp BIGINT) USING `graft-tsv`")
+    spark.sql("INSERT INTO gcat.evo4.t VALUES (1, 5)")
+    // dropping a RENAMED column works and retires its historical name too
+    spark.sql("ALTER TABLE gcat.evo4.t RENAME COLUMN tmp TO kept")
+    spark.sql("ALTER TABLE gcat.evo4.t DROP COLUMN kept")
+    assert(spark.table("gcat.evo4.t").schema.fieldNames.toSeq == Seq("id"))
+    val eAdd = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.evo4.t ADD COLUMN other BIGINT")
+    }
+    assert(eAdd.getMessage.contains("kept") &&
+      eAdd.getMessage.contains("tmp"), eAdd.getMessage)
+    // partition columns can never be dropped
+    spark.sql("""CREATE TABLE gcat.evo4.p (id BIGINT, day STRING)
+      USING `graft-tsv` PARTITIONED BY (day)""")
+    val ePart = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.evo4.p DROP COLUMN day")
+    }
+    assert(ePart.getMessage.contains("partition column"), ePart.getMessage)
   }
 
   test("RENAME COLUMN: name-mapped evolution keeps data AND old-name stats pruning") {
