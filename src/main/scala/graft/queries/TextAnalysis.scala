@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Aggregators, PortableHash}
@@ -698,9 +699,58 @@ object TextAnalysis {
         .orderBy("doc_id")
     })
 
+  /** Sequence packing — the training-batch construction step: documents
+    * are concatenated into fixed-token-budget training sequences
+    * ("packs") so the context window wastes nothing on padding. True
+    * greedy packing (close a pack when the next doc would overflow) is
+    * inherently sequential; the distributed form used here assigns doc d
+    * to pack `cumsum_tokens_before(d) div B` — contiguous packing by
+    * cumulative token count, which over-fills a pack by at most the one
+    * document that straddles its boundary and never under-fills
+    * (utilization ≥ 1 − max_doc/B per pack, with exact integer
+    * arithmetic both engines agree on). Packing is per-language
+    * (training streams are language-segregated), ordered by doc_id —
+    * deterministic and reproducible, the same never-RAND() discipline
+    * as the split/sample stages. One window cumsum = one shuffle; at
+    * 100 TB the order key becomes (shard, doc_id) so each range
+    * partition packs locally and pack ids salt by shard — same shape,
+    * no global sort. */
+  private val PackBudget = 512L // tokens per training sequence
+
+  private val qSeqPacking = QueryDef(
+    "q_seq_packing",
+    Some(s"""
+      |WITH $tokSql,
+      |tc AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+      |d AS (SELECT d.lang, d.doc_id, tc.n_tok,
+      |    sum(tc.n_tok) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+      |      ROWS UNBOUNDED PRECEDING) - tc.n_tok AS before
+      |  FROM documents d JOIN tc ON tc.doc_id = d.doc_id),
+      |packed AS (SELECT lang, doc_id, n_tok,
+      |  CAST(before // $PackBudget AS BIGINT) AS pack_id FROM d)
+      |SELECT lang, pack_id, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+      |  CAST(min(doc_id) AS BIGINT) AS first_doc
+      |FROM packed GROUP BY lang, pack_id ORDER BY lang, pack_id
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val tc = toks(spark, dir).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(spark, dir, "documents").select("doc_id", "lang")
+        .join(tc, "doc_id")
+        .withColumn("before", sum(col("n_tok")).over(w) - col("n_tok"))
+        .withColumn("pack_id", expr(s"before div $PackBudget"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("lang", "pack_id")
+    })
+
   val defs: Seq[QueryDef] =
     Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf,
       qFingerprintRolling, qPipelineCurate, qStratifiedSample, qTextSearch,
       qHeavyHitters, qProfile, qHistogram, qPiiScrub, qRepetitionFilter,
-      qCrossdocNgrams)
+      qCrossdocNgrams, qSeqPacking)
 }
