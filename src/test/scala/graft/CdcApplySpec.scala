@@ -41,6 +41,48 @@ class CdcApplySpec extends SparkSuite {
     assert(!got.map(_._1).contains("gone"))
   }
 
+  test("property: delta-apply equals recompute under random mutation histories") {
+    // random BASE and FINAL multisets over a small key space; the delta
+    // is their signed difference (what the changes feed nets out to for
+    // ANY mutation history ending at FINAL) — apply(agg(base), delta)
+    // must equal agg(final) exactly, including vanished and newborn keys
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val keyG = Gen.oneOf("a", "b", "c", "d", "e")
+    val centsG = Gen.chooseNum(-99999L, 99999L)
+    val rowsG = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(keyG, centsG)))
+    def agg(rows: List[(String, Long)]): Map[String, (Long, Long)] =
+      rows.groupBy(_._1).map { case (k, g) =>
+        k -> (g.size.toLong, g.map(_._2).sum)
+      }
+    def toDec(cents: Long) =
+      java.math.BigDecimal.valueOf(cents, 2)
+    (1 to 60).foreach { i =>
+      val seed = Seed(i.toLong)
+      val base = rowsG.apply(Gen.Parameters.default, seed).get
+      val fin = rowsG.apply(Gen.Parameters.default, seed.next).get
+      val aB = agg(base); val aF = agg(fin)
+      val view = aB.toSeq.map { case (k, (n, c)) => (k, n, toDec(c)) }
+        .toDF("k", "n0", "s0raw")
+        .select(col("k"), col("n0"),
+          col("s0raw").cast("decimal(18,2)").as("s0"))
+      val deltaRows = (aB.keySet ++ aF.keySet).toSeq.flatMap { k =>
+        val (nb, cb) = aB.getOrElse(k, (0L, 0L))
+        val (nf, cf) = aF.getOrElse(k, (0L, 0L))
+        if (nf == nb && cf == cb) None
+        else Some((k, nf - nb, toDec(cf - cb)))
+      }
+      val delta = deltaRows.toDF("k", "dn", "dsraw")
+        .select(col("k"), col("dn"),
+          col("dsraw").cast("decimal(18,2)").as("ds"))
+      val got = CdcApply.applyDelta(view, delta, "k").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+      val want = aF.map { case (k, (n, c)) => k -> (n, toDec(c).setScale(2)) }
+      assert(got === want, s"seed $i: base=$base final=$fin")
+    }
+  }
+
   test("an empty delta is the identity") {
     val view = Seq(("a", 5L, "1.25"))
       .toDF("k", "n0", "s0raw")

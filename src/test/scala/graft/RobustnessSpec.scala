@@ -130,4 +130,20 @@ class RobustnessSpec extends SparkSuite {
     assert(dropped.collect().length == 2)
     permissive.unpersist()
   }
+
+  test("observe() surfaces pipeline accounting metrics without a second pass") {
+    // the in-plan accounting a curation run attaches to its writes: row
+    // count + quality-gate pass count ride the SAME job as the transform
+    // (no extra scan), surfaced through the Observation API
+    val obs = new org.apache.spark.sql.Observation("curation_stats")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("n_chars") >= 100, 1L).otherwise(0L)).as("n_pass"))
+      .filter(col("n_chars") >= 100)
+    val kept = docs.count()
+    val m = obs.get
+    assert(m("n_rows") === 500L)
+    assert(m("n_pass") === kept)
+  }
 }
