@@ -130,27 +130,58 @@ object ScaleStress {
 
     build(spark, base, out, mult)
 
+    // measured shuffle volume per run: the time ratio says WHETHER a
+    // query scales, the shuffle-bytes ratio says WHY — a stage whose
+    // exchanged bytes grow faster than the corpus is the smoking gun
+    // even when wall-clock hides it behind parallelism (this is what
+    // would have convicted the 411M-row wedge exchange directly)
+    val tally = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) tally.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
+
     def isolate(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()
     }
-    def time(name: String, dir: String): Double = {
+    /** (seconds, shuffle bytes written) for one run. */
+    def time(name: String, dir: String): (Double, Long) = {
       isolate()
+      tally.set(0L)
       val t0 = System.nanoTime()
       consume(spark, name, dir)
-      (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      // listener events drain asynchronously; poll until the tally
+      // stabilizes (the bus is usually empty within a few ms of the job)
+      var prev = -1L
+      var cur = tally.get
+      var spins = 0
+      while (cur != prev && spins < 50) {
+        prev = cur; Thread.sleep(100); cur = tally.get; spins += 1
+      }
+      (secs, cur)
     }
-    def minOf2(name: String, dir: String): Double =
-      math.min(time(name, dir), time(name, dir))
+    def minOf2(name: String, dir: String): (Double, Long) = {
+      val a = time(name, dir); val b = time(name, dir)
+      (math.min(a._1, b._1), b._2) // bytes are deterministic; keep rep 2
+    }
 
     val results = queries.map { q =>
       consume(spark, q, "/root/testdata/sf0.001") // codegen warmup
-      val b = minOf2(q, base)
-      val s = minOf2(q, out)
+      val (b, bBytes) = minOf2(q, base)
+      val (s, sBytes) = minOf2(q, out)
       val ratio = s / b
+      val shufRatio =
+        if (bBytes > 0) sBytes.toDouble / bBytes else Double.NaN
       val flag = if (ratio > mult * 1.5) "SUPER-LINEAR" else "ok"
-      println(f"""{"query":"$q","base_s":$b%.3f,"x${mult}_s":$s%.3f,"ratio":$ratio%.2f,"flag":"$flag"}""")
+      println(f"""{"query":"$q","base_s":$b%.3f,"x${mult}_s":$s%.3f,"ratio":$ratio%.2f,"base_shuffle_mb":${bBytes / 1e6}%.1f,"x${mult}_shuffle_mb":${sBytes / 1e6}%.1f,"shuffle_ratio":$shufRatio%.2f,"flag":"$flag"}""")
       (q, b, s, ratio)
     }
     val worst = results.maxBy(_._4)

@@ -188,6 +188,11 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
         .agg(sort_array(collect_list(col("y"))).as("nb"))
       // per-edge intersection: triangle (x, y, w) surfaces exactly once,
       // at its (lowest-order → middle) edge
+      // the second join's left stream carries every edge PLUS its N⁺(x)
+      // array — O(E·avg_deg) exchanged bytes, the honest cost of
+      // distributed triangle counting (GraphFrames ships the same); at
+      // small scale AQE broadcasts the adjacency side instead and the
+      // exchange disappears, which is the right call at both ends
       val closed = d
         .join(adj.select(col("x").as("ax"), col("nb").as("nx")),
           col("x") === col("ax"))
