@@ -318,6 +318,49 @@ object TextAnalysis {
         .orderBy("doc_id")
     })
 
+  /** Importance resampling — the continuous-weight step beyond
+    * q_stratified_sample's fixed per-group rates (the DSIR-family shape:
+    * per-document acceptance probability proportional to an importance
+    * weight, here a token-count proxy standing in for a learned domain
+    * score). Acceptance stays a deterministic salted-hash Bernoulli —
+    * `hash60('imp|' + doc_id) % 1000 < w(doc)` — so the sample is
+    * reproducible across engines, re-runs and cluster sizes; the weight
+    * just moves per ROW instead of per group. Map-only (the weight is a
+    * projection over already-scanned columns), and the output aggregates
+    * per language so the oracle checks both the kept set and the
+    * weight mass that predicted it. */
+  private val qImportanceSample = QueryDef(
+    "q_importance_sample",
+    Some(s"""
+      |WITH $tokSql,
+      |tc AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+      |w AS (SELECT d.doc_id, d.lang, tc.n_tok,
+      |    least(950, greatest(50, tc.n_tok * 5)) AS w_pm,
+      |    ${PortableHash.sqlHash60("concat('imp|', CAST(d.doc_id AS VARCHAR))")} % 1000 AS h
+      |  FROM documents d JOIN tc ON tc.doc_id = d.doc_id)
+      |SELECT lang, count(*) AS n_total,
+      |  CAST(count(*) FILTER (WHERE h < w_pm) AS BIGINT) AS n_kept,
+      |  CAST(sum(w_pm) AS BIGINT) AS weight_mass,
+      |  coalesce(CAST(sum(n_tok) FILTER (WHERE h < w_pm) AS BIGINT), 0) AS kept_tokens
+      |FROM w GROUP BY lang ORDER BY lang
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val tc = toks(spark, dir).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"))
+      val kept = col("h") < col("w_pm")
+      tbl(spark, dir, "documents").select("doc_id", "lang")
+        .join(tc, "doc_id")
+        .withColumn("w_pm", least(lit(950L), greatest(lit(50L), col("n_tok") * 5)))
+        .withColumn("h", PortableHash.hash60(
+          concat(lit("imp|"), col("doc_id").cast("string"))) % 1000)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+          sum(col("w_pm")).as("weight_mass"),
+          sum(when(kept, col("n_tok")).otherwise(0L)).as("kept_tokens"))
+        .orderBy("lang")
+    })
+
   /** Term-lookup relevance ranking — the inverted-index probe, as one
     * declarative plan: tokenize → keep query terms (a 3-row broadcast
     * join) → per-(doc, term) tf → corpus df per term → tf-idf-style score
@@ -752,5 +795,5 @@ object TextAnalysis {
     Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf,
       qFingerprintRolling, qPipelineCurate, qStratifiedSample, qTextSearch,
       qHeavyHitters, qProfile, qHistogram, qPiiScrub, qRepetitionFilter,
-      qCrossdocNgrams, qSeqPacking)
+      qCrossdocNgrams, qSeqPacking, qImportanceSample)
 }
