@@ -68,13 +68,14 @@ object ScaleStress {
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
 
-    require(mult <= 10, "copy tag is a single digit; mult > 10 needs a wider splice")
+    require(mult <= 36, "copy tag is one base-36 char; mult > 36 needs a wider splice")
     scaled("documents") { (d, i) =>
+      val tag = Integer.toString(i, 36) // single char for any mult <= 36
       d.select(
         (col("doc_id") + i * 100000000L).as("doc_id"),
-        // splice the copy digit in every 5 chars → every char-8 shingle
+        // splice the copy tag in every 5 chars → every char-8 shingle
         // window carries a copy-distinct character (see class doc)
-        regexp_replace(col("text"), "(.{5})", s"$$1$i").as("text"),
+        regexp_replace(col("text"), "(.{5})", s"$$1$tag").as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
     scaled("events") { (e, i) =>
@@ -122,6 +123,16 @@ object ScaleStress {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the cluster-sizing rule SCALE.md §5 prescribes, applied to the
+      // harness itself: let AQE START wide and COALESCE down, instead of
+      // pinning every exchange at cpu-count partitions. At 30× the
+      // triangle close exchanges ~6 GB — at 32 pinned partitions that is
+      // a ~200 MB per-task sort (spill, GC), measured 15× slower for 3×
+      // the data between 10× and 30× while shuffled BYTES stayed exactly
+      // linear; with a wide initial count AQE sizes each stage to its
+      // data and small stages still coalesce to a handful of tasks.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 16).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config(graft.sources.Tables.NanosAsLongKey, "true")
       .config("spark.ui.enabled", "false")

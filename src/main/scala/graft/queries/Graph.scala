@@ -110,9 +110,11 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
     * triangle counted once at every corner.
     *
     * Scale design: edges are oriented LOW-DEGREE → HIGH-DEGREE (the
-    * Suri/Vassilvitskii MapReduce orientation; (degree, id) encoded as
-    * one BIGINT order key so ties break by id identically in both
-    * engines), which bounds out-adjacency at O(√E) regardless of hub
+    * Suri/Vassilvitskii MapReduce orientation; (degree, id) compared
+    * lexicographically — a struct comparison engine-side, so no
+    * magnitude bound on ids or degrees at any scale; the oracle packs
+    * the pair into one BIGINT at 1e10, safe at every oracle-run SF —
+    * ties break by id identically in both), which bounds out-adjacency at O(√E) regardless of hub
     * degree. The close step is ADJACENCY-LIST INTERSECTION, not a wedge
     * join: each oriented edge (x, y) intersects N⁺(x) with N⁺(y) in a
     * single codegen `array_intersect` — the orientation makes every
@@ -142,11 +144,11 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
       |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY node),
       |d AS (
       |  SELECT
-      |    CASE WHEN du.dg * 1000000000 + u < dv.dg * 1000000000 + v
+      |    CASE WHEN du.dg * 10000000000 + u < dv.dg * 10000000000 + v
       |      THEN u ELSE v END AS x,
-      |    CASE WHEN du.dg * 1000000000 + u < dv.dg * 1000000000 + v
+      |    CASE WHEN du.dg * 10000000000 + u < dv.dg * 10000000000 + v
       |      THEN v ELSE u END AS y,
-      |    greatest(du.dg * 1000000000 + u, dv.dg * 1000000000 + v) AS oky
+      |    greatest(du.dg * 10000000000 + u, dv.dg * 10000000000 + v) AS oky
       |  FROM e0 JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
       |tri AS (
       |  SELECT d1.x AS a, d1.y AS b, d2.y AS c
@@ -171,8 +173,11 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
       val deg = e0.select(col("u").as("node"))
         .unionAll(e0.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("dg"))
-      val oku = expr("dgu * 1000000000L + u")
-      val okv = expr("dgv * 1000000000L + v")
+      // (degree, id) compared LEXICOGRAPHICALLY as a struct — no packed
+      // encode, so no node-id/degree magnitude bound at any scale (the
+      // oracle packs at 1e10 instead, safe at every oracle-run SF)
+      val oku = struct(col("dgu"), col("u"))
+      val okv = struct(col("dgv"), col("v"))
       val d = e0
         .join(broadcast(deg.select(col("node").as("nu"), col("dg").as("dgu"))),
           col("u") === col("nu"))
