@@ -1239,6 +1239,65 @@ object SourceParity {
         .orderBy("c_mktsegment")
     })
 
+  /** VACUUM under the oracle gate — the last maintenance verb not yet
+    * oracle-gated (compact/zorder/rollback/tag all are; orphan mechanics
+    * and the age gate live in Dsv2MaintenanceSpec). The builder plants
+    * the two orphan classes a crashed writer leaves — a dot-prefixed
+    * staging file (invisible by prefix) and an UNREFERENCED part file
+    * whose name LOOKS like data but appears in no manifest (invisible
+    * only because reads resolve the manifest) — then `CALL
+    * g.system.vacuum(older_than_ms => 0)` and asserts both were
+    * reclaimed, by count AND on disk, while every referenced part
+    * survived. The aggregate then matches the plain oracle: vacuum is
+    * layout-garbage collection, content-invariant by construction. At
+    * 100 TB this is the weekly job that keeps a crashed ingest attempt
+    * from leaking storage forever. */
+  private val qDsv2Vacuum = QueryDef(
+    "q_dsv2_vacuum",
+    Some(s"""
+      |SELECT c_mktsegment, count(*) AS n,
+      |  ${sqlDsum(sqlDec("c_acctbal"))} AS sum_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.cust_vac_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t (c_custkey BIGINT, c_mktsegment STRING,
+        c_acctbal_str STRING) USING `graft-tsv`""")
+      tbl(spark, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        dec("c_acctbal").cast("string").as("c_acctbal_str"))
+        .writeTo(t).append()
+      val tdir = new java.io.File(s"$root/db/cust_vac_$h")
+      val before = tdir.listFiles().map(_.getName).toSet
+      // the two orphan classes of a crashed attempt
+      java.nio.file.Files.writeString(
+        tdir.toPath.resolve(".staging-crashed-attempt"), "partial")
+      java.nio.file.Files.writeString(
+        tdir.toPath.resolve("part-99999-orphan"), "1\tX\t0.00\n")
+      val res = spark.sql(
+        s"CALL gparity.system.vacuum(`table` => 'db.cust_vac_$h', " +
+          "older_than_ms => 0)").collect().head
+      require(res.getLong(0) == 2L,
+        s"vacuum must reclaim exactly the two planted orphans, got $res")
+      val after = tdir.listFiles().map(_.getName).toSet
+      require(after == before,
+        s"vacuum must restore the pre-orphan listing: ${after.diff(before)} " +
+          s"extra, ${before.diff(after)} missing")
+      spark.table(t)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          dsum(dec(col("c_acctbal_str"))).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    })
+
   /** Pay-once TSV export for q_dsv2_source (same _SUCCESS + source
     * fingerprint guard as the federated exports): project orders to the
     * connector's text conventions — exact decimal STRING for the price
@@ -1626,7 +1685,8 @@ object SourceParity {
     qDsv2StatsSkip,
     qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn, qDsv2DropColumn,
     qDsv2TimeTravel, qDsv2Tag,
-    qDsv2Merge, qDsv2MergeSource, qDsv2Update, qDsv2Compact, qDsv2Changes,
+    qDsv2Merge, qDsv2MergeSource, qDsv2Update, qDsv2Compact, qDsv2Vacuum,
+    qDsv2Changes,
     qDsv2Changelog, qDsv2Ivm,
     qDsv2Zorder, qStreamGenerations)
 }
