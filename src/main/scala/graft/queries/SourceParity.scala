@@ -1298,6 +1298,91 @@ object SourceParity {
         .orderBy("c_mktsegment")
     })
 
+  /** DESCRIBE HISTORY under the oracle gate: three commits (load, append,
+    * delete-rewrite), then `CALL g.system.history` — metadata-only at any
+    * table size (it reads manifests, never data) — projected to its
+    * deterministic columns (generation, n_rows; publish instants and file
+    * counts vary by wall-clock and write parallelism, spec-pinned in
+    * Dsv2MaintenanceSpec instead). The oracle reconstructs each
+    * generation's row count from the mutation plan, so a pass proves the
+    * manifests' writer-recorded row counts track the table's actual
+    * commit-by-commit cardinality — the audit trail a 100 TB curation
+    * pipeline reads before pinning a snapshot. */
+  private val qDsv2History = QueryDef(
+    "q_dsv2_history",
+    Some(s"""
+      |SELECT CAST(1 AS BIGINT) AS generation,
+      |  (SELECT count(*) FROM customer WHERE c_custkey % 3 <> 0) AS n_rows
+      |UNION ALL SELECT 2, (SELECT count(*) FROM customer)
+      |UNION ALL SELECT 3, (SELECT count(*) FROM customer WHERE c_custkey % 7 <> 1)
+      |ORDER BY generation
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.cust_hist_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t (c_custkey BIGINT, c_mktsegment STRING,
+        c_acctbal_str STRING) USING `graft-tsv`
+        TBLPROPERTIES ('retain.generations' = '3')""")
+      val cust = tbl(spark, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        dec("c_acctbal").cast("string").as("c_acctbal_str"))
+      cust.filter(col("c_custkey") % 3 =!= 0).writeTo(t).append()  // gen 1
+      cust.filter(col("c_custkey") % 3 === 0).writeTo(t).append()  // gen 2
+      spark.sql(s"DELETE FROM $t WHERE c_custkey % 7 = 1")         // gen 3
+      spark.sql(s"CALL gparity.system.history(`table` => 'db.cust_hist_$h')")
+        .select(col("generation"), col("n_rows"))
+        .orderBy("generation")
+    })
+
+  /** ROLLBACK under the oracle gate: a load, a bad curation DELETE, then
+    * `CALL g.system.rollback(generation => 1)` republishes generation 1's
+    * file list as a NEW forward commit (no data copied, history moves
+    * forward, the bad generation stays retained for forensics) — and the
+    * CURRENT table answers exactly the original corpus, which is what the
+    * oracle states. The undo verb for a bad merge/delete/overwrite at
+    * 100 TB: cost is one manifest write, not a restore. Refusal edges
+    * (unretained targets) live in Dsv2MaintenanceSpec. */
+  private val qDsv2Rollback = QueryDef(
+    "q_dsv2_rollback",
+    Some(s"""
+      |SELECT c_mktsegment, count(*) AS n,
+      |  ${sqlDsum(sqlDec("c_acctbal"))} AS sum_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.cust_rb_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t (c_custkey BIGINT, c_mktsegment STRING,
+        c_acctbal_str STRING) USING `graft-tsv`
+        TBLPROPERTIES ('retain.generations' = '3')""")
+      tbl(spark, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        dec("c_acctbal").cast("string").as("c_acctbal_str"))
+        .writeTo(t).append()                                      // gen 1
+      spark.sql(s"DELETE FROM $t WHERE c_mktsegment = 'BUILDING'") // gen 2: bad
+      spark.sql(s"CALL gparity.system.rollback(`table` => 'db.cust_rb_$h', " +
+        "to_generation => 1)")                                     // gen 3 = gen 1
+      spark.table(t)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          dsum(dec(col("c_acctbal_str"))).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    })
+
   /** Pay-once TSV export for q_dsv2_source (same _SUCCESS + source
     * fingerprint guard as the federated exports): project orders to the
     * connector's text conventions — exact decimal STRING for the price
@@ -1686,6 +1771,7 @@ object SourceParity {
     qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn, qDsv2DropColumn,
     qDsv2TimeTravel, qDsv2Tag,
     qDsv2Merge, qDsv2MergeSource, qDsv2Update, qDsv2Compact, qDsv2Vacuum,
+    qDsv2History, qDsv2Rollback,
     qDsv2Changes,
     qDsv2Changelog, qDsv2Ivm,
     qDsv2Zorder, qStreamGenerations)
