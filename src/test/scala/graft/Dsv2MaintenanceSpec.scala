@@ -123,6 +123,34 @@ class Dsv2MaintenanceSpec extends SparkSuite {
     assert(spark.sql("SELECT count(*) FROM gmnt.db.v").head().getLong(0) == 50)
   }
 
+  test("vacuum leaves a pinned time-travel snapshot intact") {
+    // a training run pins VERSION AS OF 1; a later mutation supersedes it
+    // and a vacuum sweeps crash garbage — the pinned snapshot must answer
+    // byte-identically after, because vacuum only ever deletes files NO
+    // retained manifest references (the retention window, not the sweep,
+    // decides what a pinned reader can still see)
+    spark.sql("""CREATE TABLE gmnt.db.vp (id BIGINT, v STRING)
+      USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '2')""")
+    spark.sql("INSERT INTO gmnt.db.vp SELECT id, concat('v', id) FROM range(30)")
+    spark.sql("DELETE FROM gmnt.db.vp WHERE id % 3 = 0") // gen 2 rewrite
+    val pinned = spark.sql(
+      "SELECT id, v FROM gmnt.db.vp VERSION AS OF 1 ORDER BY id").collect()
+    assert(pinned.length == 30)
+    val tdir = new java.io.File(s"$rootDir/db/vp")
+    val w = new java.io.PrintWriter(
+      new java.io.File(tdir, "part-vpcrash-00000.tsv"), "UTF-8")
+    w.println("999\tghost"); w.close()
+    val res = spark.sql(
+      "CALL gmnt.system.vacuum(`table` => 'db.vp', older_than_ms => 0)")
+      .collect().head
+    assert(res.getLong(0) == 1, res.toString) // exactly the planted orphan
+    val after = spark.sql(
+      "SELECT id, v FROM gmnt.db.vp VERSION AS OF 1 ORDER BY id").collect()
+    assert(after.toSeq == pinned.toSeq,
+      "the pinned snapshot changed across a vacuum")
+    assert(spark.sql("SELECT count(*) FROM gmnt.db.vp").head().getLong(0) == 20)
+  }
+
   test("rollback restores a retained generation; history lists the chain") {
     spark.sql("""CREATE TABLE gmnt.db.r (id BIGINT, v STRING) USING `graft-tsv`
       TBLPROPERTIES ('retain.generations' = '3')""")
