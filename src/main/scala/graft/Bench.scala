@@ -81,6 +81,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Let AQE START wide and COALESCE down instead of pinning every
+      // exchange at cpu-count width — the SCALE.md §12 finding (230→87 s
+      // on the 30× triangle close, whose ~200 MB-per-task sorts spilled
+      // at pinned width) adopted in the main sessions; small stages still
+      // coalesce to a handful of tasks so the per-query fixed cost at
+      // bench SF is unchanged.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 16).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config(graft.sources.Tables.NanosAsLongKey, "true")
       .config("spark.ui.enabled", "false")

@@ -19,6 +19,9 @@ object RunOne {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE starts wide, coalesces down (SCALE.md §12; see Bench.scala)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 16).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config(graft.sources.Tables.NanosAsLongKey, "true")
       .config("spark.ui.enabled", "false")
@@ -26,6 +29,12 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.get("SPARK_GRAFT_WIDEN").contains("0"))
       spark.conf.set("spark.graft.widen", "false")
+    // SPARK_GRAFT_CONF="k=v,k=v": ad-hoc session conf for plan iteration
+    // (e.g. forcing the graph kernels' no-broadcast fallback path)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
+      .foreach { kv =>
+        val i = kv.indexOf('='); spark.conf.set(kv.take(i), kv.drop(i + 1))
+      })
     val fn = SparkEntry.queries(name)
     // bit_xor, not sum: xxhash64 sums overflow under ANSI (see Bench)
     def consume(dir: String): Unit = {

@@ -180,8 +180,12 @@ object ScaleStress {
       (secs, cur)
     }
     def minOf2(name: String, dir: String): (Double, Long) = {
+      // report the BYTES of whichever rep produced the min TIME: AQE
+      // broadcast-vs-shuffle plan transitions (documented in SCALE.md)
+      // mean the two reps can plan — and therefore shuffle — differently,
+      // so pairing rep-1's time with rep-2's bytes could mismatch
       val a = time(name, dir); val b = time(name, dir)
-      (math.min(a._1, b._1), b._2) // bytes are deterministic; keep rep 2
+      if (a._1 <= b._1) a else b
     }
 
     val results = queries.map { q =>

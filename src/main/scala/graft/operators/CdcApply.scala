@@ -24,6 +24,18 @@ object CdcApply {
       .select(col(key),
         (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
         (coalesce(col("s0"), zeroDec) + coalesce(col("ds"), zeroDec)).as("s"))
-      .filter(col("n") > 0)
+      // a group netting n = 0 must have netted s = 0 too (the monoid
+      // algebra in the contract above); a malformed feed that violates it
+      // would otherwise drop the residual sum SILENTLY — fail loudly
+      // instead. CaseWhen, not `||`: branches are guaranteed
+      // conditionally evaluated, so the error can never fire for a live
+      // group.
+      .filter(when(col("n") > 0, lit(true))
+        .when(col("s") === zeroDec, lit(false))
+        .otherwise(raise_error(concat(
+          lit("CdcApply: inconsistent delta — group "),
+          col(key).cast("string"),
+          lit(" netted count 0 with nonzero sum "),
+          col("s").cast("string")))))
   }
 }

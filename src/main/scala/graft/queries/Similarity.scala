@@ -589,8 +589,13 @@ FROM stats ORDER BY method, query_id"""),
   //    K = clamp(n / KmTargetCell, KmMinK, KmMaxK), derived from count(*)
   //    inside the plan — cells stay ~KmTargetCell-sized as the corpus
   //    grows, which is what keeps q_semdedup's in-cluster pair join
-  //    LINEAR (a fixed K would grow cells with the corpus and square the
-  //    pair stage; production raises KmMaxK with one constant).
+  //    LINEAR — but only while n ≤ KmMaxK·KmTargetCell (4096 vectors
+  //    here): past the clamp, cell size grows ∝ n/KmMaxK and the
+  //    in-cluster pair stage grows ∝ n²/KmMaxK — the 30× ScaleStress
+  //    corpus (~60k vectors) already saturates the clamp, so its
+  //    measured ratios include that regime. A fixed K would square the
+  //    pair stage from the first scale-up; production raises KmMaxK
+  //    with one constant (∝ corpus size to restore linearity).
   private val KmMinK = 8
   private val KmMaxK = 64           // = seed pool size: every pooled seed usable
   private val KmTargetCell = 64
