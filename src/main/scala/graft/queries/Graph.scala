@@ -7,6 +7,32 @@ import graft.Checkpoints.TruncateOps
 
 import Parity._
 
+/** Size-adaptive handling of the O(V) per-node frames both kernels join
+  * against their O(E) edge lists. Below the threshold the frame carries an
+  * explicit `broadcast()` hint (checkpoint-backed edge statistics
+  * otherwise bait Catalyst into broadcasting the O(E) side — observed
+  * BuildLeft on the 1M-row side); above it the hint would FAIL OUTRIGHT
+  * at the broadcast ceiling, so the kernels switch to the co-partitioned
+  * form instead: the edge list is hash-partitioned on its join key ONCE
+  * (at checkpoint time, so the partitioning is baked into the
+  * materialized blocks and every iteration reuses it), and the per-node
+  * frame arrives via a SHUFFLE_HASH build — one O(V) exchange per join,
+  * the edge list never moves. The threshold is exact, not estimated: V
+  * is counted off an already-materialized checkpoint (a metadata-cheap
+  * job), and `spark.graft.graph.broadcastVMax` (rows) makes the
+  * crossover point tunable per session — the forced-fallback spec in
+  * GraphFallbackSpec sets it to 0 and asserts the shuffle-join plan AND
+  * identical results. */
+private[graft] object GraphAdaptive {
+  val ConfKey = "spark.graft.graph.broadcastVMax"
+  /** ~128 MB of (node, long) rows — comfortably under Spark's broadcast
+    * ceiling with headroom for row overhead. */
+  val DefaultVMax = 8000000L
+
+  def broadcastOk(spark: SparkSession, v: Long): Boolean =
+    v <= spark.conf.get(ConfKey, DefaultVMax.toString).toLong
+}
+
 /** Iterative graph analytics beyond connected components (q_dedup_components
   * is the convergence-loop variant with checkpoint truncation; this module
   * is the fixed-iteration variant whose whole computation stays ONE
@@ -65,14 +91,35 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
         .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
         .distinct()
         .truncateLineage
-      val edges = e0
+      // V exactly, off the materialized pair set (node spaces are
+      // disjoint by the Off shift, so V = |distinct p| + |distinct s|) —
+      // one metadata-cheap job that decides the join strategy BEFORE the
+      // edge list is laid down, so the fallback can bake its
+      // co-partitioning into the checkpoint
+      val vRow = e0.agg(countDistinct(col("p")).as("np"),
+        countDistinct(col("s")).as("ns")).head()
+      val bcast = GraphAdaptive.broadcastOk(spark, vRow.getLong(0) + vRow.getLong(1))
+      val edges0 = e0
         .select(col("p").as("src"), (col("s") + Off).as("dst"))
         .unionByName(e0.select((col("s") + Off).as("src"), col("p").as("dst")))
+      // fallback pre-partitions the edge list on the per-iteration join
+      // key so the partitioning is baked into the checkpointed blocks
+      // (LogicalRDD preserves outputPartitioning) and NO iteration ever
+      // exchanges it; on the broadcast path the edge blocks never need a
+      // partitioning because only O(V) frames move
+      val edges = if (bcast) edges0 else edges0.repartition(col("src"))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      // O(V) frames: broadcast below the ceiling, SHUFFLE_HASH build
+      // above it (exchange the O(V) side, stream the co-partitioned edge
+      // blocks — never sort them, never move them)
+      def pv(df: DataFrame): DataFrame =
+        if (bcast) broadcast(df) else df.hint("shuffle_hash")
       // degree rides the edge list from here on — joined once, reused by
       // every iteration (materialized so the distinct+union subtree does
-      // not re-run per iteration)
-      val edgesW = edges.join(deg, "src").truncateLineage
+      // not re-run per iteration); in the fallback deg is already
+      // co-partitioned with edges (it aggregates them on src), so the
+      // join is exchange-free even before the checkpoint
+      val edgesW = edges.join(pv(deg), "src").truncateLineage
       val nodes = edgesW.select(col("src").as("node_id")).distinct()
         .truncateLineage
       // edgesW and nodes are materialized ⇒ the seed pair frame's
@@ -82,19 +129,24 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
       var pr = nodes.crossJoin(broadcast(nn))
         .select(col("node_id"), expr(s"${Scale}L div cnt").as("pr"))
       for (_ <- 1 to Iters) {
-        // rank and contribution frames are O(V) — broadcast them
-        // EXPLICITLY: checkpoint-backed edge statistics otherwise bait
-        // Catalyst into broadcasting the O(E) edge list (observed
-        // BuildLeft on the 1M-row side, 3× per plan). With the hints,
-        // an iteration is: map-side probe over the edge blocks +
-        // partial agg + one O(V·partitions) exchange — the edge list
-        // never moves. (At V too large to broadcast, drop the hints
-        // and co-partition edges and ranks on src instead.)
+        // rank and contribution frames are O(V) — below the broadcast
+        // ceiling they carry EXPLICIT broadcast hints: checkpoint-backed
+        // edge statistics otherwise bait Catalyst into broadcasting the
+        // O(E) edge list (observed BuildLeft on the 1M-row side, 3× per
+        // plan). With the hints, an iteration is: map-side probe over
+        // the edge blocks + partial agg + one O(V·partitions) exchange —
+        // the edge list never moves. Above the ceiling (V >
+        // spark.graft.graph.broadcastVMax) a forced broadcast would FAIL
+        // OUTRIGHT, so GraphAdaptive switches both frames to a
+        // SHUFFLE_HASH build against the src-partitioned edge
+        // checkpoint: the O(V) frame exchanges, the edge list still
+        // never moves. GraphFallbackSpec forces this path and asserts
+        // plan shape + identical results.
         val contrib = edgesW
-          .join(broadcast(pr), col("src") === col("node_id"))
+          .join(pv(pr), col("src") === col("node_id"))
           .groupBy("dst").agg(sum(expr("pr div outdeg")).as("cin"))
         pr = nodes.crossJoin(broadcast(nn))
-          .join(broadcast(contrib), col("node_id") === col("dst"), "left")
+          .join(pv(contrib), col("node_id") === col("dst"), "left")
           .select(col("node_id"),
             (expr(s"(${Scale}L * 15) div (100 * cnt)") +
               expr("(85 * coalesce(cin, 0L)) div 100")).as("pr"))
@@ -129,8 +181,10 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
     * ride inside partitions. Pair GENERATION is the collect-per-order +
     * HOF-expansion shape (one shuffle, map-side pair blowup bounded by
     * order size), not a lineitem self-join; the degree frame is O(V) and
-    * broadcast, same contract as q_pagerank's rank frames (at V beyond
-    * broadcast, hash join on node instead — one more linear shuffle).
+    * size-adaptive exactly like q_pagerank's rank frames
+    * ([[GraphAdaptive]]): broadcast below the ceiling, SHUFFLE_HASH
+    * build above it (two more linear shuffles of the edge list — the
+    * honest cost of orienting without a broadcastable degree frame).
     * The DuckDB oracle keeps the wedge-join formulation — the triangle
     * SET is orientation-identical, only the engine's plan differs. */
   private val qTriangles = QueryDef(
@@ -170,24 +224,37 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
         .select(col("e.u").as("u"), col("e.v").as("v"))
         .distinct()
         .truncateLineage                 // feeds deg AND both orient joins
+      // materialized: feeds BOTH orient joins (one computation instead of
+      // two — the rename projections under the two broadcasts defeat
+      // exchange reuse) and makes the V count for the strategy choice a
+      // metadata-cheap job over the blocks
       val deg = e0.select(col("u").as("node"))
         .unionAll(e0.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("dg"))
+        .truncateLineage
+      // O(V) degree frame: broadcast below the ceiling; above it a forced
+      // broadcast would fail outright, so SHUFFLE_HASH-build it against
+      // the edge stream instead (two linear edge exchanges — see the
+      // class doc). GraphFallbackSpec forces this path.
+      val bcast = GraphAdaptive.broadcastOk(spark, deg.count())
+      def pv(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        if (bcast) broadcast(df) else df.hint("shuffle_hash")
       // (degree, id) compared LEXICOGRAPHICALLY as a struct — no packed
       // encode, so no node-id/degree magnitude bound at any scale (the
       // oracle packs at 1e10 instead, safe at every oracle-run SF)
       val oku = struct(col("dgu"), col("u"))
       val okv = struct(col("dgv"), col("v"))
       val d = e0
-        .join(broadcast(deg.select(col("node").as("nu"), col("dg").as("dgu"))),
+        .join(pv(deg.select(col("node").as("nu"), col("dg").as("dgu"))),
           col("u") === col("nu"))
-        .join(broadcast(deg.select(col("node").as("nv"), col("dg").as("dgv"))),
+        .join(pv(deg.select(col("node").as("nv"), col("dg").as("dgv"))),
           col("v") === col("nv"))
         .select(
           when(oku < okv, col("u")).otherwise(col("v")).as("x"),
           when(oku < okv, col("v")).otherwise(col("u")).as("y"))
         .truncateLineage          // feeds the adjacency build + both joins
       graft.Checkpoints.release(e0)
+      graft.Checkpoints.release(deg) // d is materialized; deg unreachable
       // sorted out-neighbor lists, O(√E)-bounded by the orientation
       val adj = d.groupBy(col("x"))
         .agg(sort_array(collect_list(col("y"))).as("nb"))
