@@ -331,13 +331,46 @@ object Catalog {
         .orderBy("keep_id"))
 
   /** Multimodal feature extraction (binary media columns, partition-wise
-    * stubbed decode — graft.operators.MultimodalOps). Iterator compute is
-    * not SQL-expressible → rows-only driver check; exact values pinned in
-    * MultimodalSpec. q_blob_stats below is the hash-green twin. */
+    * stubbed decode — graft.operators.MultimodalOps), under the FULL
+    * oracle hash since round 11: the mapPartitions features surface as
+    * deterministic integer derivations — exact byte sum (recovered from
+    * the mean, exact because sum < 2^53), dimensions from the codec seam,
+    * and the byte-histogram Shannon entropy quantized to micro-bits —
+    * and the oracle recomputes ALL of them from the same payload bytes
+    * in SQL (the corpus is ASCII, so DuckDB's per-char `ord` IS the byte
+    * value and its log2-based `entropy` aggregate matches the iterator's
+    * histogram formula; micro-bit quantization absorbs summation-order
+    * ulps). A value regression anywhere in the decode pipeline now
+    * hash-fails the driver gate instead of only the MultimodalSpec pin.
+    * The double-precision feature frame itself stays available via
+    * MultimodalOps.featureQuery. */
   private val qMultimodal = QueryDef(
     "q_multimodal_features",
-    None,
-    (spark, dir) => graft.operators.MultimodalOps.featureQuery(spark, dir))
+    Some("""
+      |WITH b AS (
+      |  SELECT doc_id, ord(c) AS byte
+      |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(byte) AS BIGINT) AS sum_bytes,
+      |    CAST(round(entropy(byte) * 1000000) AS BIGINT) AS entropy_micro
+      |  FROM b GROUP BY doc_id)
+      |SELECT d.doc_id AS media_id, 'text' AS kind,
+      |  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+      |  CAST(greatest((ord(substr(d.text,1,1)) << 4) | (ord(substr(d.text,2,1)) & 15), 1) AS INTEGER) AS width,
+      |  CAST(greatest((ord(substr(d.text,3,1)) << 4) | (ord(substr(d.text,4,1)) & 15), 1) AS INTEGER) AS height,
+      |  a.sum_bytes, a.entropy_micro
+      |FROM documents d JOIN agg a USING (doc_id)
+      |ORDER BY media_id
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      graft.operators.MultimodalOps.featureQuery(spark, dir)
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width"), col("height"),
+          // mean_byte = sum/n in double; ×n recovers the exact integer
+          // sum to < 0.5 ulp-error, so round() is exact (sum ≤ 553·127)
+          round(col("mean_byte") * col("n_bytes")).cast("long").as("sum_bytes"),
+          round(col("byte_entropy") * 1000000).cast("long").as("entropy_micro"))
+        .orderBy("media_id"))
 
   /** Blob statistics over the binary media column — the SQL-expressible
     * half of the multimodal surface, under the full oracle hash (VERDICT

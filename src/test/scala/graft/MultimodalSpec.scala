@@ -3,9 +3,11 @@ package graft
 import graft.operators.MultimodalOps
 import graft.operators.MultimodalOps.{MediaRecord, StubDecoder}
 
-/** Golden values for the multimodal plumbing (the catalog entry
-  * q_multimodal_features is rows-only checked by the driver; exact values
-  * are pinned here). */
+/** Golden values for the multimodal plumbing. Since round 11 the catalog
+  * entry q_multimodal_features is ALSO under the full driver oracle hash
+  * (integer-derived features recomputed byte-for-byte in DuckDB); this
+  * spec keeps pinning the double-precision feature frame and the codec
+  * seam directly. */
 class MultimodalSpec extends SparkSuite {
 
   test("stub decoder parses fake dims deterministically") {
