@@ -694,13 +694,21 @@ object TextAnalysis {
     * strings — the shuffle carries 8 bytes per occurrence, same
     * discipline as the MinHash shingles), built in one scan by a
     * transform-over-sequence projection (no intermediate explode of
-    * token positions). Three linear shuffles: docs-per-gram aggregate on
-    * gh, the gram↔frequency join on gh (co-partitioned with the
-    * aggregate's output), and the final per-doc rollup. At 100 TB the
-    * docs-per-gram frame is the big one; it is exactly the structure the
-    * suffix-array papers shard by hash range — and a skewed gram (a
-    * corpus-wide boilerplate line) is ONE row of that aggregate, not a
-    * hot partition of pairs. */
+    * token positions). The rollup is TAIL-INVERTED (round 11; the first
+    * cut joined the per-gram doc frequency back onto every occurrence,
+    * and the 30× harness measured 42× shuffle bytes for 30× data once
+    * the frequency frame outgrew its broadcast): a doc's total gram
+    * count needs no join at all (`size(ws) − W + 1`, map-only), and its
+    * DUPLICATED count is total − unique, where a df=1 gram's single
+    * holder is recoverable from the gram aggregate itself
+    * (min(doc_id) = the holder when n_docs = 1). So the plan is two
+    * linear aggregates — (doc, gh, c) with map-side collapse of
+    * within-doc repeats, then (gh → df, holder, occ) — followed by a
+    * per-doc rollup over ONLY the df=1 rows and an O(docs) join. The
+    * duplication tail now works FOR the plan: the heavier a boilerplate
+    * gram, the more map-side collapse upstream and the fewer rows
+    * downstream (a corpus-wide gram is one aggregate row and zero
+    * rollup rows — never a hot partition, never re-joined). */
   private val NGramW = 3
 
   private val qCrossdocNgrams = QueryDef(
@@ -723,20 +731,34 @@ object TextAnalysis {
       |GROUP BY g.doc_id ORDER BY g.doc_id
       |""".stripMargin.trim),
     (spark, dir) => {
-      val grams = tblWide(spark, dir, "documents")
+      val docs = tblWide(spark, dir, "documents")
         .select(col("doc_id"),
           expr("filter(split(text, '\\\\s+'), w -> w <> '')").as("ws"))
         .filter(size(col("ws")) >= NGramW)
+      val grams = docs
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(1, size(ws) - ${NGramW - 1}), " +
             s"i -> concat_ws(' ', slice(ws, i, $NGramW)))")).as("g"))
         .select(col("doc_id"), PortableHash.hash60(col("g")).as("gh"))
-      val gd = grams.groupBy("gh")
-        .agg(countDistinct(col("doc_id")).as("n_docs"))
-      grams.join(gd, "gh")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      // (doc, gram) occurrence counts: a doc's grams never span input
+      // partitions, so within-doc repeats collapse map-side and the
+      // exchange carries ~distinct (doc, gh) rows
+      val docGrams = grams.groupBy("doc_id", "gh")
+        .agg(count(lit(1)).as("c"))
+      // per-gram rollup; only df=1 rows survive, and for those the
+      // single holder doc IS min(doc_id) and its count IS sum(c)
+      val uniq = docGrams.groupBy("gh")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("holder"),
+          sum(col("c")).as("occ"))
+        .filter(col("n_docs") === 1)
+        .groupBy(col("holder").as("doc_id"))
+        .agg(sum(col("occ")).as("n_uniq"))
+      // n_grams is pure per-row arithmetic; n_dup = total − unique
+      docs.select(col("doc_id"),
+          (size(col("ws")) - (NGramW - 1)).cast("long").as("n_grams"))
+        .join(uniq, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          (col("n_grams") - coalesce(col("n_uniq"), lit(0L))).as("n_dup"))
         .select(col("doc_id"), col("n_grams"), col("n_dup"),
           (col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
         .orderBy("doc_id")
