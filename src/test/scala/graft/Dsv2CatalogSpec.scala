@@ -269,4 +269,70 @@ class Dsv2CatalogSpec extends SparkSuite {
     }
     assert(e2.getMessage.toLowerCase.contains("exists"), e2.getMessage)
   }
+
+  private def visibleEntries(ns: String): Seq[String] =
+    Option(new java.io.File(s"$rootDir/$ns").listFiles()).toSeq.flatten
+      .map(_.getName).filterNot(_.startsWith("."))
+
+  private def hiddenEntries(ns: String): Seq[String] =
+    Option(new java.io.File(s"$rootDir/$ns").listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith("."))
+
+  test("atomic CTAS: staged workspace, one-rename publish, clean abort") {
+    spark.sql("CREATE NAMESPACE gcat.ctas")
+    // happy path: CREATE TABLE AS SELECT through the staging catalog —
+    // partitioned, so the staged write exercises the hive layout too
+    spark.sql("""CREATE TABLE gcat.ctas.t USING `graft-tsv`
+      PARTITIONED BY (day)
+      AS SELECT id, concat('v', id) AS v, concat('d', id % 3) AS day
+      FROM range(30)""")
+    assert(spark.sql("SELECT count(*) FROM gcat.ctas.t").head().getLong(0) == 30)
+    assert(spark.sql("SELECT sum(id) FROM gcat.ctas.t WHERE day = 'd1'")
+      .head().getLong(0) == (1L until 30L by 3L).sum)
+    // published atomically: the table dir holds a complete generation and
+    // NO staged workspace remains in the namespace
+    assert(visibleEntries("ctas") == Seq("t"), visibleEntries("ctas"))
+    assert(hiddenEntries("ctas").isEmpty, hiddenEntries("ctas"))
+
+    // failed CTAS: the SELECT blows up mid-write — the staged workspace
+    // is aborted, so NO visible table, no orphan descriptor, no hidden
+    // residue; the namespace is exactly as before
+    val e = intercept[Exception] {
+      spark.sql("""CREATE TABLE gcat.ctas.broken USING `graft-tsv`
+        AS SELECT CASE WHEN id < 5 THEN id
+                  ELSE CAST(raise_error('mid-CTAS crash') AS BIGINT) END AS id
+        FROM range(10)""")
+    }
+    assert(e.getMessage != null)
+    assert(!spark.sql("SHOW TABLES IN gcat.ctas").collect()
+      .map(_.getString(1)).contains("broken"))
+    assert(visibleEntries("ctas") == Seq("t"), visibleEntries("ctas"))
+    assert(hiddenEntries("ctas").isEmpty, hiddenEntries("ctas"))
+    // ...and the survivor still reads
+    assert(spark.sql("SELECT count(*) FROM gcat.ctas.t").head().getLong(0) == 30)
+  }
+
+  test("RTAS: REPLACE swaps the whole table definition; CREATE OR REPLACE creates") {
+    spark.sql("CREATE NAMESPACE gcat.rtas")
+    spark.sql("""CREATE TABLE gcat.rtas.t USING `graft-tsv`
+      AS SELECT id, concat('v', id) AS v FROM range(10)""")
+    // REPLACE: new schema AND new data — readers resolve the new
+    // descriptor + generation after the swap, nothing of the old remains
+    spark.sql("""REPLACE TABLE gcat.rtas.t USING `graft-tsv`
+      AS SELECT id * 2 AS twice, concat('w', id) AS w FROM range(5)""")
+    val rows = spark.sql("SELECT twice, w FROM gcat.rtas.t ORDER BY twice")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 2L, 4L, 6L, 8L))
+    assert(visibleEntries("rtas") == Seq("t"), visibleEntries("rtas"))
+    assert(hiddenEntries("rtas").isEmpty, hiddenEntries("rtas"))
+    // REPLACE of a missing table is an analysis error; CREATE OR REPLACE
+    // of a missing table creates it
+    intercept[Exception] {
+      spark.sql("""REPLACE TABLE gcat.rtas.missing USING `graft-tsv`
+        AS SELECT id FROM range(3)""")
+    }
+    spark.sql("""CREATE OR REPLACE TABLE gcat.rtas.fresh USING `graft-tsv`
+      AS SELECT id FROM range(3)""")
+    assert(spark.sql("SELECT count(*) FROM gcat.rtas.fresh").head().getLong(0) == 3)
+  }
 }
