@@ -305,8 +305,18 @@ FROM reach GROUP BY u ORDER BY doc_id"""
     Some(componentsSql),
     (spark, dir) => {
       val cand = candPairs(spark, dir)
+      // hash(v) is BAKED into the edge checkpoint (LogicalRDD preserves
+      // outputPartitioning): every round's hop join streams the edge
+      // blocks in place and only the O(active-set) label frame moves.
+      // Without this the per-round plan TRANSITIONS with the label
+      // frame's size estimate (broadcast some rounds, SMJ others — the
+      // SMJ rounds re-exchange the O(E) edge list), measured 96x shuffle
+      // bytes for a 27x pair graph at the 30x harness; pinned, 44x (the
+      // residue is one extra hop round at 30x) and wall-clock HALVED
+      // (35 s -> 15.6 s).
       val edges = cand.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .union(cand.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .repartition(col("v"))
         .truncateLineage
       // ACTIVE-SET iteration: only edge endpoints can ever change label
       // (a singleton's component is itself), so the loop runs over the
@@ -345,8 +355,13 @@ FROM reach GROUP BY u ORDER BY doc_id"""
         // map-side partial under the explicit exchange is noise; at a
         // label volume where it isn't, remove the repartition and take
         // the default-width partial-agg plan.)
+        // SHUFFLE_HASH pins the strategy (the hint survives AQE, so no
+        // round can flip to a broadcast or sort-merge plan): the label
+        // frame builds the hash table, the co-partitioned edge blocks
+        // stream — per-round exchange is O(active set), never O(E)
         val hop = edges
-          .join(labels.select(col("u").as("v"), col("lbl")), "v")
+          .join(labels.select(col("u").as("v"), col("lbl")).hint("shuffle_hash"),
+            "v")
           .select(col("u"), col("lbl"))
           .union(labels)
           .repartition(8, col("u"))
@@ -374,7 +389,8 @@ FROM reach GROUP BY u ORDER BY doc_id"""
         // round — each extra broadcast self-join grows the per-round plan
         // and its codegen; one jump is the sweet spot here.)
         labels = hop
-          .join(hop.select(col("u").as("pu"), col("lbl").as("plbl")),
+          .join(hop.select(col("u").as("pu"), col("lbl").as("plbl"))
+            .hint("shuffle_hash"), // same pinning for the jump self-join
             col("lbl") === col("pu"), "left")
           .select(col("u"),
             least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))

@@ -31,6 +31,19 @@ private[graft] object GraphAdaptive {
 
   def broadcastOk(spark: SparkSession, v: Long): Boolean =
     v <= spark.conf.get(ConfKey, DefaultVMax.toString).toLong
+
+  /** Separate, tighter ceiling for EDGE-sized frames (q_triangles'
+    * adjacency lists total O(E) array cells regardless of their O(V) row
+    * count — a V-based test would wave through a multi-GB broadcast).
+    * Crossover tuned on the 30× harness: below it AQE's broadcast of the
+    * adjacency side erases both close exchanges (the right call at bench
+    * SF); above it the build side no longer fits and the kernel switches
+    * to the co-partitioned SHUFFLE_HASH form. */
+  val EdgeConfKey = "spark.graft.graph.broadcastEMax"
+  val DefaultEMax = 4000000L
+
+  def broadcastEdgesOk(spark: SparkSession, e: Long): Boolean =
+    e <= spark.conf.get(EdgeConfKey, DefaultEMax.toString).toLong
 }
 
 /** Iterative graph analytics beyond connected components (q_dedup_components
@@ -244,7 +257,7 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
       // oracle packs at 1e10 instead, safe at every oracle-run SF)
       val oku = struct(col("dgu"), col("u"))
       val okv = struct(col("dgv"), col("v"))
-      val d = e0
+      val d0 = e0
         .join(pv(deg.select(col("node").as("nu"), col("dg").as("dgu"))),
           col("u") === col("nu"))
         .join(pv(deg.select(col("node").as("nv"), col("dg").as("dgv"))),
@@ -252,23 +265,42 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
         .select(
           when(oku < okv, col("u")).otherwise(col("v")).as("x"),
           when(oku < okv, col("v")).otherwise(col("u")).as("y"))
+      // the close strategy is edge-count-adaptive ([[GraphAdaptive
+      // .broadcastEdgesOk]] — the adjacency side totals O(E) array cells,
+      // so the O(V)-row ceiling above is the wrong test for it):
+      //  * below the ceiling the adjacency frame BROADCASTS and neither
+      //    close join exchanges anything — measured 4.2 s vs 6.2 s at
+      //    bench SF against the pinned-SHJ form;
+      //  * above it, hash(x) is baked into d's checkpoint (LogicalRDD
+      //    preserves outputPartitioning: the adjacency groupBy and the
+      //    first close join then run exchange-free) and SHUFFLE_HASH is
+      //    pinned on the adjacency sides — a sort-merge plan would SORT
+      //    the array-carrying stream (measured the dominant 30× cost,
+      //    207× shuffle ratio), where SHJ builds the O(V)-row adjacency
+      //    hash table and streams the heavy side untouched (30×: time
+      //    ratio 24.1 → 19.3, shuffle ratio 207 → 35).
+      val eRows = e0.count() // |d| = |e0| exactly (one row per edge), and
+                             // e0 is checkpointed — a metadata-cheap job
+      val adjBcast = GraphAdaptive.broadcastEdgesOk(spark, eRows)
+      val d = (if (adjBcast) d0 else d0.repartition(col("x")))
         .truncateLineage          // feeds the adjacency build + both joins
       graft.Checkpoints.release(e0)
       graft.Checkpoints.release(deg) // d is materialized; deg unreachable
       // sorted out-neighbor lists, O(√E)-bounded by the orientation
       val adj = d.groupBy(col("x"))
         .agg(sort_array(collect_list(col("y"))).as("nb"))
+      def pva(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        if (adjBcast) broadcast(df) else df.hint("shuffle_hash")
       // per-edge intersection: triangle (x, y, w) surfaces exactly once,
       // at its (lowest-order → middle) edge
       // the second join's left stream carries every edge PLUS its N⁺(x)
-      // array — O(E·avg_deg) exchanged bytes, the honest cost of
-      // distributed triangle counting (GraphFrames ships the same); at
-      // small scale AQE broadcasts the adjacency side instead and the
-      // exchange disappears, which is the right call at both ends
+      // array — O(E·avg_deg) exchanged bytes on the no-broadcast path,
+      // the honest cost of distributed triangle counting (GraphFrames
+      // ships the same).
       val closed = d
-        .join(adj.select(col("x").as("ax"), col("nb").as("nx")),
+        .join(pva(adj.select(col("x").as("ax"), col("nb").as("nx"))),
           col("x") === col("ax"))
-        .join(adj.select(col("x").as("ay"), col("nb").as("ny")),
+        .join(pva(adj.select(col("x").as("ay"), col("nb").as("ny"))),
           col("y") === col("ay"))
         .select(col("x"), col("y"),
           expr("array_intersect(nx, ny)").as("ww"))

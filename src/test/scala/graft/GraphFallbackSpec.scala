@@ -24,6 +24,7 @@ class GraphFallbackSpec extends SparkSuite {
   private def forcingFallback[A](body: => A): A = {
     val keys = Seq(
       queries.GraphAdaptive.ConfKey -> "0",
+      queries.GraphAdaptive.EdgeConfKey -> "0", // triangles' close joins
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
     val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
