@@ -115,11 +115,19 @@ object Tables {
     * incremental file-stream source with the same ts normalization, so a
     * streaming query is plan-identical to its batch twin from the source
     * up. The schema probe reads footers only (no job). */
+  /** Footer-probed events schema per directory. The testdata tables are
+    * immutable for a process lifetime, and the 13 streaming catalog
+    * entries (× bench warmup + reps) would otherwise re-read the footer
+    * and re-build a throwaway batch relation on every invocation. */
+  private val eventsSchemaCache =
+    new scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.types.StructType]
+
   def loadEventsStream(spark: SparkSession, dir: String): DataFrame = {
     if (spark.conf.getOption(NanosAsLongKey).forall(_ != "true"))
       spark.conf.set(NanosAsLongKey, "true")
     graft.plans.GraftFunctions.register(spark)
-    val schema = spark.read.parquet(path(dir, "events")).schema
+    val schema = eventsSchemaCache.getOrElseUpdate(path(dir, "events"),
+      spark.read.parquet(path(dir, "events")).schema)
     // the testdata table is a single parquet FILE; the file-stream source
     // needs a directory or a glob PATTERN (a directory-per-table layout
     // needs neither), so wrap the filename in a {}-glob
