@@ -53,12 +53,17 @@ class GraphFallbackSpec extends SparkSuite {
   }
 
   test("default path keeps the broadcast hints below the ceiling") {
-    // q_pagerank only: its hinted rank/contrib joins live in the RETURNED
+    // q_pagerank: its hinted rank/contrib joins live in the RETURNED
     // plan (the loop is unrolled declaratively). q_triangles' hinted deg
     // joins sit BEHIND the `d` checkpoint — materialized during build, so
-    // the returned plan starts at a LogicalRDD and can't witness them;
-    // their fallback behavior is covered by the forced-path test above.
+    // the returned plan starts at a LogicalRDD and can't witness them —
+    // but its CLOSE joins come after the checkpoint: below the edge
+    // ceiling the adjacency side must broadcast (both close exchanges
+    // vanish — the bench-SF plan the edge-adaptive strategy exists to
+    // keep).
     assert(planOf("q_pagerank").contains("BroadcastHashJoin"),
       "q_pagerank default plan lost its broadcast hints")
+    assert(planOf("q_triangles").contains("BroadcastHashJoin"),
+      "q_triangles default close plan lost its adjacency broadcast")
   }
 }
