@@ -83,6 +83,26 @@ class CdcApplySpec extends SparkSuite {
     }
   }
 
+  test("a malformed delta (count nets 0, sum does not) fails loudly") {
+    // the monoid contract says a group whose count nets to zero has a
+    // zero sum; a feed violating it must raise, not silently drop the
+    // residual sum with the group
+    val view = Seq(("bad", 2L, "30.00"))
+      .toDF("k", "n0", "s0raw")
+      .select(col("k"), col("n0"), col("s0raw").cast("decimal(18,2)").as("s0"))
+    val delta = Seq(("bad", -2L, "-29.00")) // count zeroed, 1.00 left over
+      .toDF("k", "dn", "dsraw")
+      .select(col("k"), col("dn"), col("dsraw").cast("decimal(18,2)").as("ds"))
+    val e = intercept[Exception] {
+      CdcApply.applyDelta(view, delta, "k").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("inconsistent delta")),
+      s"expected the CdcApply raise_error, got: $e")
+  }
+
   test("an empty delta is the identity") {
     val view = Seq(("a", 5L, "1.25"))
       .toDF("k", "n0", "s0raw")
