@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.functions.expr
 
+/** Dev-harness session overrides: SPARK_GRAFT_CONF="k=v,k2=v2" applied
+  * to a built session (RunOne and ScaleStress share this — e.g. forcing
+  * the graph kernels' no-broadcast fallback for a measurement). Pairs
+  * split on commas that START a new `key=` (lookahead), so a VALUE
+  * containing commas survives as long as no comma-fragment itself looks
+  * like a conf key assignment. */
+private[graft] object DevSessionConf {
+  def apply(spark: org.apache.spark.sql.SparkSession): Unit =
+    sys.env.get("SPARK_GRAFT_CONF").foreach(
+      _.split(",(?=[A-Za-z_][A-Za-z0-9._-]*=)").filter(_.contains("="))
+        .foreach { kv =>
+          val i = kv.indexOf('='); spark.conf.set(kv.take(i), kv.drop(i + 1))
+        })
+}
+
 /** Dev tool: time ONE catalog query in isolation (the full Bench run is
   * ~4 min; iterating on a single query's plan needs a tighter loop).
   *
@@ -29,12 +44,7 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.get("SPARK_GRAFT_WIDEN").contains("0"))
       spark.conf.set("spark.graft.widen", "false")
-    // SPARK_GRAFT_CONF="k=v,k=v": ad-hoc session conf for plan iteration
-    // (e.g. forcing the graph kernels' no-broadcast fallback path)
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
-      .foreach { kv =>
-        val i = kv.indexOf('='); spark.conf.set(kv.take(i), kv.drop(i + 1))
-      })
+    DevSessionConf(spark)
     val fn = SparkEntry.queries(name)
     // bit_xor, not sum: xxhash64 sums overflow under ANSI (see Bench)
     def consume(dir: String): Unit = {

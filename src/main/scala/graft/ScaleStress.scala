@@ -138,12 +138,7 @@ object ScaleStress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // SPARK_GRAFT_CONF="k=v,k=v": ad-hoc session conf — e.g. forcing the
-    // graph kernels' no-broadcast fallback for its 30x measurement
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
-      .foreach { kv =>
-        val i = kv.indexOf('='); spark.conf.set(kv.take(i), kv.drop(i + 1))
-      })
+    DevSessionConf(spark)
 
     build(spark, base, out, mult)
 

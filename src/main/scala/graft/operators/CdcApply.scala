@@ -24,13 +24,19 @@ object CdcApply {
       .select(col(key),
         (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
         (coalesce(col("s0"), zeroDec) + coalesce(col("ds"), zeroDec)).as("s"))
-      // a group netting n = 0 must have netted s = 0 too (the monoid
-      // algebra in the contract above); a malformed feed that violates it
-      // would otherwise drop the residual sum SILENTLY — fail loudly
+      // a group netting n = 0 must have netted s = 0 too, and no group
+      // can net n < 0 at all (the monoid algebra in the contract above —
+      // a delete needs a matching prior insert); a malformed feed that
+      // violates either would otherwise drop rows SILENTLY — fail loudly
       // instead. CaseWhen, not `||`: branches are guaranteed
       // conditionally evaluated, so the error can never fire for a live
       // group.
       .filter(when(col("n") > 0, lit(true))
+        .when(col("n") < 0, raise_error(concat(
+          lit("CdcApply: inconsistent delta — group "),
+          col(key).cast("string"),
+          lit(" netted negative count "),
+          col("n").cast("string"))))
         .when(col("s") === zeroDec, lit(false))
         .otherwise(raise_error(concat(
           lit("CdcApply: inconsistent delta — group "),

@@ -342,24 +342,34 @@ object Catalog {
     * histogram formula; micro-bit quantization absorbs summation-order
     * ulps). A value regression anywhere in the decode pipeline now
     * hash-fails the driver gate instead of only the MultimodalSpec pin.
-    * The double-precision feature frame itself stays available via
-    * MultimodalOps.featureQuery. */
+    * The oracle mirrors the decoder's short-payload guards exactly
+    * (width needs ≥ 2 bytes, height ≥ 4, else 1) and LEFT-joins the byte
+    * aggregate so an EMPTY document keeps its (0-sum, 0-entropy) row —
+    * corpora with sub-4-byte docs hash identically on both sides, not
+    * just the pinned testdata. The double-precision feature frame itself
+    * stays available via MultimodalOps.featureQuery. */
   private val qMultimodal = QueryDef(
     "q_multimodal_features",
     Some("""
       |WITH b AS (
       |  SELECT doc_id, ord(c) AS byte
-      |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)),
+      |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+      |  WHERE c <> ''),
       |agg AS (
       |  SELECT doc_id, CAST(sum(byte) AS BIGINT) AS sum_bytes,
       |    CAST(round(entropy(byte) * 1000000) AS BIGINT) AS entropy_micro
       |  FROM b GROUP BY doc_id)
       |SELECT d.doc_id AS media_id, 'text' AS kind,
       |  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
-      |  CAST(greatest((ord(substr(d.text,1,1)) << 4) | (ord(substr(d.text,2,1)) & 15), 1) AS INTEGER) AS width,
-      |  CAST(greatest((ord(substr(d.text,3,1)) << 4) | (ord(substr(d.text,4,1)) & 15), 1) AS INTEGER) AS height,
-      |  a.sum_bytes, a.entropy_micro
-      |FROM documents d JOIN agg a USING (doc_id)
+      |  CAST(CASE WHEN length(d.text) >= 2
+      |    THEN greatest((ord(substr(d.text,1,1)) << 4) | (ord(substr(d.text,2,1)) & 15), 1)
+      |    ELSE 1 END AS INTEGER) AS width,
+      |  CAST(CASE WHEN length(d.text) >= 4
+      |    THEN greatest((ord(substr(d.text,3,1)) << 4) | (ord(substr(d.text,4,1)) & 15), 1)
+      |    ELSE 1 END AS INTEGER) AS height,
+      |  coalesce(a.sum_bytes, 0) AS sum_bytes,
+      |  coalesce(a.entropy_micro, 0) AS entropy_micro
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
       |ORDER BY media_id
       |""".stripMargin.trim),
     (spark, dir) =>

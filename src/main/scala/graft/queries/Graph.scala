@@ -44,6 +44,13 @@ private[graft] object GraphAdaptive {
 
   def broadcastEdgesOk(spark: SparkSession, e: Long): Boolean =
     e <= spark.conf.get(EdgeConfKey, DefaultEMax.toString).toLong
+
+  /** The strategy both kernels apply to a frame joined against their
+    * big co-partitioned side: explicit broadcast under the relevant
+    * ceiling, SHUFFLE_HASH build above it (exchange the small side,
+    * stream the big one — never sort it, never move it). */
+  def pick(bcast: Boolean)(df: DataFrame): DataFrame =
+    if (bcast) broadcast(df) else df.hint("shuffle_hash")
 }
 
 /** Iterative graph analytics beyond connected components (q_dedup_components
@@ -122,11 +129,8 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
       // partitioning because only O(V) frames move
       val edges = if (bcast) edges0 else edges0.repartition(col("src"))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      // O(V) frames: broadcast below the ceiling, SHUFFLE_HASH build
-      // above it (exchange the O(V) side, stream the co-partitioned edge
-      // blocks — never sort them, never move them)
-      def pv(df: DataFrame): DataFrame =
-        if (bcast) broadcast(df) else df.hint("shuffle_hash")
+      // O(V) frames: [[GraphAdaptive.pick]] against the V ceiling
+      val pv = GraphAdaptive.pick(bcast) _
       // degree rides the edge list from here on — joined once, reused by
       // every iteration (materialized so the distinct+union subtree does
       // not re-run per iteration); in the fallback deg is already
@@ -250,8 +254,7 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
       // the edge stream instead (two linear edge exchanges — see the
       // class doc). GraphFallbackSpec forces this path.
       val bcast = GraphAdaptive.broadcastOk(spark, deg.count())
-      def pv(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-        if (bcast) broadcast(df) else df.hint("shuffle_hash")
+      val pv = GraphAdaptive.pick(bcast) _
       // (degree, id) compared LEXICOGRAPHICALLY as a struct — no packed
       // encode, so no node-id/degree magnitude bound at any scale (the
       // oracle packs at 1e10 instead, safe at every oracle-run SF)
@@ -289,8 +292,7 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
       // sorted out-neighbor lists, O(√E)-bounded by the orientation
       val adj = d.groupBy(col("x"))
         .agg(sort_array(collect_list(col("y"))).as("nb"))
-      def pva(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-        if (adjBcast) broadcast(df) else df.hint("shuffle_hash")
+      val pva = GraphAdaptive.pick(adjBcast) _
       // per-edge intersection: triangle (x, y, w) surfaces exactly once,
       // at its (lowest-order → middle) edge
       // the second join's left stream carries every edge PLUS its N⁺(x)

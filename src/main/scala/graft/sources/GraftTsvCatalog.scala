@@ -43,6 +43,12 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
   private var catalogName: String = _
   private var root: Path = _
 
+  /** Residue dirs (crashed stage workspaces, `-replaced-` leftovers)
+    * must sit untouched this long before a later stage() sweeps them —
+    * long enough that a dir with a recent mtime is, for any practical
+    * purpose, a LIVE concurrent operation the sweep must not gut. */
+  private val StageSweepAgeMs = 60L * 60 * 1000
+
   override def name(): String = catalogName
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -506,13 +512,22 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     if (replace && !orCreate && !exists) throw noSuchTable(ident)
     val desc = descriptorFor(schema, partitions, properties)
     val stagePrefix = s".${ident.name()}-stage-"
-    // sweep orphans from CRASHED earlier stages of this table (abandoned
-    // workspaces are invisible but hold bytes); live concurrent stages of
-    // the SAME table are inherently last-commit-wins under replace and
-    // first-commit-wins under create, so a sweep racing one only costs
-    // that stage its commit — the loser's rename fails loudly
+    // sweep residue of CRASHED earlier operations on this table — both
+    // abandoned stage workspaces and `-replaced-` dirs a crash between
+    // the REPLACE swap's second rename and its delete left behind
+    // (invisible, but holding bytes). AGE-GATED: only dirs untouched for
+    // StageSweepAgeMs are swept, so the sweep cannot delete a LIVE
+    // concurrent stage mid-write (a dir being written to has a recent
+    // mtime). Belt-and-braces for the pathological case (a stage idle
+    // past the gate): commit() re-checks its own descriptor below and
+    // fails LOUDLY rather than publishing a gutted workspace.
+    val sweepBefore = System.currentTimeMillis() - StageSweepAgeMs
     f.listStatus(ns).foreach { st =>
-      if (st.isDirectory && st.getPath.getName.startsWith(stagePrefix))
+      val n = st.getPath.getName
+      if (st.isDirectory &&
+          (n.startsWith(stagePrefix) ||
+            n.startsWith(s".${ident.name()}-replaced-")) &&
+          st.getModificationTime < sweepBefore)
         f.delete(st.getPath, true)
     }
     val stageDir = new Path(ns,
@@ -531,6 +546,15 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         root.toUri, SparkSession.active.sparkContext.hadoopConfiguration)
       val dst = tableDir(ident)
+      // the workspace must still be a complete table (descriptor intact)
+      // — if anything disturbed it (e.g. a sweep that outran the age
+      // gate), publishing would replace a good table with an unreadable
+      // directory; fail loudly with the old table untouched instead
+      if (!f.exists(metaPath(stageDir)))
+        throw new IllegalStateException(
+          s"graft catalog: staged workspace $stageDir lost its descriptor " +
+            "before commit (concurrent sweep or external interference); " +
+            "aborting the staged operation — the current table is untouched")
       if (!replace || !f.exists(metaPath(dst))) {
         // CREATE (or CoR with no current table): one atomic rename, no
         // overwrite — losing a concurrent-create race fails loudly
@@ -865,7 +889,12 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     val dir = nsDir(namespace)
     if (!f.exists(dir)) false
     else {
-      if (!cascade && f.listStatus(dir).nonEmpty)
+      // emptiness counts VISIBLE contents only: dot-prefixed residue
+      // (crashed stage workspaces, un-deleted `-replaced-` dirs) is
+      // invisible to listTables, so it must not block a drop the user
+      // cannot see a reason for — it is deleted with the namespace
+      if (!cascade && f.listStatus(dir).exists(
+          st => !st.getPath.getName.startsWith(".")))
         throw new IllegalStateException(
           s"graft catalog: namespace ${namespace.mkString(".")} is not empty")
       f.delete(dir, true)

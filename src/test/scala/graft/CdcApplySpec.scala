@@ -103,6 +103,28 @@ class CdcApplySpec extends SparkSuite {
       s"expected the CdcApply raise_error, got: $e")
   }
 
+  test("a delta netting a NEGATIVE count fails loudly, sum zero or not") {
+    // a net count below zero means a delete without a matching insert —
+    // malformed regardless of the sum (including the sum-0 shape a
+    // double-applied delta produces)
+    for (ds <- Seq("-30.00" /* sum nets 0 */, "-29.00" /* residual */)) {
+      val view = Seq(("bad", 1L, "30.00"))
+        .toDF("k", "n0", "s0raw")
+        .select(col("k"), col("n0"), col("s0raw").cast("decimal(18,2)").as("s0"))
+      val delta = Seq(("bad", -3L, ds))
+        .toDF("k", "dn", "dsraw")
+        .select(col("k"), col("dn"), col("dsraw").cast("decimal(18,2)").as("ds"))
+      val e = intercept[Exception] {
+        CdcApply.applyDelta(view, delta, "k").collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("netted negative count")),
+        s"ds=$ds: expected the negative-count raise, got: $e")
+    }
+  }
+
   test("an empty delta is the identity") {
     val view = Seq(("a", 5L, "1.25"))
       .toDF("k", "n0", "s0raw")

@@ -312,6 +312,33 @@ class Dsv2CatalogSpec extends SparkSuite {
     assert(spark.sql("SELECT count(*) FROM gcat.ctas.t").head().getLong(0) == 30)
   }
 
+  test("stage sweep is age-gated; invisible residue never blocks a namespace drop") {
+    spark.sql("CREATE NAMESPACE gcat.sweep")
+    val ns = new java.io.File(s"$rootDir/sweep")
+    // plant residue: a STALE crashed stage + a stale replaced leftover
+    // (old mtimes) and a FRESH stage standing in for a live concurrent
+    // operation
+    val stale = new java.io.File(ns, ".t-stage-stale001"); stale.mkdirs()
+    val replaced = new java.io.File(ns, ".t-replaced-old0001"); replaced.mkdirs()
+    val fresh = new java.io.File(ns, ".t-stage-fresh001"); fresh.mkdirs()
+    val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    assert(stale.setLastModified(old) && replaced.setLastModified(old))
+    // a CTAS of `t` runs the sweep for t's residue prefixes
+    spark.sql("""CREATE TABLE gcat.sweep.t USING `graft-tsv`
+      AS SELECT id FROM range(3)""")
+    val hidden = ns.listFiles().map(_.getName).filter(_.startsWith(".")).toSet
+    assert(!hidden.contains(".t-stage-stale001"), "stale stage not swept")
+    assert(!hidden.contains(".t-replaced-old0001"), "replaced residue not swept")
+    assert(hidden.contains(".t-stage-fresh001"),
+      "the age gate must spare a recent (possibly live) stage dir")
+    // non-cascade DROP NAMESPACE counts VISIBLE contents only — the
+    // fresh dot-dir is invisible to SHOW TABLES and must not block a
+    // drop the user can see no reason for
+    spark.sql("DROP TABLE gcat.sweep.t")
+    spark.sql("DROP NAMESPACE gcat.sweep")
+    assert(!ns.exists(), "namespace (and its invisible residue) must be gone")
+  }
+
   test("RTAS: REPLACE swaps the whole table definition; CREATE OR REPLACE creates") {
     spark.sql("CREATE NAMESPACE gcat.rtas")
     spark.sql("""CREATE TABLE gcat.rtas.t USING `graft-tsv`
