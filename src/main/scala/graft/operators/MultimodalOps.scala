@@ -24,7 +24,14 @@ object MultimodalOps {
   /** One media payload: id + modality tag + raw bytes. */
   final case class MediaRecord(media_id: Long, kind: String, media: Array[Byte])
 
-  /** Compact per-media features (what downstream queries join against). */
+  /** Compact per-media features (what downstream queries join against).
+    * `hist_l2` (Σ count(b)² over the byte histogram) and `n_byte_kinds`
+    * (distinct byte values) are EXACT integers derived from the same
+    * histogram as `byte_entropy` — they are what the driver oracle gate
+    * hashes, because a float entropy quantized at any fixed grid can
+    * land within an ulp of a rounding boundary and flake across engines
+    * whose summation orders differ. Any decode regression that moves the
+    * histogram moves these integers identically on both sides. */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
@@ -32,7 +39,9 @@ object MultimodalOps {
       width: Int,
       height: Int,
       mean_byte: Double,
-      byte_entropy: Double)
+      byte_entropy: Double,
+      hist_l2: Long,
+      n_byte_kinds: Int)
 
   /** A sampled frame/chunk of a media payload. */
   final case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
@@ -73,13 +82,18 @@ object MultimodalOps {
         while (i < bytes.length) { val b = bytes(i) & 0xff; hist(b) += 1; sum += b; i += 1 }
         val n = bytes.length.toDouble
         var ent = 0.0
+        var l2 = 0L
+        var kinds = 0
         var j = 0
         while (j < 256) {
-          if (hist(j) > 0) { val p = hist(j) / n; ent -= p * math.log(p) / math.log(2) }
+          if (hist(j) > 0) {
+            val p = hist(j) / n; ent -= p * math.log(p) / math.log(2)
+            l2 += hist(j) * hist(j); kinds += 1
+          }
           j += 1
         }
         MediaFeatures(r.media_id, r.kind, bytes.length.toLong,
-          w, h, if (bytes.isEmpty) 0.0 else sum / n, ent)
+          w, h, if (bytes.isEmpty) 0.0 else sum / n, ent, l2, kinds)
       }
     }
   }

@@ -332,44 +332,52 @@ object Catalog {
 
   /** Multimodal feature extraction (binary media columns, partition-wise
     * stubbed decode — graft.operators.MultimodalOps), under the FULL
-    * oracle hash since round 11: the mapPartitions features surface as
-    * deterministic integer derivations — exact byte sum (recovered from
-    * the mean, exact because sum < 2^53), dimensions from the codec seam,
-    * and the byte-histogram Shannon entropy quantized to micro-bits —
-    * and the oracle recomputes ALL of them from the same payload bytes
-    * in SQL (the corpus is ASCII, so DuckDB's per-char `ord` IS the byte
-    * value and its log2-based `entropy` aggregate matches the iterator's
-    * histogram formula; micro-bit quantization absorbs summation-order
-    * ulps). A value regression anywhere in the decode pipeline now
-    * hash-fails the driver gate instead of only the MultimodalSpec pin.
+    * oracle hash: the mapPartitions features surface as deterministic
+    * INTEGER derivations — exact byte sum (recovered from the mean,
+    * exact because sum < 2^53), dimensions from the codec seam, and the
+    * byte histogram's exact L2 mass (Σ count²) plus distinct-byte count
+    * — and the oracle recomputes ALL of them from the same payload BYTES
+    * in SQL, unnesting `hex(encode(text))` two hex digits at a time so
+    * `byte` is the true UTF-8 octet for ANY corpus, not `ord(char)`
+    * under an ASCII assumption. The histogram stats replaced a quantized
+    * float entropy (r11): entropy within an ulp of a rounding boundary
+    * flakes across engines with different summation orders, while the
+    * integer histogram moments are exact on both sides and move whenever
+    * the histogram moves. The double-precision Shannon entropy itself
+    * stays in the feature frame and is value-pinned in MultimodalSpec.
     * The oracle mirrors the decoder's short-payload guards exactly
     * (width needs ≥ 2 bytes, height ≥ 4, else 1) and LEFT-joins the byte
-    * aggregate so an EMPTY document keeps its (0-sum, 0-entropy) row —
-    * corpora with sub-4-byte docs hash identically on both sides, not
-    * just the pinned testdata. The double-precision feature frame itself
-    * stays available via MultimodalOps.featureQuery. */
+    * aggregate so an EMPTY document keeps its all-zero row. */
   private val qMultimodal = QueryDef(
     "q_multimodal_features",
     Some("""
-      |WITH b AS (
-      |  SELECT doc_id, ord(c) AS byte
-      |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
-      |  WHERE c <> ''),
+      |WITH h AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, CAST(('0x' || substr(hx, 2*i-1, 2)) AS INTEGER) AS byte
+      |  FROM h, unnest(range(1, n+1)) AS u(i)),
+      |cnt AS (
+      |  SELECT doc_id, byte, count(*) AS c FROM b GROUP BY doc_id, byte),
       |agg AS (
-      |  SELECT doc_id, CAST(sum(byte) AS BIGINT) AS sum_bytes,
-      |    CAST(round(entropy(byte) * 1000000) AS BIGINT) AS entropy_micro
-      |  FROM b GROUP BY doc_id)
-      |SELECT d.doc_id AS media_id, 'text' AS kind,
-      |  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
-      |  CAST(CASE WHEN length(d.text) >= 2
-      |    THEN greatest((ord(substr(d.text,1,1)) << 4) | (ord(substr(d.text,2,1)) & 15), 1)
+      |  SELECT doc_id, CAST(sum(byte * c) AS BIGINT) AS sum_bytes,
+      |    CAST(sum(c * c) AS BIGINT) AS hist_l2,
+      |    CAST(count(*) AS INTEGER) AS n_byte_kinds
+      |  FROM cnt GROUP BY doc_id)
+      |SELECT h.doc_id AS media_id, 'text' AS kind, h.n AS n_bytes,
+      |  CAST(CASE WHEN h.n >= 2 THEN greatest(
+      |      (CAST(('0x' || substr(hx, 1, 2)) AS INTEGER) << 4)
+      |        | (CAST(('0x' || substr(hx, 3, 2)) AS INTEGER) & 15), 1)
       |    ELSE 1 END AS INTEGER) AS width,
-      |  CAST(CASE WHEN length(d.text) >= 4
-      |    THEN greatest((ord(substr(d.text,3,1)) << 4) | (ord(substr(d.text,4,1)) & 15), 1)
+      |  CAST(CASE WHEN h.n >= 4 THEN greatest(
+      |      (CAST(('0x' || substr(hx, 5, 2)) AS INTEGER) << 4)
+      |        | (CAST(('0x' || substr(hx, 7, 2)) AS INTEGER) & 15), 1)
       |    ELSE 1 END AS INTEGER) AS height,
       |  coalesce(a.sum_bytes, 0) AS sum_bytes,
-      |  coalesce(a.entropy_micro, 0) AS entropy_micro
-      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |  coalesce(a.hist_l2, 0) AS hist_l2,
+      |  coalesce(a.n_byte_kinds, 0) AS n_byte_kinds
+      |FROM h LEFT JOIN agg a USING (doc_id)
       |ORDER BY media_id
       |""".stripMargin.trim),
     (spark, dir) =>
@@ -377,9 +385,9 @@ object Catalog {
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("width"), col("height"),
           // mean_byte = sum/n in double; ×n recovers the exact integer
-          // sum to < 0.5 ulp-error, so round() is exact (sum ≤ 553·127)
+          // sum to < 0.5 ulp-error, so round() is exact (sum ≤ 553·255)
           round(col("mean_byte") * col("n_bytes")).cast("long").as("sum_bytes"),
-          round(col("byte_entropy") * 1000000).cast("long").as("entropy_micro"))
+          col("hist_l2"), col("n_byte_kinds"))
         .orderBy("media_id"))
 
   /** Blob statistics over the binary media column — the SQL-expressible

@@ -45,9 +45,40 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
 
   /** Residue dirs (crashed stage workspaces, `-replaced-` leftovers)
     * must sit untouched this long before a later stage() sweeps them —
-    * long enough that a dir with a recent mtime is, for any practical
-    * purpose, a LIVE concurrent operation the sweep must not gut. */
+    * long enough that a dir with recent activity is, for any practical
+    * purpose, a LIVE concurrent operation the sweep must not gut.
+    *
+    * The AGE itself comes from the creation/retirement epoch embedded in
+    * the dir NAME (`.{t}-stage-{epoch}-{uuid}`,
+    * `.{t}-replaced-{epoch}-{uuid}`), NOT from the dir's mtime: a rename
+    * preserves the renamed dir's own mtime, so a just-retired
+    * `-replaced-` dir inherits the old table dir's often hours-old mtime
+    * and a pure-mtime gate would sweep it INSIDE the REPLACE swap window
+    * — gutting the rollback source if the swap's second rename then
+    * fails. Dirs from older layouts without an epoch segment fall back
+    * to the mtime gate. */
   private val StageSweepAgeMs = 60L * 60 * 1000
+
+  /** Creation/retirement epoch embedded in a residue dir name:
+    * `.{t}-stage-{epoch}-{uuid}` / `.{t}-replaced-{epoch}-{uuid}`.
+    * None for legacy names without the epoch segment. */
+  private def residueEpoch(name: String, prefix: String): Option[Long] = {
+    val rest = name.stripPrefix(prefix)
+    val seg = rest.takeWhile(_ != '-')
+    if (seg.length >= 12 && seg.forall(_.isDigit)) Some(seg.toLong) else None
+  }
+
+  /** Newest modification time anywhere under `p` — a live stage writing
+    * only into nested hive-partition subdirs never bumps the TOP-LEVEL
+    * workspace mtime, so the sweep must look at the whole tree before
+    * deciding a stage is abandoned. Residue dirs are small (one table's
+    * files); this is a sweep-time-only walk. */
+  private def newestMtime(f: FileSystem, p: Path): Long = {
+    val st = f.getFileStatus(p)
+    if (!st.isDirectory) st.getModificationTime
+    else f.listStatus(p).foldLeft(st.getModificationTime)(
+      (m, c) => m max newestMtime(f, c.getPath))
+  }
 
   override def name(): String = catalogName
 
@@ -471,7 +502,7 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     *    already-exists error. Crash before the rename: nothing visible,
     *    one orphaned dot-dir a later stage of the same table sweeps.
     *  - REPLACE commit: retire the current directory to a hidden
-    *    `.{table}-replaced-<uuid>` name, rename the workspace into
+    *    `.{table}-replaced-<epoch>-<uuid>` name, rename the workspace into
     *    place, delete the retired dir. The swap is two metadata renames,
     *    so there is a crash window where the table is ABSENT (but never
     *    torn or half-visible — both renames are atomic, and the retired
@@ -515,23 +546,33 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     // sweep residue of CRASHED earlier operations on this table — both
     // abandoned stage workspaces and `-replaced-` dirs a crash between
     // the REPLACE swap's second rename and its delete left behind
-    // (invisible, but holding bytes). AGE-GATED: only dirs untouched for
-    // StageSweepAgeMs are swept, so the sweep cannot delete a LIVE
-    // concurrent stage mid-write (a dir being written to has a recent
-    // mtime). Belt-and-braces for the pathological case (a stage idle
-    // past the gate): commit() re-checks its own descriptor below and
-    // fails LOUDLY rather than publishing a gutted workspace.
+    // (invisible, but holding bytes). AGE-GATED on the epoch embedded in
+    // the dir NAME (rename-proof — see StageSweepAgeMs), and for stage
+    // workspaces ALSO on the newest mtime anywhere in the tree, so a
+    // LIVE long-running stage writing into nested partition subdirs is
+    // never gutted mid-write. Belt-and-braces for the pathological case
+    // (a stage idle past both gates): commit() re-checks its own
+    // descriptor below and fails LOUDLY rather than publishing a gutted
+    // workspace.
+    val replacedPrefix = s".${ident.name()}-replaced-"
     val sweepBefore = System.currentTimeMillis() - StageSweepAgeMs
     f.listStatus(ns).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory &&
-          (n.startsWith(stagePrefix) ||
-            n.startsWith(s".${ident.name()}-replaced-")) &&
-          st.getModificationTime < sweepBefore)
-        f.delete(st.getPath, true)
+      val isStage = n.startsWith(stagePrefix)
+      val isReplaced = n.startsWith(replacedPrefix)
+      if (st.isDirectory && (isStage || isReplaced)) {
+        val prefix = if (isStage) stagePrefix else replacedPrefix
+        val bornBefore = residueEpoch(n, prefix)
+          .getOrElse(st.getModificationTime) < sweepBefore
+        // replaced dirs are static after retirement: the epoch gate is
+        // the whole story. Stage dirs can still be receiving writes.
+        val quiet = !isStage || newestMtime(f, st.getPath) < sweepBefore
+        if (bornBefore && quiet) f.delete(st.getPath, true)
+      }
     }
     val stageDir = new Path(ns,
-      stagePrefix + java.util.UUID.randomUUID().toString.take(8))
+      stagePrefix + System.currentTimeMillis() + "-" +
+        java.util.UUID.randomUUID().toString.take(8))
     f.mkdirs(stageDir)
     writeDescriptor(f, stageDir, desc)
     val opts = Map(
@@ -565,8 +606,13 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
           throw e
         }
       } else {
+        // retirement epoch goes in the NAME: the rename below preserves
+        // the old table dir's mtime, which may be hours past the sweep
+        // gate — a name-borne epoch keeps the rollback source alive for
+        // the full StageSweepAgeMs window regardless
         val retired = new Path(ns,
-          s".${ident.name()}-replaced-${java.util.UUID.randomUUID().toString.take(8)}")
+          s".${ident.name()}-replaced-${System.currentTimeMillis()}-" +
+            java.util.UUID.randomUUID().toString.take(8))
         fc.rename(dst, retired)
         try fc.rename(stageDir, dst)
         catch { case e: Throwable =>

@@ -321,8 +321,27 @@ class Dsv2CatalogSpec extends SparkSuite {
     val stale = new java.io.File(ns, ".t-stage-stale001"); stale.mkdirs()
     val replaced = new java.io.File(ns, ".t-replaced-old0001"); replaced.mkdirs()
     val fresh = new java.io.File(ns, ".t-stage-fresh001"); fresh.mkdirs()
-    val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    val now = System.currentTimeMillis()
+    val old = now - 2L * 60 * 60 * 1000
     assert(stale.setLastModified(old) && replaced.setLastModified(old))
+    // a JUST-retired replaced dir whose mtime the swap's rename inherited
+    // from an hours-old table dir: the name-borne retirement epoch must
+    // keep it alive through the swap window (it is the rollback source)
+    val retiredNow = new java.io.File(ns, s".t-replaced-$now-abcd1234")
+    retiredNow.mkdirs()
+    assert(retiredNow.setLastModified(old))
+    // a LIVE stage created before the gate but still writing — only into
+    // a nested partition subdir, so the workspace root's own mtime is
+    // old; the recursive freshness check must spare it
+    val liveDeep = new java.io.File(ns, s".t-stage-${old}-deadbeef")
+    val nested = new java.io.File(liveDeep, "p=1"); nested.mkdirs()
+    val liveFile = new java.io.File(nested, "part-0.tsv")
+    assert(liveFile.createNewFile())
+    assert(liveDeep.setLastModified(old) && nested.setLastModified(now))
+    // a stage abandoned long ago with nested content: swept
+    val deadDeep = new java.io.File(ns, s".t-stage-${old}-0badcafe")
+    val deadNested = new java.io.File(deadDeep, "p=2"); deadNested.mkdirs()
+    assert(deadDeep.setLastModified(old) && deadNested.setLastModified(old))
     // a CTAS of `t` runs the sweep for t's residue prefixes
     spark.sql("""CREATE TABLE gcat.sweep.t USING `graft-tsv`
       AS SELECT id FROM range(3)""")
@@ -331,6 +350,14 @@ class Dsv2CatalogSpec extends SparkSuite {
     assert(!hidden.contains(".t-replaced-old0001"), "replaced residue not swept")
     assert(hidden.contains(".t-stage-fresh001"),
       "the age gate must spare a recent (possibly live) stage dir")
+    assert(hidden.contains(s".t-replaced-$now-abcd1234"),
+      "a just-retired replaced dir (rename-inherited old mtime) must " +
+        "survive the swap window — it is the REPLACE rollback source")
+    assert(hidden.contains(s".t-stage-${old}-deadbeef"),
+      "a live stage writing only into nested partition subdirs must not " +
+        "be swept mid-write")
+    assert(!hidden.contains(s".t-stage-${old}-0badcafe"),
+      "an abandoned stage with old nested content must still be swept")
     // non-cascade DROP NAMESPACE counts VISIBLE contents only — the
     // fresh dot-dir is invisible to SHOW TABLES and must not block a
     // drop the user can see no reason for

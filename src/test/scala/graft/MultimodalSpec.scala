@@ -25,7 +25,24 @@ class MultimodalSpec extends SparkSuite {
     assert(f.media_id == 7L && f.kind == "img" && f.n_bytes == 4L)
     assert(f.mean_byte == 97.5)
     assert(math.abs(f.byte_entropy - 1.0) < 1e-12)
+    assert(f.hist_l2 == 8L && f.n_byte_kinds == 2, // 2 a's + 2 b's → 2²+2²
+      s"exact histogram stats: got (${f.hist_l2}, ${f.n_byte_kinds})")
     assert((f.width, f.height) == StubDecoder.decodeDims(bytes))
+  }
+
+  test("feature stats are byte-true for non-ASCII payloads") {
+    // 'é' is 2 octets in UTF-8 (0xC3 0xA9) — the features must see
+    // OCTETS, the invariant the byte-based DuckDB oracle now mirrors
+    val s = spark
+    import s.implicits._
+    val bytes = "éé".getBytes("UTF-8") // C3 A9 C3 A9
+    val ds = Seq(MediaRecord(9L, "img", bytes)).toDS()
+    val f = MultimodalOps.extractFeatures(ds).collect().head
+    assert(f.n_bytes == 4L)
+    assert(f.hist_l2 == 8L && f.n_byte_kinds == 2)
+    assert(f.mean_byte == (0xC3 + 0xA9) / 2.0)
+    assert((f.width, f.height) ==
+      (((0xC3 << 4) | (0xA9 & 15)), ((0xC3 << 4) | (0xA9 & 15))))
   }
 
   test("sampleFrames slices payloads into n in-order chunks") {
