@@ -38,7 +38,11 @@ object Bench {
     * q_stream_dsv2_sink already exercises, then the clustering/graph/CDC
     * additions displacing q_token_stats/q_langid/q_fingerprint (family
     * kept via q_doc_quality/q_fingerprint_rolling) and q_dsv2_update
-    * (same rewrite path as q_dsv2_merge)) — plus
+    * (same rewrite path as q_dsv2_merge), then round 12's fuzzy-join/BFS
+    * kernels displacing q_tumbling_window (batch windowing kept via
+    * q_session_window, streaming via q_stream_tumbling) and
+    * q_stream_join_right (kept via q_stream_join_outer — same
+    * outer-side watermark machinery)) — plus
     * any ERRORED query (sentinel -1, so a failure is
     * visible in the tail capture even when it's not a headline query).
     * The full per-query map is written to BENCH_FULL.json next to the
@@ -51,21 +55,21 @@ object Bench {
     "q_range_join",
     "q_cube", "q_window_rank", "q_percentiles", "q_pivot",
     "q_salted_agg",
-    "q_sessionize_native", "q_session_window", "q_tumbling_window",
+    "q_sessionize_native", "q_session_window",
     "q_scalar_funcs", "q_json_extract",
     "q_partitioned_sink", "q_upsert",
     "q_heavy_hitters", "q_bucketed_join", "q_pagerank", "q_schema_evolution",
     "q_zorder_layout", "q_compact_small_files", "q_federated_join",
     "q_incremental_agg", "q_stats_moments", "q_gap_fill",
-    "q_dedup_exact", "q_minhash_signatures",
+    "q_dedup_exact", "q_minhash_signatures", "q_fuzzy_join",
     "q_lsh_candidates", "q_jaccard_pairs", "q_simhash_pairs",
     "q_dedup_components",
     "q_cosine_topk", "q_ann_buckets", "q_neardup_bucketed", "q_ivf_topk",
-    "q_ann_recall", "q_kmeans_profile", "q_semdedup", "q_triangles",
+    "q_ann_recall", "q_kmeans_profile", "q_semdedup", "q_triangles", "q_bfs_hops",
     "q_doc_quality", "q_fingerprint_rolling", "q_crossdoc_ngrams",
     "q_pipeline_curate", "q_stratified_sample", "q_text_search",
     "q_stream_tumbling", "q_stream_sessionize", "q_stream_join",
-    "q_stream_join_outer", "q_stream_join_right", "q_stream_enrich",
+    "q_stream_join_outer", "q_stream_enrich",
     "q_stream_dedup", "q_stream_dsv2_sink",
     "q_blob_stats", "q_lateral_explode", "q_approx_quantiles",
     "q_dpp_prune", "q_dsv2_source", "q_dsv2_runtime_join",

@@ -586,7 +586,85 @@ GROUP BY t.doc_id ORDER BY doc_id"""),
         .orderBy("doc_id")
     })
 
+  /** Edit-distance similarity self-join (fuzzy entity resolution) via
+    * DELETION NEIGHBORHOODS — the SymSpell candidate scheme: every
+    * distinct name emits itself plus each radius-≤2 deletion variant,
+    * candidates are pairs sharing ANY variant, and an exact
+    * `levenshtein` pass keeps true matches. Completeness is a theorem,
+    * not a heuristic: d(a,b) ≤ k ⟹ some string reachable by ≤ k
+    * deletions from a equals one reachable by ≤ k deletions from b
+    * (each substitution deletes one char from BOTH sides, each
+    * insert/delete from one side), so unlike q-gram count filters the
+    * candidate set provably loses nothing, and unlike the LSH families
+    * above the recall is exactly 1 by construction.
+    *
+    * Scale shape (100 TB of names): strictly linear — a name of length
+    * L fans out to 1 + L + L·(L−1)/2 variant rows (≈80 for L=12, a
+    * constant), the only shuffle is the variant-keyed self-join (bucket
+    * = variant, so only names within edit distance of a shared
+    * neighborhood ever meet — the same bucket-local discipline as
+    * q_lsh_candidates), and the exact verify is a codegen'd
+    * `levenshtein` on the candidate pairs, never on the cross product.
+    * The DuckDB oracle IS the O(n²) all-pairs form — the point of the
+    * gate: the linear plan must reproduce the quadratic truth exactly. */
+  /** del0 ∪ del1 ∪ del2 of a string column as ONE generator expression,
+    * deduped per value so repeated characters don't inflate the join.
+    * del2 deletes the HIGHER position first (j+1, leaving i's index
+    * stable), covering every unordered pair exactly once. CASE guards
+    * keep Spark's sequence() from descending when a range is empty
+    * (sequence(1, 0) yields [1, 0], not []). Exposed for the
+    * FuzzyJoinSpec completeness property. */
+  private[graft] def deletionVariants(c: String): Column = {
+    def del(s: String, p: String) =
+      s"concat(substring($s, 1, $p - 1), substring($s, $p + 1, length($s)))"
+    val d2inner = del(del(c, "jm + 1"), "i")
+    expr(
+      s"""array_distinct(concat(
+         |  array($c),
+         |  CASE WHEN length($c) >= 1 THEN
+         |    transform(sequence(1, length($c)), i -> ${del(c, "i")})
+         |  ELSE array() END,
+         |  CASE WHEN length($c) >= 2 THEN
+         |    flatten(transform(sequence(1, length($c) - 1), jm ->
+         |      transform(sequence(1, jm), i -> $d2inner)))
+         |  ELSE array() END))
+         |""".stripMargin)
+  }
+
+  private val qFuzzyJoin = QueryDef(
+    "q_fuzzy_join",
+    Some("""
+      |WITH names AS (
+      |  SELECT p_name AS name, count(*) AS n_parts FROM part GROUP BY 1)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
+      |  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+      |FROM names a JOIN names b ON a.name < b.name
+      |WHERE levenshtein(a.name, b.name) <= 2
+      |ORDER BY name_a, name_b
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val names = tbl(spark, dir, "part")
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_parts"))
+      val variants = names.select(col("name"), col("n_parts"),
+        explode(deletionVariants("name")).as("v"))
+      val cand = variants.as("a")
+        .join(variants.as("b"),
+          col("a.v") === col("b.v") && col("a.name") < col("b.name"))
+        .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+          col("a.n_parts").as("n_parts_a"), col("b.n_parts").as("n_parts_b"))
+        .distinct()
+      cand
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+        .select(col("name_a"), col("name_b"), col("dist"),
+          col("n_parts_a"), col("n_parts_b"))
+        .orderBy("name_a", "name_b")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     qMinhashSignatures, qLshCandidates, qJaccardPairs, qSimhash,
-    qSimhashPairs, qDedupNear, qDedupComponents, qDecontaminate)
+    qSimhashPairs, qDedupNear, qDedupComponents, qDecontaminate,
+    qFuzzyJoin)
 }

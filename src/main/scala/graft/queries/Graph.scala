@@ -320,5 +320,87 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
         .orderBy(desc("n_tri"), asc("node")).limit(20)
     })
 
-  val defs: Seq[QueryDef] = Seq(qPagerank, qTriangles)
+  private val BfsHops = 4
+
+  private val bfsSql: String = {
+    val waves = (1 to BfsHops).map { h =>
+      val prev = s"d${h - 1}"
+      s"""n$h AS (
+  SELECT DISTINCT e.dst AS node_id
+  FROM (SELECT node_id FROM $prev WHERE hop = ${h - 1}) f
+  JOIN edges e ON e.src = f.node_id),
+d$h AS (
+  SELECT node_id, hop FROM $prev
+  UNION ALL
+  SELECT n$h.node_id, CAST($h AS BIGINT) AS hop FROM n$h
+  WHERE NOT EXISTS (SELECT 1 FROM $prev p WHERE p.node_id = n$h.node_id))"""
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (SELECT p AS src, s + $Off AS dst FROM e0
+          UNION ALL SELECT s + $Off AS src, p AS dst FROM e0),
+d0 AS (SELECT min(p) AS node_id, CAST(0 AS BIGINT) AS hop FROM e0),
+$waves
+SELECT node_id, hop FROM d$BfsHops ORDER BY hop, node_id"""
+  }
+
+  /** Breadth-first shortest-path hops from a fixed source over the same
+    * bipartite part↔supplier graph as q_pagerank — the third iterative
+    * kernel shape next to the fixpoint loop (q_dedup_components) and the
+    * fixed-damping recurrence (q_pagerank): FRONTIER EXPANSION, where
+    * each wave's work is proportional to the frontier's adjacency, not
+    * to the whole graph. The source is the smallest part node, the
+    * result is every node within $BfsHops hops with its exact hop count.
+    *
+    * Scale shape (100 TB): the edge list is laid down ONCE — broadcast
+    * path at bench SF, or hash-partitioned on `src` and checkpointed
+    * above the [[GraphAdaptive]] ceiling so no wave ever exchanges it —
+    * and each wave moves only two O(V)-bounded frames: the new-frontier
+    * distinct and the visited-set anti-join. An O(diameter) unroll with
+    * the frontier SHRINKING to empty is exactly how Pregel-style BFS
+    * behaves; 4 waves are unrolled here so the plan stays static and
+    * oracle-comparable (the DuckDB oracle runs the identical wave
+    * recurrence with NOT EXISTS visited filtering). */
+  private val qBfsHops = QueryDef(
+    "q_bfs_hops",
+    Some(bfsSql),
+    (spark, dir) => {
+      val e0 = tbl(spark, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+        .distinct()
+        .truncateLineage
+      // one metadata-cheap job: the BFS source AND the V that picks the
+      // join strategy for every O(V) frame below
+      val head = e0.agg(min(col("p")).as("src0"),
+        countDistinct(col("p")).as("np"),
+        countDistinct(col("s")).as("ns")).head()
+      val (srcId, v) = (head.getLong(0), head.getLong(1) + head.getLong(2))
+      val bcast = GraphAdaptive.broadcastOk(spark, v)
+      val pv = GraphAdaptive.pick(bcast) _
+      val edges0 = e0
+        .select(col("p").as("src"), (col("s") + Off).as("dst"))
+        .unionByName(e0.select((col("s") + Off).as("src"), col("p").as("dst")))
+      val edges = (if (bcast) edges0 else edges0.repartition(col("src")))
+        .truncateLineage
+      graft.Checkpoints.release(e0)
+      var dist = spark.range(1)
+        .select(lit(srcId).as("node_id"), lit(0L).as("hop"))
+      var frontier = dist.select("node_id")
+      for (h <- 1 to BfsHops) {
+        val reached = edges.join(pv(frontier), col("src") === col("node_id"))
+          .select(col("dst").as("node_id")).distinct()
+        // each wave's frontier feeds TWO consumers (the next wave's edge
+        // probe and the visited-set union) — materialize it once so the
+        // anti-join subtree never re-executes and the visited set stays
+        // a flat union of O(V)-bounded materialized waves, the same
+        // lineage discipline as the q_dedup_components loop
+        frontier = reached.join(pv(dist.select("node_id")),
+            Seq("node_id"), "left_anti")
+          .truncateLineage
+        dist = dist.unionByName(
+          frontier.select(col("node_id"), lit(h.toLong).as("hop")))
+      }
+      dist.orderBy("hop", "node_id")
+    })
+
+  val defs: Seq[QueryDef] = Seq(qPagerank, qTriangles, qBfsHops)
 }

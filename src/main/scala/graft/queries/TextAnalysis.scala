@@ -813,9 +813,113 @@ object TextAnalysis {
         .orderBy("lang", "pack_id")
     })
 
+  /** Per-source characteristic terms — TF-IDF's ranking semantics with
+    * NO floats anywhere: terms rank by (source term frequency DESC,
+    * corpus document frequency ASC, term ASC), the exact order
+    * tf·log(N/df) induces when tf dominates, expressed purely over
+    * integers so the oracle gate is bit-exact by construction rather
+    * than quantization (the q_multimodal_features lesson). Top-3 per
+    * source.
+    *
+    * Scale shape: tf aggregates in the SAME pass as tokenization
+    * (source rides the scan — no doc join), df is a second term-keyed
+    * aggregation, and the only join is term-keyed M:1 onto the compact
+    * df frame; the per-source window runs over ≤ |vocab| rows per
+    * source. At 100 TB both aggregations are map-side partial first —
+    * the heavy-tail term skew lands on the df agg, which is exactly the
+    * salted-agg shape (q_salted_agg) if a term ever hot-spots. */
+  private val qTopTerms = QueryDef(
+    "q_top_terms",
+    Some(s"""
+      |WITH $tokSql,
+      |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+      |st AS (SELECT source, w, count(*) AS tf FROM (
+      |    SELECT d.source, unnest(string_split_regex(d.text, '\\s+')) AS w
+      |    FROM documents d)
+      |  WHERE w <> '' GROUP BY source, w),
+      |r AS (SELECT st.source, st.w, st.tf, df.df,
+      |    row_number() OVER (PARTITION BY st.source
+      |      ORDER BY st.tf DESC, df.df ASC, st.w ASC) AS rk
+      |  FROM st JOIN df USING (w))
+      |SELECT source, w AS term, CAST(tf AS BIGINT) AS tf,
+      |  CAST(df AS BIGINT) AS df, CAST(rk AS INTEGER) AS rk
+      |FROM r WHERE rk <= 3 ORDER BY source, rk
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val tokS = tbl(spark, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      val df = tokS.groupBy("w")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val st = tokS.groupBy("source", "w").agg(count(lit(1)).as("tf"))
+      val rk = row_number().over(Window.partitionBy("source")
+        .orderBy(col("tf").desc, col("df").asc, col("w").asc))
+      st.join(df, "w")
+        .withColumn("rk", rk)
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("w").as("term"), col("tf"), col("df"),
+          col("rk"))
+        .orderBy("source", "rk")
+    })
+
+  /** Domain mixture reweighting — the data-mixing step every multi-source
+    * training corpus needs: allocate a global token budget (half the
+    * corpus here) across sources by SQRT-PROPORTIONAL weighting (the
+    * standard temperature-style rebalancing that upweights small domains
+    * without letting a huge one dominate). All arithmetic is exact:
+    * token counts are integers, floor(sqrt(bigint)) is the correctly
+    * rounded IEEE sqrt of an exactly representable integer (identical in
+    * every engine), and the quota split is integer division — so the
+    * allocation is bit-reproducible, which a production pipeline needs
+    * to make reshuffled reruns emit the same mixture.
+    *
+    * Scale shape: one tokenize+agg pass keyed by source (map-side
+    * partial), a 1-row total frame broadcast back — the corpus is read
+    * once and nothing but the per-source summary ever moves. */
+  private val qDomainMix = QueryDef(
+    "q_domain_mix",
+    Some("""
+      |WITH src AS (
+      |  SELECT source, count(DISTINCT doc_id) AS n_docs,
+      |    CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(floor(sqrt(count(*))) AS BIGINT) AS sqrt_w
+      |  FROM (SELECT doc_id, source,
+      |          unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+      |    CAST(sum(sqrt_w) AS BIGINT) AS sw FROM src),
+      |q AS (SELECT source, n_docs, n_tokens, sqrt_w,
+      |    CAST(((tot.total // 2) * sqrt_w) // tot.sw AS BIGINT) AS quota_tokens
+      |  FROM src CROSS JOIN tot)
+      |SELECT source, n_docs, n_tokens, sqrt_w, quota_tokens,
+      |  CAST((quota_tokens * 100) // n_tokens AS BIGINT) AS pct_of_source
+      |FROM q ORDER BY source
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val src = tbl(spark, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"))
+        .withColumn("sqrt_w", expr("CAST(floor(sqrt(n_tokens)) AS BIGINT)"))
+      val tot = src.agg(sum(col("n_tokens")).as("total"),
+        sum(col("sqrt_w")).as("sw"))
+      src.crossJoin(broadcast(tot))
+        .withColumn("quota_tokens",
+          expr("((total div 2) * sqrt_w) div sw"))
+        .withColumn("pct_of_source",
+          expr("(quota_tokens * 100) div n_tokens"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("sqrt_w"), col("quota_tokens"), col("pct_of_source"))
+        .orderBy("source")
+    })
+
   val defs: Seq[QueryDef] =
     Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf,
       qFingerprintRolling, qPipelineCurate, qStratifiedSample, qTextSearch,
       qHeavyHitters, qProfile, qHistogram, qPiiScrub, qRepetitionFilter,
-      qCrossdocNgrams, qSeqPacking, qImportanceSample)
+      qCrossdocNgrams, qSeqPacking, qImportanceSample, qTopTerms, qDomainMix)
 }

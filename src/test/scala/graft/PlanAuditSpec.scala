@@ -23,7 +23,8 @@ class PlanAuditSpec extends SparkSuite {
     "q_dsv2_zorder",   // 1-row key-bounds frame for the box predicate
     // the k-means family: packed-centroid and adaptive-K frames are
     // 1-row aggregates broadcast-crossed in (the IVF pattern)
-    "q_kmeans_assign", "q_kmeans_profile", "q_semdedup")
+    "q_kmeans_assign", "q_kmeans_profile", "q_semdedup",
+    "q_domain_mix")    // 1-row (total, sqrt-mass) budget frame, same pattern
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no cartesian product / unexpected nested loop") {
