@@ -42,7 +42,8 @@ object Bench {
     * kernels displacing q_tumbling_window (batch windowing kept via
     * q_session_window, streaming via q_stream_tumbling) and
     * q_stream_join_right (kept via q_stream_join_outer — same
-    * outer-side watermark machinery)) — plus
+    * outer-side watermark machinery), plus q_pq_topk displacing
+    * q_interval_bin_join (range-family kept via q_range_join/q_asof_join)) — plus
     * any ERRORED query (sentinel -1, so a failure is
     * visible in the tail capture even when it's not a headline query).
     * The full per-query map is written to BENCH_FULL.json next to the
@@ -51,7 +52,7 @@ object Bench {
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q9_product_profit", "q18_large_volume", "q21_waiting_supplier",
     "q_wordcount", "q_stopword_wordcount", "q_topk_common_max",
-    "q_join_agg", "q_broadcast_join", "q_asof_join", "q_interval_bin_join",
+    "q_join_agg", "q_broadcast_join", "q_asof_join",
     "q_range_join",
     "q_cube", "q_window_rank", "q_percentiles", "q_pivot",
     "q_salted_agg",
@@ -65,7 +66,7 @@ object Bench {
     "q_lsh_candidates", "q_jaccard_pairs", "q_simhash_pairs",
     "q_dedup_components",
     "q_cosine_topk", "q_ann_buckets", "q_neardup_bucketed", "q_ivf_topk",
-    "q_ann_recall", "q_kmeans_profile", "q_semdedup", "q_triangles", "q_bfs_hops",
+    "q_ann_recall", "q_pq_topk", "q_kmeans_profile", "q_semdedup", "q_triangles", "q_bfs_hops",
     "q_doc_quality", "q_fingerprint_rolling", "q_crossdoc_ngrams",
     "q_pipeline_curate", "q_stratified_sample", "q_text_search",
     "q_stream_tumbling", "q_stream_sessionize", "q_stream_join",

@@ -71,3 +71,12 @@ object RunOne {
     spark.stop()
   }
 }
+
+/** Dev tool: print ONE query's oracle SQL (for ad-hoc DuckDB comparison
+  * against a RunOne dump without a full Verify pass):
+  *   sbt "runMain graft.ShowOracle q_pq_topk"  */
+object ShowOracle {
+  def main(args: Array[String]): Unit =
+    println(SparkEntry.oracleSql.getOrElse(args(0),
+      s"<no oracle for ${args(0)}>"))
+}

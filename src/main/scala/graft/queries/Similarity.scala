@@ -772,8 +772,184 @@ ORDER BY a1.vec_id"""),
         .orderBy("vec_id")
     })
 
+  // ---- product quantization (PQ/ADC, Jégou et al. 2011) ----
+  private val PqM = 4                  // subspaces
+  private val PqSubDim = Dim / PqM     // 16 dims each
+  private val PqK = 16                 // centroids per subspace → 4-bit codes
+
+  /** Per-subspace codebook training + encoding, all integer arithmetic:
+    * subvector slices of the 1e6-quantized vectors, seeds = the k-means
+    * seed pool's first PqK vectors (hash60-ordered, deterministic), one
+    * Lloyd update per subspace (truncated-mean centroids, `div`), final
+    * assignment = the 4-bit code. Ends in codes(vec_id, s, code) and
+    * c1(s, cid, cv). */
+  private val sqlPq: String = {
+    def sqAssign(cb: String, out: String): String = s"""
+$out AS (
+  SELECT vec_id, s, sv,
+    list_min(list_transform(list_filter(sc, e -> e.dist = best), e -> e.cid)) AS cid
+  FROM (SELECT vec_id, s, sv, sc,
+      list_min(list_transform(sc, e -> e.dist)) AS best
+    FROM (SELECT v.vec_id, v.s, v.sv,
+        list_transform(cb.cl, e -> struct_pack(cid := e.cid,
+          dist := CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}), i ->
+            (list_extract(v.sv, CAST(i AS INT)) - list_extract(e.cv, CAST(i AS INT)))
+            * (list_extract(v.sv, CAST(i AS INT)) - list_extract(e.cv, CAST(i AS INT)))))
+            AS BIGINT))) AS sc
+      FROM sub v JOIN $cb cb USING (s))))"""
+    s"""$sqlQvt,
+ss AS (SELECT CAST(unnest(range(1, ${PqM + 1})) AS BIGINT) AS s),
+sub AS (SELECT vec_id, s,
+    list_slice(qv, CAST((s - 1) * $PqSubDim + 1 AS INT), CAST(s * $PqSubDim AS INT)) AS sv
+  FROM qvt, ss),
+seedc AS (
+  SELECT CAST(row_number() OVER (ORDER BY hp, vec_id) AS BIGINT) AS cid, qv
+  FROM (SELECT vec_id, qv, $sqlHash60VecId AS hp FROM qvt
+        QUALIFY row_number() OVER (ORDER BY $sqlHash60VecId, vec_id) <= $PqK)),
+c0 AS (SELECT s, cid,
+    list_slice(qv, CAST((s - 1) * $PqSubDim + 1 AS INT), CAST(s * $PqSubDim AS INT)) AS cv
+  FROM seedc, ss),
+cb0 AS (SELECT s, list(struct_pack(cid := cid, cv := cv) ORDER BY cid) AS cl
+  FROM c0 GROUP BY s),
+${sqAssign("cb0", "a0")},
+psums AS (
+  SELECT s, cid, t.i AS pos,
+    CAST(sum(list_extract(sv, CAST(t.i AS INT))) AS BIGINT) AS sx, count(*) AS n
+  FROM a0, range(1, ${PqSubDim + 1}) t(i) GROUP BY s, cid, t.i),
+c1 AS (SELECT s, cid, list(sx // n ORDER BY pos) AS cv FROM psums GROUP BY s, cid),
+cb1 AS (SELECT s, list(struct_pack(cid := cid, cv := cv) ORDER BY cid) AS cl
+  FROM c1 GROUP BY s),
+${sqAssign("cb1", "codes")}"""
+  }
+
+  /** Approximate nearest neighbors via PRODUCT QUANTIZATION with
+    * asymmetric distance computation (ADC) — the memory-bound ANN scale
+    * path next to the LSH (q_ann_buckets) and IVF (q_ivf_topk) recall
+    * paths: each vector is compressed to PqM 4-bit codes (64 dims →
+    * 4 bytes, a 64× footprint reduction at 100 TB the uncompressed
+    * corpus cannot match), queries precompute a (query, subspace,
+    * centroid) distance table, and a candidate's approximate distance is
+    * m table lookups + adds — no per-pair vector math at all. The top-k
+    * by ADC also carries each pair's EXACT integer L2², so the
+    * quantization error is a measured column in the result, the same
+    * recall-is-a-number discipline as q_ann_recall.
+    *
+    * Everything is integer-exact (quantized subvectors, squared-diff
+    * distances, truncated-mean Lloyd update, min-cid tie-breaks), so the
+    * full train→encode→ADC pipeline hash-matches the DuckDB oracle.
+    *
+    * Scale shape: codebooks are PqM·PqK·PqSubDim longs (8 KB) broadcast
+    * everywhere; training is one bounded exchange (K·m·subdim partial
+    * sums); encoding is a zero-shuffle broadcast-HOF projection (the
+    * kmAssign pattern); the ADC distance table is PqM·PqK·queries rows
+    * (512) broadcast onto the code stream; the only corpus-sized shuffle
+    * is the per-(query, candidate) partial-sum aggregation feeding the
+    * top-k window — the same shape q_cosine_topk already pays, on rows
+    * that carry 3 longs instead of 64. */
+  private val qPqTopk = QueryDef(
+    "q_pq_topk",
+    Some(s"""WITH $sqlPq,
+qsub AS (SELECT vec_id AS query_id, s, sv FROM sub WHERE vec_id < $NumQueries),
+dtab AS (
+  SELECT q.query_id, c.s, c.cid,
+    CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}), i ->
+      (list_extract(q.sv, CAST(i AS INT)) - list_extract(c.cv, CAST(i AS INT)))
+      * (list_extract(q.sv, CAST(i AS INT)) - list_extract(c.cv, CAST(i AS INT)))))
+      AS BIGINT) AS d2
+  FROM qsub q JOIN c1 c USING (s)),
+adc AS (
+  SELECT d.query_id, c.vec_id AS cand_id, CAST(sum(d.d2) AS BIGINT) AS adc_dist
+  FROM codes c JOIN dtab d ON d.s = c.s AND d.cid = c.cid
+  WHERE c.vec_id <> d.query_id
+  GROUP BY d.query_id, c.vec_id),
+ranked AS (
+  SELECT query_id, cand_id, adc_dist,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY adc_dist ASC, cand_id) AS BIGINT) AS rnk
+  FROM adc),
+top AS (SELECT * FROM ranked WHERE rnk <= $TopK)
+SELECT t.query_id, t.rnk, t.cand_id, t.adc_dist,
+  CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+    (list_extract(a.qv, CAST(i AS INT)) - list_extract(b.qv, CAST(i AS INT)))
+    * (list_extract(a.qv, CAST(i AS INT)) - list_extract(b.qv, CAST(i AS INT)))))
+    AS BIGINT) AS exact_dist
+FROM top t JOIN qvt a ON a.vec_id = t.query_id JOIN qvt b ON b.vec_id = t.cand_id
+ORDER BY query_id, rnk"""),
+    (spark, dir) => {
+      val qvt = tblWide(spark, dir, "embeddings")
+        .select(col("vec_id"), expr(quantizeExpr).as("qv"))
+      val sub = qvt.select(col("vec_id"), expr(
+          s"""explode(transform(sequence(1, $PqM), s -> struct(
+             |  CAST(s AS BIGINT) AS s,
+             |  slice(qv, (s - 1) * $PqSubDim + 1, $PqSubDim) AS sv)))
+             |""".stripMargin).as("e"))
+        .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+      val wseed = Window.orderBy("hp", "vec_id")
+      val seedc = qvt
+        .withColumn("hp", PortableHash.hash60(col("vec_id").cast("string")))
+        .orderBy("hp", "vec_id").limit(PqK)
+        .select(row_number().over(wseed).cast("long").as("cid"), col("qv"))
+      val c0 = seedc.select(col("cid"), expr(
+          s"""explode(transform(sequence(1, $PqM), s -> struct(
+             |  CAST(s AS BIGINT) AS s,
+             |  slice(qv, (s - 1) * $PqSubDim + 1, $PqSubDim) AS cv)))
+             |""".stripMargin).as("e"))
+        .select(col("e.s").as("s"), col("cid"), col("e.cv").as("cv"))
+      // per-subspace packed codebook: PqM rows, each an ordered centroid
+      // list — broadcast onto the subvector stream, assignment is a
+      // zero-shuffle HOF argmin exactly like kmAssign
+      def pack(c: DataFrame): DataFrame = c
+        .groupBy("s")
+        .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cl"))
+      def assign(cb: DataFrame): DataFrame = sub
+        .join(broadcast(cb), "s")
+        .withColumn("xx", call_function("long_dot", col("sv"), col("sv")))
+        .withColumn("sc", expr(
+          "transform(cl, e -> struct(e.cid AS cid, xx - 2 * long_dot(sv, e.cv) + long_dot(e.cv, e.cv) AS dist))"))
+        .withColumn("best", expr("array_min(transform(sc, e -> e.dist))"))
+        .select(col("vec_id"), col("s"), col("sv"),
+          expr("array_min(transform(filter(sc, e -> e.dist = best), e -> e.cid))")
+            .as("cid"))
+      val a0 = assign(pack(c0))
+      val psums = a0
+        .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("s", "cid", "pos")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      val c1 = psums
+        .select(col("s"), col("cid"), col("pos"), expr("sx div n").as("m"))
+        .groupBy("s", "cid")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("s"), col("cid"), expr("transform(pm, p -> p.m)").as("cv"))
+      val codes = assign(pack(c1))
+      val qsub = sub.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qsv"))
+      val dtab = qsub.join(c1, "s")
+        .select(col("query_id"), col("s"), col("cid"),
+          (call_function("long_dot", col("qsv"), col("qsv"))
+            - lit(2) * call_function("long_dot", col("qsv"), col("cv"))
+            + call_function("long_dot", col("cv"), col("cv"))).as("d2"))
+      val adc = codes
+        .join(broadcast(dtab), Seq("s", "cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"), col("d2"))
+        .groupBy("query_id", "cand_id")
+        .agg(sum(col("d2")).as("adc_dist"))
+      val w = Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("cand_id"))
+      val top = adc
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= TopK)
+      top
+        .join(qvt.select(col("vec_id").as("query_id"), col("qv").as("qa")), "query_id")
+        .join(qvt.select(col("vec_id").as("cand_id"), col("qv").as("qb")), "cand_id")
+        .select(col("query_id"), col("rnk"), col("cand_id"), col("adc_dist"),
+          (call_function("long_dot", col("qa"), col("qa"))
+            - lit(2) * call_function("long_dot", col("qa"), col("qb"))
+            + call_function("long_dot", col("qb"), col("qb"))).as("exact_dist"))
+        .orderBy("query_id", "rnk")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     qCosineTopk, qAnnBuckets, qAnnBucketStats, qArrayFuncs, qNeardupBucketed,
     qIvfAssign, qIvfTopk, qAnnRecall, qKmeansAssign, qKmeansProfile,
-    qSemdedup)
+    qSemdedup, qPqTopk)
 }

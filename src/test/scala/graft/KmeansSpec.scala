@@ -69,6 +69,59 @@ class KmeansSpec extends SparkSuite {
     })
   }
 
+  test("q_pq_topk matches a plain-Scala PQ/ADC run end to end") {
+    // same discipline as the Lloyd test above: the DuckDB gate proves
+    // Spark ≡ DuckDB on the shared declarative chain; this re-runs
+    // codebook training, encoding and the ADC scan independently in
+    // driver-side Scala and compares every output cell.
+    val (pqM, subDim, pqK, nQ, topK) = (4, 16, 16, 8, 5)
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+    val vecs: Seq[(Long, Array[Long])] = rows.map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(quant).toArray).toSeq
+    def slice(v: Array[Long], s: Int): Array[Long] =
+      v.slice((s - 1) * subDim, s * subDim)
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var i = 0; var acc = 0L
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val seeds = vecs
+      .sortBy { case (id, _) => (PortableHash.hash60Const(id.toString), id) }
+      .take(pqK).zipWithIndex.map { case ((_, v), i) => ((i + 1).toLong, v) }
+    def nearest(cb: Seq[(Long, Array[Long])], sv: Array[Long]): Long =
+      cb.map { case (cid, cv) => (d2(sv, cv), cid) }.min._2
+    val cb1: Map[Int, Seq[(Long, Array[Long])]] = (1 to pqM).map { s =>
+      val cb0 = seeds.map { case (cid, v) => (cid, slice(v, s)) }
+      val assigned = vecs.groupBy { case (_, v) => nearest(cb0, slice(v, s)) }
+      s -> assigned.toSeq.map { case (cid, members) =>
+        val svs = members.map { case (_, v) => slice(v, s) }
+        (cid, Array.tabulate(subDim)(d => svs.map(_(d)).sum / svs.size))
+      }
+    }.toMap
+    val codes: Map[(Long, Int), Long] = (for {
+      (id, v) <- vecs; s <- 1 to pqM
+    } yield (id, s) -> nearest(cb1(s), slice(v, s))).toMap
+    val want = (for ((q, qv) <- vecs if q < nQ) yield {
+      val dtab = (for {
+        s <- 1 to pqM; (cid, cv) <- cb1(s)
+      } yield (s, cid) -> d2(slice(qv, s), cv)).toMap
+      val cands = vecs.collect { case (id, _) if id != q =>
+        ((1 to pqM).map(s => dtab((s, codes((id, s))))).sum, id)
+      }.sorted.take(topK)
+      cands.zipWithIndex.map { case ((adc, id), i) =>
+        (q, (i + 1).toLong, id, adc, d2(qv, vecs.toMap.apply(id)))
+      }
+    }).flatten.toSet
+    val got = Catalog.queries("q_pq_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === want, {
+      val miss = (want -- got).take(3); val extra = (got -- want).take(3)
+      s"PQ divergence: missing=$miss extra=$extra"
+    })
+  }
+
   test("q_kmeans_profile is the exact rollup of q_kmeans_assign") {
     val assigns = Catalog.queries("q_kmeans_assign")(spark, sfDir).collect()
       .map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
