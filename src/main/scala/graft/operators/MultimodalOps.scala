@@ -46,6 +46,26 @@ object MultimodalOps {
   /** A sampled frame/chunk of a media payload. */
   final case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
+  /** Exact integer per-frame statistics — the hashable audit row of the
+    * frame-sampling path (frame bytes themselves are not portably
+    * SQL-comparable; their length/sum/endpoint bytes are). */
+  final case class FrameStats(
+      media_id: Long, frame_idx: Int, n_bytes: Long,
+      sum_bytes: Long, first_byte: Int, last_byte: Int)
+
+  /** [[sampleFrames]] + per-frame byte statistics, one typed map — the
+    * frame payload never leaves its partition, only the fixed-width
+    * stats row does. */
+  def frameStats(ds: Dataset[MediaRecord], n: Int): Dataset[FrameStats] = {
+    import ds.sparkSession.implicits._
+    sampleFrames(ds, n).map { fr =>
+      var s = 0L; var i = 0
+      while (i < fr.frame.length) { s += fr.frame(i) & 0xff; i += 1 }
+      FrameStats(fr.media_id, fr.frame_idx, fr.frame.length.toLong, s,
+        fr.frame.head & 0xff, fr.frame.last & 0xff)
+    }
+  }
+
   /** Codec seam. `decodeDims` would parse a real container header
     * (PNG IHDR, JPEG SOF, WAV fmt...). */
   trait Decoder extends Serializable {

@@ -390,6 +390,47 @@ object Catalog {
           col("hist_l2"), col("n_byte_kinds"))
         .orderBy("media_id"))
 
+  /** Frame sampling under the full oracle hash — the video/audio
+    * chunking path (MultimodalOps.sampleFrames: n evenly-spaced byte
+    * slices per payload, a real pipeline seeks keyframes at the same
+    * positions) audited per frame: exact slice width, byte sum, and the
+    * endpoint bytes, recomputed by the oracle from the true UTF-8 octets
+    * via the same hex(encode(text)) route as q_multimodal_features —
+    * byte-true for any corpus, no md5-of-binary needed (DuckDB's md5 is
+    * VARCHAR-only). Slice boundaries are integer arithmetic
+    * (from = ⌊len·k/n⌋, until = min(max(from+1, ⌊len·(k+1)/n⌋), len)),
+    * identical in both engines; empty payloads emit no frames on either
+    * side. Frame bytes never shuffle — the typed map emits fixed-width
+    * stat rows inside the scan partition. */
+  private val qFrameSample = QueryDef(
+    "q_frame_sample",
+    Some("""
+      |WITH h AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, i, CAST(('0x' || substr(hx, 2*i-1, 2)) AS INTEGER) AS byte
+      |  FROM h, unnest(range(1, n+1)) AS u(i)),
+      |f AS (
+      |  SELECT doc_id, k, (n * k) // 4 AS f0,
+      |    least(greatest((n * k) // 4 + 1, (n * (k + 1)) // 4), n) AS f1
+      |  FROM h, unnest(range(0, 4)) AS t(k) WHERE n > 0)
+      |SELECT f.doc_id AS media_id, CAST(f.k AS INTEGER) AS frame_idx,
+      |  CAST(f.f1 - f.f0 AS BIGINT) AS n_bytes,
+      |  CAST(sum(b.byte) AS BIGINT) AS sum_bytes,
+      |  CAST(min(CASE WHEN b.i = f.f0 + 1 THEN b.byte END) AS INTEGER) AS first_byte,
+      |  CAST(min(CASE WHEN b.i = f.f1 THEN b.byte END) AS INTEGER) AS last_byte
+      |FROM f JOIN b ON b.doc_id = f.doc_id AND b.i > f.f0 AND b.i <= f.f1
+      |GROUP BY f.doc_id, f.k, f.f0, f.f1
+      |ORDER BY media_id, frame_idx
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      graft.operators.MultimodalOps.frameStats(
+          graft.operators.MultimodalOps.documentsAsMedia(spark, dir), 4)
+        .toDF()
+        .orderBy("media_id", "frame_idx"))
+
   /** Blob statistics over the binary media column — the SQL-expressible
     * half of the multimodal surface, under the full oracle hash (VERDICT
     * r05 item 1): per-payload byte length + md5, computed on the SAME
@@ -423,7 +464,7 @@ object Catalog {
   // =========================================================================
 
   val defs: Seq[QueryDef] = Seq(
-    qMultimodal, qBlobStats) ++ Seq(
+    qMultimodal, qBlobStats, qFrameSample) ++ Seq(
     qWordcount, qTopkMax, qTopkMin, qStopword,
     qPricing, qFilterProject, qSortLimit, qJoinAgg,
     qSemiJoin, qAntiJoin, qBroadcastJoin, qWindowRank,

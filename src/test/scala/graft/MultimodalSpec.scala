@@ -55,6 +55,23 @@ class MultimodalSpec extends SparkSuite {
       "chunks must reassemble to the original payload")
   }
 
+  test("frameStats handles payloads shorter than the frame count") {
+    val s = spark
+    import s.implicits._
+    val ds = Seq(MediaRecord(1L, "vid", "x".getBytes("UTF-8")),
+      MediaRecord(2L, "vid", Array[Byte](10, 20))).toDS()
+    val got = MultimodalOps.frameStats(ds, 4).collect()
+      .map(f => (f.media_id, f.frame_idx, f.n_bytes, f.sum_bytes,
+        f.first_byte, f.last_byte)).sortBy(t => (t._1, t._2)).toSeq
+    // len=1: every frame degenerates to the single byte; len=2: frames
+    // 0,1 → byte 0 and frames 2,3 → byte 1 (from=⌊len·k/4⌋, ≥1 wide)
+    assert(got == Seq(
+      (1L, 0, 1L, 120L, 120, 120), (1L, 1, 1L, 120L, 120, 120),
+      (1L, 2, 1L, 120L, 120, 120), (1L, 3, 1L, 120L, 120, 120),
+      (2L, 0, 1L, 10L, 10, 10), (2L, 1, 1L, 10L, 10, 10),
+      (2L, 2, 1L, 20L, 20, 20), (2L, 3, 1L, 20L, 20, 20)), got.toString)
+  }
+
   test("feature pipeline runs over the documents-as-media adapter") {
     val n = MultimodalOps.featureQuery(spark, sfDir).count()
     assert(n == 500L)
