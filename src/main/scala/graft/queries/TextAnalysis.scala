@@ -917,9 +917,64 @@ object TextAnalysis {
         .orderBy("source")
     })
 
+  /** Language-model-style quality scoring (the CCNet/KenLM filtering
+    * step's shape) with NO floats: the corpus's own top-16 tokens form a
+    * ranked vocabulary (deliberately smaller than this corpus's ~31-word
+    * vocabulary so the OOV path carries signal), and each document scores by its out-of-vocabulary
+    * per-mille and the mean frequency-rank of its in-vocabulary tokens
+    * (per-mille, integer `div`). A document full of common tokens scores
+    * low mean-rank/low OOV — the same ordering a unigram LM's perplexity
+    * induces, computed in exactly reproducible integer arithmetic
+    * (a real deployment swaps the rank table for its KenLM scores; the
+    * Spark shape — broadcast vocabulary, single doc-keyed aggregation —
+    * is identical).
+    *
+    * Scale shape: the vocabulary is a bounded TakeOrdered broadcast; the
+    * corpus pays one tokenize pass and one doc-keyed aggregation (the
+    * corpus is laid out by doc, so the agg is scan-local) — linear,
+    * no term-keyed shuffle of the token stream. */
+  private val qLmScore = QueryDef(
+    "q_lm_score",
+    Some(s"""
+      |WITH $tokSql,
+      |vc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+      |vocab AS (
+      |  SELECT w, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rnk
+      |  FROM vc QUALIFY rnk <= 16),
+      |per AS (
+      |  SELECT t.doc_id, count(*) AS n_tok,
+      |    count(*) FILTER (WHERE v.w IS NULL) AS n_oov,
+      |    coalesce(sum(v.rnk), 0) AS sum_rank,
+      |    count(*) FILTER (WHERE v.w IS NOT NULL) AS n_in
+      |  FROM tok t LEFT JOIN vocab v USING (w) GROUP BY t.doc_id)
+      |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+      |  CAST(n_oov AS BIGINT) AS n_oov,
+      |  CAST((n_oov * 1000) // n_tok AS BIGINT) AS oov_permille,
+      |  CAST((sum_rank * 1000) // greatest(n_in, 1) AS BIGINT) AS mean_rank_milli
+      |FROM per ORDER BY doc_id
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val tok = toks(spark, dir)
+      val wv = Window.orderBy(desc("c"), asc("w"))
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("w")).limit(16)
+        .select(col("w"), row_number().over(wv).cast("long").as("rnk"))
+      tok.join(broadcast(vocab), Seq("w"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          count(when(col("rnk").isNull, lit(1))).as("n_oov"),
+          coalesce(sum(col("rnk")), lit(0L)).as("sum_rank"),
+          count(col("rnk")).as("n_in"))
+        .select(col("doc_id"), col("n_tok"), col("n_oov"),
+          expr("(n_oov * 1000) div n_tok").as("oov_permille"),
+          expr("(sum_rank * 1000) div greatest(n_in, 1)").as("mean_rank_milli"))
+        .orderBy("doc_id")
+    })
+
   val defs: Seq[QueryDef] =
     Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf,
       qFingerprintRolling, qPipelineCurate, qStratifiedSample, qTextSearch,
       qHeavyHitters, qProfile, qHistogram, qPiiScrub, qRepetitionFilter,
-      qCrossdocNgrams, qSeqPacking, qImportanceSample, qTopTerms, qDomainMix)
+      qCrossdocNgrams, qSeqPacking, qImportanceSample, qTopTerms, qDomainMix,
+      qLmScore)
 }
