@@ -1808,6 +1808,88 @@ object SourceParity {
         .orderBy("c_mktsegment")
     })
 
+  /** BRANCHES on the graft catalog under the oracle gate — the Nessie/
+    * Delta-style named writable ref, implemented as a parallel
+    * `_gen-N.b-<name>` manifest chain over shared copy-on-write parts
+    * (GraftTsvMaintenance branch verbs; isolation/durability/divergence
+    * semantics pinned in Dsv2BranchSpec). Three snapshots hash-checked
+    * in one result:
+    *  - `main`: the main lineage of a table whose branch AND main both
+    *    advanced after the branch point — main must show ONLY its own
+    *    rows (branch isolation, main direction);
+    *  - `branch`: the same table read with `.option("branch", ...)` —
+    *    base + branch rows, none of main's later rows (isolation, branch
+    *    direction, and correct base resolution after main diverged);
+    *  - `merged`: a second table fast-forward-merged — the branch head's
+    *    file list republished as the next main generation.
+    * All mutation happens EAGERLY in the builder (procedure CALLs and
+    * writeTo commits); the returned plan only reads, so lazy execution
+    * resolves stable lineages. The oracle reconstructs all three views
+    * from the parquet corpus. */
+  private val qDsv2Branch = QueryDef(
+    "q_dsv2_branch",
+    Some(s"""
+      |WITH cust AS (SELECT c_custkey, c_mktsegment,
+      |    ${sqlDec("c_acctbal")} AS bal FROM customer),
+      |brx AS (SELECT c_custkey + 2000000 AS c_custkey, 'BR_X' AS c_mktsegment, bal
+      |  FROM cust WHERE c_custkey % 7 = 0),
+      |mnx AS (SELECT c_custkey + 1000000 AS c_custkey, 'MAIN_X' AS c_mktsegment, bal
+      |  FROM cust WHERE c_custkey % 5 = 0),
+      |views AS (
+      |  SELECT 'main' AS snapshot, * FROM cust
+      |  UNION ALL SELECT 'main', * FROM mnx
+      |  UNION ALL SELECT 'branch', * FROM cust
+      |  UNION ALL SELECT 'branch', * FROM brx
+      |  UNION ALL SELECT 'merged', * FROM cust
+      |  UNION ALL SELECT 'merged', * FROM brx)
+      |SELECT snapshot, c_mktsegment, count(*) AS n,
+      |  CAST(CAST(sum(bal) AS VARCHAR) AS DOUBLE) AS sum_bal
+      |FROM views GROUP BY snapshot, c_mktsegment
+      |ORDER BY snapshot, c_mktsegment
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val base = tbl(spark, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        dec("c_acctbal").cast("string").as("c_acctbal_str"))
+      def extra(mod: Int, seg: String, off: Long) =
+        base.filter(col("c_custkey") % mod === 0)
+          .select((col("c_custkey") + off).as("c_custkey"),
+            lit(seg).as("c_mktsegment"), col("c_acctbal_str"))
+      def mk(name: String): String = {
+        val t = s"gparity.db.${name}_$h"
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"""CREATE TABLE $t (c_custkey BIGINT, c_mktsegment STRING,
+          c_acctbal_str STRING) USING `graft-tsv`""")
+        base.writeTo(t).append()                               // generation 1
+        spark.sql(s"CALL gparity.system.branch('db.${name}_$h', 'cur')")
+        extra(7, "BR_X", 2000000L)
+          .writeTo(t).option("branch", "cur").append()         // branch head
+        t
+      }
+      val t1 = mk("cust_br")                // live branch, then main diverges
+      extra(5, "MAIN_X", 1000000L).writeTo(t1).append()
+      val t2 = mk("cust_brm")               // fast-forward merged
+      spark.sql(s"CALL gparity.system.merge_branch('db.cust_brm_$h', 'cur')")
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            dsum(dec(col("c_acctbal_str"))).as("sum_bal"))
+          .select(lit(tag).as("snapshot"), col("c_mktsegment"),
+            col("n"), col("sum_bal"))
+      agg(spark.table(t1), "main")
+        .unionAll(agg(
+          spark.read.option("branch", "cur").table(t1), "branch"))
+        .unionAll(agg(spark.table(t2), "merged"))
+        .orderBy("snapshot", "c_mktsegment")
+    })
+
   val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qOrcSource,
     qPartitionedSink,
     qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source,
@@ -1820,5 +1902,5 @@ object SourceParity {
     qDsv2History, qDsv2Rollback,
     qDsv2Changes,
     qDsv2Changelog, qDsv2Ivm,
-    qDsv2Zorder, qStreamGenerations)
+    qDsv2Zorder, qStreamGenerations, qDsv2Branch)
 }

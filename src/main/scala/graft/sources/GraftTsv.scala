@@ -696,6 +696,15 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
       vectorized = !Option(options.get("vectorized.read"))
         .exists(_.equalsIgnoreCase("false")),
       generation = Option(options.get("generation")).map(_.toLong),
+      // BRANCH READS: resolve the `_gen-N.b-<name>` manifest chain the
+      // branch procedure + branch writes maintain, instead of the main
+      // chain — main resolution is branch-blind by construction
+      // (branch manifests fail genNumber's parse)
+      branch = Option(options.get("branch")).map { b =>
+        require(GraftTsvManifest.validBranchName(b),
+          s"graft-tsv: invalid branch name '$b' (letters, digits, '_', '-')")
+        b
+      },
       // CHANGES (generation diff): list only files NOT also present in
       // this other generation's manifest — copy-on-write part files are
       // content-immutable, so a shared relpath cannot contribute changes
@@ -734,6 +743,7 @@ final class GraftTsvScan(
     vectorized: Boolean = true,
     generation: Option[Long] = None,
     excludeGeneration: Option[Long] = None,
+    branch: Option[String] = None,
     fileFilterOnly: Boolean = false,
     onPlanned: Option[Seq[String] => Unit] = None,
     aliases: Map[String, Seq[String]] = Map.empty,
@@ -844,6 +854,7 @@ final class GraftTsvScan(
       pushedLimit.map(n => s"PushedLimit: $n, ").getOrElse("") +
       generation.map(g => s"Generation: $g, ").getOrElse("") +
       excludeGeneration.map(g => s"DiffExcludeGeneration: $g, ").getOrElse("") +
+      branch.map(b => s"Branch: $b, ").getOrElse("") +
       (if (partCols.nonEmpty) s"PartitionColumns: [${partCols.mkString(", ")}], " else "") +
       s"ReadSchema: ${readSchema().catalogString}"
 
@@ -900,8 +911,24 @@ final class GraftTsvScan(
         // atomically. No manifest = plain listing (legacy dirs).
         val rootChildren = fs.listStatus(st.getPath).toSeq
         val entries = walk(rootChildren, 0, "", Nil)
-        val gens = rootChildren
-          .flatMap(c => GraftTsvManifest.genNumber(c.getPath.getName).map(_ -> c.getPath))
+        val gens = rootChildren.flatMap { c =>
+          val n = c.getPath.getName
+          (branch match {
+            case Some(b) => GraftTsvManifest.branchGenNumber(n, b)
+            case None => GraftTsvManifest.genNumber(n)
+          }).map(_ -> c.getPath)
+        }
+        branch.foreach { b =>
+          if (gens.isEmpty) {
+            val known = rootChildren
+              .flatMap(c => GraftTsvManifest.branchOf(c.getPath.getName))
+              .distinct.sorted
+            throw new IllegalArgumentException(
+              s"graft-tsv: branch '$b' does not exist in ${st.getPath}" +
+                (if (known.isEmpty) " (no branches)"
+                 else s" (branches: ${known.mkString(", ")})"))
+          }
+        }
         if (gens.isEmpty) {
           // TIME TRAVEL needs a manifest history — a legacy plain dir has none
           (generation orElse excludeGeneration).foreach { g =>

@@ -808,13 +808,18 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
       case "tag" => GraftTsvProcedures.tag(tagImpl)
       case "untag" => GraftTsvProcedures.untag(untagImpl)
       case "zorder" => GraftTsvProcedures.zorder(catalogName, resolveForMaintenance)
+      case "branch" => GraftTsvProcedures.branchProc(resolveForMaintenance)
+      case "merge_branch" => GraftTsvProcedures.mergeBranch(resolveForMaintenance)
+      case "drop_branch" => GraftTsvProcedures.dropBranch(resolveForMaintenance)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unknown procedure '$other' — available: " +
-          "compact, history, rollback, tag, untag, vacuum, zorder")
+          "branch, compact, drop_branch, history, merge_branch, rollback, " +
+          "tag, untag, vacuum, zorder")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array("compact", "history", "rollback", "tag", "untag", "vacuum", "zorder")
+    Array("branch", "compact", "drop_branch", "history", "merge_branch",
+        "rollback", "tag", "untag", "vacuum", "zorder")
       .map(Identifier.of(namespace, _))
 
   /** Table-name string (`'db.t'`) → (dir, partition columns, retention,

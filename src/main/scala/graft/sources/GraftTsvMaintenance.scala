@@ -378,8 +378,13 @@ private[sources] object GraftTsvMaintenance {
     // retained manifest references stays; manifests below the window go
     val retained = ((newGen - retainGenerations to newGen) ++ pinnedGens)
       .distinct.filter(g => gens.contains(g) || g == newGen)
-    val keep = retained.flatMap(g =>
-      GraftTsvManifest.read(fs, new Path(dir, GraftTsvManifest.genName(g)))).toSet
+    val branchKeep = children.collect {
+      case (rel, _) if !rel.contains("/") &&
+        GraftTsvManifest.branchOf(rel).isDefined => rel
+    }.flatMap(m => GraftTsvManifest.read(fs, new Path(dir, m)))
+    val keep = (retained.flatMap(g =>
+      GraftTsvManifest.read(fs, new Path(dir, GraftTsvManifest.genName(g)))) ++
+      branchKeep).toSet
     def inScope(rel: String): Boolean = {
       val segs = rel.split("/")
       segs.length == partCols.length + 1 &&
@@ -396,6 +401,125 @@ private[sources] object GraftTsvMaintenance {
         fs.delete(st.getPath, false)
     }
     (curGen, newGen)
+  }
+
+  // ---- BRANCHES (`_gen-N.b-<name>` manifest chains; see GraftTsvManifest) ----
+
+  /** CREATE a branch: seed its chain with a byte-copy of the current
+    * head manifest as `_gen-<head>.b-<name>`. Zero data copied — the
+    * branch shares every part file with main (copy-on-write protects
+    * both sides: branch writes add NEW parts, and every main publish
+    * path's keep-set unions in branch-referenced files). Returns the
+    * base generation. */
+  def branch(dir: Path, name: String): Long = {
+    val fs = dir.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    require(GraftTsvManifest.validBranchName(name),
+      s"graft catalog branch: invalid name '$name' (letters, digits, '_', '-')")
+    require(fs.exists(dir), s"graft catalog branch: no table directory $dir")
+    val rootNames = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    val cur = rootNames.flatMap(GraftTsvManifest.genNumber).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        "graft catalog branch: table has no generation manifests yet — " +
+          "commit something before branching"))
+    require(!rootNames.exists(n =>
+        GraftTsvManifest.branchOf(n).contains(name)),
+      s"graft catalog branch: branch '$name' already exists")
+    val src = new Path(dir, GraftTsvManifest.genName(cur))
+    val tmp = new Path(dir,
+      s".manifest-br-${java.util.UUID.randomUUID().toString.take(8)}")
+    val in = fs.open(src)
+    val out = fs.create(tmp, true)
+    try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024)
+    finally { in.close(); out.close() }
+    val dst = new Path(dir, GraftTsvManifest.branchGenName(cur, name))
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"graft catalog branch: failed to publish $dst — a concurrent " +
+          "branch of the same name won the race; state is untouched")
+    cur
+  }
+
+  /** FAST-FORWARD merge: publish the branch head's file list as the next
+    * MAIN generation (the rollback republish shape — no data copied),
+    * then retire the branch chain. Refuses loudly when main advanced
+    * past the branch base — a three-way content merge is a row-level
+    * reconciliation job (the changes feed gives both deltas), not a
+    * metadata operation this verb should silently fake. Returns
+    * (branch head generation, new main generation). */
+  def mergeBranch(dir: Path, name: String): (Long, Long) = {
+    val fs = dir.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir), s"graft catalog merge_branch: no table directory $dir")
+    val children = GraftTsvPublisher.allFiles(fs, dir)
+    val rootNames = children.collect { case (rel, _) if !rel.contains("/") => rel }
+    val branchGens = rootNames.flatMap(n =>
+      GraftTsvManifest.branchGenNumber(n, name))
+    if (branchGens.isEmpty) {
+      val known = rootNames.flatMap(GraftTsvManifest.branchOf).distinct.sorted
+      throw new IllegalArgumentException(
+        s"graft catalog merge_branch: branch '$name' does not exist" +
+          (if (known.isEmpty) " (no branches)"
+           else s" (branches: ${known.mkString(", ")})"))
+    }
+    val base = branchGens.min   // the seed copy made at branch creation
+    val head = branchGens.max
+    val mainCur = rootNames.flatMap(GraftTsvManifest.genNumber).max
+    if (mainCur != base)
+      throw new IllegalStateException(
+        s"graft catalog merge_branch: not fast-forward — main advanced from " +
+          s"generation $base (the branch point) to $mainCur while branch " +
+          s"'$name' diverged; reconcile row-level (the changes feed exposes " +
+          "both deltas) or re-branch from the current head")
+    val entries = GraftTsvManifest.readEntries(fs,
+      new Path(dir, GraftTsvManifest.branchGenName(head, name)))
+    val onDisk = children.map(_._1).toSet
+    val missing = entries.map(_._1).filterNot(onDisk.contains)
+    require(missing.isEmpty,
+      s"graft catalog merge_branch: branch head references missing part " +
+        s"files (${missing.take(3).mkString(", ")}) — state corrupted " +
+        "outside the commit protocol")
+    val newGen = math.max(mainCur, head) + 1
+    val tmp = new Path(dir,
+      s".manifest-mg-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    val lines = (s"#published:${System.currentTimeMillis()}" +:
+      entries.map { case (rel, stats) =>
+        if (stats.isEmpty) rel else s"$rel\t$stats"
+      }).map(_ + "\n").mkString
+    try out.write(lines.getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(dir, GraftTsvManifest.genName(newGen))))
+      throw new IllegalStateException(
+        s"graft catalog merge_branch: failed to publish generation $newGen — " +
+          "a concurrent writer took it; directory state is untouched")
+    // the branch chain is merged — retire it; parts stay (now referenced
+    // by the new main generation; retention reclaims what isn't, later)
+    branchGens.foreach(g => fs.delete(
+      new Path(dir, GraftTsvManifest.branchGenName(g, name)), false))
+    (head, newGen)
+  }
+
+  /** DROP a branch: delete its manifest chain. Parts the branch alone
+    * referenced become unreferenced and are reclaimed by the next main
+    * commit's keep-set sweep (or vacuum) — drop itself deletes no data,
+    * symmetric with untag. Returns the number of manifests removed. */
+  def dropBranch(dir: Path, name: String): Long = {
+    val fs = dir.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir), s"graft catalog drop_branch: no table directory $dir")
+    val rootNames = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    val gens = rootNames.flatMap(n => GraftTsvManifest.branchGenNumber(n, name))
+    if (gens.isEmpty) {
+      val known = rootNames.flatMap(GraftTsvManifest.branchOf).distinct.sorted
+      throw new IllegalArgumentException(
+        s"graft catalog drop_branch: branch '$name' does not exist" +
+          (if (known.isEmpty) " (no branches)"
+           else s" (branches: ${known.mkString(", ")})"))
+    }
+    gens.foreach(g => fs.delete(
+      new Path(dir, GraftTsvManifest.branchGenName(g, name)), false))
+    gens.size.toLong
   }
 
   /** Run the orphan sweep; returns (files_deleted, bytes_reclaimed).
@@ -415,7 +539,8 @@ private[sources] object GraftTsvMaintenance {
     val children = GraftTsvPublisher.allFiles(fs, dir)
     val gens = children.collect {
       case (rel, _) if !rel.contains("/") &&
-        GraftTsvManifest.genNumber(rel).isDefined => rel
+        (GraftTsvManifest.genNumber(rel).isDefined ||
+          GraftTsvManifest.branchOf(rel).isDefined) => rel
     }
     val referenced: Set[String] = gens.flatMap(g =>
       GraftTsvManifest.read(fs, new Path(dir, g))).toSet
@@ -628,6 +753,84 @@ private[sources] object GraftTsvProcedures {
     * tagged manifest and its parts regardless of the window, so
     * `VERSION AS OF 'v1'` stays resolvable until untag. Re-tagging an
     * existing name moves it (`replaced` reports which). */
+  /** `CALL g.system.branch(table, name)` / `merge_branch` / `drop_branch`
+    * — see the [[GraftTsvMaintenance]] branch verbs. */
+  def branchProc(resolve: Resolve): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "branch"
+    override def description(): String =
+      "create a named writable branch at the current generation (zero " +
+        "data copied; write via .option(\"branch\", name), read likewise)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "branch"
+      override def description(): String = "graft-tsv branch"
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType)
+          .comment("branch name ([A-Za-z0-9_-])").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (dir, _, _, _) = resolve(input.getString(0))
+        val base = GraftTsvMaintenance.branch(dir, input.getString(1))
+        singleRowScan(
+          StructType(Seq(
+            StructField("branch", StringType, nullable = false),
+            StructField("base_generation", LongType, nullable = false))),
+          new GenericInternalRow(Array[Any](utf8(input.getString(1)), base)))
+      }
+    }
+  }
+
+  def mergeBranch(resolve: Resolve): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "merge_branch"
+    override def description(): String =
+      "fast-forward a branch into main (publishes the branch head's file " +
+        "list as the next main generation; refuses if main diverged)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "merge_branch"
+      override def description(): String = "graft-tsv merge_branch"
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (dir, _, _, _) = resolve(input.getString(0))
+        val (head, newGen) =
+          GraftTsvMaintenance.mergeBranch(dir, input.getString(1))
+        singleRowScan(
+          StructType(Seq(
+            StructField("branch", StringType, nullable = false),
+            StructField("merged_head", LongType, nullable = false),
+            StructField("new_generation", LongType, nullable = false))),
+          new GenericInternalRow(Array[Any](
+            utf8(input.getString(1)), head, newGen)))
+      }
+    }
+  }
+
+  def dropBranch(resolve: Resolve): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "drop_branch"
+    override def description(): String =
+      "delete a branch's manifest chain (no data deleted; orphaned parts " +
+        "reclaimed by the next commit or vacuum)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "drop_branch"
+      override def description(): String = "graft-tsv drop_branch"
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (dir, _, _, _) = resolve(input.getString(0))
+        val removed = GraftTsvMaintenance.dropBranch(dir, input.getString(1))
+        singleRowScan(
+          StructType(Seq(
+            StructField("branch", StringType, nullable = false),
+            StructField("manifests_removed", LongType, nullable = false))),
+          new GenericInternalRow(Array[Any](utf8(input.getString(1)), removed)))
+      }
+    }
+  }
+
   def tag(doTag: (String, String, Long) => Boolean): UnboundProcedure =
     new UnboundProcedure {
       override def name(): String = "tag"

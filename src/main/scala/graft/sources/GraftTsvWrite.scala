@@ -77,6 +77,18 @@ final class GraftTsvWriteBuilder(
 
   private var truncateOnCommit = false
 
+  /** BRANCH WRITES (`.option("branch", name)`): the commit publishes a
+    * `_gen-N.b-<name>` manifest over the branch's own lineage — main
+    * readers stay on the unsuffixed chain and never see it. The branch
+    * must already exist (the branch procedure seeds its base manifest);
+    * name charset is validated here so a typo fails at plan time. */
+  private val branchOpt: Option[String] =
+    Option(info.options().get("branch")).map { b =>
+      require(GraftTsvManifest.validBranchName(b),
+        s"graft-tsv: invalid branch name '$b' (letters, digits, '_', '-')")
+      b
+    }
+
   override def truncate(): WriteBuilder = { truncateOnCommit = true; this }
 
   /** Hive-partitioned OUTPUT layout: `.option("partition.columns", ...)`
@@ -126,7 +138,7 @@ final class GraftTsvWriteBuilder(
     override def toBatch: BatchWrite =
       new GraftTsvBatchWrite(schema, path, delimiter, truncateOnCommit,
         info.queryId(), SerializableHadoopConf.fromSession(), partCols,
-        blockBytes, retainGenerations, tablePinned)
+        blockBytes, retainGenerations, tablePinned, branchOpt)
     /** Streaming sink = the SAME commit protocol per epoch (Complete mode
       * arrives as truncate, Append as append), with the epoch id recorded
       * in the generation manifest as the replay-idempotence token. */
@@ -134,7 +146,7 @@ final class GraftTsvWriteBuilder(
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftTsvBatchWrite(schema, path, delimiter, truncateOnCommit,
         info.queryId(), SerializableHadoopConf.fromSession(), partCols,
-        blockBytes, retainGenerations, tablePinned)
+        blockBytes, retainGenerations, tablePinned, branchOpt)
   }
 
   /** Block-stats granularity (`stats.block.bytes`): how often the writer
@@ -165,6 +177,42 @@ object GraftTsvManifest {
 
   def genNumber(name: String): Option[Long] =
     if (name.startsWith(Prefix)) name.stripPrefix(Prefix).toLongOption else None
+
+  // ---- BRANCHES: `_gen-N.b-<name>` manifest chains ----
+  // A branch is nothing but a parallel chain of suffixed manifests over
+  // the SAME part files (copy-on-write makes them shareable): `.b-` names
+  // fail genNumber's toLongOption, so every main-lineage resolution,
+  // retention sweep, and history listing is branch-blind BY CONSTRUCTION
+  // — no read-path change can accidentally see branch state. The one
+  // deliberate coupling is part-file protection: cleanup keep-sets union
+  // in every branch manifest's file list (see the publish cleanup and
+  // vacuum), so a main commit can never reclaim a part only a branch
+  // references.
+  private val BranchSep = ".b-"
+
+  def validBranchName(b: String): Boolean =
+    b.nonEmpty && b.length <= 64 &&
+      b.forall(c => c.isLetterOrDigit || c == '_' || c == '-')
+
+  def branchGenName(n: Long, branch: String): String =
+    genName(n) + BranchSep + branch
+
+  def branchGenNumber(name: String, branch: String): Option[Long] = {
+    val suffix = BranchSep + branch
+    if (name.startsWith(Prefix) && name.endsWith(suffix))
+      name.stripPrefix(Prefix).stripSuffix(suffix).toLongOption
+    else None
+  }
+
+  /** Is this ANY branch's manifest? (for keep-set protection and branch
+    * discovery — main resolution never calls this). */
+  def branchOf(name: String): Option[String] = {
+    val i = name.indexOf(BranchSep)
+    if (name.startsWith(Prefix) && i >= 0 &&
+        name.substring(Prefix.length, i).toLongOption.isDefined)
+      Some(name.substring(i + BranchSep.length)).filter(validBranchName)
+    else None
+  }
 
   private def lines(fs: FileSystem, manifest: Path): Seq[String] = {
     val in = fs.open(manifest)
@@ -325,7 +373,8 @@ final class GraftTsvBatchWrite(
     partCols: Seq[String] = Seq.empty,
     blockBytes: Long = 4L * 1024 * 1024,
     retainGenerations: Int = 1,
-    pinnedGens: Set[Long] = Set.empty) extends BatchWrite
+    pinnedGens: Set[Long] = Set.empty,
+    branch: Option[String] = None) extends BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -358,11 +407,16 @@ final class GraftTsvBatchWrite(
     }.flatten.toSeq
     GraftTsvPublisher.publish(fs(), new Path(path), staged, label, epochMarker,
       truncate, dropped = Set.empty, partCols, sweepPrefix = s".staging-$queryId",
-      retainGenerations = retainGenerations, pinnedGens = pinnedGens)
+      retainGenerations = retainGenerations, pinnedGens = pinnedGens,
+      branch = branch)
   }
 
   /** Streaming epoch commit: same publish, epoch-labeled and marked. */
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    require(branch.isEmpty,
+      "graft-tsv: a streaming sink cannot target a branch — the epoch " +
+        "replay-idempotence marker rides the MAIN manifest chain; write " +
+        "to the main lineage or use foreachBatch with a batch write")
     val f = fs()
     val dir = new Path(path)
     val committed = if (!f.exists(dir)) None else {
@@ -423,7 +477,8 @@ private[sources] object GraftTsvPublisher {
       partCols: Seq[String],
       sweepPrefix: String,
       retainGenerations: Int = 1,
-      pinnedGens: Set[Long] = Set.empty): Unit = {
+      pinnedGens: Set[Long] = Set.empty,
+      branch: Option[String] = None): Unit = {
     // retention < 1 would delete the just-superseded generation a
     // concurrent reader may still be resolving — the floor IS the
     // concurrent-reader safety contract, not a tunable
@@ -441,9 +496,26 @@ private[sources] object GraftTsvPublisher {
         !rel.exists(c => c == '\t' || c == '\n' || c == '\r')
     }
     val children = allFiles(f, dir)
-    val curGen: Option[Long] = children
-      .collect { case (rel, _) if !rel.contains("/") => rel }
-      .flatMap(GraftTsvManifest.genNumber).maxOption
+    val rootNames = children.collect { case (rel, _) if !rel.contains("/") => rel }
+    val mainGens = rootNames.flatMap(GraftTsvManifest.genNumber)
+    // BRANCH COMMIT: the base lineage is the branch's own manifest chain
+    // (seeded by the branch procedure with a copy of the then-current
+    // main manifest), NEVER the live main head — a branch write after
+    // main advanced must not absorb main's newer rows. A write to a
+    // branch that was never created (or was dropped/merged) fails loudly
+    // instead of silently minting a lineage from nothing.
+    val branchGens: Seq[Long] = branch.toSeq.flatMap(b =>
+      rootNames.flatMap(n => GraftTsvManifest.branchGenNumber(n, b)))
+    branch.foreach { b =>
+      require(GraftTsvManifest.validBranchName(b),
+        s"graft-tsv: invalid branch name '$b' (letters, digits, '_', '-')")
+      if (branchGens.isEmpty)
+        throw new IllegalStateException(
+          s"graft-tsv: branch '$b' does not exist in $dir — create it " +
+            "first (CALL <catalog>.system.branch(table, name))")
+    }
+    val curGen: Option[Long] =
+      if (branch.isDefined) branchGens.maxOption else mainGens.maxOption
     // a rel path the READER would consider: right partition depth, each
     // segment the declared column. Adoption and cleanup are both scoped
     // to this — adopting a stray subdirectory file would make the table
@@ -458,9 +530,13 @@ private[sources] object GraftTsvPublisher {
     // the CURRENT visible set ((root-relative path, stats cell)): highest
     // manifest, or (first commit into a pre-existing plain directory) the
     // legacy listing, adopted stats-less
+    def manifestName(g: Long): String = branch match {
+      case Some(b) => GraftTsvManifest.branchGenName(g, b)
+      case None => GraftTsvManifest.genName(g)
+    }
     val currentEntries: Seq[(String, String)] = curGen match {
       case Some(g) =>
-        GraftTsvManifest.readEntries(f, new Path(dir, GraftTsvManifest.genName(g)))
+        GraftTsvManifest.readEntries(f, new Path(dir, manifestName(g)))
       case None =>
         children.collect {
           case (rel, st) if st.isFile && visiblePart(rel) && inScope(rel) =>
@@ -518,12 +594,22 @@ private[sources] object GraftTsvPublisher {
     }
     try out.write((markers ++ entryLines).map(_ + "\n").mkString.getBytes("UTF-8"))
     finally out.close()
-    val genPath = new Path(dir, GraftTsvManifest.genName(curGen.getOrElse(0L) + 1))
+    val genPath = new Path(dir, manifestName(curGen.getOrElse(0L) + 1))
     if (!f.rename(tmp, genPath))
       throw new IllegalStateException(
         s"graft-tsv commit: failed to publish $genPath — a concurrent writer " +
           "took this generation or the commit was replayed; directory state " +
           "is untouched (the previous generation remains current)")
+    if (branch.isDefined) {
+      // a BRANCH publish owns only its manifest chain: main retention,
+      // part reclamation, and orphan collection stay the main lineage's
+      // job (its keep-set already protects every branch-referenced part
+      // below), so a branch commit can never reclaim a main reader's
+      // files — it deletes nothing but its own staging residue
+      sweep(f, dir, sweepPrefix)
+      f.create(new Path(dir, "_SUCCESS"), true).close()
+      return
+    }
     // 3. cleanup only AFTER the swap, with K-GENERATION RETENTION
     //    (`retain.generations`, default 1): the newest K superseded
     //    generations' manifests and parts stay on disk. K=1 is the
@@ -545,11 +631,17 @@ private[sources] object GraftTsvPublisher {
     //    AS OF '<tag>'` can never dangle while the tag exists.
     val newGen = curGen.getOrElse(0L) + 1
     val oldestRetained = newGen - retainGenerations
-    val retainedGens = children
-      .collect { case (rel, _) if !rel.contains("/") => rel }
-      .flatMap(GraftTsvManifest.genNumber)
+    val retainedGens = mainGens
       .filter(g => (g >= oldestRetained || pinnedGens(g)) && curGen.exists(g <= _))
-    val keep = nextVisible.toSet ++ retainedGens.flatMap(g =>
+    // BRANCH PROTECTION: every live branch manifest's file list joins the
+    // keep-set — copy-on-write lets a branch share parts with main
+    // generations that have since left the retention window, and a main
+    // commit reclaiming one would corrupt the branch (the same failure
+    // mode tag pinning prevents for tagged snapshots)
+    val branchKeep = rootNames
+      .filter(n => GraftTsvManifest.branchOf(n).isDefined)
+      .flatMap(n => GraftTsvManifest.read(f, new Path(dir, n)))
+    val keep = nextVisible.toSet ++ branchKeep ++ retainedGens.flatMap(g =>
       GraftTsvManifest.readEntries(f, new Path(dir, GraftTsvManifest.genName(g)))
         .map(_._1)).toSet
     children.foreach { case (rel, st) =>

@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Branches on the graft catalog: named writable refs as parallel
+  * `_gen-N.b-<name>` manifest chains over shared (copy-on-write) part
+  * files. The load-bearing claims, each pinned here:
+  *  - ISOLATION both ways: branch writes are invisible to main, and a
+  *    main write after the branch point is invisible to the branch;
+  *  - DURABILITY under main mutation: a main OVERWRITE (retain=1) and a
+  *    vacuum must not reclaim parts only the branch references (the
+  *    publish keep-set / vacuum referenced-set union — the one
+  *    deliberate coupling between the lineages);
+  *  - fast-forward MERGE publishes the branch head as the next main
+  *    generation and retires the chain; divergence refuses loudly;
+  *  - DROP retires the chain without deleting data; the next main
+  *    commit reclaims branch-only parts;
+  *  - a streaming sink cannot target a branch (epoch replay markers ride
+  *    the main chain). */
+class Dsv2BranchSpec extends SparkSuite {
+
+  private val rootDir = Files.createTempDirectory("graft_branch").toString
+  spark.conf.set("spark.sql.catalog.gbr",
+    classOf[graft.sources.GraftTsvCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gbr.root", rootDir)
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  private def tableFiles(ns: String, t: String): Set[String] =
+    new java.io.File(s"$rootDir/$ns/$t").listFiles()
+      .map(_.getName).filter(n => !n.startsWith(".")).toSet
+
+  test("branch lifecycle: isolation both ways, ff-merge, divergence refusal") {
+    spark.sql("CREATE NAMESPACE gbr.db")
+    spark.sql("CREATE TABLE gbr.db.t (id BIGINT) USING `graft-tsv`")
+    spark.sql("INSERT INTO gbr.db.t SELECT id FROM range(3)")
+    val row = spark.sql("CALL gbr.system.branch('db.t', 'dev')").head()
+    assert(row.getString(0) == "dev" && row.getLong(1) == 1L)
+
+    // branch write: invisible to main
+    spark.range(3, 6).select(col("id"))
+      .writeTo("gbr.db.t").option("branch", "dev").append()
+    assert(ids(spark.table("gbr.db.t")) == Seq(0L, 1L, 2L), "main saw a branch write")
+    assert(ids(spark.read.option("branch", "dev").table("gbr.db.t")) ==
+      (0L to 5L), "branch lost its own write or its base")
+    // plan shows which lineage the scan resolved
+    assert(spark.read.option("branch", "dev").table("gbr.db.t")
+      .queryExecution.executedPlan.toString.contains("Branch: dev"))
+
+    // fast-forward merge: main absorbs the branch head, chain retires
+    val m = spark.sql("CALL gbr.system.merge_branch('db.t', 'dev')").head()
+    assert(m.getLong(2) > 1L, s"merge generation: $m")
+    assert(ids(spark.table("gbr.db.t")) == (0L to 5L))
+    val e = intercept[Exception] {
+      spark.read.option("branch", "dev").table("gbr.db.t").collect()
+    }
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+
+    // divergence: branch again, write BOTH sides, merge must refuse
+    spark.sql("CALL gbr.system.branch('db.t', 'dev2')")
+    spark.range(6, 7).select(col("id"))
+      .writeTo("gbr.db.t").option("branch", "dev2").append()
+    spark.sql("INSERT INTO gbr.db.t SELECT 100")
+    val d = intercept[Exception] {
+      spark.sql("CALL gbr.system.merge_branch('db.t', 'dev2')").collect()
+    }
+    assert(d.getMessage.contains("not fast-forward"), d.getMessage)
+    // the diverged branch still reads its own lineage (base + its write),
+    // NOT main's id=100
+    assert(ids(spark.read.option("branch", "dev2").table("gbr.db.t")) ==
+      (0L to 6L))
+    spark.sql("CALL gbr.system.drop_branch('db.t', 'dev2')")
+  }
+
+  test("main OVERWRITE and vacuum cannot reclaim branch-referenced parts") {
+    spark.sql("CREATE NAMESPACE gbr.keep")
+    spark.sql("CREATE TABLE gbr.keep.t (id BIGINT) USING `graft-tsv`")
+    spark.sql("INSERT INTO gbr.keep.t SELECT id FROM range(4)")
+    spark.sql("CALL gbr.system.branch('keep.t', 'hold')")
+    spark.range(4, 8).select(col("id"))
+      .writeTo("gbr.keep.t").option("branch", "hold").append()
+    // main OVERWRITE at default retention: the pre-overwrite main
+    // generation slides out after the NEXT commit — run two so the
+    // original parts are past any retention window
+    spark.sql("INSERT OVERWRITE gbr.keep.t SELECT 50")
+    spark.sql("INSERT OVERWRITE gbr.keep.t SELECT 60")
+    spark.sql("CALL gbr.system.vacuum('keep.t', 0)").collect()
+    assert(ids(spark.table("gbr.keep.t")) == Seq(60L))
+    assert(ids(spark.read.option("branch", "hold").table("gbr.keep.t")) ==
+      (0L to 7L),
+      "a main overwrite/vacuum reclaimed parts the branch references")
+
+    // DROP the branch: the chain goes; the next main commit reclaims the
+    // now-unreferenced branch parts
+    val before = tableFiles("keep", "t")
+    spark.sql("CALL gbr.system.drop_branch('keep.t', 'hold')")
+    spark.sql("INSERT INTO gbr.keep.t SELECT 70")
+    val after = tableFiles("keep", "t")
+    assert(!after.exists(_.contains(".b-hold")), "branch manifests not retired")
+    assert(before.diff(after).nonEmpty,
+      "dropping the branch + committing must reclaim branch-only parts")
+    assert(ids(spark.table("gbr.keep.t")) == Seq(60L, 70L))
+  }
+
+  test("error surface: unknown branch, bad name, streaming sink refusal") {
+    spark.sql("CREATE NAMESPACE gbr.err")
+    spark.sql("CREATE TABLE gbr.err.t (id BIGINT) USING `graft-tsv`")
+    spark.sql("INSERT INTO gbr.err.t SELECT 1")
+    // write to a branch that was never created
+    val w = intercept[Exception] {
+      spark.range(1).writeTo("gbr.err.t").option("branch", "nope").append()
+    }
+    assert(w.getMessage.contains("does not exist"), w.getMessage)
+    // read likewise, naming what exists
+    spark.sql("CALL gbr.system.branch('err.t', 'real')")
+    val r = intercept[Exception] {
+      spark.read.option("branch", "ghost").table("gbr.err.t").collect()
+    }
+    assert(r.getMessage.contains("ghost") && r.getMessage.contains("real"),
+      r.getMessage)
+    // invalid charset fails at plan time
+    val b = intercept[Exception] {
+      spark.sql("CALL gbr.system.branch('err.t', 'a/b')").collect()
+    }
+    assert(b.getMessage.contains("invalid"), b.getMessage)
+    // duplicate branch refused
+    val dup = intercept[Exception] {
+      spark.sql("CALL gbr.system.branch('err.t', 'real')").collect()
+    }
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+
+    // streaming sink to a branch: loud refusal at epoch commit
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[Long]
+    mem.addData(1L, 2L)
+    val ckpt = Files.createTempDirectory("graft_branch_ck").toString
+    val ex = intercept[Exception] {
+      mem.toDF().select(col("value").as("id"))
+        .writeStream.format("graft-tsv")
+        .option("path", s"$rootDir/err/t")
+        .option("branch", "real")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start().processAllAvailable()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("streaming sink cannot target a branch")),
+      msgs(ex).mkString(" | "))
+  }
+}

@@ -246,7 +246,7 @@ class Dsv2MaintenanceSpec extends SparkSuite {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("compact, history, rollback, tag, untag, vacuum")),
+    assert(messages(e).exists(_.contains("branch, compact, drop_branch, history, merge_branch, rollback, tag, untag, vacuum")),
       messages(e).mkString(" | "))
     val e2 = intercept[Exception] {
       spark.sql("CALL gmnt.system.compact(`table` => 'db.nosuch')").collect()
