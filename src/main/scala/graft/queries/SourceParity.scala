@@ -1890,6 +1890,65 @@ object SourceParity {
         .orderBy("snapshot", "c_mktsegment")
     })
 
+  /** BRANCH DIFF under the oracle gate — `GraftTsvCatalog.branchChanges`:
+    * the row-level delta a branch would merge, reviewed BEFORE merging
+    * (the data-engineering pull request). The branch here OVERWRITES its
+    * lineage with a curated view (BUILDING segment dropped, derived BR_X
+    * rows added), so the diff must show ONLY the net change — the
+    * carried-over rows cancel in the exceptAll refinement even though
+    * the overwrite physically rewrote every file. Both diff endpoints
+    * resolve inside the branch manifest chain (base = the seed copy =
+    * main at the branch point), so a concurrent main append after the
+    * branch point — made here deliberately — must NOT leak into the
+    * diff. */
+  private val qDsv2BranchDiff = QueryDef(
+    "q_dsv2_branch_diff",
+    Some(s"""
+      |WITH cust AS (SELECT c_custkey, c_mktsegment,
+      |    ${sqlDec("c_acctbal")} AS bal FROM customer),
+      |diff AS (
+      |  SELECT 'delete' AS _change_type, c_mktsegment FROM cust
+      |  WHERE c_mktsegment = 'BUILDING'
+      |  UNION ALL
+      |  SELECT 'insert', 'BR_X' FROM cust WHERE c_custkey % 7 = 0)
+      |SELECT _change_type, c_mktsegment, count(*) AS n
+      |FROM diff GROUP BY _change_type, c_mktsegment
+      |ORDER BY _change_type, c_mktsegment
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.cust_brd_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t (c_custkey BIGINT, c_mktsegment STRING,
+        c_acctbal_str STRING) USING `graft-tsv`""")
+      val base = tbl(spark, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        dec("c_acctbal").cast("string").as("c_acctbal_str"))
+      base.writeTo(t).append()                                 // generation 1
+      spark.sql(s"CALL gparity.system.branch('db.cust_brd_$h', 'rev')")
+      val curated = base.filter(col("c_mktsegment") =!= "BUILDING")
+        .unionByName(base.filter(col("c_custkey") % 7 === 0)
+          .select((col("c_custkey") + 2000000L).as("c_custkey"),
+            lit("BR_X").as("c_mktsegment"), col("c_acctbal_str")))
+      curated.writeTo(t).option("branch", "rev").overwrite(lit(true))
+      // main advances AFTER the branch point — must not appear in the diff
+      spark.sql(s"INSERT INTO $t SELECT 9000000, 'MAIN_X', '1.00'")
+      val cat = spark.sessionState.catalogManager.catalog("gparity")
+        .asInstanceOf[graft.sources.GraftTsvCatalog]
+      cat.branchChanges(spark,
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            Array("db"), s"cust_brd_$h"), "rev")
+        .groupBy("_change_type", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("_change_type", "c_mktsegment")
+    })
+
   val defs: Seq[QueryDef] = Seq(qCsvSource, qJsonSource, qOrcSource,
     qPartitionedSink,
     qBucketedJoin, qSchemaEvolution, qFederatedJoin, qDppPrune, qDsv2Source,
@@ -1902,5 +1961,5 @@ object SourceParity {
     qDsv2History, qDsv2Rollback,
     qDsv2Changes,
     qDsv2Changelog, qDsv2Ivm,
-    qDsv2Zorder, qStreamGenerations, qDsv2Branch)
+    qDsv2Zorder, qStreamGenerations, qDsv2Branch, qDsv2BranchDiff)
 }

@@ -389,6 +389,47 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
       .unionByName(removed.exceptAll(added).withColumn("_change_type", lit("delete")))
   }
 
+  /** BRANCH DIFF — the data-engineering code review: the net row-level
+    * delta a branch would fast-forward into main, as a `_change_type`
+    * (insert|delete) DataFrame. Same planning seam as [[changes]]
+    * (each side lists only the files the other endpoint's manifest
+    * lacks; copy-on-write makes shared relpaths byte-identical), but
+    * both endpoints resolve inside the BRANCH manifest chain: `from` =
+    * the branch base (the seed copy made at branch creation — main's
+    * state at the branch point, so the diff is against what the branch
+    * actually forked from, not a since-diverged main head), `to` = the
+    * branch head. An unwritten branch diffs empty. Cost scales with the
+    * branch's own delta, never the table. */
+  def branchChanges(spark: org.apache.spark.sql.SparkSession,
+      ident: Identifier, name: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val f = fs()
+    val dir = tableDir(ident)
+    if (!f.exists(metaPath(dir))) throw noSuchTable(ident)
+    val rootNames = f.listStatus(dir).toSeq.map(_.getPath.getName)
+    val gens = rootNames.flatMap(n => GraftTsvManifest.branchGenNumber(n, name))
+    if (gens.isEmpty) {
+      val known = rootNames.flatMap(GraftTsvManifest.branchOf).distinct.sorted
+      throw new IllegalArgumentException(
+        s"graft catalog: branchChanges('$name') — no such branch on " +
+          s"${ident.name()}" +
+          (if (known.isEmpty) " (no branches)"
+           else s" (branches: ${known.mkString(", ")})"))
+    }
+    val (base, head) = (gens.min, gens.max)
+    def side(gen: Long, excl: Long): org.apache.spark.sql.DataFrame = {
+      val (d, opts) = tableOptions(ident, Some(gen))
+      spark.read.format("graft-tsv").schema(d.schema)
+        .options(opts + ("branch" -> name)
+          + ("diff.exclude.generation" -> excl.toString))
+        .load()
+    }
+    val removed = side(base, head)
+    val added = side(head, base)
+    added.exceptAll(removed).withColumn("_change_type", lit("insert"))
+      .unionByName(removed.exceptAll(added).withColumn("_change_type", lit("delete")))
+  }
+
   /** CHANGELOG: [[changes]] with per-commit attribution — one consecutive
     * generation-pair diff per commit in (from, to], each tagged
     * `_commit_generation`, unioned. Where [[changes]] answers "what is
