@@ -76,7 +76,10 @@ object RunOne {
   * against a RunOne dump without a full Verify pass):
   *   sbt "runMain graft.ShowOracle q_pq_topk"  */
 object ShowOracle {
-  def main(args: Array[String]): Unit =
-    println(SparkEntry.oracleSql.getOrElse(args(0),
-      s"<no oracle for ${args(0)}>"))
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some(name) =>
+      println(SparkEntry.oracleSql.getOrElse(name, s"<no oracle for $name>"))
+    case None =>
+      println("usage: runMain graft.ShowOracle <query-name>")
+  }
 }

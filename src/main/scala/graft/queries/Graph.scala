@@ -338,7 +338,8 @@ d$h AS (
     s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
 edges AS (SELECT p AS src, s + $Off AS dst FROM e0
           UNION ALL SELECT s + $Off AS src, p AS dst FROM e0),
-d0 AS (SELECT min(p) AS node_id, CAST(0 AS BIGINT) AS hop FROM e0),
+d0 AS (SELECT min(p) AS node_id, CAST(0 AS BIGINT) AS hop FROM e0
+       WHERE (SELECT count(*) FROM e0) > 0),
 $waves
 SELECT node_id, hop FROM d$BfsHops ORDER BY hop, node_id"""
   }
@@ -373,6 +374,18 @@ SELECT node_id, hop FROM d$BfsHops ORDER BY hop, node_id"""
       val head = e0.agg(min(col("p")).as("src0"),
         countDistinct(col("p")).as("np"),
         countDistinct(col("s")).as("ns")).head()
+      if (head.isNullAt(0)) {
+        // empty edge set: no source to start from — zero rows, matching
+        // the oracle's guarded d0 (min over nothing must not seed a
+        // NULL-node wave)
+        graft.Checkpoints.release(e0)
+        spark.range(0).select(col("id").as("node_id"), col("id").as("hop"))
+      } else bfsFrom(spark, e0, head)
+    })
+
+  /** The non-empty-graph body of [[qBfsHops]]. */
+  private def bfsFrom(spark: SparkSession,
+      e0: DataFrame, head: org.apache.spark.sql.Row): DataFrame = {
       val (srcId, v) = (head.getLong(0), head.getLong(1) + head.getLong(2))
       val bcast = GraphAdaptive.broadcastOk(spark, v)
       val pv = GraphAdaptive.pick(bcast) _
@@ -400,7 +413,7 @@ SELECT node_id, hop FROM d$BfsHops ORDER BY hop, node_id"""
           frontier.select(col("node_id"), lit(h.toLong).as("hop")))
       }
       dist.orderBy("hop", "node_id")
-    })
+  }
 
   val defs: Seq[QueryDef] = Seq(qPagerank, qTriangles, qBfsHops)
 }

@@ -870,7 +870,9 @@ object TextAnalysis {
     * without letting a huge one dominate). All arithmetic is exact:
     * token counts are integers, floor(sqrt(bigint)) is the correctly
     * rounded IEEE sqrt of an exactly representable integer (identical in
-    * every engine), and the quota split is integer division — so the
+    * every engine), and the quota split is overflow-safe integer
+    * division (quotient-plus-remainder decomposition, never a
+    * budget×weight product) — so the
     * allocation is bit-reproducible, which a production pipeline needs
     * to make reshuffled reruns emit the same mixture.
     *
@@ -890,7 +892,9 @@ object TextAnalysis {
       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
       |    CAST(sum(sqrt_w) AS BIGINT) AS sw FROM src),
       |q AS (SELECT source, n_docs, n_tokens, sqrt_w,
-      |    CAST(((tot.total // 2) * sqrt_w) // tot.sw AS BIGINT) AS quota_tokens
+      |    CAST(sqrt_w * ((tot.total // 2) // tot.sw)
+      |      + (sqrt_w * ((tot.total // 2) % tot.sw)) // tot.sw
+      |      AS BIGINT) AS quota_tokens
       |  FROM src CROSS JOIN tot)
       |SELECT source, n_docs, n_tokens, sqrt_w, quota_tokens,
       |  CAST((quota_tokens * 100) // n_tokens AS BIGINT) AS pct_of_source
@@ -909,7 +913,12 @@ object TextAnalysis {
         sum(col("sqrt_w")).as("sw"))
       src.crossJoin(broadcast(tot))
         .withColumn("quota_tokens",
-          expr("((total div 2) * sqrt_w) div sw"))
+          // ⌊B·s/S⌋ = s·⌊B/S⌋ + ⌊s·(B mod S)/S⌋ exactly — the direct
+          // (B div 2)·s product overflows BIGINT at the 100 TB corpus
+          // this query's reproducibility claim covers (B ~ 1e13 tokens ×
+          // s ~ 4.5e6), while s·(B mod S) is bounded by s·S (< 1e14)
+          expr("sqrt_w * ((total div 2) div sw)" +
+            " + (sqrt_w * ((total div 2) % sw)) div sw"))
         .withColumn("pct_of_source",
           expr("(quota_tokens * 100) div n_tokens"))
         .select(col("source"), col("n_docs"), col("n_tokens"),

@@ -68,17 +68,25 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     if (seg.length >= 12 && seg.forall(_.isDigit)) Some(seg.toLong) else None
   }
 
-  /** Newest modification time anywhere under `p` — a live stage writing
+  /** Newest modification time anywhere under `st` — a live stage writing
     * only into nested hive-partition subdirs never bumps the TOP-LEVEL
     * workspace mtime, so the sweep must look at the whole tree before
-    * deciding a stage is abandoned. Residue dirs are small (one table's
-    * files); this is a sweep-time-only walk. */
-  private def newestMtime(f: FileSystem, p: Path): Long = {
-    val st = f.getFileStatus(p)
+    * deciding a stage is abandoned. Folds over the FileStatus objects a
+    * single listStatus already returned (no per-child re-stat), and a
+    * child deleted mid-walk by a LIVE concurrent stage's own attempt
+    * sweep reads as "just modified" — a vanishing file is activity, and
+    * treating it so can only make the sweep more conservative. Residue
+    * dirs are small (one table's files); this is a sweep-time-only
+    * walk, and only for dirs already past the name-epoch age gate. */
+  private def newestMtime(f: FileSystem, st: org.apache.hadoop.fs.FileStatus): Long =
     if (!st.isDirectory) st.getModificationTime
-    else f.listStatus(p).foldLeft(st.getModificationTime)(
-      (m, c) => m max newestMtime(f, c.getPath))
-  }
+    else {
+      val children =
+        try f.listStatus(st.getPath)
+        catch { case _: java.io.FileNotFoundException => return Long.MaxValue }
+      children.foldLeft(st.getModificationTime)(
+        (m, c) => m max newestMtime(f, c))
+    }
 
   override def name(): String = catalogName
 
@@ -377,10 +385,25 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     val (fromGen, toGen) = (resolve(from), resolve(to))
     require(fromGen < toGen,
       s"graft catalog: changes requires from < to, got $fromGen >= $toGen")
+    diffOf(spark, ident, fromGen, toGen, Map.empty)
+  }
+
+  /** The diff scaffolding [[changes]] and [[branchChanges]] share: each
+    * side scans only the files the other endpoint's manifest lacks
+    * (`diff.exclude.generation` at file listing), the exceptAll pair
+    * refines file-level novelty to row-level change, `extraOpts` selects
+    * the lineage the endpoint generations resolve in (empty = main,
+    * `branch` = that branch's chain). One implementation, so the diff
+    * semantics cannot silently diverge between the two entry points. */
+  private def diffOf(spark: org.apache.spark.sql.SparkSession,
+      ident: Identifier, fromGen: Long, toGen: Long,
+      extraOpts: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
     def side(gen: Long, excl: Long): org.apache.spark.sql.DataFrame = {
       val (d, opts) = tableOptions(ident, Some(gen))
       spark.read.format("graft-tsv").schema(d.schema)
-        .options(opts + ("diff.exclude.generation" -> excl.toString))
+        .options(opts ++ extraOpts
+          + ("diff.exclude.generation" -> excl.toString))
         .load() // `path` rides the option map, same as loadTableAt
     }
     val removed = side(fromGen, toGen) // rows of files dropped from→to
@@ -417,17 +440,7 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
            else s" (branches: ${known.mkString(", ")})"))
     }
     val (base, head) = (gens.min, gens.max)
-    def side(gen: Long, excl: Long): org.apache.spark.sql.DataFrame = {
-      val (d, opts) = tableOptions(ident, Some(gen))
-      spark.read.format("graft-tsv").schema(d.schema)
-        .options(opts + ("branch" -> name)
-          + ("diff.exclude.generation" -> excl.toString))
-        .load()
-    }
-    val removed = side(base, head)
-    val added = side(head, base)
-    added.exceptAll(removed).withColumn("_change_type", lit("insert"))
-      .unionByName(removed.exceptAll(added).withColumn("_change_type", lit("delete")))
+    diffOf(spark, ident, base, head, Map("branch" -> name))
   }
 
   /** CHANGELOG: [[changes]] with per-commit attribution — one consecutive
@@ -605,10 +618,14 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
         val prefix = if (isStage) stagePrefix else replacedPrefix
         val bornBefore = residueEpoch(n, prefix)
           .getOrElse(st.getModificationTime) < sweepBefore
-        // replaced dirs are static after retirement: the epoch gate is
-        // the whole story. Stage dirs can still be receiving writes.
-        val quiet = !isStage || newestMtime(f, st.getPath) < sweepBefore
-        if (bornBefore && quiet) f.delete(st.getPath, true)
+        // the recursive freshness walk runs ONLY for dirs already past
+        // the age gate (short-circuit): a fresh/live stage is never
+        // re-stat'ed at all. Replaced dirs are static after retirement —
+        // the epoch gate is the whole story; stage dirs can still be
+        // receiving writes, so check the whole tree before deleting.
+        if (bornBefore &&
+            (!isStage || newestMtime(f, st) < sweepBefore))
+          f.delete(st.getPath, true)
       }
     }
     val stageDir = new Path(ns,

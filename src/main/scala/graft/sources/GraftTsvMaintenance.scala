@@ -482,8 +482,16 @@ private[sources] object GraftTsvMaintenance {
     val newGen = math.max(mainCur, head) + 1
     val tmp = new Path(dir,
       s".manifest-mg-${java.util.UUID.randomUUID().toString.take(8)}")
+    // CARRY the main head's #epoch replay marker, exactly as compact
+    // does: a streaming sink's epoch-replay idempotence check reads the
+    // LATEST main manifest's marker, so a merge run between two
+    // streaming invocations must not erase the last committed epoch id
+    // (a replayed epoch would otherwise double-publish)
+    val carriedEpoch = GraftTsvManifest.epochOf(fs,
+      new Path(dir, GraftTsvManifest.genName(mainCur)))
     val out = fs.create(tmp, true)
-    val lines = (s"#published:${System.currentTimeMillis()}" +:
+    val lines = (carriedEpoch.map(e => s"#epoch:$e").toSeq ++
+      Seq(s"#published:${System.currentTimeMillis()}") ++
       entries.map { case (rel, stats) =>
         if (stats.isEmpty) rel else s"$rel\t$stats"
       }).map(_ + "\n").mkString

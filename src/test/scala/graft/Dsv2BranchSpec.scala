@@ -105,6 +105,47 @@ class Dsv2BranchSpec extends SparkSuite {
     assert(ids(spark.table("gbr.keep.t")) == Seq(60L, 70L))
   }
 
+  test("merge_branch carries the main head's #epoch replay marker") {
+    // the compact interleaving, for merge: streaming sink commits an
+    // epoch → merge_branch publishes a new main generation between two
+    // streaming invocations → the resumed stream's replay-idempotence
+    // check reads the LATEST manifest's marker — if merge dropped it, a
+    // replayed epoch would double-publish
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    spark.sql("CREATE NAMESPACE gbr.ep")
+    spark.sql("CREATE TABLE gbr.ep.t (id BIGINT) USING `graft-tsv`")
+    val dir = s"$rootDir/ep/t"
+    val mem = MemoryStream[Long]
+    mem.addData(1L, 2L)
+    val ckpt = Files.createTempDirectory("graft_branch_ep").toString
+    mem.toDF().selectExpr("value AS id")
+      .writeStream.format("graft-tsv")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().processAllAvailable()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    import graft.sources.GraftTsvManifest
+    def headGen: Long = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .flatMap(st => GraftTsvManifest.genNumber(st.getPath.getName)).max
+    val epochBefore = GraftTsvManifest.epochOf(fs,
+      new org.apache.hadoop.fs.Path(dir, GraftTsvManifest.genName(headGen)))
+    assert(epochBefore.isDefined, "streaming commit must record an epoch")
+    spark.sql("CALL gbr.system.branch('ep.t', 'side')")
+    spark.range(100, 102).select(col("id"))
+      .writeTo("gbr.ep.t").option("branch", "side").append()
+    spark.sql("CALL gbr.system.merge_branch('ep.t', 'side')")
+    // headGen is a def — re-evaluates to the merge-published head
+    val epochAfter = GraftTsvManifest.epochOf(fs,
+      new org.apache.hadoop.fs.Path(dir, GraftTsvManifest.genName(headGen)))
+    assert(epochAfter == epochBefore,
+      s"merge dropped the epoch marker: $epochBefore -> $epochAfter")
+    assert(ids(spark.table("gbr.ep.t")) == Seq(1L, 2L, 100L, 101L))
+  }
+
   test("error surface: unknown branch, bad name, streaming sink refusal") {
     spark.sql("CREATE NAMESPACE gbr.err")
     spark.sql("CREATE TABLE gbr.err.t (id BIGINT) USING `graft-tsv`")

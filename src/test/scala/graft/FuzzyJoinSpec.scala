@@ -67,6 +67,19 @@ class FuzzyJoinSpec extends SparkSuite {
       "q_bfs_hops shuffle-join fallback diverged from the broadcast path")
   }
 
+  test("q_bfs_hops on an empty edge set returns zero rows, no crash") {
+    // min(p) over zero rows is NULL — the builder must not seed a
+    // NULL-node wave (or NPE on getLong); the oracle's d0 guard matches
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bfs_empty").toString
+    Seq.empty[(Long, Long)].toDF("l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = queries.Catalog.queries("q_bfs_hops")(spark, dir)
+    assert(out.columns.toSeq == Seq("node_id", "hop"))
+    assert(out.count() == 0L)
+  }
+
   test("q_domain_mix allocation invariants hold at sf0.001") {
     val rows = queries.Catalog.queries("q_domain_mix")(spark, sfDir).collect()
     assert(rows.nonEmpty)
