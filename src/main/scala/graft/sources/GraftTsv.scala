@@ -1402,10 +1402,20 @@ final class GraftTsvScan(
     * unchanged — the "declarative plan doesn't know its source is
     * bounded" claim at the connector level. */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // STREAMING READS refuse a branch: the generation stream's offset
+    // clock (listGenerations) follows the MAIN manifest chain while a
+    // branch-scoped scan would resolve those pins inside the branch
+    // chain — a silent main/branch mix; and the file-arrival stream
+    // ignores manifests entirely, so a branch option there would be
+    // silently meaningless. Batch-read the branch, or merge it first.
+    require(branch.isEmpty,
+      "graft-tsv: a streaming read cannot target a branch — offsets ride " +
+        "the MAIN manifest chain; batch-read the branch (or merge it) instead")
     if (streamByGeneration)
       new GraftTsvGenerationStream(this, streamAllowRewrites)
     else new GraftTsvMicroBatchStream(this, splitBytes, maxFilesPerTrigger)
+  }
 
   /** Retained generation numbers of the table directory, sorted — the
     * generation stream's offset domain. Single-directory tables only

@@ -256,22 +256,46 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     * window still exist — a miss fails at scan planning, naming what IS
     * retained. */
   override def loadTable(ident: Identifier, version: String): Table =
-    loadTableAt(ident, Some(version.toLongOption.getOrElse {
-      // non-numeric version = a NAMED TAG (CALL g.system.tag): resolve it
-      // through the descriptor's tag map; tagged generations are pinned
-      // past retention, so a hit always has its manifest on disk
-      val f = fs()
-      val mp = metaPath(tableDir(ident))
-      if (!f.exists(mp)) throw noSuchTable(ident)
-      val d = readDescriptor(f, mp)
-      d.tags.getOrElse(version,
-        throw new IllegalArgumentException(
-          s"graft catalog: VERSION AS OF '$version' — no such tag on " +
-            s"${ident.name()} (tags: " +
-            (if (d.tags.isEmpty) "none"
-             else d.tags.toSeq.sortBy(_._1)
-               .map { case (t, g) => s"$t->$g" }.mkString(", ")) + ")"))
-    }))
+    version.toLongOption match {
+      case Some(g) => loadTableAt(ident, Some(g))
+      case None =>
+        // non-numeric version = a NAMED TAG (CALL g.system.tag) or a live
+        // BRANCH (CALL g.system.branch): a tag resolves to its pinned
+        // generation, a branch to a read-only view of its current head
+        // (`SELECT ... VERSION AS OF 'dev'` = review the branch in SQL).
+        // A name that is BOTH refuses loudly rather than guessing.
+        val f = fs()
+        val dir = tableDir(ident)
+        val mp = metaPath(dir)
+        if (!f.exists(mp)) throw noSuchTable(ident)
+        val d = readDescriptor(f, mp)
+        val branches = f.listStatus(dir).toSeq
+          .flatMap(st => GraftTsvManifest.branchOf(st.getPath.getName))
+          .distinct
+        (d.tags.get(version), branches.contains(version)) match {
+          case (Some(_), true) =>
+            throw new IllegalArgumentException(
+              s"graft catalog: VERSION AS OF '$version' is BOTH a tag and " +
+                s"a branch on ${ident.name()} — disambiguate: read the tag " +
+                "by its pinned generation number, or the branch via " +
+                s".option(\"branch\", \"$version\")")
+          case (Some(g), false) => loadTableAt(ident, Some(g))
+          case (None, true) =>
+            val (d2, opts) = tableOptions(ident, None)
+            new GraftTsvTable(d2.schema, new CaseInsensitiveStringMap(
+              (opts + ("branch" -> version)).asJava))
+          case (None, false) =>
+            throw new IllegalArgumentException(
+              s"graft catalog: VERSION AS OF '$version' — no such tag or " +
+                s"branch on ${ident.name()} (tags: " +
+                (if (d.tags.isEmpty) "none"
+                 else d.tags.toSeq.sortBy(_._1)
+                   .map { case (t, g) => s"$t->$g" }.mkString(", ")) +
+                "; branches: " +
+                (if (branches.isEmpty) "none"
+                 else branches.sorted.mkString(", ")) + ")")
+        }
+    }
 
   /** SQL `TIMESTAMP AS OF <t>`: Spark hands the literal as MICROSECONDS
     * since the epoch; it resolves to the newest retained generation whose

@@ -146,6 +146,55 @@ class Dsv2BranchSpec extends SparkSuite {
     assert(ids(spark.table("gbr.ep.t")) == Seq(1L, 2L, 100L, 101L))
   }
 
+  test("VERSION AS OF resolves a branch; tag/branch name collisions refuse") {
+    spark.sql("CREATE NAMESPACE gbr.vao")
+    spark.sql("CREATE TABLE gbr.vao.t (id BIGINT) USING `graft-tsv`")
+    spark.sql("INSERT INTO gbr.vao.t SELECT id FROM range(2)")
+    spark.sql("CALL gbr.system.branch('vao.t', 'review')")
+    spark.range(10, 12).select(col("id"))
+      .writeTo("gbr.vao.t").option("branch", "review").append()
+    // SQL review of the branch head, no reader options needed
+    assert(ids(spark.sql("SELECT * FROM gbr.vao.t VERSION AS OF 'review'")) ==
+      Seq(0L, 1L, 10L, 11L))
+    assert(ids(spark.table("gbr.vao.t")) == Seq(0L, 1L))
+    // unknown name: the error names both tags and branches
+    val u = intercept[Exception] {
+      spark.sql("SELECT * FROM gbr.vao.t VERSION AS OF 'ghost'").collect()
+    }
+    assert(u.getMessage.contains("branches: review"), u.getMessage)
+    // a name that is BOTH a tag and a branch refuses loudly
+    spark.sql("CALL gbr.system.tag('vao.t', 'review', 1)")
+    val amb = intercept[Exception] {
+      spark.sql("SELECT * FROM gbr.vao.t VERSION AS OF 'review'").collect()
+    }
+    assert(amb.getMessage.contains("BOTH a tag and a branch"), amb.getMessage)
+  }
+
+  test("streaming READS refuse a branch (offsets ride the main chain)") {
+    spark.sql("CREATE NAMESPACE gbr.sr")
+    spark.sql("CREATE TABLE gbr.sr.t (id BIGINT) USING `graft-tsv`")
+    spark.sql("INSERT INTO gbr.sr.t SELECT 1")
+    spark.sql("CALL gbr.system.branch('sr.t', 'b')")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    for (genMode <- Seq(true, false)) {
+      val ex = intercept[Exception] {
+        spark.readStream.format("graft-tsv")
+          .schema("id BIGINT")
+          .option("path", s"$rootDir/sr/t")
+          .option("branch", "b")
+          .option("stream.by.generation", genMode.toString)
+          .load()
+          .writeStream.format("memory").queryName(s"br_refuse_$genMode")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().processAllAvailable()
+      }
+      assert(msgs(ex).exists(_.contains("streaming read cannot target a branch")),
+        s"genMode=$genMode: ${msgs(ex).mkString(" | ")}")
+    }
+  }
+
   test("error surface: unknown branch, bad name, streaming sink refusal") {
     spark.sql("CREATE NAMESPACE gbr.err")
     spark.sql("CREATE TABLE gbr.err.t (id BIGINT) USING `graft-tsv`")
