@@ -980,10 +980,67 @@ object TextAnalysis {
         .orderBy("doc_id")
     })
 
+  /** Count-based bigram language model — the LM-building job that is to
+    * this engine what word count is to the reference: per-context
+    * next-word counts, integer-scaled conditional probabilities
+    * (p_micro = c(w1,w2)·1e6 div Σ_w c(w1,w)), and the top-3
+    * continuations per context under a float-free ordering (count desc,
+    * word asc). The denominators are the CONTEXT occurrences (row sums
+    * of the bigram matrix), so each context's distribution sums to ~1e6
+    * by construction.
+    *
+    * Scale shape: bigram generation is a map-only array zip inside the
+    * scan partition (no posexplode self-join, no window over the token
+    * stream); the (w1, w2) count is the canonical map-side-partial LM
+    * count job; everything after operates on vocab²-bounded frames. At
+    * 100 TB this is exactly the n-gram-count MapReduce pipeline
+    * (Brants et al., large LM training) in one declarative plan. */
+  private val qNgramLm = QueryDef(
+    "q_ngram_lm",
+    Some("""
+      |WITH arr AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS a
+      |  FROM documents),
+      |bi AS (
+      |  SELECT a[i] AS w1, a[i + 1] AS w2
+      |  FROM arr, unnest(range(1, len(a))) AS t(i)),
+      |c2 AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS n FROM c2 GROUP BY w1),
+      |r AS (
+      |  SELECT c2.w1, c2.w2, c2.c, c1.n,
+      |    row_number() OVER (PARTITION BY c2.w1
+      |      ORDER BY c2.c DESC, c2.w2 ASC) AS rk
+      |  FROM c2 JOIN c1 USING (w1))
+      |SELECT w1 AS context, w2 AS next_word, CAST(c AS BIGINT) AS c_bigram,
+      |  n AS c_context, CAST(rk AS INTEGER) AS rk,
+      |  CAST((c * 1000000) // n AS BIGINT) AS p_micro
+      |FROM r WHERE rk <= 3 ORDER BY context, rk
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val bi = tbl(spark, dir, "documents")
+        .select(expr("filter(split(text, '\\\\s+'), x -> x != '')").as("a"))
+        .select(
+          expr("slice(a, 1, greatest(size(a) - 1, 0))").as("l"),
+          expr("slice(a, 2, greatest(size(a) - 1, 0))").as("r"))
+        .select(explode(arrays_zip(col("l"), col("r"))).as("p"))
+        .select(col("p.l").as("w1"), col("p.r").as("w2"))
+      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val c1 = c2.groupBy("w1").agg(sum(col("c")).as("n"))
+      val w = Window.partitionBy("w1").orderBy(desc("c"), asc("w2"))
+      c2.join(c1, "w1")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("w1").as("context"), col("w2").as("next_word"),
+          col("c").as("c_bigram"), col("n").as("c_context"), col("rk"),
+          expr("(c * 1000000) div n").as("p_micro"))
+        .orderBy("context", "rk")
+    })
+
   val defs: Seq[QueryDef] =
     Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf,
       qFingerprintRolling, qPipelineCurate, qStratifiedSample, qTextSearch,
       qHeavyHitters, qProfile, qHistogram, qPiiScrub, qRepetitionFilter,
       qCrossdocNgrams, qSeqPacking, qImportanceSample, qTopTerms, qDomainMix,
-      qLmScore)
+      qLmScore, qNgramLm)
 }
