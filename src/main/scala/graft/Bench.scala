@@ -43,7 +43,13 @@ object Bench {
     * q_session_window, streaming via q_stream_tumbling) and
     * q_stream_join_right (kept via q_stream_join_outer — same
     * outer-side watermark machinery), plus q_pq_topk displacing
-    * q_interval_bin_join (range-family kept via q_range_join/q_asof_join)) — plus
+    * q_interval_bin_join (range-family kept via q_range_join/q_asof_join),
+    * then q_span_dedup displacing q_crossdoc_ngrams — the span job
+    * supersedes its dataflow: map-only gram generation, one gram-keyed
+    * global exchange, doc-keyed rollup — while q_ngram_lm /
+    * q_cooccur_pmi / q_inverted_index stay full-bench-only (their
+    * count-job shapes are already represented by q_wordcount /
+    * q_text_search)) — plus
     * any ERRORED query (sentinel -1, so a failure is
     * visible in the tail capture even when it's not a headline query).
     * The full per-query map is written to BENCH_FULL.json next to the
@@ -67,7 +73,7 @@ object Bench {
     "q_dedup_components",
     "q_cosine_topk", "q_ann_buckets", "q_neardup_bucketed", "q_ivf_topk",
     "q_ann_recall", "q_pq_topk", "q_kmeans_profile", "q_semdedup", "q_triangles", "q_bfs_hops",
-    "q_doc_quality", "q_fingerprint_rolling", "q_crossdoc_ngrams",
+    "q_doc_quality", "q_fingerprint_rolling", "q_span_dedup",
     "q_pipeline_curate", "q_stratified_sample", "q_text_search",
     "q_stream_tumbling", "q_stream_sessionize", "q_stream_join",
     "q_stream_join_outer", "q_stream_enrich",

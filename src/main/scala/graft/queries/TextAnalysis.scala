@@ -1037,10 +1037,205 @@ object TextAnalysis {
         .orderBy("context", "rk")
     })
 
+  /** Span-level exact-substring dedup accounting — the "remove duplicated
+    * 50-token spans" job of Lee et al. (Deduplicating Training Data Makes
+    * Language Models Better, 2022), at window k=8 for this corpus: every
+    * k-token window is keyed by the md5 of its separator-joined tokens, a
+    * GLOBAL keep-first order (doc_id, position) marks every later
+    * occurrence of a repeated window as a duplicate span, and the per-doc
+    * result is exact token-position coverage (distinct positions under
+    * any flagged window), i.e. precisely how many tokens span-trimming
+    * would cut from each document.
+    *
+    * Scale shape: window generation is a map-only `transform` over the
+    * token array inside the scan partition (one row per window, no
+    * self-join); the ONLY corpus-sized shuffle is the window rank by gram
+    * key — the same single exchange an exact-dedup groupBy pays, carrying
+    * (digest, doc, pos). Coverage is doc-local (the flagged windows
+    * shuffle back on doc_id — a frame bounded by the duplicated tail, not
+    * the corpus). Production at 100 TB would pack the 128-bit digest as
+    * two longs instead of a hex string and feed `dup_tokens > 0` docs to
+    * a rewrite pass; the dataflow is identical. */
+  private val qSpanDedup = QueryDef(
+    "q_span_dedup",
+    Some("""
+      |WITH arr AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS a
+      |  FROM documents),
+      |win AS (
+      |  SELECT doc_id, i, md5(array_to_string(a[i:i+7], chr(31))) AS g
+      |  FROM arr, unnest(range(1, len(a) - 6)) AS t(i)),
+      |rk AS (
+      |  SELECT doc_id, i,
+      |    row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rk
+      |  FROM win),
+      |dup AS (SELECT doc_id, i FROM rk WHERE rk > 1),
+      |dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows
+      |  FROM dup GROUP BY doc_id),
+      |cov AS (
+      |  SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS dup_tokens
+      |  FROM dup, unnest(range(i, i + 8)) AS u(p) GROUP BY doc_id),
+      |base AS (
+      |  SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tok,
+      |    CAST(greatest(len(a) - 7, 0) AS BIGINT) AS n_windows
+      |  FROM arr)
+      |SELECT b.doc_id, b.n_tok, b.n_windows,
+      |  coalesce(dw.dup_windows, 0) AS dup_windows,
+      |  coalesce(cov.dup_tokens, 0) AS dup_tokens,
+      |  CASE WHEN b.n_tok = 0 THEN 0
+      |    ELSE CAST((coalesce(cov.dup_tokens, 0) * 100) // b.n_tok AS BIGINT)
+      |  END AS dup_pct
+      |FROM base b
+      |LEFT JOIN dw ON dw.doc_id = b.doc_id
+      |LEFT JOIN cov ON cov.doc_id = b.doc_id
+      |ORDER BY b.doc_id
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val arr = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, '\\\\s+'), x -> x != '')").as("a"))
+      // slice(sequence(1, max(n,1)), 1, max(n,0)) is an always-ascending
+      // index range that degrades to empty below one window (sequence(1,0)
+      // would count DOWN and fabricate windows on 7-token docs).
+      val win = arr
+        .select(col("doc_id"), explode(expr(
+          """transform(
+             |  slice(sequence(1, greatest(size(a) - 7, 1)),
+             |        1, greatest(size(a) - 7, 0)),
+             |  i -> struct(i as i,
+             |    md5(array_join(slice(a, i, 8), chr(31))) as g))""".stripMargin
+        )).as("w"))
+        .select(col("doc_id"), col("w.i").as("i"), col("w.g").as("g"))
+      val dup = win
+        .withColumn("rk",
+          row_number().over(Window.partitionBy("g").orderBy("doc_id", "i")))
+        .filter(col("rk") > 1)
+        .select("doc_id", "i")
+      val dw = dup.groupBy("doc_id").agg(count(lit(1)).as("dup_windows"))
+      val cov = dup
+        .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("p"))
+        .groupBy("doc_id").agg(countDistinct(col("p")).as("dup_tokens"))
+      arr
+        .select(col("doc_id"), size(col("a")).cast("long").as("n_tok"),
+          expr("CAST(greatest(size(a) - 7, 0) AS BIGINT)").as("n_windows"))
+        .join(dw, Seq("doc_id"), "left")
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"), col("n_windows"),
+          coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          expr("CASE WHEN n_tok = 0 THEN 0L " +
+            "ELSE (coalesce(dup_tokens, 0L) * 100) div n_tok END").as("dup_pct"))
+        .orderBy("doc_id")
+    })
+
+  /** Skip-gram co-occurrence counts + float-free PMI-style association —
+    * the GloVe/word2vec preprocessing job: unordered token pairs within
+    * distance ≤ 2, endpoint marginals, and an integer lift score
+    * lift_micro = ((c_xy·1e6) div c_x · n_pairs) div c_y — the
+    * p(x,y)/(p(x)p(y)) ratio under two explicit floor divisions, so both
+    * engines compute bit-identical values and no intermediate exceeds
+    * 1e6·n_pairs (BIGINT-safe past 10^12 pairs, where the naive
+    * c_xy·n_pairs·1e6 product overflows).
+    *
+    * Scale shape: pair generation is two map-only array zips (distance 1
+    * and 2) — no doc-local self-join, no window over the token stream;
+    * the (w1,w2) count is map-side partial; marginals and the 1-row pair
+    * total are vocab-bounded broadcasts. Top-30 is TakeOrdered. */
+  private val qCooccurPmi = QueryDef(
+    "q_cooccur_pmi",
+    Some("""
+      |WITH arr AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS a
+      |  FROM documents),
+      |pr AS (
+      |  SELECT least(a[i], a[i + d]) AS w1, greatest(a[i], a[i + d]) AS w2
+      |  FROM arr, (VALUES (1), (2)) dd(d),
+      |    unnest(range(1, len(a) - d + 1)) AS t(i)),
+      |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+      |  FROM pr GROUP BY w1, w2),
+      |m AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM (
+      |    SELECT w1 AS w FROM pr UNION ALL SELECT w2 FROM pr)
+      |  GROUP BY w),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pr)
+      |SELECT c.w1, c.w2, c.c_xy, mx.c_w AS c_x, my.c_w AS c_y,
+      |  CAST((((c.c_xy * 1000000) // mx.c_w) * n.n_pairs) // my.c_w
+      |    AS BIGINT) AS lift_micro
+      |FROM c
+      |JOIN m mx ON mx.w = c.w1
+      |JOIN m my ON my.w = c.w2, n
+      |WHERE c.c_xy >= 3
+      |ORDER BY lift_micro DESC, w1, w2 LIMIT 30
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val arr = tbl(spark, dir, "documents")
+        .select(expr("filter(split(text, '\\\\s+'), x -> x != '')").as("a"))
+      def pairsAt(d: Int): DataFrame = arr
+        .select(
+          expr(s"slice(a, 1, greatest(size(a) - $d, 0))").as("l"),
+          expr(s"slice(a, 1 + $d, greatest(size(a) - $d, 0))").as("r"))
+        .select(explode(arrays_zip(col("l"), col("r"))).as("p"))
+        .select(least(col("p.l"), col("p.r")).as("w1"),
+          greatest(col("p.l"), col("p.r")).as("w2"))
+      val pr = pairsAt(1).unionAll(pairsAt(2))
+      val c = pr.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      val m = pr.select(col("w1").as("w"))
+        .unionAll(pr.select(col("w2").as("w")))
+        .groupBy("w").agg(count(lit(1)).as("c_w"))
+      val n = pr.agg(count(lit(1)).as("n_pairs"))
+      c.filter(col("c_xy") >= 3)
+        .join(broadcast(m.withColumnRenamed("w", "w1")
+          .withColumnRenamed("c_w", "c_x")), "w1")
+        .join(broadcast(m.withColumnRenamed("w", "w2")
+          .withColumnRenamed("c_w", "c_y")), "w2")
+        .crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+          expr("(((c_xy * 1000000) div c_x) * n_pairs) div c_y")
+            .as("lift_micro"))
+        .orderBy(desc("lift_micro"), asc("w1"), asc("w2"))
+        .limit(30)
+    })
+
+  /** Inverted-index BUILD — the index-construction half of q_text_search
+    * (which is the probe path): per term, document frequency, collection
+    * frequency, and the full posting list `doc:tf` sorted by doc_id,
+    * flattened to one string so the gate is value-exact across engines.
+    *
+    * Scale shape: one tokenize pass → (doc, term) tf agg riding the doc
+    * layout → one term-keyed exchange where collect_list builds each
+    * posting list. Per-term posting lists are the classic MapReduce
+    * indexing output (one reducer call per term); at 100 TB the postings
+    * column becomes the term-partitioned index files the probe path
+    * reads, and a df cap (stopword tail) bounds the widest rows. */
+  private val qInvertedIndex = QueryDef(
+    "q_inverted_index",
+    Some(s"""
+      |WITH $tokSql,
+      |tf AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY 1, 2)
+      |SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |  CAST(sum(tf) AS BIGINT) AS cf,
+      |  string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id) AS postings
+      |FROM tf GROUP BY term ORDER BY term
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      toks(spark, dir)
+        .groupBy(col("doc_id"), col("w").as("term"))
+        .agg(count(lit(1)).as("tf"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+          array_join(
+            expr("transform(array_sort(collect_list(struct(doc_id, tf)))," +
+              " x -> concat(x.doc_id, ':', x.tf))"),
+            " ").as("postings"))
+        .orderBy("term")
+    })
+
   val defs: Seq[QueryDef] =
     Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf,
       qFingerprintRolling, qPipelineCurate, qStratifiedSample, qTextSearch,
       qHeavyHitters, qProfile, qHistogram, qPiiScrub, qRepetitionFilter,
       qCrossdocNgrams, qSeqPacking, qImportanceSample, qTopTerms, qDomainMix,
-      qLmScore, qNgramLm)
+      qLmScore, qNgramLm, qSpanDedup, qCooccurPmi, qInvertedIndex)
 }

@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkSuite {
     // the k-means family: packed-centroid and adaptive-K frames are
     // 1-row aggregates broadcast-crossed in (the IVF pattern)
     "q_kmeans_assign", "q_kmeans_profile", "q_semdedup",
-    "q_domain_mix")    // 1-row (total, sqrt-mass) budget frame, same pattern
+    "q_domain_mix",    // 1-row (total, sqrt-mass) budget frame, same pattern
+    "q_cooccur_pmi")   // 1-row n_pairs total frame for the lift denominator
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no cartesian product / unexpected nested loop") {
