@@ -1139,9 +1139,17 @@ object TextAnalysis {
     * c_xy·n_pairs·1e6 product overflows).
     *
     * Scale shape: pair generation is two map-only array zips (distance 1
-    * and 2) — no doc-local self-join, no window over the token stream;
-    * the (w1,w2) count is map-side partial; marginals and the 1-row pair
-    * total are vocab-bounded broadcasts. Top-30 is TakeOrdered. */
+    * and 2) — no doc-local self-join, no window over the token stream —
+    * and the corpus is read ONCE: the (w1,w2) count `c` is the only
+    * corpus-sized aggregate (map-side partial), and both the endpoint
+    * marginals and the pair total are DERIVED from `c` (explode each pair
+    * into its two weighted endpoints / sum the counts), so they are
+    * vocab²-bounded re-aggregations whose shuffle reuses c's exchange
+    * (AQE ReusedExchange — one tokenize pass total). The marginal joins
+    * carry no broadcast hint: a marginal frame is O(vocab), which a real
+    * 100 TB corpus can push past any broadcast ceiling — AQE picks the
+    * build side from runtime sizes instead. Only the 1-row total is an
+    * explicit broadcast-cross. Top-30 is TakeOrdered. */
   private val qCooccurPmi = QueryDef(
     "q_cooccur_pmi",
     Some("""
@@ -1179,16 +1187,28 @@ object TextAnalysis {
         .select(least(col("p.l"), col("p.r")).as("w1"),
           greatest(col("p.l"), col("p.r")).as("w2"))
       val pr = pairsAt(1).unionAll(pairsAt(2))
+      // c is localCheckpoint'ed (the Dedup.scala:225 pattern): three
+      // consumers read it (output join, marginals, total) and Spark does
+      // not reuse the aggregation exchange across probe sides — the
+      // static plan without the materialization carries SIX corpus scans
+      // (each marginal side replays tokenize+zip+explode). The frame is
+      // vocab²-bounded — corpus-independent under Heaps' law — so the
+      // blocks are cheap at any corpus size.
       val c = pr.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
-      val m = pr.select(col("w1").as("w"))
-        .unionAll(pr.select(col("w2").as("w")))
-        .groupBy("w").agg(count(lit(1)).as("c_w"))
-      val n = pr.agg(count(lit(1)).as("n_pairs"))
+        .localCheckpoint()
+      // marginals and the total are exact re-aggregations of c itself
+      // (a w1==w2 pair contributes its count to w's marginal twice —
+      // the array carries both endpoints): vocab²-bounded.
+      val m = c
+        .select(explode(expr(
+          "array(struct(w1 as w, c_xy), struct(w2 as w, c_xy))")).as("e"))
+        .groupBy(col("e.w").as("w")).agg(sum(col("e.c_xy")).as("c_w"))
+      val n = c.agg(sum(col("c_xy")).as("n_pairs"))
       c.filter(col("c_xy") >= 3)
-        .join(broadcast(m.withColumnRenamed("w", "w1")
-          .withColumnRenamed("c_w", "c_x")), "w1")
-        .join(broadcast(m.withColumnRenamed("w", "w2")
-          .withColumnRenamed("c_w", "c_y")), "w2")
+        .join(m.withColumnRenamed("w", "w1")
+          .withColumnRenamed("c_w", "c_x"), "w1")
+        .join(m.withColumnRenamed("w", "w2")
+          .withColumnRenamed("c_w", "c_y"), "w2")
         .crossJoin(broadcast(n))
         .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
           expr("(((c_xy * 1000000) div c_x) * n_pairs) div c_y")
