@@ -49,7 +49,11 @@ object Bench {
     * global exchange, doc-keyed rollup — while q_ngram_lm /
     * q_cooccur_pmi / q_inverted_index stay full-bench-only (their
     * count-job shapes are already represented by q_wordcount /
-    * q_text_search)) — plus
+    * q_text_search), and q_prefix_join (a distinct JOIN ALGORITHM —
+    * df-ordered prefix filter + exact verify) displacing
+    * q_minhash_signatures, whose one-agg dataflow q_jaccard_pairs
+    * recomputes internally; q_bpe_pairs stays full-bench-only
+    * (vocab-bounded agg, the q_wordcount shape)) — plus
     * any ERRORED query (sentinel -1, so a failure is
     * visible in the tail capture even when it's not a headline query).
     * The full per-query map is written to BENCH_FULL.json next to the
@@ -68,7 +72,7 @@ object Bench {
     "q_heavy_hitters", "q_bucketed_join", "q_pagerank", "q_schema_evolution",
     "q_zorder_layout", "q_compact_small_files", "q_federated_join",
     "q_incremental_agg", "q_stats_moments", "q_gap_fill",
-    "q_dedup_exact", "q_minhash_signatures", "q_fuzzy_join",
+    "q_dedup_exact", "q_prefix_join", "q_fuzzy_join",
     "q_lsh_candidates", "q_jaccard_pairs", "q_simhash_pairs",
     "q_dedup_components",
     "q_cosine_topk", "q_ann_buckets", "q_neardup_bucketed", "q_ivf_topk",

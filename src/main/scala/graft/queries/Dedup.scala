@@ -663,8 +663,146 @@ GROUP BY t.doc_id ORDER BY doc_id"""),
         .orderBy("name_a", "name_b")
     })
 
+  /** Prefix-filtered EXACT set-similarity join (PPJoin family — Xiao et
+    * al. 2008, Chaudhuri et al. 2006): all document pairs whose shingle-set
+    * Jaccard is ≥ 0.8, with a completeness GUARANTEE the MinHash-LSH path
+    * (`q_lsh_candidates`→`q_jaccard_pairs`) cannot give — LSH recall is
+    * probabilistic; the prefix filter is a theorem. Each doc's distinct
+    * shingle-hash set is ordered by (global document frequency asc, hash
+    * asc) — rarest first — and only the first n − ⌈0.8n⌉ + 1 elements (the
+    * prefix) generate candidates: two sets with Jaccard ≥ 0.8 MUST share a
+    * prefix element under any global order. Two further exact prunes run
+    * at pair-generation time: the length filter (10·min(na,nb) ≥
+    * 8·max(na,nb), from J ≥ t ⟹ |small| ≥ t·|large|) and the PPJoin
+    * position filter on the first shared element (overlap ≤
+    * min(na−rka, nb−rkb) + 1 must reach α = ⌈4(na+nb)/9⌉, the J ≥ 0.8
+    * overlap bound — valid for the first shared element, and the first
+    * shared element of a truly-qualifying pair always passes, so
+    * completeness is preserved). Verification is exact integer set
+    * intersection; all arithmetic is integer so the gate is bit-exact.
+    *
+    * The ORACLE is the brute-force all-pairs definition (no prefix filter)
+    * — the driver's hash compare therefore tests the filter's
+    * completeness against ground truth, not my filter against itself.
+    *
+    * The set elements are 16-char shingles — deliberately LONGER than the
+    * LSH family's 8 (ShingleLen): the filter's candidate volume is
+    * Σ df² over prefix elements, and element discriminativeness is what
+    * keeps df small. Measured at sf0.1: 8-char shingles give 200k
+    * candidates for 256 true pairs (the corpus's small vocabulary makes
+    * short shingles collide); 16-char gives EXACTLY 256 candidates —
+    * perfect precision — with the same 256 true pairs found. A longer
+    * shingle shifts each pair's Jaccard (one edit now perturbs 16
+    * windows), which is the operator's own similarity definition, mirrored
+    * exactly by the oracle.
+    *
+    * Scale shape: two corpus-sized exchanges build the df-annotated
+    * per-doc sorted key arrays (hp-keyed df join, doc-keyed regroup) —
+    * the same budget the MinHash signature path pays. Candidate
+    * generation joins ONLY prefix elements (the rarest ~20% per doc), so
+    * each hp-group's pair fan-out is df²-bounded by construction of the
+    * ordering — rare elements have small df; the frequent tail never
+    * enters a prefix unless a doc is so small that everything is prefix,
+    * and then the length filter bounds its partners. Verification joins
+    * attach the two doc-set arrays per surviving candidate; with
+    * candidates ≈ true pairs the candidate side is runtime-tiny and AQE
+    * broadcasts it (no hint pinned — a pinned broadcast would be the
+    * O(candidates) ceiling trap, and a pinned shuffle would re-introduce
+    * the SMJ-array-sort tail measured at 30×). The doc-set frame is
+    * localCheckpoint'ed once; three consumers (df explode + both verify
+    * sides) read the materialized blocks. */
+  private val PrefixShingleLen = 16
+
+  private val prefixShingleSql =
+    s"""SELECT doc_id, substr(text, CAST(i AS INT), $PrefixShingleLen) AS sh FROM (
+    SELECT doc_id, text, unnest(range(1, greatest(length(text)-${PrefixShingleLen - 2}, 2))) AS i FROM documents)"""
+
+  private def prefixShingles(spark: SparkSession, dir: String): DataFrame =
+    tblWide(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1),
+          greatest(length(col("text")) - (PrefixShingleLen - 2), lit(2)) - 1))
+          .as("i"))
+      .select(col("doc_id"),
+        expr(s"substring(text, i, $PrefixShingleLen)").as("sh"))
+
+  private val qPrefixJoin = QueryDef(
+    "q_prefix_join",
+    Some(s"""WITH sh AS ($prefixShingleSql),
+dshp AS (SELECT DISTINCT doc_id, ${PortableHash.sqlHash60("sh")} AS hp FROM sh),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dshp GROUP BY doc_id),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM dshp a JOIN dshp b ON a.hp = b.hp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b, p.n_inter,
+  sa.n + sb.n - p.n_inter AS n_union,
+  (p.n_inter * 100) // (sa.n + sb.n - p.n_inter) AS jac_pct
+FROM pair p
+JOIN sz sa ON sa.doc_id = p.doc_a
+JOIN sz sb ON sb.doc_id = p.doc_b
+WHERE 10 * p.n_inter >= 8 * (sa.n + sb.n - p.n_inter)
+ORDER BY doc_a, doc_b"""),
+    (spark, dir) => {
+      val docsets = cappedShingleSets(
+        prefixShingles(spark, dir)
+          .select(col("doc_id"), PortableHash.hash60(col("sh")).as("hp")))
+        .select("doc_id", "hs")
+        .truncateLineage
+      val ex = docsets.select(col("doc_id"), explode(col("hs")).as("hp"))
+      val dfreq = ex.groupBy("hp").agg(count(lit(1)).as("d"))
+      // per-doc keys sorted rarest-first: ONE doc-keyed aggregation after
+      // the hp-keyed df join; no global rank materialization — the (d, hp)
+      // tuple IS the total order, so the sort is doc-local. The df join is
+      // SHUFFLE_HASH with the no-array (hp, d) side as build: an SMJ here
+      // sorts the full exploded corpus on hp twice (measured dominant at
+      // 30× — the §13 SMJ trap at corpus width).
+      val keyed = ex.join(dfreq.hint("shuffle_hash"), "hp")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("d"), col("hp")))).as("ks"))
+        .select(col("doc_id"), col("ks"), size(col("ks")).cast("long").as("n"))
+      val pref = keyed
+        .select(col("doc_id"), col("n"),
+          posexplode(expr(
+            "slice(ks, 1, cast(n - ((8 * n + 9) div 10) + 1 as int))")))
+        .select(col("doc_id"), col("n"),
+          (col("pos") + 1).cast("long").as("rk"), col("col.hp").as("hp"))
+      val cand = pref
+        .select(col("doc_id").as("doc_a"), col("n").as("na"),
+          col("rk").as("rka"), col("hp"))
+        .join(pref.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+          col("rk").as("rkb"), col("hp")), Seq("hp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(expr("10 * least(na, nb) >= 8 * greatest(na, nb)"))
+        .filter(expr(
+          "least(na - rka, nb - rkb) + 1 >= (4 * (na + nb) + 8) div 9"))
+        .select("doc_a", "doc_b").distinct()
+      // Verify joins are SHUFFLE_HASH with the pair side as build: the
+      // doc-set stream carries the shingle arrays, and the alternatives
+      // both lose — an SMJ sorts the array stream (the §13 trap), and an
+      // AQE broadcast of the ARRAY side is a corpus-sized driver collect
+      // (measured 51 s at 30×). The built side is candidates (first join)
+      // then candidates+one array (second) — pair-count-bounded, and the
+      // measured candidate:true-pair ratio is ~1 (see scaladoc).
+      cand.hint("shuffle_hash")
+        .join(docsets.select(col("doc_id").as("doc_a"), col("hs").as("ha")),
+          "doc_a")
+        .hint("shuffle_hash")
+        .join(docsets.select(col("doc_id").as("doc_b"), col("hs").as("hb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ha"), col("hb"))).cast("long")
+            .as("n_inter"),
+          (size(col("ha")) + size(col("hb"))).cast("long").as("n_ab"))
+        .filter(expr("10 * n_inter >= 8 * (n_ab - n_inter)"))
+        .select(col("doc_a"), col("doc_b"), col("n_inter"),
+          (col("n_ab") - col("n_inter")).as("n_union"),
+          expr("(n_inter * 100) div (n_ab - n_inter)").as("jac_pct"))
+        .orderBy("doc_a", "doc_b")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     qMinhashSignatures, qLshCandidates, qJaccardPairs, qSimhash,
     qSimhashPairs, qDedupNear, qDedupComponents, qDecontaminate,
-    qFuzzyJoin)
+    qFuzzyJoin, qPrefixJoin)
 }

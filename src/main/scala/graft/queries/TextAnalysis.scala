@@ -1252,10 +1252,53 @@ object TextAnalysis {
         .orderBy("term")
     })
 
+  /** BPE tokenizer-training pair counts — the dominant inner-loop cost of
+    * byte-pair-encoding training (Sennrich et al. 2016): count adjacent
+    * symbol pairs over the word vocabulary, weighted by word frequency,
+    * with the `</w>` end-of-word marker as the final symbol (so the top
+    * pair is what the first merge would fuse). Top 50 by weighted count.
+    *
+    * Scale shape — THE property that makes BPE training feasible on
+    * 100 TB: the corpus is touched exactly once, for the word-frequency
+    * aggregate (map-side partial, vocab-bounded exchange); the symbol-pair
+    * explosion runs over the VOCABULARY (≪ corpus under Heaps' law, ~word
+    * length pairs per DISTINCT word), and the pair aggregate is
+    * alphabet²-bounded. Every subsequent merge iteration in a real
+    * trainer re-runs only the vocab-sized stages — never the corpus. */
+  private val qBpePairs = QueryDef(
+    "q_bpe_pairs",
+    Some(s"""
+      |WITH $tokSql,
+      |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM tok GROUP BY w),
+      |sym AS (
+      |  SELECT substring(w, i, 1) AS p1,
+      |    CASE WHEN i = length(w) THEN '</w>'
+      |         ELSE substring(w, i + 1, 1) END AS p2,
+      |    n_w
+      |  FROM wc, unnest(range(1, length(w) + 1)) AS t(i))
+      |SELECT p1, p2, CAST(sum(n_w) AS BIGINT) AS cnt
+      |FROM sym GROUP BY p1, p2
+      |ORDER BY cnt DESC, p1, p2 LIMIT 50
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      toks(spark, dir)
+        .groupBy("w").agg(count(lit(1)).as("n_w"))
+        .select(col("n_w"), explode(expr(
+          """transform(sequence(1, length(w)), i -> struct(
+             |  substring(w, i, 1) as p1,
+             |  CASE WHEN i = length(w) THEN '</w>'
+             |       ELSE substring(w, i + 1, 1) END as p2))""".stripMargin
+        )).as("p"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(sum(col("n_w")).as("cnt"))
+        .orderBy(desc("cnt"), asc("p1"), asc("p2"))
+        .limit(50)
+    })
+
   val defs: Seq[QueryDef] =
     Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf,
       qFingerprintRolling, qPipelineCurate, qStratifiedSample, qTextSearch,
       qHeavyHitters, qProfile, qHistogram, qPiiScrub, qRepetitionFilter,
       qCrossdocNgrams, qSeqPacking, qImportanceSample, qTopTerms, qDomainMix,
-      qLmScore, qNgramLm, qSpanDedup, qCooccurPmi, qInvertedIndex)
+      qLmScore, qNgramLm, qSpanDedup, qCooccurPmi, qInvertedIndex, qBpePairs)
 }

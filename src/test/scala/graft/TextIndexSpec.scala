@@ -72,6 +72,41 @@ class TextIndexSpec extends SparkSuite {
     assert(lifts == lifts.sorted.reverse, "lift not descending")
   }
 
+  test("q_bpe_pairs: symbol alphabet, end-marker accounting, weighted mass") {
+    val rows = queries.Catalog.queries("q_bpe_pairs")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      assert(r.getAs[String]("p1").length == 1, s"p1 must be a symbol: $r")
+      val p2 = r.getAs[String]("p2")
+      assert(p2.length == 1 || p2 == "</w>", s"p2 symbol or end marker: $r")
+    }
+    val cnts = rows.map(_.getAs[Long]("cnt")).toSeq
+    assert(cnts == cnts.sorted.reverse, "counts not descending")
+  }
+
+  test("q_bpe_pairs: hand-computed weighted pair counts on a constructed corpus") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    // word frequencies: ab x3, abc x1, cd x2
+    Seq(
+      (1L, "ab ab cd", "en", "web", 8L),
+      (2L, "ab abc cd", "en", "web", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = queries.Catalog.queries("q_bpe_pairs")(spark, dir).collect()
+      .map(r => (r.getAs[String]("p1"), r.getAs[String]("p2")) ->
+        r.getAs[Long]("cnt")).toMap
+    val want = Map(
+      ("a", "b") -> 4L,    // ab x3 + abc x1
+      ("b", "</w>") -> 3L, // ab x3
+      ("b", "c") -> 1L,    // abc
+      ("c", "</w>") -> 1L, // abc
+      ("c", "d") -> 2L,    // cd x2
+      ("d", "</w>") -> 2L) // cd x2
+    assert(got == want, s"got $got")
+  }
+
   test("q_inverted_index: postings agree with df/cf and total token mass") {
     val rows =
       queries.Catalog.queries("q_inverted_index")(spark, sfDir).collect()
