@@ -415,5 +415,90 @@ SELECT node_id, hop FROM d$BfsHops ORDER BY hop, node_id"""
       dist.orderBy("hop", "node_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(qPagerank, qTriangles, qBfsHops)
+  private val LpRounds = 3
+
+  private val labelPropSql: String = {
+    val rounds = (1 to LpRounds).map { h =>
+      val prev = s"l${h - 1}"
+      s"""c$h AS (
+  SELECT e.dst AS node_id, l.lbl, CAST(count(*) AS BIGINT) AS c
+  FROM edges e JOIN $prev l ON l.node_id = e.src
+  GROUP BY e.dst, l.lbl),
+l$h AS (
+  SELECT node_id, lbl FROM (
+    SELECT node_id, lbl,
+      row_number() OVER (PARTITION BY node_id ORDER BY c DESC, lbl) AS rn
+    FROM c$h) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (SELECT p AS src, s + $Off AS dst FROM e0
+          UNION ALL SELECT s + $Off AS src, p AS dst FROM e0),
+l0 AS (SELECT DISTINCT src AS node_id, src AS lbl FROM edges),
+$rounds,
+sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS comm_size
+       FROM l$LpRounds GROUP BY lbl)
+SELECT n.node_id, n.lbl, sz.comm_size
+FROM l$LpRounds n JOIN sz ON sz.lbl = n.lbl
+ORDER BY node_id"""
+  }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007) over the same bipartite part↔supplier graph — the fourth
+    * iterative kernel shape: MAJORITY-VOTE relabeling, where each round
+    * every node adopts the most frequent label among its neighbors
+    * (deterministic tie-break: smallest label among the max-count ones,
+    * so both engines converge bit-identically — classic LPA breaks ties
+    * randomly, which no oracle could check). $LpRounds synchronous rounds
+    * are unrolled; output is each node's community plus the community
+    * size.
+    *
+    * Scale shape: identical budget to a PageRank iteration — the edge
+    * list is laid down once (broadcast of the O(V) label frame below the
+    * [[GraphAdaptive]] ceiling, co-partitioned edges + SHUFFLE_HASH label
+    * build above it; GraphFallbackSpec forces the large-V path), each
+    * round pays one (dst, lbl) map-side-partial count whose width is
+    * bounded by Σ deg (O(E) worst case, neighbor-distinct labels in
+    * practice) and one O(V) per-node argmin. The argmin is
+    * `min(struct(-c, lbl))` — a plain hash aggregate, NOT a row_number
+    * window (no per-node sort, no window exchange); the oracle's
+    * row_number formulation is value-identical by construction. Rounds
+    * are lineage-truncated like every iterative kernel here. */
+  private val qLabelProp = QueryDef(
+    "q_label_prop",
+    Some(labelPropSql),
+    (spark, dir) => {
+      val e0 = tbl(spark, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+        .distinct()
+        .truncateLineage
+      val head = e0.agg(countDistinct(col("p")).as("np"),
+        countDistinct(col("s")).as("ns")).head()
+      val v = head.getLong(0) + head.getLong(1)
+      val bcast = GraphAdaptive.broadcastOk(spark, v)
+      val pv = GraphAdaptive.pick(bcast) _
+      val edges0 = e0
+        .select(col("p").as("src"), (col("s") + Off).as("dst"))
+        .unionByName(e0.select((col("s") + Off).as("src"), col("p").as("dst")))
+      val edges = (if (bcast) edges0 else edges0.repartition(col("src")))
+        .truncateLineage
+      graft.Checkpoints.release(e0)
+      var lbl = edges.select(col("src").as("node_id")).distinct()
+        .select(col("node_id"), col("node_id").as("lbl"))
+      for (_ <- 1 to LpRounds) {
+        lbl = edges
+          .join(pv(lbl), col("src") === col("node_id"))
+          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("dst").as("node_id"))
+          .agg(min(struct((-col("c")).as("negc"), col("lbl").as("l"))).as("m"))
+          .select(col("node_id"), col("m.l").as("lbl"))
+          .truncateLineage
+      }
+      val sz = lbl.groupBy("lbl").agg(count(lit(1)).as("comm_size"))
+      lbl.join(sz, "lbl")
+        .select(col("node_id"), col("lbl"), col("comm_size"))
+        .orderBy("node_id")
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(qPagerank, qTriangles, qBfsHops, qLabelProp)
 }

@@ -953,6 +953,61 @@ object Relational {
         .orderBy("user_id")
     })
 
+  /** Robust anomaly detection via Median Absolute Deviation: per event
+    * type, med = median(value), mad = median(|value − med|), and an
+    * outlier is |value − med| > 3·mad — the standard robust alternative
+    * to mean±3σ (one wild reading cannot drag its own threshold, which a
+    * variance-based gate suffers from). Every operation is
+    * IEEE-deterministic on both engines — interpolated median
+    * (`percentile` / `quantile_cont` agree exactly, the q_percentiles
+    * precedent), exact double subtraction/abs, one exact 3·mad product —
+    * so the gate is bit-exact without integer scaling.
+    *
+    * Scale shape: three passes over (event_type, value) — med, mad,
+    * outlier count — each a map-side-partial aggregate to a
+    * type-cardinality frame, with the per-type stats broadcast back; the
+    * scan reads two columns. Exact per-group medians materialize each
+    * group's values once per pass at the reducer; the documented 100 TB
+    * alternative is the mergeable KLL path (q_approx_quantiles) feeding
+    * the same thresholds. */
+  private val qMadOutliers = QueryDef(
+    "q_mad_outliers",
+    Some("""
+      |WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |        FROM v GROUP BY event_type),
+      |dev AS (SELECT v.event_type, v.value, abs(v.value - med.med) AS ad, med.med
+      |        FROM v JOIN med ON v.event_type = med.event_type),
+      |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+      |        FROM dev GROUP BY event_type)
+      |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+      |  any_value(d.med) AS med, any_value(m.mad) AS mad,
+      |  CAST(count(*) FILTER (d.ad > 3 * m.mad) AS BIGINT) AS n_outliers,
+      |  max(d.ad) AS max_abs_dev
+      |FROM dev d JOIN mad m ON d.event_type = m.event_type
+      |GROUP BY d.event_type ORDER BY d.event_type
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val v = tbl(spark, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      val med = v.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = v.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("med"),
+          abs(col("value") - col("med")).as("ad"))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(ad, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          first(col("med")).as("med"), first(col("mad")).as("mad"),
+          sum(when(col("ad") > lit(3d) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          max(col("ad")).as("max_abs_dev"))
+        .orderBy("event_type")
+    })
+
   /** Weekly retention: distinct (user, epoch-week) grid + lag — the flag
     * marks consecutive-week activity. */
   private val qRetention = QueryDef(
@@ -1678,5 +1733,6 @@ object Relational {
     qQ2, qQ3, qQ4, qQ5, qQ7, qQ10, qQ13, qQ14, qQ16, qQ17, qQ18, qQ19,
     qQ21, qQ22, qStringMatch, qSaltedAgg, qSaltedJoin, qPercentiles,
     qApproxQuantiles,
-    qFunnel, qRetention, qIntervalBinJoin, qUpsert, qLateralExplode)
+    qFunnel, qMadOutliers, qRetention, qIntervalBinJoin, qUpsert,
+    qLateralExplode)
 }

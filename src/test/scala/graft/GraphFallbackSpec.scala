@@ -36,7 +36,12 @@ class GraphFallbackSpec extends SparkSuite {
     }
   }
 
-  for (q <- Seq("q_pagerank", "q_triangles")) {
+  // q_label_prop's per-round joins run during the loop's lineage
+  // truncation (materialized eagerly under the forced conf, like
+  // q_bfs_hops' waves), so the returned-plan assertions witness its
+  // final community-size join while the result equality covers the
+  // rounds themselves.
+  for (q <- Seq("q_pagerank", "q_triangles", "q_label_prop")) {
     test(s"$q: forced no-broadcast path joins by shuffle and matches the default path") {
       val default = collectSorted(q)
       val (fallback, plan) = forcingFallback((collectSorted(q), planOf(q)))
