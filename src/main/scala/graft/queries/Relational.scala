@@ -953,6 +953,61 @@ object Relational {
         .orderBy("user_id")
     })
 
+  /** SCD Type-2 dimension build — the classic warehouse change-tracking
+    * shape: from the raw event stream, derive each user's tier (the
+    * event's k property bucketed by 25) as validity INTERVALS —
+    * (user, tier, valid_from, valid_to, is_current) — where a new row
+    * opens only when the tracked attribute CHANGES and the previous row
+    * closes exclusively at the change timestamp (NULL valid_to = the
+    * current row). Timestamps surface as exact epoch microseconds.
+    *
+    * Scale shape: two user-partitioned windows (change detection via
+    * lag, interval close via lead) over one exchange on user_id — the
+    * window partitions are users, so no global sort; the event order
+    * within a user is (ts, event_id), making the build deterministic
+    * under timestamp ties. At 100 TB this is the standard MERGE-free
+    * SCD2 derivation: one shuffle, map-side nothing, output bounded by
+    * the number of CHANGES, not events. */
+  private val qScd2Build = QueryDef(
+    "q_scd2_build",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS tier
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, ts, tier FROM (
+      |    SELECT user_id, ts, tier,
+      |      lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |    FROM e)
+      |  WHERE prev IS NULL OR prev <> tier),
+      |iv AS (
+      |  SELECT user_id, tier,
+      |    CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+      |    CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS BIGINT) AS valid_to_us
+      |  FROM chg)
+      |SELECT user_id, tier, valid_from_us, valid_to_us,
+      |  CAST(valid_to_us IS NULL AS BIGINT) AS is_current
+      |FROM iv ORDER BY user_id, valid_from_us
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wIv = Window.partitionBy("user_id").orderBy("ts")
+      val e = tbl(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 25")
+            .as("tier"))
+      e.withColumn("prev", lag(col("tier"), 1).over(wOrd))
+        .filter(col("prev").isNull || col("prev") =!= col("tier"))
+        .select(col("user_id"), col("ts"), col("tier"))
+        .withColumn("valid_from_us", unix_micros(col("ts")))
+        .withColumn("valid_to_us", unix_micros(lead(col("ts"), 1).over(wIv)))
+        .select(col("user_id"), col("tier"), col("valid_from_us"),
+          col("valid_to_us"),
+          col("valid_to_us").isNull.cast("long").as("is_current"))
+        .orderBy("user_id", "valid_from_us")
+    })
+
   /** Robust anomaly detection via Median Absolute Deviation: per event
     * type, med = median(value), mad = median(|value − med|), and an
     * outlier is |value − med| > 3·mad — the standard robust alternative
@@ -1733,6 +1788,6 @@ object Relational {
     qQ2, qQ3, qQ4, qQ5, qQ7, qQ10, qQ13, qQ14, qQ16, qQ17, qQ18, qQ19,
     qQ21, qQ22, qStringMatch, qSaltedAgg, qSaltedJoin, qPercentiles,
     qApproxQuantiles,
-    qFunnel, qMadOutliers, qRetention, qIntervalBinJoin, qUpsert,
-    qLateralExplode)
+    qFunnel, qMadOutliers, qScd2Build, qRetention, qIntervalBinJoin,
+    qUpsert, qLateralExplode)
 }

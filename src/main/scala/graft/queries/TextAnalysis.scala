@@ -566,6 +566,53 @@ object TextAnalysis {
         .orderBy("bucket")
     })
 
+  /** Equi-DEPTH histogram (the DB-statistics companion to
+    * [[qHistogram]]'s equi-width buckets): 8 buckets holding ~equal row
+    * counts, with boundaries derived from the exact interpolated
+    * percentiles whose cross-engine parity q_percentiles already proves.
+    * Bucket assignment is `Σ [cents > b_i]` over the 7 broadcast
+    * boundaries — a map-only projection; integer cents vs double
+    * boundary comparisons are IEEE-deterministic.
+    *
+    * Scale shape: one boundary aggregate (the exact-percentile cost —
+    * the KLL sketch is the documented 100 TB swap-in), a 1-row broadcast
+    * back, then a map-side-partial 8-group count. NOT ntile: a global
+    * ntile is a single-partition window over the corpus — the exact trap
+    * the distributed rank in q_sorted_neighborhood exists to avoid — and
+    * its tie placement at bucket edges is row-order-dependent. */
+  private val qHistogramEqdepth = QueryDef(
+    "q_histogram_eqdepth",
+    Some("""
+      |WITH c AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |b AS (SELECT quantile_cont(cents, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs FROM c)
+      |SELECT
+      |  CAST((cents > bs[1]) AS BIGINT) + CAST((cents > bs[2]) AS BIGINT)
+      |  + CAST((cents > bs[3]) AS BIGINT) + CAST((cents > bs[4]) AS BIGINT)
+      |  + CAST((cents > bs[5]) AS BIGINT) + CAST((cents > bs[6]) AS BIGINT)
+      |  + CAST((cents > bs[7]) AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  min(cents) AS lo_cents, max(cents) AS hi_cents
+      |FROM c, b GROUP BY 1 ORDER BY bucket
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val cents = tbl(spark, dir, "orders")
+        .select((dec("o_totalprice") * 100).cast("long").as("cents"))
+      val bounds = cents.agg(expr(
+        "percentile(cents, array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D))")
+        .as("bs"))
+      cents.crossJoin(broadcast(bounds))
+        .select(col("cents"),
+          (1 to 7).map(i =>
+            (col("cents") > element_at(col("bs"), i)).cast("long"))
+            .reduce(_ + _).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("cents").as("lo_cents"),
+          max("cents").as("hi_cents"))
+        .orderBy("bucket")
+    })
+
   /** PII SCRUBBING — redact emails and phone numbers before a corpus
     * ships to training, with per-doc accounting. The synthetic corpus
     * carries no PII, so the harness INJECTS a deterministic, per-doc-
@@ -1298,7 +1345,8 @@ object TextAnalysis {
   val defs: Seq[QueryDef] =
     Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf,
       qFingerprintRolling, qPipelineCurate, qStratifiedSample, qTextSearch,
-      qHeavyHitters, qProfile, qHistogram, qPiiScrub, qRepetitionFilter,
+      qHeavyHitters, qProfile, qHistogram, qHistogramEqdepth, qPiiScrub,
+      qRepetitionFilter,
       qCrossdocNgrams, qSeqPacking, qImportanceSample, qTopTerms, qDomainMix,
       qLmScore, qNgramLm, qSpanDedup, qCooccurPmi, qInvertedIndex, qBpePairs)
 }

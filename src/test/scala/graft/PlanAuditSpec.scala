@@ -20,6 +20,7 @@ class PlanAuditSpec extends SparkSuite {
     "q11_important_stock", "q_text_search", "q_pagerank",
     "q_zorder_layout", // 1-row dims/zmax stat frames broadcast-crossed in
     "q_histogram",     // 1-row min/max bounds frame, same pattern
+    "q_histogram_eqdepth", // 1-row percentile-boundary frame, same pattern
     "q_dsv2_zorder",   // 1-row key-bounds frame for the box predicate
     // the k-means family: packed-centroid and adaptive-K frames are
     // 1-row aggregates broadcast-crossed in (the IVF pattern)
