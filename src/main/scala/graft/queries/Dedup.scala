@@ -647,21 +647,28 @@ GROUP BY t.doc_id ORDER BY doc_id"""),
       val names = tbl(spark, dir, "part")
         .groupBy(col("p_name").as("name"))
         .agg(count(lit(1)).as("n_parts"))
-      val variants = names.select(col("name"), col("n_parts"),
-        explode(deletionVariants("name")).as("v"))
-      val cand = variants.as("a")
-        .join(variants.as("b"),
-          col("a.v") === col("b.v") && col("a.name") < col("b.name"))
-        .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
-          col("a.n_parts").as("n_parts_a"), col("b.n_parts").as("n_parts_b"))
-        .distinct()
-      cand
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= 2)
+      fuzzyPairs(names)
         .select(col("name_a"), col("name_b"), col("dist"),
           col("n_parts_a"), col("n_parts_b"))
         .orderBy("name_a", "name_b")
     })
+
+  /** The deletion-neighborhood fuzzy-pair kernel shared by
+    * [[qFuzzyJoin]] (which emits it directly) and
+    * [[qEntityResolution]] (which clusters over it): verified
+    * levenshtein ≤ 2 pairs with both sides' n_parts. */
+  private def fuzzyPairs(names: DataFrame): DataFrame = {
+    val variants = names.select(col("name"), col("n_parts"),
+      explode(deletionVariants("name")).as("v"))
+    variants.as("a")
+      .join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        col("a.n_parts").as("n_parts_a"), col("b.n_parts").as("n_parts_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+  }
 
   /** Multi-pass Sorted-Neighborhood Method (Hernández & Stolfo 1995) —
     * the third record-linkage blocking technique next to the deletion
@@ -894,8 +901,104 @@ ORDER BY doc_a, doc_b"""),
         .orderBy("doc_a", "doc_b")
     })
 
+  /** End-to-end ENTITY RESOLUTION — the canonical record-linkage pipeline
+    * composed from pieces this catalog proves separately: fuzzy blocking
+    * ([[fuzzyPairs]] — the complete lev ≤ 2 deletion-neighborhood join)
+    * → transitive closure into entity clusters (min-STRING-label
+    * propagation with a convergence test; labels are the names
+    * themselves, so no id mapping and no hash-collision caveat) →
+    * SURVIVORSHIP, electing each cluster's canonical record by the
+    * business rule (most part rows, then lexicographically smallest
+    * name). Output: one row per entity with its representative, member
+    * count, pooled n_parts, and the '|'-joined member list.
+    *
+    * The ORACLE closes the graph over BRUTE-FORCE lev ≤ 2 pairs with a
+    * recursive CTE — so the gate re-proves the deletion-neighborhood
+    * completeness theorem AND the closure in one hash compare.
+    *
+    * Scale shape: the pair graph is vocabulary-bounded (distinct names,
+    * ≪ corpus) and edit-radius clusters are shallow, so the closure loop
+    * converges in a handful of min-label rounds — each one (lbl-keyed
+    * M:1 relabel join + endpoint-keyed min) over O(pairs) rows, with the
+    * same lineage-truncation discipline as q_dedup_components' loop;
+    * singletons never enter the loop (active-set) and join back once at
+    * the end. */
+  private val qEntityResolution = QueryDef(
+    "q_entity_resolution",
+    Some("""
+      |WITH RECURSIVE
+      |names AS (SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts
+      |          FROM part GROUP BY 1),
+      |pairs AS (SELECT a.name AS na, b.name AS nb
+      |          FROM names a JOIN names b
+      |          ON a.name < b.name AND levenshtein(a.name, b.name) <= 2),
+      |edges AS (SELECT na AS u, nb AS v FROM pairs
+      |          UNION SELECT nb, na FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT name, name FROM names
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+      |comp AS (SELECT u AS name, min(v) AS lbl FROM reach GROUP BY u),
+      |cl AS (SELECT c.lbl, n.name, n.n_parts
+      |       FROM comp c JOIN names n ON n.name = c.name),
+      |sel AS (SELECT lbl, name AS rep FROM (
+      |  SELECT lbl, name,
+      |    row_number() OVER (PARTITION BY lbl ORDER BY n_parts DESC, name) AS rn
+      |  FROM cl) WHERE rn = 1)
+      |SELECT s.rep AS rep_name, CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(sum(cl.n_parts) AS BIGINT) AS total_parts,
+      |  string_agg(cl.name, '|' ORDER BY cl.name) AS members
+      |FROM cl JOIN sel s ON s.lbl = cl.lbl
+      |GROUP BY s.rep ORDER BY rep_name
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val names = tbl(spark, dir, "part")
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_parts"))
+        .truncateLineage
+      val pairs = fuzzyPairs(names).select("name_a", "name_b")
+      val edges = pairs.select(col("name_a").as("u"), col("name_b").as("v"))
+        .union(pairs.select(col("name_b").as("u"), col("name_a").as("v")))
+        .repartition(col("u"))
+        .truncateLineage
+      // min-label propagation over the active set (edge endpoints only)
+      var labels = edges.select(col("u")).distinct()
+        .select(col("u"), col("u").as("lbl"))
+        .truncateLineage
+      var converged = labels.isEmpty
+      var iter = 0
+      while (!converged && iter < 20) {
+        iter += 1
+        val hop = edges
+          .join(labels.withColumnRenamed("u", "v2").hint("shuffle_hash"),
+            col("v") === col("v2"))
+          .select(col("u"), col("lbl"))
+          .unionByName(labels)
+          .groupBy("u").agg(min(col("lbl")).as("lbl"))
+          .truncateLineage
+        val changed = hop.join(labels.withColumnRenamed("lbl", "old"),
+          Seq("u")).filter(col("lbl") =!= col("old")).limit(1).isEmpty
+        converged = changed
+        graft.Checkpoints.release(labels)
+        labels = hop
+      }
+      val cl = names
+        .join(labels.withColumnRenamed("u", "name"), Seq("name"), "left")
+        .select(col("name"), col("n_parts"),
+          coalesce(col("lbl"), col("name")).as("lbl"))
+      cl.groupBy("lbl")
+        .agg(
+          min(struct((-col("n_parts")).as("neg"), col("name").as("n"))).as("m"),
+          count(lit(1)).as("n_members"),
+          sum(col("n_parts")).as("total_parts"),
+          array_join(array_sort(collect_list(col("name"))), "|").as("members"))
+        .select(col("m.n").as("rep_name"), col("n_members"),
+          col("total_parts"), col("members"))
+        .orderBy("rep_name")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     qMinhashSignatures, qLshCandidates, qJaccardPairs, qSimhash,
     qSimhashPairs, qDedupNear, qDedupComponents, qDecontaminate,
-    qFuzzyJoin, qPrefixJoin, qSortedNeighborhood)
+    qFuzzyJoin, qPrefixJoin, qSortedNeighborhood, qEntityResolution)
 }

@@ -1342,11 +1342,54 @@ object TextAnalysis {
         .limit(50)
     })
 
+  /** Training-shard export manifest — the last job of a curation
+    * pipeline: assign every document to one of 16 shards by a
+    * deterministic portable hash (reproducible across engines, runs, and
+    * cluster sizes — never a random or round-robin writer), and emit the
+    * per-shard manifest a training loader checks before reading: doc
+    * count, token mass, an order-independent content fingerprint
+    * (bit_xor of the per-doc hashes — commutative, so the aggregate is
+    * partition-order-proof), and the doc-id range.
+    *
+    * Scale shape: shard assignment is a map-only projection; the
+    * manifest is one 16-group map-side-partial aggregate. The real
+    * export writes `partitionBy(shard)` with this exact assignment —
+    * the manifest is the writer's commit summary, and at 100 TB the
+    * fingerprint column is what makes a re-export byte-verifiable
+    * without re-reading the data. */
+  private val qShardExport = QueryDef(
+    "q_shard_export",
+    Some(s"""
+      |WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+      |    ${PortableHash.sqlHash60(77, "CAST(doc_id AS VARCHAR)")} AS hp
+      |  FROM documents)
+      |SELECT hp % 16 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+      |  CAST(bit_xor(hp) AS BIGINT) AS fp,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM d GROUP BY 1 ORDER BY shard
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          expr("CAST(size(filter(split(text, '\\\\s+'), x -> x != '')) AS BIGINT)")
+            .as("n_tok"),
+          PortableHash.hash60(77, col("doc_id").cast("string")).as("hp"))
+        .groupBy(expr("hp % 16").as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
+          expr("bit_xor(hp)").as("fp"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("shard")
+    })
+
   val defs: Seq[QueryDef] =
     Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf,
       qFingerprintRolling, qPipelineCurate, qStratifiedSample, qTextSearch,
       qHeavyHitters, qProfile, qHistogram, qHistogramEqdepth, qPiiScrub,
       qRepetitionFilter,
       qCrossdocNgrams, qSeqPacking, qImportanceSample, qTopTerms, qDomainMix,
-      qLmScore, qNgramLm, qSpanDedup, qCooccurPmi, qInvertedIndex, qBpePairs)
+      qLmScore, qNgramLm, qSpanDedup, qCooccurPmi, qInvertedIndex, qBpePairs,
+      qShardExport)
 }
