@@ -634,9 +634,56 @@ object StreamingParity {
         .orderBy("o_orderstatus")
     })
 
+  private val Scd2Sink = "graft_stream_scd2_sink"
+
+  /** Streaming SCD Type-2 ([[graft.streaming.StreamingOps.scd2Intervals]]
+    * — flatMapGroupsWithState in APPEND mode): closed validity intervals
+    * emit as the tracked attribute changes; the open interval is state,
+    * not output. The oracle is the batch q_scd2_build derivation
+    * restricted to closed rows, so the gate proves the custom-state
+    * operator equals the declarative lag/lead twin on the same corpus. */
+  private val qStreamScd2 = QueryDef(
+    "q_stream_scd2",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS tier
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, ts, tier FROM (
+      |    SELECT user_id, ts, tier,
+      |      lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |    FROM e)
+      |  WHERE prev IS NULL OR prev <> tier),
+      |iv AS (
+      |  SELECT user_id, tier,
+      |    CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+      |    CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS BIGINT) AS valid_to_us
+      |  FROM chg)
+      |SELECT user_id, tier, valid_from_us, valid_to_us
+      |FROM iv WHERE valid_to_us IS NOT NULL
+      |ORDER BY user_id, valid_from_us
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      runToMemory(spark, Scd2Sink, dir, mode = "append",
+        finalizeWatermark = false) { s =>
+        import s.implicits._
+        Tables.loadEventsStream(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"),
+            expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 25")
+              .as("tier"))
+          .as[graft.streaming.StreamingOps.TierEvent]
+          .transform(graft.streaming.StreamingOps.scd2Intervals)
+          .toDF()
+      }
+        .select("user_id", "tier", "valid_from_us", "valid_to_us")
+        .orderBy("user_id", "valid_from_us")
+    })
+
   val defs: Seq[QueryDef] =
     Seq(qStreamTumbling, qSessionWindow, qStreamSessionize, qStreamJoin,
       qStreamJoinOuter, qStreamJoinFull, qStreamJoinRight, qStreamJoinSemi,
       qStreamJoinAnti, qStreamEnrich, qStreamDedup, qStreamDsv2Sink,
-      qStreamUpsert)
+      qStreamUpsert, qStreamScd2)
 }

@@ -113,6 +113,49 @@ object StreamingOps {
         .partitionBy("batch_id")
         .parquet(path)
 
+  final case class TierEvent(
+      user_id: Long, ts_us: Long, event_id: Long, tier: Long)
+  final case class Scd2Closed(
+      user_id: Long, tier: Long, valid_from_us: Long, valid_to_us: Long)
+  final case class Scd2State(tier: Long, openedUs: Long)
+
+  /** Streaming SCD Type-2: each user's open validity interval lives in
+    * per-key state; when the tracked attribute CHANGES, the previous
+    * interval emits CLOSED (append mode — closed rows are immutable, so
+    * append is the honest output mode; the still-open interval is state,
+    * not output, exactly as a warehouse's current-row pointer is). The
+    * batch twin q_scd2_build derives the same intervals with lag/lead
+    * windows; the streaming oracle is that query filtered to closed rows.
+    *
+    * Ordering contract: rows are sorted by (ts_us, event_id) PER KEY PER
+    * BATCH in memory — bounded by one entity's per-batch volume, never
+    * the stream's. Cross-batch order is the source's contract (the
+    * file-stream test corpus is one file = one batch; a production feed
+    * needs per-key event-time ordered delivery or a watermark-delayed
+    * sort upstream, the same requirement every CDC-to-SCD2 consumer
+    * documents). */
+  def scd2Intervals(events: Dataset[TierEvent]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TierEvent], state: GroupState[Scd2State]) =>
+          val sorted = rows.toVector.sortBy(e => (e.ts_us, e.event_id))
+          val out = Vector.newBuilder[Scd2Closed]
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            if (st == null) st = Scd2State(e.tier, e.ts_us)
+            else if (e.tier != st.tier) {
+              out += Scd2Closed(uid, st.tier, st.openedUs, e.ts_us)
+              st = Scd2State(e.tier, e.ts_us)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Arbitrary stateful processing: running per-user totals via
     * flatMapGroupsWithState (update mode) — the custom-state escape hatch
     * for semantics windows can't express. */

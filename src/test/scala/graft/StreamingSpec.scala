@@ -398,4 +398,51 @@ class StreamingSpec extends SparkSuite {
       assert(latest == Set((1L, 3L, 16.0), (2L, 1L, 7.0)))
     } finally q.stop()
   }
+
+  test("streaming SCD2 carries the open interval across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[StreamingOps.TierEvent]
+    val q = StreamingOps.scd2Intervals(input.toDS())
+      .writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 opens tier 0 at t=100, changes to tier 1 at t=200
+      // (one closed row emits); user 2 opens tier 3 and stays
+      input.addData(Seq(
+        StreamingOps.TierEvent(1L, 100L, 1L, 0L),
+        StreamingOps.TierEvent(1L, 200L, 2L, 1L),
+        StreamingOps.TierEvent(2L, 150L, 3L, 3L)))
+      q.processAllAvailable()
+      val afterB1 = s.table("scd2_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(afterB1.toSet == Set((1L, 0L, 100L, 200L)),
+        s"batch 1 must emit exactly the one closed interval: ${afterB1.toSeq}")
+      // batch 2: user 1 changes again at t=500 (closes the tier-1 interval
+      // OPENED IN BATCH 1 -> state carried); user 2 changes at t=400
+      input.addData(Seq(
+        StreamingOps.TierEvent(1L, 500L, 4L, 2L),
+        StreamingOps.TierEvent(2L, 400L, 5L, 0L)))
+      q.processAllAvailable()
+      val all = s.table("scd2_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(all.toSet == Set(
+        (1L, 0L, 100L, 200L),
+        (1L, 1L, 200L, 500L),   // opened batch 1, closed batch 2
+        (2L, 3L, 150L, 400L)),
+        s"cross-batch state carry broken: ${all.toSeq}")
+      // within-batch out-of-order rows must be (ts, event_id)-sorted
+      input.addData(Seq(
+        StreamingOps.TierEvent(3L, 900L, 7L, 5L),   // arrives first,
+        StreamingOps.TierEvent(3L, 800L, 6L, 4L)))  // but later ts
+      q.processAllAvailable()
+      val u3 = s.table("scd2_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 == 3L)
+      assert(u3.toSet == Set((3L, 4L, 800L, 900L)),
+        s"per-batch (ts, event_id) sort broken: ${u3.toSeq}")
+    } finally q.stop()
+  }
 }
