@@ -536,6 +536,96 @@ object TextAnalysis {
           sum(length(col("text"))).cast("long").as("total_chars"),
           min(col("lang")).as("lang_lo"), max(col("lang")).as("lang_hi")))
 
+  /** Data-quality CONSTRAINT SUITE (the Deequ/Great-Expectations shape):
+    * named assertions over the warehouse tables with a violation count
+    * and a pass verdict per constraint — uniqueness (o_orderkey),
+    * completeness (o_orderdate), domain membership (o_orderstatus),
+    * value ranges (l_quantity, l_discount), and two referential-integrity
+    * checks (orders→customer, lineitem→orders). The suite output is the
+    * long-format report a pipeline gate consumes.
+    *
+    * Scale shape: every single-table constraint for a table computes in
+    * ONE map-side-partial aggregation pass over that table's scan (three
+    * scans total for six constraints); the FK checks are key-keyed
+    * anti-join counts — broadcast when the parent's key set fits, plain
+    * shuffle joins otherwise (AQE sizes them; nothing pinned). Violation
+    * counts instead of booleans so the report quantifies damage. */
+  private val qDqChecks = QueryDef(
+    "q_dq_checks",
+    Some("""
+      |WITH r AS (
+      |  SELECT 'orders.orderkey_unique' AS cname, CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations FROM orders
+      |  UNION ALL
+      |  SELECT 'orders.orderdate_complete', CAST(count(*) FILTER (o_orderdate IS NULL) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'orders.status_domain', CAST(count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem.quantity_range', CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.discount_range', CAST(count(*) FILTER (l_discount < 0 OR l_discount > 0.1) AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders.custkey_fk', CAST(count(*) AS BIGINT) FROM orders o
+      |    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |  UNION ALL
+      |  SELECT 'lineitem.orderkey_fk', CAST(count(*) AS BIGINT) FROM lineitem l
+      |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |SELECT cname AS "constraint", n_violations,
+      |  CAST(n_violations = 0 AS BIGINT) AS passed
+      |FROM r ORDER BY cname
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val orders = tbl(spark, dir, "orders")
+      val lineitem = tbl(spark, dir, "lineitem")
+      val customer = tbl(spark, dir, "customer")
+      def row(name: String, metric: org.apache.spark.sql.Column,
+          from: DataFrame): DataFrame =
+        from.agg(metric.cast("long").as("n_violations"))
+          .select(lit(name).as("constraint"), col("n_violations"))
+      val ordersAgg = orders.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).cast("long")
+          .as("uniq"),
+        count(when(col("o_orderdate").isNull, 1)).cast("long").as("compl"),
+        count(when(!col("o_orderstatus").isin("O", "F", "P"), 1))
+          .cast("long").as("dom"))
+      val liAgg = lineitem.agg(
+        count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1))
+          .cast("long").as("qty"),
+        count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1))
+          .cast("long").as("disc"))
+      val fkCust = orders.select(col("o_custkey"))
+        .join(customer.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      val fkOrd = lineitem.select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey").as("ok2")),
+          col("l_orderkey") === col("ok2"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      val rows =
+        ordersAgg.select(lit("orders.orderkey_unique").as("constraint"),
+            col("uniq").as("n_violations"))
+          .unionByName(ordersAgg.select(
+            lit("orders.orderdate_complete").as("constraint"),
+            col("compl").as("n_violations")))
+          .unionByName(ordersAgg.select(
+            lit("orders.status_domain").as("constraint"),
+            col("dom").as("n_violations")))
+          .unionByName(liAgg.select(
+            lit("lineitem.quantity_range").as("constraint"),
+            col("qty").as("n_violations")))
+          .unionByName(liAgg.select(
+            lit("lineitem.discount_range").as("constraint"),
+            col("disc").as("n_violations")))
+          .unionByName(fkCust.select(
+            lit("orders.custkey_fk").as("constraint"),
+            col("n").as("n_violations")))
+          .unionByName(fkOrd.select(
+            lit("lineitem.orderkey_fk").as("constraint"),
+            col("n").as("n_violations")))
+      rows.select(col("constraint"), col("n_violations"),
+          (col("n_violations") === 0L).cast("long").as("passed"))
+        .orderBy("constraint")
+    })
+
   /** Exact equi-width histogram over integer cents (decimal-exact in both
     * engines — no double binning drift): bucket = (cents - lo) * NB div
     * (hi - lo + 1). One stat pass (1-row broadcast) + one map-only bucket
@@ -1387,8 +1477,8 @@ object TextAnalysis {
   val defs: Seq[QueryDef] =
     Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf,
       qFingerprintRolling, qPipelineCurate, qStratifiedSample, qTextSearch,
-      qHeavyHitters, qProfile, qHistogram, qHistogramEqdepth, qPiiScrub,
-      qRepetitionFilter,
+      qHeavyHitters, qProfile, qDqChecks, qHistogram, qHistogramEqdepth,
+      qPiiScrub, qRepetitionFilter,
       qCrossdocNgrams, qSeqPacking, qImportanceSample, qTopTerms, qDomainMix,
       qLmScore, qNgramLm, qSpanDedup, qCooccurPmi, qInvertedIndex, qBpePairs,
       qShardExport)
