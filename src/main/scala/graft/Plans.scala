@@ -50,7 +50,14 @@ object Plans {
     "q_fuzzy_join"        -> "deletion-neighborhood fuzzy join (variant-keyed candidates, exact levenshtein verify)",
     "q_bfs_hops"          -> "frontier BFS: per-wave materialized frontier, O(V) anti-join, edges never move",
     "q_pq_topk"           -> "product quantization ANN: broadcast codebooks/ADC tables, one 3-long-per-row shuffle",
-    "q_domain_mix"        -> "domain mixture reweighting: one tokenize+agg pass, 1-row budget frame broadcast back")
+    "q_domain_mix"        -> "domain mixture reweighting: one tokenize+agg pass, 1-row budget frame broadcast back",
+    "q_span_dedup"        -> "span-level exact-substring dedup: map-only window generation, ONE gram-keyed rank exchange, dup-tail-bounded doc rollup",
+    "q_prefix_join"       -> "prefix-filtered exact set-similarity join: df-annotated sorted keys, prefix-only candidate equi-join, SHJ verify (pair side builds)",
+    "q_sorted_neighborhood" -> "sorted-neighborhood dedup: distributed global rank (range partition + offset cumsum), rank-equi-join window pairs",
+    "q_label_prop"        -> "label propagation: per-round (dst,lbl) vote exchange + struct-argmin hash agg, no window sort",
+    "q_bpe_pairs"         -> "BPE pair counts: corpus touched once (word-freq agg), symbol explosion over the VOCABULARY",
+    "q_histogram_eqdepth" -> "equi-depth histogram: percentile boundaries broadcast back, map-only bucket assignment (no global ntile)",
+    "q_dq_checks"         -> "DQ constraint suite: one agg pass per table + AQE-sized FK anti-joins, long-format report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
