@@ -804,13 +804,11 @@ GROUP BY t.doc_id ORDER BY doc_id"""),
     * ordering — rare elements have small df; the frequent tail never
     * enters a prefix unless a doc is so small that everything is prefix,
     * and then the length filter bounds its partners. Verification joins
-    * attach the two doc-set arrays per surviving candidate; with
-    * candidates ≈ true pairs the candidate side is runtime-tiny and AQE
-    * broadcasts it (no hint pinned — a pinned broadcast would be the
-    * O(candidates) ceiling trap, and a pinned shuffle would re-introduce
-    * the SMJ-array-sort tail measured at 30×). The doc-set frame is
-    * localCheckpoint'ed once; three consumers (df explode + both verify
-    * sides) read the materialized blocks. */
+    * attach the two doc-set arrays per surviving candidate — SHUFFLE_HASH
+    * pinned with the pair side as build (see the inline comment; at 16
+    * chars candidates == true pairs at sf0.1, 256/256). The doc-set frame
+    * is localCheckpoint'ed once; three consumers (df explode + both
+    * verify sides) read the materialized blocks. */
   private val PrefixShingleLen = 16
 
   private val prefixShingleSql =

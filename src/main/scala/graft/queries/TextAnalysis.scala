@@ -600,21 +600,23 @@ object TextAnalysis {
         .join(orders.select(col("o_orderkey").as("ok2")),
           col("l_orderkey") === col("ok2"), "left_anti")
         .agg(count(lit(1)).as("n"))
+      // each 1-row agg frame EXPLODES into its constraint rows instead of
+      // feeding one union branch per constraint — a branch-per-constraint
+      // union replays the table scan per branch (exchange reuse does not
+      // cross union branches; the q_cooccur_pmi lesson), which would
+      // contradict the one-pass-per-table claim above
       val rows =
-        ordersAgg.select(lit("orders.orderkey_unique").as("constraint"),
-            col("uniq").as("n_violations"))
-          .unionByName(ordersAgg.select(
-            lit("orders.orderdate_complete").as("constraint"),
-            col("compl").as("n_violations")))
-          .unionByName(ordersAgg.select(
-            lit("orders.status_domain").as("constraint"),
-            col("dom").as("n_violations")))
-          .unionByName(liAgg.select(
-            lit("lineitem.quantity_range").as("constraint"),
-            col("qty").as("n_violations")))
-          .unionByName(liAgg.select(
-            lit("lineitem.discount_range").as("constraint"),
-            col("disc").as("n_violations")))
+        ordersAgg.select(explode(expr(
+            """array(struct('orders.orderkey_unique' as constraint, uniq as n_violations),
+               |      struct('orders.orderdate_complete' as constraint, compl as n_violations),
+               |      struct('orders.status_domain' as constraint, dom as n_violations))""".stripMargin))
+            .as("r"))
+          .select(col("r.constraint"), col("r.n_violations"))
+          .unionByName(liAgg.select(explode(expr(
+            """array(struct('lineitem.quantity_range' as constraint, qty as n_violations),
+               |      struct('lineitem.discount_range' as constraint, disc as n_violations))""".stripMargin))
+            .as("r"))
+            .select(col("r.constraint"), col("r.n_violations")))
           .unionByName(fkCust.select(
             lit("orders.custkey_fk").as("constraint"),
             col("n").as("n_violations")))

@@ -68,4 +68,11 @@ class PrefixJoinSpec extends SparkSuite {
       s"missed: ${truth.keySet -- result.keySet}; extra: ${result.keySet -- truth.keySet}")
     assert(truth.nonEmpty, "sf corpus should contain qualifying pairs")
   }
+
+  test("verify joins stay SHUFFLE_HASH — arrays never sorted, never broadcast") {
+    val plan = queries.Catalog.queries("q_prefix_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("ShuffledHashJoin".r.findAllIn(plan).size >= 2,
+      s"both verify joins must be SHJ (pair side builds):\n$plan")
+  }
 }
