@@ -955,17 +955,24 @@ ORDER BY doc_a, doc_b"""),
         .agg(count(lit(1)).as("n_parts"))
         .truncateLineage
       val pairs = fuzzyPairs(names).select("name_a", "name_b")
+      // partitioned on v — the hop join's PROBE key — so every round's
+      // SHUFFLE_HASH streams the edge blocks in place and only the label
+      // frame moves (the q_dedup_components discipline; partitioning on u
+      // would re-exchange the O(E) edge list every round)
       val edges = pairs.select(col("name_a").as("u"), col("name_b").as("v"))
         .union(pairs.select(col("name_b").as("u"), col("name_a").as("v")))
-        .repartition(col("u"))
+        .repartition(col("v"))
         .truncateLineage
-      // min-label propagation over the active set (edge endpoints only)
+      // min-label propagation over the active set (edge endpoints only),
+      // with POINTER JUMPING (label-of-label) per round so convergence is
+      // O(log diameter) — a 20-round one-hop loop would silently split a
+      // long edit chain into multiple entities
       var labels = edges.select(col("u")).distinct()
         .select(col("u"), col("u").as("lbl"))
         .truncateLineage
       var converged = labels.isEmpty
       var iter = 0
-      while (!converged && iter < 20) {
+      while (!converged && iter < 50) {
         iter += 1
         val hop = edges
           .join(labels.withColumnRenamed("u", "v2").hint("shuffle_hash"),
@@ -973,13 +980,21 @@ ORDER BY doc_a, doc_b"""),
           .select(col("u"), col("lbl"))
           .unionByName(labels)
           .groupBy("u").agg(min(col("lbl")).as("lbl"))
+        val jumped = hop
+          .join(hop.select(col("u").as("lbl"), col("lbl").as("lbl2"))
+            .hint("shuffle_hash"), Seq("lbl"), "left")
+          .select(col("u"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
           .truncateLineage
-        val changed = hop.join(labels.withColumnRenamed("lbl", "old"),
+        val changed = jumped.join(labels.withColumnRenamed("lbl", "old"),
           Seq("u")).filter(col("lbl") =!= col("old")).limit(1).isEmpty
         converged = changed
         graft.Checkpoints.release(labels)
-        labels = hop
+        labels = jumped
       }
+      require(converged,
+        "q_entity_resolution: label propagation did not converge in 50 " +
+          "pointer-jumped rounds — component diameter beyond 2^50 is not a " +
+          "real graph; investigate before trusting the clustering")
       val cl = names
         .join(labels.withColumnRenamed("u", "name"), Seq("name"), "left")
         .select(col("name"), col("n_parts"),

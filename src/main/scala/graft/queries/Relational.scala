@@ -976,30 +976,32 @@ object Relational {
       |    CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS tier
       |  FROM events),
       |chg AS (
-      |  SELECT user_id, ts, tier FROM (
-      |    SELECT user_id, ts, tier,
+      |  SELECT user_id, ts, event_id, tier FROM (
+      |    SELECT user_id, ts, event_id, tier,
       |      lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       |    FROM e)
       |  WHERE prev IS NULL OR prev <> tier),
       |iv AS (
       |  SELECT user_id, tier,
       |    CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
-      |    CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS BIGINT) AS valid_to_us
+      |    CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS valid_to_us
       |  FROM chg)
       |SELECT user_id, tier, valid_from_us, valid_to_us,
       |  CAST(valid_to_us IS NULL AS BIGINT) AS is_current
       |FROM iv ORDER BY user_id, valid_from_us
       |""".stripMargin.trim),
     (spark, dir) => {
+      // BOTH windows tie-break on event_id: a lead ordered by ts alone
+      // would close same-timestamp change rows in arbitrary order
       val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val wIv = Window.partitionBy("user_id").orderBy("ts")
+      val wIv = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val e = tbl(spark, dir, "events")
         .select(col("user_id"), col("ts"), col("event_id"),
           expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 25")
             .as("tier"))
       e.withColumn("prev", lag(col("tier"), 1).over(wOrd))
         .filter(col("prev").isNull || col("prev") =!= col("tier"))
-        .select(col("user_id"), col("ts"), col("tier"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("tier"))
         .withColumn("valid_from_us", unix_micros(col("ts")))
         .withColumn("valid_to_us", unix_micros(lead(col("ts"), 1).over(wIv)))
         .select(col("user_id"), col("tier"), col("valid_from_us"),

@@ -648,17 +648,18 @@ object StreamingParity {
       |WITH e AS (
       |  SELECT user_id, ts, event_id,
       |    CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS tier
-      |  FROM events),
+      |  FROM events
+      |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
       |chg AS (
-      |  SELECT user_id, ts, tier FROM (
-      |    SELECT user_id, ts, tier,
+      |  SELECT user_id, ts, event_id, tier FROM (
+      |    SELECT user_id, ts, event_id, tier,
       |      lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       |    FROM e)
       |  WHERE prev IS NULL OR prev <> tier),
       |iv AS (
       |  SELECT user_id, tier,
       |    CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
-      |    CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS BIGINT) AS valid_to_us
+      |    CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS valid_to_us
       |  FROM chg)
       |SELECT user_id, tier, valid_from_us, valid_to_us
       |FROM iv WHERE valid_to_us IS NOT NULL
@@ -673,6 +674,11 @@ object StreamingParity {
             col("event_id"),
             expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 25")
               .as("tier"))
+          // TierEvent.tier is a primitive Long: a missing/non-numeric k
+          // would otherwise kill the stream at the encoder (the batch
+          // twin's nullable column tolerates it); the oracle carries the
+          // same guard
+          .filter(col("tier").isNotNull)
           .as[graft.streaming.StreamingOps.TierEvent]
           .transform(graft.streaming.StreamingOps.scd2Intervals)
           .toDF()

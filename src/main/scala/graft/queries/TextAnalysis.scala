@@ -577,10 +577,6 @@ object TextAnalysis {
       val orders = tbl(spark, dir, "orders")
       val lineitem = tbl(spark, dir, "lineitem")
       val customer = tbl(spark, dir, "customer")
-      def row(name: String, metric: org.apache.spark.sql.Column,
-          from: DataFrame): DataFrame =
-        from.agg(metric.cast("long").as("n_violations"))
-          .select(lit(name).as("constraint"), col("n_violations"))
       val ordersAgg = orders.agg(
         (count(lit(1)) - countDistinct(col("o_orderkey"))).cast("long")
           .as("uniq"),
