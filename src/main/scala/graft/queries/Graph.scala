@@ -339,7 +339,7 @@ d$h AS (
 edges AS (SELECT p AS src, s + $Off AS dst FROM e0
           UNION ALL SELECT s + $Off AS src, p AS dst FROM e0),
 d0 AS (SELECT min(p) AS node_id, CAST(0 AS BIGINT) AS hop FROM e0
-       WHERE (SELECT count(*) FROM e0) > 0),
+       HAVING count(*) > 0),
 $waves
 SELECT node_id, hop FROM d$BfsHops ORDER BY hop, node_id"""
   }

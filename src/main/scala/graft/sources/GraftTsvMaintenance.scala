@@ -465,12 +465,28 @@ private[sources] object GraftTsvMaintenance {
     val base = branchGens.min   // the seed copy made at branch creation
     val head = branchGens.max
     val mainCur = rootNames.flatMap(GraftTsvManifest.genNumber).max
-    if (mainCur != base)
+    if (mainCur != base) {
+      // A crash between publishing the merged main generation and retiring
+      // the branch chain leaves the branch alive with head < mainCur; the
+      // retried merge must FINISH the retirement idempotently rather than
+      // claim divergence. Already-merged = the current main head carries
+      // exactly the branch head's file list.
+      val headEntries = GraftTsvManifest.readEntries(fs,
+        new Path(dir, GraftTsvManifest.branchGenName(head, name))).toSet
+      val mainEntries = GraftTsvManifest.readEntries(fs,
+        new Path(dir, GraftTsvManifest.genName(mainCur))).toSet
+      if (mainCur > head && headEntries == mainEntries) {
+        branchGens.foreach(g => fs.delete(
+          new Path(dir, GraftTsvManifest.branchGenName(g, name)), false))
+        return (head, mainCur)
+      }
       throw new IllegalStateException(
         s"graft catalog merge_branch: not fast-forward — main advanced from " +
           s"generation $base (the branch point) to $mainCur while branch " +
           s"'$name' diverged; reconcile row-level (the changes feed exposes " +
-          "both deltas) or re-branch from the current head")
+          "both deltas), re-branch from the current head, or drop_branch " +
+          "to abandon the branch")
+    }
     val entries = GraftTsvManifest.readEntries(fs,
       new Path(dir, GraftTsvManifest.branchGenName(head, name)))
     val onDisk = children.map(_._1).toSet

@@ -143,10 +143,18 @@ final class GraftTsvWriteBuilder(
       * arrives as truncate, Append as append), with the epoch id recorded
       * in the generation manifest as the replay-idempotence token. */
     override def toStreaming
-        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      // refuse branch targets at PLAN time — the commit-time check stays
+      // as belt-and-braces, but firing there is after every task has
+      // already staged the epoch's files (residue until a later sweep)
+      require(branchOpt.isEmpty,
+        "graft-tsv: a streaming sink cannot target a branch — the epoch " +
+          "replay-idempotence marker rides the MAIN manifest chain; write " +
+          "to the main lineage or use foreachBatch with a batch write")
       new GraftTsvBatchWrite(schema, path, delimiter, truncateOnCommit,
         info.queryId(), SerializableHadoopConf.fromSession(), partCols,
         blockBytes, retainGenerations, tablePinned, branchOpt)
+    }
   }
 
   /** Block-stats granularity (`stats.block.bytes`): how often the writer
@@ -605,7 +613,20 @@ private[sources] object GraftTsvPublisher {
       // part reclamation, and orphan collection stay the main lineage's
       // job (its keep-set already protects every branch-referenced part
       // below), so a branch commit can never reclaim a main reader's
-      // files — it deletes nothing but its own staging residue
+      // files — it deletes nothing but its own staging residue and its
+      // OWN manifests below the retention window. Retained: the branch
+      // BASE (min gen — the branch point merge_branch/branchChanges
+      // resolve against) plus the newest `retain.generations` manifests,
+      // mirroring main's window. Without this a long-lived branch grows
+      // one manifest per commit forever, and every MAIN publish reads
+      // ALL branch manifests for its keep-set — O(branch commits) FS
+      // reads per main commit.
+      val newGen = curGen.getOrElse(0L) + 1
+      val base = branchGens.min
+      branchGens
+        .filter(g => g != base && g < newGen - retainGenerations)
+        .foreach(g => f.delete(
+          new Path(dir, GraftTsvManifest.branchGenName(g, branch.get)), false))
       sweep(f, dir, sweepPrefix)
       f.create(new Path(dir, "_SUCCESS"), true).close()
       return

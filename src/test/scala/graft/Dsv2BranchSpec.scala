@@ -245,5 +245,74 @@ class Dsv2BranchSpec extends SparkSuite {
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("streaming sink cannot target a branch")),
       msgs(ex).mkString(" | "))
+    // the refusal fires at PLAN time (toStreaming), before any task runs —
+    // no staged epoch files to sweep later
+    val leftovers = new java.io.File(s"$rootDir/err/t").listFiles()
+      .map(_.getName).filter(_.startsWith(".staging-"))
+    assert(leftovers.isEmpty,
+      s"plan-time refusal still staged files: ${leftovers.mkString(", ")}")
+  }
+
+  test("merge_branch retry after a crash mid-retirement is idempotent") {
+    spark.sql("CREATE NAMESPACE gbr.rtry")
+    spark.sql("CREATE TABLE gbr.rtry.t (id BIGINT) USING `graft-tsv`")
+    spark.sql("INSERT INTO gbr.rtry.t SELECT id FROM range(2)")
+    spark.sql("CALL gbr.system.branch('rtry.t', 'mg')")
+    spark.range(2, 4).select(col("id"))
+      .writeTo("gbr.rtry.t").option("branch", "mg").append()
+    val dir = new java.io.File(s"$rootDir/rtry/t")
+    // simulate the crash window: merge published the new main generation
+    // but died before retiring the branch chain — reproduce by merging,
+    // then restoring the branch manifests from a pre-merge copy
+    val branchManifests = dir.listFiles().filter(_.getName.contains(".b-mg"))
+      .map(f => (f.getName, java.nio.file.Files.readAllBytes(f.toPath))).toSeq
+    val m1 = spark.sql("CALL gbr.system.merge_branch('rtry.t', 'mg')").head()
+    branchManifests.foreach { case (n, bytes) =>
+      java.nio.file.Files.write(new java.io.File(dir, n).toPath, bytes)
+    }
+    // the retry must detect the already-merged state and finish the
+    // retirement — NOT throw "not fast-forward"
+    val m2 = spark.sql("CALL gbr.system.merge_branch('rtry.t', 'mg')").head()
+    assert(m2.getLong(2) == m1.getLong(2),
+      s"retry republished instead of finishing retirement: $m1 vs $m2")
+    assert(!dir.listFiles().exists(_.getName.contains(".b-mg")),
+      "retry did not retire the branch chain")
+    assert(ids(spark.table("gbr.rtry.t")) == (0L to 3L))
+    // a GENUINE divergence (different file list) still refuses, naming
+    // drop_branch as the abandon path
+    spark.sql("CALL gbr.system.branch('rtry.t', 'dv')")
+    spark.range(10, 11).select(col("id"))
+      .writeTo("gbr.rtry.t").option("branch", "dv").append()
+    spark.sql("INSERT INTO gbr.rtry.t SELECT 99")
+    val e = intercept[Exception] {
+      spark.sql("CALL gbr.system.merge_branch('rtry.t', 'dv')").collect()
+    }
+    assert(e.getMessage.contains("not fast-forward") &&
+      e.getMessage.contains("drop_branch"), e.getMessage)
+  }
+
+  test("branch manifest chain is retention-bounded: base + newest K survive") {
+    spark.sql("CREATE NAMESPACE gbr.ret")
+    spark.sql("CREATE TABLE gbr.ret.t (id BIGINT) USING `graft-tsv`")
+    spark.sql("INSERT INTO gbr.ret.t SELECT id FROM range(2)")
+    spark.sql("CALL gbr.system.branch('ret.t', 'long')")
+    // 6 branch commits at default retention (1): base + head survive,
+    // the middle generations' manifests are reclaimed by later publishes
+    (0 until 6).foreach { i =>
+      spark.range(10 * i, 10 * i + 2).select(col("id"))
+        .writeTo("gbr.ret.t").option("branch", "long").append()
+    }
+    val gens = new java.io.File(s"$rootDir/ret/t").listFiles()
+      .map(_.getName)
+      .flatMap(n => graft.sources.GraftTsvManifest.branchGenNumber(n, "long"))
+      .sorted.toSeq
+    assert(gens.size <= 3 && gens.head == 1L && gens.last == 7L,
+      s"branch chain not retention-bounded: $gens")
+    // retention never loses data: head still reads base + every append,
+    // and the fast-forward merge (base comparison) still works
+    assert(ids(spark.read.option("branch", "long").table("gbr.ret.t")) ==
+      (Seq(0L, 1L) ++ (0 until 6).flatMap(i => Seq(10L * i, 10L * i + 1))).sorted)
+    spark.sql("CALL gbr.system.merge_branch('ret.t', 'long')")
+    assert(ids(spark.table("gbr.ret.t")).size == 14)
   }
 }
