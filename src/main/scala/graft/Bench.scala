@@ -53,7 +53,10 @@ object Bench {
     * df-ordered prefix filter + exact verify) displacing
     * q_minhash_signatures, whose one-agg dataflow q_jaccard_pairs
     * recomputes internally; q_bpe_pairs stays full-bench-only
-    * (vocab-bounded agg, the q_wordcount shape)) — plus
+    * (vocab-bounded agg, the q_wordcount shape); round 13's
+    * q_pagerank_converged stays full-bench-only too — its per-round plan
+    * IS q_pagerank's, and the convergence-loop shape is already
+    * headline-represented by q_dedup_components) — plus
     * any ERRORED query (sentinel -1, so a failure is
     * visible in the tail capture even when it's not a headline query).
     * The full per-query map is written to BENCH_FULL.json next to the
@@ -184,11 +187,31 @@ object Bench {
       s""","errors":${errored.size},"errored":${
         errored.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     else ""
+    // End-of-suite ISOLATED re-measure of the top-5 in-suite times: a
+    // query timed right after a multi-GB-shuffle neighbor reads 2-5× its
+    // isolated number (the SCALE.md §13 JVM-warmth artifact), and every
+    // cross-round regression call so far has started by hand-re-measuring
+    // exactly these — so the bench records them itself (min of 2 reps,
+    // full isolate() between). BENCH_FULL-only: the headline line's
+    // bounded tail capture stays untouched.
+    val isolated = results.filter(_._3).sortBy(-_._2).take(5).map {
+      case (name, _, _) =>
+        val fn = SparkEntry.queries(name)
+        val ts = (1 to 2).map { _ =>
+          isolate()
+          val t0 = System.nanoTime()
+          try { consumeAll(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        }
+        (name, if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }
+    val isoTag = s""","isolated_top5":${isolated.map { case (k, v) =>
+      "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")}"""
     // Full per-query breakdown → file (the judge reads it from the repo).
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"))
     java.nio.file.Files.write(fullPath,
-      (jsonLine(results, s""","n_queries":${results.size}$errTag""") + "\n")
+      (jsonLine(results, s""","n_queries":${results.size}$errTag$isoTag""") + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Headline subset → stdout (must fit the driver's bounded tail capture).
     println(jsonLine(results.filter(r => headline(r._1) || !r._3),

@@ -54,10 +54,19 @@ object Checkpoints {
   // mid-session (setCheckpointDir alone is first-write-wins)
   private var applied: Option[String] = None
 
-  /** Eagerly truncate `df`'s lineage via the configured checkpoint mode. */
+  /** Eagerly truncate `df`'s lineage via the configured checkpoint mode.
+    *
+    * The carried size estimate is saturated at Long.MaxValue
+    * ([[org.apache.spark.sql.graftbridge.GraftPlanBridge.capCheckpointStats]]):
+    * checkpoints copy the ORIGIN plan's estimated stats, and a loop that
+    * joins round N−1's checkpoint into round N's plan compounds them
+    * multiplicatively — past ~20 rounds the driver grinds million-bit
+    * BigInt products at every plan. The cap is decision-lossless (any
+    * estimate past 9.2 EB already means "never broadcast") and leaves
+    * frames with sane estimates untouched. */
   def truncate(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    spark.conf.getOption(DirKey).filter(_.nonEmpty) match {
+    val ckpt = spark.conf.getOption(DirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
         synchronized {
@@ -69,6 +78,8 @@ object Checkpoints {
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }
+    org.apache.spark.sql.graftbridge.GraftPlanBridge.capCheckpointStats(
+      ckpt.asInstanceOf[org.apache.spark.sql.classic.DataFrame])
   }
 
   /** Best-effort delete of the RELIABLE checkpoint files backing a frame

@@ -41,12 +41,12 @@ object Plans {
     "q_dsv2_changes"      -> "changes feed (each diff side lists only the other endpoint's missing files — DiffExcludeGeneration on the scan)",
     "q_dsv2_zorder"       -> "z-order rewrite read-back (2-dim box predicate over the clustered table)",
     "q_kmeans_assign"     -> "Lloyd k-means: broadcast-centroid assignment + (cid, dim)-keyed update aggregate",
-    "q_semdedup"          -> "semantic dedup: cid-local pair join bounds the quadratic to cluster cells",
+    "q_semdedup"          -> "semantic dedup: two-level k-means, (cid, scid)-local pair join bounds the quadratic at any corpus size",
     "q_triangles"         -> "degree-ordered triangle counting (adjacency-intersection close, O(E) shuffled rows)",
     "q_crossdoc_ngrams"   -> "cross-doc n-gram duplication (hashed grams, co-partitioned agg + join)",
     "q_salted_join"       -> "salted skew join: hot key spread 8 ways, dim replicated, SMJ on (key, salt)",
     "q_dsv2_ivm"          -> "incremental view maintenance: changes-feed delta scans only the diff files",
-    "q_seq_packing"       -> "sequence packing: one window cumsum, integer pack assignment",
+    "q_seq_packing"       -> "sequence packing: shard-local window cumsum (bounded partitions), integer pack assignment",
     "q_fuzzy_join"        -> "deletion-neighborhood fuzzy join (variant-keyed candidates, exact levenshtein verify)",
     "q_bfs_hops"          -> "frontier BFS: per-wave materialized frontier, O(V) anti-join, edges never move",
     "q_pq_topk"           -> "product quantization ANN: broadcast codebooks/ADC tables, one 3-long-per-row shuffle",

@@ -728,14 +728,125 @@ FROM a1 GROUP BY cid ORDER BY cid"""),
           sum(col("dist")).as("inertia"))
         .orderBy("cid"))
 
+  // ---- level-2 (per-cell) k-means: the SemDeDup de-saturation ----
+  //
+  // Level-1's K is clamped at KmMaxK, so past n = KmMaxK·KmTargetCell its
+  // cells grow ∝ n/KmMaxK and any in-cell pair join goes super-linear.
+  // The fix is HIERARCHICAL clustering: within each level-1 cell, run the
+  // same seed→assign→update→reassign recurrence again with a PER-CELL
+  // adaptive sub-K = clamp(cell_n / KmTargetCell, 1, KmMaxK), so final
+  // (cid, scid) cells stay ~KmTargetCell-sized up to
+  // n = KmMaxK²·KmTargetCell (262k vectors at these constants — 64× the
+  // single-level ceiling), and the recurrence nests further (or the
+  // constants grow) in production. Everything stays integer-exact and
+  // deterministic: sub-seeds rank by (hash60(vec_id), vec_id) WITHIN the
+  // cell, distances/updates are the level-1 arithmetic verbatim.
+  //
+  // Scale shape: the sub-seed pass is ONE window over the corpus keyed
+  // cid (bounded partitions — level-1 cells); packed per-cell codebooks
+  // total ≤ K·subK·Dim longs (2 MB here) and broadcast; assignment stays
+  // a zero-shuffle HOF argmin; the update is one (cid, scid, pos)-keyed
+  // hash agg with map-side partials.
+
+  /** Packed per-cell sub-codebook: (cid, cl = sorted [(scid, cv, cc)]). */
+  private def km2Pack(cents: DataFrame): DataFrame =
+    cents
+      .select(col("cid"), col("scid"), col("cv"),
+        call_function("long_dot", col("cv"), col("cv")).as("cc"))
+      .groupBy("cid")
+      .agg(sort_array(collect_list(struct(col("scid"), col("cv"), col("cc"))))
+        .as("cl"))
+
+  /** Per-cell assignment: broadcast the packed sub-codebooks, join on cid,
+    * HOF argmin over the cell's own centroid list — (vec_id, qv, cid,
+    * scid), tie → min scid, the level-1 discipline cell-locally. */
+  private def km2Assign(a1: DataFrame, packed: DataFrame): DataFrame =
+    a1.join(broadcast(packed), "cid")
+      .withColumn("xx", call_function("long_dot", col("qv"), col("qv")))
+      .withColumn("sc", expr(
+        "transform(cl, s -> struct(s.scid AS scid, xx - 2 * long_dot(qv, s.cv) + s.cc AS dist))"))
+      .withColumn("best", expr("array_min(transform(sc, s -> s.dist))"))
+      .select(col("vec_id"), col("qv"), col("cid"),
+        expr("array_min(transform(filter(sc, s -> s.dist = best), s -> s.scid))")
+          .as("scid"))
+
+  /** Two-level assignment frame: level-1 a1, then the same recurrence
+    * within each cell. The a1 frame feeds four consumers (seeds + two
+    * assigns + the update), so its lineage is truncated once. */
+  private def kmeans2Final(spark: SparkSession, dir: String): DataFrame = {
+    val a1 = graft.Checkpoints.truncate(
+      kmeansFinal(spark, dir).select("vec_id", "qv", "cid"))
+    val wseed = Window.partitionBy("cid").orderBy("hp", "vec_id")
+    val wcell = Window.partitionBy("cid")
+    val sc0 = a1
+      .withColumn("hp", PortableHash.hash60(col("vec_id").cast("string")))
+      .withColumn("rn", row_number().over(wseed).cast("long"))
+      .withColumn("sk", greatest(lit(1L), least(lit(KmMaxK.toLong),
+        expr(s"count(1) OVER (PARTITION BY cid) div $KmTargetCell"))))
+      .filter(col("rn") <= col("sk"))
+      .select(col("cid"), col("rn").as("scid"), col("qv").as("cv"))
+    val sa0 = km2Assign(a1, km2Pack(sc0))
+    val ssums = sa0
+      .select(col("cid"), col("scid"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("cid", "scid", "pos")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    val sc1 = ssums
+      .select(col("cid"), col("scid"), col("pos"), expr("sx div n").as("m"))
+      .groupBy("cid", "scid")
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), col("scid"), expr("transform(pm, p -> p.m)").as("cv"))
+    km2Assign(a1, km2Pack(sc1))
+  }
+
+  /** Oracle mirror of [[km2Pack]]: (cid, cl = sorted [(scid, cv, cc)]). */
+  private def sqlKm2Pack(cents: String): String = s"""
+(SELECT cid, list(struct_pack(scid := scid, cv := cv,
+    cc := CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+      list_extract(cv, CAST(i AS INT)) * list_extract(cv, CAST(i AS INT)))) AS BIGINT))
+  ORDER BY scid) AS cl FROM $cents GROUP BY cid)"""
+
+  /** Oracle mirror of [[km2Assign]] over packed sub-codebooks `arr`. */
+  private def sqlKm2Assign(arr: String): String = s"""
+(SELECT vec_id, qv, cid,
+  list_min(list_transform(list_filter(sc, s -> s.dist = best), s -> s.scid)) AS scid
+FROM (SELECT vec_id, qv, cid, sc, list_min(list_transform(sc, s -> s.dist)) AS best
+  FROM (SELECT a.vec_id, a.qv, a.cid,
+    list_transform(arr.cl, s -> struct_pack(scid := s.scid,
+      dist := a.xx - 2 * CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+        list_extract(a.qv, CAST(i AS INT)) * list_extract(s.cv, CAST(i AS INT)))) AS BIGINT)
+        + s.cc)) AS sc
+  FROM (SELECT vec_id, qv, cid,
+      CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+        list_extract(qv, CAST(i AS INT)) * list_extract(qv, CAST(i AS INT)))) AS BIGINT) AS xx
+    FROM a1) a JOIN $arr arr USING (cid))))"""
+
+  /** Shared oracle chain ending in sa1(vec_id, qv, cid, scid). */
+  private val sqlKmeans2: String = s"""$sqlKmeans,
+sc0 AS (SELECT cid, rn AS scid, qv AS cv FROM (
+  SELECT cid, qv,
+    CAST(row_number() OVER (PARTITION BY cid ORDER BY hp, vec_id) AS BIGINT) AS rn,
+    greatest(1, least($KmMaxK, count(*) OVER (PARTITION BY cid) // $KmTargetCell)) AS sk
+  FROM (SELECT vec_id, qv, cid, $sqlHash60VecId AS hp FROM a1))
+  WHERE rn <= sk),
+sc0arr AS ${sqlKm2Pack("sc0")},
+sa0 AS ${sqlKm2Assign("sc0arr")},
+ssums2 AS (SELECT cid, scid, t.i AS pos,
+    CAST(sum(list_extract(qv, CAST(t.i AS INT))) AS BIGINT) AS sx, count(*) AS n
+  FROM sa0, range(1, ${Dim + 1}) t(i) GROUP BY cid, scid, t.i),
+sc1 AS (SELECT cid, scid, list(sx // n ORDER BY pos) AS cv FROM ssums2
+  GROUP BY cid, scid),
+sc1arr AS ${sqlKm2Pack("sc1")},
+sa1 AS ${sqlKm2Assign("sc1arr")}"""
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): k-means the corpus,
     * then WITHIN each cluster drop every vector that has a cluster-mate
     * with cosine ≥ τ and a smaller id (greedy keep-min-id — the
     * deterministic representative rule; both engines apply it
     * identically, so transitive chains resolve the same way). This is
     * the payoff of q_kmeans_*: the cluster bounds the quadratic — the
-    * pair join is cid-local, and because K adapts to the corpus (cells
-    * stay ~KmTargetCell), the pair stage is LINEAR in n, the same
+    * pair join is (cid, scid)-local over the TWO-LEVEL clustering, so
+    * cells stay ~KmTargetCell-sized up to KmMaxK²·KmTargetCell vectors
+    * (the level-2 chain above de-saturates the level-1 clamp), the same
     * "bucket the pairing" discipline as the LSH/IVF/simhash stages.
     * τ = 0.35 is corpus-tuned (the 99.9th percentile of this corpus's
     * pair cosine; real embedding corpora with planted near-dups run at
@@ -746,28 +857,29 @@ FROM a1 GROUP BY cid ORDER BY cid"""),
 
   private val qSemdedup = QueryDef(
     "q_semdedup",
-    Some(s"""WITH $sqlKmeans,
+    Some(s"""WITH $sqlKmeans2,
 drp AS (
   SELECT DISTINCT a.vec_id
-  FROM a1 a JOIN a1 b ON a.cid = b.cid AND b.vec_id < a.vec_id
+  FROM sa1 a JOIN sa1 b ON a.cid = b.cid AND a.scid = b.scid
+    AND b.vec_id < a.vec_id
     AND CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
       list_extract(a.qv, CAST(i AS INT)) * list_extract(b.qv, CAST(i AS INT)))) AS BIGINT)
       >= $SemTau)
-SELECT a1.vec_id, a1.cid,
+SELECT sa1.vec_id, sa1.cid, sa1.scid,
   CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
-FROM a1 LEFT JOIN drp d ON d.vec_id = a1.vec_id
-ORDER BY a1.vec_id"""),
+FROM sa1 LEFT JOIN drp d ON d.vec_id = sa1.vec_id
+ORDER BY sa1.vec_id"""),
     (spark, dir) => {
-      val a1 = kmeansFinal(spark, dir)
-      val dropped = a1.as("a")
-        .join(a1.as("b"),
-          col("a.cid") === col("b.cid") &&
+      val sa1 = graft.Checkpoints.truncate(kmeans2Final(spark, dir))
+      val dropped = sa1.as("a")
+        .join(sa1.as("b"),
+          col("a.cid") === col("b.cid") && col("a.scid") === col("b.scid") &&
             col("b.vec_id") < col("a.vec_id") &&
             call_function("long_dot", col("a.qv"), col("b.qv")) >= SemTau)
         .select(col("a.vec_id").as("vec_id")).distinct()
         .withColumn("dropped", lit(1))
-      a1.join(dropped, Seq("vec_id"), "left_outer")
-        .select(col("vec_id"), col("cid"),
+      sa1.join(dropped, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("cid"), col("scid"),
           when(col("dropped").isNotNull, 0L).otherwise(1L).as("keep"))
         .orderBy("vec_id")
     })

@@ -909,40 +909,63 @@ object TextAnalysis {
     * document that straddles its boundary and never under-fills
     * (utilization ≥ 1 − max_doc/B per pack, with exact integer
     * arithmetic both engines agree on). Packing is per-language
-    * (training streams are language-segregated), ordered by doc_id —
-    * deterministic and reproducible, the same never-RAND() discipline
-    * as the split/sample stages. One window cumsum = one shuffle; at
-    * 100 TB the order key becomes (shard, doc_id) so each range
-    * partition packs locally and pack ids salt by shard — same shape,
-    * no global sort. */
+    * (training streams are language-segregated) and SHARD-LOCAL: the
+    * window key is (lang, shard) with shard = q_shard_export's
+    * deterministic 16-way hash assignment, ordered by doc_id within the
+    * shard — deterministic and reproducible, the same never-RAND()
+    * discipline as the split/sample stages, and the same shards the
+    * export actually writes, so a pack never spans shard files a
+    * training loader reads independently. Pack ids are SALTED BY SHARD
+    * (shard · 2⁴⁰ + local pack index — exact in BIGINT: before ≤ corpus
+    * tokens « 2⁴⁰ per shard at any real scale, checked by the budget
+    * math), so ids are globally unique without any cross-shard
+    * coordination.
+    *
+    * Scale shape: this is the fix for the one single-task-at-scale plan
+    * the engine used to have — a per-LANGUAGE unbounded window puts a
+    * dominant language's entire stream through one window task; keying
+    * the window by (lang, shard) bounds every window partition at
+    * ~1/16th of a language (and the shard count is one constant at
+    * 100 TB), while the hash assignment keeps each shard's token mass
+    * balanced by construction. One window shuffle on (lang, shard),
+    * map-side-partial final agg. */
   private val PackBudget = 512L // tokens per training sequence
+  private val PackSalt = 1L << 40 // shard salt: local pack index < 2^40
 
   private val qSeqPacking = QueryDef(
     "q_seq_packing",
     Some(s"""
       |WITH $tokSql,
       |tc AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
-      |d AS (SELECT d.lang, d.doc_id, tc.n_tok,
-      |    sum(tc.n_tok) OVER (PARTITION BY d.lang ORDER BY d.doc_id
-      |      ROWS UNBOUNDED PRECEDING) - tc.n_tok AS before
+      |sh AS (SELECT d.lang, d.doc_id, tc.n_tok,
+      |    ${PortableHash.sqlHash60(77, "CAST(d.doc_id AS VARCHAR)")} % 16 AS shard
       |  FROM documents d JOIN tc ON tc.doc_id = d.doc_id),
-      |packed AS (SELECT lang, doc_id, n_tok,
-      |  CAST(before // $PackBudget AS BIGINT) AS pack_id FROM d)
-      |SELECT lang, pack_id, count(*) AS n_docs,
+      |c AS (SELECT lang, shard, doc_id, n_tok,
+      |    sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - n_tok AS before
+      |  FROM sh),
+      |packed AS (SELECT lang, shard, doc_id, n_tok,
+      |  CAST(shard * $PackSalt + (before // $PackBudget) AS BIGINT) AS pack_id
+      |  FROM c)
+      |SELECT lang, CAST(shard AS BIGINT) AS shard, pack_id,
+      |  count(*) AS n_docs,
       |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
       |  CAST(min(doc_id) AS BIGINT) AS first_doc
-      |FROM packed GROUP BY lang, pack_id ORDER BY lang, pack_id
+      |FROM packed GROUP BY lang, shard, pack_id ORDER BY lang, pack_id
       |""".stripMargin.trim),
     (spark, dir) => {
       val tc = toks(spark, dir).groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"))
-      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       tbl(spark, dir, "documents").select("doc_id", "lang")
+        .withColumn("shard",
+          PortableHash.hash60(77, col("doc_id").cast("string")) % 16)
         .join(tc, "doc_id")
         .withColumn("before", sum(col("n_tok")).over(w) - col("n_tok"))
-        .withColumn("pack_id", expr(s"before div $PackBudget"))
-        .groupBy("lang", "pack_id")
+        .withColumn("pack_id",
+          expr(s"shard * $PackSalt + (before div $PackBudget)"))
+        .groupBy("lang", "shard", "pack_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
           min(col("doc_id")).as("first_doc"))
         .orderBy("lang", "pack_id")

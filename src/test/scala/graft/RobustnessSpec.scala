@@ -45,6 +45,45 @@ class RobustnessSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("SCD2 stream (flatMapGroupsWithState) runs on RocksDB state — " +
+      "same output as the default provider") {
+    import StreamingOps.{TierEvent, Scd2Closed}
+    // the r12-added custom-state path: open intervals live in per-key
+    // state across micro-batches; the provider swap must not change one
+    // row (closed-interval emission order inside a batch is sorted by
+    // the operator itself)
+    def run(provider: Option[String]): Seq[Scd2Closed] = {
+      val s = spark.newSession()
+      provider.foreach(p =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = MemoryStream[TierEvent]
+      val q = StreamingOps.scd2Intervals(input.toDS())
+        .writeStream.format("memory").queryName("scd2_prov")
+        .outputMode("append").start()
+      try {
+        // batch 1: user 1 opens tier 10, flips to 20 (closes 10);
+        // user 2 opens tier 5
+        input.addData(TierEvent(1, 100, 1, 10), TierEvent(1, 200, 2, 20),
+          TierEvent(2, 150, 3, 5))
+        q.processAllAvailable()
+        // batch 2: user 1 flips again (state carried the open 20-interval
+        // ACROSS batches inside the provider); user 2 unchanged
+        input.addData(TierEvent(1, 300, 4, 30), TierEvent(2, 400, 5, 5))
+        q.processAllAvailable()
+        s.table("scd2_prov").as[Scd2Closed].collect().toSeq
+          .sortBy(c => (c.user_id, c.valid_from_us))
+      } finally q.stop()
+    }
+    val rocks = run(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    val default = run(None)
+    assert(rocks == default, s"provider changed SCD2 output: $rocks vs $default")
+    assert(rocks == Seq(Scd2Closed(1, 10, 100, 200), Scd2Closed(1, 20, 200, 300)),
+      rocks.toString)
+  }
+
   test("table statistics let CBO broadcast the small side without a hint") {
     val s = spark.newSession()
     s.conf.set("spark.sql.cbo.enabled", "true")
