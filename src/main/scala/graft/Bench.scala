@@ -54,9 +54,10 @@ object Bench {
     * q_minhash_signatures, whose one-agg dataflow q_jaccard_pairs
     * recomputes internally; q_bpe_pairs stays full-bench-only
     * (vocab-bounded agg, the q_wordcount shape); round 13's
-    * q_pagerank_converged stays full-bench-only too — its per-round plan
-    * IS q_pagerank's, and the convergence-loop shape is already
-    * headline-represented by q_dedup_components) — plus
+    * q_pagerank_converged and q_label_prop_converged stay
+    * full-bench-only too — their per-round plans ARE
+    * q_pagerank's/q_label_prop's, and the convergence-loop shape is
+    * already headline-represented by q_dedup_components) — plus
     * any ERRORED query (sentinel -1, so a failure is
     * visible in the tail capture even when it's not a headline query).
     * The full per-query map is written to BENCH_FULL.json next to the

@@ -623,6 +623,120 @@ ORDER BY node_id"""
         .orderBy("node_id")
     })
 
+  /** Label propagation run to FIXPOINT — the convergence-loop form of
+    * [[qLabelProp]], with one semantic change that MAKES a fixpoint
+    * exist: each node's own current label joins the vote (self-vote).
+    * Pure synchronous LPA provably 2-cycles on bipartite graphs, and
+    * this corpus's part↔supplier graph does exactly that — measured:
+    * every one of the 2100 sf0.01 nodes flips label every round,
+    * forever. The self-vote (Raghavan et al.'s suggested damping, one
+    * extra O(V) union leg) breaks the cycle; the same corpus then
+    * converges in 5 rounds. The loop stops when ZERO nodes changed
+    * label — exact, not a threshold — with the q_dedup_components
+    * checkpoint/release discipline per round and a fail-loud 100-round
+    * cap. The converged round count is a result column; the oracle runs
+    * the identical recurrence as a recursive CTE (working table carries
+    * the previous round's global change count) and must stop at the
+    * same round — deterministic tie-breaks make the trajectories
+    * bit-identical.
+    *
+    * Scale shape: per round = [[qLabelProp]]'s budget + one O(V) union
+    * leg and one O(V) change-count join; the convergence test is a
+    * 1-value agg off the already-materialized round frame. */
+  private val LpMaxRounds = 100L
+
+  private val labelPropConvergedSql: String = s"""
+WITH RECURSIVE
+e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (SELECT p AS src, s + $Off AS dst FROM e0
+          UNION ALL SELECT s + $Off AS src, p AS dst FROM e0),
+it(node_id, lbl, chg, rounds) AS (
+  SELECT DISTINCT src, src, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM edges
+  UNION ALL
+  SELECT w.node_id, w.lbl,
+    CAST(sum(CASE WHEN w.lbl <> w.prev THEN 1 ELSE 0 END) OVER () AS BIGINT),
+    w.rounds + 1
+  FROM (
+    SELECT nx.node_id, nx.lbl, p2.lbl AS prev, p2.rounds AS rounds
+    FROM (
+      SELECT node_id, lbl FROM (
+        SELECT node_id, lbl,
+          row_number() OVER (PARTITION BY node_id ORDER BY c DESC, lbl) AS rn
+        FROM (
+          SELECT v.node_id, v.lbl, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT e.dst AS node_id, l.lbl
+            FROM edges e JOIN it l ON l.node_id = e.src
+            UNION ALL SELECT node_id, lbl FROM it) v
+          GROUP BY v.node_id, v.lbl)) WHERE rn = 1) nx
+    JOIN it p2 ON p2.node_id = nx.node_id
+    WHERE p2.chg > 0 AND p2.rounds < $LpMaxRounds
+  ) w
+)
+SELECT f.node_id, f.lbl, sz.comm_size, f.rounds
+FROM (SELECT node_id, lbl, rounds FROM it
+      WHERE rounds = (SELECT max(rounds) FROM it)) f
+JOIN (SELECT lbl, CAST(count(*) AS BIGINT) AS comm_size FROM it
+      WHERE rounds = (SELECT max(rounds) FROM it) GROUP BY lbl) sz
+  ON sz.lbl = f.lbl
+ORDER BY f.node_id"""
+
+  private val qLabelPropConverged = QueryDef(
+    "q_label_prop_converged",
+    Some(labelPropConvergedSql),
+    (spark, dir) => {
+      val e0 = tbl(spark, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+        .distinct()
+        .truncateLineage
+      val head = e0.agg(countDistinct(col("p")).as("np"),
+        countDistinct(col("s")).as("ns")).head()
+      val v = head.getLong(0) + head.getLong(1)
+      val bcast = GraphAdaptive.broadcastOk(spark, v)
+      val pv = GraphAdaptive.pick(bcast) _
+      val edges0 = e0
+        .select(col("p").as("src"), (col("s") + Off).as("dst"))
+        .unionByName(e0.select((col("s") + Off).as("src"), col("p").as("dst")))
+      val edges = (if (bcast) edges0 else edges0.repartition(col("src")))
+        .truncateLineage
+      graft.Checkpoints.release(e0)
+      var lbl = graft.Checkpoints.truncate(
+        edges.select(col("src").as("node_id")).distinct()
+          .select(col("node_id"), col("node_id").as("lbl")))
+      var rounds = 0L
+      var chg = 1L
+      while (chg > 0L) {
+        rounds += 1
+        if (rounds >= LpMaxRounds)
+          throw new IllegalStateException(
+            s"q_label_prop_converged: no fixpoint after $LpMaxRounds rounds " +
+              s"(last round changed $chg labels) — the self-vote damping " +
+              "contract is broken, refusing to return a half-converged labeling")
+        val votes = edges
+          .join(pv(lbl), col("src") === col("node_id"))
+          .select(col("dst").as("node_id"), col("lbl"))
+          .unionByName(lbl)
+        val nxt0 = votes
+          .groupBy(col("node_id"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy("node_id")
+          .agg(min(struct((-col("c")).as("negc"), col("lbl").as("l"))).as("m"))
+          .select(col("node_id"), col("m.l").as("lbl"))
+        val nxt = graft.Checkpoints.truncate(
+          nxt0.join(pv(lbl.select(col("node_id").as("pn"), col("lbl").as("prev"))),
+              col("node_id") === col("pn"))
+            .select(col("node_id"), col("lbl"),
+              (col("lbl") =!= col("prev")).cast("long").as("chgd")))
+        chg = nxt.agg(coalesce(sum(col("chgd")), lit(0L))).head().getLong(0)
+        graft.Checkpoints.release(lbl)
+        lbl = nxt.select("node_id", "lbl")
+      }
+      val sz = lbl.groupBy("lbl").agg(count(lit(1)).as("comm_size"))
+      lbl.join(sz, "lbl")
+        .select(col("node_id"), col("lbl"), col("comm_size"),
+          lit(rounds).as("rounds"))
+        .orderBy("node_id")
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(qPagerank, qPagerankConverged, qTriangles, qBfsHops, qLabelProp)
+    Seq(qPagerank, qPagerankConverged, qTriangles, qBfsHops, qLabelProp,
+      qLabelPropConverged)
 }
