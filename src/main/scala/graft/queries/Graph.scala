@@ -276,17 +276,24 @@ ORDER BY pr DESC, node_id LIMIT 50"""
           val contrib = g.edgesW
             .join(g.pv(cur), col("src") === col("node_id"))
             .groupBy("dst").agg(sum(expr("pr div outdeg")).as("cin"))
-          val nxt = graft.Checkpoints.truncate(
-            g.nodes.crossJoin(broadcast(nn))
-              .join(g.pv(contrib), col("node_id") === col("dst"), "left")
-              .select(col("node_id"),
-                (expr(s"(${Scale}L * 15) div (100 * cnt)") +
-                  expr("(85 * coalesce(cin, 0L)) div 100")).as("pr"))
-              .join(g.pv(cur.select(col("node_id").as("pn"),
-                col("pr").as("prev"))), col("node_id") === col("pn"))
-              .select(col("node_id"), col("pr"),
-                abs(col("pr") - col("prev")).as("d")))
-          delta = nxt.agg(max(col("d"))).head().getLong(0)
+          // the convergence metric rides the checkpoint's own
+          // materialization job via observe() — one action per round,
+          // not a second scan of the round frame
+          val obs = g.nodes.crossJoin(broadcast(nn))
+            .join(g.pv(contrib), col("node_id") === col("dst"), "left")
+            .select(col("node_id"),
+              (expr(s"(${Scale}L * 15) div (100 * cnt)") +
+                expr("(85 * coalesce(cin, 0L)) div 100")).as("pr"))
+            .join(g.pv(cur.select(col("node_id").as("pn"),
+              col("pr").as("prev"))), col("node_id") === col("pn"))
+            .select(col("node_id"), col("pr"),
+              abs(col("pr") - col("prev")).as("d"))
+            .observe(s"pr_delta_$rounds", max(col("d")).as("v"))
+          val nxt = graft.Checkpoints.truncate(obs)
+          delta = obs.queryExecution.observedMetrics
+            .get(s"pr_delta_$rounds")
+            .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+            .getOrElse(nxt.agg(max(col("d"))).head().getLong(0))
           graft.Checkpoints.release(cur)
           cur = nxt.select("node_id", "pr")
         }
@@ -720,12 +727,20 @@ ORDER BY f.node_id"""
           .groupBy("node_id")
           .agg(min(struct((-col("c")).as("negc"), col("lbl").as("l"))).as("m"))
           .select(col("node_id"), col("m.l").as("lbl"))
-        val nxt = graft.Checkpoints.truncate(
-          nxt0.join(pv(lbl.select(col("node_id").as("pn"), col("lbl").as("prev"))),
-              col("node_id") === col("pn"))
-            .select(col("node_id"), col("lbl"),
-              (col("lbl") =!= col("prev")).cast("long").as("chgd")))
-        chg = nxt.agg(coalesce(sum(col("chgd")), lit(0L))).head().getLong(0)
+        // change count observed on the checkpoint job itself (the
+        // q_pagerank_converged one-action-per-round discipline)
+        val obs = nxt0
+          .join(pv(lbl.select(col("node_id").as("pn"), col("lbl").as("prev"))),
+            col("node_id") === col("pn"))
+          .select(col("node_id"), col("lbl"),
+            (col("lbl") =!= col("prev")).cast("long").as("chgd"))
+          .observe(s"lp_chg_$rounds", sum(col("chgd")).as("v"))
+        val nxt = graft.Checkpoints.truncate(obs)
+        chg = obs.queryExecution.observedMetrics
+          .get(s"lp_chg_$rounds")
+          .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+          .getOrElse(
+            nxt.agg(coalesce(sum(col("chgd")), lit(0L))).head().getLong(0))
         graft.Checkpoints.release(lbl)
         lbl = nxt.select("node_id", "lbl")
       }
