@@ -546,6 +546,84 @@ SELECT node_id, hop FROM d$BfsHops ORDER BY hop, node_id"""
       dist.orderBy("hop", "node_id")
   }
 
+  /** BFS run to EXHAUSTION — the frontier-empty loop form of
+    * [[qBfsHops]]: waves expand until a wave reaches no unvisited node,
+    * the natural termination every production BFS uses (the fixed-4
+    * unroll is the static-plan bench shape). Per-wave discipline is the
+    * convergence-kernel standard: checkpoint-truncated frontier, the
+    * emptiness test OBSERVED on the frontier's own materialization job
+    * (zero extra actions), fail-loud cap at 100 waves (min-hop BFS
+    * provably needs ≤ diameter+1 ≤ V waves — the cap only trips on a
+    * broken anti-join). Output is every reachable node with its exact
+    * hop; the DuckDB oracle is the textbook recursive-CTE BFS
+    * (UNION-deduplicated waves, min(hop) per node) — wave algebra
+    * differs, the reachability+distance SET cannot. */
+  private val BfsFullCap = 100L
+
+  private val qBfsFull = QueryDef(
+    "q_bfs_full",
+    Some(s"""
+WITH RECURSIVE
+e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (SELECT p AS src, s + $Off AS dst FROM e0
+          UNION ALL SELECT s + $Off AS src, p AS dst FROM e0),
+it(node_id, hop) AS (
+  SELECT min(p), CAST(0 AS BIGINT) FROM e0 HAVING count(*) > 0
+  UNION
+  SELECT e.dst, it.hop + 1 FROM it JOIN edges e ON e.src = it.node_id
+  WHERE it.hop < $BfsFullCap
+)
+SELECT node_id, CAST(min(hop) AS BIGINT) AS hop
+FROM it GROUP BY node_id ORDER BY hop, node_id"""),
+    (spark, dir) => {
+      val e0 = tbl(spark, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+        .distinct()
+        .truncateLineage
+      val head = e0.agg(min(col("p")).as("src0"),
+        countDistinct(col("p")).as("np"),
+        countDistinct(col("s")).as("ns")).head()
+      if (head.isNullAt(0)) {
+        graft.Checkpoints.release(e0)
+        spark.range(0).select(col("id").as("node_id"), col("id").as("hop"))
+      } else {
+        val (srcId, v) = (head.getLong(0), head.getLong(1) + head.getLong(2))
+        val bcast = GraphAdaptive.broadcastOk(spark, v)
+        val pv = GraphAdaptive.pick(bcast) _
+        val edges0 = e0
+          .select(col("p").as("src"), (col("s") + Off).as("dst"))
+          .unionByName(e0.select((col("s") + Off).as("src"), col("p").as("dst")))
+        val edges = (if (bcast) edges0 else edges0.repartition(col("src")))
+          .truncateLineage
+        graft.Checkpoints.release(e0)
+        var dist = spark.range(1)
+          .select(lit(srcId).as("node_id"), lit(0L).as("hop"))
+        var frontier = dist.select("node_id")
+        var fSize = 1L
+        var h = 0L
+        while (fSize > 0L) {
+          h += 1
+          if (h >= BfsFullCap)
+            throw new IllegalStateException(
+              s"q_bfs_full: frontier still non-empty after $BfsFullCap waves " +
+                s"(size $fSize) — the visited-set anti-join is broken " +
+                "(min-hop BFS terminates in <= diameter+1 waves)")
+          val reached = edges.join(pv(frontier), col("src") === col("node_id"))
+            .select(col("dst").as("node_id")).distinct()
+          val obs = reached.join(pv(dist.select("node_id")),
+              Seq("node_id"), "left_anti")
+            .observe(s"bfs_f_$h", count(lit(1)).as("n"))
+          frontier = graft.Checkpoints.truncate(obs)
+          fSize = obs.queryExecution.observedMetrics.get(s"bfs_f_$h")
+            .map(_.getLong(0)).getOrElse(frontier.count())
+          if (fSize > 0L)
+            dist = dist.unionByName(
+              frontier.select(col("node_id"), lit(h).as("hop")))
+        }
+        dist.orderBy("hop", "node_id")
+      }
+    })
+
   private val LpRounds = 3
 
   private val labelPropSql: String = {
@@ -752,6 +830,6 @@ ORDER BY f.node_id"""
     })
 
   val defs: Seq[QueryDef] =
-    Seq(qPagerank, qPagerankConverged, qTriangles, qBfsHops, qLabelProp,
-      qLabelPropConverged)
+    Seq(qPagerank, qPagerankConverged, qTriangles, qBfsHops, qBfsFull,
+      qLabelProp, qLabelPropConverged)
 }
