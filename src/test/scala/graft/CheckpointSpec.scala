@@ -103,4 +103,33 @@ class CheckpointSpec extends SparkSuite {
     val reliable = withReliableDir(collectSorted(q(spark, sfDir)))
     assert(reliable === default)
   }
+
+  test("truncate saturates carried size estimates at Long.MaxValue") {
+    import org.apache.spark.sql.functions._
+    // build a frame whose ESTIMATED size compounds past Long.MaxValue:
+    // repeated checkpoint→self-join rounds multiply the carried stat
+    // exactly like a convergence loop does (the q_pagerank_converged
+    // freeze: million-bit BigInt products at every plan)
+    var df = Checkpoints.truncate(
+      spark.range(100).select(col("id"), (col("id") * 2).as("v")))
+    (1 to 6).foreach { _ =>
+      val other = df.select(col("id"), col("v").as("v2"))
+      df = Checkpoints.truncate(
+        df.join(other, "id").join(other.select(col("id"),
+          col("v2").as("v3")), "id").select(col("id"), col("v")))
+    }
+    val stats = df.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes <= BigInt(Long.MaxValue),
+      s"carried estimate not capped: bitLength=${stats.sizeInBytes.bitLength}")
+    assert(stats.rowCount.forall(_ <= BigInt(Long.MaxValue)))
+    // results are untouched by the cap
+    assert(df.count() == 100)
+    // sane (sub-cap) estimates pass through unchanged: the cap must not
+    // inflate or deflate a small checkpointed frame's carried stats
+    val small = spark.range(10).select(col("id"))
+    val smallStats = small.queryExecution.optimizedPlan.stats
+    val ck = Checkpoints.truncate(small)
+    assert(ck.queryExecution.optimizedPlan.stats.sizeInBytes ==
+      smallStats.sizeInBytes)
+  }
 }
