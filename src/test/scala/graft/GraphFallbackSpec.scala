@@ -57,6 +57,24 @@ class GraphFallbackSpec extends SparkSuite {
     }
   }
 
+  // The CONVERGENCE-LOOP kernels (r13): every per-round join runs during
+  // the loop's eager checkpoint materialization, so the returned plan is
+  // just the final fold over the last round's LogicalRDD — it may contain
+  // no join at all. The forced-path witness is therefore (a) the returned
+  // plan never broadcast-hash-joins and (b) the RESULT — including the
+  // converged round count column, which any per-round plan divergence
+  // would shift — is identical to the default path.
+  for (q <- Seq("q_pagerank_converged", "q_label_prop_converged", "q_bfs_full")) {
+    test(s"$q: forced no-broadcast loop converges to the identical result") {
+      val default = collectSorted(q)
+      val (fallback, plan) = forcingFallback((collectSorted(q), planOf(q)))
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"$q fallback plan still broadcast-joins:\n$plan")
+      assert(fallback.toSeq == default.toSeq,
+        s"$q fallback result diverged from the broadcast path")
+    }
+  }
+
   test("default path keeps the broadcast hints below the ceiling") {
     // q_pagerank: its hinted rank/contrib joins live in the RETURNED
     // plan (the loop is unrolled declaratively). q_triangles' hinted deg
