@@ -261,14 +261,26 @@ ORDER BY pr DESC, node_id LIMIT 50"""
           col("id").as("rounds"))
       } else {
         val eps = Scale / (PrEpsDiv * vCnt)
-        var cur = graft.Checkpoints.truncate(
+        // curCk is the round's CHECKPOINTED frame (the release target —
+        // release() only reclaims a bare LogicalRDD root, so handing it a
+        // projection of the checkpoint would silently leak every round's
+        // reliable files); cur is the (node_id, pr) view the next round
+        // consumes
+        var curCk = graft.Checkpoints.truncate(
           g.nodes.crossJoin(broadcast(nn))
             .select(col("node_id"), expr(s"${Scale}L div cnt").as("pr")))
+        var cur = curCk
         var rounds = 0L
         var delta = Long.MaxValue
         while (delta >= eps) {
           rounds += 1
-          if (rounds >= PrMaxRounds)
+          // the throw fires only BEYOND the cap, so round PrMaxRounds
+          // itself executes — mirroring the oracle's `rounds < cap`
+          // recursion guard exactly: an input converging AT the cap
+          // returns identically in both engines; one that never converges
+          // fails loudly here while the oracle stops silently (a gate
+          // error, which is the honest outcome for a broken contract)
+          if (rounds > PrMaxRounds)
             throw new IllegalStateException(
               s"q_pagerank_converged: no convergence after $PrMaxRounds " +
                 s"rounds (last max |Δ| = $delta, ε = $eps) — the damping/ε " +
@@ -294,7 +306,8 @@ ORDER BY pr DESC, node_id LIMIT 50"""
             .get(s"pr_delta_$rounds")
             .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
             .getOrElse(nxt.agg(max(col("d"))).head().getLong(0))
-          graft.Checkpoints.release(cur)
+          graft.Checkpoints.release(curCk)
+          curCk = nxt
           cur = nxt.select("node_id", "pr")
         }
         cur.select(col("node_id"), col("pr"), lit(rounds).as("rounds"))
@@ -492,40 +505,59 @@ SELECT node_id, hop FROM d$BfsHops ORDER BY hop, node_id"""
     * behaves; 4 waves are unrolled here so the plan stays static and
     * oracle-comparable (the DuckDB oracle runs the identical wave
     * recurrence with NOT EXISTS visited filtering). */
+  /** Shared bipartite edge layout for the BFS/label-prop kernels: the
+    * distinct (part, supplier) pair set materialized once, both edge
+    * directions with the fallback's src co-partitioning baked into the
+    * checkpoint, the seed frame released, plus the two scalars every
+    * kernel's strategy choice needs — V (node spaces are disjoint by
+    * the Off shift) and the smallest part node (the BFS source; None =
+    * empty graph). One metadata-cheap job over the materialized pair
+    * blocks. PageRank's [[prGraph]] stays separate only because it
+    * additionally pre-joins the out-degree onto the edge list. */
+  private final case class EdgeLayout(
+      edges: DataFrame, minP: Option[Long], v: Long,
+      pv: DataFrame => DataFrame)
+
+  private def edgeLayout(spark: SparkSession, dir: String): EdgeLayout = {
+    val e0 = tbl(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+      .truncateLineage
+    val head = e0.agg(min(col("p")).as("src0"),
+      countDistinct(col("p")).as("np"),
+      countDistinct(col("s")).as("ns")).head()
+    val v = head.getLong(1) + head.getLong(2)
+    val bcast = GraphAdaptive.broadcastOk(spark, v)
+    val pv = GraphAdaptive.pick(bcast) _
+    val edges0 = e0
+      .select(col("p").as("src"), (col("s") + Off).as("dst"))
+      .unionByName(e0.select((col("s") + Off).as("src"), col("p").as("dst")))
+    val edges = (if (bcast) edges0 else edges0.repartition(col("src")))
+      .truncateLineage
+    graft.Checkpoints.release(e0)
+    EdgeLayout(edges,
+      if (head.isNullAt(0)) None else Some(head.getLong(0)), v, pv)
+  }
+
   private val qBfsHops = QueryDef(
     "q_bfs_hops",
     Some(bfsSql),
     (spark, dir) => {
-      val e0 = tbl(spark, dir, "lineitem")
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-        .distinct()
-        .truncateLineage
-      // one metadata-cheap job: the BFS source AND the V that picks the
-      // join strategy for every O(V) frame below
-      val head = e0.agg(min(col("p")).as("src0"),
-        countDistinct(col("p")).as("np"),
-        countDistinct(col("s")).as("ns")).head()
-      if (head.isNullAt(0)) {
-        // empty edge set: no source to start from — zero rows, matching
-        // the oracle's guarded d0 (min over nothing must not seed a
-        // NULL-node wave)
-        graft.Checkpoints.release(e0)
-        spark.range(0).select(col("id").as("node_id"), col("id").as("hop"))
-      } else bfsFrom(spark, e0, head)
+      val g = edgeLayout(spark, dir)
+      g.minP match {
+        case None =>
+          // empty edge set: no source to start from — zero rows, matching
+          // the oracle's guarded d0 (min over nothing must not seed a
+          // NULL-node wave)
+          spark.range(0).select(col("id").as("node_id"), col("id").as("hop"))
+        case Some(srcId) => bfsFrom(spark, g, srcId)
+      }
     })
 
   /** The non-empty-graph body of [[qBfsHops]]. */
   private def bfsFrom(spark: SparkSession,
-      e0: DataFrame, head: org.apache.spark.sql.Row): DataFrame = {
-      val (srcId, v) = (head.getLong(0), head.getLong(1) + head.getLong(2))
-      val bcast = GraphAdaptive.broadcastOk(spark, v)
-      val pv = GraphAdaptive.pick(bcast) _
-      val edges0 = e0
-        .select(col("p").as("src"), (col("s") + Off).as("dst"))
-        .unionByName(e0.select((col("s") + Off).as("src"), col("p").as("dst")))
-      val edges = (if (bcast) edges0 else edges0.repartition(col("src")))
-        .truncateLineage
-      graft.Checkpoints.release(e0)
+      g: EdgeLayout, srcId: Long): DataFrame = {
+      val (edges, pv) = (g.edges, g.pv)
       var dist = spark.range(1)
         .select(lit(srcId).as("node_id"), lit(0L).as("hop"))
       var frontier = dist.select("node_id")
@@ -557,8 +589,19 @@ SELECT node_id, hop FROM d$BfsHops ORDER BY hop, node_id"""
     * broken anti-join). Output is every reachable node with its exact
     * hop; the DuckDB oracle is the textbook recursive-CTE BFS
     * (UNION-deduplicated waves, min(hop) per node) — wave algebra
-    * differs, the reachability+distance SET cannot. */
+    * differs, the reachability+distance SET cannot.
+    *
+    * The ORACLE's wave cap is separate and tighter: UNION dedup keys on
+    * (node, hop) pairs, so on a cyclic graph every wave re-reaches nodes
+    * at hop+1 as "new" rows and the recursion only stops at its cap —
+    * the cap IS the oracle's terminator and its cost is cap × O(E), so
+    * it is sized to the real diameter (3-4 on this corpus at every SF)
+    * with 6× headroom rather than inheriting the engine's fail-loud
+    * 100. A diameter beyond it fails the gate LOUDLY (the oracle's
+    * min(hop) stays correct for every node reached within the cap; the
+    * engine reaches the rest, so row counts diverge). */
   private val BfsFullCap = 100L
+  private val BfsOracleWaves = 24L
 
   private val qBfsFull = QueryDef(
     "q_bfs_full",
@@ -571,39 +614,24 @@ it(node_id, hop) AS (
   SELECT min(p), CAST(0 AS BIGINT) FROM e0 HAVING count(*) > 0
   UNION
   SELECT e.dst, it.hop + 1 FROM it JOIN edges e ON e.src = it.node_id
-  WHERE it.hop < $BfsFullCap
+  WHERE it.hop < $BfsOracleWaves
 )
 SELECT node_id, CAST(min(hop) AS BIGINT) AS hop
 FROM it GROUP BY node_id ORDER BY hop, node_id"""),
     (spark, dir) => {
-      val e0 = tbl(spark, dir, "lineitem")
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-        .distinct()
-        .truncateLineage
-      val head = e0.agg(min(col("p")).as("src0"),
-        countDistinct(col("p")).as("np"),
-        countDistinct(col("s")).as("ns")).head()
-      if (head.isNullAt(0)) {
-        graft.Checkpoints.release(e0)
+      val g = edgeLayout(spark, dir)
+      if (g.minP.isEmpty) {
         spark.range(0).select(col("id").as("node_id"), col("id").as("hop"))
       } else {
-        val (srcId, v) = (head.getLong(0), head.getLong(1) + head.getLong(2))
-        val bcast = GraphAdaptive.broadcastOk(spark, v)
-        val pv = GraphAdaptive.pick(bcast) _
-        val edges0 = e0
-          .select(col("p").as("src"), (col("s") + Off).as("dst"))
-          .unionByName(e0.select((col("s") + Off).as("src"), col("p").as("dst")))
-        val edges = (if (bcast) edges0 else edges0.repartition(col("src")))
-          .truncateLineage
-        graft.Checkpoints.release(e0)
+        val (edges, pv) = (g.edges, g.pv)
         var dist = spark.range(1)
-          .select(lit(srcId).as("node_id"), lit(0L).as("hop"))
+          .select(lit(g.minP.get).as("node_id"), lit(0L).as("hop"))
         var frontier = dist.select("node_id")
         var fSize = 1L
         var h = 0L
         while (fSize > 0L) {
           h += 1
-          if (h >= BfsFullCap)
+          if (h > BfsFullCap)
             throw new IllegalStateException(
               s"q_bfs_full: frontier still non-empty after $BfsFullCap waves " +
                 s"(size $fSize) — the visited-set anti-join is broken " +
@@ -676,21 +704,8 @@ ORDER BY node_id"""
     "q_label_prop",
     Some(labelPropSql),
     (spark, dir) => {
-      val e0 = tbl(spark, dir, "lineitem")
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-        .distinct()
-        .truncateLineage
-      val head = e0.agg(countDistinct(col("p")).as("np"),
-        countDistinct(col("s")).as("ns")).head()
-      val v = head.getLong(0) + head.getLong(1)
-      val bcast = GraphAdaptive.broadcastOk(spark, v)
-      val pv = GraphAdaptive.pick(bcast) _
-      val edges0 = e0
-        .select(col("p").as("src"), (col("s") + Off).as("dst"))
-        .unionByName(e0.select((col("s") + Off).as("src"), col("p").as("dst")))
-      val edges = (if (bcast) edges0 else edges0.repartition(col("src")))
-        .truncateLineage
-      graft.Checkpoints.release(e0)
+      val g = edgeLayout(spark, dir)
+      val (edges, pv) = (g.edges, g.pv)
       var lbl = edges.select(col("src").as("node_id")).distinct()
         .select(col("node_id"), col("node_id").as("lbl"))
       for (_ <- 1 to LpRounds) {
@@ -769,29 +784,22 @@ ORDER BY f.node_id"""
     "q_label_prop_converged",
     Some(labelPropConvergedSql),
     (spark, dir) => {
-      val e0 = tbl(spark, dir, "lineitem")
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-        .distinct()
-        .truncateLineage
-      val head = e0.agg(countDistinct(col("p")).as("np"),
-        countDistinct(col("s")).as("ns")).head()
-      val v = head.getLong(0) + head.getLong(1)
-      val bcast = GraphAdaptive.broadcastOk(spark, v)
-      val pv = GraphAdaptive.pick(bcast) _
-      val edges0 = e0
-        .select(col("p").as("src"), (col("s") + Off).as("dst"))
-        .unionByName(e0.select((col("s") + Off).as("src"), col("p").as("dst")))
-      val edges = (if (bcast) edges0 else edges0.repartition(col("src")))
-        .truncateLineage
-      graft.Checkpoints.release(e0)
-      var lbl = graft.Checkpoints.truncate(
+      val g = edgeLayout(spark, dir)
+      val (edges, pv) = (g.edges, g.pv)
+      // lblCk = the checkpointed release target; lbl = the (node_id, lbl)
+      // view (release() reclaims only a bare LogicalRDD root — see
+      // q_pagerank_converged)
+      var lblCk = graft.Checkpoints.truncate(
         edges.select(col("src").as("node_id")).distinct()
           .select(col("node_id"), col("node_id").as("lbl")))
+      var lbl = lblCk
       var rounds = 0L
       var chg = 1L
       while (chg > 0L) {
         rounds += 1
-        if (rounds >= LpMaxRounds)
+        // beyond-the-cap throw: round LpMaxRounds itself executes, exactly
+        // like the oracle's `rounds < cap` recursion guard
+        if (rounds > LpMaxRounds)
           throw new IllegalStateException(
             s"q_label_prop_converged: no fixpoint after $LpMaxRounds rounds " +
               s"(last round changed $chg labels) — the self-vote damping " +
@@ -819,7 +827,8 @@ ORDER BY f.node_id"""
           .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
           .getOrElse(
             nxt.agg(coalesce(sum(col("chgd")), lit(0L))).head().getLong(0))
-        graft.Checkpoints.release(lbl)
+        graft.Checkpoints.release(lblCk)
+        lblCk = nxt
         lbl = nxt.select("node_id", "lbl")
       }
       val sz = lbl.groupBy("lbl").agg(count(lit(1)).as("comm_size"))

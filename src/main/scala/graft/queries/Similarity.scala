@@ -772,7 +772,11 @@ FROM a1 GROUP BY cid ORDER BY cid"""),
 
   /** Two-level assignment frame: level-1 a1, then the same recurrence
     * within each cell. The a1 frame feeds four consumers (seeds + two
-    * assigns + the update), so its lineage is truncated once. */
+    * assigns + the update), so its lineage is truncated once; the RESULT
+    * is truncated too (it feeds the pair join + two output joins in
+    * q_semdedup), which also makes a1's checkpoint unreachable — so a1
+    * is RELEASED here, keeping reliable-mode retention at O(1) frames
+    * (the prGraph discipline). */
   private def kmeans2Final(spark: SparkSession, dir: String): DataFrame = {
     val a1 = graft.Checkpoints.truncate(
       kmeansFinal(spark, dir).select("vec_id", "qv", "cid"))
@@ -795,7 +799,9 @@ FROM a1 GROUP BY cid ORDER BY cid"""),
       .groupBy("cid", "scid")
       .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cid"), col("scid"), expr("transform(pm, p -> p.m)").as("cv"))
-    km2Assign(a1, km2Pack(sc1))
+    val sa1 = graft.Checkpoints.truncate(km2Assign(a1, km2Pack(sc1)))
+    graft.Checkpoints.release(a1)
+    sa1
   }
 
   /** Oracle mirror of [[km2Pack]]: (cid, cl = sorted [(scid, cv, cc)]). */
@@ -870,7 +876,7 @@ SELECT sa1.vec_id, sa1.cid, sa1.scid,
 FROM sa1 LEFT JOIN drp d ON d.vec_id = sa1.vec_id
 ORDER BY sa1.vec_id"""),
     (spark, dir) => {
-      val sa1 = graft.Checkpoints.truncate(kmeans2Final(spark, dir))
+      val sa1 = kmeans2Final(spark, dir) // already checkpoint-truncated
       val dropped = sa1.as("a")
         .join(sa1.as("b"),
           col("a.cid") === col("b.cid") && col("a.scid") === col("b.scid") &&

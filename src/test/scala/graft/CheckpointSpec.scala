@@ -104,6 +104,33 @@ class CheckpointSpec extends SparkSuite {
     assert(reliable === default)
   }
 
+  test("converged-pagerank loop releases superseded rounds in reliable mode") {
+    // 33 rounds on this corpus: the per-round release target must be the
+    // CHECKPOINTED frame, not a projection of it (release() only reclaims
+    // a bare LogicalRDD root) — a wrong handle leaks one O(V) frame per
+    // round and this count explodes
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_prc").toString
+    spark.conf.set(Checkpoints.DirKey, dir)
+    try {
+      val rows = queries.Catalog.queries("q_pagerank_converged")(spark, sfDir)
+        .collect()
+      assert(rows.nonEmpty && rows.head.getLong(2) > 10,
+        s"expected a multi-round convergence, got ${rows.headOption}")
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-"))
+        .filter(p => java.nio.file.Files.isDirectory(p))
+        .count()
+      // live at exit: the final round frame + the prGraph layout frames —
+      // a handful, NOT one per round
+      assert(rddDirs > 0, "reliable path did not checkpoint at all")
+      assert(rddDirs <= 6, s"converged loop leaked $rddDirs rdd-* dirs " +
+        s"for ${rows.head.getLong(2)} rounds")
+    } finally {
+      spark.conf.unset(Checkpoints.DirKey)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("truncate saturates carried size estimates at Long.MaxValue") {
     import org.apache.spark.sql.functions._
     // build a frame whose ESTIMATED size compounds past Long.MaxValue:
