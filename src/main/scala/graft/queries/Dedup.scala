@@ -288,7 +288,10 @@ ORDER BY doc_a, doc_b"""),
     * The oracle computes the same fixpoint as a recursive-CTE transitive
     * closure (tractable at oracle scale; the closure is exactly what the
     * distributed loop avoids materializing at 100 TB). */
-  private val componentsSql = s"""${sigsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+  /** Shared oracle CTE chain ending in comp(doc_id, component_id) —
+    * reused by the split query below, so the two gates prove the SAME
+    * closure. */
+  private val componentsCoreSql = s"""${sigsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
 $candPairsSql,
 edges AS (
   SELECT doc_a AS u, doc_b AS v FROM cand
@@ -296,14 +299,22 @@ edges AS (
 reach(u, v) AS (
   SELECT doc_id AS u, doc_id AS v FROM documents
   UNION
-  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v)
-SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS component_id
-FROM reach GROUP BY u ORDER BY doc_id"""
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+comp AS (
+  SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS component_id
+  FROM reach GROUP BY u)"""
+
+  private val componentsSql =
+    s"$componentsCoreSql\nSELECT doc_id, component_id FROM comp ORDER BY doc_id"
 
   private val qDedupComponents = QueryDef(
     "q_dedup_components",
     Some(componentsSql),
-    (spark, dir) => {
+    (spark, dir) => componentsFrame(spark, dir).orderBy("doc_id"))
+
+  /** The full near-dup closure as a reusable frame (doc_id, component_id)
+    * — [[qDedupComponents]]'s body, shared with the leakage-safe split. */
+  private def componentsFrame(spark: SparkSession, dir: String): DataFrame = {
       val cand = candPairs(spark, dir)
       // hash(v) is BAKED into the edge checkpoint (LogicalRDD preserves
       // outputPartitioning): every round's hop join streams the edge
@@ -427,8 +438,40 @@ FROM reach GROUP BY u ORDER BY doc_id"""
           col("lbl").as("component_id")), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("component_id"), col("doc_id")).as("component_id"))
-        .orderBy("doc_id")
-    })
+  }
+
+  /** Leakage-safe train/val/test split — the dataset-split step every
+    * training pipeline needs, made DEDUP-AWARE: the split is a
+    * deterministic hash of the near-dup COMPONENT id (80/10/10), so two
+    * near-duplicate documents can never land in different splits — the
+    * classic train→test contamination a doc-level random split
+    * guarantees at corpus scale (any duplicated document has ~2·p·(1−p)
+    * odds of straddling). Composes the [[qDedupComponents]] closure with
+    * the engine's never-RAND() split discipline (hash60 of the component
+    * id — reproducible across engines, runs, and cluster sizes). The
+    * leakage-freedom is BY CONSTRUCTION (split is a function of
+    * component_id), and the gate proves the whole composition: same
+    * closure, same hash, same assignment, doc by doc.
+    *
+    * Scale shape: the split adds one map-only projection to the closure
+    * the dedup pipeline already computes — zero additional shuffles. */
+  private val qLeakageSplit = QueryDef(
+    "q_leakage_split",
+    Some(s"""$componentsCoreSql,
+sp AS (SELECT doc_id, component_id,
+    ${PortableHash.sqlHash60(41, "CAST(component_id AS VARCHAR)")} % 100 AS h
+  FROM comp)
+SELECT doc_id, component_id,
+  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+FROM sp ORDER BY doc_id"""),
+    (spark, dir) =>
+      componentsFrame(spark, dir)
+        .withColumn("h",
+          PortableHash.hash60(41, col("component_id").cast("string")) % 100)
+        .select(col("doc_id"), col("component_id"),
+          when(col("h") < 80, "train").when(col("h") < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id"))
 
   // ---- SimHash: 60-bit fingerprint over whitespace word tokens ----
   // 60 bits (not 64) keeps the fingerprint positive in a BIGINT in both
@@ -1012,6 +1055,7 @@ ORDER BY doc_a, doc_b"""),
 
   val defs: Seq[QueryDef] = Seq(
     qMinhashSignatures, qLshCandidates, qJaccardPairs, qSimhash,
-    qSimhashPairs, qDedupNear, qDedupComponents, qDecontaminate,
-    qFuzzyJoin, qPrefixJoin, qSortedNeighborhood, qEntityResolution)
+    qSimhashPairs, qDedupNear, qDedupComponents, qLeakageSplit,
+    qDecontaminate, qFuzzyJoin, qPrefixJoin, qSortedNeighborhood,
+    qEntityResolution)
 }
