@@ -261,14 +261,22 @@ ORDER BY pr DESC, node_id LIMIT 50"""
           col("id").as("rounds"))
       } else {
         val eps = Scale / (PrEpsDiv * vCnt)
+        // V is already a driver Long, so the per-node teleport base and
+        // the seed rank are LITERALS — the fixed-iteration query keeps the
+        // in-plan nn cross-join (its whole computation is one static
+        // plan), but re-aggregating + cross-joining a 1-row frame in
+        // every round of a 33-round loop is pure per-round stage
+        // overhead. Integer semantics are identical: Long division
+        // truncates exactly like `div`/`//` on these positive values.
+        val prBase = (Scale * 15L) / (100L * vCnt)
+        val pr0 = Scale / vCnt
         // curCk is the round's CHECKPOINTED frame (the release target —
         // release() only reclaims a bare LogicalRDD root, so handing it a
         // projection of the checkpoint would silently leak every round's
         // reliable files); cur is the (node_id, pr) view the next round
         // consumes
         var curCk = graft.Checkpoints.truncate(
-          g.nodes.crossJoin(broadcast(nn))
-            .select(col("node_id"), expr(s"${Scale}L div cnt").as("pr")))
+          g.nodes.select(col("node_id"), lit(pr0).as("pr")))
         var cur = curCk
         var rounds = 0L
         var delta = Long.MaxValue
@@ -291,10 +299,10 @@ ORDER BY pr DESC, node_id LIMIT 50"""
           // the convergence metric rides the checkpoint's own
           // materialization job via observe() — one action per round,
           // not a second scan of the round frame
-          val obs = g.nodes.crossJoin(broadcast(nn))
+          val obs = g.nodes
             .join(g.pv(contrib), col("node_id") === col("dst"), "left")
             .select(col("node_id"),
-              (expr(s"(${Scale}L * 15) div (100 * cnt)") +
+              (lit(prBase) +
                 expr("(85 * coalesce(cin, 0L)) div 100")).as("pr"))
             .join(g.pv(cur.select(col("node_id").as("pn"),
               col("pr").as("prev"))), col("node_id") === col("pn"))
