@@ -656,6 +656,10 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
             dist = dist.unionByName(
               frontier.select(col("node_id"), lit(h).as("hop")))
         }
+        // the TERMINAL frontier is empty and never joined dist — it is
+        // the one wave checkpoint unreachable from the result's lineage,
+        // so reclaim it (every earlier wave stays referenced by dist)
+        graft.Checkpoints.release(frontier)
         dist.orderBy("hop", "node_id")
       }
     })

@@ -83,10 +83,11 @@ class CheckpointSpec extends SparkSuite {
     spark.conf.set(Checkpoints.DirKey, dir)
     try {
       queries.Catalog.queries("q_dedup_components")(spark, sfDir).collect()
-      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(p => p.getFileName.toString.startsWith("rdd-"))
-        .filter(p => java.nio.file.Files.isDirectory(p))
-        .count()
+      val rddDirs = scala.util.Using.resource(
+          java.nio.file.Files.walk(java.nio.file.Paths.get(dir)))(
+        _.filter(p => p.getFileName.toString.startsWith("rdd-"))
+          .filter(p => java.nio.file.Files.isDirectory(p))
+          .count())
       // live at exit: the last hop (+ the pre-loop candidate/docset
       // truncations outside the loop) — a handful, NOT one per round
       assert(rddDirs > 0, "reliable path did not checkpoint at all")
@@ -116,10 +117,11 @@ class CheckpointSpec extends SparkSuite {
         .collect()
       assert(rows.nonEmpty && rows.head.getLong(2) > 10,
         s"expected a multi-round convergence, got ${rows.headOption}")
-      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(p => p.getFileName.toString.startsWith("rdd-"))
-        .filter(p => java.nio.file.Files.isDirectory(p))
-        .count()
+      val rddDirs = scala.util.Using.resource(
+          java.nio.file.Files.walk(java.nio.file.Paths.get(dir)))(
+        _.filter(p => p.getFileName.toString.startsWith("rdd-"))
+          .filter(p => java.nio.file.Files.isDirectory(p))
+          .count())
       // live at exit: the final round frame + the prGraph layout frames —
       // a handful, NOT one per round
       assert(rddDirs > 0, "reliable path did not checkpoint at all")

@@ -67,7 +67,13 @@ class GraphFallbackSpec extends SparkSuite {
   for (q <- Seq("q_pagerank_converged", "q_label_prop_converged", "q_bfs_full")) {
     test(s"$q: forced no-broadcast loop converges to the identical result") {
       val default = collectSorted(q)
-      val (fallback, plan) = forcingFallback((collectSorted(q), planOf(q)))
+      // build ONCE under the forced conf: the builder itself runs the
+      // whole multi-round loop, so a separate planOf() call would re-run
+      // it a third time just to stringify the plan
+      val (fallback, plan) = forcingFallback {
+        val df = queries.Catalog.queries(q)(spark, sfDir)
+        (df.collect(), df.queryExecution.executedPlan.toString)
+      }
       assert(!plan.contains("BroadcastHashJoin"),
         s"$q fallback plan still broadcast-joins:\n$plan")
       assert(fallback.toSeq == default.toSeq,
