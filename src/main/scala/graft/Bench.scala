@@ -202,7 +202,7 @@ object Bench {
           isolate()
           val t0 = System.nanoTime()
           try { consumeAll(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => -1.0 }
+          catch { case scala.util.control.NonFatal(_) => -1.0 }
         }
         (name, if (ts.exists(_ < 0)) -1.0 else ts.min)
     }

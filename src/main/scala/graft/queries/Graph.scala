@@ -642,16 +642,22 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
           if (h > BfsFullCap)
             throw new IllegalStateException(
               s"q_bfs_full: frontier still non-empty after $BfsFullCap waves " +
-                s"(size $fSize) — the visited-set anti-join is broken " +
+                "— the visited-set anti-join is broken " +
                 "(min-hop BFS terminates in <= diameter+1 waves)")
           val reached = edges.join(pv(frontier), col("src") === col("node_id"))
             .select(col("dst").as("node_id")).distinct()
+          // non-emptiness flag, NOT a count: a reliable-mode eager
+          // checkpoint materializes the plan twice, so an additive
+          // observe() metric can double-count — max(1) is idempotent
+          // under replays (null on an empty frontier), and the loop only
+          // consumes emptiness
           val obs = reached.join(pv(dist.select("node_id")),
               Seq("node_id"), "left_anti")
-            .observe(s"bfs_f_$h", count(lit(1)).as("n"))
+            .observe(s"bfs_f_$h", max(lit(1L)).as("n"))
           frontier = graft.Checkpoints.truncate(obs)
           fSize = obs.queryExecution.observedMetrics.get(s"bfs_f_$h")
-            .map(_.getLong(0)).getOrElse(frontier.count())
+            .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+            .getOrElse(frontier.count())
           if (fSize > 0L)
             dist = dist.unionByName(
               frontier.select(col("node_id"), lit(h).as("hop")))
@@ -814,7 +820,7 @@ ORDER BY f.node_id"""
         if (rounds > LpMaxRounds)
           throw new IllegalStateException(
             s"q_label_prop_converged: no fixpoint after $LpMaxRounds rounds " +
-              s"(last round changed $chg labels) — the self-vote damping " +
+              "(labels were still changing) — the self-vote damping " +
               "contract is broken, refusing to return a half-converged labeling")
         val votes = edges
           .join(pv(lbl), col("src") === col("node_id"))
@@ -825,20 +831,24 @@ ORDER BY f.node_id"""
           .groupBy("node_id")
           .agg(min(struct((-col("c")).as("negc"), col("lbl").as("l"))).as("m"))
           .select(col("node_id"), col("m.l").as("lbl"))
-        // change count observed on the checkpoint job itself (the
-        // q_pagerank_converged one-action-per-round discipline)
+        // any-change flag observed on the checkpoint job itself (the
+        // q_pagerank_converged one-action-per-round discipline). max, not
+        // sum: a reliable-mode eager checkpoint runs the plan twice (eager
+        // action + checkpoint-write job), so an ADDITIVE metric can
+        // double-count — max is idempotent under replays, and only the
+        // sign drives the loop anyway
         val obs = nxt0
           .join(pv(lbl.select(col("node_id").as("pn"), col("lbl").as("prev"))),
             col("node_id") === col("pn"))
           .select(col("node_id"), col("lbl"),
             (col("lbl") =!= col("prev")).cast("long").as("chgd"))
-          .observe(s"lp_chg_$rounds", sum(col("chgd")).as("v"))
+          .observe(s"lp_chg_$rounds", max(col("chgd")).as("v"))
         val nxt = graft.Checkpoints.truncate(obs)
         chg = obs.queryExecution.observedMetrics
           .get(s"lp_chg_$rounds")
           .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
           .getOrElse(
-            nxt.agg(coalesce(sum(col("chgd")), lit(0L))).head().getLong(0))
+            nxt.agg(coalesce(max(col("chgd")), lit(0L))).head().getLong(0))
         graft.Checkpoints.release(lblCk)
         lblCk = nxt
         lbl = nxt.select("node_id", "lbl")

@@ -781,7 +781,6 @@ FROM a1 GROUP BY cid ORDER BY cid"""),
     val a1 = graft.Checkpoints.truncate(
       kmeansFinal(spark, dir).select("vec_id", "qv", "cid"))
     val wseed = Window.partitionBy("cid").orderBy("hp", "vec_id")
-    val wcell = Window.partitionBy("cid")
     val sc0 = a1
       .withColumn("hp", PortableHash.hash60(col("vec_id").cast("string")))
       .withColumn("rn", row_number().over(wseed).cast("long"))

@@ -713,6 +713,18 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
           throw new IllegalArgumentException(
             s"graft-tsv: diff.exclude.generation must be an integer " +
               s"generation number, got '$v'"))),
+      // CROSS-LINEAGE DIFF: resolve the EXCLUDED generation's manifest in
+      // a named lineage instead of the read side's — `main` or
+      // `branch:<name>`. This is what lets a branch-vs-main diff use the
+      // branch chain's retained BASE manifest as the main-side exclusion
+      // endpoint after main's own copy of that generation slid out of
+      // retention (branchConflicts).
+      excludeLineage = Option(options.get("diff.exclude.lineage")).map { v =>
+        require(v == "main" || v.startsWith("branch:"),
+          s"graft-tsv: diff.exclude.lineage must be 'main' or " +
+            s"'branch:<name>', got '$v'")
+        v
+      },
       // RENAME COLUMN name map (catalog-provided): current name → the
       // historical names old manifests may key stats under
       aliases = aliasMap,
@@ -750,7 +762,8 @@ final class GraftTsvScan(
     maxFilesPerTrigger: Option[Int] = None,
     pushedLimit: Option[Int] = None,
     streamByGeneration: Boolean = false,
-    streamAllowRewrites: Boolean = false)
+    streamAllowRewrites: Boolean = false,
+    excludeLineage: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
 
@@ -976,11 +989,27 @@ final class GraftTsvScan(
           excludeGeneration match {
             case None => present
             case Some(x) =>
-              val exclManifest = gens.collectFirst { case (`x`, mp) => mp }
+              // the excluded manifest resolves in the READ lineage unless
+              // diff.exclude.lineage names the other one (cross-lineage
+              // diff: branchConflicts excludes the branch chain's BASE
+              // while reading main, and main's head while reading the
+              // branch)
+              val exclGens = excludeLineage match {
+                case None => gens
+                case Some(lin) => rootChildren.flatMap { c =>
+                  val n = c.getPath.getName
+                  (if (lin == "main") GraftTsvManifest.genNumber(n)
+                   else GraftTsvManifest.branchGenNumber(
+                     n, lin.stripPrefix("branch:"))).map(_ -> c.getPath)
+                }
+              }
+              val exclManifest = exclGens.collectFirst { case (`x`, mp) => mp }
                 .getOrElse(throw new IllegalArgumentException(
                   s"graft-tsv: diff.exclude.generation $x is not available " +
-                    s"in ${st.getPath} (retained: " +
-                    s"${gens.map(_._1).sorted.mkString(", ")}) — older " +
+                    s"in ${st.getPath}" +
+                    excludeLineage.map(l => s" (lineage $l)").getOrElse("") +
+                    s" (retained: " +
+                    s"${exclGens.map(_._1).sorted.mkString(", ")}) — older " +
                     "generations are reclaimed by cleanup; raise the " +
                     "retain.generations write option to keep a deeper history"))
               val shared = GraftTsvManifest.read(fs, exclManifest).toSet

@@ -467,6 +467,86 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     diffOf(spark, ident, base, head, Map("branch" -> name))
   }
 
+  /** BRANCH CONFLICT REPORT — the row-level reconciliation assist
+    * [[graft.sources.GraftTsvMaintenance.mergeBranch]]'s not-fast-forward
+    * error points at: the keys TOUCHED ON BOTH SIDES since the branch
+    * point, i.e. present in the branch's net delta (base→head, the
+    * [[branchChanges]] feed) AND in main's net delta over the same window
+    * (base→current main head). Each side's per-key rows classify as
+    * `insert` (only inserts), `delete` (only deletes) or `update` (both —
+    * a changed row diffs as delete+insert), with the per-side changed-row
+    * count. `keys` is caller-supplied (the connector stores no primary-key
+    * metadata — exactly like MERGE, where the caller names the join key).
+    *
+    * A merge is safe to replay row-level when this frame is EMPTY (the
+    * two deltas commute); non-empty rows are the keys a three-way merge
+    * must decide. Cost: both deltas plan only the files each endpoint
+    * pair doesn't share (the [[changes]] seam) — the table itself is
+    * never rescanned. The main-side delta's branch-point endpoint is the
+    * BRANCH chain's retained base manifest (a byte copy of main at the
+    * branch point, via `diff.exclude.lineage`), so the report works even
+    * after main's own copy of that generation slid out of retention.
+    * Main rolled back below the branch point still reports (every main
+    * file the branch point lacks diffs as touched); an unadvanced main
+    * (head == branch point) reports empty. */
+  def branchConflicts(spark: org.apache.spark.sql.SparkSession,
+      ident: Identifier, name: String, keys: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty,
+      "graft catalog: branchConflicts needs at least one key column")
+    val f = fs()
+    val dir = tableDir(ident)
+    if (!f.exists(metaPath(dir))) throw noSuchTable(ident)
+    val rootNames = f.listStatus(dir).toSeq.map(_.getPath.getName)
+    val gens = rootNames.flatMap(n => GraftTsvManifest.branchGenNumber(n, name))
+    if (gens.isEmpty)
+      throw new IllegalArgumentException(
+        s"graft catalog: branchConflicts('$name') — no such branch on " +
+          s"${ident.name()}")
+    val (base, head) = (gens.min, gens.max)
+    val mainCur = rootNames.flatMap(GraftTsvManifest.genNumber).max
+    val branchDelta = diffOf(spark, ident, base, head, Map("branch" -> name))
+    // main's net delta since the branch point, with CROSS-LINEAGE
+    // endpoints (same removed/added/exceptAll shape as diffOf): the
+    // branch-point side reads the branch chain's base manifest, the
+    // current side reads main's head — each excluding the other.
+    def sideAt(gen: Long, extra: Map[String, String])
+        : org.apache.spark.sql.DataFrame = {
+      val (d, opts) = tableOptions(ident, Some(gen))
+      spark.read.format("graft-tsv").schema(d.schema)
+        .options(opts ++ extra).load()
+    }
+    val atBranchPoint = sideAt(base, Map("branch" -> name,
+      "diff.exclude.generation" -> mainCur.toString,
+      "diff.exclude.lineage" -> "main"))
+    val atMainHead = sideAt(mainCur, Map(
+      "diff.exclude.generation" -> base.toString,
+      "diff.exclude.lineage" -> s"branch:$name"))
+    val mainDelta =
+      atMainHead.exceptAll(atBranchPoint)
+        .withColumn("_change_type", lit("insert"))
+        .unionByName(atBranchPoint.exceptAll(atMainHead)
+          .withColumn("_change_type", lit("delete")))
+    def summary(delta: org.apache.spark.sql.DataFrame, side: String) =
+      delta.groupBy(keys.map(col): _*)
+        .agg(
+          sum(when(col("_change_type") === "insert", 1L).otherwise(0L))
+            .as("ins"),
+          sum(when(col("_change_type") === "delete", 1L).otherwise(0L))
+            .as("del"))
+        .select(keys.map(col) ++ Seq(
+          when(col("ins") > 0 && col("del") > 0, "update")
+            .when(col("ins") > 0, "insert").otherwise("delete")
+            .as(s"${side}_change"),
+          (col("ins") + col("del")).as(s"${side}_rows")): _*)
+    summary(mainDelta, "main")
+      .join(summary(branchDelta, "branch"), keys)
+      .select(keys.map(col) ++ Seq(col("main_change"), col("main_rows"),
+        col("branch_change"), col("branch_rows")): _*)
+      .orderBy(keys.map(col): _*)
+  }
+
   /** CHANGELOG: [[changes]] with per-commit attribution — one consecutive
     * generation-pair diff per commit in (from, to], each tagged
     * `_commit_generation`, unioned. Where [[changes]] answers "what is

@@ -469,23 +469,35 @@ private[sources] object GraftTsvMaintenance {
       // A crash between publishing the merged main generation and retiring
       // the branch chain leaves the branch alive with head < mainCur; the
       // retried merge must FINISH the retirement idempotently rather than
-      // claim divergence. Already-merged = the current main head carries
-      // exactly the branch head's file list.
+      // claim divergence. Already-merged = SOME retained main generation
+      // past the branch point carries exactly the branch head's file list
+      // — scanning only the current head missed the window where a fresh
+      // main commit landed between the crashed merge and the retry
+      // (ADVICE r13). Entry sets are part-file lists with per-commit
+      // UUIDs, so equality means the merged manifest itself (or a
+      // content-identical republish, for which retirement is the same
+      // no-op fast-forward). Cost: one manifest read per retained main
+      // generation > base — bounded by manifest retention.
       val headEntries = GraftTsvManifest.readEntries(fs,
         new Path(dir, GraftTsvManifest.branchGenName(head, name))).toSet
-      val mainEntries = GraftTsvManifest.readEntries(fs,
-        new Path(dir, GraftTsvManifest.genName(mainCur))).toSet
-      if (mainCur > head && headEntries == mainEntries) {
-        branchGens.foreach(g => fs.delete(
-          new Path(dir, GraftTsvManifest.branchGenName(g, name)), false))
-        return (head, mainCur)
+      val mergedAt = rootNames.flatMap(GraftTsvManifest.genNumber)
+        .filter(_ > base).sorted
+        .find(g => GraftTsvManifest.readEntries(fs,
+          new Path(dir, GraftTsvManifest.genName(g))).toSet == headEntries)
+      mergedAt match {
+        case Some(g) =>
+          branchGens.foreach(bg => fs.delete(
+            new Path(dir, GraftTsvManifest.branchGenName(bg, name)), false))
+          return (head, g)
+        case None =>
+          throw new IllegalStateException(
+            s"graft catalog merge_branch: not fast-forward — main advanced " +
+              s"from generation $base (the branch point) to $mainCur while " +
+              s"branch '$name' diverged; reconcile row-level (branch_conflicts " +
+              "reports rows touched on both sides; the changes feed exposes " +
+              "both deltas), re-branch from the current head, or drop_branch " +
+              "to abandon the branch")
       }
-      throw new IllegalStateException(
-        s"graft catalog merge_branch: not fast-forward — main advanced from " +
-          s"generation $base (the branch point) to $mainCur while branch " +
-          s"'$name' diverged; reconcile row-level (the changes feed exposes " +
-          "both deltas), re-branch from the current head, or drop_branch " +
-          "to abandon the branch")
     }
     val entries = GraftTsvManifest.readEntries(fs,
       new Path(dir, GraftTsvManifest.branchGenName(head, name)))

@@ -291,6 +291,83 @@ class Dsv2BranchSpec extends SparkSuite {
       e.getMessage.contains("drop_branch"), e.getMessage)
   }
 
+  test("merge retry still finishes retirement after an INTERVENING main commit") {
+    // the ADVICE r13 window: merge publishes the new main generation,
+    // dies before retiring the branch chain, and a FRESH main commit
+    // lands before the retry — the retry must find the merged manifest
+    // among the retained main generations (not just the head) and finish
+    // the retirement instead of claiming divergence
+    spark.sql("CREATE NAMESPACE gbr.rtry2")
+    spark.sql("CREATE TABLE gbr.rtry2.t (id BIGINT) USING `graft-tsv`")
+    spark.sql("INSERT INTO gbr.rtry2.t SELECT id FROM range(2)")
+    spark.sql("CALL gbr.system.branch('rtry2.t', 'mg')")
+    spark.range(2, 4).select(col("id"))
+      .writeTo("gbr.rtry2.t").option("branch", "mg").append()
+    val dir = new java.io.File(s"$rootDir/rtry2/t")
+    val branchManifests = dir.listFiles().filter(_.getName.contains(".b-mg"))
+      .map(f => (f.getName, java.nio.file.Files.readAllBytes(f.toPath))).toSeq
+    val m1 = spark.sql("CALL gbr.system.merge_branch('rtry2.t', 'mg')").head()
+    branchManifests.foreach { case (n, bytes) =>
+      java.nio.file.Files.write(new java.io.File(dir, n).toPath, bytes)
+    }
+    // the intervening commit: main's head no longer equals the branch head
+    spark.sql("INSERT INTO gbr.rtry2.t SELECT 50")
+    val m2 = spark.sql("CALL gbr.system.merge_branch('rtry2.t', 'mg')").head()
+    assert(m2.getLong(2) == m1.getLong(2),
+      s"retry after an intervening commit republished or refused: $m1 vs $m2")
+    assert(!dir.listFiles().exists(_.getName.contains(".b-mg")),
+      "retry did not retire the branch chain")
+    assert(ids(spark.table("gbr.rtry2.t")) == (0L to 3L) :+ 50L)
+  }
+
+  test("branch_conflicts: keys touched on both sides; empty when deltas commute") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.sql("CREATE NAMESPACE gbr.cfl")
+    spark.sql("CREATE TABLE gbr.cfl.t (id BIGINT, v BIGINT) USING `graft-tsv`")
+    spark.sql("INSERT INTO gbr.cfl.t SELECT id, id * 10 FROM range(4)")
+    spark.sql("CALL gbr.system.branch('cfl.t', 'work')")
+    val cat = spark.sessionState.catalogManager.catalog("gbr")
+      .asInstanceOf[graft.sources.GraftTsvCatalog]
+    def conflicts() = cat.branchConflicts(spark,
+      Identifier.of(Array("cfl"), "t"), "work", Seq("id"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSeq
+
+    // 1) branch moved, main did not: no conflicts possible
+    spark.range(10, 12).select(col("id"), (col("id") * 10).as("v"))
+      .writeTo("gbr.cfl.t").option("branch", "work").append()
+    assert(conflicts().isEmpty, "main never moved — nothing can conflict")
+
+    // 2) both moved, DISJOINT keys: deltas commute, report stays empty
+    spark.sql("INSERT INTO gbr.cfl.t SELECT 20, 200")
+    assert(conflicts().isEmpty,
+      "disjoint keys must not conflict (deltas commute)")
+    intercept[Exception] {  // and merge still refuses (file lists differ)
+      spark.sql("CALL gbr.system.merge_branch('cfl.t', 'work')").collect()
+    }
+
+    // 3) overlapping keys, every class: main UPDATEs id=0 (delete+insert)
+    //    and DELETEs id=1; the branch updates id=0, deletes id=1, and both
+    //    sides inserted id=30 — three conflict keys, classified per side
+    spark.sql("UPDATE gbr.cfl.t SET v = 1000 WHERE id = 0")
+    spark.sql("DELETE FROM gbr.cfl.t WHERE id = 1")
+    spark.sql("INSERT INTO gbr.cfl.t SELECT 30, 300")
+    // branch-side mutations ride branch-scoped row-level writes
+    spark.read.option("branch", "work").table("gbr.cfl.t")
+      .filter(col("id") =!= 1)
+      .withColumn("v", when(col("id") === 0, 7777L).otherwise(col("v")))
+      .unionByName(spark.range(30, 31).select(col("id"), lit(301L).as("v")))
+      .writeTo("gbr.cfl.t").option("branch", "work").overwrite(lit(true))
+    assert(conflicts() == Seq(
+      (0L, "update", 2L, "update", 2L),
+      (1L, "delete", 1L, "delete", 1L),
+      (30L, "insert", 1L, "insert", 1L)),
+      s"conflict report mismatch: ${conflicts()}")
+    // branch-only keys (10, 11) and commuting keys (20 on main) are absent
+    assert(!conflicts().exists(c => Seq(10L, 11L, 20L).contains(c._1)))
+  }
+
   test("branch manifest chain is retention-bounded: base + newest K survive") {
     spark.sql("CREATE NAMESPACE gbr.ret")
     spark.sql("CREATE TABLE gbr.ret.t (id BIGINT) USING `graft-tsv`")
