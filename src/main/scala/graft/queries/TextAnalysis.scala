@@ -1453,6 +1453,154 @@ object TextAnalysis {
         .limit(50)
     })
 
+  /** BPE merge-training parameters. 16 merges keeps the bench cost
+    * proportionate while exercising every regime the loop has (letter
+    * pairs, end-of-word fusions, merged-symbol-as-operand). */
+  private val BpeMerges = 16
+  private val BpeFpSeed = 91
+
+  /** Symbol sequences live as ONE space-joined string per word. Tokens
+    * are whitespace-split, so no symbol can ever contain a space — which
+    * makes applying a merge a pure string fold: append `x` WITHOUT the
+    * separator to fuse it into the accumulator's last symbol, WITH the
+    * separator to start a new one. Both engines run the identical fold
+    * (Spark `aggregate`, DuckDB `list_reduce`), so greedy left-to-right
+    * merge semantics (Sennrich et al. 2016, the canonical BPE trainer)
+    * can never drift between the query and the oracle. */
+  private def bpeMergeFold(p1: String, p2: String): Column = {
+    val sl = split(col("symstr"), " ")
+    aggregate(
+      slice(sl, lit(2), size(sl) - 1),
+      element_at(sl, 1),
+      (acc, x) =>
+        when(x === lit(p2) && (acc === lit(p1) || acc.endsWith(lit(" " + p1))),
+          concat(acc, x))
+          .otherwise(concat(acc, lit(" "), x)))
+  }
+
+  /** BPE TOKENIZER TRAINING — the full merge loop, not just one pair
+    * count (q_bpe_pairs is the inner-loop kernel; this iterates it):
+    * repeat [[BpeMerges]] times { count adjacent symbol pairs over the
+    * word vocabulary weighted by word frequency; take the top pair
+    * (count desc, pair asc — fully deterministic); fuse it through every
+    * word's symbol sequence greedy-left-to-right }. Result = the ordered
+    * merge table (the tokenizer artifact a trainer ships) plus two
+    * final-vocabulary gate rows: an order-independent fingerprint
+    * (bit_xor of per-word hashes — proves every word's final
+    * segmentation) and the distinct-symbol count (the learned vocab
+    * size).
+    *
+    * Convergence-kernel discipline (q_pagerank_converged lineage): the
+    * corpus is touched EXACTLY ONCE (the word-frequency aggregate);
+    * every round runs over the vocabulary frame, checkpoint-truncated
+    * per round ([[graft.Checkpoints.truncate]]) so round N's argmax
+    * action replans nothing from round N−1 and the corpus scan never
+    * re-runs; superseded checkpoints are released; an empty pair frame
+    * before the last merge fails loudly rather than returning a short
+    * merge list. Scale shape — why this trains on 100 TB: the per-round
+    * work is vocabulary-bounded (Heaps' law: |vocab| ≪ corpus), the
+    * pair aggregate is map-side partial with a symbol-inventory²-bounded
+    * exchange, the merge application is map-only, and the argmax is a
+    * 1-row TakeOrdered action.
+    *
+    * The oracle replays the SAME 16 deterministic merges as an unrolled
+    * CTE chain (MATERIALIZED per round — each round references its
+    * predecessor twice, and inlined CTEs would expand 2^16 corpus
+    * scans), with the identical list_reduce fold and tie-break. */
+  private val qBpeTrain = QueryDef(
+    "q_bpe_train",
+    Some {
+      val steps = (1 to BpeMerges).map { k =>
+        s"""p$k AS (
+  SELECT p1, p2, CAST(sum(n_w) AS BIGINT) AS cnt FROM (
+    SELECT sl[i] AS p1, sl[i + 1] AS p2, n_w FROM
+      (SELECT string_split(symstr, ' ') AS sl, n_w FROM v${k - 1}),
+      unnest(range(1, len(sl))) AS t(i))
+  GROUP BY 1, 2),
+m$k AS (SELECT p1, p2, cnt FROM p$k ORDER BY cnt DESC, p1, p2 LIMIT 1),
+v$k AS MATERIALIZED (
+  SELECT w, list_reduce(string_split(symstr, ' '), (acc, x) ->
+    CASE WHEN x = m.p2 AND (acc = m.p1 OR suffix(acc, ' ' || m.p1))
+         THEN acc || x ELSE acc || ' ' || x END) AS symstr, n_w
+  FROM v${k - 1}, m$k m)"""
+      }.mkString(",\n")
+      val sels = (1 to BpeMerges).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS step, p1, p2, cnt FROM m$k")
+        .mkString("\nUNION ALL ")
+      s"""WITH $tokSql,
+wc AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM tok GROUP BY w),
+v0 AS MATERIALIZED (SELECT w,
+  array_to_string(list_transform(range(1, length(w) + 1), i -> w[i]), ' ')
+    || ' </w>' AS symstr, n_w FROM wc),
+$steps
+SELECT * FROM (
+$sels
+UNION ALL SELECT CAST(${BpeMerges + 1} AS BIGINT), '<vocab_fp>', '',
+  CAST(bit_xor(${PortableHash.sqlHash60(BpeFpSeed, "w || ':' || symstr")}) AS BIGINT)
+  FROM v$BpeMerges
+UNION ALL SELECT CAST(${BpeMerges + 2} AS BIGINT), '<n_symbols>', '',
+  count(DISTINCT s)
+  FROM (SELECT unnest(string_split(symstr, ' ')) AS s FROM v$BpeMerges)
+) ORDER BY step"""
+    },
+    (spark, dir) => {
+      import spark.implicits._
+      // the ONE corpus pass: word frequencies, then char-level symbols
+      val v0 = toks(spark, dir)
+        .groupBy("w").agg(count(lit(1)).as("n_w"))
+        .select(col("w"),
+          concat(
+            array_join(
+              expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+              " "),
+            lit(" </w>")).as("symstr"),
+          col("n_w"))
+      var vocab = graft.Checkpoints.truncate(v0)
+      var vocabCk = vocab
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      var step = 1
+      while (step <= BpeMerges) {
+        // zip the sequence against its own tail — yields ZERO pairs for a
+        // fully-merged single-symbol word (sequence(1, size-1) would throw)
+        val sl = split(col("symstr"), " ")
+        val top = vocab
+          .select(col("n_w"), explode(
+            zip_with(slice(sl, lit(1), size(sl) - 1),
+              slice(sl, lit(2), size(sl) - 1),
+              (a, b) => struct(a.as("p1"), b.as("p2")))).as("p"))
+          .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+          .agg(sum(col("n_w")).as("cnt"))
+          .orderBy(desc("cnt"), asc("p1"), asc("p2"))
+          .limit(1).collect().headOption.getOrElse(
+            throw new IllegalStateException(
+              s"q_bpe_train: vocabulary fully merged after ${step - 1} of " +
+                s"$BpeMerges merges — no adjacent pairs left; lower BpeMerges " +
+                "or widen the corpus"))
+        val (p1, p2) = (top.getString(0), top.getString(1))
+        merges += ((step.toLong, p1, p2, top.getLong(2)))
+        val nxt = graft.Checkpoints.truncate(
+          vocab.withColumn("symstr", bpeMergeFold(p1, p2)))
+        graft.Checkpoints.release(vocabCk)
+        vocabCk = nxt
+        vocab = nxt
+        step += 1
+      }
+      val fp = vocab
+        .select(PortableHash.hash60(BpeFpSeed,
+          concat(col("w"), lit(":"), col("symstr"))).as("h"))
+        .agg(expr("bit_xor(h)")).head().getLong(0)
+      val nsym = vocab
+        .select(explode(split(col("symstr"), " ")).as("s"))
+        .agg(countDistinct(col("s"))).head().getLong(0)
+      graft.Checkpoints.release(vocabCk)
+      (merges.toSeq :+
+        ((BpeMerges + 1L, "<vocab_fp>", "", fp)) :+
+        ((BpeMerges + 2L, "<n_symbols>", "", nsym)))
+        .toDF("step", "p1", "p2", "cnt")
+        .orderBy("step")
+    })
+
   /** Training-shard export manifest — the last job of a curation
     * pipeline: assign every document to one of 16 shards by a
     * deterministic portable hash (reproducible across engines, runs, and
@@ -1502,5 +1650,5 @@ object TextAnalysis {
       qPiiScrub, qRepetitionFilter,
       qCrossdocNgrams, qSeqPacking, qImportanceSample, qTopTerms, qDomainMix,
       qLmScore, qNgramLm, qSpanDedup, qCooccurPmi, qInvertedIndex, qBpePairs,
-      qShardExport)
+      qBpeTrain, qShardExport)
 }
