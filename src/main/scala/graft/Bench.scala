@@ -57,7 +57,14 @@ object Bench {
     * q_pagerank_converged and q_label_prop_converged stay
     * full-bench-only too — their per-round plans ARE
     * q_pagerank's/q_label_prop's, and the convergence-loop shape is
-    * already headline-represented by q_dedup_components) — plus
+    * already headline-represented by q_dedup_components; round 14's
+    * q_ivf_probe displaces q_ivf_topk — identical probe/rerank dataflow,
+    * plus the stored-index read that is the new exhibit — while
+    * q_ivf_build / q_bm25_search / q_quality_classifier / q_stream_ivm
+    * stay full-bench-only: the build's write path is measured through
+    * the probe's ensure step, BM25 shares q_text_search's shape, the
+    * classifier's map-only inference q_doc_quality's, and the streaming
+    * IVM q_stream_dsv2_sink's commit/stream fixed cost) — plus
     * any ERRORED query (sentinel -1, so a failure is
     * visible in the tail capture even when it's not a headline query).
     * The full per-query map is written to BENCH_FULL.json next to the
@@ -79,7 +86,7 @@ object Bench {
     "q_dedup_exact", "q_prefix_join", "q_fuzzy_join",
     "q_lsh_candidates", "q_jaccard_pairs", "q_simhash_pairs",
     "q_dedup_components",
-    "q_cosine_topk", "q_ann_buckets", "q_neardup_bucketed", "q_ivf_topk",
+    "q_cosine_topk", "q_ann_buckets", "q_neardup_bucketed", "q_ivf_probe",
     "q_ann_recall", "q_pq_topk", "q_kmeans_profile", "q_semdedup", "q_triangles", "q_bfs_hops",
     "q_doc_quality", "q_fingerprint_rolling", "q_span_dedup",
     "q_pipeline_curate", "q_stratified_sample", "q_text_search",

@@ -57,7 +57,10 @@ object Plans {
     "q_label_prop"        -> "label propagation: per-round (dst,lbl) vote exchange + struct-argmin hash agg, no window sort",
     "q_bpe_pairs"         -> "BPE pair counts: corpus touched once (word-freq agg), symbol explosion over the VOCABULARY",
     "q_histogram_eqdepth" -> "equi-depth histogram: percentile boundaries broadcast back, map-only bucket assignment (no global ntile)",
-    "q_dq_checks"         -> "DQ constraint suite: one agg pass per table + AQE-sized FK anti-joins, long-format report")
+    "q_dq_checks"         -> "DQ constraint suite: one agg pass per table + AQE-sized FK anti-joins, long-format report",
+    "q_ivf_probe"         -> "stored-index ANN probe: centroids + cell-partitioned inverted file read from parquet, ZERO training work in-plan",
+    "q_bm25_search"       -> "BM25 ranking: 3-term broadcast tf, doc-length join, integer-exact rational scoring",
+    "q_quality_classifier" -> "learned quality gate: 4096-bounded training exchange, one-row weight-map broadcast, map-only inference")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -376,9 +376,9 @@ assign AS (
       .select(greatest(lit(IvfMinC.toLong), least(lit(IvfMaxC.toLong),
         expr(s"n div $IvfTargetCell"))).as("c"))
 
-  /** (vec_id, qv, sc) where sc = per-centroid integer-dot scores — ONE
-    * broadcast of the packed centroid array + one nested-HOF projection. */
-  private def ivfScored(spark: SparkSession, dir: String): DataFrame = {
+  /** The C centroids (cid, cv) — deterministic hash-min seed selection
+    * over the corpus (see the IVF header note), corpus-adaptive C. */
+  private def ivfCentroids(spark: SparkSession, dir: String): DataFrame = {
     val qvt = tblWide(spark, dir, "embeddings")
       .select(col("vec_id"), expr(quantizeExpr).as("qv"))
     val seedpool = qvt
@@ -387,11 +387,19 @@ assign AS (
     // ranking window runs on <= IvfSeedPool rows (post TakeOrdered) — the
     // single-partition window is bounded by the static pool cap, not by n
     val wseed = Window.orderBy("hp", "vec_id")
-    val cents = seedpool
+    seedpool
       .select(row_number().over(wseed).cast("long").as("cid"), col("qv").as("cv"))
       .crossJoin(broadcast(ivfParams(spark, dir)))
       .filter(col("cid") <= col("c"))
-    val centarr = cents
+      .select("cid", "cv")
+  }
+
+  /** (vec_id, qv, sc) where sc = per-centroid integer-dot scores — ONE
+    * broadcast of the packed centroid array + one nested-HOF projection. */
+  private def ivfScored(spark: SparkSession, dir: String): DataFrame = {
+    val qvt = tblWide(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(quantizeExpr).as("qv"))
+    val centarr = ivfCentroids(spark, dir)
       .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cl"))
     qvt.crossJoin(broadcast(centarr))
       .select(col("vec_id"), col("qv"),
@@ -415,11 +423,11 @@ assign AS (
       ivfAssign(ivfScored(spark, dir))
         .select("vec_id", "cid", "dot_c").orderBy("vec_id"))
 
-  /** IVF-probed top-k: NProbe nearest cells per query, candidates from the
-    * inverted file (cell equi-join), exact integer-cosine rerank. */
-  private val qIvfTopk = QueryDef(
-    "q_ivf_topk",
-    Some(s"""WITH $sqlIvf,
+  /** Shared oracle for the IVF probe result — q_ivf_topk computes it with
+    * the index inlined in-plan; q_ivf_probe computes the IDENTICAL result
+    * reading the PERSISTED index tables (the index is deterministic, so
+    * one SQL definition gates both paths). */
+  private val sqlIvfTopkOracle = s"""WITH $sqlIvf,
 probes AS (
   SELECT vec_id AS query_id, qv AS qqv, u.s.cid AS cid
   FROM (SELECT vec_id, qv, unnest(sc) AS s FROM scored WHERE vec_id < $NumQueries) u
@@ -433,7 +441,13 @@ dots AS (
 SELECT query_id, rnk, cand_id, dot_q, CAST(dot_q AS DOUBLE) / 1e12 AS cosine
 FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, cand_id) AS BIGINT) AS rnk FROM dots)
 WHERE rnk <= $TopK
-ORDER BY query_id, rnk"""),
+ORDER BY query_id, rnk"""
+
+  /** IVF-probed top-k: NProbe nearest cells per query, candidates from the
+    * inverted file (cell equi-join), exact integer-cosine rerank. */
+  private val qIvfTopk = QueryDef(
+    "q_ivf_topk",
+    Some(sqlIvfTopkOracle),
     (spark, dir) => {
       // one scored frame feeds both the probe side and the inverted file
       val assign = ivfAssign(ivfScored(spark, dir))
@@ -442,6 +456,131 @@ ORDER BY query_id, rnk"""),
         .filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
           explode(col("sc")).as("s"))
+        .select(col("query_id"), col("qqv"),
+          col("s.cid").as("pcid"), col("s.dot").as("pdot"))
+        .withColumn("rn", row_number().over(wprobe))
+        .filter(col("rn") <= IvfNProbe)
+        .select("query_id", "qqv", "pcid")
+      val dots = probes
+        .join(assign.select(col("vec_id").as("cand_id"), col("qv").as("cqv"),
+          col("cid")), col("cid") === col("pcid"))
+        .filter(col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"),
+          call_function("long_dot", col("qqv"), col("cqv")).as("dot_q"))
+      val w = Window.partitionBy("query_id").orderBy(desc("dot_q"), asc("cand_id"))
+      dots.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= TopK)
+        .select(col("query_id"), col("rnk"), col("cand_id"), col("dot_q"),
+          (col("dot_q").cast("double") / lit(1e12)).as("cosine"))
+        .orderBy("query_id", "rnk")
+    })
+
+  // ---------------------------------------------------------------------
+  // IVF index PERSISTENCE — build once, probe many. q_ivf_assign/q_ivf_topk
+  // prove the in-plan algebra; a 100 TB retrieval stack amortizes the
+  // training/assignment cost by storing the index and serving every query
+  // from the stored tables. The index root is a STABLE temp path keyed by
+  // the embeddings source signature (length+mtime, same scheme as
+  // SourceParity.roundTrip), so regenerated testdata can never be probed
+  // against a stale index; `_GRAFT_IVF_DONE` is written only after BOTH
+  // tables committed, so a crashed build is rebuilt, never half-read.
+  // The inverted file is written PARTITIONED BY cell id — the probe's
+  // cell equi-join is against the partition column, so Spark's dynamic
+  // partition pruning can drop unprobed cells' files at planning.
+  // ---------------------------------------------------------------------
+
+  private def ivfIndexRoot(dir: String): String = {
+    val src = new java.io.File(graft.sources.Tables.path(dir, "embeddings"))
+    val sig = java.lang.Long.toHexString(src.length * 1000003L + src.lastModified)
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_ivf_index_${Integer.toHexString(dir.hashCode)}_$sig").toString
+  }
+
+  /** Write the two index tables (always a fresh build — the write path IS
+    * q_ivf_build's exhibit) and return the index root. */
+  private def ivfWriteIndex(spark: SparkSession, dir: String): String = {
+    val root = ivfIndexRoot(dir)
+    val hroot = new org.apache.hadoop.fs.Path(root)
+    val fs = hroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hroot, true)
+    ivfAssign(ivfScored(spark, dir))
+      .select(col("vec_id"), col("qv"), col("dot_c"), col("cid"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$root/assign")
+    ivfCentroids(spark, dir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+    fs.create(new org.apache.hadoop.fs.Path(hroot, "_GRAFT_IVF_DONE"), true)
+      .close()
+    root
+  }
+
+  /** Probe-side index resolution: reuse a completed build, else build.
+    * (Verify may run q_ivf_probe before q_ivf_build; the index content is
+    * deterministic, so either order yields the same stored tables.) */
+  private def ensureIvfIndex(spark: SparkSession, dir: String): String = {
+    val root = ivfIndexRoot(dir)
+    val done = new org.apache.hadoop.fs.Path(root, "_GRAFT_IVF_DONE")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(done)) root else ivfWriteIndex(spark, dir)
+  }
+
+  /** INDEX BUILD under the oracle gate: write centroids + the cell-
+    * partitioned inverted file, then aggregate the READ-BACK tables into
+    * per-cell stats (membership counts, id range, assignment-dot mass,
+    * centroid self-dot) — the oracle recomputes the same stats from the
+    * definition, so a pass proves the STORED index content, not just the
+    * in-plan frames. */
+  private val qIvfBuild = QueryDef(
+    "q_ivf_build",
+    Some(s"""WITH $sqlIvf,
+cellstats AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+    min(vec_id) AS min_vec, max(vec_id) AS max_vec,
+    CAST(sum(dot_c) AS BIGINT) AS sum_dot
+  FROM assign GROUP BY cid)
+SELECT s.cid, s.n_vecs, s.min_vec, s.max_vec, s.sum_dot,
+  CAST(list_sum(list_transform(c.cv, x -> x * x)) AS BIGINT) AS cent_sq
+FROM cellstats s JOIN cents c ON c.cid = s.cid
+ORDER BY s.cid"""),
+    (spark, dir) => {
+      val root = ivfWriteIndex(spark, dir)
+      val assign = spark.read.parquet(s"$root/assign")
+        .select(col("vec_id"), col("dot_c"), col("cid").cast("long").as("cid"))
+      val cents = spark.read.parquet(s"$root/centroids")
+      assign.groupBy("cid")
+        .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec"),
+          max("vec_id").as("max_vec"), sum("dot_c").as("sum_dot"))
+        .join(broadcast(cents), "cid")
+        .select(col("cid"), col("n_vecs"), col("min_vec"), col("max_vec"),
+          col("sum_dot"),
+          expr("aggregate(cv, 0L, (a, x) -> a + x * x)").as("cent_sq"))
+        .orderBy("cid")
+    })
+
+  /** INDEX PROBE: the same top-k result as q_ivf_topk, computed with ZERO
+    * training work in-plan — centroids and the inverted file come off the
+    * stored parquet tables (queries' quantized vectors included: a serving
+    * path reads the index, not the raw corpus). The oracle is byte-for-
+    * byte q_ivf_topk's, proving stored-index probing ≡ in-plan probing. */
+  private val qIvfProbe = QueryDef(
+    "q_ivf_probe",
+    Some(sqlIvfTopkOracle),
+    (spark, dir) => {
+      // the probe plan never touches the raw tables, so the custom
+      // function registry (long_dot) must be installed explicitly
+      graft.plans.GraftFunctions.register(spark)
+      val root = ensureIvfIndex(spark, dir)
+      val assign = spark.read.parquet(s"$root/assign")
+        .select(col("vec_id"), col("qv"), col("cid").cast("long").as("cid"))
+      val centarr = spark.read.parquet(s"$root/centroids")
+        .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cl"))
+      val wprobe = Window.partitionBy("query_id").orderBy(desc("pdot"), asc("pcid"))
+      val probes = assign.filter(col("vec_id") < NumQueries)
+        .crossJoin(broadcast(centarr))
+        .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+          explode(expr(
+            "transform(cl, s -> struct(s.cid AS cid, long_dot(qv, s.cv) AS dot))"))
+            .as("s"))
         .select(col("query_id"), col("qqv"),
           col("s.cid").as("pcid"), col("s.dot").as("pdot"))
         .withColumn("rn", row_number().over(wprobe))
@@ -1067,6 +1206,7 @@ ORDER BY query_id, rnk"""),
 
   val defs: Seq[QueryDef] = Seq(
     qCosineTopk, qAnnBuckets, qAnnBucketStats, qArrayFuncs, qNeardupBucketed,
-    qIvfAssign, qIvfTopk, qAnnRecall, qKmeansAssign, qKmeansProfile,
+    qIvfAssign, qIvfTopk, qIvfBuild, qIvfProbe, qAnnRecall,
+    qKmeansAssign, qKmeansProfile,
     qSemdedup, qPqTopk)
 }

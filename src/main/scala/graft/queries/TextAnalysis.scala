@@ -414,6 +414,178 @@ object TextAnalysis {
         .limit(20)
     })
 
+  /** BM25 relevance ranking over the same inverted-index frames as
+    * q_text_search — the scoring function a production retrieval stack
+    * actually runs (tf saturation + document-length normalization), next
+    * to the plain tf-idf probe. Per (doc, term):
+    *
+    *   score = idf(term) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * with k1 = 1.2, b = 0.75 carried as EXACT rationals (k1 = 6/5,
+    * b = 3/4): multiplying numerator and denominator by 10·avgdl turns
+    * the tf component into pure integers —
+    *   tfc = 22·tf·avgdl_milli / (10·tf·avgdl_milli + 3·avgdl_milli
+    *         + 9000·dl)
+    * where avgdl_milli = (1000·ΣT) div N is the milli-token average doc
+    * length. idf is the log-free Robertson argument
+    * (N − df + ½)/(df + ½) = (2(N−df)+1)/(2df+1), micro-scaled with floor
+    * division — log is monotone, so per-term ranking is unchanged and the
+    * score stays integer-exact across engines (a float BM25 sum is
+    * addition-order-sensitive; the driver's hash gate would flake).
+    * The micro-scaling itself uses the overflow-safe split
+    * (a div d)·10⁶ + ((a mod d)·10⁶) div d — exact, and the operands stay
+    * ≤ 22·tf·avgdl_milli where the direct product a·10⁶ would overflow
+    * BIGINT first at 100 TB token counts.
+    *
+    * Scale shape: tf (query terms only — a 3-term broadcast semi-filter
+    * at the scan) joins dl (per-doc token counts, O(docs) metadata-sized)
+    * on doc_id; df and the corpus stats are 1-row/3-row broadcasts. The
+    * only data-sized exchange is the posting lists' doc_id grouping. */
+  private val qBm25Search = QueryDef(
+    "q_bm25_search",
+    Some {
+      val termList = searchTerms.map("'" + _ + "'").mkString(", ")
+      s"""
+      |WITH $tokSql,
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+      |stats AS (SELECT
+      |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+      |    CAST((CAST(sum(dl) AS BIGINT) * 1000) AS BIGINT) // (SELECT count(*) FROM documents) AS avgdl_milli
+      |  FROM dl),
+      |tf AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf FROM tok
+      |  WHERE w IN ($termList) GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |parts AS (
+      |  SELECT tf.doc_id,
+      |    22 * tf.tf * s.avgdl_milli AS a,
+      |    10 * tf.tf * s.avgdl_milli + 3 * s.avgdl_milli + 9000 * dl.dl AS den,
+      |    CAST((2 * (s.n_docs - df.df) + 1) * 1000000 AS BIGINT) // (2 * df.df + 1) AS idf_micro
+      |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), stats s),
+      |scored AS (
+      |  SELECT doc_id, CAST(sum(
+      |      (idf_micro * ((a // den) * 1000000 + ((a % den) * 1000000) // den))
+      |        // 1000000) AS BIGINT) AS score_micro
+      |  FROM parts GROUP BY doc_id)
+      |SELECT doc_id, score_micro, CAST(score_micro AS DOUBLE) / 1e6 AS score
+      |FROM scored ORDER BY score_micro DESC, doc_id LIMIT 20
+      |""".stripMargin.trim
+    },
+    (spark, dir) => {
+      val tok = toks(spark, dir)
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(sum(col("dl")).as("t_tok"))
+        .crossJoin(broadcast(
+          tbl(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))))
+        .select(col("n_docs"),
+          expr("(t_tok * 1000L) div n_docs").as("avgdl_milli"))
+      val tf = tok.filter(col("w").isin(searchTerms: _*))
+        .groupBy(col("doc_id"), col("w").as("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(dl, "doc_id")
+        .join(broadcast(df), "term")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          expr("22L * tf * avgdl_milli").as("a"),
+          expr("10L * tf * avgdl_milli + 3L * avgdl_milli + 9000L * dl")
+            .as("den"),
+          expr("((2L * (n_docs - df) + 1L) * 1000000L) div (2L * df + 1L)")
+            .as("idf_micro"))
+        .groupBy("doc_id")
+        .agg(sum(expr(
+          "(idf_micro * ((a div den) * 1000000L + ((a % den) * 1000000L) div den)) div 1000000L"))
+          .as("score_micro"))
+        .select(col("doc_id"), col("score_micro"),
+          (col("score_micro").cast("double") / lit(1e6)).as("score"))
+        .orderBy(desc("score_micro"), asc("doc_id"))
+        .limit(20)
+    })
+
+  /** Quality-classifier INFERENCE — the fastText-shaped learned gate real
+    * curation pipelines run next to the heuristic filters
+    * (q_doc_quality/q_lm_score): a linear model over hashed word-bigram
+    * features, trained in-plan against the corpus's own length gate
+    * (token count ≥ 32, the same threshold q_pipeline_curate uses) and
+    * applied as a broadcast map lookup.
+    *
+    * Integer-exact end to end: feature = hash60('qc|'+bigram) mod 4096;
+    * weight_micro[f] = (2·df_good+1)·10⁶ div (df_all+1) − 10⁶ — the
+    * log-free odds-ratio in [−10⁶, 10⁶], zero when half the feature's
+    * documents pass the gate; logit = Σ weights of the doc's DISTINCT
+    * features; score = logit div n_features (both engines truncate
+    * toward zero).
+    *
+    * Scale shape — why this is the 100 TB plan: the per-doc projection
+    * dedups features INSIDE the row (array_distinct — no (doc, feature)
+    * exchange exists anywhere), so the training aggregate's exchange is
+    * bounded by 4096·partitions, not by tokens; the trained table
+    * collapses to a ONE-ROW map (≤4096 entries) that broadcasts; and
+    * inference is a map-only projection over the corpus — the
+    * higher-order `aggregate` sums map lookups inside whole-stage
+    * codegen. The only corpus-wide data movement is the presentation
+    * sort. */
+  private val qQualityClassifier = QueryDef(
+    "q_quality_classifier",
+    Some {
+      val h = PortableHash.sqlHash60("concat('qc|', ws[i], '_', ws[i+1])")
+      s"""
+      |WITH w0 AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |fd AS (SELECT doc_id, len(ws) >= 32 AS good,
+      |    CASE WHEN len(ws) < 2 THEN []
+      |         ELSE list_distinct(list_transform(range(1, len(ws)),
+      |           i -> $h % 4096)) END AS fs
+      |  FROM w0),
+      |ex AS (SELECT doc_id, good, u.f AS f FROM fd, unnest(fs) AS u(f)),
+      |tr AS (SELECT f,
+      |    CAST(((2 * count(*) FILTER (WHERE good) + 1) * 1000000)
+      |      // (count(*) + 1) - 1000000 AS BIGINT) AS w
+      |  FROM ex GROUP BY f),
+      |sc AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+      |    CAST(sum(t.w) AS BIGINT) AS logit_micro
+      |  FROM ex e JOIN tr t ON t.f = e.f GROUP BY e.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+      |  CAST(coalesce(sc.logit_micro, 0) AS BIGINT) AS logit_micro,
+      |  CAST(CASE WHEN coalesce(sc.n_feats, 0) = 0 THEN 0
+      |       ELSE sc.logit_micro // sc.n_feats END AS BIGINT) AS score_micro,
+      |  CAST(CASE WHEN coalesce(sc.n_feats, 0) = 0 THEN 0
+      |       ELSE sc.logit_micro // sc.n_feats END AS DOUBLE) / 1e6 AS score
+      |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+      |ORDER BY d.doc_id
+      |""".stripMargin.trim
+    },
+    (spark, dir) => {
+      val fd = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, '\\\\s+'), x -> x != '')").as("ws"))
+        .select(col("doc_id"), (size(col("ws")) >= 32).as("good"),
+          expr("""CASE WHEN size(ws) < 2 THEN CAST(array() AS ARRAY<BIGINT>)
+            ELSE array_distinct(transform(sequence(1, size(ws) - 1),
+              i -> graft_hash60(concat('qc|', element_at(ws, i), '_',
+                element_at(ws, i + 1))) % 4096L)) END""").as("fs"))
+      val wmap = fd
+        .select(col("good"), explode(col("fs")).as("f"))
+        .groupBy("f")
+        .agg(count(lit(1)).as("df_all"),
+          sum(when(col("good"), 1L).otherwise(0L)).as("df_good"))
+        .select(col("f"),
+          expr("((2L * df_good + 1L) * 1000000L) div (df_all + 1L) - 1000000L")
+            .as("w"))
+        .agg(map_from_entries(collect_list(struct(col("f"), col("w"))))
+          .as("wm"))
+      fd.crossJoin(broadcast(wmap))
+        .select(col("doc_id"), size(col("fs")).cast("long").as("n_feats"),
+          expr("aggregate(fs, 0L, (acc, f) -> acc + coalesce(try_element_at(wm, f), 0L))")
+            .as("logit_micro"))
+        .select(col("doc_id"), col("n_feats"), col("logit_micro"),
+          expr("CASE WHEN n_feats = 0 THEN 0L ELSE logit_micro div n_feats END")
+            .as("score_micro"))
+        .withColumn("score", col("score_micro").cast("double") / lit(1e6))
+        .orderBy("doc_id")
+    })
+
   /** Heavy hitters via sketch-prune + exact recount (the two-pass pattern
     * that replaces a full-vocabulary groupBy at scale):
     *
@@ -1645,7 +1817,7 @@ UNION ALL SELECT CAST(${BpeMerges + 2} AS BIGINT), '<n_symbols>', '',
 
   val defs: Seq[QueryDef] =
     Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf,
-      qFingerprintRolling, qPipelineCurate, qStratifiedSample, qTextSearch,
+      qFingerprintRolling, qPipelineCurate, qStratifiedSample, qTextSearch, qBm25Search, qQualityClassifier,
       qHeavyHitters, qProfile, qDqChecks, qHistogram, qHistogramEqdepth,
       qPiiScrub, qRepetitionFilter,
       qCrossdocNgrams, qSeqPacking, qImportanceSample, qTopTerms, qDomainMix,

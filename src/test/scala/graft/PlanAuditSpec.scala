@@ -26,7 +26,10 @@ class PlanAuditSpec extends SparkSuite {
     // 1-row aggregates broadcast-crossed in (the IVF pattern)
     "q_kmeans_assign", "q_kmeans_profile", "q_semdedup",
     "q_domain_mix",    // 1-row (total, sqrt-mass) budget frame, same pattern
-    "q_cooccur_pmi")   // 1-row n_pairs total frame for the lift denominator
+    "q_cooccur_pmi",   // 1-row n_pairs total frame for the lift denominator
+    "q_ivf_build", "q_ivf_probe", // 1-row packed-centroid frames (IVF pattern)
+    "q_bm25_search",   // 1-row (n_docs, avgdl) corpus-stats frame
+    "q_quality_classifier") // 1-row trained weight-map frame broadcast-crossed in
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no cartesian product / unexpected nested loop") {
