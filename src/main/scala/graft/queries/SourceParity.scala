@@ -1808,6 +1808,114 @@ object SourceParity {
         .orderBy("c_mktsegment")
     })
 
+  /** STREAMING incremental view maintenance — q_dsv2_ivm's signed-delta
+    * consumer re-wired from the batch changes feed to the generation
+    * stream's CHANGE-FEED mode (`stream.changes=true`,
+    * [[graft.sources.GraftTsvGenerationStream]]): each micro-batch emits
+    * added files' rows signed `insert` and dropped files' rows signed
+    * `delete`, so a copy-on-write rewrite's carried rows cancel under the
+    * signed aggregate and only the true row delta survives. The exhibit
+    * runs the real consumer lifecycle: drain the initial snapshot (gen 1),
+    * then three mutating commits land (DELETE / INSERT / segment-moving
+    * UPDATE), then a RESUMED run from the same checkpoint drains exactly
+    * those commits' signed changes — restart exactly-once on the same
+    * offset clock the append-only feed uses. The maintained aggregate
+    * (sum of signs, sum of signed balances, vanished groups dropped) must
+    * equal the oracle's FULL RECOMPUTE of the final table — the
+    * delta-apply ≡ recompute identity, proved over a stream this time.
+    * At 100 TB this is the standing consumer a materialized view runs:
+    * each trigger reads only the commit's delta files, never the table. */
+  private val qStreamIvm = QueryDef(
+    "q_stream_ivm",
+    Some(s"""
+      |WITH base AS (
+      |  SELECT c_custkey, c_mktsegment, ${sqlDec("c_acctbal")} AS bal
+      |  FROM customer),
+      |live AS (SELECT * FROM base
+      |  WHERE (c_custkey % 4 <> 0 AND c_custkey % 5 <> 2)
+      |     OR c_custkey % 4 = 0),
+      |final_rows AS (
+      |  SELECT
+      |    CASE WHEN c_custkey % 9 = 4 THEN concat('U_', c_mktsegment)
+      |      ELSE c_mktsegment END AS seg,
+      |    CASE WHEN c_custkey % 9 = 4 THEN bal + 25 ELSE bal END AS bal
+      |  FROM live)
+      |SELECT seg AS c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  ${sqlDsum("bal")} AS sum_bal
+      |FROM final_rows GROUP BY seg ORDER BY seg
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.cust_sivm_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t (c_custkey BIGINT, c_mktsegment STRING,
+        c_acctbal_str STRING) USING `graft-tsv`
+        TBLPROPERTIES ('retain.generations' = '6')""")
+      val cust = tbl(spark, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        dec("c_acctbal").cast("string").as("c_acctbal_str"))
+      cust.filter(col("c_custkey") % 4 =!= 0).writeTo(t).append()  // gen 1
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_mktsegment",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_acctbal_str",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(
+          graft.sources.GraftTsvMeta.ChangeCol,
+          org.apache.spark.sql.types.StringType)))
+      val ss = spark.newSession()
+      // fresh checkpoint + sink per build: the table is dropped/recreated
+      // above, so a carried offset clock would point into the previous
+      // table (a durable FILE sink, not memory — resuming from a
+      // checkpoint is exactly what phase 2 exercises, and the memory sink
+      // does not support recovery)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_sivm").toString
+      val (ckpt, out) = (s"$work/ckpt", s"$work/out")
+      def drain(): Unit = {
+        val q = ss.readStream.format("graft-tsv").schema(schema)
+          .option("stream.by.generation", "true")
+          .option("stream.changes", "true")
+          .load(s"$root/db/cust_sivm_$h")
+          .writeStream.format("parquet").option("path", out)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(); q.stop()
+      }
+      drain()                                            // snapshot: gen 1
+      spark.sql(s"DELETE FROM $t WHERE c_custkey % 5 = 2")        // gen 2
+      cust.filter(col("c_custkey") % 4 === 0).writeTo(t).append() // gen 3
+      spark.sql(s"""
+        UPDATE $t SET
+          c_mktsegment = concat('U_', c_mktsegment),
+          c_acctbal_str =
+            CAST(CAST(c_acctbal_str AS DECIMAL(18,2)) + 25 AS STRING)
+        WHERE c_custkey % 9 = 4
+      """)                                                        // gen 4
+      drain()                              // resume: gens 2-4, signed
+      val sign = when(col(graft.sources.GraftTsvMeta.ChangeCol) === "insert",
+        lit(1)).otherwise(lit(-1))
+      ss.read.schema(schema).parquet(out)
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(sign.cast("long")).as("n"),
+          sum(sign.cast("decimal(18,2)") * dec(col("c_acctbal_str")))
+            .as("s"))
+        .filter(col("n") > 0)
+        .select(col("c_mktsegment"), col("n"),
+          col("s").cast("double").as("sum_bal"))
+        .orderBy("c_mktsegment")
+    })
+
   /** BRANCHES on the graft catalog under the oracle gate — the Nessie/
     * Delta-style named writable ref, implemented as a parallel
     * `_gen-N.b-<name>` manifest chain over shared copy-on-write parts
@@ -1961,5 +2069,5 @@ object SourceParity {
     qDsv2History, qDsv2Rollback,
     qDsv2Changes,
     qDsv2Changelog, qDsv2Ivm,
-    qDsv2Zorder, qStreamGenerations, qDsv2Branch, qDsv2BranchDiff)
+    qDsv2Zorder, qStreamGenerations, qStreamIvm, qDsv2Branch, qDsv2BranchDiff)
 }

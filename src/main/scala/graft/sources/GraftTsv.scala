@@ -737,6 +737,8 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
       streamByGeneration = Option(options.get("stream.by.generation"))
         .exists(_.equalsIgnoreCase("true")),
       streamAllowRewrites = Option(options.get("stream.allow.rewrites"))
+        .exists(_.equalsIgnoreCase("true")),
+      streamChanges = Option(options.get("stream.changes"))
         .exists(_.equalsIgnoreCase("true")))
   }
 }
@@ -763,9 +765,30 @@ final class GraftTsvScan(
     pushedLimit: Option[Int] = None,
     streamByGeneration: Boolean = false,
     streamAllowRewrites: Boolean = false,
-    excludeLineage: Option[String] = None)
+    excludeLineage: Option[String] = None,
+    streamChanges: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
+
+  // CHANGE-FEED streaming contract checks run at scan build so misuse
+  // fails before any job is planned: the mode rides the generation
+  // stream, and the sign column must be declared (STRING, not a real
+  // partition column) — its values come from the splits, never the lines.
+  if (streamChanges) {
+    require(streamByGeneration,
+      "graft-tsv: stream.changes=true requires stream.by.generation=true " +
+        "(the change feed is commit-clocked; the file-arrival stream has " +
+        "no commit to diff)")
+    require(fullSchema.fieldNames.contains(GraftTsvMeta.ChangeCol) &&
+      fullSchema(fullSchema.fieldIndex(GraftTsvMeta.ChangeCol))
+        .dataType == StringType,
+      s"graft-tsv: stream.changes=true requires the declared schema to " +
+        s"include `${GraftTsvMeta.ChangeCol}` STRING (the per-row " +
+        s"insert/delete sign)")
+    require(!partCols.contains(GraftTsvMeta.ChangeCol),
+      s"graft-tsv: `${GraftTsvMeta.ChangeCol}` cannot also be a " +
+        "partition column")
+  }
 
   /** Partition-column data types in `partition.columns` order — drives
     * both the typed [[HasPartitionKey]] keys on every planned split and
@@ -1153,6 +1176,12 @@ final class GraftTsvScan(
     * join reads only the matching hive partitions' bytes; split-pruned
     * by the per-block manifest stats ([[splitsFor]]). */
   override def planInputPartitions(): Array[InputPartition] = {
+    // the factory's const-column set includes the sign column in change
+    // mode — a BATCH read through it would mis-map line fields
+    require(!streamChanges,
+      "graft-tsv: stream.changes=true is a streaming-read option " +
+        "(readStream); batch diffs are the changes feed " +
+        "(GraftTsvCatalog.changes)")
     val filters = pushed ++ factory.runtimeFilters
     val statPreds = compiledStatPreds(filters)
     val pruned = pruneFiles(batchListing, filters)
@@ -1261,7 +1290,12 @@ final class GraftTsvScan(
   // the final set.
   private lazy val factory =
     new GraftTsvReaderFactory(fullSchema, required, pushed, delimiter, header,
-      countOnly, hconf, partCols, vectorized)
+      countOnly, hconf,
+      // change-feed mode: the sign column is split-constant — thread it
+      // through the SAME machinery as hive partition values (in the
+      // schema, never in the data lines, value carried by the split)
+      if (streamChanges) partCols :+ GraftTsvMeta.ChangeCol else partCols,
+      vectorized)
 
   override def createReaderFactory(): PartitionReaderFactory = factory
 
@@ -1442,7 +1476,7 @@ final class GraftTsvScan(
       "graft-tsv: a streaming read cannot target a branch — offsets ride " +
         "the MAIN manifest chain; batch-read the branch (or merge it) instead")
     if (streamByGeneration)
-      new GraftTsvGenerationStream(this, streamAllowRewrites)
+      new GraftTsvGenerationStream(this, streamAllowRewrites, streamChanges)
     else new GraftTsvMicroBatchStream(this, splitBytes, maxFilesPerTrigger)
   }
 
@@ -1626,6 +1660,16 @@ final class GraftTsvMicroBatchStream(scan: GraftTsvScan, splitBytes: Long,
   * (`GraftTsvCatalog.changes` — exceptAll needs two complete sides and
   * is not expressible inside a streaming scan).
   *
+  * CHANGE-FEED MODE (`stream.changes=true`): every batch emits BOTH
+  * diff directions — added files' rows signed `insert`, dropped files'
+  * rows signed `delete` (the virtual [[GraftTsvMeta.ChangeCol]] column,
+  * split-constant like a hive partition value). Rewrites are legal here
+  * by construction: a copy-on-write commit streams as delete(old) +
+  * insert(new), the carried-over rows cancel under signed aggregation,
+  * and only the true row delta survives — the streaming side of
+  * incremental view maintenance (q_stream_ivm; restart/cancellation
+  * semantics pinned in Dsv2GenStreamSpec).
+  *
   * Retention interaction: offsets are generations, so a paused consumer
   * must resume within the retention window — a reclaimed start
   * generation fails at planning naming the retained window and the
@@ -1633,7 +1677,8 @@ final class GraftTsvMicroBatchStream(scan: GraftTsvScan, splitBytes: Long,
   * to survive). Batches re-list by pinned endpoints, so a replayed
   * committed batch reads byte-identical input (manifests are immutable
   * once published). */
-final class GraftTsvGenerationStream(scan: GraftTsvScan, allowRewrites: Boolean)
+final class GraftTsvGenerationStream(scan: GraftTsvScan, allowRewrites: Boolean,
+    changes: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -1676,6 +1721,30 @@ final class GraftTsvGenerationStream(scan: GraftTsvScan, allowRewrites: Boolean)
     val s = start.asInstanceOf[GenOffset].gen
     val e = `end`.asInstanceOf[GenOffset].gen
     if (e <= s) return Array.empty
+    val statPreds = scan.compiledStatPreds(scan.pushedFilters)
+    // CHANGE-FEED mode (`stream.changes=true`): batch (s, e] = the files
+    // e's manifest lists that s's does not, signed `insert`, PLUS the
+    // files s lists that e does not, signed `delete` — file-level signed
+    // re-emission. A copy-on-write rewrite (DELETE/UPDATE/MERGE) thus
+    // streams as delete(old file) + insert(new file); the carried-over
+    // rows appear once with each sign and CANCEL under any commutative
+    // signed aggregate, so a downstream view maintained as
+    // sum(sign)/sum(sign·x) is row-exact without the batch feed's
+    // two-sided exceptAll — the streaming IVM contract (q_stream_ivm).
+    // Compaction/zorder (pure layout rewrites) cancel to zero net effect.
+    // The sign rides each split like a hive partition value
+    // (GraftTsvMeta.ChangeCol is in the factory's const-column set).
+    if (changes) {
+      def signed(fs: Seq[GraftTsvFileEntry], sign: String) =
+        fs.flatMap(f => scan.splitsFor(f, statPreds))
+          .map(sp => sp.copy(partVals = sp.partVals :+ sign))
+      val inserts =
+        if (s == 0L) scan.listFilesAt(Some(e), None)
+        else scan.listFilesAt(Some(e), Some(s))
+      val deletes =
+        if (s == 0L) Seq.empty else scan.listFilesAt(Some(s), Some(e))
+      return (signed(inserts, "insert") ++ signed(deletes, "delete")).toArray
+    }
     // initial snapshot reads e whole; an increment excludes s's files
     val files =
       if (s == 0L) scan.listFilesAt(Some(e), None)
@@ -1690,12 +1759,12 @@ final class GraftTsvGenerationStream(scan: GraftTsvScan, allowRewrites: Boolean)
                 "append-only feed contract (a file-level stream would " +
                 "re-emit carried-over rows as new data). Use the batch " +
                 "changes feed (GraftTsvCatalog.changes) for row-exact " +
-                "diffs, or set stream.allow.rewrites=true to accept " +
-                "re-emission")
+                "diffs, the streaming change feed (stream.changes=true) " +
+                "for signed row deltas, or set stream.allow.rewrites=true " +
+                "to accept re-emission")
         }
         scan.listFilesAt(Some(e), Some(s))
       }
-    val statPreds = scan.compiledStatPreds(scan.pushedFilters)
     files.flatMap(f => scan.splitsFor(f, statPreds)).toArray
   }
 

@@ -19,6 +19,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object GraftTsvMeta {
   val FileCol = "_file"
 
+  /** Virtual sign column of the generation stream's CHANGE-FEED mode
+    * (`stream.changes=true`): split-constant `insert`/`delete`, injected
+    * through the same mechanism as hive partition values (the column is
+    * in the declared schema but never in the data lines; its value rides
+    * the split). See [[GraftTsvGenerationStream]]. */
+  val ChangeCol = "_change_type"
+
   /** `fullSchema` + the virtual `_file` column appended (identity when a
     * real column already shadows the name — `SupportsMetadataColumns`
     * hides the metadata column in that case, `canRenameConflictingMetadataColumns`

@@ -107,6 +107,96 @@ class Dsv2GenStreamSpec extends SparkSuite {
     assert(sunk(out) == Seq(1L, 2L))
   }
 
+  // ---- CHANGE-FEED mode (stream.changes=true) ----------------------------
+
+  private val changeSchema = StructType(schema.fields :+
+    StructField(graft.sources.GraftTsvMeta.ChangeCol, StringType))
+
+  private def runChanges(table: String, ckpt: String, out: String): Unit = {
+    val q = spark.readStream.format("graft-tsv").schema(changeSchema)
+      .option("stream.by.generation", "true")
+      .option("stream.changes", "true")
+      .load(s"$rootDir/db/$table")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.stop()
+  }
+
+  private def sunkChanges(out: String): Seq[(Long, String)] =
+    spark.read.schema(changeSchema).parquet(out)
+      .collect().map(r => (r.getLong(0),
+        r.getString(changeSchema.fieldIndex(
+          graft.sources.GraftTsvMeta.ChangeCol)))).sorted.toSeq
+
+  test("change feed: a rewrite streams signed delete+insert, carried rows cancel, resume is exactly-once") {
+    spark.sql("""CREATE TABLE ggen.db.c (id BIGINT, v STRING)
+      USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '6')""")
+    val s = spark
+    import s.implicits._
+    // one part file so the DELETE is a genuine copy-on-write rewrite
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .writeTo("ggen.db.c").append() // gen 1
+    val root = Files.createTempDirectory("genstream_c").toString
+    val (ckpt, out) = (s"$root/ckpt", s"$root/out")
+    runChanges("c", ckpt, out)
+    assert(sunkChanges(out) == Seq((1L, "insert"), (2L, "insert")))
+    // the rewrite that FAILS the append-only feed streams fine here:
+    // old file's rows sign delete, rewritten file's survivors re-insert
+    spark.sql("DELETE FROM ggen.db.c WHERE id = 1") // gen 2
+    runChanges("c", ckpt, out)
+    assert(sunkChanges(out) == Seq((1L, "delete"), (1L, "insert"),
+      (2L, "delete"), (2L, "insert"), (2L, "insert")))
+    // id=1 nets to zero, id=2 to exactly one — the signed-cancellation
+    // identity a downstream IVM aggregate relies on
+    val net = spark.read.schema(changeSchema).parquet(out)
+      .groupBy("id")
+      .agg(sum(when(col(graft.sources.GraftTsvMeta.ChangeCol) === "insert",
+        1L).otherwise(-1L)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(net == Seq((1L, 0L), (2L, 1L)))
+    // restart exactly-once: nothing new, nothing re-emitted
+    runChanges("c", ckpt, out)
+    assert(sunkChanges(out).size == 5)
+  }
+
+  test("change feed misuse fails loudly at scan build") {
+    spark.sql("""CREATE TABLE ggen.db.e (id BIGINT, v STRING)
+      USING `graft-tsv`""")
+    spark.sql("INSERT INTO ggen.db.e VALUES (1, 'a')")
+    val root = Files.createTempDirectory("genstream_e").toString
+    // missing _change_type in the declared schema
+    val e1 = intercept[Exception] {
+      val q = spark.readStream.format("graft-tsv").schema(schema)
+        .option("stream.by.generation", "true")
+        .option("stream.changes", "true")
+        .load(s"$rootDir/db/e")
+        .writeStream.format("parquet").option("path", s"$root/o1")
+        .option("checkpointLocation", s"$root/c1")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q.stop()
+    }
+    assert(exceptionChain(e1).exists(_.getMessage != null) &&
+      exceptionChain(e1).exists(m => Option(m.getMessage)
+        .exists(_.contains("_change_type"))), e1.toString)
+    // change mode without the generation clock
+    val e2 = intercept[Exception] {
+      val q = spark.readStream.format("graft-tsv").schema(changeSchema)
+        .option("stream.changes", "true")
+        .load(s"$rootDir/db/e")
+        .writeStream.format("parquet").option("path", s"$root/o2")
+        .option("checkpointLocation", s"$root/c2")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q.stop()
+    }
+    assert(exceptionChain(e2).exists(m => Option(m.getMessage)
+      .exists(_.contains("stream.by.generation"))), e2.toString)
+  }
+
+  private def exceptionChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
   test("offsets are generations: a resume past a reclaimed start names the retention knob") {
     spark.sql("""CREATE TABLE ggen.db.w (id BIGINT, v STRING)
       USING `graft-tsv`""") // default retain = 1
