@@ -68,9 +68,16 @@ object ScaleStress {
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
 
-    require(mult <= 36, "copy tag is one base-36 char; mult > 36 needs a wider splice")
+    require(mult <= 1296, "copy tag is at most two base-36 chars")
     scaled("documents") { (d, i) =>
-      val tag = Integer.toString(i, 36) // single char for any mult <= 36
+      // one base-36 char through 36×; past it a UNIFORM two-char tag
+      // (zero-padded). The splice period becomes 7 (5 original + 2 tag),
+      // and an 8-char shingle window always spans a full period, so every
+      // window still contains a complete copy-distinct tag — the
+      // cross-copy disjointness argument in the class doc is unchanged.
+      val tag =
+        if (mult <= 36) Integer.toString(i, 36)
+        else Integer.toString(i / 36, 36) + Integer.toString(i % 36, 36)
       d.select(
         (col("doc_id") + i * 100000000L).as("doc_id"),
         // splice the copy tag in every 5 chars → every char-8 shingle

@@ -51,6 +51,21 @@ private[graft] object GraphAdaptive {
     * stream the big one — never sort it, never move it). */
   def pick(bcast: Boolean)(df: DataFrame): DataFrame =
     if (bcast) broadcast(df) else df.hint("shuffle_hash")
+
+  /** PageRank contribution-aggregate exchange form. The default map-side
+    * PARTIAL aggregation duplicates each destination's partial across
+    * every map partition that saw one of its in-edges — an
+    * O(V·partitions) exchange term that grows with the partition count
+    * (73-87× shuffled bytes at 30-36× data; VERDICT r13 watch item 1).
+    * `repartition` instead exchanges the RAW contribution rows
+    * (O(E), two longs each) and aggregates complete on the receiver —
+    * fewer bytes whenever the average in-degree is below the map
+    * partition count. Both forms are value-identical; the knob exists so
+    * ScaleStress can measure them head-to-head (SCALE.md §21). */
+  val ContribConfKey = "spark.graft.graph.contribExchange"
+
+  def contribRepartition(spark: SparkSession): Boolean =
+    spark.conf.get(ContribConfKey, "partial") == "repartition"
 }
 
 /** Iterative graph analytics beyond connected components (q_dedup_components
@@ -175,9 +190,13 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
         // checkpoint: the O(V) frame exchanges, the edge list still
         // never moves. GraphFallbackSpec forces this path and asserts
         // plan shape + identical results.
-        val contrib = edgesW
+        val cj = edgesW
           .join(pv(pr), col("src") === col("node_id"))
-          .groupBy("dst").agg(sum(expr("pr div outdeg")).as("cin"))
+          .select(col("dst"), expr("pr div outdeg").as("c1"))
+        val contrib =
+          (if (GraphAdaptive.contribRepartition(spark)) cj.repartition(col("dst"))
+           else cj)
+            .groupBy("dst").agg(sum(col("c1")).as("cin"))
         pr = nodes.crossJoin(broadcast(nn))
           .join(pv(contrib), col("node_id") === col("dst"), "left")
           .select(col("node_id"),
@@ -293,9 +312,14 @@ ORDER BY pr DESC, node_id LIMIT 50"""
               s"q_pagerank_converged: no convergence after $PrMaxRounds " +
                 s"rounds (last max |Δ| = $delta, ε = $eps) — the damping/ε " +
                 "contract is broken, refusing to return a half-converged rank")
-          val contrib = g.edgesW
+          val cj = g.edgesW
             .join(g.pv(cur), col("src") === col("node_id"))
-            .groupBy("dst").agg(sum(expr("pr div outdeg")).as("cin"))
+            .select(col("dst"), expr("pr div outdeg").as("c1"))
+          val contrib =
+            (if (GraphAdaptive.contribRepartition(spark))
+              cj.repartition(col("dst"))
+             else cj)
+              .groupBy("dst").agg(sum(col("c1")).as("cin"))
           // the convergence metric rides the checkpoint's own
           // materialization job via observe() — one action per round,
           // not a second scan of the round frame
