@@ -60,7 +60,8 @@ object Plans {
     "q_dq_checks"         -> "DQ constraint suite: one agg pass per table + AQE-sized FK anti-joins, long-format report",
     "q_ivf_probe"         -> "stored-index ANN probe: centroids + cell-partitioned inverted file read from parquet, ZERO training work in-plan",
     "q_bm25_search"       -> "BM25 ranking: 3-term broadcast tf, doc-length join, integer-exact rational scoring",
-    "q_quality_classifier" -> "learned quality gate: 4096-bounded training exchange, one-row weight-map broadcast, map-only inference")
+    "q_quality_classifier" -> "learned quality gate: 4096-bounded training exchange, one-row weight-map broadcast, map-only inference",
+    "q_chunking"          -> "RAG chunking: overlapping token windows + fingerprints as ONE map-only codegen projection, zero shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

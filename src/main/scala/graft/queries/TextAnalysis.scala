@@ -1679,11 +1679,14 @@ object TextAnalysis {
     * CTE chain (MATERIALIZED per round — each round references its
     * predecessor twice, and inlined CTEs would expand 2^16 corpus
     * scans), with the identical list_reduce fold and tie-break. */
-  private val qBpeTrain = QueryDef(
-    "q_bpe_train",
-    Some {
-      val steps = (1 to BpeMerges).map { k =>
-        s"""p$k AS (
+  /** The unrolled 16-merge training recursion as a DuckDB CTE chain
+    * (v0 → v16, MATERIALIZED per round — each round references its
+    * predecessor twice, and inlined CTEs would expand 2^16 corpus scans).
+    * Shared by q_bpe_train's merge-table oracle and q_bpe_encode's
+    * encoding oracle, so the two gates can never train differently. */
+  private val bpeSqlChain: String = {
+    val steps = (1 to BpeMerges).map { k =>
+      s"""p$k AS (
   SELECT p1, p2, CAST(sum(n_w) AS BIGINT) AS cnt FROM (
     SELECT sl[i] AS p1, sl[i + 1] AS p2, n_w FROM
       (SELECT string_split(symstr, ' ') AS sl, n_w FROM v${k - 1}),
@@ -1695,17 +1698,73 @@ v$k AS MATERIALIZED (
     CASE WHEN x = m.p2 AND (acc = m.p1 OR suffix(acc, ' ' || m.p1))
          THEN acc || x ELSE acc || ' ' || x END) AS symstr, n_w
   FROM v${k - 1}, m$k m)"""
-      }.mkString(",\n")
-      val sels = (1 to BpeMerges).map(k =>
-        s"SELECT CAST($k AS BIGINT) AS step, p1, p2, cnt FROM m$k")
-        .mkString("\nUNION ALL ")
-      s"""WITH $tokSql,
-wc AS MATERIALIZED (
+    }.mkString(",\n")
+    s"""wc AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM tok GROUP BY w),
 v0 AS MATERIALIZED (SELECT w,
   array_to_string(list_transform(range(1, length(w) + 1), i -> w[i]), ' ')
     || ' </w>' AS symstr, n_w FROM wc),
-$steps
+$steps"""
+  }
+
+  /** The engine-side training loop shared by q_bpe_train and the stored
+    * tokenizer artifact ([[ensureBpeMerges]]): one corpus pass for word
+    * frequencies, then [[BpeMerges]] vocabulary-bounded rounds
+    * (checkpoint-truncated; fail-loud on early exhaustion). Returns the
+    * ordered merge table and the FINAL vocabulary frame — the caller
+    * must `Checkpoints.release` the returned frame when done with it. */
+  private def bpeTrainLoop(spark: SparkSession, dir: String)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    val v0 = toks(spark, dir)
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+      .select(col("w"),
+        concat(
+          array_join(
+            expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+            " "),
+          lit(" </w>")).as("symstr"),
+        col("n_w"))
+    var vocab = graft.Checkpoints.truncate(v0)
+    var vocabCk = vocab
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    while (step <= BpeMerges) {
+      // zip the sequence against its own tail — yields ZERO pairs for a
+      // fully-merged single-symbol word (sequence(1, size-1) would throw)
+      val sl = split(col("symstr"), " ")
+      val top = vocab
+        .select(col("n_w"), explode(
+          zip_with(slice(sl, lit(1), size(sl) - 1),
+            slice(sl, lit(2), size(sl) - 1),
+            (a, b) => struct(a.as("p1"), b.as("p2")))).as("p"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(sum(col("n_w")).as("cnt"))
+        .orderBy(desc("cnt"), asc("p1"), asc("p2"))
+        .limit(1).collect().headOption.getOrElse(
+          throw new IllegalStateException(
+            s"q_bpe_train: vocabulary fully merged after ${step - 1} of " +
+              s"$BpeMerges merges — no adjacent pairs left; lower BpeMerges " +
+              "or widen the corpus"))
+      val (p1, p2) = (top.getString(0), top.getString(1))
+      merges += ((step.toLong, p1, p2, top.getLong(2)))
+      val nxt = graft.Checkpoints.truncate(
+        vocab.withColumn("symstr", bpeMergeFold(p1, p2)))
+      graft.Checkpoints.release(vocabCk)
+      vocabCk = nxt
+      vocab = nxt
+      step += 1
+    }
+    (merges.toSeq, vocab)
+  }
+
+  private val qBpeTrain = QueryDef(
+    "q_bpe_train",
+    Some {
+      val sels = (1 to BpeMerges).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS step, p1, p2, cnt FROM m$k")
+        .mkString("\nUNION ALL ")
+      s"""WITH $tokSql,
+$bpeSqlChain
 SELECT * FROM (
 $sels
 UNION ALL SELECT CAST(${BpeMerges + 1} AS BIGINT), '<vocab_fp>', '',
@@ -1718,46 +1777,7 @@ UNION ALL SELECT CAST(${BpeMerges + 2} AS BIGINT), '<n_symbols>', '',
     },
     (spark, dir) => {
       import spark.implicits._
-      // the ONE corpus pass: word frequencies, then char-level symbols
-      val v0 = toks(spark, dir)
-        .groupBy("w").agg(count(lit(1)).as("n_w"))
-        .select(col("w"),
-          concat(
-            array_join(
-              expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
-              " "),
-            lit(" </w>")).as("symstr"),
-          col("n_w"))
-      var vocab = graft.Checkpoints.truncate(v0)
-      var vocabCk = vocab
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-      var step = 1
-      while (step <= BpeMerges) {
-        // zip the sequence against its own tail — yields ZERO pairs for a
-        // fully-merged single-symbol word (sequence(1, size-1) would throw)
-        val sl = split(col("symstr"), " ")
-        val top = vocab
-          .select(col("n_w"), explode(
-            zip_with(slice(sl, lit(1), size(sl) - 1),
-              slice(sl, lit(2), size(sl) - 1),
-              (a, b) => struct(a.as("p1"), b.as("p2")))).as("p"))
-          .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
-          .agg(sum(col("n_w")).as("cnt"))
-          .orderBy(desc("cnt"), asc("p1"), asc("p2"))
-          .limit(1).collect().headOption.getOrElse(
-            throw new IllegalStateException(
-              s"q_bpe_train: vocabulary fully merged after ${step - 1} of " +
-                s"$BpeMerges merges — no adjacent pairs left; lower BpeMerges " +
-                "or widen the corpus"))
-        val (p1, p2) = (top.getString(0), top.getString(1))
-        merges += ((step.toLong, p1, p2, top.getLong(2)))
-        val nxt = graft.Checkpoints.truncate(
-          vocab.withColumn("symstr", bpeMergeFold(p1, p2)))
-        graft.Checkpoints.release(vocabCk)
-        vocabCk = nxt
-        vocab = nxt
-        step += 1
-      }
+      val (merges, vocab) = bpeTrainLoop(spark, dir)
       val fp = vocab
         .select(PortableHash.hash60(BpeFpSeed,
           concat(col("w"), lit(":"), col("symstr"))).as("h"))
@@ -1765,12 +1785,156 @@ UNION ALL SELECT CAST(${BpeMerges + 2} AS BIGINT), '<n_symbols>', '',
       val nsym = vocab
         .select(explode(split(col("symstr"), " ")).as("s"))
         .agg(countDistinct(col("s"))).head().getLong(0)
-      graft.Checkpoints.release(vocabCk)
-      (merges.toSeq :+
+      graft.Checkpoints.release(vocab)
+      (merges :+
         ((BpeMerges + 1L, "<vocab_fp>", "", fp)) :+
         ((BpeMerges + 2L, "<n_symbols>", "", nsym)))
         .toDF("step", "p1", "p2", "cnt")
         .orderBy("step")
+    })
+
+  /** Stored tokenizer artifact: the ordered merge table written once per
+    * corpus signature (the IVF-index persistence scheme — see
+    * Similarity's ivfIndexRoot), read back by q_bpe_encode. Train once,
+    * encode everywhere. */
+  private def ensureBpeMerges(spark: SparkSession, dir: String)
+      : Seq[(String, String)] = {
+    val src = new java.io.File(graft.sources.Tables.path(dir, "documents"))
+    val sig = java.lang.Long.toHexString(src.length * 1000003L + src.lastModified)
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_bpe_merges_${Integer.toHexString(dir.hashCode)}_$sig").toString
+    val done = new org.apache.hadoop.fs.Path(root, "_GRAFT_BPE_DONE")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      import spark.implicits._
+      val (merges, vocab) = bpeTrainLoop(spark, dir)
+      graft.Checkpoints.release(vocab)
+      merges.toDF("step", "p1", "p2", "cnt")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/merges")
+      fs.create(done, true).close()
+    }
+    spark.read.parquet(s"$root/merges")
+      .orderBy("step").collect()
+      .map(r => (r.getAs[String]("p1"), r.getAs[String]("p2"))).toSeq
+  }
+
+  /** BPE ENCODING — the tokenizer's SERVING path: apply the stored,
+    * already-trained merge table (train once, encode everywhere — the
+    * artifact lifecycle q_ivf_build/q_ivf_probe exhibit for ANN indexes,
+    * here for the tokenizer). Per language: word occurrences, char-level
+    * symbol mass (chars + the `</w>` marker), BPE token mass after the 16
+    * merges, and the integer compression ratio — the fertility/efficiency
+    * numbers a tokenizer change is judged by.
+    *
+    * Scale shape: one tokenize pass (the lang join rides the doc layout);
+    * encoding runs over the (lang, word) VOCABULARY — Heaps' law ≪
+    * corpus — as 16 chained map-only greedy folds with the merge pairs
+    * baked in as literals (16 rows collected from the stored artifact);
+    * the rollup is a lang-keyed map-side-partial aggregate. The corpus
+    * itself is never re-touched after the word-count pass. The oracle
+    * re-trains via the shared unrolled CTE chain and encodes by joining
+    * the final vocabulary — training determinism makes stored-artifact
+    * encoding ≡ retrain-and-encode, which is exactly the property the
+    * gate proves. */
+  private val qBpeEncode = QueryDef(
+    "q_bpe_encode",
+    Some(s"""WITH $tokSql,
+$bpeSqlChain,
+lw AS (SELECT d.lang, t.w, CAST(count(*) AS BIGINT) AS n_w
+  FROM tok t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+enc AS (SELECT lang, lw.w, lw.n_w AS n_w,
+    CAST(length(lw.w) + 1 AS BIGINT) AS n_sym0,
+    CAST(len(string_split(v.symstr, ' ')) AS BIGINT) AS n_bpe
+  FROM lw JOIN v$BpeMerges v ON v.w = lw.w)
+SELECT lang, CAST(sum(n_w) AS BIGINT) AS n_words,
+  CAST(sum(n_w * n_sym0) AS BIGINT) AS n_char_symbols,
+  CAST(sum(n_w * n_bpe) AS BIGINT) AS n_bpe_tokens,
+  CAST(sum(n_w * n_sym0) AS BIGINT) * 1000000
+    // CAST(sum(n_w * n_bpe) AS BIGINT) AS compression_micro
+FROM enc GROUP BY lang ORDER BY lang"""),
+    (spark, dir) => {
+      val merges = ensureBpeMerges(spark, dir)
+      val lw = toks(spark, dir)
+        .join(tbl(spark, dir, "documents").select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "w").agg(count(lit(1)).as("n_w"))
+      val v0 = lw.withColumn("symstr",
+        concat(
+          array_join(
+            expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+            " "),
+          lit(" </w>")))
+      val enc = merges.foldLeft(v0) { case (df, (p1, p2)) =>
+        df.withColumn("symstr", bpeMergeFold(p1, p2))
+      }
+      enc
+        .select(col("lang"), col("n_w"),
+          (length(col("w")) + 1).cast("long").as("n_sym0"),
+          size(split(col("symstr"), " ")).cast("long").as("n_bpe"))
+        .groupBy("lang")
+        .agg(sum(col("n_w")).as("n_words"),
+          sum(col("n_w") * col("n_sym0")).as("n_char_symbols"),
+          sum(col("n_w") * col("n_bpe")).as("n_bpe_tokens"))
+        .select(col("lang"), col("n_words"), col("n_char_symbols"),
+          col("n_bpe_tokens"),
+          expr("(n_char_symbols * 1000000L) div n_bpe_tokens")
+            .as("compression_micro"))
+        .orderBy("lang")
+    })
+
+  /** RAG-style document CHUNKING — fixed-size overlapping token windows
+    * (size 64, stride 48 → 16-token overlap), the retrieval-corpus
+    * construction step between curation and embedding. Each chunk carries
+    * its start offset, token count, and a portable content fingerprint;
+    * the gate hashes the per-doc rollup (chunk count, token mass
+    * including overlap, xor of chunk fingerprints — order-independent,
+    * and the fingerprints pin every chunk's exact text).
+    *
+    * Scale shape: the whole computation is ONE map-only projection —
+    * chunk starts via `sequence`, per-chunk slices, hashes and the xor
+    * fold all run as array HOFs inside a single codegen span; no explode,
+    * no shuffle beyond the presentation sort. At 100 TB chunking runs at
+    * scan speed, and the real export (one row per chunk) is the same
+    * projection followed by the writer. */
+  private val qChunking = QueryDef(
+    "q_chunking",
+    Some(s"""
+      |WITH w0 AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |ch AS (SELECT doc_id, len(ws) AS n_tok,
+      |    list_transform(range(1, len(ws) + 1, 48), st -> struct_pack(
+      |      sz := least(64, len(ws) - st + 1),
+      |      fp := ${PortableHash.sqlHash60(
+                 "concat('chk|', array_to_string(list_slice(ws, st, " +
+                 "st + least(64, len(ws) - st + 1) - 1), ' '))")})) AS chunks
+      |  FROM w0)
+      |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+      |  CAST(len(chunks) AS BIGINT) AS n_chunks,
+      |  CAST(coalesce(list_sum(list_transform(chunks, c -> c.sz)), 0) AS BIGINT)
+      |    AS sum_chunk_tokens,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(chunks, c -> c.fp)), (a, x) -> xor(a, x)) AS BIGINT)
+      |    AS chunks_fp
+      |FROM ch ORDER BY doc_id
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, '\\\\s+'), x -> x != '')").as("ws"))
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n_tok"),
+          expr("""CASE WHEN size(ws) = 0
+              THEN CAST(array() AS ARRAY<STRUCT<sz: BIGINT, fp: BIGINT>>)
+              ELSE transform(sequence(1, size(ws), 48), st -> struct(
+                CAST(least(64, size(ws) - st + 1) AS BIGINT) AS sz,
+                graft_hash60(concat('chk|', array_join(
+                  slice(ws, st, least(64, size(ws) - st + 1)), ' '))) AS fp))
+              END""").as("chunks"))
+        .select(col("doc_id"), col("n_tok"),
+          size(col("chunks")).cast("long").as("n_chunks"),
+          expr("aggregate(chunks, 0L, (a, c) -> a + c.sz)")
+            .as("sum_chunk_tokens"),
+          expr("aggregate(chunks, 0L, (a, c) -> a ^ c.fp)").as("chunks_fp"))
+        .orderBy("doc_id")
     })
 
   /** Training-shard export manifest — the last job of a curation
@@ -1822,5 +1986,5 @@ UNION ALL SELECT CAST(${BpeMerges + 2} AS BIGINT), '<n_symbols>', '',
       qPiiScrub, qRepetitionFilter,
       qCrossdocNgrams, qSeqPacking, qImportanceSample, qTopTerms, qDomainMix,
       qLmScore, qNgramLm, qSpanDedup, qCooccurPmi, qInvertedIndex, qBpePairs,
-      qBpeTrain, qShardExport)
+      qBpeTrain, qBpeEncode, qChunking, qShardExport)
 }
