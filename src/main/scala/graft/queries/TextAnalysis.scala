@@ -557,7 +557,16 @@ object TextAnalysis {
       |""".stripMargin.trim
     },
     (spark, dir) => {
-      val fd = tbl(spark, dir, "documents")
+      // widen: one md5 per bigram is CPU-bound per-row work above a
+      // single-row-group scan (the Tables.widen remedy). The feature
+      // frame is localCheckpoint'ed (the Dedup.scala shared-frame
+      // pattern): it feeds BOTH the training branch and the inference
+      // branch, and the training explode would otherwise re-evaluate the
+      // whole hash projection inside the Generate — measured 13.4 s →
+      // ~2 s at sf0.1 with the barrier. At 100 TB the same trade holds
+      // (executor-local blocks, features ≪ text), or recompute if
+      // preferred — the frame is (id, bool, int-array), ~1/10 the corpus.
+      val fd = tblWide(spark, dir, "documents")
         .select(col("doc_id"),
           expr("filter(split(text, '\\\\s+'), x -> x != '')").as("ws"))
         .select(col("doc_id"), (size(col("ws")) >= 32).as("good"),
@@ -565,6 +574,12 @@ object TextAnalysis {
             ELSE array_distinct(transform(sequence(1, size(ws) - 1),
               i -> graft_hash60(concat('qc|', element_at(ws, i), '_',
                 element_at(ws, i + 1))) % 4096L)) END""").as("fs"))
+        .localCheckpoint()
+      // the trained table collapses to ONE row and is re-shaped into a
+      // DENSE 4096-slot array indexed by feature id: `element_at` on a
+      // MapType is a LINEAR scan of the entries per lookup (measured 17 s
+      // at sf0.1 — O(features·4096) per doc), while array indexing is
+      // O(1); the 4096 map probes below run ONCE, on the 1-row frame
       val wmap = fd
         .select(col("good"), explode(col("fs")).as("f"))
         .groupBy("f")
@@ -575,9 +590,12 @@ object TextAnalysis {
             .as("w"))
         .agg(map_from_entries(collect_list(struct(col("f"), col("w"))))
           .as("wm"))
+        .select(expr(
+          "transform(sequence(0L, 4095L), i -> coalesce(try_element_at(wm, i), 0L))")
+          .as("wa"))
       fd.crossJoin(broadcast(wmap))
         .select(col("doc_id"), size(col("fs")).cast("long").as("n_feats"),
-          expr("aggregate(fs, 0L, (acc, f) -> acc + coalesce(try_element_at(wm, f), 0L))")
+          expr("aggregate(fs, 0L, (acc, f) -> acc + element_at(wa, CAST(f + 1L AS INT)))")
             .as("logit_micro"))
         .select(col("doc_id"), col("n_feats"), col("logit_micro"),
           expr("CASE WHEN n_feats = 0 THEN 0L ELSE logit_micro div n_feats END")
