@@ -296,6 +296,71 @@ ORDER BY vec_id"""),
         .orderBy("vec_id")
     })
 
+  /** TRIPLET MINING for contrastive training — per anchor, the hardest
+    * negatives (different label, MOST similar) and hardest positives
+    * (same label, LEAST similar): the pair-selection job every
+    * embedding-model training pipeline runs over its corpus
+    * (semi-hard mining, Schroff et al. 2015 FaceNet shape). Exact
+    * integer-quantized cosine (the q_cosine_topk discipline) so the
+    * ranking is engine-portable.
+    *
+    * Scale shape: the anchor set broadcasts (the corpus NEVER shuffles
+    * for the scoring join — q_cosine_topk's 0.05× shuffle ratio at 72×),
+    * and both mining directions ride ONE window pass: kind joins the
+    * partition key and the sort key flips sign by kind (negate the dot
+    * for negatives), so there is no second scan and no union of two
+    * window branches. WindowGroupLimit prunes to top-k candidates before
+    * the exchange. */
+  private val qHardNegatives = QueryDef(
+    "q_hard_negatives",
+    Some(s"""
+      |WITH pairs AS (
+      |  SELECT q.vec_id AS anchor_id, q.label AS a_label,
+      |    v.vec_id AS cand_id, v.label AS label,
+      |    CAST(sum(${sqlQuantElem("q.embedding", "CAST(t.i AS INT)")}
+      |      * ${sqlQuantElem("v.embedding", "CAST(t.i AS INT)")}) AS BIGINT) AS dot_q
+      |  FROM (SELECT * FROM embeddings WHERE vec_id < $NumQueries) q,
+      |       embeddings v,
+      |       (SELECT unnest(range(1, ${Dim + 1})) AS i) t
+      |  WHERE v.vec_id <> q.vec_id
+      |  GROUP BY 1, 2, 3, 4),
+      |neg AS (SELECT anchor_id, 'neg' AS kind, cand_id, dot_q,
+      |    row_number() OVER (PARTITION BY anchor_id ORDER BY dot_q DESC, cand_id) AS rnk
+      |  FROM pairs WHERE label <> a_label),
+      |pos AS (SELECT anchor_id, 'pos' AS kind, cand_id, dot_q,
+      |    row_number() OVER (PARTITION BY anchor_id ORDER BY dot_q ASC, cand_id) AS rnk
+      |  FROM pairs WHERE label = a_label)
+      |SELECT anchor_id, kind, CAST(rnk AS BIGINT) AS rnk, cand_id, dot_q,
+      |  CAST(dot_q AS DOUBLE) / 1e12 AS cosine
+      |FROM (SELECT * FROM neg UNION ALL SELECT * FROM pos)
+      |WHERE rnk <= $TopK ORDER BY anchor_id, kind, rnk
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val emb = tblWide(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"), expr(quantizeExpr).as("qv"))
+      val anchors = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+          col("qv").as("avec"))
+      val w = Window.partitionBy("anchor_id", "kind")
+        .orderBy(asc("ord"), asc("cand_id"))
+      emb.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+        .select(col("anchor_id"),
+          when(col("label") === col("a_label"), "pos").otherwise("neg")
+            .as("kind"),
+          col("vec_id").as("cand_id"),
+          call_function("long_dot", col("avec"), col("qv")).as("dot_q"))
+        // one window for both directions: hardest negative = max dot,
+        // hardest positive = min dot — flip the sign for negatives
+        .withColumn("ord",
+          when(col("kind") === "neg", -col("dot_q")).otherwise(col("dot_q")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= TopK)
+        .select(col("anchor_id"), col("kind"), col("rnk"), col("cand_id"),
+          col("dot_q"),
+          (col("dot_q").cast("double") / lit(1e12)).as("cosine"))
+        .orderBy("anchor_id", "kind", "rnk")
+    })
+
   // =========================================================================
   // IVF (inverted-file) ANN — the second scale path next to hyperplane LSH
   // =========================================================================
@@ -1205,7 +1270,8 @@ ORDER BY query_id, rnk"""),
     })
 
   val defs: Seq[QueryDef] = Seq(
-    qCosineTopk, qAnnBuckets, qAnnBucketStats, qArrayFuncs, qNeardupBucketed,
+    qCosineTopk, qHardNegatives, qAnnBuckets, qAnnBucketStats, qArrayFuncs,
+    qNeardupBucketed,
     qIvfAssign, qIvfTopk, qIvfBuild, qIvfProbe, qAnnRecall,
     qKmeansAssign, qKmeansProfile,
     qSemdedup, qPqTopk)

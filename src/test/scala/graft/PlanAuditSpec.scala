@@ -15,6 +15,8 @@ class PlanAuditSpec extends SparkSuite {
     * single row by construction), and q22/q11 (1-row above-average stats
     * frames, same pattern). */
   private val bnljAllowed = Set("q_range_join", "q_cosine_topk",
+    "q_hard_negatives", // broadcast anchor set, non-equi self-exclusion
+
     "q_ann_buckets", "q_ann_bucket_stats", "q_neardup_bucketed",
     "q_ivf_assign", "q_ivf_topk", "q_ann_recall", "q22_global_sales",
     "q11_important_stock", "q_text_search", "q_pagerank",
