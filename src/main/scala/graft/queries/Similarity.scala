@@ -336,7 +336,12 @@ ORDER BY vec_id"""),
       |WHERE rnk <= $TopK ORDER BY anchor_id, kind, rnk
       |""".stripMargin.trim),
     (spark, dir) => {
+      // a NULL label can be neither a positive nor a negative: the
+      // oracle's label <> a_label / label = a_label predicates drop such
+      // rows from BOTH windows, so the engine filters them explicitly
+      // (when/otherwise would otherwise route the null comparison to 'neg')
       val emb = tblWide(spark, dir, "embeddings")
+        .filter(col("label").isNotNull)
         .select(col("vec_id"), col("label"), expr(quantizeExpr).as("qv"))
       val anchors = emb.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
@@ -554,40 +559,29 @@ ORDER BY query_id, rnk"""
   // partition pruning can drop unprobed cells' files at planning.
   // ---------------------------------------------------------------------
 
-  private def ivfIndexRoot(dir: String): String = {
-    val src = new java.io.File(graft.sources.Tables.path(dir, "embeddings"))
-    val sig = java.lang.Long.toHexString(src.length * 1000003L + src.lastModified)
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_ivf_index_${Integer.toHexString(dir.hashCode)}_$sig").toString
-  }
-
-  /** Write the two index tables (always a fresh build — the write path IS
-    * q_ivf_build's exhibit) and return the index root. */
-  private def ivfWriteIndex(spark: SparkSession, dir: String): String = {
-    val root = ivfIndexRoot(dir)
-    val hroot = new org.apache.hadoop.fs.Path(root)
-    val fs = hroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(hroot, true)
+  /** The two index tables, written under `root` (shared by the always-
+    * rebuild exhibit and the ensure-or-build serving path). */
+  private def ivfBuildInto(spark: SparkSession, dir: String)(
+      root: String): Unit = {
     ivfAssign(ivfScored(spark, dir))
       .select(col("vec_id"), col("qv"), col("dot_c"), col("cid"))
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$root/assign")
     ivfCentroids(spark, dir)
       .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
-    fs.create(new org.apache.hadoop.fs.Path(hroot, "_GRAFT_IVF_DONE"), true)
-      .close()
-    root
   }
+
+  /** Always a fresh build — the write path IS q_ivf_build's exhibit. */
+  private def ivfWriteIndex(spark: SparkSession, dir: String): String =
+    ArtifactStore.rebuild(spark, dir, "embeddings", "ivf_index")(
+      ivfBuildInto(spark, dir))
 
   /** Probe-side index resolution: reuse a completed build, else build.
     * (Verify may run q_ivf_probe before q_ivf_build; the index content is
     * deterministic, so either order yields the same stored tables.) */
-  private def ensureIvfIndex(spark: SparkSession, dir: String): String = {
-    val root = ivfIndexRoot(dir)
-    val done = new org.apache.hadoop.fs.Path(root, "_GRAFT_IVF_DONE")
-    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(done)) root else ivfWriteIndex(spark, dir)
-  }
+  private def ensureIvfIndex(spark: SparkSession, dir: String): String =
+    ArtifactStore.ensure(spark, dir, "embeddings", "ivf_index")(
+      ivfBuildInto(spark, dir))
 
   /** INDEX BUILD under the oracle gate: write centroids + the cell-
     * partitioned inverted file, then aggregate the READ-BACK tables into

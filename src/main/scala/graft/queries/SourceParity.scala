@@ -1876,9 +1876,14 @@ object SourceParity {
       // above, so a carried offset clock would point into the previous
       // table (a durable FILE sink, not memory — resuming from a
       // checkpoint is exactly what phase 2 exercises, and the memory sink
-      // does not support recovery)
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_sivm").toString
+      // does not support recovery). STABLE path, wiped on entry, so
+      // repeated bench/verify invocations hold exactly one copy instead
+      // of leaking a checkpoint + delta parquet per run
+      val work = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_sivm_$h").toString
+      val workPath = new org.apache.hadoop.fs.Path(work)
+      workPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(workPath, true)
       val (ckpt, out) = (s"$work/ckpt", s"$work/out")
       def drain(): Unit = {
         val q = ss.readStream.format("graft-tsv").schema(schema)

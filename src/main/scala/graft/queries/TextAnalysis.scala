@@ -432,10 +432,13 @@ object TextAnalysis {
     * division — log is monotone, so per-term ranking is unchanged and the
     * score stays integer-exact across engines (a float BM25 sum is
     * addition-order-sensitive; the driver's hash gate would flake).
-    * The micro-scaling itself uses the overflow-safe split
+    * The micro-scaling uses the overflow-safe split
     * (a div d)·10⁶ + ((a mod d)·10⁶) div d — exact, and the operands stay
     * ≤ 22·tf·avgdl_milli where the direct product a·10⁶ would overflow
-    * BIGINT first at 100 TB token counts.
+    * BIGINT first at 100 TB token counts. The per-term idf·tfc product
+    * gets the same treatment: (idf div 10⁶)·tfc + ((idf mod 10⁶)·tfc)
+    * div 10⁶ ≡ (idf·tfc) div 10⁶ exactly, with operands bounded by
+    * 2N·2.2·10⁶ — the direct product would wrap at ~6M documents.
     *
     * Scale shape: tf (query terms only — a 3-term broadcast semi-filter
     * at the scan) joins dl (per-doc token counts, O(docs) metadata-sized)
@@ -463,9 +466,11 @@ object TextAnalysis {
       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), stats s),
       |scored AS (
       |  SELECT doc_id, CAST(sum(
-      |      (idf_micro * ((a // den) * 1000000 + ((a % den) * 1000000) // den))
-      |        // 1000000) AS BIGINT) AS score_micro
-      |  FROM parts GROUP BY doc_id)
+      |      (idf_micro // 1000000) * tfc
+      |        + ((idf_micro % 1000000) * tfc) // 1000000) AS BIGINT) AS score_micro
+      |  FROM (SELECT doc_id, idf_micro,
+      |      (a // den) * 1000000 + ((a % den) * 1000000) // den AS tfc
+      |    FROM parts) GROUP BY doc_id)
       |SELECT doc_id, score_micro, CAST(score_micro AS DOUBLE) / 1e6 AS score
       |FROM scored ORDER BY score_micro DESC, doc_id LIMIT 20
       |""".stripMargin.trim
@@ -491,9 +496,11 @@ object TextAnalysis {
             .as("den"),
           expr("((2L * (n_docs - df) + 1L) * 1000000L) div (2L * df + 1L)")
             .as("idf_micro"))
+        .withColumn("tfc",
+          expr("(a div den) * 1000000L + ((a % den) * 1000000L) div den"))
         .groupBy("doc_id")
         .agg(sum(expr(
-          "(idf_micro * ((a div den) * 1000000L + ((a % den) * 1000000L) div den)) div 1000000L"))
+          "(idf_micro div 1000000L) * tfc + ((idf_micro % 1000000L) * tfc) div 1000000L"))
           .as("score_micro"))
         .select(col("doc_id"), col("score_micro"),
           (col("score_micro").cast("double") / lit(1e6)).as("score"))
@@ -559,14 +566,15 @@ object TextAnalysis {
     (spark, dir) => {
       // widen: one md5 per bigram is CPU-bound per-row work above a
       // single-row-group scan (the Tables.widen remedy). The feature
-      // frame is localCheckpoint'ed (the Dedup.scala shared-frame
-      // pattern): it feeds BOTH the training branch and the inference
+      // frame is checkpoint-truncated (the Dedup.scala shared-frame
+      // pattern, via the Checkpoints seam so reliable mode routes it with
+      // the loops): it feeds BOTH the training branch and the inference
       // branch, and the training explode would otherwise re-evaluate the
       // whole hash projection inside the Generate — measured 13.4 s →
       // ~2 s at sf0.1 with the barrier. At 100 TB the same trade holds
-      // (executor-local blocks, features ≪ text), or recompute if
-      // preferred — the frame is (id, bool, int-array), ~1/10 the corpus.
-      val fd = tblWide(spark, dir, "documents")
+      // (features ≪ text — the frame is (id, bool, int-array), ~1/10 the
+      // corpus), or recompute if preferred.
+      val fd0 = tblWide(spark, dir, "documents")
         .select(col("doc_id"),
           expr("filter(split(text, '\\\\s+'), x -> x != '')").as("ws"))
         .select(col("doc_id"), (size(col("ws")) >= 32).as("good"),
@@ -574,7 +582,7 @@ object TextAnalysis {
             ELSE array_distinct(transform(sequence(1, size(ws) - 1),
               i -> graft_hash60(concat('qc|', element_at(ws, i), '_',
                 element_at(ws, i + 1))) % 4096L)) END""").as("fs"))
-        .localCheckpoint()
+      val fd = graft.Checkpoints.truncate(fd0)
       // the trained table collapses to ONE row and is re-shaped into a
       // DENSE 4096-slot array indexed by feature id: `element_at` on a
       // MapType is a LINEAR scan of the entries per lookup (measured 17 s
@@ -1812,24 +1820,17 @@ UNION ALL SELECT CAST(${BpeMerges + 2} AS BIGINT), '<n_symbols>', '',
     })
 
   /** Stored tokenizer artifact: the ordered merge table written once per
-    * corpus signature (the IVF-index persistence scheme — see
-    * Similarity's ivfIndexRoot), read back by q_bpe_encode. Train once,
-    * encode everywhere. */
+    * corpus signature ([[ArtifactStore]], the same lifecycle as the IVF
+    * index), read back by q_bpe_encode. Train once, encode everywhere. */
   private def ensureBpeMerges(spark: SparkSession, dir: String)
       : Seq[(String, String)] = {
-    val src = new java.io.File(graft.sources.Tables.path(dir, "documents"))
-    val sig = java.lang.Long.toHexString(src.length * 1000003L + src.lastModified)
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_bpe_merges_${Integer.toHexString(dir.hashCode)}_$sig").toString
-    val done = new org.apache.hadoop.fs.Path(root, "_GRAFT_BPE_DONE")
-    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done)) {
-      import spark.implicits._
-      val (merges, vocab) = bpeTrainLoop(spark, dir)
-      graft.Checkpoints.release(vocab)
-      merges.toDF("step", "p1", "p2", "cnt")
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/merges")
-      fs.create(done, true).close()
+    val root = ArtifactStore.ensure(spark, dir, "documents", "bpe_merges") {
+      r =>
+        import spark.implicits._
+        val (merges, vocab) = bpeTrainLoop(spark, dir)
+        graft.Checkpoints.release(vocab)
+        merges.toDF("step", "p1", "p2", "cnt")
+          .coalesce(1).write.mode("overwrite").parquet(s"$r/merges")
     }
     spark.read.parquet(s"$root/merges")
       .orderBy("step").collect()

@@ -480,10 +480,17 @@ private[sources] object GraftTsvMaintenance {
       // generation > base — bounded by manifest retention.
       val headEntries = GraftTsvManifest.readEntries(fs,
         new Path(dir, GraftTsvManifest.branchGenName(head, name))).toSet
-      val mergedAt = rootNames.flatMap(GraftTsvManifest.genNumber)
-        .filter(_ > base).sorted
-        .find(g => GraftTsvManifest.readEntries(fs,
-          new Path(dir, GraftTsvManifest.genName(g))).toSet == headEntries)
+      // an EMPTY entry set carries no per-commit identity — any truncate
+      // generation on main would false-match and silently retire a
+      // genuinely diverged branch; an empty branch head therefore never
+      // resumes a crashed merge (the loud not-fast-forward below names
+      // drop_branch as the recovery)
+      val mergedAt =
+        if (headEntries.isEmpty) None
+        else rootNames.flatMap(GraftTsvManifest.genNumber)
+          .filter(_ > base).sorted
+          .find(g => GraftTsvManifest.readEntries(fs,
+            new Path(dir, GraftTsvManifest.genName(g))).toSet == headEntries)
       mergedAt match {
         case Some(g) =>
           branchGens.foreach(bg => fs.delete(

@@ -320,6 +320,36 @@ class Dsv2BranchSpec extends SparkSuite {
     assert(ids(spark.table("gbr.rtry2.t")) == (0L to 3L) :+ 50L)
   }
 
+  test("an EMPTY branch head never false-matches a main truncate as a crashed merge") {
+    // an empty entry set carries no per-commit identity: with the branch
+    // truncated AND main independently truncated-then-reloaded, the retry
+    // scan would find a main generation whose (empty) entries equal the
+    // branch head's, "finish" a merge that never happened, and silently
+    // retire a genuinely diverged branch whose truncate intent is then
+    // lost — the empty head must take the loud not-fast-forward path
+    spark.sql("CREATE NAMESPACE gbr.emh")
+    spark.sql("CREATE TABLE gbr.emh.t (id BIGINT) USING `graft-tsv`")
+    spark.sql("INSERT INTO gbr.emh.t SELECT id FROM range(3)")
+    spark.sql("CALL gbr.system.branch('emh.t', 'tr')")
+    // branch head = empty entries (overwrite-all with an empty frame)
+    spark.range(0).select(col("id"))
+      .writeTo("gbr.emh.t").option("branch", "tr")
+      .overwrite(org.apache.spark.sql.functions.lit(true))
+    // main diverges: truncate (an empty main generation) then reload
+    spark.sql("DELETE FROM gbr.emh.t WHERE id >= 0")
+    spark.sql("INSERT INTO gbr.emh.t SELECT 99")
+    val e = intercept[Exception] {
+      spark.sql("CALL gbr.system.merge_branch('emh.t', 'tr')").collect()
+    }
+    assert(e.getMessage.contains("not fast-forward") &&
+      e.getMessage.contains("drop_branch"), e.getMessage)
+    // the refusal deleted nothing: main keeps its reload, the branch chain
+    // survives for drop_branch/reconciliation
+    assert(ids(spark.table("gbr.emh.t")) == Seq(99L))
+    assert(new java.io.File(s"$rootDir/emh/t").listFiles()
+      .exists(_.getName.contains(".b-tr")), "branch chain must survive refusal")
+  }
+
   test("branch_conflicts: keys touched on both sides; empty when deltas commute") {
     import org.apache.spark.sql.connector.catalog.Identifier
     spark.sql("CREATE NAMESPACE gbr.cfl")
