@@ -7,9 +7,10 @@ import org.apache.spark.sql.SparkSession
   * and the trained BPE merge table (q_bpe_encode).
   *
   * The artifact root is a STABLE temp path keyed by the source parquet's
-  * length+mtime (the SourceParity.roundTrip scheme): regenerated testdata
-  * can never be served a stale artifact, because a signature change simply
-  * keys a fresh root. The done-marker is written only after EVERY build
+  * length+mtime (the SourceParity.roundTrip scheme) AND a hash of the
+  * build recipe's constants: regenerated testdata or a changed build
+  * parameter can never be served a stale artifact, because either change
+  * simply keys a fresh root. The done-marker is written only after EVERY build
   * step committed, so a crashed build is rebuilt, never half-read. In
   * production the root would be a table location in the catalog; the
   * lifecycle (signature → build-or-reuse → marker) is the part that
@@ -17,13 +18,24 @@ import org.apache.spark.sql.SparkSession
   */
 object ArtifactStore {
 
-  /** Stable artifact root for (source table, artifact name). */
-  def root(dir: String, table: String, name: String): String = {
+  /** Stable artifact root for (source table, artifact name, build recipe).
+    *
+    * `recipe` is a string spelling out every constant/expression the build
+    * depends on (merge count, quantization expr, seed pools, probe
+    * widths…): the artifact is keyed by its hash exactly as it is keyed by
+    * the source signature, so a CODE or parameter change with unchanged
+    * testdata keys a fresh root instead of serving a stale /tmp artifact
+    * built by the old recipe (which would surface as a confusing oracle
+    * mismatch in the serving-path query, ADVICE r14). */
+  def root(dir: String, table: String, name: String, recipe: String): String = {
     val src = new java.io.File(graft.sources.Tables.path(dir, table))
     val sig = java.lang.Long.toHexString(
       src.length * 1000003L + src.lastModified)
+    val rec = java.lang.Long.toHexString(
+      recipe.foldLeft(1125899906842597L)((h, c) => h * 31 + c) & 0xffffffffL)
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_${name}_${Integer.toHexString(dir.hashCode)}_$sig").toString
+      s"graft_${name}_${Integer.toHexString(dir.hashCode)}_${sig}_$rec")
+      .toString
   }
 
   private def marker(root: String) =
@@ -31,9 +43,9 @@ object ArtifactStore {
 
   /** Always build fresh (for the query whose WRITE path is the exhibit):
     * wipe the root, run `build`, then publish the marker. */
-  def rebuild(spark: SparkSession, dir: String, table: String, name: String)(
-      build: String => Unit): String = {
-    val r = root(dir, table, name)
+  def rebuild(spark: SparkSession, dir: String, table: String, name: String,
+      recipe: String)(build: String => Unit): String = {
+    val r = root(dir, table, name, recipe)
     val p = new org.apache.hadoop.fs.Path(r)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
@@ -45,11 +57,11 @@ object ArtifactStore {
   /** Reuse a completed build, else build — the serving path's resolution.
     * (Artifact content must be deterministic in the source, so build
     * order across queries cannot change results.) */
-  def ensure(spark: SparkSession, dir: String, table: String, name: String)(
-      build: String => Unit): String = {
-    val r = root(dir, table, name)
+  def ensure(spark: SparkSession, dir: String, table: String, name: String,
+      recipe: String)(build: String => Unit): String = {
+    val r = root(dir, table, name, recipe)
     val fs = marker(r).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker(r))) r
-    else rebuild(spark, dir, table, name)(build)
+    else rebuild(spark, dir, table, name, recipe)(build)
   }
 }

@@ -571,16 +571,22 @@ ORDER BY query_id, rnk"""
       .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
   }
 
+  /** Every constant the stored index's CONTENT depends on, spelled into
+    * the artifact key so a parameter/code change keys a fresh root
+    * (ArtifactStore's recipe token; ADVICE r14). */
+  private val ivfRecipe: String =
+    s"ivf:v1:$Dim:$IvfSeedPool:$IvfMinC:$IvfMaxC:$IvfTargetCell:$quantizeExpr"
+
   /** Always a fresh build — the write path IS q_ivf_build's exhibit. */
   private def ivfWriteIndex(spark: SparkSession, dir: String): String =
-    ArtifactStore.rebuild(spark, dir, "embeddings", "ivf_index")(
+    ArtifactStore.rebuild(spark, dir, "embeddings", "ivf_index", ivfRecipe)(
       ivfBuildInto(spark, dir))
 
   /** Probe-side index resolution: reuse a completed build, else build.
     * (Verify may run q_ivf_probe before q_ivf_build; the index content is
     * deterministic, so either order yields the same stored tables.) */
   private def ensureIvfIndex(spark: SparkSession, dir: String): String =
-    ArtifactStore.ensure(spark, dir, "embeddings", "ivf_index")(
+    ArtifactStore.ensure(spark, dir, "embeddings", "ivf_index", ivfRecipe)(
       ivfBuildInto(spark, dir))
 
   /** INDEX BUILD under the oracle gate: write centroids + the cell-

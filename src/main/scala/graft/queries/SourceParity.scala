@@ -1845,15 +1845,36 @@ object SourceParity {
       |FROM final_rows GROUP BY seg ORDER BY seg
       |""".stripMargin.trim),
     (spark, dir) => {
+      // PER-RUN nonce in the table name, work dir and checkpoint: two
+      // concurrent invocations over the same sf dir (bench overlapping
+      // verify) would otherwise clobber each other's checkpoint/sink
+      // mid-stream and fail or double-count (ADVICE r14). Leak control:
+      // instead of wipe-on-entry (which was the clobber), each run sweeps
+      // SIBLING runs' state older than 30 minutes — far past any live
+      // invocation, so a concurrent run is never touched and at most a
+      // bounded handful of recent copies exist at once.
       val h = Integer.toHexString(dir.hashCode)
+      val nonce = java.lang.Long.toHexString(
+        System.nanoTime() ^ (Thread.currentThread().getId << 48))
       val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_parity_catalog").toString
+      def sweepStale(parent: java.io.File, prefix: String): Unit = {
+        val cutoff = System.currentTimeMillis() - 30 * 60 * 1000L
+        Option(parent.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith(prefix) &&
+            !f.getName.contains(nonce) && f.lastModified < cutoff)
+          .foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          }
+      }
       spark.conf.set("spark.sql.catalog.gparity",
         classOf[graft.sources.GraftTsvCatalog].getName)
       spark.conf.set("spark.sql.catalog.gparity.root", root)
       spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
-      val t = s"gparity.db.cust_sivm_$h"
-      spark.sql(s"DROP TABLE IF EXISTS $t")
+      sweepStale(new java.io.File(root, "db"), s"cust_sivm_${h}_")
+      val t = s"gparity.db.cust_sivm_${h}_$nonce"
       spark.sql(s"""CREATE TABLE $t (c_custkey BIGINT, c_mktsegment STRING,
         c_acctbal_str STRING) USING `graft-tsv`
         TBLPROPERTIES ('retain.generations' = '6')""")
@@ -1872,24 +1893,22 @@ object SourceParity {
           graft.sources.GraftTsvMeta.ChangeCol,
           org.apache.spark.sql.types.StringType)))
       val ss = spark.newSession()
-      // fresh checkpoint + sink per build: the table is dropped/recreated
-      // above, so a carried offset clock would point into the previous
-      // table (a durable FILE sink, not memory — resuming from a
+      // fresh checkpoint + sink per run: the table is created fresh above
+      // (per-run nonce), so a carried offset clock would point into a
+      // previous table (a durable FILE sink, not memory — resuming from a
       // checkpoint is exactly what phase 2 exercises, and the memory sink
-      // does not support recovery). STABLE path, wiped on entry, so
-      // repeated bench/verify invocations hold exactly one copy instead
-      // of leaking a checkpoint + delta parquet per run
+      // does not support recovery). The nonce'd path plus the stale sweep
+      // bounds leakage to the last half hour of runs.
+      sweepStale(new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_sivm_${h}_")
       val work = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_sivm_$h").toString
-      val workPath = new org.apache.hadoop.fs.Path(work)
-      workPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(workPath, true)
+        s"graft_sivm_${h}_$nonce").toString
       val (ckpt, out) = (s"$work/ckpt", s"$work/out")
       def drain(): Unit = {
         val q = ss.readStream.format("graft-tsv").schema(schema)
           .option("stream.by.generation", "true")
           .option("stream.changes", "true")
-          .load(s"$root/db/cust_sivm_$h")
+          .load(s"$root/db/cust_sivm_${h}_$nonce")
           .writeStream.format("parquet").option("path", out)
           .outputMode("append")
           .option("checkpointLocation", ckpt)

@@ -429,16 +429,31 @@ object TextAnalysis {
     * where avgdl_milli = (1000·ΣT) div N is the milli-token average doc
     * length. idf is the log-free Robertson argument
     * (N − df + ½)/(df + ½) = (2(N−df)+1)/(2df+1), micro-scaled with floor
-    * division — log is monotone, so per-term ranking is unchanged and the
-    * score stays integer-exact across engines (a float BM25 sum is
-    * addition-order-sensitive; the driver's hash gate would flake).
+    * division. log is monotone, so PER-TERM document ranking is unchanged
+    * and the score stays integer-exact across engines (a float BM25 sum
+    * is addition-order-sensitive; the driver's hash gate would flake) —
+    * but the final score SUMS idf·tfc across the query terms, and a sum
+    * of raw odds-ratios is not a monotone transform of a sum of logs, so
+    * the CROSS-TERM ranking is a log-free BM25 VARIANT, not
+    * score-equivalent to canonical BM25: rare-term contributions are
+    * amplified relative to log-idf (a deliberate trade — determinism over
+    * canonical weighting; a fixed-point log table would restore it at the
+    * cost of a 64-entry lookup per term).
     * The micro-scaling uses the overflow-safe split
-    * (a div d)·10⁶ + ((a mod d)·10⁶) div d — exact, and the operands stay
-    * ≤ 22·tf·avgdl_milli where the direct product a·10⁶ would overflow
-    * BIGINT first at 100 TB token counts. The per-term idf·tfc product
-    * gets the same treatment: (idf div 10⁶)·tfc + ((idf mod 10⁶)·tfc)
-    * div 10⁶ ≡ (idf·tfc) div 10⁶ exactly, with operands bounded by
-    * 2N·2.2·10⁶ — the direct product would wrap at ~6M documents.
+    * (a div d)·10⁶ + ((a mod d)·10⁶) div d — exact. For the tf component
+    * the split's headroom gain is modest: the operand (a mod d)·10⁶ is
+    * bounded by den·10⁶ ≈ 10·tf·avgdl_milli·10⁶, the same order as the
+    * direct product a·10⁶ = 22·tf·avgdl_milli·10⁶ (~2.2× smaller), so a
+    * pathological doc (huge tf × huge avgdl) still needs
+    * tf·avgdl_milli < ~9·10¹¹ to stay inside BIGINT — satisfied with wide
+    * margin by real corpora (tf ≤ doc tokens ≈ 10⁶, avgdl_milli ≈ 10⁶
+    * gives 10¹²·10⁶ ONLY if one doc held a million copies of one query
+    * term at a million-token average; the engine would need a guard
+    * column before that regime, noted here rather than papered over).
+    * The split IS load-bearing for the per-term idf·tfc product:
+    * (idf div 10⁶)·tfc + ((idf mod 10⁶)·tfc) div 10⁶ ≡ (idf·tfc) div 10⁶
+    * exactly, with operands bounded by 2N·2.2·10⁶ — the direct product
+    * would wrap at ~6M documents.
     *
     * Scale shape: tf (query terms only — a 3-term broadcast semi-filter
     * at the scan) joins dl (per-doc token counts, O(docs) metadata-sized)
@@ -1824,8 +1839,11 @@ UNION ALL SELECT CAST(${BpeMerges + 2} AS BIGINT), '<n_symbols>', '',
     * index), read back by q_bpe_encode. Train once, encode everywhere. */
   private def ensureBpeMerges(spark: SparkSession, dir: String)
       : Seq[(String, String)] = {
-    val root = ArtifactStore.ensure(spark, dir, "documents", "bpe_merges") {
-      r =>
+    // recipe token: merge count + trainer version — a BpeMerges (or fold
+    // semantics) change keys a fresh artifact root instead of serving a
+    // stale merge table trained by old code (ADVICE r14)
+    val root = ArtifactStore.ensure(spark, dir, "documents", "bpe_merges",
+      s"bpe:v1:$BpeMerges") { r =>
         import spark.implicits._
         val (merges, vocab) = bpeTrainLoop(spark, dir)
         graft.Checkpoints.release(vocab)

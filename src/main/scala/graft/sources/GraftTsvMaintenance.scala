@@ -503,7 +503,10 @@ private[sources] object GraftTsvMaintenance {
               s"branch '$name' diverged; reconcile row-level (branch_conflicts " +
               "reports rows touched on both sides; the changes feed exposes " +
               "both deltas), re-branch from the current head, or drop_branch " +
-              "to abandon the branch")
+              "to abandon the branch. (If a CRASHED merge's published " +
+              "generation was already retention-pruned, the already-merged " +
+              "scan above cannot see it — drop_branch is then the recovery; " +
+              "the merged rows live on main regardless.)")
       }
     }
     val entries = GraftTsvManifest.readEntries(fs,
