@@ -5,10 +5,26 @@ import org.apache.spark.sql.functions.expr
 /** Benchmark main. Prints ONE JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
   *
-  * Every catalog query runs once at sf0.001 first (untimed warmup — JIT +
+  * ARCHITECTURE (round 15): the suite is split into
+  * [[Bench.defaultForks]] contiguous slices, each measured in its own
+  * FORKED fresh JVM (`graft.Bench slice <lo> <hi> <out>`), because a
+  * 200-query single-JVM run accumulates block-manager/AQE/allocator
+  * pressure that inflates shuffle-heavy queries 30-50% while scan-light
+  * ones stay flat (SCALE.md §23) — a trend artifact, not a plan signal.
+  * Each query also records its SHUFFLE-WRITE BYTES (stage-completed
+  * listener, flushed exactly via GraftPlanBridge.flushListenerBus), the
+  * repo's trustworthy cross-round signal: wall-clock drifts ±30-60% with
+  * host load, bytes don't (SCALE.md §13). After the slices, the top-10
+  * most expensive queries are re-measured ONE PER FRESH JVM
+  * (`graft.Bench one <name> <out>`) — true isolation, replacing the r14
+  * end-of-suite "isolated" re-measure that inherited the suite's own
+  * pressure. Any fork failure falls back to in-process measurement and
+  * labels the result, so a broken fork path degrades the measurement,
+  * never the round.
+  *
+  * Within a slice, every query runs once untimed first (JIT +
   * whole-stage-codegen compilation + classloading dominate a cold first
-  * query and would be mis-attributed to whichever query runs first), then
-  * once timed at the target scale factor, in sorted name order.
+  * query), then once timed, in sorted name order.
   */
 object Bench {
   /** Force EVERY output column to be computed. `.count()` lets Catalyst
@@ -101,8 +117,18 @@ object Bench {
 
   private def fmt(v: Double): String = f"$v%.3f"
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  /** Default slice count: 8 JVMs of ~25 queries each — small enough that
+    * cumulative in-JVM pressure stays bounded (the §23 artifact built up
+    * over hundreds of heavy stages), large enough that the ~10 s
+    * JVM+session startup per slice stays <10% of bench wall. Override
+    * with SPARK_GRAFT_BENCH_FORKS (0 = single in-process JVM, the r14
+    * behavior). */
+  private val defaultForks = 8
+
+  private def sfDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -120,18 +146,34 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // Warmup at the TARGET SF (one untimed pass per query): AQE picks
-    // different physical shapes at different sizes, so an sf0.001 warmup
-    // leaves the target-SF codegen uncompiled and the timed run pays
-    // C2/codegen compilation — measured 4-8s of one-off JIT attributed to
-    // the most complex query (first-rep 8.7-15.6s vs 1.8-2.3s steady on
-    // identical reps, GC log flat). The timed pass below therefore
-    // measures steady-state execution, which is the figure that projects
-    // to a long-lived cluster; the switch is recorded in SCALE.md §9's
-    // bench lineage.
-    ordered.foreach { case (_, fn) =>
-      try consumeAll(fn(spark, sfDir))
+    spark
+  }
+
+  /** One measured query: in-suite seconds, success, shuffle-write bytes
+    * of the rep that produced the recorded time. */
+  private final case class QRes(
+      name: String, secs: Double, ok: Boolean, shuffleBytes: Long)
+
+  /** Measure `names` (already sorted) in this JVM: untimed warmup pass,
+    * then the timed pass with isolation between reps and a second rep
+    * (min kept) for anything above [[RepeatAbove]]. */
+  private val RepeatAbove = 0.5
+  private def measure(spark: SparkSession, names: Seq[String]): Seq[QRes] = {
+    val dir = sfDir
+    // per-query shuffle-write tally: stage-completed events carry the
+    // metrics; flushListenerBus before reading makes attribution exact
+    val tally = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) tally.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
+    names.foreach { n =>
+      try consumeAll(SparkEntry.queries(n)(spark, dir))
       catch { case _: Throwable => () }
     }
     // Isolate BETWEEN reps so the previous query's footprint is not
@@ -140,90 +182,233 @@ object Bench {
     // block manager until their RDDs are GC'd, and the accumulated
     // memory pressure was observed as a 4x spike on whichever
     // checkpoint-heavy query drew the eviction (q_jaccard_pairs 1.9s
-    // isolated vs 8.3s mid-suite). Drop them eagerly, then collect so a
-    // major GC from the garbage lands outside the next timer window.
+    // isolated vs 8.3s mid-suite). Drop them eagerly, gc so the
+    // ContextCleaner's weak refs enqueue (shuffle-file and broadcast
+    // removal is GC-driven), and give the cleaner a beat to issue the
+    // removals before the next timer window opens.
     def isolate(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()
+      Thread.sleep(50)
     }
-    // Single-shot timings kept producing false trend signals (r09's
-    // q_jaccard_pairs artifact read 6.0s vs 1.4s re-measured; r08's whole
-    // bench was noise) — so any query whose first rep exceeds RepeatAbove
-    // runs a SECOND rep and records the MIN (min, not mean: one-off JIT /
-    // GC / page-cache interference only ever inflates). Sub-threshold
-    // queries stay single-shot: their absolute noise is bounded by the
-    // threshold, and re-running all ~130 would double bench wall-clock
-    // for precision nobody reads.
-    val RepeatAbove = 0.5
-    val results = ordered.map { case (name, fn) =>
+    names.map { name =>
       isolate()
       // A failed query must be VISIBLE (a silent catch once hid a consumer
       // overflow that aborted every result stage) — but one bad query must
       // not zero the whole round, so: log to stderr (stdout stays
       // parseable) and keep timing the rest.
-      def rep(): (Double, Boolean) = {
+      def rep(): (Double, Boolean, Long) = {
+        org.apache.spark.sql.graftbridge.GraftPlanBridge
+          .flushListenerBus(spark.sparkContext)
+        tally.set(0L)
         val t0 = System.nanoTime()
         val ok =
-          try { consumeAll(fn(spark, sfDir)); true }
+          try { consumeAll(SparkEntry.queries(name)(spark, dir)); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val secs = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.graftbridge.GraftPlanBridge
+          .flushListenerBus(spark.sparkContext)
+        (secs, ok, tally.get)
       }
-      val (t1, ok1) = rep()
+      // Single-shot timings kept producing false trend signals (r09's
+      // q_jaccard_pairs artifact read 6.0s vs 1.4s re-measured) — so any
+      // query whose first rep exceeds RepeatAbove runs a SECOND rep and
+      // records the MIN (min, not mean: one-off JIT / GC / page-cache
+      // interference only ever inflates) with THAT rep's bytes (AQE can
+      // plan the two reps differently, so time and bytes must come from
+      // the same rep).
+      val (t1, ok1, b1) = rep()
       if (ok1 && t1 > RepeatAbove) {
         isolate()
-        val (t2, ok2) = rep()
-        (name, if (ok2) math.min(t1, t2) else t1, true)
-      } else (name, t1, ok1)
+        val (t2, ok2, b2) = rep()
+        if (ok2 && t2 < t1) QRes(name, t2, ok = true, b2)
+        else QRes(name, t1, ok = true, b1)
+      } else QRes(name, t1, ok1, b1)
     }
-    val errored = results.filter(!_._3).map(_._1)
+  }
+
+  // ------------------------------------------------------------------
+  // Child-process plumbing. Fragments are TSV (name, secs, ok, bytes):
+  // trivially parseable, no JSON library needed.
+  // ------------------------------------------------------------------
+
+  private def writeFragment(path: String, rs: Seq[QRes]): Unit = {
+    val body = rs.map(r =>
+      s"${r.name}\t${r.secs}\t${if (r.ok) 1 else 0}\t${r.shuffleBytes}\n")
+      .mkString
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  private def readFragment(path: String): Option[Seq[QRes]] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala.toSeq
+        .filter(_.nonEmpty).map { l =>
+          val f = l.split('\t')
+          QRes(f(0), f(1).toDouble, f(2) == "1", f(3).toLong)
+        })
+  }
+
+  /** Fork a fresh `graft.Bench <args>` JVM: same classpath and JVM flags
+    * as this process (run/fork := true makes java.class.path the real
+    * app classpath), stdout+stderr to a log file (the parent's stdout
+    * must stay one parseable JSON line). Returns true on a clean exit. */
+  private def fork(args: Seq[String], log: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        sys.props("java.home"), "bin", "java").toString
+      val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-javaagent") ||
+          a.startsWith("-agentlib") || a.startsWith("-agentpath"))
+      val cmd = (Seq(javaBin) ++ jvm ++
+        Seq("-cp", sys.props("java.class.path"), "graft.Bench") ++ args).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(new java.io.File(log))
+      val p = pb.start()
+      // generous ceiling — a hung child must not hang the round
+      val done = p.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { p.destroyForcibly(); p.waitFor() }
+      done && p.exitValue() == 0
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] fork failed: $e")
+      false
+    }
+  }
+
+  private def tailLog(log: String, n: Int): Unit =
+    try scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(java.nio.file.Paths.get(log)))
+      .asScala.takeRight(n).foreach(l => System.err.println(s"[child] $l"))
+    catch { case _: Throwable => () }
+
+  def main(args: Array[String]): Unit = args.toSeq match {
+    // child: measure queries[lo, hi) of the sorted catalog
+    case Seq("slice", lo, hi, out) =>
+      val names = SparkEntry.queries.keys.toSeq.sorted
+        .slice(lo.toInt, hi.toInt)
+      val spark = session()
+      writeFragment(out, measure(spark, names))
+      spark.stop()
+    // child: measure ONE query in a truly fresh JVM, under the same
+    // protocol as a slice entry (warmup rep, then timed with a second
+    // rep above the threshold) so in-suite vs fresh is apples-to-apples
+    case Seq("one", name, out) =>
+      val spark = session()
+      writeFragment(out, measure(spark, Seq(name)))
+      spark.stop()
+    case _ => parent()
+  }
+
+  private def parent(): Unit = {
+    val ordered = SparkEntry.queries.keys.toSeq.sorted
+    val forks = sys.env.get("SPARK_GRAFT_BENCH_FORKS").flatMap(_.toIntOption)
+      .getOrElse(defaultForks)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bench_").toString
+    // session for fallback paths only — created lazily so the common
+    // all-forks-succeed run never spins up executors in the parent
+    lazy val fallback = session()
+    var forkedOk = true
+
+    val results: Seq[QRes] =
+      if (forks <= 0) measure(session(), ordered)
+      else {
+        val per = math.max(1, math.ceil(ordered.size.toDouble / forks).toInt)
+        val slices = ordered.indices.by(per)
+          .map(lo => (lo, math.min(lo + per, ordered.size)))
+        slices.flatMap { case (lo, hi) =>
+          val out = s"$tmp/slice_$lo.tsv"
+          val log = s"$tmp/slice_$lo.log"
+          System.err.println(s"[bench] slice [$lo,$hi) → fresh JVM")
+          val ok = fork(Seq("slice", lo.toString, hi.toString, out), log)
+          val frag = if (ok) readFragment(out) else None
+          frag match {
+            case Some(rs) if rs.size == hi - lo => rs
+            case _ =>
+              forkedOk = false
+              System.err.println(
+                s"[bench] slice [$lo,$hi) fork failed — in-process fallback")
+              tailLog(log, 30)
+              measure(fallback, ordered.slice(lo, hi))
+          }
+        }
+      }
+
+    val errored = results.filter(!_.ok).map(_.name)
     // Totals and per-query timings cover SUCCESSFUL queries only: a
     // time-to-failure is not a runtime, and recording it (r08 lesson) made
     // failures read as speedups in per-query trend tooling. An errored
     // entry appears as the sentinel -1 plus its name in `errored`.
-    val total = results.collect { case (_, t, true) => t }.sum
-    def jsonLine(rs: Seq[(String, Double, Boolean)], extra: String): String = {
-      val qs = rs.map { case (k, v, ok) =>
-        "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
+    val total = results.collect { case r if r.ok => r.secs }.sum
+    def qmap(rs: Seq[QRes]): String =
+      rs.map(r => "\"" + r.name + "\":" + (if (r.ok) fmt(r.secs) else "-1"))
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
-    }
+    def jsonLine(rs: Seq[QRes], extra: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(rs)}$extra,"sf":"$sfDir"}"""
     val errTag = if (errored.nonEmpty)
       s""","errors":${errored.size},"errored":${
         errored.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     else ""
-    // End-of-suite ISOLATED re-measure of the top-5 in-suite times: a
-    // query timed right after a multi-GB-shuffle neighbor reads 2-5× its
-    // isolated number (the SCALE.md §13 JVM-warmth artifact), and every
+
+    // FRESH-JVM re-measure of the top-10 in-suite times: every
     // cross-round regression call so far has started by hand-re-measuring
-    // exactly these — so the bench records them itself (min of 2 reps,
-    // full isolate() between). BENCH_FULL-only: the headline line's
-    // bounded tail capture stays untouched.
-    val isolated = results.filter(_._3).sortBy(-_._2).take(5).map {
-      case (name, _, _) =>
-        val fn = SparkEntry.queries(name)
-        val ts = (1 to 2).map { _ =>
-          isolate()
-          val t0 = System.nanoTime()
-          try { consumeAll(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-          catch { case scala.util.control.NonFatal(_) => -1.0 }
-        }
-        (name, if (ts.exists(_ < 0)) -1.0 else ts.min)
+    // exactly these, and the r14 end-of-suite "isolated" numbers were
+    // confounded by the suite's own JVM pressure — one fresh JVM per
+    // query answers in-suite-vs-isolated directly. BENCH_FULL-only:
+    // the headline line's bounded tail capture stays untouched.
+    val top = results.filter(_.ok).sortBy(-_.secs).take(10)
+    val freshMode = forks > 0
+    val fresh: Seq[(QRes, Double)] = top.map { r =>
+      val out = s"$tmp/one_${r.name}.tsv"
+      val log = s"$tmp/one_${r.name}.log"
+      val v: Option[Double] =
+        if (freshMode) {
+          System.err.println(s"[bench] isolated ${r.name} → fresh JVM")
+          if (fork(Seq("one", r.name, out), log))
+            readFragment(out).flatMap(_.headOption).filter(_.ok).map(_.secs)
+          else { tailLog(log, 30); None }
+        } else None
+      val secs = v.getOrElse {
+        if (freshMode) forkedOk = false
+        measure(fallback, Seq(r.name))
+          .filter(_.ok).map(_.secs).minOption.getOrElse(-1.0)
+      }
+      (r, secs)
     }
-    val isoTag = s""","isolated_top5":${isolated.map { case (k, v) =>
-      "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")}"""
+    val isoTag = s""","isolated_top5":${fresh.take(5).map { case (r, v) =>
+      "\"" + r.name + "\":" + fmt(v) }.mkString("{", ",", "}")}"""
+    // in-suite vs fresh-JVM gap, the §23-pressure adjudication artifact
+    val gapTag = s""","fresh_top10":${fresh.map { case (r, v) =>
+      s"""{"q":"${r.name}","in_suite":${fmt(r.secs)},"fresh":${fmt(v)},"gap":${
+        if (v > 0) fmt(r.secs / v) else "-1"}}""" }.mkString("[", ",", "]")}"""
+    val shufTag = s""","shuffle_mb":${results.map(r =>
+      "\"" + r.name + "\":" + f"${r.shuffleBytes / 1e6}%.2f")
+      .mkString("{", ",", "}")}"""
+    val modeTag =
+      s""","forks":$forks,"isolation":"${
+        if (forks > 0 && forkedOk) "fresh_jvm"
+        else if (forks > 0) "fresh_jvm_partial" else "in_suite_jvm"}""""
+
     // Full per-query breakdown → file (the judge reads it from the repo).
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"))
     java.nio.file.Files.write(fullPath,
-      (jsonLine(results, s""","n_queries":${results.size}$errTag$isoTag""") + "\n")
+      (jsonLine(results,
+        s""","n_queries":${results.size}$errTag$isoTag$gapTag$shufTag$modeTag""") + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Headline subset → stdout (must fit the driver's bounded tail capture).
-    println(jsonLine(results.filter(r => headline(r._1) || !r._3),
+    println(jsonLine(results.filter(r => headline(r.name) || !r.ok),
       s""","n_queries":${results.size}$errTag,"full":"BENCH_FULL.json""""))
-    spark.stop()
   }
 }

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: the BPE ENCODER at production merge counts (SCALE.md §26).
+  *
+  *   sbt "runMain graft.BpeScale [sfDir] [merges...]"
+  *
+  * Trains a real merge table over the corpus vocabulary (driver-side
+  * mirror of the q_bpe_train recursion — the vocabulary is Heaps-bounded
+  * metadata, so training 1024 merges in memory is seconds; determinism
+  * and tie-breaks match the Spark loop), then times BOTH encoder shapes
+  * over the (lang, word) vocabulary frame:
+  *   - fold:  r14's chained `aggregate(...)` projection per rule (plan
+  *            depth = rule count — the shape that cracks);
+  *   - table: BpeOps.encode against the broadcast rank table (one
+  *            mapPartitions pass, size-independent plan).
+  * For each merge count it reports build+analysis wall (plan construction
+  * is where chained folds die first) and execution wall, plus result
+  * parity between the two encoders (total BPE token mass must match
+  * exactly — the correctness cross-check at depths the oracle gate can't
+  * reach). */
+object BpeScale {
+
+  /** The TextAnalysis fold, replicated (private there): merge one pair
+    * across a space-joined symbol string. */
+  private def mergeFold(p1: String, p2: String): Column = {
+    val sl = split(col("symstr"), " ")
+    aggregate(
+      slice(sl, lit(2), size(sl) - 1),
+      element_at(sl, 1),
+      (acc, x) =>
+        when(x === lit(p2) && (acc === lit(p1) || acc.endsWith(lit(" " + p1))),
+          concat(acc, x))
+          .otherwise(concat(acc, lit(" "), x)))
+  }
+
+  /** Driver-side trainer over the weighted vocabulary (ties: count desc,
+    * then (p1, p2) asc — the q_bpe_train ordering). */
+  private def train(
+      words: Seq[(String, Long)], n: Int): Seq[(String, String)] = {
+    var vocab: Seq[(Array[String], Long)] = words.map { case (w, c) =>
+      ((w.map(String.valueOf(_)) :+ graft.operators.BpeOps.EndOfWord).toArray, c)
+    }
+    val out = Seq.newBuilder[(String, String)]
+    var k = 0
+    var dry = false
+    while (k < n && !dry) {
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) dry = true
+      else {
+        val (p1, p2) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+        out += ((p1, p2))
+        vocab = vocab.map { case (syms, c) =>
+          val o = new Array[String](syms.length)
+          var w = 0; var s = 0
+          while (s < syms.length) {
+            if (s < syms.length - 1 && syms(s) == p1 && syms(s + 1) == p2) {
+              o(w) = p1 + p2; w += 1; s += 2
+            } else { o(w) = syms(s); w += 1; s += 1 }
+          }
+          (java.util.Arrays.copyOf(o, w), c)
+        }
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val counts = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
+      else Seq(16, 64, 256, 1024)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.sources.Tables.NanosAsLongKey, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // the corpus vocabulary, once (the same tokenization as q_bpe_*:
+    // whitespace split, empties dropped)
+    val vocabDf = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val vocab = vocabDf.as[(String, Long)].collect().toSeq.sortBy(_._1)
+    System.err.println(s"[bpescale] vocabulary ${vocab.size} words")
+    val allMerges = train(vocab, counts.max)
+    System.err.println(s"[bpescale] trained ${allMerges.size} merges")
+
+    counts.filter(_ <= allMerges.size).foreach { n =>
+      val merges = allMerges.take(n)
+      // --- merge-table encoder ---
+      val t0 = System.nanoTime()
+      val tableDf = vocabDf.as[(String, Long)].mapPartitions { it =>
+        val ranks = graft.operators.BpeOps.rankTable(merges)
+        it.map { case (w, c) =>
+          (c, graft.operators.BpeOps.encode(w, ranks).length.toLong)
+        }
+      }.toDF("n_w", "n_bpe")
+        .agg(sum(expr("n_w * n_bpe"))).as[Long]
+      val tableBuildS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val tableMass = tableDf.collect()(0)
+      val tableExecS = (System.nanoTime() - t1) / 1e9
+      // --- chained-fold encoder (plan depth = n) ---
+      val foldRow = try {
+        val t2 = System.nanoTime()
+        val v0 = vocabDf.withColumn("symstr",
+          concat(
+            array_join(
+              expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+              " "),
+            lit(" </w>")))
+        val enc = merges.foldLeft(v0) { case (df, (p1, p2)) =>
+          df.withColumn("symstr", mergeFold(p1, p2))
+        }
+        val agg = enc.select(expr("n_w * size(split(symstr, ' '))").as("m"))
+          .agg(sum(col("m"))).as[Long]
+        // force full analysis before timing exec separately
+        agg.queryExecution.executedPlan
+        val foldBuildS = (System.nanoTime() - t2) / 1e9
+        val t3 = System.nanoTime()
+        val foldMass = agg.collect()(0)
+        val foldExecS = (System.nanoTime() - t3) / 1e9
+        f""""fold_plan_s":$foldBuildS%.2f,"fold_exec_s":$foldExecS%.2f,"parity":${foldMass == tableMass}"""
+      } catch { case e: Throwable =>
+        s""""fold_error":"${e.getClass.getSimpleName}""""
+      }
+      println(f"""{"merges":$n,"table_plan_s":$tableBuildS%.2f,"table_exec_s":$tableExecS%.2f,"bpe_mass":$tableMass,$foldRow}""")
+    }
+    spark.stop()
+  }
+}

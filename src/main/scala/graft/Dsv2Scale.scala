@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: the graft-tsv connector's metadata paths measured AGAINST
+  * GENERATION COUNT (SCALE.md §25) — the axis the corpus-multiplying
+  * ScaleStress harness cannot exercise, because connector cost at scale
+  * is driven by COMMIT HISTORY (manifest count, keep-set unions, changes
+  * planning), not by the row volume a single commit carries.
+  *
+  *   sbt "runMain graft.Dsv2Scale [maxGens] [rowsPerGen]"
+  *
+  * One streaming-ingest-shaped table: `maxGens` small appends (the
+  * worst-case manifest regime — every commit republishes the FULL live
+  * file list, so manifest bytes grow quadratically in generation count
+  * until retention bites). At log-spaced checkpoints it measures, each
+  * against the CURRENT generation count:
+  *   - append_s      one more commit's latency (allFiles listing +
+  *                    keep-set union + manifest write);
+  *   - scan_s        full-scan wall (read path resolves ONE latest
+  *                    manifest — expected flat);
+  *   - changes10_s   changes-feed over the last 10 generations;
+  *   - changesAll_s  changes-feed over the whole retained history;
+  *   - merge_s       a MERGE touching one key (row-level path: scan +
+  *                    rewrite + commit);
+  *   - n_manifests / manifest_mb / n_parts   directory shape.
+  * Retention is set high so history actually accumulates (the default
+  * would cap the regime being measured). Output: one JSON line per
+  * checkpoint.
+  */
+object Dsv2Scale {
+  def main(args: Array[String]): Unit = {
+    val maxGens = args.headOption.flatMap(_.toIntOption).getOrElse(300)
+    val rowsPerGen = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(500)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    DevSessionConf(spark)
+
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_dsv2_scale_$maxGens").toString
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    spark.conf.set("spark.sql.catalog.gscale",
+      classOf[graft.sources.GraftTsvCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gscale.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gscale.db")
+    val t = "gscale.db.events_ingest"
+    spark.sql(s"""CREATE TABLE $t (k BIGINT, seg STRING, v BIGINT)
+      USING `graft-tsv`
+      TBLPROPERTIES ('retain.generations' = '100000')""")
+    val tableDir = s"$root/db/events_ingest"
+
+    def genFrame(g: Int) = {
+      import spark.implicits._
+      (0 until rowsPerGen).map { i =>
+        (g.toLong * 1000000 + i, s"seg${i % 8}", (g * 31 + i).toLong)
+      }.toDF("k", "seg", "v").coalesce(1)
+    }
+
+    def timed[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val cat = spark.sessionState.catalogManager.catalog("gscale")
+      .asInstanceOf[graft.sources.GraftTsvCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("db"), "events_ingest")
+
+    val checkpoints =
+      Seq(10, 30, 100, 300, 1000).filter(_ <= maxGens) :+ maxGens
+    var gen = 0
+    checkpoints.distinct.sorted.foreach { cp =>
+      while (gen < cp) { gen += 1; genFrame(gen).writeTo(t).append() }
+      val appendS = timed { gen += 1; genFrame(gen).writeTo(t).append() }
+      val scanS = timed {
+        spark.table(t).agg(count(lit(1)), sum("v")).collect()
+      }
+      val changes10S = timed {
+        cat.changes(spark, ident, (gen - 10).max(1).toString, gen.toString)
+          .agg(count(lit(1))).collect()
+      }
+      val changesAllS = timed {
+        cat.changes(spark, ident, "1", gen.toString)
+          .agg(count(lit(1))).collect()
+      }
+      val mergeS = timed {
+        spark.sql(s"""MERGE INTO $t dst USING (
+            SELECT CAST(${gen}000001 AS BIGINT) AS k, 'segX' AS seg,
+              CAST(1 AS BIGINT) AS v) src
+          ON dst.k = src.k
+          WHEN MATCHED THEN UPDATE SET v = src.v + 1
+          WHEN NOT MATCHED THEN INSERT *""")
+      }
+      gen += 1 // the merge committed a generation too
+      val names = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+        .toSeq.map(s => (s.getPath.getName, s.getLen))
+      val manifests = names.filter(_._1.startsWith("_gen-"))
+      val parts = names.count(n => !n._1.startsWith("_"))
+      println(f"""{"gens":$gen,"append_s":$appendS%.3f,"scan_s":$scanS%.3f,"changes10_s":$changes10S%.3f,"changesAll_s":$changesAllS%.3f,"merge_s":$mergeS%.3f,"n_manifests":${manifests.size},"manifest_mb":${manifests.map(_._2).sum / 1e6}%.2f,"n_parts":$parts}""")
+    }
+    spark.stop()
+  }
+}

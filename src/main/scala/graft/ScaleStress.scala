@@ -50,6 +50,30 @@ object ScaleStress {
     "q_stream_join", "q_stream_join_outer", "q_sessionize_native",
     "q_kmeans_assign", "q_semdedup", "q_triangles", "q_crossdoc_ngrams")
 
+  private def buildSession(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      // the cluster-sizing rule SCALE.md §5 prescribes, applied to the
+      // harness itself: let AQE START wide and COALESCE down, instead of
+      // pinning every exchange at cpu-count partitions. At 30× the
+      // triangle close exchanges ~6 GB — at 32 pinned partitions that is
+      // a ~200 MB per-task sort (spill, GC), measured 15× slower for 3×
+      // the data between 10× and 30× while shuffled BYTES stayed exactly
+      // linear; with a wide initial count AQE sizes each stage to its
+      // data and small stages still coalesce to a handful of tasks.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 16).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.sources.Tables.NanosAsLongKey, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    DevSessionConf(spark)
+    spark
+  }
+
   private def consume(spark: SparkSession, name: String, dir: String): Unit = {
     SparkEntry.queries(name)(spark, dir)
       .agg(expr("bit_xor(xxhash64(struct(*)))")).collect()
@@ -126,26 +150,42 @@ object ScaleStress {
       if (args.length > 1) args.drop(1).toSeq else DefaultQueries
     val base = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_x$mult"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // the cluster-sizing rule SCALE.md §5 prescribes, applied to the
-      // harness itself: let AQE START wide and COALESCE down, instead of
-      // pinning every exchange at cpu-count partitions. At 30× the
-      // triangle close exchanges ~6 GB — at 32 pinned partitions that is
-      // a ~200 MB per-task sort (spill, GC), measured 15× slower for 3×
-      // the data between 10× and 30× while shuffled BYTES stayed exactly
-      // linear; with a wide initial count AQE sizes each stage to its
-      // data and small stages still coalesce to a handful of tasks.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 16).toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config(graft.sources.Tables.NanosAsLongKey, "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    DevSessionConf(spark)
+
+    // SPARK_GRAFT_SCALE_FORK=1: run EVERY query in its own fresh JVM
+    // (parent builds the corpus once, then forks `ScaleStress <mult> <q>`
+    // per query with the flag cleared, inheriting stdout). This retires
+    // the 72×-era workaround of hand-batching heavy kernels ≤4 per
+    // invocation: back-to-back convergence kernels in one JVM aborted the
+    // runner on cumulative block-manager/AQE pressure (SCALE.md §23)
+    // while every query passed isolated — per-query JVMs make isolation
+    // structural instead of procedural.
+    if (sys.env.get("SPARK_GRAFT_SCALE_FORK").exists(_ != "0")
+        && queries.size > 1) {
+      import scala.jdk.CollectionConverters._
+      val spark0 = buildSession()
+      build(spark0, base, out, mult)
+      spark0.stop()
+      val javaBin = java.nio.file.Paths.get(
+        sys.props("java.home"), "bin", "java").toString
+      val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-javaagent") ||
+          a.startsWith("-agentlib") || a.startsWith("-agentpath"))
+      queries.foreach { q =>
+        val cmd = (Seq(javaBin) ++ jvm ++
+          Seq("-cp", sys.props("java.class.path"), "graft.ScaleStress",
+            mult.toString, q)).asJava
+        val pb = new ProcessBuilder(cmd)
+        pb.environment().put("SPARK_GRAFT_SCALE_FORK", "0")
+        pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val p = pb.start()
+        if (p.waitFor() != 0)
+          println(s"""{"query":"$q","flag":"CHILD-FAILED"}""")
+      }
+      return
+    }
+    val spark = buildSession()
 
     build(spark, base, out, mult)
 
@@ -173,19 +213,18 @@ object ScaleStress {
     /** (seconds, shuffle bytes written) for one run. */
     def time(name: String, dir: String): (Double, Long) = {
       isolate()
+      org.apache.spark.sql.graftbridge.GraftPlanBridge
+        .flushListenerBus(spark.sparkContext)
       tally.set(0L)
       val t0 = System.nanoTime()
       consume(spark, name, dir)
       val secs = (System.nanoTime() - t0) / 1e9
-      // listener events drain asynchronously; poll until the tally
-      // stabilizes (the bus is usually empty within a few ms of the job)
-      var prev = -1L
-      var cur = tally.get
-      var spins = 0
-      while (cur != prev && spins < 50) {
-        prev = cur; Thread.sleep(100); cur = tally.get; spins += 1
-      }
-      (secs, cur)
+      // stage-completed events drain asynchronously after the action
+      // returns; the bus flush makes the tally exact (replaces the old
+      // 100 ms poll-stabilize loop)
+      org.apache.spark.sql.graftbridge.GraftPlanBridge
+        .flushListenerBus(spark.sparkContext)
+      (secs, tally.get)
     }
     def minOf2(name: String, dir: String): (Double, Long) = {
       // report the BYTES of whichever rep produced the min TIME: AQE

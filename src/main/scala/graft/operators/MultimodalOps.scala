@@ -139,6 +139,19 @@ object MultimodalOps {
   final case class ResizedMedia(
       media_id: Long, kind: String, width: Int, height: Int, media: Array[Byte])
 
+  /** The decoder's dims clamped to the payload's actual byte grid —
+    * shared by [[resize]] and [[resizeStats]] so the resample and its
+    * audit row can never disagree on the source geometry: a
+    * hostile/buggy decoder returning zero or negative dims must not
+    * turn into a negative source index (ADVICE r05). */
+  private def clampedDims(
+      decoder: Decoder, media: Array[Byte]): (Int, Int) = {
+    val (w0, h0) = decoder.decodeDims(media)
+    val w = (w0 max 1) min math.max(media.length, 1)
+    val h = ((h0 max 1) min math.max(media.length / w, 1)) max 1
+    (w, h)
+  }
+
   /** Nearest-neighbor resize: decode dimensions via the codec seam, treat
     * the payload as a row-major width×height grid (a real codec yields
     * exactly that after decode), and resample to (targetW, targetH). Pure
@@ -154,12 +167,7 @@ object MultimodalOps {
     require(targetW > 0 && targetH > 0)
     ds.mapPartitions { it =>
       it.map { r =>
-        val (w0, h0) = decoder.decodeDims(r.media)
-        // clamp the source grid to [1, bytes present] on BOTH ends: a
-        // hostile/buggy decoder returning zero or negative dims must not
-        // turn into a negative source index (ADVICE r05)
-        val w = (w0 max 1) min math.max(r.media.length, 1)
-        val h = ((h0 max 1) min math.max(r.media.length / w, 1)) max 1
+        val (w, h) = clampedDims(decoder, r.media)
         val out = new Array[Byte](targetW * targetH)
         var y = 0
         while (y < targetH) {
@@ -175,6 +183,62 @@ object MultimodalOps {
           y += 1
         }
         ResizedMedia(r.media_id, r.kind, targetW, targetH, out)
+      }
+    }
+  }
+
+  /** The hashable audit row of the DECODE+RESAMPLE path: the structurally
+    * parsed source geometry (clamped decode dims) plus exact integer
+    * statistics of the resampled grid. Resized bytes themselves are not
+    * portably SQL-comparable; their histogram moments and endpoint bytes
+    * are, and they move whenever any resample index moves — so an oracle
+    * recomputing these puts the mapPartitions decode seam itself under
+    * the hash gate (VERDICT r14 item 8). */
+  final case class ResizedStats(
+      media_id: Long, kind: String, src_w: Int, src_h: Int,
+      sum_bytes: Long, hist_l2: Long, n_byte_kinds: Int,
+      first_byte: Int, last_byte: Int)
+
+  /** [[resize]] + exact per-payload statistics of the resampled grid, one
+    * typed partition-wise pass — the resized bytes never leave their
+    * partition, only the fixed-width audit row does. */
+  def resizeStats(
+      ds: Dataset[MediaRecord], targetW: Int, targetH: Int,
+      decoder: Decoder = StubDecoder): Dataset[ResizedStats] = {
+    import ds.sparkSession.implicits._
+    require(targetW > 0 && targetH > 0)
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val (w, h) = clampedDims(decoder, r.media)
+        val hist = new Array[Long](256)
+        var sum = 0L
+        var first = -1
+        var last = 0
+        var y = 0
+        while (y < targetH) {
+          val sy = (y.toLong * h / targetH).toInt
+          var x = 0
+          while (x < targetW) {
+            val sx = (x.toLong * w / targetW).toInt
+            val b =
+              if (r.media.isEmpty) 0
+              else r.media((sy * w + sx) min (r.media.length - 1)) & 0xff
+            hist(b) += 1; sum += b
+            if (first < 0) first = b
+            last = b
+            x += 1
+          }
+          y += 1
+        }
+        var l2 = 0L
+        var kinds = 0
+        var j = 0
+        while (j < 256) {
+          if (hist(j) > 0) { l2 += hist(j) * hist(j); kinds += 1 }
+          j += 1
+        }
+        ResizedStats(r.media_id, r.kind, w, h, sum, l2, kinds,
+          first max 0, last)
       }
     }
   }

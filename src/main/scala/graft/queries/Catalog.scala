@@ -461,10 +461,77 @@ object Catalog {
         .orderBy("media_id")
     })
 
+  /** The DECODE+RESAMPLE seam under the full oracle hash (VERDICT r14
+    * item 8): structural parse of the synthetic blob header (StubDecoder
+    * dims, clamped to the byte grid exactly as MultimodalOps.clampedDims
+    * does), nearest-neighbor resample to an 8×8 grid, then exact integer
+    * statistics of the RESAMPLED bytes — sum, histogram L2 mass, distinct
+    * byte kinds, corner bytes. The oracle recomputes every resample index
+    * (sy = ⌊y·h/8⌋, sx = ⌊x·w/8⌋, idx = min(sy·w+sx, n−1)) from the true
+    * UTF-8 octets via the hex(encode(text)) route, so any drift in the
+    * decode parse, the clamps, or the index arithmetic moves the hash on
+    * exactly one side. q_multimodal_features gates the histogram pass;
+    * this gates the geometry-dependent path (the one a real codec would
+    * feed). */
+  private val qBlobDecode = QueryDef(
+    "q_blob_decode",
+    Some("""
+      |WITH h AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, hx, n,
+      |    CASE WHEN n >= 2 THEN greatest(
+      |        (CAST(('0x' || substr(hx, 1, 2)) AS INTEGER) << 4)
+      |          | (CAST(('0x' || substr(hx, 3, 2)) AS INTEGER) & 15), 1)
+      |      ELSE 1 END AS w0,
+      |    CASE WHEN n >= 4 THEN greatest(
+      |        (CAST(('0x' || substr(hx, 5, 2)) AS INTEGER) << 4)
+      |          | (CAST(('0x' || substr(hx, 7, 2)) AS INTEGER) & 15), 1)
+      |      ELSE 1 END AS h0
+      |  FROM h),
+      |c AS (
+      |  SELECT doc_id, hx, n, w,
+      |    greatest(least(h0, greatest(n // w, 1)), 1) AS hh
+      |  FROM (SELECT doc_id, hx, n, h0,
+      |          least(w0, greatest(n, 1)) AS w FROM d)),
+      |px AS (
+      |  SELECT c.doc_id, g.y, g.x,
+      |    CASE WHEN c.n = 0 THEN 0
+      |      ELSE CAST(('0x' || substr(c.hx,
+      |        2 * least((g.y * c.hh) // 8 * c.w + (g.x * c.w) // 8, c.n - 1)
+      |          + 1, 2)) AS INTEGER)
+      |    END AS byte
+      |  FROM c, (SELECT a.y, b.x
+      |           FROM unnest(range(0, 8)) a(y), unnest(range(0, 8)) b(x)) g),
+      |cnt AS (SELECT doc_id, byte, count(*) AS cnt FROM px GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT doc_id, CAST(sum(byte * cnt) AS BIGINT) AS sum_bytes,
+      |    CAST(sum(cnt * cnt) AS BIGINT) AS hist_l2,
+      |    CAST(count(*) AS INTEGER) AS n_byte_kinds
+      |  FROM cnt GROUP BY 1),
+      |fl AS (
+      |  SELECT doc_id,
+      |    CAST(min(CASE WHEN y = 0 AND x = 0 THEN byte END) AS INTEGER) AS first_byte,
+      |    CAST(min(CASE WHEN y = 7 AND x = 7 THEN byte END) AS INTEGER) AS last_byte
+      |  FROM px GROUP BY 1)
+      |SELECT c.doc_id AS media_id, 'text' AS kind,
+      |  CAST(c.w AS INTEGER) AS src_w, CAST(c.hh AS INTEGER) AS src_h,
+      |  s.sum_bytes, s.hist_l2, s.n_byte_kinds, f.first_byte, f.last_byte
+      |FROM c JOIN stats s USING (doc_id) JOIN fl f USING (doc_id)
+      |ORDER BY media_id
+      |""".stripMargin.trim),
+    (spark, dir) =>
+      graft.operators.MultimodalOps.resizeStats(
+          graft.operators.MultimodalOps.documentsAsMedia(spark, dir), 8, 8)
+        .toDF()
+        .orderBy("media_id"))
+
   // =========================================================================
 
   val defs: Seq[QueryDef] = Seq(
-    qMultimodal, qBlobStats, qFrameSample) ++ Seq(
+    qMultimodal, qBlobStats, qFrameSample, qBlobDecode) ++ Seq(
     qWordcount, qTopkMax, qTopkMin, qStopword,
     qPricing, qFilterProject, qSortLimit, qJoinAgg,
     qSemiJoin, qAntiJoin, qBroadcastJoin, qWindowRank,

@@ -756,6 +756,92 @@ FROM stats ORDER BY method, query_id"""),
         .orderBy("method", "query_id")
     })
 
+  /** The IVF recall/cost CURVE: recall@[[TopK]] and candidates-scanned at
+    * nprobe ∈ {1, 2, 4} against the exact top-k ground truth — the tuning
+    * artifact a retrieval deployment sizes nprobe with (q_ann_recall pins
+    * ONE operating point; a 100 TB rollout needs the trade-off curve).
+    *
+    * One probe pass carries the whole curve: IVF cells PARTITION the
+    * corpus, so a candidate meets a query through exactly one cell, and
+    * that cell's position r in the query's probe order is the candidate's
+    * "first seen at nprobe = r" rank — each curve level is then a filter
+    * r ≤ np over the SAME joined frame, not a re-probe (3 levels cost one
+    * cell join + a 3-way conditional aggregate, and the same trick prices
+    * any nprobe sweep at one pass at 100 TB). The exact ground truth is
+    * the one full-scan stage — inherent to recall measurement, run once
+    * offline against a fixed query panel in production. */
+  private val IvfRecallProbes = Seq(1L, 2L, 4L)
+  private val qIvfRecall = QueryDef(
+    "q_ivf_recall",
+    Some(s"""WITH $sqlIvf,
+exact AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS cand_id
+  FROM qvt q JOIN qvt v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < $NumQueries
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+    ORDER BY list_sum(list_transform(range(1, ${Dim + 1}), i ->
+      list_extract(q.qv, CAST(i AS INT)) * list_extract(v.qv, CAST(i AS INT)))) DESC, v.vec_id) <= $TopK),
+probes AS (
+  SELECT vec_id AS query_id, u.s.cid AS cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY u.s.dot DESC, u.s.cid) AS r
+  FROM (SELECT vec_id, unnest(sc) AS s FROM scored WHERE vec_id < $NumQueries) u
+  QUALIFY r <= ${IvfRecallProbes.max}),
+cand_r AS (
+  SELECT p.query_id, a.vec_id AS cand_id, p.r,
+    CASE WHEN e.cand_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM probes p JOIN assign a ON a.cid = p.cid
+  LEFT JOIN exact e ON e.query_id = p.query_id AND e.cand_id = a.vec_id
+  WHERE a.vec_id <> p.query_id)
+SELECT np.nprobe, c.query_id,
+  CAST(sum(CASE WHEN c.r <= np.nprobe THEN 1 ELSE 0 END) AS BIGINT) AS n_cands,
+  CAST(sum(CASE WHEN c.r <= np.nprobe THEN c.hit ELSE 0 END) AS BIGINT) AS hits,
+  CAST(sum(CASE WHEN c.r <= np.nprobe THEN c.hit ELSE 0 END) AS DOUBLE) / $TopK
+    AS recall_at_$TopK
+FROM cand_r c,
+  (SELECT CAST(unnest([${IvfRecallProbes.mkString(", ")}]) AS BIGINT) AS nprobe) np
+GROUP BY np.nprobe, c.query_id
+ORDER BY np.nprobe, c.query_id"""),
+    (spark, dir) => {
+      val emb = tblWide(spark, dir, "embeddings")
+        .select(col("vec_id"), expr(quantizeExpr).as("qv"))
+      val q8 = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("qv").as("qvec"))
+      val wexact = Window.partitionBy("query_id").orderBy(desc("dot"), asc("cand_id"))
+      val exact = emb.join(broadcast(q8), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          call_function("long_dot", col("qvec"), col("qv")).as("dot"))
+        .withColumn("rn", row_number().over(wexact))
+        .filter(col("rn") <= TopK)
+        .select("query_id", "cand_id")
+      val assign = ivfAssign(ivfScored(spark, dir))
+      val wprobe = Window.partitionBy("query_id").orderBy(desc("pdot"), asc("pcid"))
+      val probes = assign.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), explode(col("sc")).as("s"))
+        .select(col("query_id"), col("s.cid").as("pcid"), col("s.dot").as("pdot"))
+        .withColumn("r", row_number().over(wprobe))
+        .filter(col("r") <= IvfRecallProbes.max)
+        .select("query_id", "pcid", "r")
+      val candR = probes
+        .join(assign.select(col("vec_id").as("cand_id"), col("cid")),
+          col("cid") === col("pcid"))
+        .filter(col("cand_id") =!= col("query_id"))
+        .join(exact.withColumn("hitmark", lit(1)),
+          Seq("query_id", "cand_id"), "left_outer")
+        .select(col("query_id"), col("r"),
+          coalesce(col("hitmark"), lit(0)).as("hit"))
+      candR
+        .select(col("query_id"), col("r"), col("hit"),
+          explode(typedlit(IvfRecallProbes)).as("nprobe"))
+        .groupBy("nprobe", "query_id")
+        .agg(
+          sum(when(col("r") <= col("nprobe"), 1L).otherwise(0L)).as("n_cands"),
+          sum(when(col("r") <= col("nprobe"), col("hit").cast("long"))
+            .otherwise(0L)).as("hits"))
+        .select(col("nprobe"), col("query_id"), col("n_cands"), col("hits"),
+          (col("hits").cast("double") / TopK).as(s"recall_at_$TopK"))
+        .orderBy("nprobe", "query_id")
+    })
+
   // =========================================================================
   // k-means (Lloyd) — the semantic-clustering stage of a curation pipeline
   // =========================================================================
@@ -789,19 +875,26 @@ FROM stats ORDER BY method, query_id"""),
   //    movement test + checkpoint truncation exactly as q_dedup_components
   //    does. Two passes are unrolled here so the plan is static and
   //    oracle-comparable.
-  //  - K is CORPUS-ADAPTIVE, same clamp discipline as the IVF index:
-  //    K = clamp(n / KmTargetCell, KmMinK, KmMaxK), derived from count(*)
-  //    inside the plan — cells stay ~KmTargetCell-sized as the corpus
-  //    grows, which is what keeps q_semdedup's in-cluster pair join
-  //    LINEAR — but only while n ≤ KmMaxK·KmTargetCell (4096 vectors
-  //    here): past the clamp, cell size grows ∝ n/KmMaxK and the
-  //    in-cluster pair stage grows ∝ n²/KmMaxK — the 30× ScaleStress
-  //    corpus (~60k vectors) already saturates the clamp, so its
-  //    measured ratios include that regime. A fixed K would square the
-  //    pair stage from the first scale-up; production raises KmMaxK
-  //    with one constant (∝ corpus size to restore linearity).
+  //  - K is CORPUS-ADAPTIVE in LOG STEPS, the band-bit discipline the
+  //    ANN bucketing already uses (k bits = bitLength(n/occupancy)):
+  //    K = clamp(2^(bitLength(n div KmTargetCell) − 1), KmMinK, KmKCap)
+  //    — the largest power of two ≤ n/KmTargetCell, derived from
+  //    count(*) inside the plan via length(bin(·)) (exact integer
+  //    arithmetic in both engines, no log2 ULP risk). Cells stay within
+  //    [KmTargetCell, 2·KmTargetCell) as the corpus grows, which keeps
+  //    q_semdedup's in-cluster pair join LINEAR all the way to
+  //    n = KmKCap·KmTargetCell (262k vectors at these constants); the
+  //    log step means K moves only on corpus doublings, so small drift
+  //    never reshuffles every cluster id. KmKCap is the DEPLOYMENT
+  //    ceiling — it bounds the broadcast codebook (KmKCap·Dim longs,
+  //    2 MB here) and the seed-pool TakeOrdered — and past it the
+  //    level-2 recurrence below takes over (ceiling KmKCap²·KmTargetCell
+  //    ≈ 10⁹ vectors before a third level or a bigger cap is needed).
+  //    (r14 kept a fixed KmMaxK = 64: past 4096 vectors cell size grew
+  //    ∝ n/64 and the pair stage ∝ n²/64 — the 30× ScaleStress corpus
+  //    already saturated it. VERDICT r14 item 6.)
   private val KmMinK = 8
-  private val KmMaxK = 64           // = seed pool size: every pooled seed usable
+  private val KmKCap = 4096         // deployment ceiling = seed pool size
   private val KmTargetCell = 64
 
   /** Packed-centroid SQL fragment: cl = [(cid, cv, cc=||cv||²)] sorted. */
@@ -830,11 +923,12 @@ FROM (SELECT vec_id, qv, sc, list_min(list_transform(sc, s -> s.dist)) AS best
 
   /** Shared oracle CTE chain ending in a1(vec_id, qv, cid, dist). */
   private val sqlKmeans: String = s"""$sqlQvt,
-kparams AS (SELECT greatest($KmMinK, least($KmMaxK,
-    CAST(count(*) AS BIGINT) // $KmTargetCell)) AS k FROM embeddings),
+kparams AS (SELECT greatest($KmMinK, least($KmKCap,
+    1 << (length(bin(CAST(count(*) AS BIGINT) // $KmTargetCell)) - 1))) AS k
+  FROM embeddings),
 kseeds AS (
   SELECT vec_id, qv, $sqlHash60VecId AS hp FROM qvt
-  QUALIFY row_number() OVER (ORDER BY $sqlHash60VecId, vec_id) <= $KmMaxK),
+  QUALIFY row_number() OVER (ORDER BY $sqlHash60VecId, vec_id) <= $KmKCap),
 c0 AS (
   SELECT cid, cv FROM (
     SELECT CAST(row_number() OVER (ORDER BY hp, vec_id) AS BIGINT) AS cid,
@@ -873,21 +967,28 @@ a1 AS ${sqlKmAssign("c1arr")}"""
           .as("cid"),
         col("best").as("dist"))
 
-  /** In-plan adaptive K (1-row frame, broadcast) — the IVF clamp. */
+  /** In-plan adaptive K (1-row frame, broadcast) — log-step: the largest
+    * power of two ≤ n/KmTargetCell, clamped to [KmMinK, KmKCap] (see the
+    * header note; bit-length via bin() string length, the annParams
+    * pattern — exact in both engines). */
   private def kmParams(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "embeddings").agg(count(lit(1)).as("n"))
-      .select(greatest(lit(KmMinK.toLong), least(lit(KmMaxK.toLong),
-        expr(s"n div $KmTargetCell"))).as("k"))
+      .select(greatest(lit(KmMinK.toLong), least(lit(KmKCap.toLong),
+        expr(s"shiftleft(1L, length(bin(n div $KmTargetCell)) - 1)")))
+        .as("k"))
 
   /** Final assignment frame after seeds → assign → update → reassign. */
   private def kmeansFinal(spark: SparkSession, dir: String): DataFrame = {
     val qvt = tblWide(spark, dir, "embeddings")
       .select(col("vec_id"), expr(quantizeExpr).as("qv"))
     val wseed = Window.orderBy("hp", "vec_id")
-    // TakeOrdered pool, window over <= KmMaxK rows (the IVF seed pattern)
+    // TakeOrdered pool, window over <= KmKCap rows (the IVF seed pattern;
+    // the pool is the CEILING-sized constant so the log-step k can grow
+    // without re-ranking — a 4096-row TakeOrdered is O(n) scan + O(pool)
+    // state at any corpus size)
     val c0 = qvt
       .withColumn("hp", PortableHash.hash60(col("vec_id").cast("string")))
-      .orderBy("hp", "vec_id").limit(KmMaxK)
+      .orderBy("hp", "vec_id").limit(KmKCap)
       .select(row_number().over(wseed).cast("long").as("cid"),
         col("qv").as("cv"))
       .crossJoin(broadcast(kmParams(spark, dir)))
@@ -934,15 +1035,14 @@ FROM a1 GROUP BY cid ORDER BY cid"""),
 
   // ---- level-2 (per-cell) k-means: the SemDeDup de-saturation ----
   //
-  // Level-1's K is clamped at KmMaxK, so past n = KmMaxK·KmTargetCell its
-  // cells grow ∝ n/KmMaxK and any in-cell pair join goes super-linear.
+  // Level-1's K is capped at KmKCap, so past n = KmKCap·KmTargetCell its
+  // cells grow ∝ n/KmKCap and any in-cell pair join goes super-linear.
   // The fix is HIERARCHICAL clustering: within each level-1 cell, run the
   // same seed→assign→update→reassign recurrence again with a PER-CELL
-  // adaptive sub-K = clamp(cell_n / KmTargetCell, 1, KmMaxK), so final
+  // adaptive sub-K = clamp(cell_n / KmTargetCell, 1, KmKCap), so final
   // (cid, scid) cells stay ~KmTargetCell-sized up to
-  // n = KmMaxK²·KmTargetCell (262k vectors at these constants — 64× the
-  // single-level ceiling), and the recurrence nests further (or the
-  // constants grow) in production. Everything stays integer-exact and
+  // n = KmKCap²·KmTargetCell (~10⁹ vectors at these constants), and the
+  // recurrence nests further (or the constants grow) in production. Everything stays integer-exact and
   // deterministic: sub-seeds rank by (hash60(vec_id), vec_id) WITHIN the
   // cell, distances/updates are the level-1 arithmetic verbatim.
   //
@@ -988,7 +1088,7 @@ FROM a1 GROUP BY cid ORDER BY cid"""),
     val sc0 = a1
       .withColumn("hp", PortableHash.hash60(col("vec_id").cast("string")))
       .withColumn("rn", row_number().over(wseed).cast("long"))
-      .withColumn("sk", greatest(lit(1L), least(lit(KmMaxK.toLong),
+      .withColumn("sk", greatest(lit(1L), least(lit(KmKCap.toLong),
         expr(s"count(1) OVER (PARTITION BY cid) div $KmTargetCell"))))
       .filter(col("rn") <= col("sk"))
       .select(col("cid"), col("rn").as("scid"), col("qv").as("cv"))
@@ -1034,7 +1134,7 @@ FROM (SELECT vec_id, qv, cid, sc, list_min(list_transform(sc, s -> s.dist)) AS b
 sc0 AS (SELECT cid, rn AS scid, qv AS cv FROM (
   SELECT cid, qv,
     CAST(row_number() OVER (PARTITION BY cid ORDER BY hp, vec_id) AS BIGINT) AS rn,
-    greatest(1, least($KmMaxK, count(*) OVER (PARTITION BY cid) // $KmTargetCell)) AS sk
+    greatest(1, least($KmKCap, count(*) OVER (PARTITION BY cid) // $KmTargetCell)) AS sk
   FROM (SELECT vec_id, qv, cid, $sqlHash60VecId AS hp FROM a1))
   WHERE rn <= sk),
 sc0arr AS ${sqlKm2Pack("sc0")},
@@ -1054,7 +1154,7 @@ sa1 AS ${sqlKm2Assign("sc1arr")}"""
     * identically, so transitive chains resolve the same way). This is
     * the payoff of q_kmeans_*: the cluster bounds the quadratic — the
     * pair join is (cid, scid)-local over the TWO-LEVEL clustering, so
-    * cells stay ~KmTargetCell-sized up to KmMaxK²·KmTargetCell vectors
+    * cells stay ~KmTargetCell-sized up to KmKCap²·KmTargetCell vectors
     * (the level-2 chain above de-saturates the level-1 clamp), the same
     * "bucket the pairing" discipline as the LSH/IVF/simhash stages.
     * τ = 0.35 is corpus-tuned (the 99.9th percentile of this corpus's
@@ -1272,7 +1372,7 @@ ORDER BY query_id, rnk"""),
   val defs: Seq[QueryDef] = Seq(
     qCosineTopk, qHardNegatives, qAnnBuckets, qAnnBucketStats, qArrayFuncs,
     qNeardupBucketed,
-    qIvfAssign, qIvfTopk, qIvfBuild, qIvfProbe, qAnnRecall,
+    qIvfAssign, qIvfTopk, qIvfBuild, qIvfProbe, qAnnRecall, qIvfRecall,
     qKmeansAssign, qKmeansProfile,
     qSemdedup, qPqTopk)
 }

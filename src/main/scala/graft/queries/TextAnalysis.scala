@@ -1865,14 +1865,19 @@ UNION ALL SELECT CAST(${BpeMerges + 2} AS BIGINT), '<n_symbols>', '',
     *
     * Scale shape: one tokenize pass (the lang join rides the doc layout);
     * encoding runs over the (lang, word) VOCABULARY — Heaps' law ≪
-    * corpus — as 16 chained map-only greedy folds with the merge pairs
-    * baked in as literals (16 rows collected from the stored artifact);
-    * the rollup is a lang-keyed map-side-partial aggregate. The corpus
-    * itself is never re-touched after the word-count pass. The oracle
-    * re-trains via the shared unrolled CTE chain and encodes by joining
-    * the final vocabulary — training determinism makes stored-artifact
-    * encoding ≡ retrain-and-encode, which is exactly the property the
-    * gate proves. */
+    * corpus — as ONE partition-wise pass against the rank-ordered merge
+    * table carried as a per-partition hash map (BpeOps.encode: the
+    * canonical lowest-rank-first iteration, O(len²) lookups per word
+    * INDEPENDENT of table size — r14's 16 chained literal-folds were
+    * all-codegen but grew the plan one projection per RULE, which cracks
+    * at production merge counts: measured 256/1024-merge rows in
+    * SCALE.md §26; equivalence to the training segmentation argued and
+    * spec-pinned in BpeOps/BpeOpsSpec); the rollup is a lang-keyed
+    * map-side-partial aggregate. The corpus itself is never re-touched
+    * after the word-count pass. The oracle re-trains via the shared
+    * unrolled CTE chain and encodes by joining the final vocabulary —
+    * training determinism makes stored-artifact encoding ≡
+    * retrain-and-encode, which is exactly the property the gate proves. */
   private val qBpeEncode = QueryDef(
     "q_bpe_encode",
     Some(s"""WITH $tokSql,
@@ -1890,23 +1895,25 @@ SELECT lang, CAST(sum(n_w) AS BIGINT) AS n_words,
     // CAST(sum(n_w * n_bpe) AS BIGINT) AS compression_micro
 FROM enc GROUP BY lang ORDER BY lang"""),
     (spark, dir) => {
+      import spark.implicits._
       val merges = ensureBpeMerges(spark, dir)
       val lw = toks(spark, dir)
         .join(tbl(spark, dir, "documents").select("doc_id", "lang"), "doc_id")
         .groupBy("lang", "w").agg(count(lit(1)).as("n_w"))
-      val v0 = lw.withColumn("symstr",
-        concat(
-          array_join(
-            expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
-            " "),
-          lit(" </w>")))
-      val enc = merges.foldLeft(v0) { case (df, (p1, p2)) =>
-        df.withColumn("symstr", bpeMergeFold(p1, p2))
-      }
+      val enc = lw.select(col("lang"), col("w"), col("n_w"))
+        .as[(String, String, Long)]
+        .mapPartitions { it =>
+          // one rank table per partition, shared across the vocabulary
+          val ranks = graft.operators.BpeOps.rankTable(merges)
+          it.map { case (lang, w, n) =>
+            (lang, w, n, graft.operators.BpeOps.encode(w, ranks).length.toLong)
+          }
+        }
+        .toDF("lang", "w", "n_w", "n_bpe")
       enc
         .select(col("lang"), col("n_w"),
           (length(col("w")) + 1).cast("long").as("n_sym0"),
-          size(split(col("symstr"), " ")).cast("long").as("n_bpe"))
+          col("n_bpe"))
         .groupBy("lang")
         .agg(sum(col("n_w")).as("n_words"),
           sum(col("n_w") * col("n_sym0")).as("n_char_symbols"),

@@ -6,11 +6,22 @@ import org.apache.spark.sql.classic.{DataFrame, Dataset, SparkSession}
 /** The one org.apache.spark.sql-package shim in this library: wrapping a
   * custom LogicalPlan into a DataFrame needs `Dataset.ofRows`, whose
   * enclosing object is private[sql] in Spark 4 — the standard extension
-  * seam used by Spark connector/extension libraries. Nothing else reaches
-  * into Spark internals from here. */
+  * seam used by Spark connector/extension libraries. The other two
+  * members are measurement/stability shims (checkpoint-stat saturation,
+  * listener-bus flush for exact per-query metric attribution); no query
+  * SEMANTICS depend on anything here beyond ofRows. */
 object GraftPlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark, plan)
+
+  /** Block until every queued listener event is dispatched. The bench
+    * harness attributes shuffle-write bytes per query through a
+    * SparkListener; stage-completed events drain asynchronously after the
+    * collecting action returns, so without a flush the tail of query N's
+    * bytes lands in query N+1's tally (ScaleStress previously
+    * poll-stabilized with 100 ms sleeps — exact and slower). */
+  def flushListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 
   /** Saturate a checkpointed frame's carried size estimate at
     * Long.MaxValue.
