@@ -100,8 +100,26 @@ object BpeScale {
       .groupBy("w").agg(count(lit(1)).as("n_w"))
     val vocab = vocabDf.as[(String, Long)].collect().toSeq.sortBy(_._1)
     System.err.println(s"[bpescale] vocabulary ${vocab.size} words")
-    val allMerges = train(vocab, counts.max)
-    System.err.println(s"[bpescale] trained ${allMerges.size} merges")
+    // The synthetic corpus has a tiny closed vocabulary (31 words at any
+    // SF — the generator samples a fixed word list), so training DRIES
+    // after ~100 merges: every surviving pair has been merged. Real
+    // tokenizers train on open vocabularies with 32k+ merges, and the
+    // MERGE COUNT is exactly the scaling axis under test — so past the
+    // corpus's own capacity the trainer continues on an ENRICHED
+    // vocabulary: deterministic low-weight compounds of corpus words
+    // (weight 1, so the corpus-faithful merges are learned first and the
+    // deep tail exists). The ENCODERS still run against the same inputs
+    // with the same table — the enrichment only manufactures rule depth.
+    val enriched: Seq[(String, Long)] = vocab ++ {
+      val ws = vocab.map(_._1).sorted
+      for {
+        (a, i) <- ws.zipWithIndex
+        b <- ws.drop(i % 7)   // staggered pairs: varied, deterministic
+      } yield (a + "_" + b, 1L)
+    }
+    val allMerges = train(enriched, counts.max)
+    System.err.println(s"[bpescale] trained ${allMerges.size} merges " +
+      s"(enriched vocabulary ${enriched.size})")
 
     counts.filter(_ <= allMerges.size).foreach { n =>
       val merges = allMerges.take(n)
@@ -118,6 +136,24 @@ object BpeScale {
       val t1 = System.nanoTime()
       val tableMass = tableDf.collect()(0)
       val tableExecS = (System.nanoTime() - t1) / 1e9
+      // --- merge-table encoder over the FULL corpus (no vocab rollup):
+      // the serving-path shape — per-document tokenization where the
+      // rank table is a broadcast lookup and cost is row-proportional,
+      // INDEPENDENT of merge count. The fold encoder has no corpus row
+      // here: its cost axis is PLAN DEPTH (measured below on the
+      // vocabulary frame), and a 1024-projection chain over the corpus
+      // is exactly the shape the rank table exists to avoid.
+      val t2c = System.nanoTime()
+      val corpusMass = graft.sources.Tables.load(spark, sfDir, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .mapPartitions { it =>
+          val ranks = graft.operators.BpeOps.rankTable(merges)
+          it.map(r => graft.operators.BpeOps
+            .encode(r.getString(0), ranks).length.toLong)
+        }(org.apache.spark.sql.Encoders.scalaLong)
+        .agg(sum(col("value"))).as[Long].collect()(0)
+      val corpusS = (System.nanoTime() - t2c) / 1e9
       // --- chained-fold encoder (plan depth = n) ---
       val foldRow = try {
         val t2 = System.nanoTime()
@@ -142,7 +178,7 @@ object BpeScale {
       } catch { case e: Throwable =>
         s""""fold_error":"${e.getClass.getSimpleName}""""
       }
-      println(f"""{"merges":$n,"table_plan_s":$tableBuildS%.2f,"table_exec_s":$tableExecS%.2f,"bpe_mass":$tableMass,$foldRow}""")
+      println(f"""{"merges":$n,"table_plan_s":$tableBuildS%.2f,"table_exec_s":$tableExecS%.2f,"corpus_exec_s":$corpusS%.2f,"corpus_mass":$corpusMass,"bpe_mass":$tableMass,$foldRow}""")
     }
     spark.stop()
   }

@@ -590,6 +590,12 @@ private[sources] object GraftTsvMaintenance {
     }
     val referenced: Set[String] = gens.flatMap(g =>
       GraftTsvManifest.read(fs, new Path(dir, g))).toSet
+    // `_mseg-*` manifest segments are internal metadata, reclaimable by
+    // the same reachability rule as orphan parts: referenced by no
+    // on-disk manifest (publish also GC's them at checkpoint commits;
+    // vacuum additionally catches segments stranded by crashed commits)
+    val segReferenced: Set[String] = gens.flatMap(g =>
+      GraftTsvManifest.segRefs(fs, new Path(dir, g))).toSet
     def inScope(rel: String): Boolean = {
       val segs = rel.split("/")
       segs.length == partCols.length + 1 &&
@@ -601,7 +607,9 @@ private[sources] object GraftTsvMaintenance {
     children.foreach { case (rel, st) =>
       val n = st.getPath.getName
       val ours = n.startsWith(".staging-") || n.startsWith(".manifest-") ||
-        n.startsWith("._graft_table-tmp-")
+        n.startsWith("._graft_table-tmp-") ||
+        (!rel.contains("/") && n.startsWith(GraftTsvManifest.SegPrefix) &&
+          !segReferenced.contains(n))
       val orphanPart = st.isFile && !n.startsWith(".") && !n.startsWith("_") &&
         inScope(rel) && !referenced.contains(rel)
       if ((ours || orphanPart) && st.getModificationTime <= cutoff) {

@@ -230,15 +230,119 @@ object GraftTsvManifest {
     } finally in.close()
   }
 
-  /** A manifest data line is `relpath<TAB>stats` — the optional stats
-    * cell carries per-file column min/max ranges (`col:min:max,...`,
-    * values %XX-escaped) that the reader uses for FILE SKIPPING on data
-    * columns. Old manifests without the tab parse as stats-less. */
-  def readEntries(fs: FileSystem, manifest: Path): Seq[(String, String)] =
-    lines(fs, manifest).filterNot(_.startsWith("#")).map { l =>
+  // ---- TWO-LEVEL MANIFESTS: `_gen-N` deltas over shared `_mseg-*` ----
+  // A naive full-list manifest makes COMMIT COST grow with table history:
+  // every generation republishes the whole live-file list, so an
+  // ingest-shaped table (many small appends) pays O(files) manifest bytes
+  // per commit and O(history²) bytes total (measured quadratic in
+  // SCALE.md §25). The fix is the public Delta-Lake/Iceberg shape — a
+  // commit writes a DELTA, and the full list is checkpointed
+  // periodically into a shared immutable segment:
+  //   - `_mseg-<label>` files hold entry lines only (relpath[\tstats]) —
+  //     written once at a CHECKPOINT commit, immutable, shared by every
+  //     subsequent delta generation (and by branch seeds, which byte-copy
+  //     the head manifest and thus reference the same segment);
+  //   - a `_gen-N` file lists `#seg:<mseg-name>` references plus INLINE
+  //     delta lines: `#del:<rel>` (file dropped vs the segment) and plain
+  //     entry lines (files added since the segment). Resolution =
+  //     segment entries minus dels plus inline adds — TWO small reads
+  //     regardless of history length.
+  // The legacy format (inline entries only, no `#seg:`) is the
+  // degenerate case, so pre-existing tables and the maintenance verbs
+  // that republish full lists (rollback, merge_branch) parse unchanged.
+  // Generation RETENTION stays name-based on `_gen-N` exactly as before
+  // — the external time-travel contract is untouched — while `_mseg`
+  // files are garbage-collected by reachability (publish checkpoints and
+  // vacuum scan the remaining manifests' `#seg:` references).
+  val SegPrefix = "_mseg-"
+  private val SegMarker = "#seg:"
+  private val DelMarker = "#del:"
+  private val RetiredMarker = "#retired:"
+  /** Checkpoint policy floor: a delta generation carries at most this
+    * many inline lines before the next commit folds everything into a
+    * fresh segment (relative bound below keeps tiny tables inline-only
+    * in practice while capping delta bloat on big ones). */
+  val CheckpointInlineMin = 64
+
+  /** Segment names referenced by a manifest, in order. */
+  def segRefsOf(ls: Seq[String]): Seq[String] =
+    ls.collect { case l if l.startsWith(SegMarker) =>
+      l.stripPrefix(SegMarker) }
+
+  /** Segment references of one manifest file on disk (for GC
+    * reachability — publish checkpoints and vacuum). */
+  def segRefs(fs: FileSystem, manifest: Path): Seq[String] =
+    segRefsOf(lines(fs, manifest))
+
+  /** Structural pieces of one manifest file: (#seg refs, #del set,
+    * inline entries, #retired tombstones) — what publish needs to
+    * compose the NEXT generation without materializing history. */
+  def readDelta(fs: FileSystem, manifest: Path)
+      : (Seq[String], Set[String], Seq[(String, String)], Seq[(Long, String)]) = {
+    val ls = lines(fs, manifest)
+    (segRefsOf(ls),
+      ls.collect { case l if l.startsWith(DelMarker) =>
+        l.stripPrefix(DelMarker) }.toSet,
+      inlineEntries(ls),
+      retiredOf(ls))
+  }
+
+  /** Dropped-but-retained tombstones riding the head manifest:
+    * `#retired:<dropGen>:<relpath>` — the file left the live set at
+    * <dropGen> but older retained generations still reference it. The
+    * incremental reclamation in publish deletes it (and the tombstone)
+    * once <dropGen> falls at or below the retention floor and no
+    * tag/branch can reference it — WITHOUT re-reading every retained
+    * manifest on every commit. */
+  def retiredOf(ls: Seq[String]): Seq[(Long, String)] =
+    ls.collect { case l if l.startsWith(RetiredMarker) =>
+      val rest = l.stripPrefix(RetiredMarker)
+      val c = rest.indexOf(':')
+      (rest.substring(0, c).toLong, rest.substring(c + 1))
+    }
+
+  def retiredLine(dropGen: Long, rel: String): String =
+    s"$RetiredMarker$dropGen:$rel"
+
+  private def inlineEntries(ls: Seq[String]): Seq[(String, String)] =
+    ls.filterNot(_.startsWith("#")).map { l =>
       val tab = l.indexOf('\t')
       if (tab < 0) (l, "") else (l.substring(0, tab), l.substring(tab + 1))
     }
+
+  def entryLine(rel: String, stats: String): String =
+    if (stats.isEmpty) rel else s"$rel\t$stats"
+
+  /** Entry lines of one segment file (no markers inside segments). */
+  def readSegment(fs: FileSystem, dir: Path, name: String): Seq[(String, String)] = {
+    require(name.startsWith(SegPrefix) && !name.contains("/"),
+      s"graft-tsv: manifest references invalid segment '$name' — corrupted")
+    inlineEntries(lines(fs, new Path(dir, name)))
+  }
+
+  /** A manifest data line is `relpath<TAB>stats` — the optional stats
+    * cell carries per-file column min/max ranges (`col:min:max,...`,
+    * values %XX-escaped) that the reader uses for FILE SKIPPING on data
+    * columns. Old manifests without the tab parse as stats-less.
+    * RESOLVES `#seg:` references: the visible set is the referenced
+    * segments' entries minus `#del:` lines plus the manifest's own
+    * inline entries — two reads total, independent of table history. */
+  def readEntries(fs: FileSystem, manifest: Path): Seq[(String, String)] = {
+    val ls = lines(fs, manifest)
+    val segs = segRefsOf(ls)
+    val own = inlineEntries(ls)
+    if (segs.isEmpty) own
+    else {
+      require(segs.size <= 8,
+        s"graft-tsv: manifest ${manifest.getName} references ${segs.size} " +
+          "segments — corrupted (the writer folds segments at checkpoints)")
+      val dels = ls.collect { case l if l.startsWith(DelMarker) =>
+        l.stripPrefix(DelMarker) }.toSet
+      val dir = manifest.getParent
+      (segs.flatMap(s => readSegment(fs, dir, s)) ++ own)
+        .filterNot(e => dels.contains(e._1))
+    }
+  }
 
   /** Part names of the given manifest file (`#`-prefixed lines are
     * metadata markers, not part names). */
@@ -537,20 +641,32 @@ private[sources] object GraftTsvPublisher {
     }
     // the CURRENT visible set ((root-relative path, stats cell)): highest
     // manifest, or (first commit into a pre-existing plain directory) the
-    // legacy listing, adopted stats-less
+    // legacy listing, adopted stats-less. The head manifest is read ONCE,
+    // structurally (segment refs + inline delta + tombstones), so the
+    // same read feeds both the resolved entry list and the next
+    // generation's delta composition.
     def manifestName(g: Long): String = branch match {
       case Some(b) => GraftTsvManifest.branchGenName(g, b)
       case None => GraftTsvManifest.genName(g)
     }
-    val currentEntries: Seq[(String, String)] = curGen match {
+    val (curSegs, curDels, curInline, curRetired) = curGen match {
       case Some(g) =>
-        GraftTsvManifest.readEntries(f, new Path(dir, manifestName(g)))
+        GraftTsvManifest.readDelta(f, new Path(dir, manifestName(g)))
       case None =>
-        children.collect {
+        val adopted = children.collect {
           case (rel, st) if st.isFile && visiblePart(rel) && inScope(rel) =>
             (rel, "")
         }
+        (Seq.empty[String], Set.empty[String], adopted,
+          Seq.empty[(Long, String)])
     }
+    // memoized segment reads: one commit touches each segment at most once
+    val segCache = scala.collection.mutable.HashMap.empty[String, Seq[(String, String)]]
+    def segEntries(name: String): Seq[(String, String)] =
+      segCache.getOrElseUpdate(name, GraftTsvManifest.readSegment(f, dir, name))
+    val currentEntries: Seq[(String, String)] =
+      (curSegs.flatMap(segEntries) ++ curInline)
+        .filterNot(e => curDels.contains(e._1))
     val currentVisible: Seq[String] = currentEntries.map(_._1)
     // 1. publish new parts under JOB-UNIQUE names (epoch-qualified for
     //    streaming) — never renaming onto a part from an earlier job or
@@ -584,10 +700,130 @@ private[sources] object GraftTsvPublisher {
     //    to a hidden tmp name, then ONE rename to _gen-<n+1>. Carried
     //    entries keep their stats cells, so appended generations retain
     //    file-skipping metadata for the old files too.
+    //
+    //    COMMIT COST IS HISTORY-INDEPENDENT (SCALE.md §25): the manifest
+    //    is written as an inline full list only while the table is small;
+    //    past CheckpointInlineMin live files a commit writes either a
+    //    CHECKPOINT (full list into a shared immutable `_mseg-*` segment,
+    //    tiny `_gen` referencing it) or a DELTA (`#seg:` refs carried +
+    //    `#del:`/inline add lines) — amortized O(changed files) manifest
+    //    bytes per commit instead of O(live files), the Delta-Lake
+    //    delta-log/checkpoint shape. Reclamation is TOMBSTONE-driven
+    //    (`#retired:` lines): a pure append reads NO history at all, and
+    //    dropped files are reclaimed the commit their drop generation
+    //    leaves the retention window — the same instant the old
+    //    read-every-retained-manifest keep-set scan reclaimed them, at
+    //    O(1) instead of O(retained generations) manifest reads.
+    val newGen = curGen.getOrElse(0L) + 1
     val nextEntries =
       (if (truncate) Seq.empty
        else currentEntries.filterNot(e => dropped.contains(e._1))) ++ newParts
     val nextVisible = nextEntries.map(_._1)
+    val nextVisibleSet = nextVisible.toSet
+    val oldestRetained = newGen - retainGenerations
+    val childSet = children.map(_._1).toSet
+    val currentVisibleSet = currentVisible.toSet
+    val mainLineage = branch.isEmpty
+    val droppedNow: Set[String] =
+      if (truncate) currentVisibleSet
+      else dropped.intersect(currentVisibleSet)
+
+    // ---- tombstone lifecycle (main lineage; branch drops are protected
+    // by main keep-sets and reclaimed after the branch retires) ----
+    // carried = still on disk, still dead (a rollback/merge republish
+    // that resurrects a file simply drops its tombstone here)
+    val carriedRetired =
+      if (mainLineage)
+        curRetired.filter { case (_, rel) =>
+          childSet.contains(rel) && !nextVisibleSet.contains(rel) }
+      else Seq.empty
+    val allRetired: Seq[(Long, String)] =
+      if (mainLineage)
+        carriedRetired ++ droppedNow.toSeq.sorted.map(rel => (newGen, rel))
+      else Seq.empty
+    // reclaim NOW iff the drop generation left the retention window and
+    // no pinned snapshot predates it (a tag at p < dropGen may reference
+    // the file — exact reachability for pin-blocked files is vacuum's
+    // job) and no live branch references it (checked only when branches
+    // exist and something is otherwise reclaimable)
+    val (reclaimCand, keptAfterWindow) = allRetired.partition { case (d, _) =>
+      d <= oldestRetained && pinnedGens.forall(_ >= d)
+    }
+    val branchManifestNames =
+      rootNames.filter(n => GraftTsvManifest.branchOf(n).isDefined)
+    // read at most once per commit, and only when a reclaim/orphan
+    // decision actually needs it (no branches, or a pure append with no
+    // candidates → never read)
+    lazy val branchKeepSet: Set[String] =
+      if (branchManifestNames.isEmpty) Set.empty
+      else branchManifestNames
+        .flatMap(n => GraftTsvManifest.read(f, new Path(dir, n))).toSet
+    val (reclaimNow, branchBlocked) =
+      if (reclaimCand.nonEmpty && branchManifestNames.nonEmpty)
+        reclaimCand.partition { case (_, rel) => !branchKeepSet.contains(rel) }
+      else (reclaimCand, Seq.empty[(Long, String)])
+
+    // ---- orphan / legacy-upgrade scan (bounded, and only when needed):
+    // a visible in-scope file that is neither live nor tombstoned is
+    // either a crashed job's published-but-unreferenced part (reclaim)
+    // or a dropped-but-retained file from the pre-tombstone format —
+    // SYNTHESIZE its tombstone (dropGen = last retained generation
+    // listing it, + 1) so the scan runs once per upgrade, not per
+    // commit. Pure appends — the ingest steady state — have no
+    // candidates and read no history here.
+    val tombstonedSet = allRetired.map(_._2).toSet
+    val candidates: Seq[String] =
+      if (!mainLineage) Seq.empty
+      else children.collect {
+        case (rel, st) if st.isFile && visiblePart(rel) && inScope(rel) &&
+          !nextVisibleSet.contains(rel) && !tombstonedSet.contains(rel) &&
+          // a branch-only part (added by a branch commit) is neither live
+          // on main nor tombstoned — it is the BRANCH's file, not an
+          // orphan; it becomes reclaimable only after the branch retires
+          !branchKeepSet.contains(rel) => rel
+      }
+    val retainedGens = mainGens
+      .filter(g => (g >= oldestRetained || pinnedGens(g)) && curGen.exists(g <= _))
+    val (orphans, synthTombstones) =
+      if (candidates.isEmpty) (Seq.empty[String], Seq.empty[(Long, String)])
+      else {
+        val candSet = candidates.toSet
+        val lastListed = scala.collection.mutable.HashMap.empty[String, Long]
+        retainedGens.sorted.foreach { g =>
+          val (segs, dels, inline, _) = GraftTsvManifest.readDelta(
+            f, new Path(dir, GraftTsvManifest.genName(g)))
+          (segs.flatMap(segEntries) ++ inline).foreach { case (rel, _) =>
+            if (candSet.contains(rel) && !dels.contains(rel))
+              lastListed.update(rel, math.max(g, lastListed.getOrElse(rel, g)))
+          }
+        }
+        val (referenced, orphan) = candidates.partition(lastListed.contains)
+        (orphan, referenced.sorted.map(rel => (lastListed(rel) + 1L, rel)))
+      }
+    val keptTombstones = keptAfterWindow ++ branchBlocked ++ synthTombstones
+
+    // ---- compose: inline full (small table / truncate), DELTA, or
+    // CHECKPOINT ----
+    val inlineNext = curInline.filterNot(e => droppedNow.contains(e._1)) ++ newParts
+    val delsNext = curDels ++
+      droppedNow.diff(curInline.map(_._1).toSet)
+    val writeDelta = !truncate && curSegs.nonEmpty &&
+      inlineNext.size + delsNext.size <
+        math.max(GraftTsvManifest.CheckpointInlineMin, nextEntries.size / 4)
+    val writeCheckpoint = !writeDelta &&
+      nextEntries.size >= GraftTsvManifest.CheckpointInlineMin
+    val segName = s"${GraftTsvManifest.SegPrefix}$label-" +
+      UUID.randomUUID().toString.take(8)
+    if (writeCheckpoint) {
+      // the segment is INVISIBLE until the _gen swap references it — a
+      // crash here leaves an unreferenced segment for GC, never a
+      // half-visible table
+      val segOut = f.create(new Path(dir, segName), true)
+      try segOut.write(nextEntries.map { case (rel, stats) =>
+        GraftTsvManifest.entryLine(rel, stats) + "\n"
+      }.mkString.getBytes("UTF-8"))
+      finally segOut.close()
+    }
     val tmp = new Path(dir, s".manifest-$label-${UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
     // the publish instant rides the manifest itself (`#published:` —
@@ -597,12 +833,21 @@ private[sources] object GraftTsvPublisher {
     // filesystems with coarse (1s) granularity
     val markers = epochMarker.map(e => s"#epoch:$e").toSeq :+
       s"#published:${System.currentTimeMillis()}"
-    val entryLines = nextEntries.map { case (rel, stats) =>
-      if (stats.isEmpty) rel else s"$rel\t$stats"
-    }
-    try out.write((markers ++ entryLines).map(_ + "\n").mkString.getBytes("UTF-8"))
+    val retiredLines = keptTombstones.map { case (d, rel) =>
+      GraftTsvManifest.retiredLine(d, rel) }
+    val bodyLines: Seq[String] =
+      if (writeCheckpoint) Seq(s"#seg:$segName")
+      else if (writeDelta)
+        curSegs.map(s => s"#seg:$s") ++
+          delsNext.toSeq.sorted.map(d => s"#del:$d") ++
+          inlineNext.map { case (rel, stats) =>
+            GraftTsvManifest.entryLine(rel, stats) }
+      else nextEntries.map { case (rel, stats) =>
+        GraftTsvManifest.entryLine(rel, stats) }
+    try out.write((markers ++ retiredLines ++ bodyLines)
+      .map(_ + "\n").mkString.getBytes("UTF-8"))
     finally out.close()
-    val genPath = new Path(dir, manifestName(curGen.getOrElse(0L) + 1))
+    val genPath = new Path(dir, manifestName(newGen))
     if (!f.rename(tmp, genPath))
       throw new IllegalStateException(
         s"graft-tsv commit: failed to publish $genPath — a concurrent writer " +
@@ -621,13 +866,15 @@ private[sources] object GraftTsvPublisher {
       // one manifest per commit forever, and every MAIN publish reads
       // ALL branch manifests for its keep-set — O(branch commits) FS
       // reads per main commit.
-      val newGen = curGen.getOrElse(0L) + 1
       val base = branchGens.min
       branchGens
         .filter(g => g != base && g < newGen - retainGenerations)
         .foreach(g => f.delete(
           new Path(dir, GraftTsvManifest.branchGenName(g, branch.get)), false))
-      sweep(f, dir, sweepPrefix)
+      children.foreach { case (_, st) =>
+        if (st.getPath.getName.startsWith(sweepPrefix))
+          f.delete(st.getPath, false)
+      }
       f.create(new Path(dir, "_SUCCESS"), true).close()
       return
     }
@@ -641,44 +888,48 @@ private[sources] object GraftTsvPublisher {
     //    reproducible snapshots of a mutating table without copying data
     //    (superseded generations share unchanged part files with their
     //    successors — append-heavy tables retain history nearly free;
-    //    only overwritten/deleted parts cost bytes). Older generations,
-    //    orphans, and crashed jobs' staging/tmp files go now — all scoped
-    //    by inScope so files this sink never published are untouched. A
-    //    crash before this point leaves garbage for the next commit,
-    //    never a broken table.
+    //    only overwritten/deleted parts cost bytes). Everything was
+    //    DECIDED pre-swap (tombstone window crossings, orphan scan);
+    //    here the decisions execute: a crash between the swap and any
+    //    deletion leaves unreferenced files the next commit's candidate
+    //    scan (or vacuum) collects — garbage, never a broken table.
     //    TAG PINNING: generations named by a catalog tag (`tags.pinned`,
     //    from the descriptor) are retained REGARDLESS of the window —
     //    a tagged snapshot stays resolvable until untagged, so `VERSION
     //    AS OF '<tag>'` can never dangle while the tag exists.
-    val newGen = curGen.getOrElse(0L) + 1
-    val oldestRetained = newGen - retainGenerations
-    val retainedGens = mainGens
-      .filter(g => (g >= oldestRetained || pinnedGens(g)) && curGen.exists(g <= _))
-    // BRANCH PROTECTION: every live branch manifest's file list joins the
-    // keep-set — copy-on-write lets a branch share parts with main
-    // generations that have since left the retention window, and a main
-    // commit reclaiming one would corrupt the branch (the same failure
-    // mode tag pinning prevents for tagged snapshots)
-    val branchKeep = rootNames
-      .filter(n => GraftTsvManifest.branchOf(n).isDefined)
-      .flatMap(n => GraftTsvManifest.read(f, new Path(dir, n)))
-    val keep = nextVisible.toSet ++ branchKeep ++ retainedGens.flatMap(g =>
-      GraftTsvManifest.readEntries(f, new Path(dir, GraftTsvManifest.genName(g)))
-        .map(_._1)).toSet
+    (reclaimNow.map(_._2) ++ orphans).foreach { rel =>
+      f.delete(new Path(dir, rel), false)
+    }
     children.foreach { case (rel, st) =>
       val n = fileName(rel)
-      if (st.isFile && visiblePart(rel) && inScope(rel) && !keep.contains(rel))
-        f.delete(st.getPath, false)
-      else if ((!rel.contains("/") &&
+      if ((!rel.contains("/") &&
           GraftTsvManifest.genNumber(n).exists(g =>
             g < oldestRetained && !pinnedGens(g))) ||
-          n.startsWith(".staging-") || n.startsWith(".manifest-"))
+          n.startsWith(".staging-") || n.startsWith(".manifest-") ||
+          n.startsWith(sweepPrefix))
         // manifests below the retention window, and — single-writer
         // contract — staging/tmp leftovers of CRASHED jobs (this job's
-        // were renamed or belong to uncommitted attempts, swept below)
+        // failed/speculative attempts match sweepPrefix; committed ones
+        // were renamed away before the listing)
         f.delete(st.getPath, false)
     }
-    sweep(f, dir, sweepPrefix) // this job's failed/speculative attempts
+    // segment GC, amortized to CHECKPOINT commits: a `_mseg-*` file is
+    // reclaimable once no remaining manifest (retained or pinned main
+    // generation, any branch, or the one just published) references it
+    // — reading the survivors' (small) manifests here is O(retained)
+    // once per checkpoint, not per commit
+    if (writeCheckpoint) {
+      val remaining = rootNames.filter { n =>
+        GraftTsvManifest.genNumber(n).exists(g =>
+          (g >= oldestRetained || pinnedGens(g)) && curGen.exists(g <= _)) ||
+          GraftTsvManifest.branchOf(n).isDefined
+      } :+ manifestName(newGen)
+      val refs = remaining.flatMap(n =>
+        GraftTsvManifest.segRefs(f, new Path(dir, n))).toSet
+      rootNames.filter(_.startsWith(GraftTsvManifest.SegPrefix))
+        .filterNot(refs.contains)
+        .foreach(n => f.delete(new Path(dir, n), false))
+    }
     f.create(new Path(dir, "_SUCCESS"), true).close()
   }
 
