@@ -179,12 +179,181 @@ case class LongDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid argmin over a packed codebook — the k-means /
+  * SemDeDup assignment kernel as ONE native expression.
+  *
+  * `km_argmin(qv, cl)` where `qv: array<bigint>` and `cl` is the packed
+  * centroid list `array<struct<id bigint, cv array<bigint>[, cc bigint]>>`
+  * (sorted by id; the optional third field is the precomputed ||cv||²).
+  * Returns `struct<cid bigint, dist bigint>` with
+  * dist = ||qv||² − 2·qv·cv + ||cv||² minimized, ties to the FIRST
+  * (= smallest id, since the list is id-sorted) — value-identical to the
+  * `transform → array_min → filter → array_min` HOF chain it replaces.
+  *
+  * Why native: Catalyst higher-order functions evaluate INTERPRETED —
+  * `ArrayTransform.eval` invokes the lambda per element and materializes
+  * a K-element struct array per row, then the best/filter/argmin passes
+  * walk it twice more. At the log-step adaptive K (SCALE.md §26) that is
+  * K ≈ 2-4k interpreted lambda calls and allocations PER VECTOR; a 72×
+  * corpus spent 45+ minutes in `SimpleHigherOrderFunction.eval` before
+  * this expression (jstack-confirmed), and one codegen loop over the
+  * columnar buffers removes every per-element allocation. */
+case class KmArgmin(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "km_argmin"
+  override val nullIntolerant: Boolean = true
+  // an EMPTY codebook yields null even for non-null inputs (the HOF
+  // chain's array_min(filter(...)) did too), so nullability must not be
+  // inferred from the children alone
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("cid", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dist", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okLeft = left.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    val okRight = right.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StructType(fs), _)
+        if fs.length == 2 || fs.length == 3 =>
+        fs(0).dataType == LongType &&
+          (fs(1).dataType match {
+            case ArrayType(LongType, _) => true
+            case _ => false
+          }) &&
+          (fs.length == 2 || fs(2).dataType == LongType)
+      case _ => false
+    }
+    if (okLeft && okRight) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<struct<bigint, " +
+        s"array<bigint>[, bigint]>>), got (${left.dataType.simpleString}, " +
+        s"${right.dataType.simpleString})")
+  }
+
+  private val hasCc: Boolean = right.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StructType(fs), _) => fs.length == 3
+    case _ => false
+  }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val qv = a.asInstanceOf[ArrayData]
+    val cl = b.asInstanceOf[ArrayData]
+    val k = cl.numElements()
+    if (k == 0) return null
+    val d = qv.numElements()
+    var xx = 0L
+    var i = 0
+    while (i < d) { val v = qv.getLong(i); xx += v * v; i += 1 }
+    var bestId = 0L
+    var bestDist = 0L
+    var found = false
+    var j = 0
+    val nFields = if (hasCc) 3 else 2
+    while (j < k) {
+      val s = cl.getStruct(j, nFields)
+      val cv = s.getArray(1)
+      val m = math.min(d, cv.numElements())
+      var dot = 0L
+      var cc = 0L
+      i = 0
+      if (hasCc) {
+        while (i < m) { dot += qv.getLong(i) * cv.getLong(i); i += 1 }
+        cc = s.getLong(2)
+      } else {
+        while (i < m) {
+          val c = cv.getLong(i)
+          dot += qv.getLong(i) * c
+          cc += c * c
+          i += 1
+        }
+      }
+      val dist = xx - 2L * dot + cc
+      if (!found || dist < bestDist) {
+        found = true; bestDist = dist; bestId = s.getLong(0)
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestId, bestDist))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (qv, cl) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val k = ctx.freshName("k")
+      val xx = ctx.freshName("xx")
+      val dot = ctx.freshName("dot")
+      val cc = ctx.freshName("cc")
+      val dist = ctx.freshName("dist")
+      val bestId = ctx.freshName("bestId")
+      val bestDist = ctx.freshName("bestDist")
+      val found = ctx.freshName("found")
+      val s = ctx.freshName("s")
+      val cv = ctx.freshName("cv")
+      val m = ctx.freshName("m")
+      val v = ctx.freshName("v")
+      val c = ctx.freshName("c")
+      val nFields = if (hasCc) 3 else 2
+      val ccCode =
+        if (hasCc)
+          s"""for (int $i = 0; $i < $m; $i++) {
+             |    $dot += $qv.getLong($i) * $cv.getLong($i);
+             |  }
+             |  $cc = $s.getLong(2);""".stripMargin
+        else
+          s"""for (int $i = 0; $i < $m; $i++) {
+             |    long $c = $cv.getLong($i);
+             |    $dot += $qv.getLong($i) * $c;
+             |    $cc += $c * $c;
+             |  }""".stripMargin
+      s"""
+         |int $k = $cl.numElements();
+         |int $d = $qv.numElements();
+         |long $xx = 0L;
+         |for (int $i = 0; $i < $d; $i++) {
+         |  long $v = $qv.getLong($i); $xx += $v * $v;
+         |}
+         |long $bestId = 0L; long $bestDist = 0L; boolean $found = false;
+         |for (int $j = 0; $j < $k; $j++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $s = $cl.getStruct($j, $nFields);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $s.getArray(1);
+         |  int $m = java.lang.Math.min($d, $cv.numElements());
+         |  long $dot = 0L; long $cc = 0L;
+         |  $ccCode
+         |  long $dist = $xx - 2L * $dot + $cc;
+         |  if (!$found || $dist < $bestDist) {
+         |    $found = true; $bestDist = $dist; $bestId = $s.getLong(0);
+         |  }
+         |}
+         |if (!$found) {
+         |  ${ev.isNull} = true;
+         |  ${ev.value} = null;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[] { (Object) $bestId, (Object) $bestDist });
+         |}
+       """.stripMargin
+    })
+
+  protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Imperative registration into an existing session (tests, notebooks). */
 object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "float_dot" -> { args => FloatDotProduct(args(0), args(1)) },
     "float_cosine" -> { args => FloatCosineSimilarity(args(0), args(1)) },
     "long_dot" -> { args => LongDotProduct(args(0), args(1)) },
+    "km_argmin" -> { args => KmArgmin(args(0), args(1)) },
     "graft_hash60" -> Hash60.builder,
     "rolling_hashes" -> RollingHashes.builder)
 
@@ -215,6 +384,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("long_dot"),
       new ExpressionInfo("graft.plans.VectorExpressions", "long_dot"),
       (args: Seq[Expression]) => LongDotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("km_argmin"),
+      new ExpressionInfo("graft.plans.VectorExpressions", "km_argmin"),
+      (args: Seq[Expression]) => KmArgmin(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_hash60"),
       new ExpressionInfo("graft.plans.Hash60Expression", "graft_hash60"),

@@ -954,18 +954,21 @@ a1 AS ${sqlKmAssign("c1arr")}"""
       .agg(sort_array(collect_list(struct(col("cid"), col("cv"), col("cc"))))
         .as("cl"))
 
-  /** Spark assignment: broadcast the packed centroids, one nested-HOF
-    * projection per vector (K distances + argmin), zero shuffle. */
+  /** Spark assignment: broadcast the packed centroids, ONE native
+    * codegen argmin per vector (`km_argmin`, VectorExpressions.scala) —
+    * zero shuffle, zero per-element allocation. The r15-early HOF form
+    * (`transform → array_min → filter → array_min`) evaluated
+    * INTERPRETED (ArrayTransform.eval, a lambda call + struct alloc per
+    * centroid per vector): at the log-step adaptive K it turned the
+    * assignment into the dominant cost — jstack showed a 72× corpus
+    * pinned in SimpleHigherOrderFunction.eval for 45+ min (SCALE.md §26);
+    * the native loop over the columnar buffers is the same integer
+    * arithmetic, value-identical including the tie-to-smaller-cid rule. */
   private def kmAssign(qvt: DataFrame, packed: DataFrame): DataFrame =
     qvt.crossJoin(broadcast(packed))
-      .withColumn("xx", call_function("long_dot", col("qv"), col("qv")))
-      .withColumn("sc", expr(
-        "transform(cl, s -> struct(s.cid AS cid, xx - 2 * long_dot(qv, s.cv) + s.cc AS dist))"))
-      .withColumn("best", expr("array_min(transform(sc, s -> s.dist))"))
+      .withColumn("am", call_function("km_argmin", col("qv"), col("cl")))
       .select(col("vec_id"), col("qv"),
-        expr("array_min(transform(filter(sc, s -> s.dist = best), s -> s.cid))")
-          .as("cid"),
-        col("best").as("dist"))
+        col("am.cid").as("cid"), col("am.dist").as("dist"))
 
   /** In-plan adaptive K (1-row frame, broadcast) — log-step: the largest
     * power of two ≤ n/KmTargetCell, clamped to [KmMinK, KmKCap] (see the
@@ -1062,17 +1065,14 @@ FROM a1 GROUP BY cid ORDER BY cid"""),
         .as("cl"))
 
   /** Per-cell assignment: broadcast the packed sub-codebooks, join on cid,
-    * HOF argmin over the cell's own centroid list — (vec_id, qv, cid,
-    * scid), tie → min scid, the level-1 discipline cell-locally. */
+    * native `km_argmin` over the cell's own centroid list — (vec_id, qv,
+    * cid, scid), tie → min scid, the level-1 discipline cell-locally
+    * (the struct's first field is scid here; km_argmin is positional). */
   private def km2Assign(a1: DataFrame, packed: DataFrame): DataFrame =
     a1.join(broadcast(packed), "cid")
-      .withColumn("xx", call_function("long_dot", col("qv"), col("qv")))
-      .withColumn("sc", expr(
-        "transform(cl, s -> struct(s.scid AS scid, xx - 2 * long_dot(qv, s.cv) + s.cc AS dist))"))
-      .withColumn("best", expr("array_min(transform(sc, s -> s.dist))"))
+      .withColumn("am", call_function("km_argmin", col("qv"), col("cl")))
       .select(col("vec_id"), col("qv"), col("cid"),
-        expr("array_min(transform(filter(sc, s -> s.dist = best), s -> s.scid))")
-          .as("scid"))
+        col("am.cid").as("scid"))
 
   /** Two-level assignment frame: level-1 a1, then the same recurrence
     * within each cell. The a1 frame feeds four consumers (seeds + two
@@ -1324,13 +1324,12 @@ ORDER BY query_id, rnk"""),
         .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cl"))
       def assign(cb: DataFrame): DataFrame = sub
         .join(broadcast(cb), "s")
-        .withColumn("xx", call_function("long_dot", col("sv"), col("sv")))
-        .withColumn("sc", expr(
-          "transform(cl, e -> struct(e.cid AS cid, xx - 2 * long_dot(sv, e.cv) + long_dot(e.cv, e.cv) AS dist))"))
-        .withColumn("best", expr("array_min(transform(sc, e -> e.dist))"))
+        // native argmin (km_argmin, 2-field codebook variant: ||cv||²
+        // computed inside the same loop) — value-identical to the HOF
+        // chain, without its per-centroid interpreted-lambda cost
+        .withColumn("am", call_function("km_argmin", col("sv"), col("cl")))
         .select(col("vec_id"), col("s"), col("sv"),
-          expr("array_min(transform(filter(sc, e -> e.dist = best), e -> e.cid))")
-            .as("cid"))
+          col("am.cid").as("cid"))
       val a0 = assign(pack(c0))
       val psums = a0
         .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))

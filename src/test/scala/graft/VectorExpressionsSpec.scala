@@ -99,6 +99,67 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(r.isNullAt(0))
   }
 
+  test("km_argmin matches the HOF argmin chain (3-field codebook, ties)") {
+    registered
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv")
+    // packed codebook from the first 37 vectors (odd K, includes a
+    // DUPLICATE centroid so the tie → smaller cid rule is exercised)
+    val packed = emb.limit(37)
+      .selectExpr("CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cid",
+        "qv AS cv")
+      .union(emb.limit(1).selectExpr("CAST(1000 AS BIGINT) AS cid", "qv AS cv"))
+      .selectExpr("cid", "cv", "long_dot(cv, cv) AS cc")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv"), col("cc"))))
+        .as("cl"))
+    val rows = emb.limit(200).crossJoin(broadcast(packed)).selectExpr(
+      "vec_id",
+      "km_argmin(qv, cl) AS am",
+      """named_struct(
+        'cid', array_min(transform(filter(
+           transform(cl, s -> struct(s.cid AS cid,
+             long_dot(qv, qv) - 2 * long_dot(qv, s.cv) + s.cc AS dist)),
+           s -> s.dist = array_min(transform(
+             transform(cl, s2 -> struct(s2.cid AS cid,
+               long_dot(qv, qv) - 2 * long_dot(qv, s2.cv) + s2.cc AS dist)),
+             s -> s.dist))), s -> s.cid)),
+        'dist', array_min(transform(
+           transform(cl, s -> struct(s.cid AS cid,
+             long_dot(qv, qv) - 2 * long_dot(qv, s.cv) + s.cc AS dist)),
+           s -> s.dist))) AS hof""")
+      .collect()
+    assert(rows.length == 200)
+    rows.foreach { r =>
+      val am = r.getStruct(1); val hof = r.getStruct(2)
+      assert(am.getLong(0) == hof.getLong(0) && am.getLong(1) == hof.getLong(1),
+        s"argmin mismatch for vec ${r.getLong(0)}: $am vs $hof")
+    }
+    // vector 1 IS centroid 1 and its duplicate is cid 1000: dist 0 ties,
+    // the smaller cid must win
+    val tie = emb.filter(col("vec_id") === emb.selectExpr("min(vec_id)")
+        .collect().head.getLong(0))
+      .crossJoin(broadcast(packed))
+      .selectExpr("km_argmin(qv, cl) AS am").collect().head.getStruct(0)
+    assert(tie.getLong(1) == 0L, s"self-distance must be 0: $tie")
+    assert(tie.getLong(0) == 1L, s"tie must break to the smaller cid: $tie")
+  }
+
+  test("km_argmin 2-field codebook computes ||cv||^2 inline; empty is null") {
+    registered
+    val r = spark.sql(
+      """SELECT km_argmin(array(3L, 4L),
+           array(struct(CAST(7 AS BIGINT) AS cid, array(3L, 4L) AS cv),
+                 struct(CAST(9 AS BIGINT) AS cid, array(0L, 0L) AS cv))) AS am""")
+      .collect().head.getStruct(0)
+    assert(r.getLong(0) == 7L && r.getLong(1) == 0L, r.toString)
+    val e = spark.sql(
+      """SELECT km_argmin(array(1L),
+           CAST(array() AS ARRAY<STRUCT<cid: BIGINT, cv: ARRAY<BIGINT>>>))""")
+      .collect().head
+    assert(e.isNullAt(0), "empty codebook must yield NULL")
+  }
+
   test("GraftExtensions injects functions into a fresh session") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
