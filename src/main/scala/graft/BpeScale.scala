@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev tool: the BPE ENCODER at production merge counts (SCALE.md §26).
+/** Dev tool: the BPE ENCODER at production merge counts (SCALE.md §27).
   *
   *   sbt "runMain graft.BpeScale [sfDir] [merges...]"
   *
@@ -121,7 +121,7 @@ object BpeScale {
     System.err.println(s"[bpescale] trained ${allMerges.size} merges " +
       s"(enriched vocabulary ${enriched.size})")
 
-    counts.filter(_ <= allMerges.size).foreach { n =>
+    counts.map(math.min(_, allMerges.size)).distinct.foreach { n =>
       val merges = allMerges.take(n)
       // --- merge-table encoder ---
       val t0 = System.nanoTime()
