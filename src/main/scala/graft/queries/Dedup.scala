@@ -99,6 +99,49 @@ SELECT * FROM sigs ORDER BY doc_id"""),
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
+  /** (doc_id, band, bucket, w) for ANY weighted document frame
+    * (doc_id, text, w) — the engine half of streaming LSH-index
+    * maintenance (q_stream_lsh_ivm): the caller nets signed change-feed
+    * events to w ≠ 0 FIRST, so only net-changed documents pay the
+    * shingle+minhash pass, and the per-(band, bucket) index is then a
+    * plain signed aggregate. Signatures key on (doc_id, md5(text)) —
+    * a doc_id can legitimately carry two live texts (duplicate-id
+    * append) or retire one text and gain another (update), and each
+    * (id, text) version buckets independently, exactly as a full
+    * recompute over the final table would. */
+  private[queries] def bandsWeighted(docs: DataFrame): DataFrame = {
+    val sigsW = docs
+      .select(col("doc_id"), col("w"), md5(col("text")).as("tk"), col("text"))
+      .select(col("doc_id"), col("w"), col("tk"),
+        explode(sequence(lit(1),
+          greatest(length(col("text")) - (ShingleLen - 2), lit(2)) - 1)).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("w"), col("tk"),
+        (PortableHash.hash60(expr(s"substring(text, i, $ShingleLen)"))
+          % PortableHash.P).as("hp"))
+      .groupBy("doc_id", "tk", "w")
+      .agg(sigCols.head, sigCols.tail: _*)
+    sigsW
+      .select(col("doc_id"), col("w"),
+        explode(array(bands.map { case (i, a, b) =>
+          struct(lit(i).as("band"),
+            md5(concat(col(s"h$a").cast("string"), lit("|"),
+              col(s"h$b").cast("string"))).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("w"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Oracle mirror of the shingle→signature→band chain over an arbitrary
+    * source CTE `src(doc_id, text)` — ends in `b(doc_id, band, bucket)`.
+    * Same hashing, same band layout as [[bandsWeighted]]/[[bandsFrom]]. */
+  private[queries] def bandsSqlOver(src: String): String = s"""
+sh_o AS (SELECT doc_id, substr(text, CAST(i AS INT), $ShingleLen) AS sh FROM (
+    SELECT doc_id, text, unnest(range(1, greatest(length(text)-${ShingleLen - 2}, 2))) AS i FROM $src)),
+shb_o AS (SELECT doc_id, ${PortableHash.sqlHash60("sh")} % ${PortableHash.P} AS hp FROM sh_o),
+sigs AS (SELECT doc_id, $sigColsSql FROM shb_o GROUP BY doc_id),
+b AS ($bandsSql)"""
+
   private val candPairsSql = s"""b AS (
   $bandsSql)
 , cand AS (

@@ -1285,6 +1285,98 @@ object SourceParity {
         .orderBy("c_mktsegment")
     })
 
+  /** The DELTA/CHECKPOINT manifest read path under the ORACLE gate
+    * (round 15; SCALE.md §25). Every other catalog query's table stays
+    * below the 64-live-file checkpoint threshold, so their manifests are
+    * the legacy inline shape and the segment/delta resolution seam —
+    * the thing that makes commit cost history-independent — was
+    * spec-gated only (Dsv2ManifestScaleSpec). This builder forces all
+    * three manifest forms onto ONE table and hash-compares the final
+    * read against a DuckDB reconstruction:
+    *   gen 1  customer as ~80 range-partitioned parts → CHECKPOINT
+    *          (`_mseg-*` segment + one-line `_gen`);
+    *   gen 2  a small duplicate slice (c_custkey % 97 = 0) → DELTA
+    *          (carried `#seg:` ref + inline adds);
+    *   gen 3  DELETE of ONE key (the smallest with c_custkey % 100 = 7;
+    *          range clustering keeps the rewrite to ~1 file) → DELTA
+    *          with `#del:` lines + `#retired:` tombstones.
+    * Structural shape is asserted in-builder (segment exists, head is a
+    * delta, tombstones present — guarded on the threshold actually
+    * crossing, so tiny SFs still pass on values); the oracle proves the
+    * resolved content: base ∪ slice minus the deleted key. */
+  private val qDsv2ManifestDelta = QueryDef(
+    "q_dsv2_manifest_delta",
+    Some(s"""
+      |WITH victim AS (
+      |  SELECT min(c_custkey) AS vk FROM customer WHERE c_custkey % 100 = 7),
+      |allr AS (
+      |  SELECT c_custkey, c_mktsegment, ${sqlDec("c_acctbal")} AS bal
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment, ${sqlDec("c_acctbal")} AS bal
+      |  FROM customer WHERE c_custkey % 97 = 0)
+      |SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(bal) AS DOUBLE) AS sum_bal
+      |FROM allr, victim WHERE c_custkey <> vk
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      val t = s"gparity.db.cust_mfd_$h"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t (c_custkey BIGINT, c_mktsegment STRING,
+        c_acctbal_str STRING) USING `graft-tsv`
+        TBLPROPERTIES ('retain.generations' = '2')""")
+      val base = tbl(spark, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        dec("c_acctbal").cast("string").as("c_acctbal_str"))
+      base.repartitionByRange(80, col("c_custkey")).writeTo(t).append()
+      base.filter(col("c_custkey") % 97 === 0)
+        .coalesce(1).writeTo(t).append()
+      val victim = base.filter(col("c_custkey") % 100 === 7)
+        .agg(org.apache.spark.sql.functions.min("c_custkey"))
+        .collect().head.getLong(0)
+      spark.sql(s"DELETE FROM $t WHERE c_custkey = $victim")
+      // structural proof that the NEW manifest forms are what the read
+      // below resolves (guarded: a tiny SF may stay under the threshold)
+      val tdir = new org.apache.hadoop.fs.Path(s"$root/db/cust_mfd_$h")
+      val fs = tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val names = fs.listStatus(tdir).map(_.getPath.getName).toSeq
+      val liveParts = graft.sources.GraftTsvManifest.readEntries(fs,
+        new org.apache.hadoop.fs.Path(tdir,
+          names.filter(n => graft.sources.GraftTsvManifest
+            .genNumber(n).isDefined).max)).size
+      if (liveParts >= graft.sources.GraftTsvManifest.CheckpointInlineMin) {
+        require(names.exists(_.startsWith(
+          graft.sources.GraftTsvManifest.SegPrefix)),
+          s"expected a checkpoint segment among $names")
+        val headLines = {
+          val in = fs.open(new org.apache.hadoop.fs.Path(tdir,
+            names.filter(n => graft.sources.GraftTsvManifest
+              .genNumber(n).isDefined).max))
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.nonEmpty).toList
+          finally in.close()
+        }
+        require(headLines.exists(_.startsWith("#seg:")) &&
+          headLines.exists(_.startsWith("#del:")),
+          s"expected a #seg/#del delta head, got ${headLines.take(5)}")
+        require(graft.sources.GraftTsvManifest.retiredOf(headLines).nonEmpty,
+          "expected the deleted file tombstoned (dropGen inside retention)")
+      }
+      spark.table(t)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          dsum(dec(col("c_acctbal_str"))).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    })
+
   /** VACUUM under the oracle gate — the last maintenance verb not yet
     * oracle-gated (compact/zorder/rollback/tag all are; orphan mechanics
     * and the age gate live in Dsv2MaintenanceSpec). The builder plants
@@ -1940,6 +2032,117 @@ object SourceParity {
         .orderBy("c_mktsegment")
     })
 
+  /** STREAMING LSH-INDEX MAINTENANCE — the connector's change feed wired
+    * into the dedup family's MinHash-LSH banding: the standing consumer
+    * that keeps a near-duplicate index CURRENT against a mutating
+    * document table without ever re-scanning the corpus. The document
+    * table takes a real CDC lifecycle (snapshot → DELETE → append →
+    * text-rewriting UPDATE); the consumer drains the signed change feed
+    * (restart-resumed mid-history, the q_stream_ivm discipline), NETS
+    * the signed events per (doc_id, text) FIRST — so a rewritten
+    * document's old text cancels before anything is hashed and only
+    * net-changed docs pay the shingle+minhash pass — then maintains the
+    * per-(band, bucket) index as a plain signed aggregate. A text UPDATE
+    * therefore MOVES the document between buckets (old text's bands
+    * signed out, new text's signed in), which is the property a
+    * dedup-index-on-live-corpus needs and a file-level feed cannot give.
+    * The oracle recomputes the bands over the FINAL table state in
+    * DuckDB: maintained-index ≡ full-recompute, hash-exact. At 100 TB
+    * this consumer reads each commit's delta files only; the index
+    * update cost is O(changed docs · shingles), never O(corpus). */
+  private val qStreamLshIvm = QueryDef(
+    "q_stream_lsh_ivm",
+    Some(s"""
+      |WITH live AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 4 THEN concat(text, ' upd42') ELSE text END AS text
+      |  FROM documents
+      |  WHERE (doc_id % 3 <> 0 AND doc_id % 5 <> 2) OR doc_id % 3 = 0),
+      |${Dedup.bandsSqlOver("live")}
+      |SELECT band, bucket, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_doc
+      |FROM b GROUP BY band, bucket ORDER BY band, bucket
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val nonce = java.lang.Long.toHexString(
+        System.nanoTime() ^ (Thread.currentThread().getId << 48))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      def sweepStale(parent: java.io.File, prefix: String): Unit = {
+        val cutoff = System.currentTimeMillis() - 30 * 60 * 1000L
+        Option(parent.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith(prefix) &&
+            !f.getName.contains(nonce) && f.lastModified < cutoff)
+          .foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          }
+      }
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      sweepStale(new java.io.File(root, "db"), s"docs_slsh_${h}_")
+      val t = s"gparity.db.docs_slsh_${h}_$nonce"
+      spark.sql(s"""CREATE TABLE $t (doc_id BIGINT, text STRING)
+        USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '6')""")
+      val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 3 =!= 0).writeTo(t).append()      // gen 1
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(
+          graft.sources.GraftTsvMeta.ChangeCol,
+          org.apache.spark.sql.types.StringType)))
+      val ss = spark.newSession()
+      sweepStale(new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_slsh_${h}_")
+      val work = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_slsh_${h}_$nonce").toString
+      val (ckpt, out) = (s"$work/ckpt", s"$work/out")
+      def drain(): Unit = {
+        val q = ss.readStream.format("graft-tsv").schema(schema)
+          .option("stream.by.generation", "true")
+          .option("stream.changes", "true")
+          .load(s"$root/db/docs_slsh_${h}_$nonce")
+          .writeStream.format("parquet").option("path", out)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(); q.stop()
+      }
+      drain()                                             // snapshot: gen 1
+      spark.sql(s"DELETE FROM $t WHERE doc_id % 5 = 2")            // gen 2
+      docs.filter(col("doc_id") % 3 === 0).writeTo(t).append()     // gen 3
+      spark.sql(
+        s"UPDATE $t SET text = concat(text, ' upd42') WHERE doc_id % 7 = 4"
+      )                                                            // gen 4
+      drain()                               // resume: gens 2-4, signed
+      val sign = when(col(graft.sources.GraftTsvMeta.ChangeCol) === "insert",
+        lit(1)).otherwise(lit(-1))
+      // net the signed events per (doc, text) BEFORE hashing: a
+      // rewritten doc's old version cancels here, so the expensive
+      // shingle pass sees only the net-changed documents. Read the sink
+      // with the MAIN session — bandsWeighted calls the graft native
+      // functions, registered there (ss is a bare newSession for the
+      // stream side only).
+      val net = spark.read.schema(schema).parquet(out)
+        .groupBy("doc_id", "text")
+        .agg(sum(sign.cast("long")).as("w"))
+        .filter(col("w") =!= 0)
+      Dedup.bandsWeighted(net)
+        .groupBy("band", "bucket")
+        .agg(sum(col("w")).as("n_docs"),
+          sum(col("w") * col("doc_id")).as("sum_doc"))
+        .filter(col("n_docs") =!= 0)
+        .orderBy("band", "bucket")
+    })
+
   /** BRANCHES on the graft catalog under the oracle gate — the Nessie/
     * Delta-style named writable ref, implemented as a parallel
     * `_gen-N.b-<name>` manifest chain over shared copy-on-write parts
@@ -2089,9 +2292,11 @@ object SourceParity {
     qDsv2StatsSkip,
     qDsv2SplitSkip, qDsv2Ctas, qDsv2Delete, qDsv2AddColumn, qDsv2DropColumn,
     qDsv2TimeTravel, qDsv2Tag,
-    qDsv2Merge, qDsv2MergeSource, qDsv2Update, qDsv2Compact, qDsv2Vacuum,
+    qDsv2Merge, qDsv2MergeSource, qDsv2Update, qDsv2Compact,
+    qDsv2ManifestDelta, qDsv2Vacuum,
     qDsv2History, qDsv2Rollback,
     qDsv2Changes,
     qDsv2Changelog, qDsv2Ivm,
-    qDsv2Zorder, qStreamGenerations, qStreamIvm, qDsv2Branch, qDsv2BranchDiff)
+    qDsv2Zorder, qStreamGenerations, qStreamIvm, qStreamLshIvm,
+    qDsv2Branch, qDsv2BranchDiff)
 }
