@@ -1368,10 +1368,87 @@ ORDER BY query_id, rnk"""),
         .orderBy("query_id", "rnk")
     })
 
+  // ---- embedding-space decontamination ----
+  // The n-gram decontamination (q_decontaminate, Dedup.scala) catches
+  // verbatim benchmark leakage; PARAPHRASED leakage needs the embedding
+  // space: flag every training vector whose cosine against ANY benchmark
+  // vector reaches τ. Shape for 100 TB: the benchmark set is FIXED SIZE
+  // (a benchmark does not grow with the training corpus — the q_cosine
+  // NumQueries discipline), packed to one broadcast row; the corpus scan
+  // is MAP-ONLY (per-vector loop over the 32-entry benchmark list — a
+  // bounded-K HOF, deliberately NOT the adaptive-K regime km_argmin
+  // exists for); the only exchange is the output sort. Arithmetic is
+  // integer-exact both engines: this query re-quantizes at 1e3 (not the
+  // shared 1e6) because the threshold test squares the dot —
+  // 400·dot² ≥ 81·xx·yy (τ=0.45, τ²=81/400) with |v|≤0.58, d=64 keeps
+  // every operand under ~2e17, inside BIGINT; at 1e6 the square would
+  // overflow (the q_bm25 split-division lesson applied at design time).
+  // Output = the full audit frame (vec_id, max benchmark dot, hit
+  // count), not just the flagged tail — the corpus here is random
+  // (max observed cross-cosine ≈ 0.51), and an audit frame stays
+  // populated and hash-comparable at every SF while still carrying
+  // every contamination hit when there is one.
+  private val DecontamBench = 32
+  private val DecontamTauSqNum = 81   // τ² = 81/400 → τ = 0.45
+  private val DecontamTauSqDen = 400
+  private val quantize3Expr =
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+  private def sqlQuant3Elem(list: String, idx: String): String =
+    s"CAST(round(CAST(list_extract($list, $idx) AS DOUBLE) * 1000) AS BIGINT)"
+
+  private val qEmbedDecontam = QueryDef(
+    "q_embed_decontam",
+    Some(s"""
+      |WITH q3 AS (
+      |  SELECT vec_id,
+      |    list_transform(range(1, ${Dim + 1}),
+      |      i -> ${sqlQuant3Elem("embedding", "CAST(i AS INT)")}) AS qv
+      |  FROM embeddings),
+      |withxx AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+      |      list_extract(qv, CAST(i AS INT)) * list_extract(qv, CAST(i AS INT)))) AS BIGINT) AS xx
+      |  FROM q3),
+      |bl AS (
+      |  SELECT list(struct_pack(cv := qv, cc := xx) ORDER BY vec_id) AS bl
+      |  FROM withxx WHERE vec_id < $DecontamBench),
+      |scored AS (
+      |  SELECT t.vec_id, t.xx,
+      |    list_transform(bl.bl, b -> struct_pack(
+      |      d := CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+      |        list_extract(t.qv, CAST(i AS INT)) * list_extract(b.cv, CAST(i AS INT)))) AS BIGINT),
+      |      cc := b.cc)) AS sc
+      |  FROM withxx t, bl WHERE t.vec_id >= $DecontamBench)
+      |SELECT vec_id,
+      |  list_max(list_transform(sc, s -> s.d)) AS max_dot,
+      |  CAST(len(list_filter(sc, s -> s.d > 0 AND
+      |    $DecontamTauSqDen * s.d * s.d >= $DecontamTauSqNum * xx * s.cc)) AS BIGINT) AS n_hits
+      |FROM scored ORDER BY vec_id
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val emb = tblWide(spark, dir, "embeddings")
+        .select(col("vec_id"), expr(quantize3Expr).as("qv"))
+        .withColumn("xx", call_function("long_dot", col("qv"), col("qv")))
+      val bench = emb.filter(col("vec_id") < DecontamBench)
+        .select(col("vec_id"), col("qv").as("cv"), col("xx").as("cc"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("cv"),
+          col("cc")))).as("bl"))
+      emb.filter(col("vec_id") >= DecontamBench)
+        .crossJoin(broadcast(bench))
+        .withColumn("sc", expr(
+          "transform(bl, b -> struct(long_dot(qv, b.cv) AS d, b.cc AS cc))"))
+        .select(col("vec_id"),
+          expr("array_max(transform(sc, s -> s.d))").as("max_dot"),
+          expr(s"""CAST(size(filter(sc, s -> s.d > 0 AND
+            $DecontamTauSqDen * s.d * s.d >= $DecontamTauSqNum * xx * s.cc))
+            AS BIGINT)""").as("n_hits"))
+        .orderBy("vec_id")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     qCosineTopk, qHardNegatives, qAnnBuckets, qAnnBucketStats, qArrayFuncs,
     qNeardupBucketed,
     qIvfAssign, qIvfTopk, qIvfBuild, qIvfProbe, qAnnRecall, qIvfRecall,
     qKmeansAssign, qKmeansProfile,
-    qSemdedup, qPqTopk)
+    qSemdedup, qPqTopk, qEmbedDecontam)
 }

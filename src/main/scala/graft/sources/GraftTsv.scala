@@ -177,6 +177,28 @@ final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStrin
           s"graft-tsv: retain.generations must be an integer >= 1, got '$v'"))
     }.getOrElse(1)
 
+  /** Commit-time AUTO-COMPACTION (`compact.auto.files` — the Delta-style
+    * auto-optimize knob, default off): when a BATCH commit leaves at
+    * least this many live files, the same byte-concatenation compaction
+    * `CALL g.system.compact` runs fires as a follow-up generation, so an
+    * ingest table's file count — and with it every downstream
+    * metadata cost (manifest/checkpoint size, scan planning, keep-set
+    * width) — stays bounded without an external scheduler. */
+  private def tableAutoCompactFiles: Int =
+    Option(options.get("compact.auto.files")).map { v =>
+      v.toIntOption.filter(_ >= 2).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-tsv: compact.auto.files must be an integer >= 2, got '$v'"))
+    }.getOrElse(0)
+
+  private def tableAutoCompactBytes: Long =
+    Option(options.get("compact.auto.target.bytes")).map { v =>
+      v.toLongOption.filter(_ >= 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-tsv: compact.auto.target.bytes must be a positive byte " +
+            s"count, got '$v'"))
+    }.getOrElse(128L * 1024 * 1024)
+
   /** Tag-pinned generations (`tags.pinned`, CSV of generation numbers —
     * set by [[GraftTsvCatalog]] from the descriptor's tag map): every
     * publish path retains these manifests and their parts regardless of
@@ -224,7 +246,9 @@ final class GraftTsvTable(tableSchema: StructType, options: CaseInsensitiveStrin
       info,
       tablePartCols = declaredPartCols,
       tableRetain = tableRetain,
-      tablePinned = tablePinned)
+      tablePinned = tablePinned,
+      tableAutoCompactFiles = tableAutoCompactFiles,
+      tableAutoCompactBytes = tableAutoCompactBytes)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // DataFrameReader merges load(path) and .option(...) into the TABLE
     // properties; per-scan options arrive here. Prefer scan-time values.

@@ -216,16 +216,30 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     fc.rename(tmp, metaPath(dir), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** The one table property with storage-level meaning; anything else is
+  /** The table properties with storage-level meaning; anything else is
     * rejected loudly rather than silently recorded and ignored. */
   private val RetainKey = "retain.generations"
+  private val AutoCompactKey = "compact.auto.files"
+  private val AutoCompactBytesKey = "compact.auto.target.bytes"
   private def validateProps(props: Map[String, String]): Unit =
-    props.foreach { case (k, v) =>
-      require(k == RetainKey,
-        s"graft catalog: unsupported table property '$k' — only $RetainKey " +
-          "(time-travel history depth) is meaningful for graft-tsv tables")
-      require(v.toIntOption.exists(_ >= 1),
-        s"graft catalog: $RetainKey must be an integer >= 1, got '$v'")
+    props.foreach {
+      case (RetainKey, v) =>
+        require(v.toIntOption.exists(_ >= 1),
+          s"graft catalog: $RetainKey must be an integer >= 1, got '$v'")
+      case (AutoCompactKey, v) =>
+        require(v.toIntOption.exists(_ >= 2),
+          s"graft catalog: $AutoCompactKey must be an integer >= 2 " +
+            s"(live-file threshold that triggers commit-time compaction), got '$v'")
+      case (AutoCompactBytesKey, v) =>
+        require(v.toLongOption.exists(_ >= 1),
+          s"graft catalog: $AutoCompactBytesKey must be a positive byte " +
+            s"count, got '$v'")
+      case (k, _) =>
+        throw new IllegalArgumentException(
+          s"graft catalog: unsupported table property '$k' — supported: " +
+            s"$RetainKey (time-travel history depth), $AutoCompactKey " +
+            s"(auto-compaction live-file threshold), $AutoCompactBytesKey " +
+            "(auto-compaction output size target)")
     }
 
   // ---- tables ----

@@ -62,7 +62,10 @@ final class GraftTsvWriteBuilder(
     info: LogicalWriteInfo,
     tablePartCols: Seq[String] = Seq.empty,
     tableRetain: Int = 1,
-    tablePinned: Set[Long] = Set.empty) extends WriteBuilder with SupportsTruncate {
+    tablePinned: Set[Long] = Set.empty,
+    tableAutoCompactFiles: Int = 0,
+    tableAutoCompactBytes: Long = 128L * 1024 * 1024)
+    extends WriteBuilder with SupportsTruncate {
 
   /** Generation-history depth kept by commit cleanup (time travel window).
     * Write option wins over the table's own `retain.generations` property
@@ -74,6 +77,19 @@ final class GraftTsvWriteBuilder(
         throw new IllegalArgumentException(
           s"graft-tsv: retain.generations must be an integer >= 1, got '$v'"))
     }.getOrElse(tableRetain)
+
+  /** Commit-time auto-compaction threshold (write option wins over the
+    * table property; 0 = off). Applies to BATCH commits on the main
+    * lineage only — a streaming epoch sink keeps its per-epoch latency
+    * (schedule `CALL g.system.compact` out of band, or read via the
+    * changes feed which is rewrite-exact anyway), and a branch commit
+    * never mutates main's layout. */
+  private val autoCompactFiles: Int =
+    Option(info.options().get("compact.auto.files")).map { v =>
+      v.toIntOption.filter(_ >= 2).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-tsv: compact.auto.files must be an integer >= 2, got '$v'"))
+    }.getOrElse(tableAutoCompactFiles)
 
   private var truncateOnCommit = false
 
@@ -138,7 +154,8 @@ final class GraftTsvWriteBuilder(
     override def toBatch: BatchWrite =
       new GraftTsvBatchWrite(schema, path, delimiter, truncateOnCommit,
         info.queryId(), SerializableHadoopConf.fromSession(), partCols,
-        blockBytes, retainGenerations, tablePinned, branchOpt)
+        blockBytes, retainGenerations, tablePinned, branchOpt,
+        autoCompactFiles, tableAutoCompactBytes)
     /** Streaming sink = the SAME commit protocol per epoch (Complete mode
       * arrives as truncate, Append as append), with the epoch id recorded
       * in the generation manifest as the replay-idempotence token. */
@@ -486,7 +503,9 @@ final class GraftTsvBatchWrite(
     blockBytes: Long = 4L * 1024 * 1024,
     retainGenerations: Int = 1,
     pinnedGens: Set[Long] = Set.empty,
-    branch: Option[String] = None) extends BatchWrite
+    branch: Option[String] = None,
+    autoCompactFiles: Int = 0,
+    autoCompactBytes: Long = 128L * 1024 * 1024) extends BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -507,13 +526,32 @@ final class GraftTsvBatchWrite(
 
   private def jobTag: String = queryId.replaceAll("[^a-zA-Z0-9]", "").take(8)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    publish(messages, jobTag, epochMarker = None)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val liveFiles = publish(messages, jobTag, epochMarker = None)
+    // COMMIT-TIME AUTO-COMPACTION (`compact.auto.files`): once the table
+    // accumulates the threshold's worth of live files, fold them with
+    // the same byte-concatenation rewrite `CALL g.system.compact` runs —
+    // an ordinary follow-up generation (time travel retains the
+    // pre-compact snapshot; the changes feed diffs it empty; a
+    // generation STREAM on this table refuses rewrites by contract, so
+    // auto-compaction and `stream.by.generation` are mutually exclusive
+    // by configuration, loudly). Runs only on the main lineage and only
+    // for batch commits — a crashed/skipped compaction is benign (the
+    // next qualifying commit retries).
+    if (autoCompactFiles > 0 && branch.isEmpty &&
+        liveFiles >= autoCompactFiles) {
+      GraftTsvMaintenance.compact(
+        org.apache.spark.sql.SparkSession.active,
+        new Path(path), partCols, retainGenerations, autoCompactBytes,
+        pinnedGens)
+      ()
+    }
+  }
 
   private def publish(
       messages: Array[WriterCommitMessage],
       label: String,
-      epochMarker: Option[Long]): Unit = {
+      epochMarker: Option[Long]): Int = {
     val staged = messages.collect {
       case GraftTsvCommitMessage(names) => names
     }.flatten.toSeq
@@ -578,6 +616,9 @@ private[sources] object GraftTsvPublisher {
       else Seq((rel + st.getPath.getName, st))
     }
 
+  /** Returns the LIVE file count of the published generation (the
+    * auto-compaction trigger input — already computed here, so the
+    * caller never re-lists). */
   def publish(
       f: FileSystem,
       dir: Path,
@@ -590,7 +631,7 @@ private[sources] object GraftTsvPublisher {
       sweepPrefix: String,
       retainGenerations: Int = 1,
       pinnedGens: Set[Long] = Set.empty,
-      branch: Option[String] = None): Unit = {
+      branch: Option[String] = None): Int = {
     // retention < 1 would delete the just-superseded generation a
     // concurrent reader may still be resolving — the floor IS the
     // concurrent-reader safety contract, not a tunable
@@ -876,7 +917,7 @@ private[sources] object GraftTsvPublisher {
           f.delete(st.getPath, false)
       }
       f.create(new Path(dir, "_SUCCESS"), true).close()
-      return
+      return nextVisible.size
     }
     // 3. cleanup only AFTER the swap, with K-GENERATION RETENTION
     //    (`retain.generations`, default 1): the newest K superseded
@@ -931,6 +972,7 @@ private[sources] object GraftTsvPublisher {
         .foreach(n => f.delete(new Path(dir, n), false))
     }
     f.create(new Path(dir, "_SUCCESS"), true).close()
+    nextVisible.size
   }
 
   def sweep(f: FileSystem, dir: Path, sweepPrefix: String): Unit =

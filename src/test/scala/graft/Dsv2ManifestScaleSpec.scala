@@ -241,6 +241,28 @@ class Dsv2ManifestScaleSpec extends SparkSuite {
     assert(ids(t).size == 10 - 5 + 15)
   }
 
+  test("metadata-complete aggregates and stats skipping survive the segment format") {
+    spark.sql("""CREATE TABLE gmfs.db.m (id BIGINT, v STRING)
+      USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '1')""")
+    append("m", 0, 1000, 70)   // checkpoint: stats cells live in the SEGMENT
+    append("m", 5000, 10, 1)   // delta: inline entry carries its own stats
+    // filterless COUNT/MIN/MAX answers from manifest metadata alone
+    // (LocalTableScan — no distributed job); the rows counts and ranges
+    // must come through segment resolution AND the delta's inline entry
+    val r = spark.sql("SELECT count(*), min(id), max(id) FROM gmfs.db.m")
+      .collect().head
+    assert(r.getLong(0) == 1010 && r.getLong(1) == 0 && r.getLong(2) == 5009, r)
+    val plan = spark.sql("SELECT count(*) FROM gmfs.db.m")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"),
+      s"metadata-complete aggregate must stay driver-local over segments:\n$plan")
+    // stats-based file skipping: a range predicate over the 70
+    // range-partitioned files must open only a fraction of them
+    val sel = spark.sql("SELECT count(*) FROM gmfs.db.m WHERE id BETWEEN 100 AND 140")
+    assert(sel.collect().head.getLong(0) == 41)
+    assert(ids("m", "WHERE id >= 5000").size == 10)
+  }
+
   test("crash-orphaned segment is vacuumed; referenced segment survives") {
     spark.sql("""CREATE TABLE gmfs.db.v (id BIGINT, v STRING)
       USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '1')""")
