@@ -62,7 +62,9 @@ object Plans {
     "q_bm25_search"       -> "BM25 ranking: 3-term broadcast tf, doc-length join, integer-exact rational scoring",
     "q_quality_classifier" -> "learned quality gate: 4096-bounded training exchange, one-row weight-map broadcast, map-only inference",
     "q_chunking"          -> "RAG chunking: overlapping token windows + fingerprints as ONE map-only codegen projection, zero shuffle",
-    "q_hard_negatives"    -> "triplet mining: broadcast anchors, both directions in one window pass (sign-flipped sort key)")
+    "q_hard_negatives"    -> "triplet mining: broadcast anchors, both directions in one window pass (sign-flipped sort key)",
+    "q_dsv2_manifest_delta" -> "delta/checkpoint manifest read path: scan resolves one _mseg segment + #del/inline delta lines",
+    "q_embed_decontam"    -> "embedding-space decontamination: fixed broadcast benchmark list, map-only integer threshold audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -104,11 +104,15 @@ SELECT * FROM sigs ORDER BY doc_id"""),
     * maintenance (q_stream_lsh_ivm): the caller nets signed change-feed
     * events to w ≠ 0 FIRST, so only net-changed documents pay the
     * shingle+minhash pass, and the per-(band, bucket) index is then a
-    * plain signed aggregate. Signatures key on (doc_id, md5(text)) —
-    * a doc_id can legitimately carry two live texts (duplicate-id
-    * append) or retire one text and gain another (update), and each
-    * (id, text) version buckets independently, exactly as a full
-    * recompute over the final table would. */
+    * plain signed aggregate. Signatures key on (doc_id, md5(text)), so
+    * each (id, text) VERSION buckets independently — for an update
+    * lifecycle (one live text per id at a time, the q_stream_lsh_ivm
+    * corpus) this matches a doc_id-keyed full recompute exactly. Note
+    * the deliberate divergence if a corpus held TWO live texts under one
+    * doc_id simultaneously: this maintains one index row per version,
+    * while [[bandsFrom]]/[[bandsSqlOver]] (GROUP BY doc_id) would merge
+    * the versions' shingle sets into one signature — an oracle for such
+    * a corpus must add the text to the recompute's group key. */
   private[queries] def bandsWeighted(docs: DataFrame): DataFrame = {
     val sigsW = docs
       .select(col("doc_id"), col("w"), md5(col("text")).as("tk"), col("text"))

@@ -1321,15 +1321,34 @@ object SourceParity {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment
       |""".stripMargin.trim),
     (spark, dir) => {
+      // per-run nonce, not DROP/CREATE on a shared name: this is a
+      // multi-step stateful builder (two appends + a DELETE bracketing
+      // reads), and two concurrent invocations over the same sf dir
+      // (bench overlapping verify) would clobber each other mid-build —
+      // the q_stream_ivm lesson (ADVICE r14) applied at birth. Stale
+      // siblings (> 30 min, far past any live run) are swept instead.
       val h = Integer.toHexString(dir.hashCode)
+      val nonce = java.lang.Long.toHexString(
+        System.nanoTime() ^ (Thread.currentThread().getId << 48))
       val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_parity_catalog").toString
       spark.conf.set("spark.sql.catalog.gparity",
         classOf[graft.sources.GraftTsvCatalog].getName)
       spark.conf.set("spark.sql.catalog.gparity.root", root)
       spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
-      val t = s"gparity.db.cust_mfd_$h"
-      spark.sql(s"DROP TABLE IF EXISTS $t")
+      locally {
+        val cutoff = System.currentTimeMillis() - 30 * 60 * 1000L
+        Option(new java.io.File(root, "db").listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith(s"cust_mfd_${h}_") &&
+            !f.getName.contains(nonce) && f.lastModified < cutoff)
+          .foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          }
+      }
+      val t = s"gparity.db.cust_mfd_${h}_$nonce"
       spark.sql(s"""CREATE TABLE $t (c_custkey BIGINT, c_mktsegment STRING,
         c_acctbal_str STRING) USING `graft-tsv`
         TBLPROPERTIES ('retain.generations' = '2')""")
@@ -1345,7 +1364,7 @@ object SourceParity {
       spark.sql(s"DELETE FROM $t WHERE c_custkey = $victim")
       // structural proof that the NEW manifest forms are what the read
       // below resolves (guarded: a tiny SF may stay under the threshold)
-      val tdir = new org.apache.hadoop.fs.Path(s"$root/db/cust_mfd_$h")
+      val tdir = new org.apache.hadoop.fs.Path(s"$root/db/cust_mfd_${h}_$nonce")
       val fs = tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val names = fs.listStatus(tdir).map(_.getPath.getName).toSeq
       val liveParts = graft.sources.GraftTsvManifest.readEntries(fs,

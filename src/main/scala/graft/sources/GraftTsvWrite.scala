@@ -91,6 +91,14 @@ final class GraftTsvWriteBuilder(
           s"graft-tsv: compact.auto.files must be an integer >= 2, got '$v'"))
     }.getOrElse(tableAutoCompactFiles)
 
+  private val autoCompactBytes: Long =
+    Option(info.options().get("compact.auto.target.bytes")).map { v =>
+      v.toLongOption.filter(_ >= 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-tsv: compact.auto.target.bytes must be a positive byte " +
+            s"count, got '$v'"))
+    }.getOrElse(tableAutoCompactBytes)
+
   private var truncateOnCommit = false
 
   /** BRANCH WRITES (`.option("branch", name)`): the commit publishes a
@@ -155,7 +163,7 @@ final class GraftTsvWriteBuilder(
       new GraftTsvBatchWrite(schema, path, delimiter, truncateOnCommit,
         info.queryId(), SerializableHadoopConf.fromSession(), partCols,
         blockBytes, retainGenerations, tablePinned, branchOpt,
-        autoCompactFiles, tableAutoCompactBytes)
+        autoCompactFiles, autoCompactBytes)
     /** Streaming sink = the SAME commit protocol per epoch (Complete mode
       * arrives as truncate, Append as append), with the epoch id recorded
       * in the generation manifest as the replay-idempotence token. */
@@ -540,11 +548,23 @@ final class GraftTsvBatchWrite(
     // next qualifying commit retries).
     if (autoCompactFiles > 0 && branch.isEmpty &&
         liveFiles >= autoCompactFiles) {
-      GraftTsvMaintenance.compact(
-        org.apache.spark.sql.SparkSession.active,
-        new Path(path), partCols, retainGenerations, autoCompactBytes,
-        pinnedGens)
-      ()
+      // The WRITE is already durably committed (the _gen swap above) —
+      // a compaction failure here must not escape, or Spark's V2 write
+      // exec would call abort() and report the committed insert as
+      // FAILED, inviting an orchestrator to retry it and double the
+      // rows. Log and move on: the next qualifying commit retries, and
+      // an explicit CALL g.system.compact is always available.
+      try {
+        GraftTsvMaintenance.compact(
+          org.apache.spark.sql.SparkSession.active,
+          new Path(path), partCols, retainGenerations, autoCompactBytes,
+          pinnedGens)
+        ()
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"graft-tsv: auto-compaction after commit on $path failed " +
+            s"(write is committed and unaffected): $e")
+      }
     }
   }
 
