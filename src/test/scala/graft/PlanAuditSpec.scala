@@ -32,7 +32,8 @@ class PlanAuditSpec extends SparkSuite {
     "q_cooccur_pmi",   // 1-row n_pairs total frame for the lift denominator
     "q_ivf_build", "q_ivf_probe", // 1-row packed-centroid frames (IVF pattern)
     "q_bm25_search",   // 1-row (n_docs, avgdl) corpus-stats frame
-    "q_quality_classifier") // 1-row trained weight-map frame broadcast-crossed in
+    "q_quality_classifier", // 1-row trained weight-map frame broadcast-crossed in
+    "q_embed_decontam") // 1-row packed-benchmark frame (IVF pattern)
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no cartesian product / unexpected nested loop") {
