@@ -26,10 +26,17 @@ import graft.sources.GraftTsvManifest
   *  4. SEGMENTS STAY BOUNDED: unreferenced `_mseg-*` files may await the
   *     next checkpoint's GC but never accumulate past the manifest count.
   *
-  * Ops: append (small/large), DELETE (modulo predicate), INSERT
-  * OVERWRITE, CALL compact, tag/untag (pin interplay), vacuum. One
-  * seeded walk (fixed seed — failures must reproduce) of 40 ops; a
-  * final vacuum must leave content intact with zero orphans. */
+  * Ops: append (small/large), DELETE (modulo predicate), truncating
+  * overwrite, CALL compact, tag/untag (pin interplay), vacuum, and the
+  * BRANCH lifecycle (create / branch-write / fast-forward-merge /
+  * diverged-merge-refusal / drop) — with the live branch's view checked
+  * against ITS model every step while main mutates underneath, and
+  * dropped-branch parts tracked through their documented limbo window
+  * (unreferenced until the next main commit or vacuum reclaims them —
+  * the leak invariant allows exactly that window and nothing more).
+  * One seeded walk (fixed seed — failures must reproduce) of 60 ops; a
+  * final vacuum must leave content intact with zero orphans, limbo
+  * included, and a still-pinned tag resolving its exact snapshot. */
 class Dsv2ManifestPropertySpec extends SparkSuite {
 
   private val rootDir = Files.createTempDirectory("graft_mprop").toString
@@ -88,7 +95,7 @@ class Dsv2ManifestPropertySpec extends SparkSuite {
       val rows = (0 until n).map { _ =>
         val id = nextId; nextId += 1; (id, s"v$id")
       }
-      df(rows).writeTo("gmp.db.w").overwritePartitions()
+      df(rows).writeTo("gmp.db.w").overwrite(lit(true))
       model = rows.toMap
       snapshot()
     }
@@ -110,6 +117,61 @@ class Dsv2ManifestPropertySpec extends SparkSuite {
     }
     def opVacuum(): Unit =
       spark.sql("CALL gmp.system.vacuum(`table` => 'db.w', older_than_ms => 0)")
+
+    // ---- branch lifecycle inside the walk: the branch chain shares
+    // copy-on-write parts with main, so tombstone reclamation, orphan
+    // candidacy and segment GC all have to stay branch-aware while main
+    // keeps mutating underneath — the interaction class where this
+    // round's one review-caught bug lived (branch-only parts read as
+    // orphans). The walk keeps at most one live branch.
+    var branchModel: Option[Map[Long, String]] = None
+    var branchBase = -1L
+    // dropped-branch LIMBO: drop_branch deletes only the branch's
+    // manifest chain; branch-only parts are documented to linger
+    // unreferenced until "the next main commit's keep-set sweep (or
+    // vacuum)" reclaims them — the leak invariant must allow exactly
+    // that window and nothing more
+    var limbo = Set.empty[String]
+    def branchParts(): Set[String] = rootNames()
+      .filter(n => GraftTsvManifest.branchOf(n).isDefined)
+      .flatMap(n => GraftTsvManifest.read(fs, new Path(tdir, n))).toSet
+    def opBranch(): Unit = branchModel match {
+      case None =>
+        spark.sql("CALL gmp.system.branch(`table` => 'db.w', name => 'dev')")
+        branchModel = Some(model)
+        branchBase = curGen()
+      case Some(bm) =>
+        val n = 1 + rnd.nextInt(6)
+        val rows = (0 until n).map { _ =>
+          val id = nextId; nextId += 1; (id, s"b$id")
+        }
+        df(rows).coalesce(1).writeTo("gmp.db.w")
+          .option("branch", "dev").append()
+        branchModel = Some(bm ++ rows)
+    }
+    def opMergeOrDrop(): Unit = branchModel.foreach { bm =>
+      if (rnd.nextBoolean() && curGen() == branchBase) {
+        // fast-forward still possible (main has not advanced)
+        spark.sql("CALL gmp.system.merge_branch(`table` => 'db.w', " +
+          "name => 'dev')")
+        model = bm
+        snapshot()
+      } else {
+        if (rnd.nextBoolean() && curGen() != branchBase) {
+          // diverged merge must REFUSE loudly and change nothing
+          val e = intercept[Exception] {
+            spark.sql("CALL gmp.system.merge_branch(`table` => 'db.w', " +
+              "name => 'dev')")
+          }
+          assert(e.getMessage.contains("not fast-forward"), e.getMessage)
+          assert(read() == model, "refused merge must not mutate main")
+        }
+        limbo ++= branchParts()
+        spark.sql("CALL gmp.system.drop_branch(`table` => 'db.w', " +
+          "name => 'dev')")
+        branchModel = None
+      }
+    }
 
     def checkInvariants(step: Int): Unit = {
       val names = rootNames()
@@ -140,8 +202,10 @@ class Dsv2ManifestPropertySpec extends SparkSuite {
       val visible = names.filter(n =>
         !n.startsWith("_") && !n.startsWith(".") && n.startsWith("part-"))
       val leaked = visible.filterNot(n =>
-        referenced.contains(n) || tombstoned.contains(n))
+        referenced.contains(n) || tombstoned.contains(n) ||
+          limbo.contains(n))
       assert(leaked.isEmpty, s"step $step: leaked parts $leaked")
+      limbo = limbo.intersect(visible.toSet) // reclaimed limbo parts retire
       // 4. segments bounded (unreferenced ones await the next checkpoint GC)
       val segs = names.filter(_.startsWith(GraftTsvManifest.SegPrefix))
       assert(segs.size <= manifests.size + 2,
@@ -150,19 +214,30 @@ class Dsv2ManifestPropertySpec extends SparkSuite {
 
     // seed the table, then walk
     opAppend()
-    (1 to 40).foreach { step =>
-      rnd.nextInt(10) match {
+    (1 to 60).foreach { step =>
+      rnd.nextInt(12) match {
         case 0 | 1 | 2 | 3 | 4 => opAppend()
         case 5 | 6 => opDelete()
         case 7 => if (rnd.nextBoolean()) opOverwrite() else opCompact()
         case 8 => opTag()
         case 9 => opVacuum()
+        case 10 => opBranch()
+        case 11 => opMergeOrDrop()
       }
       checkInvariants(step)
+      // the live branch view must track ITS model while main mutates
+      branchModel.foreach { bm =>
+        assert(read("VERSION AS OF 'dev'") == bm,
+          s"step $step: branch view diverged")
+      }
     }
     // closing sweep: vacuum everything reclaimable, content must hold
     opVacuum()
     assert(read() == model, "post-vacuum content diverged")
+    val leftover = rootNames().filter(n =>
+      n.startsWith("part-") && limbo.contains(n))
+    assert(leftover.isEmpty,
+      s"vacuum must reclaim dropped-branch limbo parts: $leftover")
     // a tagged snapshot must still resolve after all of it
     tagged.foreach { case (t, g) =>
       assert(snaps.contains(g))
