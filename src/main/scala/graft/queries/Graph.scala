@@ -66,6 +66,26 @@ private[graft] object GraphAdaptive {
 
   def contribRepartition(spark: SparkSession): Boolean =
     spark.conf.get(ContribConfKey, "partial") == "repartition"
+
+  /** Convergence-loop exchange form for q_pagerank_converged. `full`
+    * (default) re-exchanges every vertex's contribution each round —
+    * the r13-r14 measured shape. `delta` is PUSH-ON-CHANGE (the
+    * differential-dataflow / GAS engines' idea, public knowledge): the
+    * round exchanges only vertices whose per-edge contribution unit
+    * CHANGED since the last propagated round, and each destination's
+    * contribution sum is maintained incrementally
+    * (cin_k = cin_{k-1} + Σ Δunit over the active vertices' edges).
+    * Integer arithmetic makes the telescoped sum EXACT — per-round rank
+    * values are bit-identical to the full form (the div happens at the
+    * per-node unit, never on the accumulation path), so the oracle gate
+    * is unchanged; what changes is the exchange volume, which collapses
+    * with the active set as vertices hit their integer fixpoints mid-
+    * loop. Both forms are measured head-to-head in SCALE.md §30; the
+    * default is the measured winner. */
+  val PrLoopConfKey = "spark.graft.graph.prLoopExchange"
+
+  def prDelta(spark: SparkSession): Boolean =
+    spark.conf.get(PrLoopConfKey, "delta") == "delta"
 }
 
 /** Iterative graph analytics beyond connected components (q_dedup_components
@@ -289,6 +309,67 @@ ORDER BY pr DESC, node_id LIMIT 50"""
         // truncates exactly like `div`/`//` on these positive values.
         val prBase = (Scale * 15L) / (100L * vCnt)
         val pr0 = Scale / vCnt
+        if (GraphAdaptive.prDelta(spark)) {
+          // PUSH-ON-CHANGE loop (GraphAdaptive.PrLoopConfKey scaladoc;
+          // SCALE.md §30): state = (node_id, outdeg, pr, unit, lpu, cin)
+          // where unit = pr div outdeg (the per-edge contribution), lpu =
+          // the unit whose contributions cin currently reflects. A round
+          // exchanges ONLY the edges of vertices with unit ≠ lpu; the
+          // integer telescope cin_k = cin_{k-1} + Σ Δunit keeps every
+          // round's rank BIT-IDENTICAL to the full re-exchange. As
+          // vertices hit their integer fixpoints the active set — and
+          // with it the round's exchange — collapses toward zero.
+          val outdegs = g.edgesW.select(col("src"), col("outdeg")).distinct()
+          var curCk = graft.Checkpoints.truncate(
+            g.nodes.join(g.pv(outdegs), col("node_id") === col("src"))
+              .select(col("node_id"), col("outdeg"), lit(pr0).as("pr"),
+                (lit(pr0) / col("outdeg")).cast("long").as("unit"),
+                lit(0L).as("lpu"), lit(0L).as("cin")))
+          var cur: org.apache.spark.sql.DataFrame = curCk
+          var rounds = 0L
+          var delta = Long.MaxValue
+          while (delta >= eps) {
+            rounds += 1
+            if (rounds > PrMaxRounds)
+              throw new IllegalStateException(
+                s"q_pagerank_converged: no convergence after $PrMaxRounds " +
+                  s"rounds (last max |Δ| = $delta, ε = $eps) — the damping/ε " +
+                  "contract is broken, refusing to return a half-converged rank")
+            val active = cur.filter(col("unit") =!= col("lpu"))
+              .select(col("node_id").as("asrc"),
+                (col("unit") - col("lpu")).as("du"))
+            val dcj = g.edgesW.join(g.pv(active), col("src") === col("asrc"))
+              .select(col("dst"), col("du"))
+            val dAgg =
+              (if (GraphAdaptive.contribRepartition(spark))
+                dcj.repartition(col("dst"))
+               else dcj)
+                .groupBy("dst").agg(sum(col("du")).as("dd"))
+            val obs = cur
+              .join(g.pv(dAgg), col("node_id") === col("dst"), "left")
+              .select(col("node_id"), col("outdeg"),
+                (col("cin") + coalesce(col("dd"), lit(0L))).as("cin"),
+                col("pr").as("prev_pr"), col("unit").as("lpu_next"))
+              .select(col("node_id"), col("outdeg"), col("cin"),
+                (lit(prBase) + expr("(85 * cin) div 100")).as("pr"),
+                col("prev_pr"), col("lpu_next"))
+              .select(col("node_id"), col("outdeg"), col("pr"),
+                expr("pr div outdeg").as("unit"),
+                col("lpu_next").as("lpu"), col("cin"),
+                abs(col("pr") - col("prev_pr")).as("d"))
+              .observe(s"pr_delta_$rounds", max(col("d")).as("v"))
+            val nxt = graft.Checkpoints.truncate(obs)
+            delta = obs.queryExecution.observedMetrics
+              .get(s"pr_delta_$rounds")
+              .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+              .getOrElse(nxt.agg(max(col("d"))).head().getLong(0))
+            graft.Checkpoints.release(curCk)
+            curCk = nxt
+            cur = nxt.select("node_id", "outdeg", "pr", "unit", "lpu", "cin")
+          }
+          cur.select(col("node_id"), col("pr"), lit(rounds).as("rounds"))
+            .orderBy(desc("pr"), asc("node_id")).limit(50)
+        } else {
         // curCk is the round's CHECKPOINTED frame (the release target —
         // release() only reclaims a bare LogicalRDD root, so handing it a
         // projection of the checkpoint would silently leak every round's
@@ -344,6 +425,7 @@ ORDER BY pr DESC, node_id LIMIT 50"""
         }
         cur.select(col("node_id"), col("pr"), lit(rounds).as("rounds"))
           .orderBy(desc("pr"), asc("node_id")).limit(50)
+        }
       }
     })
 

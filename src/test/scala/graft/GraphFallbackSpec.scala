@@ -81,6 +81,27 @@ class GraphFallbackSpec extends SparkSuite {
     }
   }
 
+  // The push-on-change loop (PrLoopConfKey 'delta') must be BIT-IDENTICAL
+  // to the full re-exchange per round — the integer telescope
+  // cin_k = cin_{k-1} + Σ Δunit is exact, so rank values AND the
+  // converged round count (which any per-round numeric divergence would
+  // shift) must match across the two forms.
+  test("q_pagerank_converged: delta and full loop forms are value-identical") {
+    val saved = spark.conf.getOption(queries.GraphAdaptive.PrLoopConfKey)
+    def withForm(v: String) = {
+      spark.conf.set(queries.GraphAdaptive.PrLoopConfKey, v)
+      try collectSorted("q_pagerank_converged")
+      finally saved match {
+        case Some(s) => spark.conf.set(queries.GraphAdaptive.PrLoopConfKey, s)
+        case None => spark.conf.unset(queries.GraphAdaptive.PrLoopConfKey)
+      }
+    }
+    val delta = withForm("delta")
+    val full = withForm("full")
+    assert(delta.toSeq == full.toSeq,
+      "delta-exchange loop diverged from the full re-exchange form")
+  }
+
   test("default path keeps the broadcast hints below the ceiling") {
     // q_pagerank: its hinted rank/contrib joins live in the RETURNED
     // plan (the loop is unrolled declaratively). q_triangles' hinted deg
