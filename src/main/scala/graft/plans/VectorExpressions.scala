@@ -271,6 +271,11 @@ case class KmArgmin(left: Expression, right: Expression)
           cc += c * c
           i += 1
         }
+        // ||cv||^2 runs over the FULL centroid, not the dot's min-length
+        // bound — matches long_dot(e.cv, e.cv) in the HOF chain exactly
+        // even when a centroid is longer than the query vector
+        val n = cv.numElements()
+        while (i < n) { val c = cv.getLong(i); cc += c * c; i += 1 }
       }
       val dist = xx - 2L * dot + cc
       if (!found || dist < bestDist) {
@@ -308,9 +313,15 @@ case class KmArgmin(left: Expression, right: Expression)
              |  }
              |  $cc = $s.getLong(2);""".stripMargin
         else
-          s"""for (int $i = 0; $i < $m; $i++) {
+          s"""int $i = 0;
+             |  for (; $i < $m; $i++) {
              |    long $c = $cv.getLong($i);
              |    $dot += $qv.getLong($i) * $c;
+             |    $cc += $c * $c;
+             |  }
+             |  // ||cv||^2 over the FULL centroid (see nullSafeEval)
+             |  for (int ${i}n = $cv.numElements(); $i < ${i}n; $i++) {
+             |    long $c = $cv.getLong($i);
              |    $cc += $c * $c;
              |  }""".stripMargin
       s"""

@@ -323,7 +323,10 @@ ORDER BY pr DESC, node_id LIMIT 50"""
           var curCk = graft.Checkpoints.truncate(
             g.nodes.join(g.pv(outdegs), col("node_id") === col("src"))
               .select(col("node_id"), col("outdeg"), lit(pr0).as("pr"),
-                (lit(pr0) / col("outdeg")).cast("long").as("unit"),
+                // integer div, same arithmetic as the in-loop
+                // `pr div outdeg` — double division here would only be
+                // accidentally exact while pr0·outdeg < 2^53
+                expr(s"$pr0 div outdeg").as("unit"),
                 lit(0L).as("lpu"), lit(0L).as("cin")))
           var cur: org.apache.spark.sql.DataFrame = curCk
           var rounds = 0L

@@ -1317,7 +1317,7 @@ object SourceParity {
       |  FROM customer WHERE c_custkey % 97 = 0)
       |SELECT c_mktsegment, count(*) AS n,
       |  CAST(sum(bal) AS DOUBLE) AS sum_bal
-      |FROM allr, victim WHERE c_custkey <> vk
+      |FROM allr, victim WHERE vk IS NULL OR c_custkey <> vk
       |GROUP BY c_mktsegment ORDER BY c_mktsegment
       |""".stripMargin.trim),
     (spark, dir) => {
@@ -1358,10 +1358,15 @@ object SourceParity {
       base.repartitionByRange(80, col("c_custkey")).writeTo(t).append()
       base.filter(col("c_custkey") % 97 === 0)
         .coalesce(1).writeTo(t).append()
-      val victim = base.filter(col("c_custkey") % 100 === 7)
+      val victimRow = base.filter(col("c_custkey") % 100 === 7)
         .agg(org.apache.spark.sql.functions.min("c_custkey"))
-        .collect().head.getLong(0)
-      spark.sql(s"DELETE FROM $t WHERE c_custkey = $victim")
+        .collect().head
+      // null min ⇒ no key ≡ 7 (mod 100) at this SF: skip the DELETE so
+      // both engines see the same (un-deleted) table, instead of
+      // throwing here while DuckDB's `<> NULL` silently drops all rows
+      if (!victimRow.isNullAt(0)) {
+        spark.sql(s"DELETE FROM $t WHERE c_custkey = ${victimRow.getLong(0)}")
+      }
       // structural proof that the NEW manifest forms are what the read
       // below resolves (guarded: a tiny SF may stay under the threshold)
       val tdir = new org.apache.hadoop.fs.Path(s"$root/db/cust_mfd_${h}_$nonce")

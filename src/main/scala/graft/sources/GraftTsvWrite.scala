@@ -364,8 +364,13 @@ object GraftTsvManifest {
       val dels = ls.collect { case l if l.startsWith(DelMarker) =>
         l.stripPrefix(DelMarker) }.toSet
       val dir = manifest.getParent
-      (segs.flatMap(s => readSegment(fs, dir, s)) ++ own)
-        .filterNot(e => dels.contains(e._1))
+      // dels apply to SEGMENT entries only: an inline add always wins,
+      // so re-adding a relpath that was previously deleted against the
+      // segment is visible regardless of a carried #del (publish also
+      // drops such dels at compose time — this is the read-side half of
+      // the same invariant, not a reliance on job-unique part naming)
+      (segs.flatMap(s => readSegment(fs, dir, s))
+        .filterNot(e => dels.contains(e._1)) ++ own)
     }
   }
 
@@ -726,8 +731,8 @@ private[sources] object GraftTsvPublisher {
     def segEntries(name: String): Seq[(String, String)] =
       segCache.getOrElseUpdate(name, GraftTsvManifest.readSegment(f, dir, name))
     val currentEntries: Seq[(String, String)] =
-      (curSegs.flatMap(segEntries) ++ curInline)
-        .filterNot(e => curDels.contains(e._1))
+      (curSegs.flatMap(segEntries).filterNot(e => curDels.contains(e._1)) ++
+        curInline)
     val currentVisible: Seq[String] = currentEntries.map(_._1)
     // 1. publish new parts under JOB-UNIQUE names (epoch-qualified for
     //    streaming) — never renaming onto a part from an earlier job or
@@ -853,8 +858,11 @@ private[sources] object GraftTsvPublisher {
         retainedGens.sorted.foreach { g =>
           val (segs, dels, inline, _) = GraftTsvManifest.readDelta(
             f, new Path(dir, GraftTsvManifest.genName(g)))
-          (segs.flatMap(segEntries) ++ inline).foreach { case (rel, _) =>
-            if (candSet.contains(rel) && !dels.contains(rel))
+          // same inline-wins rule as readEntries: dels mask segment
+          // entries only, an inline add is listed unconditionally
+          (segs.flatMap(segEntries).filterNot(e => dels.contains(e._1)) ++
+            inline).foreach { case (rel, _) =>
+            if (candSet.contains(rel))
               lastListed.update(rel, math.max(g, lastListed.getOrElse(rel, g)))
           }
         }
@@ -866,8 +874,11 @@ private[sources] object GraftTsvPublisher {
     // ---- compose: inline full (small table / truncate), DELTA, or
     // CHECKPOINT ----
     val inlineNext = curInline.filterNot(e => droppedNow.contains(e._1)) ++ newParts
-    val delsNext = curDels ++
-      droppedNow.diff(curInline.map(_._1).toSet)
+    // compose-side half of the inline-wins invariant: a rel re-added
+    // inline this commit supersedes any carried #del for it, so the del
+    // is dropped here — read sites therefore never see dels ∩ inline
+    val delsNext = (curDels ++ droppedNow.diff(curInline.map(_._1).toSet))
+      .diff(inlineNext.map(_._1).toSet)
     val writeDelta = !truncate && curSegs.nonEmpty &&
       inlineNext.size + delsNext.size <
         math.max(GraftTsvManifest.CheckpointInlineMin, nextEntries.size / 4)

@@ -278,4 +278,27 @@ class Dsv2ManifestScaleSpec extends SparkSuite {
     assert(!segs.contains(orphan), "vacuum reclaims crash-orphaned segments")
     assert(ids(t).size == 100)
   }
+
+  test("a #del masks segment entries only — an inline re-add wins") {
+    // hand-composed manifest: the rel is listed in the segment, carried
+    // as #del, AND re-added inline. The inline-wins rule (readEntries +
+    // publish's delsNext composition) makes the re-add visible; before
+    // the fix the del silently hid it, safe only via the job-unique
+    // part-naming convention that nothing near the manifest enforced.
+    val dir = new Path(Files.createTempDirectory("graft_delwin").toString)
+    val seg = s"${GraftTsvManifest.SegPrefix}t-seed"
+    def write(name: String, body: String): Unit = {
+      val o = fs.create(new Path(dir, name), true)
+      try o.write(body.getBytes("UTF-8")) finally o.close()
+    }
+    write(seg, "part-a.tsv\tstats-old\npart-b.tsv\n")
+    write("_gen-00000000000000000002",
+      s"#seg:$seg\n#del:part-a.tsv\npart-a.tsv\tstats-new\npart-c.tsv\n")
+    val entries = GraftTsvManifest.readEntries(
+      fs, new Path(dir, "_gen-00000000000000000002"))
+    assert(entries.map(_._1).sorted == Seq("part-a.tsv", "part-b.tsv", "part-c.tsv"),
+      s"inline re-add must be visible, got $entries")
+    assert(entries.toMap.apply("part-a.tsv") == "stats-new",
+      "the INLINE entry's stats must win over the segment's")
+  }
 }

@@ -160,6 +160,34 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(e.isNullAt(0), "empty codebook must yield NULL")
   }
 
+  test("km_argmin 2-field: ||cv||^2 covers a centroid LONGER than the query") {
+    registered
+    // qv = (1), centroids: cid 1 = (1, 10) [tail 10 beyond the query's
+    // length], cid 2 = (2). Full-length norm semantics (= the HOF chain's
+    // long_dot(cv, cv)): d1 = 1 - 2*1 + (1+100) = 100; d2 = 1 - 4 + 4 = 1
+    // → cid 2. A min-length norm would give d1 = 0 → cid 1 (wrong).
+    // Checked on both the codegen and interpreted paths.
+    def run(): org.apache.spark.sql.Row = spark.sql(
+      """SELECT km_argmin(array(1L),
+           array(struct(CAST(1 AS BIGINT) AS cid, array(1L, 10L) AS cv),
+                 struct(CAST(2 AS BIGINT) AS cid, array(2L) AS cv))) AS am""")
+      .collect().head.getStruct(0)
+    val cg = run()
+    assert(cg.getLong(0) == 2L && cg.getLong(1) == 1L,
+      s"codegen: full-centroid norm must pick cid 2 at dist 1, got $cg")
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val noCg = run()
+      assert(noCg.getLong(0) == 2L && noCg.getLong(1) == 1L,
+        s"interpreted: full-centroid norm must pick cid 2 at dist 1, got $noCg")
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("GraftExtensions injects functions into a fresh session") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
