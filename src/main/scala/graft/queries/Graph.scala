@@ -146,11 +146,21 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
   private final case class PrGraph(
       edgesW: DataFrame, nodes: DataFrame, pv: DataFrame => DataFrame)
 
-  private def prGraph(spark: SparkSession, dir: String): PrGraph = {
+  private def prGraph(spark: SparkSession, dir: String): PrGraph =
+    prGraphFromPairs(spark, tbl(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")))
+
+  /** [[prGraph]] generalized to ANY (p, s) bipartite pair frame — the
+    * incremental kernel builds its base and final graphs from a mutating
+    * connector table, so the graph constructor cannot be welded to the
+    * lineitem read. Checkpoints eagerly: the returned frames are
+    * MATERIALIZED blocks, decoupled from whatever `pairs` read (a table
+    * about to be mutated stays safe to snapshot this way). */
+  private def prGraphFromPairs(spark: SparkSession, pairs: DataFrame): PrGraph = {
     // materialize the distinct pair set ONCE — both edge directions,
     // the degree count, and the node set all derive from these blocks
-    val e0 = tbl(spark, dir, "lineitem")
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+    val e0 = pairs
+      .select(col("p"), col("s"))
       .distinct()
       .truncateLineage
     // V exactly, off the materialized pair set (node spaces are
@@ -251,6 +261,87 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
   private val PrEpsDiv = 10L   // ε = Scale / (PrEpsDiv · V)
   private val PrMaxRounds = 100L
 
+  /** Cold-start state for [[prPushLoop]]: every vertex at the uniform
+    * seed rank, nothing yet propagated (lpu = cin = 0 — the loop's
+    * telescoped-sum invariant `cin = Σ_{in-edges} lpu(src)` holds
+    * trivially at the seed). */
+  private def prPushSeed(g: PrGraph, pr0: Long): DataFrame = {
+    val outdegs = g.edgesW.select(col("src"), col("outdeg")).distinct()
+    g.nodes.join(g.pv(outdegs), col("node_id") === col("src"))
+      .select(col("node_id"), col("outdeg"), lit(pr0).as("pr"),
+        // integer div, same arithmetic as the in-loop
+        // `pr div outdeg` — double division here would only be
+        // accidentally exact while pr0·outdeg < 2^53
+        expr(s"$pr0 div outdeg").as("unit"),
+        lit(0L).as("lpu"), lit(0L).as("cin"))
+  }
+
+  /** PUSH-ON-CHANGE convergence loop (GraphAdaptive.PrLoopConfKey
+    * scaladoc; SCALE.md §30): state = (node_id, outdeg, pr, unit, lpu,
+    * cin) where unit = pr div outdeg (the per-edge contribution), lpu =
+    * the unit whose contributions cin currently reflects. A round
+    * exchanges ONLY the edges of vertices with unit ≠ lpu; the integer
+    * telescope cin_k = cin_{k-1} + Σ Δunit keeps every round's rank
+    * BIT-IDENTICAL to the full re-exchange. As vertices hit their
+    * integer fixpoints the active set — and with it the round's
+    * exchange — collapses toward zero.
+    *
+    * RESUMABLE: `init` is any state satisfying the cin invariant — the
+    * cold-start seed ([[prPushSeed]]) or a converged state patched for
+    * an edge delta (q_pagerank_ivm), which is the whole point of the
+    * push form: a sparse update reactivates only the patched vertices.
+    * Returns the final state frame (checkpointed; the caller owns its
+    * release) and the executed round count. `tag` keys the per-round
+    * observe metrics so two loops in one query don't collide. */
+  private def prPushLoop(
+      spark: SparkSession, g: PrGraph, init: DataFrame,
+      prBase: Long, eps: Long, tag: String): (DataFrame, Long) = {
+    var curCk = graft.Checkpoints.truncate(init)
+    var cur: org.apache.spark.sql.DataFrame = curCk
+    var rounds = 0L
+    var delta = Long.MaxValue
+    while (delta >= eps) {
+      rounds += 1
+      if (rounds > PrMaxRounds)
+        throw new IllegalStateException(
+          s"prPushLoop: no convergence after $PrMaxRounds " +
+            s"rounds (last max |Δ| = $delta, ε = $eps) — the damping/ε " +
+            "contract is broken, refusing to return a half-converged rank")
+      val active = cur.filter(col("unit") =!= col("lpu"))
+        .select(col("node_id").as("asrc"),
+          (col("unit") - col("lpu")).as("du"))
+      val dcj = g.edgesW.join(g.pv(active), col("src") === col("asrc"))
+        .select(col("dst"), col("du"))
+      val dAgg =
+        (if (GraphAdaptive.contribRepartition(spark))
+          dcj.repartition(col("dst"))
+         else dcj)
+          .groupBy("dst").agg(sum(col("du")).as("dd"))
+      val obs = cur
+        .join(g.pv(dAgg), col("node_id") === col("dst"), "left")
+        .select(col("node_id"), col("outdeg"),
+          (col("cin") + coalesce(col("dd"), lit(0L))).as("cin"),
+          col("pr").as("prev_pr"), col("unit").as("lpu_next"))
+        .select(col("node_id"), col("outdeg"), col("cin"),
+          (lit(prBase) + expr("(85 * cin) div 100")).as("pr"),
+          col("prev_pr"), col("lpu_next"))
+        .select(col("node_id"), col("outdeg"), col("pr"),
+          expr("pr div outdeg").as("unit"),
+          col("lpu_next").as("lpu"), col("cin"),
+          abs(col("pr") - col("prev_pr")).as("d"))
+        .observe(s"pr_delta_$tag$rounds", max(col("d")).as("v"))
+      val nxt = graft.Checkpoints.truncate(obs)
+      delta = obs.queryExecution.observedMetrics
+        .get(s"pr_delta_$tag$rounds")
+        .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+        .getOrElse(nxt.agg(max(col("d"))).head().getLong(0))
+      graft.Checkpoints.release(curCk)
+      curCk = nxt
+      cur = nxt.select("node_id", "outdeg", "pr", "unit", "lpu", "cin")
+    }
+    (cur, rounds)
+  }
+
   private val pagerankConvergedSql: String = s"""
 WITH RECURSIVE
 e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
@@ -310,66 +401,8 @@ ORDER BY pr DESC, node_id LIMIT 50"""
         val prBase = (Scale * 15L) / (100L * vCnt)
         val pr0 = Scale / vCnt
         if (GraphAdaptive.prDelta(spark)) {
-          // PUSH-ON-CHANGE loop (GraphAdaptive.PrLoopConfKey scaladoc;
-          // SCALE.md §30): state = (node_id, outdeg, pr, unit, lpu, cin)
-          // where unit = pr div outdeg (the per-edge contribution), lpu =
-          // the unit whose contributions cin currently reflects. A round
-          // exchanges ONLY the edges of vertices with unit ≠ lpu; the
-          // integer telescope cin_k = cin_{k-1} + Σ Δunit keeps every
-          // round's rank BIT-IDENTICAL to the full re-exchange. As
-          // vertices hit their integer fixpoints the active set — and
-          // with it the round's exchange — collapses toward zero.
-          val outdegs = g.edgesW.select(col("src"), col("outdeg")).distinct()
-          var curCk = graft.Checkpoints.truncate(
-            g.nodes.join(g.pv(outdegs), col("node_id") === col("src"))
-              .select(col("node_id"), col("outdeg"), lit(pr0).as("pr"),
-                // integer div, same arithmetic as the in-loop
-                // `pr div outdeg` — double division here would only be
-                // accidentally exact while pr0·outdeg < 2^53
-                expr(s"$pr0 div outdeg").as("unit"),
-                lit(0L).as("lpu"), lit(0L).as("cin")))
-          var cur: org.apache.spark.sql.DataFrame = curCk
-          var rounds = 0L
-          var delta = Long.MaxValue
-          while (delta >= eps) {
-            rounds += 1
-            if (rounds > PrMaxRounds)
-              throw new IllegalStateException(
-                s"q_pagerank_converged: no convergence after $PrMaxRounds " +
-                  s"rounds (last max |Δ| = $delta, ε = $eps) — the damping/ε " +
-                  "contract is broken, refusing to return a half-converged rank")
-            val active = cur.filter(col("unit") =!= col("lpu"))
-              .select(col("node_id").as("asrc"),
-                (col("unit") - col("lpu")).as("du"))
-            val dcj = g.edgesW.join(g.pv(active), col("src") === col("asrc"))
-              .select(col("dst"), col("du"))
-            val dAgg =
-              (if (GraphAdaptive.contribRepartition(spark))
-                dcj.repartition(col("dst"))
-               else dcj)
-                .groupBy("dst").agg(sum(col("du")).as("dd"))
-            val obs = cur
-              .join(g.pv(dAgg), col("node_id") === col("dst"), "left")
-              .select(col("node_id"), col("outdeg"),
-                (col("cin") + coalesce(col("dd"), lit(0L))).as("cin"),
-                col("pr").as("prev_pr"), col("unit").as("lpu_next"))
-              .select(col("node_id"), col("outdeg"), col("cin"),
-                (lit(prBase) + expr("(85 * cin) div 100")).as("pr"),
-                col("prev_pr"), col("lpu_next"))
-              .select(col("node_id"), col("outdeg"), col("pr"),
-                expr("pr div outdeg").as("unit"),
-                col("lpu_next").as("lpu"), col("cin"),
-                abs(col("pr") - col("prev_pr")).as("d"))
-              .observe(s"pr_delta_$rounds", max(col("d")).as("v"))
-            val nxt = graft.Checkpoints.truncate(obs)
-            delta = obs.queryExecution.observedMetrics
-              .get(s"pr_delta_$rounds")
-              .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
-              .getOrElse(nxt.agg(max(col("d"))).head().getLong(0))
-            graft.Checkpoints.release(curCk)
-            curCk = nxt
-            cur = nxt.select("node_id", "outdeg", "pr", "unit", "lpu", "cin")
-          }
+          val (cur, rounds) =
+            prPushLoop(spark, g, prPushSeed(g, pr0), prBase, eps, "")
           cur.select(col("node_id"), col("pr"), lit(rounds).as("rounds"))
             .orderBy(desc("pr"), asc("node_id")).limit(50)
         } else {
@@ -429,6 +462,278 @@ ORDER BY pr DESC, node_id LIMIT 50"""
         cur.select(col("node_id"), col("pr"), lit(rounds).as("rounds"))
           .orderBy(desc("pr"), asc("node_id")).limit(50)
         }
+      }
+    })
+
+  /** INCREMENTAL PAGERANK off the connector's changes feed — the
+    * sparse-update exhibit the push-on-change loop exists for (SCALE.md
+    * §30 measured only a 10% win on the dense full run because every
+    * vertex stays active there; this query is the shape where the delta
+    * form pays: a converged rank maintained under a SMALL edge delta,
+    * with work ∝ the affected subgraph, never ∝ V).
+    *
+    * Lifecycle: the bipartite pair set is split deterministically — a
+    * held-out ADD slice ((p·31+s) % 41 = 0) and, from the remainder, a
+    * DELETE slice ((p·37+s) % 43 = 0), each guarded so every endpoint
+    * keeps ≥1 surviving pair (the vertex set must not change: the
+    * per-node teleport base is Scale·15/(100·V), so a V change rebases
+    * EVERY rank — an honest full-recompute case, rejected loudly by a
+    * require below, not silently absorbed). The base slice is committed
+    * to a graft-tsv table (gen 1) and the push loop converges on that
+    * snapshot; then a MERGE-DELETE (gen 2) and an append (gen 3) mutate
+    * the table, and the engine learns the delta from
+    * [[graft.sources.GraftTsvCatalog.changes]](1, head) — the net
+    * row-level diff, read from the changed files only, never a corpus
+    * re-scan. The converged state is PATCHED, not rebuilt:
+    * outdeg += Δdeg, cin += Σ sgn·lpu(src) over the delta edges — which
+    * restores the loop invariant cin = Σ_{in-edges} lpu(src) over the
+    * FINAL edge set exactly (cin was Σ over base in-edges of lpu by the
+    * telescope; the patch adds/removes precisely the delta edges' lpu
+    * terms) — pr/unit recompute from the patched cin, lpu carries, and
+    * the loop RESUMES: only vertices whose unit shifted are active.
+    *
+    * Oracle: the full-form recurrence replayed through the SAME
+    * two-phase trajectory (converge on base → patch → converge on
+    * final), which is bit-identical to the push form round by round —
+    * resumed round k equals a full-form round k on the final graph
+    * seeded with the patched ranks, because propagation moves every
+    * active source from its lpu level to its current unit level and
+    * inactive sources already sit at theirs. A cold full recompute on
+    * the final graph is NOT the comparison target: ε-stopped integer
+    * trajectories from different seeds legitimately differ in trailing
+    * digits; warm-vs-cold closeness is asserted in GraphFallbackSpec,
+    * while THIS gate proves the maintenance arithmetic exact. Result
+    * carries both phase round counts — r2 << r1 is the sparse-update
+    * win, measured at scale by ScaleStress (phase-2 bytes ∝ delta). */
+  private val pagerankIvmSql: String = s"""
+WITH RECURSIVE
+ef AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+ac AS (
+  SELECT p, s,
+    ((p * 31 + s) % 41 = 0)
+    AND sum(CASE WHEN (p * 31 + s) % 41 = 0 THEN 0 ELSE 1 END)
+          OVER (PARTITION BY p) >= 1
+    AND sum(CASE WHEN (p * 31 + s) % 41 = 0 THEN 0 ELSE 1 END)
+          OVER (PARTITION BY s) >= 1 AS is_add
+  FROM ef),
+base0 AS (SELECT p, s FROM ac WHERE NOT is_add),
+adds AS (SELECT p, s FROM ac WHERE is_add),
+dc AS (
+  SELECT p, s,
+    ((p * 37 + s) % 43 = 0)
+    AND sum(CASE WHEN (p * 37 + s) % 43 = 0 THEN 0 ELSE 1 END)
+          OVER (PARTITION BY p) >= 1
+    AND sum(CASE WHEN (p * 37 + s) % 43 = 0 THEN 0 ELSE 1 END)
+          OVER (PARTITION BY s) >= 1 AS is_del
+  FROM base0),
+fin AS (SELECT p, s FROM dc WHERE NOT is_del UNION ALL SELECT p, s FROM adds),
+eb AS (SELECT p AS src, s + $Off AS dst FROM base0
+       UNION ALL SELECT s + $Off AS src, p AS dst FROM base0),
+degb AS (SELECT src, count(*) AS outdeg FROM eb GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node_id FROM eb),
+nn AS (SELECT count(*) AS cnt FROM nodes),
+eps AS (SELECT $Scale // ($PrEpsDiv * cnt) AS e FROM nn WHERE cnt > 0),
+it1(node_id, pr, prev, delta, rounds) AS (
+  SELECT node_id, $Scale // nn.cnt, CAST(0 AS BIGINT),
+    CAST($Scale AS BIGINT), CAST(0 AS BIGINT)
+  FROM nodes CROSS JOIN nn
+  UNION ALL
+  SELECT nx.node_id, nx.pr, nx.prevpr,
+    CAST(max(abs(nx.pr - nx.prevpr)) OVER () AS BIGINT), nx.rounds + 1
+  FROM (
+    SELECT n2.node_id,
+      ($Scale * 15) // (100 * nn.cnt) + (85 * coalesce(c.cin, 0)) // 100 AS pr,
+      p2.pr AS prevpr, p2.rounds AS rounds
+    FROM nodes n2 CROSS JOIN nn CROSS JOIN eps
+    JOIN it1 p2 ON p2.node_id = n2.node_id
+    LEFT JOIN (
+      SELECT e.dst, CAST(sum(p.pr // d.outdeg) AS BIGINT) AS cin
+      FROM eb e JOIN degb d ON d.src = e.src JOIN it1 p ON p.node_id = e.src
+      GROUP BY e.dst) c ON c.dst = n2.node_id
+    WHERE p2.delta >= eps.e AND p2.rounds < $PrMaxRounds
+  ) nx),
+s1 AS (SELECT node_id, pr, prev FROM it1
+       WHERE rounds = (SELECT max(rounds) FROM it1)),
+efin AS (SELECT p AS src, s + $Off AS dst FROM fin
+         UNION ALL SELECT s + $Off AS src, p AS dst FROM fin),
+degf AS (SELECT src, count(*) AS outdeg FROM efin GROUP BY src),
+patch AS (
+  SELECT n.node_id,
+    ($Scale * 15) // (100 * nn.cnt) + (85 * coalesce(c.cin, 0)) // 100 AS pr
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst, CAST(sum(s1.prev // db.outdeg) AS BIGINT) AS cin
+    FROM efin e JOIN degb db ON db.src = e.src
+    JOIN s1 ON s1.node_id = e.src GROUP BY e.dst) c ON c.dst = n.node_id),
+it2(node_id, pr, delta, rounds) AS (
+  SELECT node_id, pr, CAST($Scale AS BIGINT), CAST(0 AS BIGINT) FROM patch
+  UNION ALL
+  SELECT nx.node_id, nx.pr,
+    CAST(max(abs(nx.pr - nx.prevpr)) OVER () AS BIGINT), nx.rounds + 1
+  FROM (
+    SELECT n2.node_id,
+      ($Scale * 15) // (100 * nn.cnt) + (85 * coalesce(c.cin, 0)) // 100 AS pr,
+      p2.pr AS prevpr, p2.rounds AS rounds
+    FROM nodes n2 CROSS JOIN nn CROSS JOIN eps
+    JOIN it2 p2 ON p2.node_id = n2.node_id
+    LEFT JOIN (
+      SELECT e.dst, CAST(sum(p.pr // d.outdeg) AS BIGINT) AS cin
+      FROM efin e JOIN degf d ON d.src = e.src JOIN it2 p ON p.node_id = e.src
+      GROUP BY e.dst) c ON c.dst = n2.node_id
+    WHERE p2.delta >= eps.e AND p2.rounds < $PrMaxRounds
+  ) nx)
+SELECT node_id, CAST(pr AS BIGINT) AS pr,
+  CAST((SELECT max(rounds) FROM it1) AS BIGINT) AS r1,
+  CAST((SELECT max(rounds) FROM it2) AS BIGINT) AS r2
+FROM it2 WHERE rounds = (SELECT max(rounds) FROM it2)
+ORDER BY pr DESC, node_id LIMIT 50"""
+
+  private val qPagerankIvm = QueryDef(
+    "q_pagerank_ivm",
+    Some(pagerankIvmSql),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // held-out slice: candidates by the deterministic hash, kept only
+      // where BOTH endpoints retain >= 1 non-candidate pair (vertex-set
+      // preservation — see the class doc)
+      def heldOut(pairs: DataFrame, mul: Long, mod: Long): DataFrame =
+        pairs
+          .withColumn("cand", (col("p") * mul + col("s")) % mod === 0)
+          .withColumn("ncp", sum(when(col("cand"), 0L).otherwise(1L))
+            .over(Window.partitionBy("p")))
+          .withColumn("ncs", sum(when(col("cand"), 0L).otherwise(1L))
+            .over(Window.partitionBy("s")))
+          .withColumn("held",
+            col("cand") && col("ncp") >= 1 && col("ncs") >= 1)
+      val ef = tbl(spark, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+        .distinct()
+      val ac = heldOut(ef, 31L, 41L)
+      val base0 = ac.filter(!col("held")).select("p", "s")
+      val adds = ac.filter(col("held")).select("p", "s")
+      val dels = heldOut(base0, 37L, 43L).filter(col("held")).select("p", "s")
+
+      // per-run nonce + stale-sibling sweep: the q_stream_ivm lesson —
+      // this is a multi-step stateful builder and bench can overlap verify
+      val h = Integer.toHexString(dir.hashCode)
+      val nonce = java.lang.Long.toHexString(
+        System.nanoTime() ^ (Thread.currentThread().getId << 48))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_parity_catalog").toString
+      spark.conf.set("spark.sql.catalog.gparity",
+        classOf[graft.sources.GraftTsvCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gparity.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+      locally {
+        val cutoff = System.currentTimeMillis() - 30 * 60 * 1000L
+        Option(new java.io.File(root, "db").listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith(s"privm_${h}_") &&
+            !f.getName.contains(nonce) && f.lastModified < cutoff)
+          .foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          }
+      }
+      val tn = s"privm_${h}_$nonce"
+      val t = s"gparity.db.$tn"
+      spark.sql(s"""CREATE TABLE $t (p BIGINT, s BIGINT) USING `graft-tsv`
+        TBLPROPERTIES ('retain.generations' = '4')""")
+      base0.writeTo(t).append()                                    // gen 1
+
+      // phase 1: converge on the gen-1 snapshot (prGraphFromPairs
+      // checkpoints eagerly — the frames are materialized blocks, safe
+      // across the mutations below)
+      val g1 = prGraphFromPairs(spark, spark.table(t))
+      val vCnt = g1.nodes.agg(count(lit(1)).as("cnt")).head().getLong(0)
+      if (vCnt == 0L) {
+        graft.Checkpoints.release(g1.edgesW)
+        graft.Checkpoints.release(g1.nodes)
+        spark.range(0).select(col("id").as("node_id"), col("id").as("pr"),
+          col("id").as("r1"), col("id").as("r2"))
+      } else {
+        val eps = Scale / (PrEpsDiv * vCnt)
+        val prBase = (Scale * 15L) / (100L * vCnt)
+        val pr0 = Scale / vCnt
+        val (s1, r1) =
+          prPushLoop(spark, g1, prPushSeed(g1, pr0), prBase, eps, "b")
+
+        // mutate: MERGE-delete (gen 2), append the held-out adds (gen 3)
+        val dv = s"privm_dels_$nonce"
+        dels.createOrReplaceTempView(dv)
+        spark.sql(s"""MERGE INTO $t tgt USING $dv d
+          ON tgt.p = d.p AND tgt.s = d.s
+          WHEN MATCHED THEN DELETE""")
+        spark.catalog.dropTempView(dv)
+        adds.writeTo(t).append()
+
+        // the delta, learned from the CHANGES FEED (net row diff of
+        // [1, head] — reads the changed files only); a no-op mutation
+        // pair (possible at a degenerate SF) nets to an empty delta
+        val tdir = new org.apache.hadoop.fs.Path(s"$root/db/$tn")
+        val tfs = tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val headGen = tfs.listStatus(tdir).map(_.getPath.getName)
+          .flatMap(graft.sources.GraftTsvManifest.genNumber).max
+        val dpairs =
+          if (headGen <= 1L)
+            spark.range(0).select(col("id").as("p"), col("id").as("s"),
+              col("id").as("sgn"))
+          else {
+            val cat = spark.sessionState.catalogManager.catalog("gparity")
+              .asInstanceOf[graft.sources.GraftTsvCatalog]
+            cat.changes(spark,
+                org.apache.spark.sql.connector.catalog.Identifier.of(
+                  Array("db"), tn), "1", headGen.toString)
+              .select(col("p"), col("s"),
+                when(col(graft.sources.GraftTsvMeta.ChangeCol) === "insert",
+                  lit(1L)).otherwise(lit(-1L)).as("sgn0"))
+              .groupBy("p", "s").agg(sum(col("sgn0")).as("sgn"))
+              .filter(col("sgn") =!= 0L)
+          }
+        // O(delta) frames throughout — materialized once, broadcast into
+        // every patch join; the O(V) state never re-shuffles for the patch
+        val dedges = dpairs
+          .select(col("p").as("dsrc"), (col("s") + Off).as("ddst"),
+            col("sgn"))
+          .unionByName(dpairs.select((col("s") + Off).as("dsrc"),
+            col("p").as("ddst"), col("sgn")))
+          .truncateLineage
+        val dOut = dedges.groupBy("dsrc").agg(sum("sgn").as("ddeg"))
+        val dCin = broadcast(dedges)
+          .join(s1.select(col("node_id").as("lsrc"), col("lpu").as("slpu")),
+            col("dsrc") === col("lsrc"))
+          .select(col("ddst"), (col("sgn") * col("slpu")).as("dc"))
+          .groupBy("ddst").agg(sum("dc").as("dcin"))
+        // patch the converged state: restores the telescoped-cin
+        // invariant over the FINAL edge set (class doc); lpu carries, so
+        // the resumed loop reactivates exactly the shifted vertices
+        val patched = s1
+          .join(broadcast(dOut), col("node_id") === col("dsrc"), "left")
+          .join(broadcast(dCin), col("node_id") === col("ddst"), "left")
+          .select(col("node_id"),
+            (col("outdeg") + coalesce(col("ddeg"), lit(0L))).as("outdeg"),
+            (col("cin") + coalesce(col("dcin"), lit(0L))).as("cin"),
+            col("lpu"))
+          .select(col("node_id"), col("outdeg"), col("lpu"), col("cin"),
+            (lit(prBase) + expr("(85 * cin) div 100")).as("pr"))
+          .select(col("node_id"), col("outdeg"), col("pr"),
+            expr("pr div outdeg").as("unit"), col("lpu"), col("cin"))
+
+        // phase 2: resume on the FINAL graph (the table read is now the
+        // mutated pair set)
+        val g2 = prGraphFromPairs(spark, spark.table(t))
+        val v2 = g2.nodes.agg(count(lit(1))).head().getLong(0)
+        require(v2 == vCnt,
+          s"q_pagerank_ivm: the edge delta changed the vertex set " +
+            s"($vCnt -> $v2) — the held-out guards are broken; a V change " +
+            "rebases the teleport mass and needs a full recompute")
+        graft.Checkpoints.release(g1.edgesW)
+        graft.Checkpoints.release(g1.nodes)
+        val (s2, r2) = prPushLoop(spark, g2, patched, prBase, eps, "i")
+        s2.select(col("node_id"), col("pr"))
+          .orderBy(desc("pr"), asc("node_id")).limit(50)
+          .withColumn("r1", lit(r1)).withColumn("r2", lit(r2))
       }
     })
 
@@ -970,6 +1275,6 @@ ORDER BY f.node_id"""
     })
 
   val defs: Seq[QueryDef] =
-    Seq(qPagerank, qPagerankConverged, qTriangles, qBfsHops, qBfsFull,
-      qLabelProp, qLabelPropConverged)
+    Seq(qPagerank, qPagerankConverged, qPagerankIvm, qTriangles, qBfsHops,
+      qBfsFull, qLabelProp, qLabelPropConverged)
 }
