@@ -243,6 +243,55 @@ object MultimodalOps {
     }
   }
 
+  /** Blockwise average-hash (aHash) of a media payload: 64 bits, one per
+    * cell of the 8×8 nearest-neighbor resample, set iff the cell byte
+    * exceeds the integer mean of the 64 cells — packed as four 16-bit
+    * band values so the banding stage (and both engines' Hamming
+    * arithmetic) never touches a sign bit. */
+  final case class PerceptualHash(
+      media_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Perceptual fingerprint of each payload — the image-near-dup
+    * primitive (aHash is public knowledge: mean-threshold the downsampled
+    * grid). Same decode + clamp + resample arithmetic as [[resizeStats]]
+    * at a fixed 8×8, so the q_blob_decode oracle discipline carries over
+    * verbatim; one typed partition-wise pass, blobs never shuffle, only
+    * the 20-byte fingerprint row leaves the scan partition. */
+  def perceptualHash(
+      ds: Dataset[MediaRecord],
+      decoder: Decoder = StubDecoder): Dataset[PerceptualHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val (w, h) = clampedDims(decoder, r.media)
+        val g = new Array[Int](64)
+        var sum = 0
+        var y = 0
+        while (y < 8) {
+          val sy = (y.toLong * h / 8).toInt
+          var x = 0
+          while (x < 8) {
+            val sx = (x.toLong * w / 8).toInt
+            val b =
+              if (r.media.isEmpty) 0
+              else r.media((sy * w + sx) min (r.media.length - 1)) & 0xff
+            g(y * 8 + x) = b; sum += b
+            x += 1
+          }
+          y += 1
+        }
+        val mean = sum / 64
+        val bands = new Array[Int](4)
+        var i = 0
+        while (i < 64) {
+          if (g(i) > mean) bands(i / 16) |= 1 << (i % 16)
+          i += 1
+        }
+        PerceptualHash(r.media_id, bands(0), bands(1), bands(2), bands(3))
+      }
+    }
+  }
+
   /** Adapt the documents table into media records (UTF-8 payloads) so the
     * pipeline runs against driver-provided testdata end-to-end. */
   def documentsAsMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {

@@ -473,10 +473,13 @@ object Catalog {
     * exactly one side. q_multimodal_features gates the histogram pass;
     * this gates the geometry-dependent path (the one a real codec would
     * feed). */
-  private val qBlobDecode = QueryDef(
-    "q_blob_decode",
-    Some("""
-      |WITH h AS (
+  /** The decode+resample CTE chain of [[qBlobDecode]]'s oracle — the
+    * structural header parse (StubDecoder dims, clamped exactly as
+    * MultimodalOps.clampedDims does) and the 8×8 nearest-neighbor
+    * resample from the true UTF-8 octets, ending in
+    * `px(doc_id, y, x, byte)`. Shared with [[qBlobNeardup]]'s oracle so
+    * the two gates can never drift on the resample arithmetic. */
+  private val blobPxSql: String = """h AS (
       |  SELECT doc_id, hex(encode(text)) AS hx,
       |    CAST(octet_length(encode(text)) AS BIGINT) AS n
       |  FROM documents),
@@ -504,7 +507,15 @@ object Catalog {
       |          + 1, 2)) AS INTEGER)
       |    END AS byte
       |  FROM c, (SELECT a.y, b.x
-      |           FROM unnest(range(0, 8)) a(y), unnest(range(0, 8)) b(x)) g),
+      |           FROM unnest(range(0, 8)) a(y), unnest(range(0, 8)) b(x)) g)"""
+    .stripMargin.trim
+
+  // NOTE: blobPxSql is concatenated OUTSIDE the stripMargin call — its
+  // body contains leading-bitwise-OR lines ("| (CAST ...") that a second
+  // stripMargin pass would destroy
+  private val qBlobDecode = QueryDef(
+    "q_blob_decode",
+    Some(s"WITH $blobPxSql,\n" + """
       |cnt AS (SELECT doc_id, byte, count(*) AS cnt FROM px GROUP BY 1, 2),
       |stats AS (
       |  SELECT doc_id, CAST(sum(byte * cnt) AS BIGINT) AS sum_bytes,
@@ -528,10 +539,94 @@ object Catalog {
         .toDF()
         .orderBy("media_id"))
 
+  /** PERCEPTUAL NEAR-DUP over the binary media column — the multimodal
+    * sibling of q_simhash_pairs (dedup covered text three ways; a real
+    * multimodal pipeline dedups its images too, VERDICT r15 item 8).
+    * Fingerprint: blockwise aHash of the decoded payload
+    * ([[graft.operators.MultimodalOps.perceptualHash]] — 8×8
+    * nearest-neighbor resample through the same clamped StubDecoder
+    * geometry q_blob_decode gates, one bit per cell vs the integer mean,
+    * packed as 4×16-bit bands). Pairing: the banded-Hamming kernel
+    * reused verbatim from q_simhash_pairs — docs sharing any band value
+    * meet in that band's bucket (pigeonhole: any pair within Hamming 3
+    * of 64 shares a band, exact recall in that radius), per-bucket HOF
+    * pair expansion (bounded buckets, never an all-pairs self-join),
+    * exact Hamming rank via bit_count(xor) per band, nearest 20 kept.
+    * The oracle recomputes the resample from the true UTF-8 octets (the
+    * shared [[blobPxSql]] chain), then mirrors mean/bits/banding — so a
+    * pass proves decode, fingerprint, and pairing arithmetic end-to-end.
+    * At 100 TB: blobs never shuffle (the fingerprint row is 20 bytes);
+    * the only exchanges are the band-bucket shuffle and the final
+    * top-20, both O(corpus), never O(corpus²). */
+  private val qBlobNeardup = QueryDef(
+    "q_blob_neardup",
+    // blobPxSql outside the stripMargin pass — see the qBlobDecode note
+    Some(s"WITH $blobPxSql,\n" + """
+      |m AS (SELECT doc_id, sum(byte) // 64 AS mean FROM px GROUP BY doc_id),
+      |bt AS (
+      |  SELECT p.doc_id, p.y * 8 + p.x AS i,
+      |    CASE WHEN p.byte > m.mean THEN 1 ELSE 0 END AS bit
+      |  FROM px p JOIN m ON m.doc_id = p.doc_id),
+      |bd AS (
+      |  SELECT doc_id, i // 16 AS band,
+      |    CAST(sum(bit << (i % 16)) AS INTEGER) AS bits
+      |  FROM bt GROUP BY doc_id, i // 16),
+      |hsh AS (
+      |  SELECT doc_id,
+      |    min(CASE WHEN band = 0 THEN bits END) AS b0,
+      |    min(CASE WHEN band = 1 THEN bits END) AS b1,
+      |    min(CASE WHEN band = 2 THEN bits END) AS b2,
+      |    min(CASE WHEN band = 3 THEN bits END) AS b3
+      |  FROM bd GROUP BY doc_id),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bd x JOIN bd y
+      |    ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id)
+      |SELECT a AS media_a, b AS media_b,
+      |  CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+      |     + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+      |    AS BIGINT) AS hamming
+      |FROM cand JOIN hsh ha ON ha.doc_id = a JOIN hsh hb ON hb.doc_id = b
+      |ORDER BY hamming, media_a, media_b LIMIT 20
+      |""".stripMargin.trim),
+    (spark, dir) => {
+      val ph = graft.operators.MultimodalOps.perceptualHash(
+        graft.operators.MultimodalOps.documentsAsMedia(spark, dir)).toDF()
+      val banded = ph.select(col("media_id"),
+          col("b0"), col("b1"), col("b2"), col("b3"),
+          explode(array((0 until 4).map { i =>
+            struct(lit(i).as("band"), col(s"b$i").as("bits"))
+          }: _*)).as("bb"))
+        .select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+          col("bb.band").as("band"), col("bb.bits").as("bits"))
+      banded
+        .groupBy("band", "bits")
+        .agg(sort_array(collect_list(struct(col("media_id"),
+          col("b0"), col("b1"), col("b2"), col("b3")))).as("docs"))
+        .filter(size(col("docs")) > 1)
+        .select(explode(expr(
+          """flatten(transform(docs, (x, i) ->
+            |  transform(slice(docs, i + 2, size(docs)), y ->
+            |    struct(x.media_id AS a, y.media_id AS b,
+            |           x.b0 AS a0, x.b1 AS a1, x.b2 AS a2, x.b3 AS a3,
+            |           y.b0 AS c0, y.b1 AS c1, y.b2 AS c2, y.b3 AS c3))))"""
+            .stripMargin)).as("p"))
+        .select(col("p.*"))
+        .distinct()
+        .select(col("a").as("media_a"), col("b").as("media_b"),
+          (bit_count(col("a0").bitwiseXOR(col("c0"))) +
+            bit_count(col("a1").bitwiseXOR(col("c1"))) +
+            bit_count(col("a2").bitwiseXOR(col("c2"))) +
+            bit_count(col("a3").bitwiseXOR(col("c3")))).cast("long")
+            .as("hamming"))
+        .orderBy("hamming", "media_a", "media_b")
+        .limit(20)
+    })
+
   // =========================================================================
 
   val defs: Seq[QueryDef] = Seq(
-    qMultimodal, qBlobStats, qFrameSample, qBlobDecode) ++ Seq(
+    qMultimodal, qBlobStats, qFrameSample, qBlobDecode, qBlobNeardup) ++ Seq(
     qWordcount, qTopkMax, qTopkMin, qStopword,
     qPricing, qFilterProject, qSortLimit, qJoinAgg,
     qSemiJoin, qAntiJoin, qBroadcastJoin, qWindowRank,

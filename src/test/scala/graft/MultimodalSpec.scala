@@ -138,4 +138,36 @@ class MultimodalSpec extends SparkSuite {
     val r1 = out.find(_.media_id == 1L).get
     assert(r1.media.forall(b => (b & 0xff) < 64))
   }
+
+  test("perceptualHash: aHash bits follow the resampled grid's mean") {
+    import TestSpark.spark.implicits._
+    // identical payloads → identical fingerprints; a payload with a
+    // different byte pattern → different fingerprint; an empty payload
+    // hashes to the all-zero bands (all bytes 0, mean 0, no byte > mean)
+    val a = "the quick brown fox jumps over the lazy dog " * 4
+    val recs = Seq(
+      MultimodalOps.MediaRecord(1L, "img", a.getBytes("UTF-8")),
+      MultimodalOps.MediaRecord(2L, "img", a.getBytes("UTF-8")),
+      MultimodalOps.MediaRecord(3L, "img",
+        ("ZZZZ aaaa " * 18).getBytes("UTF-8")),
+      MultimodalOps.MediaRecord(4L, "img", Array.emptyByteArray)).toDS()
+    val hs = MultimodalOps.perceptualHash(recs).collect()
+      .map(p => p.media_id -> p).toMap
+    assert(hs(1L) == hs(2L).copy(media_id = 1L),
+      "identical payloads must fingerprint identically")
+    assert((hs(1L).b0, hs(1L).b1, hs(1L).b2, hs(1L).b3) !=
+      (hs(3L).b0, hs(3L).b1, hs(3L).b2, hs(3L).b3),
+      "different payloads should fingerprint differently")
+    assert(hs(4L).b0 == 0 && hs(4L).b1 == 0 && hs(4L).b2 == 0 &&
+      hs(4L).b3 == 0, "empty payload is the all-zero fingerprint")
+    // band values are 16-bit non-negative (the sign-bit-free packing the
+    // Hamming arithmetic relies on)
+    hs.values.foreach { p =>
+      Seq(p.b0, p.b1, p.b2, p.b3).foreach(b =>
+        assert(b >= 0 && b <= 0xffff, s"band out of range: $p"))
+    }
+    val again = MultimodalOps.perceptualHash(recs).collect()
+      .map(p => p.media_id -> p).toMap
+    assert(hs == again, "fingerprints must be deterministic")
+  }
 }
