@@ -124,30 +124,39 @@ object Similarity {
       s"(CASE WHEN ${sqlPlaneScore(j * MaxBandBits + b)} > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("\n      + ")
 
-  /** Shared oracle CTE chain ending in bk(vec_id, band, bucket). */
-  private val sqlBk: String = {
+  /** The LSH chain AFTER qvt (scores/params/bk) — qvt-generic so the
+    * clustered-corpus recall query can feed its own derived qvt. params
+    * counts qvt itself (same count as the base table when qvt is the
+    * plain quantization, the clustered total otherwise — the band width
+    * k must adapt to the corpus actually being bucketed). */
+  private val sqlBkAfterQvt: String = {
     val bitsCols = (0 until AnnBands)
       .map(j => s"${sqlBandBits(j)} AS bits$j").mkString(",\n    ")
     val branches = (0 until AnnBands).map { j =>
       s"SELECT vec_id, CAST($j AS BIGINT) AS band, CAST(bits$j % (1 << k) AS BIGINT) AS bucket FROM scores, params"
     }.mkString("\n  UNION ALL ")
-    s"""qvt AS (SELECT vec_id,
-  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-  FROM embeddings),
-scores AS (SELECT vec_id, qv,
+    s"""scores AS (SELECT vec_id, qv,
     $bitsCols
   FROM qvt),
 params AS (SELECT greatest($MinBandBits, least($MaxBandBits,
-    length(bin(CAST(count(*) AS BIGINT) // $TargetOccupancy)))) AS k FROM embeddings),
+    length(bin(CAST(count(*) AS BIGINT) // $TargetOccupancy)))) AS k FROM qvt),
 bk AS (
   $branches)"""
   }
 
+  /** Shared oracle CTE chain ending in bk(vec_id, band, bucket). */
+  private val sqlBk: String =
+    s"""qvt AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings),
+$sqlBkAfterQvt"""
+
   /** Corpus-adaptive band-bit width k, derived in-plan (1-row frame):
     * bit-length of n/TargetOccupancy via bin() string length — exact
-    * integer arithmetic in both engines, no log2 ULP risk. */
-  private def annParams(spark: SparkSession, dir: String): DataFrame =
-    tbl(spark, dir, "embeddings").agg(count(lit(1)).as("n"))
+    * integer arithmetic in both engines, no log2 ULP risk. Counts the
+    * qvt frame actually being bucketed (oracle: params FROM qvt). */
+  private def annParamsOver(qvt: DataFrame): DataFrame =
+    qvt.agg(count(lit(1)).as("n"))
       .select(greatest(lit(MinBandBits), least(lit(MaxBandBits),
         length(bin(expr(s"n div $TargetOccupancy"))))).as("k"))
 
@@ -157,20 +166,24 @@ bk AS (
     * params. The low-k masking computes all [[MaxBandBits]] sign bits and
     * keeps k — the price of a static column list; at production corpus
     * sizes k = MaxBandBits and nothing is wasted. */
-  private def annBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val emb = tblWide(spark, dir, "embeddings")
-      .select(col("vec_id"), expr(quantizeExpr).as("qv"))
+  private def annBuckets(spark: SparkSession, dir: String): DataFrame =
+    annBucketsOver(tblWide(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(quantizeExpr).as("qv")))
+
+  /** [[annBuckets]] over any (vec_id, qv) frame — the clustered-corpus
+    * recall query derives its corpus instead of reading the table. */
+  private def annBucketsOver(qvt: DataFrame): DataFrame = {
     val spCols = (0 until NumPlanes).map { p =>
       call_function("long_dot", col("qv"), typedlit(weightRow(p))).as(s"sp$p")
     }
-    val scores = emb.select(col("vec_id") +: spCols: _*)
+    val scores = qvt.select(col("vec_id") +: spCols: _*)
     val bitCols = (0 until AnnBands).map { j =>
       (0 until MaxBandBits).map { b =>
         when(col(s"sp${j * MaxBandBits + b}") > 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _).as(s"bits$j")
     }
     scores.select(col("vec_id") +: bitCols: _*)
-      .crossJoin(broadcast(annParams(spark, dir)))
+      .crossJoin(broadcast(annParamsOver(qvt)))
       .select(col("vec_id"), explode(array((0 until AnnBands).map { j =>
         struct(lit(j.toLong).as("band"),
           expr(s"CAST(bits$j % shiftleft(1, k) AS BIGINT)").as("bucket"))
@@ -414,7 +427,7 @@ qvt AS (SELECT vec_id,
     * kept qvt-free so it composes with the LSH chain in q_ann_recall. */
   private val sqlIvfAfterQvt: String = s"""
 ivf_params AS (SELECT greatest($IvfMinC, least($IvfMaxC,
-    CAST(count(*) AS BIGINT) // $IvfTargetCell)) AS c FROM embeddings),
+    CAST(count(*) AS BIGINT) // $IvfTargetCell)) AS c FROM qvt),
 seedpool AS (
   SELECT vec_id, qv, $sqlHash60VecId AS hp FROM qvt
   QUALIFY row_number() OVER (ORDER BY $sqlHash60VecId, vec_id) <= $IvfSeedPool),
@@ -440,17 +453,20 @@ assign AS (
   /** Shared oracle CTE chain: qvt + the IVF pipeline. */
   private val sqlIvf: String = s"$sqlQvt,$sqlIvfAfterQvt"
 
-  /** In-plan adaptive centroid count (1-row frame, broadcast). */
-  private def ivfParams(spark: SparkSession, dir: String): DataFrame =
-    tbl(spark, dir, "embeddings").agg(count(lit(1)).as("n"))
+  /** In-plan adaptive centroid count (1-row frame, broadcast) — counts
+    * the qvt frame actually being indexed (oracle: ivf_params FROM qvt). */
+  private def ivfParamsOver(qvt: DataFrame): DataFrame =
+    qvt.agg(count(lit(1)).as("n"))
       .select(greatest(lit(IvfMinC.toLong), least(lit(IvfMaxC.toLong),
         expr(s"n div $IvfTargetCell"))).as("c"))
 
   /** The C centroids (cid, cv) — deterministic hash-min seed selection
     * over the corpus (see the IVF header note), corpus-adaptive C. */
-  private def ivfCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val qvt = tblWide(spark, dir, "embeddings")
-      .select(col("vec_id"), expr(quantizeExpr).as("qv"))
+  private def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
+    ivfCentroidsOver(tblWide(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(quantizeExpr).as("qv")))
+
+  private def ivfCentroidsOver(qvt: DataFrame): DataFrame = {
     val seedpool = qvt
       .withColumn("hp", PortableHash.hash60(col("vec_id").cast("string")))
       .orderBy("hp", "vec_id").limit(IvfSeedPool)
@@ -459,17 +475,19 @@ assign AS (
     val wseed = Window.orderBy("hp", "vec_id")
     seedpool
       .select(row_number().over(wseed).cast("long").as("cid"), col("qv").as("cv"))
-      .crossJoin(broadcast(ivfParams(spark, dir)))
+      .crossJoin(broadcast(ivfParamsOver(qvt)))
       .filter(col("cid") <= col("c"))
       .select("cid", "cv")
   }
 
   /** (vec_id, qv, sc) where sc = per-centroid integer-dot scores — ONE
     * broadcast of the packed centroid array + one nested-HOF projection. */
-  private def ivfScored(spark: SparkSession, dir: String): DataFrame = {
-    val qvt = tblWide(spark, dir, "embeddings")
-      .select(col("vec_id"), expr(quantizeExpr).as("qv"))
-    val centarr = ivfCentroids(spark, dir)
+  private def ivfScored(spark: SparkSession, dir: String): DataFrame =
+    ivfScoredOver(tblWide(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(quantizeExpr).as("qv")))
+
+  private def ivfScoredOver(qvt: DataFrame): DataFrame = {
+    val centarr = ivfCentroidsOver(qvt)
       .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cl"))
     qvt.crossJoin(broadcast(centarr))
       .select(col("vec_id"), col("qv"),
@@ -671,9 +689,11 @@ ORDER BY s.cid"""),
     * scans). This is the measurement that justifies an ANN index at
     * 100 TB — the recall/scan-fraction trade-off — executed as one
     * deterministic query under the oracle gate. */
-  private val qAnnRecall = QueryDef(
-    "q_ann_recall",
-    Some(s"""WITH $sqlBk,$sqlIvfAfterQvt,
+  /** The whole recall evaluation AFTER qvt — LSH chain, IVF chain, exact
+    * ground truth, candidate union, per-query recall — qvt-generic so the
+    * same gate runs on the plain corpus (q_ann_recall) and the derived
+    * clustered corpus (q_ann_recall_clustered). */
+  private val sqlRecallAfterQvt: String = s"""$sqlBkAfterQvt,$sqlIvfAfterQvt,
 exact AS (
   SELECT q.vec_id AS query_id, v.vec_id AS cand_id
   FROM qvt q JOIN qvt v ON v.vec_id <> q.vec_id
@@ -703,10 +723,9 @@ stats AS (
   GROUP BY b.method, b.query_id)
 SELECT method, query_id, n_cands, hits,
   CAST(hits AS DOUBLE) / $TopK AS recall_at_$TopK
-FROM stats ORDER BY method, query_id"""),
-    (spark, dir) => {
-      val emb = tblWide(spark, dir, "embeddings")
-        .select(col("vec_id"), expr(quantizeExpr).as("qv"))
+FROM stats ORDER BY method, query_id"""
+
+  private def annRecallOver(emb: DataFrame): DataFrame = {
       val q8 = emb.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("qv").as("qvec"))
       val wexact = Window.partitionBy("query_id").orderBy(desc("dot"), asc("cand_id"))
@@ -722,7 +741,7 @@ FROM stats ORDER BY method, query_id"""),
       // one side scores 8 vectors, not the corpus. (A grouped collect_list
       // formulation was measured SLOWER here: it forces a full shuffle of
       // every (band, bucket) row to build cells the join never needs.)
-      val bk = annBuckets(spark, dir)
+      val bk = annBucketsOver(emb)
       val bq = bk.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"),
           col("band").as("qband"), col("bucket").as("qbucket"))
@@ -731,7 +750,7 @@ FROM stats ORDER BY method, query_id"""),
           col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("cand_id"))
         .distinct()
-      val assign = ivfAssign(ivfScored(spark, dir))
+      val assign = ivfAssign(ivfScoredOver(emb))
       val wprobe = Window.partitionBy("query_id").orderBy(desc("pdot"), asc("pcid"))
       val probes = assign.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), explode(col("sc")).as("s"))
@@ -754,6 +773,70 @@ FROM stats ORDER BY method, query_id"""),
         .select(col("method"), col("query_id"), col("n_cands"), col("hits"),
           (col("hits").cast("double") / TopK).as(s"recall_at_$TopK"))
         .orderBy("method", "query_id")
+  }
+
+  private val qAnnRecall = QueryDef(
+    "q_ann_recall",
+    Some(s"WITH $sqlQvt,$sqlRecallAfterQvt"),
+    (spark, dir) => annRecallOver(tblWide(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(quantizeExpr).as("qv"))))
+
+  // ---- clustered-corpus recall (VERDICT r15 item 3): the uniform random
+  // fixture is the EASY case for bucketed ANN (max cross-cosine ≈ 0.51 —
+  // no competing near-neighbors); real embedding corpora cluster, which
+  // is where hyperplane buckets and IVF cells degrade. The clustered
+  // corpus is DERIVED in-query (the q_embed_decontam benchmark trick):
+  // each of the first ClusterSeeds base vectors gets ClusterCopies
+  // jittered near-duplicates — a deterministic integer perturbation of
+  // the 1e6-quantized vector, ±JitterHalf per component via pure modular
+  // arithmetic (identical in both engines), i.e. ~1% of the vector norm,
+  // cosine ≈ 0.999 to the seed. Queries (vec_id < NumQueries) are
+  // themselves cluster seeds, so each query's exact top-k is dominated
+  // by its planted neighbors and recall now measures whether the index
+  // actually retrieves a dense cluster, not just separates random
+  // points. Copy ids live at ClusterIdOff + seed·10 + j — disjoint from
+  // base ids at every gated SF (assert-guarded in the builder).
+  private val ClusterSeeds = 40L
+  private val ClusterCopies = 4L
+  private val ClusterIdOff = 1000000L
+  private val JitterMod = 20001L
+  private val JitterHalf = 10000L
+
+  private val sqlQvtClustered: String = s"""
+qvt AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+  UNION ALL
+  SELECT $ClusterIdOff + s.vec_id * 10 + j.j AS vec_id,
+    list_transform(range(1, ${Dim + 1}), i ->
+      ${sqlQuantElem("s.embedding", "CAST(i AS INT)")}
+      + ((s.vec_id * 1000003 + j.j * 7919 + i * 104729) % $JitterMod) - $JitterHalf) AS qv
+  FROM embeddings s, (SELECT unnest(range(1, ${ClusterCopies + 1})) AS j) j
+  WHERE s.vec_id < $ClusterSeeds)"""
+
+  private val qAnnRecallClustered = QueryDef(
+    "q_ann_recall_clustered",
+    Some(s"WITH $sqlQvtClustered,$sqlRecallAfterQvt"),
+    (spark, dir) => {
+      val embT = tblWide(spark, dir, "embeddings")
+      val base = embT.select(col("vec_id"), expr(quantizeExpr).as("qv"))
+      val maxId = base.agg(max(col("vec_id"))).head().getLong(0)
+      require(maxId < ClusterIdOff,
+        s"q_ann_recall_clustered: base vec_id $maxId collides with the " +
+          s"planted-copy id space at $ClusterIdOff — raise ClusterIdOff")
+      val jitterExpr = s"""transform(embedding, (x, i0) ->
+        CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        + ((vec_id * ${1000003L} + j * ${7919L}
+            + (CAST(i0 AS BIGINT) + 1L) * ${104729L}) % $JitterMod)
+        - $JitterHalf)"""
+      val copies = embT.filter(col("vec_id") < ClusterSeeds)
+        .select(col("vec_id"), col("embedding"),
+          explode(expr(s"sequence(1L, ${ClusterCopies}L)")).as("j"))
+        .select((lit(ClusterIdOff) + col("vec_id") * 10 + col("j")).as("nid"),
+          expr(jitterExpr).as("qv"))
+        .select(col("nid").as("vec_id"), col("qv"))
+      annRecallOver(base.unionByName(copies))
     })
 
   /** The IVF recall/cost CURVE: recall@[[TopK]] and candidates-scanned at
@@ -1448,7 +1531,8 @@ ORDER BY query_id, rnk"""),
   val defs: Seq[QueryDef] = Seq(
     qCosineTopk, qHardNegatives, qAnnBuckets, qAnnBucketStats, qArrayFuncs,
     qNeardupBucketed,
-    qIvfAssign, qIvfTopk, qIvfBuild, qIvfProbe, qAnnRecall, qIvfRecall,
+    qIvfAssign, qIvfTopk, qIvfBuild, qIvfProbe, qAnnRecall,
+    qAnnRecallClustered, qIvfRecall,
     qKmeansAssign, qKmeansProfile,
     qSemdedup, qPqTopk, qEmbedDecontam)
 }
