@@ -78,8 +78,17 @@ object BpeScale {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val counts = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
+    // "open" anywhere in args → OPEN-VOCABULARY mode (SCALE.md §27
+    // follow-up, VERDICT r15 item 2): the vocabulary is the corpus's
+    // words PLUS its adjacent word bigrams and trigrams (joined, with
+    // their true stream counts) — productive compounding with ORGANIC
+    // Zipf-ish frequencies, so every merge up to 1024+ is learned from
+    // corpus-weighted counts instead of the manufactured weight-1 tail
+    // the closed 31-word fixture needs past ~107 merges.
+    val openVocab = args.contains("open")
+    val rest = args.filterNot(_ == "open")
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+    val counts = if (rest.length > 1) rest.drop(1).toSeq.map(_.toInt)
       else Seq(16, 64, 256, 1024)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -93,13 +102,27 @@ object BpeScale {
     import spark.implicits._
 
     // the corpus vocabulary, once (the same tokenization as q_bpe_*:
-    // whitespace split, empties dropped)
-    val vocabDf = graft.sources.Tables.load(spark, sfDir, "documents")
-      .select(explode(split(col("text"), "\\s+")).as("w"))
+    // whitespace split, empties dropped); open mode adds the adjacent
+    // bigram/trigram compounds of the real token stream
+    val wsDf = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(split(col("text"), "\\s+").as("ws"))
+    val uniDf = wsDf.select(explode(col("ws")).as("w"))
+    val vocabDf = (if (!openVocab) uniDf
+      else uniDf
+        .unionAll(wsDf.select(explode(expr(
+          """transform(slice(ws, 1, size(ws) - 1),
+            |  (x, i) -> concat(x, element_at(ws, i + 2)))""".stripMargin))
+          .as("w")))
+        .unionAll(wsDf.select(explode(expr(
+          """transform(slice(ws, 1, size(ws) - 2),
+            |  (x, i) -> concat(x, element_at(ws, i + 2),
+            |                   element_at(ws, i + 3)))""".stripMargin))
+          .as("w"))))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n_w"))
     val vocab = vocabDf.as[(String, Long)].collect().toSeq.sortBy(_._1)
-    System.err.println(s"[bpescale] vocabulary ${vocab.size} words")
+    System.err.println(s"[bpescale] vocabulary ${vocab.size} words" +
+      (if (openVocab) " (open: words + stream bigrams/trigrams)" else ""))
     // The synthetic corpus has a tiny closed vocabulary (31 words at any
     // SF — the generator samples a fixed word list), so training DRIES
     // after ~100 merges: every surviving pair has been merged. Real
@@ -110,16 +133,21 @@ object BpeScale {
     // (weight 1, so the corpus-faithful merges are learned first and the
     // deep tail exists). The ENCODERS still run against the same inputs
     // with the same table — the enrichment only manufactures rule depth.
-    val enriched: Seq[(String, Long)] = vocab ++ {
-      val ws = vocab.map(_._1).sorted
-      for {
-        (a, i) <- ws.zipWithIndex
-        b <- ws.drop(i % 7)   // staggered pairs: varied, deterministic
-      } yield (a + "_" + b, 1L)
-    }
+    val enriched: Seq[(String, Long)] =
+      if (openVocab) vocab   // organic counts carry the depth by themselves
+      else vocab ++ {
+        val ws = vocab.map(_._1).sorted
+        for {
+          (a, i) <- ws.zipWithIndex
+          b <- ws.drop(i % 7)   // staggered pairs: varied, deterministic
+        } yield (a + "_" + b, 1L)
+      }
+    val tTrain = System.nanoTime()
     val allMerges = train(enriched, counts.max)
+    val trainS = (System.nanoTime() - tTrain) / 1e9
     System.err.println(s"[bpescale] trained ${allMerges.size} merges " +
-      s"(enriched vocabulary ${enriched.size})")
+      s"(vocabulary ${enriched.size}, ${if (openVocab) "open" else "enriched"})")
+    println(f"""{"mode":"${if (openVocab) "open" else "closed"}","vocab":${enriched.size},"merges_trained":${allMerges.size},"train_s":$trainS%.1f,"train_s_per_round":${trainS / math.max(allMerges.size, 1)}%.4f}""")
 
     counts.map(math.min(_, allMerges.size)).distinct.foreach { n =>
       val merges = allMerges.take(n)

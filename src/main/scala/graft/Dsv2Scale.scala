@@ -100,12 +100,36 @@ object Dsv2Scale {
           WHEN NOT MATCHED THEN INSERT *""")
       }
       gen += 1 // the merge committed a generation too
+      // maintenance verbs vs history depth (VERDICT r15 item 6): vacuum's
+      // reachability sweep walks retained manifests + checkpoint segment
+      // refs; branch seeding copies the head manifest (and every LATER
+      // main publish pays the branch keep-set read — so the branch is
+      // dropped right after timing to keep the measured regime pure).
+      // compact is measured ONCE at the END (it rewrites the small-file
+      // shape every earlier checkpoint is measuring).
+      val vacuumS = timed {
+        spark.sql(s"CALL gscale.system.vacuum(`table` => 'db.events_ingest', " +
+          "older_than_ms => 0)").collect()
+      }
+      val branchS = timed {
+        spark.sql(s"CALL gscale.system.branch(`table` => 'db.events_ingest', " +
+          s"name => 'probe$gen')").collect()
+      }
+      spark.sql(s"CALL gscale.system.drop_branch(`table` => 'db.events_ingest', " +
+        s"name => 'probe$gen')").collect()
       val names = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
         .toSeq.map(s => (s.getPath.getName, s.getLen))
       val manifests = names.filter(_._1.startsWith("_gen-"))
       val parts = names.count(n => !n._1.startsWith("_"))
-      println(f"""{"gens":$gen,"append_s":$appendS%.3f,"scan_s":$scanS%.3f,"changes10_s":$changes10S%.3f,"changesAll_s":$changesAllS%.3f,"merge_s":$mergeS%.3f,"n_manifests":${manifests.size},"manifest_mb":${manifests.map(_._2).sum / 1e6}%.2f,"n_parts":$parts}""")
+      println(f"""{"gens":$gen,"append_s":$appendS%.3f,"scan_s":$scanS%.3f,"changes10_s":$changes10S%.3f,"changesAll_s":$changesAllS%.3f,"merge_s":$mergeS%.3f,"vacuum_s":$vacuumS%.3f,"branch_s":$branchS%.3f,"n_manifests":${manifests.size},"manifest_mb":${manifests.map(_._2).sum / 1e6}%.2f,"n_parts":$parts}""")
     }
+    val compactS = timed {
+      spark.sql("CALL gscale.system.compact(`table` => 'db.events_ingest')")
+        .collect()
+    }
+    val postNames = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .toSeq.map(_.getPath.getName)
+    println(f"""{"gens":$gen,"compact_s":$compactS%.3f,"post_parts":${postNames.count(n => !n.startsWith("_"))}}""")
     spark.stop()
   }
 }

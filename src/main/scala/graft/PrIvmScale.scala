@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: PER-PHASE cost of q_pagerank_ivm at scale (VERDICT r16 —
+  * the sparse-update claim "resume bytes ∝ affected subgraph, not V"
+  * needs phase-windowed numbers; ScaleStress's per-query total is
+  * dominated by the cold phase-1 converge that the IVM query exists to
+  * avoid re-paying).
+  *
+  * Phases (marked by [[graft.queries.Graph.pagerankIvmBuild]]):
+  *   p1    — cold push-loop convergence on the base graph (the cost a
+  *           non-incremental deployment pays on EVERY graph change);
+  *   delta — table mutation, changes-feed read, state patch, final-graph
+  *           rebuild (the fixed IVM bookkeeping);
+  *   p2    — the resumed loop (the recurring cost an IVM deployment
+  *           actually pays per change);
+  *   final — the top-50 fold of the returned frame.
+  *
+  *   sbt "runMain graft.PrIvmScale [mult]"   (mult=1 → sf0.1 in place)
+  *
+  * One JSON line per phase with wall seconds + shuffle-write bytes.
+  */
+object PrIvmScale {
+
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.flatMap(_.toIntOption).getOrElse(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 16).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.sources.Tables.NanosAsLongKey, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    DevSessionConf(spark)
+
+    val base = "/root/testdata/sf0.1"
+    val dir =
+      if (mult <= 1) base
+      else {
+        val out = s"/tmp/graft_scale_x$mult"
+        ScaleStress.build(spark, base, out, mult)
+        out
+      }
+
+    val tally = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) tally.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
+    def snap(): Long = {
+      org.apache.spark.sql.graftbridge.GraftPlanBridge
+        .flushListenerBus(spark.sparkContext)
+      tally.get
+    }
+
+    var t0 = System.nanoTime()
+    var b0 = snap()
+    def emit(phase: String): Unit = {
+      val secs = (System.nanoTime() - t0) / 1e9
+      val b1 = snap()
+      println(f"""{"harness":"pr_ivm","mult":$mult,"phase":"$phase","secs":$secs%.2f,"shuffle_mb":${(b1 - b0) / 1e6}%.1f}""")
+      t0 = System.nanoTime(); b0 = b1
+    }
+
+    val df = graft.queries.Graph.pagerankIvmBuild(spark, dir, emit)
+    val rows = df.collect()
+    emit("final")
+    val (r1, r2) =
+      if (rows.isEmpty) (0L, 0L) else (rows.head.getLong(2), rows.head.getLong(3))
+    println(s"""{"harness":"pr_ivm","mult":$mult,"rows":${rows.length},"r1":$r1,"r2":$r2}""")
+    spark.stop()
+  }
+}

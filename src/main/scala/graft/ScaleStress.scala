@@ -196,12 +196,21 @@ object ScaleStress {
     // even when wall-clock hides it behind parallelism (this is what
     // would have convicted the 411M-row wedge exchange directly)
     val tally = new java.util.concurrent.atomic.AtomicLong
+    // spill tallies (memory-pressure runs, VERDICT r15 item 5): nonzero
+    // spill with completion is the HEALTHY outcome of an undersized heap;
+    // the JSON rows carry both so a -Xmx-constrained fork documents it
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val m = sc.stageInfo.taskMetrics
-          if (m != null) tally.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          if (m != null) {
+            tally.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            spillMem.addAndGet(m.memoryBytesSpilled)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+          }
           ()
         }
       })
@@ -211,12 +220,12 @@ object ScaleStress {
         .foreach(_.unpersist(blocking = true))
       System.gc()
     }
-    /** (seconds, shuffle bytes written) for one run. */
-    def time(name: String, dir: String): (Double, Long) = {
+    /** (seconds, shuffle bytes written, mem spill, disk spill) per run. */
+    def time(name: String, dir: String): (Double, Long, Long, Long) = {
       isolate()
       org.apache.spark.sql.graftbridge.GraftPlanBridge
         .flushListenerBus(spark.sparkContext)
-      tally.set(0L)
+      tally.set(0L); spillMem.set(0L); spillDisk.set(0L)
       val t0 = System.nanoTime()
       consume(spark, name, dir)
       val secs = (System.nanoTime() - t0) / 1e9
@@ -225,9 +234,9 @@ object ScaleStress {
       // 100 ms poll-stabilize loop)
       org.apache.spark.sql.graftbridge.GraftPlanBridge
         .flushListenerBus(spark.sparkContext)
-      (secs, tally.get)
+      (secs, tally.get, spillMem.get, spillDisk.get)
     }
-    def minOf2(name: String, dir: String): (Double, Long) = {
+    def minOf2(name: String, dir: String): (Double, Long, Long, Long) = {
       // report the BYTES of whichever rep produced the min TIME: AQE
       // broadcast-vs-shuffle plan transitions (documented in SCALE.md)
       // mean the two reps can plan — and therefore shuffle — differently,
@@ -238,13 +247,13 @@ object ScaleStress {
 
     val results = queries.map { q =>
       consume(spark, q, "/root/testdata/sf0.001") // codegen warmup
-      val (b, bBytes) = minOf2(q, base)
-      val (s, sBytes) = minOf2(q, out)
+      val (b, bBytes, _, _) = minOf2(q, base)
+      val (s, sBytes, sSpillM, sSpillD) = minOf2(q, out)
       val ratio = s / b
       val shufRatio =
         if (bBytes > 0) sBytes.toDouble / bBytes else Double.NaN
       val flag = if (ratio > mult * 1.5) "SUPER-LINEAR" else "ok"
-      println(f"""{"query":"$q","base_s":$b%.3f,"x${mult}_s":$s%.3f,"ratio":$ratio%.2f,"base_shuffle_mb":${bBytes / 1e6}%.1f,"x${mult}_shuffle_mb":${sBytes / 1e6}%.1f,"shuffle_ratio":$shufRatio%.2f,"flag":"$flag"}""")
+      println(f"""{"query":"$q","base_s":$b%.3f,"x${mult}_s":$s%.3f,"ratio":$ratio%.2f,"base_shuffle_mb":${bBytes / 1e6}%.1f,"x${mult}_shuffle_mb":${sBytes / 1e6}%.1f,"shuffle_ratio":$shufRatio%.2f,"x${mult}_spill_mem_mb":${sSpillM / 1e6}%.1f,"x${mult}_spill_disk_mb":${sSpillD / 1e6}%.1f,"flag":"$flag"}""")
       (q, b, s, ratio)
     }
     val worst = results.maxBy(_._4)

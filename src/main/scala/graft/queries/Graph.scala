@@ -591,7 +591,18 @@ ORDER BY pr DESC, node_id LIMIT 50"""
   private val qPagerankIvm = QueryDef(
     "q_pagerank_ivm",
     Some(pagerankIvmSql),
-    (spark, dir) => {
+    (spark, dir) => pagerankIvmBuild(spark, dir))
+
+  /** q_pagerank_ivm's builder with a phase-boundary callback: `mark` is
+    * invoked (with "p1", "delta", "p2") right after each eager phase
+    * completes, so a measurement harness (PrIvmScale) can window its
+    * shuffle-byte tally per phase — the resume-bytes-∝-delta claim needs
+    * per-phase numbers, not the query total. The default no-op keeps the
+    * oracle-gated path byte-identical. */
+  private[graft] def pagerankIvmBuild(
+      spark: SparkSession, dir: String,
+      mark: String => Unit = _ => ()): DataFrame = {
+    {
       import org.apache.spark.sql.expressions.Window
       // held-out slice: candidates by the deterministic hash, kept only
       // where BOTH endpoints retain >= 1 non-candidate pair (vertex-set
@@ -658,6 +669,7 @@ ORDER BY pr DESC, node_id LIMIT 50"""
         val pr0 = Scale / vCnt
         val (s1, r1) =
           prPushLoop(spark, g1, prPushSeed(g1, pr0), prBase, eps, "b")
+        mark("p1")
 
         // mutate: MERGE-delete (gen 2), append the held-out adds (gen 3)
         val dv = s"privm_dels_$nonce"
@@ -730,12 +742,15 @@ ORDER BY pr DESC, node_id LIMIT 50"""
             "rebases the teleport mass and needs a full recompute")
         graft.Checkpoints.release(g1.edgesW)
         graft.Checkpoints.release(g1.nodes)
+        mark("delta")
         val (s2, r2) = prPushLoop(spark, g2, patched, prBase, eps, "i")
+        mark("p2")
         s2.select(col("node_id"), col("pr"))
           .orderBy(desc("pr"), asc("node_id")).limit(50)
           .withColumn("r1", lit(r1)).withColumn("r2", lit(r2))
       }
-    })
+    }
+  }
 
   /** Triangle counting over the part co-purchase graph (parts appearing
     * in the same order are adjacent) — the third classic iterative/graph

@@ -2129,9 +2129,17 @@ object SourceParity {
         s"graft_slsh_${h}_$nonce").toString
       val (ckpt, out) = (s"$work/ckpt", s"$work/out")
       def drain(): Unit = {
-        val q = ss.readStream.format("graft-tsv").schema(schema)
+        // dev sweep knob (SCALE.md §29 follow-up): when set, the drain
+        // splits the backlog into max-N-file batches instead of one
+        // AvailableNow macro-batch — the per-batch fixed cost (state
+        // load, sink commit, offset log) is isolated by sweeping N.
+        // Unset (the gated default) drains whole generations.
+        val maxFiles = spark.conf
+          .getOption("spark.graft.stream.maxFilesPerTrigger")
+        val rs = ss.readStream.format("graft-tsv").schema(schema)
           .option("stream.by.generation", "true")
           .option("stream.changes", "true")
+        val q = maxFiles.fold(rs)(n => rs.option("max.files.per.trigger", n))
           .load(s"$root/db/docs_slsh_${h}_$nonce")
           .writeStream.format("parquet").option("path", out)
           .outputMode("append")
