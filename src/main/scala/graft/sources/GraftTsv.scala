@@ -1500,7 +1500,8 @@ final class GraftTsvScan(
       "graft-tsv: a streaming read cannot target a branch — offsets ride " +
         "the MAIN manifest chain; batch-read the branch (or merge it) instead")
     if (streamByGeneration)
-      new GraftTsvGenerationStream(this, streamAllowRewrites, streamChanges)
+      new GraftTsvGenerationStream(this, streamAllowRewrites, streamChanges,
+        maxFilesPerTrigger)
     else new GraftTsvMicroBatchStream(this, splitBytes, maxFilesPerTrigger)
   }
 
@@ -1702,7 +1703,7 @@ final class GraftTsvMicroBatchStream(scan: GraftTsvScan, splitBytes: Long,
   * committed batch reads byte-identical input (manifests are immutable
   * once published). */
 final class GraftTsvGenerationStream(scan: GraftTsvScan, allowRewrites: Boolean,
-    changes: Boolean = false)
+    changes: Boolean = false, maxFilesPerTrigger: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -1732,13 +1733,53 @@ final class GraftTsvGenerationStream(scan: GraftTsvScan, allowRewrites: Boolean,
 
   override def latestOffset(): Offset = availableNowEnd.getOrElse(current())
 
-  /** Admission control seam (required by SupportsTriggerAvailableNow's
-    * parent): generation batches are commit-sized already, so the limit
-    * is not subdivided — one trigger drains to the (possibly pinned)
-    * latest generation. */
+  /** Admission control: by DEFAULT one trigger drains to the (possibly
+    * pinned) latest generation in ONE batch — maximal coalescing, which
+    * is also the cheapest shape: in change-feed mode a coalesced range
+    * (s, e] cancels every intermediate rewrite's carried-over files at
+    * PLANNING time, while subdivided batches re-emit them signed both
+    * ways (correct under the consumer's net aggregate, but paid in
+    * bytes). `max.files.per.trigger` opts into bounded batches anyway —
+    * the latency/cost trade a continuously-ingesting consumer tunes
+    * (measured in SCALE.md §34): the offset advances generation by
+    * generation until the batch's incremental file count would exceed
+    * the budget, always admitting at least one generation so the stream
+    * can never stall. */
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    maxFilesPerTrigger
+      .map(org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles)
+      .getOrElse(
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val cap = availableNowEnd.getOrElse(current()).gen
+    val s = start.asInstanceOf[GenOffset].gen
+    limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        val gens = scan.listGenerations().filter(g => g > s && g <= cap)
+        if (gens.isEmpty) GenOffset(cap.max(s))
+        else {
+          var budget = mf.maxFiles().toLong
+          var end = s
+          var admitted = 0
+          val it = gens.iterator
+          var stop = false
+          while (it.hasNext && !stop) {
+            val g = it.next()
+            val n =
+              (if (end == 0L) scan.listFilesAt(Some(g), None)
+               else scan.listFilesAt(Some(g), Some(end))).size.toLong
+            if (admitted == 0 || n <= budget) {
+              budget -= n; end = g; admitted += 1
+            } else stop = true
+          }
+          GenOffset(end)
+        }
+      case _ => GenOffset(cap)
+    }
+  }
 
   override def planInputPartitions(start: Offset, `end`: Offset)
       : Array[InputPartition] = {

@@ -61,6 +61,44 @@ class Dsv2GenStreamSpec extends SparkSuite {
     assert(sunk(out) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
   }
 
+  test("max.files.per.trigger bounds each batch to whole generations; rows identical") {
+    spark.sql("""CREATE TABLE ggen.db.mft (id BIGINT, v STRING)
+      USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '8')""")
+    spark.sql("INSERT INTO ggen.db.mft VALUES (1, 'a'), (2, 'b')") // gen 1
+    spark.sql("INSERT INTO ggen.db.mft VALUES (3, 'c')")           // gen 2
+    spark.sql("INSERT INTO ggen.db.mft VALUES (4, 'd')")           // gen 3
+    spark.sql("INSERT INTO ggen.db.mft VALUES (5, 'e'), (6, 'f')") // gen 4
+    val root = Files.createTempDirectory("genstream_mft").toString
+    val (ckpt, out) = (s"$root/ckpt", s"$root/out")
+    val q = spark.readStream.format("graft-tsv").schema(schema)
+      .option("stream.by.generation", "true")
+      .option("max.files.per.trigger", "1")
+      .load(s"$rootDir/db/mft")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(); q.stop()
+    // content identical to the unlimited drain
+    assert(sunk(out) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // but delivered in MULTIPLE batches: the 1-file budget admits one
+    // generation at a time (always at least one — no stall), so the
+    // offset log carries >= 4 committed batches instead of 1
+    val batches = new java.io.File(s"$ckpt/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 4, s"expected one batch per generation, got $batches")
+    // a SECOND bounded drain after more commits resumes exactly-once
+    spark.sql("INSERT INTO ggen.db.mft VALUES (7, 'g')")           // gen 5
+    val q2 = spark.readStream.format("graft-tsv").schema(schema)
+      .option("stream.by.generation", "true")
+      .option("max.files.per.trigger", "1")
+      .load(s"$rootDir/db/mft")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(); q2.stop()
+    assert(sunk(out) == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
   test("a rewrite commit fails the append-only feed; the opt-out re-emits carried rows") {
     spark.sql("""CREATE TABLE ggen.db.r (id BIGINT, v STRING)
       USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '6')""")
