@@ -815,29 +815,33 @@ qvt AS (
   FROM embeddings s, (SELECT unnest(range(1, ${ClusterCopies + 1})) AS j) j
   WHERE s.vec_id < $ClusterSeeds)"""
 
+  /** The clustered qvt frame: base corpus ∪ the planted jittered copies
+    * (class comment above) — shared by both clustered recall gates. */
+  private def clusteredQvt(spark: SparkSession, dir: String): DataFrame = {
+    val embT = tblWide(spark, dir, "embeddings")
+    val base = embT.select(col("vec_id"), expr(quantizeExpr).as("qv"))
+    val maxId = base.agg(max(col("vec_id"))).head().getLong(0)
+    require(maxId < ClusterIdOff,
+      s"clustered recall: base vec_id $maxId collides with the " +
+        s"planted-copy id space at $ClusterIdOff — raise ClusterIdOff")
+    val jitterExpr = s"""transform(embedding, (x, i0) ->
+      CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+      + ((vec_id * ${1000003L} + j * ${7919L}
+          + (CAST(i0 AS BIGINT) + 1L) * ${104729L}) % $JitterMod)
+      - $JitterHalf)"""
+    val copies = embT.filter(col("vec_id") < ClusterSeeds)
+      .select(col("vec_id"), col("embedding"),
+        explode(expr(s"sequence(1L, ${ClusterCopies}L)")).as("j"))
+      .select((lit(ClusterIdOff) + col("vec_id") * 10 + col("j")).as("nid"),
+        expr(jitterExpr).as("qv"))
+      .select(col("nid").as("vec_id"), col("qv"))
+    base.unionByName(copies)
+  }
+
   private val qAnnRecallClustered = QueryDef(
     "q_ann_recall_clustered",
     Some(s"WITH $sqlQvtClustered,$sqlRecallAfterQvt"),
-    (spark, dir) => {
-      val embT = tblWide(spark, dir, "embeddings")
-      val base = embT.select(col("vec_id"), expr(quantizeExpr).as("qv"))
-      val maxId = base.agg(max(col("vec_id"))).head().getLong(0)
-      require(maxId < ClusterIdOff,
-        s"q_ann_recall_clustered: base vec_id $maxId collides with the " +
-          s"planted-copy id space at $ClusterIdOff — raise ClusterIdOff")
-      val jitterExpr = s"""transform(embedding, (x, i0) ->
-        CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
-        + ((vec_id * ${1000003L} + j * ${7919L}
-            + (CAST(i0 AS BIGINT) + 1L) * ${104729L}) % $JitterMod)
-        - $JitterHalf)"""
-      val copies = embT.filter(col("vec_id") < ClusterSeeds)
-        .select(col("vec_id"), col("embedding"),
-          explode(expr(s"sequence(1L, ${ClusterCopies}L)")).as("j"))
-        .select((lit(ClusterIdOff) + col("vec_id") * 10 + col("j")).as("nid"),
-          expr(jitterExpr).as("qv"))
-        .select(col("nid").as("vec_id"), col("qv"))
-      annRecallOver(base.unionByName(copies))
-    })
+    (spark, dir) => annRecallOver(clusteredQvt(spark, dir)))
 
   /** The IVF recall/cost CURVE: recall@[[TopK]] and candidates-scanned at
     * nprobe ∈ {1, 2, 4} against the exact top-k ground truth — the tuning
@@ -854,9 +858,10 @@ qvt AS (
     * the one full-scan stage — inherent to recall measurement, run once
     * offline against a fixed query panel in production. */
   private val IvfRecallProbes = Seq(1L, 2L, 4L)
-  private val qIvfRecall = QueryDef(
-    "q_ivf_recall",
-    Some(s"""WITH $sqlIvf,
+  /** The IVF recall/cost curve AFTER qvt — qvt-generic like
+    * [[sqlRecallAfterQvt]], so the curve can also be measured on the
+    * derived clustered corpus (q_ivf_recall_clustered). */
+  private val sqlIvfRecallAfterQvt: String = s"""$sqlIvfAfterQvt,
 exact AS (
   SELECT q.vec_id AS query_id, v.vec_id AS cand_id
   FROM qvt q JOIN qvt v ON v.vec_id <> q.vec_id
@@ -883,10 +888,9 @@ SELECT np.nprobe, c.query_id,
 FROM cand_r c,
   (SELECT CAST(unnest([${IvfRecallProbes.mkString(", ")}]) AS BIGINT) AS nprobe) np
 GROUP BY np.nprobe, c.query_id
-ORDER BY np.nprobe, c.query_id"""),
-    (spark, dir) => {
-      val emb = tblWide(spark, dir, "embeddings")
-        .select(col("vec_id"), expr(quantizeExpr).as("qv"))
+ORDER BY np.nprobe, c.query_id"""
+
+  private def ivfRecallOver(emb: DataFrame): DataFrame = {
       val q8 = emb.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("qv").as("qvec"))
       val wexact = Window.partitionBy("query_id").orderBy(desc("dot"), asc("cand_id"))
@@ -896,7 +900,7 @@ ORDER BY np.nprobe, c.query_id"""),
         .withColumn("rn", row_number().over(wexact))
         .filter(col("rn") <= TopK)
         .select("query_id", "cand_id")
-      val assign = ivfAssign(ivfScored(spark, dir))
+      val assign = ivfAssign(ivfScoredOver(emb))
       val wprobe = Window.partitionBy("query_id").orderBy(desc("pdot"), asc("pcid"))
       val probes = assign.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), explode(col("sc")).as("s"))
@@ -923,7 +927,22 @@ ORDER BY np.nprobe, c.query_id"""),
         .select(col("nprobe"), col("query_id"), col("n_cands"), col("hits"),
           (col("hits").cast("double") / TopK).as(s"recall_at_$TopK"))
         .orderBy("nprobe", "query_id")
-    })
+  }
+
+  private val qIvfRecall = QueryDef(
+    "q_ivf_recall",
+    Some(s"WITH $sqlQvt,$sqlIvfRecallAfterQvt"),
+    (spark, dir) => ivfRecallOver(tblWide(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(quantizeExpr).as("qv"))))
+
+  /** The nprobe curve on the planted-cluster corpus (SCALE.md §37's
+    * second axis): where the uniform corpus saturates at nprobe 1-2, the
+    * clustered one shows the real knee — cluster mass split across a
+    * cell boundary is recovered only by probing deeper. */
+  private val qIvfRecallClustered = QueryDef(
+    "q_ivf_recall_clustered",
+    Some(s"WITH $sqlQvtClustered,$sqlIvfRecallAfterQvt"),
+    (spark, dir) => ivfRecallOver(clusteredQvt(spark, dir)))
 
   // =========================================================================
   // k-means (Lloyd) — the semantic-clustering stage of a curation pipeline
@@ -1532,7 +1551,7 @@ ORDER BY query_id, rnk"""),
     qCosineTopk, qHardNegatives, qAnnBuckets, qAnnBucketStats, qArrayFuncs,
     qNeardupBucketed,
     qIvfAssign, qIvfTopk, qIvfBuild, qIvfProbe, qAnnRecall,
-    qAnnRecallClustered, qIvfRecall,
+    qAnnRecallClustered, qIvfRecall, qIvfRecallClustered,
     qKmeansAssign, qKmeansProfile,
     qSemdedup, qPqTopk, qEmbedDecontam)
 }
