@@ -49,7 +49,7 @@ object ScaleStress {
     "q_cosine_topk", "q_ann_recall", "q_pagerank",
     "q_stream_join", "q_stream_join_outer", "q_sessionize_native",
     "q_kmeans_assign", "q_semdedup", "q_triangles", "q_crossdoc_ngrams",
-    "q_stream_lsh_ivm")
+    "q_stream_lsh_ivm", "q_blob_neardup", "q_ann_recall_clustered")
 
   private def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -578,9 +578,13 @@ object Catalog {
       |    min(CASE WHEN band = 2 THEN bits END) AS b2,
       |    min(CASE WHEN band = 3 THEN bits END) AS b3
       |  FROM bd GROUP BY doc_id),
+      |bdc AS (
+      |  SELECT doc_id, band, bits FROM bd
+      |  QUALIFY row_number() OVER (PARTITION BY band, bits ORDER BY doc_id)
+      |    <= SIMPAIRCAP),
       |cand AS (
       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-      |  FROM bd x JOIN bd y
+      |  FROM bdc x JOIN bdc y
       |    ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id)
       |SELECT a AS media_a, b AS media_b,
       |  CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
@@ -588,7 +592,11 @@ object Catalog {
       |    AS BIGINT) AS hamming
       |FROM cand JOIN hsh ha ON ha.doc_id = a JOIN hsh hb ON hb.doc_id = b
       |ORDER BY hamming, media_a, media_b LIMIT 20
-      |""".stripMargin.trim),
+      |""".stripMargin.trim
+      // the same deterministic per-bucket skew guard as q_simhash_pairs
+      // (Dedup.SimPairCap), spliced after stripMargin so the shared cap
+      // constant stays single-sourced
+      .replace("SIMPAIRCAP", Dedup.SimPairCap.toString)),
     (spark, dir) => {
       val ph = graft.operators.MultimodalOps.perceptualHash(
         graft.operators.MultimodalOps.documentsAsMedia(spark, dir)).toDF()
@@ -601,8 +609,11 @@ object Catalog {
           col("bb.band").as("band"), col("bb.bits").as("bits"))
       banded
         .groupBy("band", "bits")
-        .agg(sort_array(collect_list(struct(col("media_id"),
-          col("b0"), col("b1"), col("b2"), col("b3")))).as("docs"))
+        // first SimPairCap per bucket by media_id (struct sort order) —
+        // the q_simhash_pairs skew guard, oracle-mirrored (bdc QUALIFY)
+        .agg(expr(s"""slice(sort_array(collect_list(
+          struct(media_id, b0, b1, b2, b3))), 1, ${Dedup.SimPairCap})""")
+          .as("docs"))
         .filter(size(col("docs")) > 1)
         .select(explode(expr(
           """flatten(transform(docs, (x, i) ->

@@ -528,6 +528,14 @@ FROM sp ORDER BY doc_id"""),
   private val SimBits = 60
   private val SimBands = 4
   private val SimBandBits = SimBits / SimBands
+  /** Deterministic per-(band, bits) bucket cap for the banded-Hamming
+    * pairing kernels (q_simhash_pairs, q_blob_neardup) — the same skew
+    * guard the MinHash path gets from [[cappedShingleSets]]: a
+    * degenerate corpus (mass-identical fingerprints) otherwise makes one
+    * bucket's HOF pair expansion O(k²). First N by doc_id, mirrored in
+    * the oracle SQL — part of the operator's definition, not a silent
+    * truncation. Far above any observed bucket at gated SFs. */
+  private[graft] val SimPairCap = 256
 
   private val simhashCoreSql = {
     val bitSums = (0 until SimBits)
@@ -578,14 +586,23 @@ sim AS (SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM bits)"""
     * beyond it the banding surfaces pairs best-effort, identically in
     * both engines (the oracle mirrors the banding, so parity is exact
     * regardless). Same per-(band,bucket) HOF pair expansion as the
-    * MinHash LSH — bounded buckets, no self-join. */
+    * MinHash LSH — and, since round 16, the same DETERMINISTIC skew
+    * guard: each (band, bits) bucket keeps its first [[SimPairCap]]
+    * members by doc_id (oracle-mirrored, so the cap is part of the
+    * operator's definition, never a silent truncation) — a degenerate
+    * corpus (millions of near-identical fingerprints) otherwise turns
+    * one bucket into an O(k²) pair bomb; at every gated SF the cap is
+    * far above the largest observed bucket (22 at sf0.01) and binds
+    * nothing. */
   private val qSimhashPairs = QueryDef(
     "q_simhash_pairs",
     Some(s"""$simhashCoreSql,
 b AS (
-  ${(0 until SimBands).map(i =>
+  SELECT doc_id, simhash, band, bits FROM (
+    ${(0 until SimBands).map(i =>
         s"SELECT doc_id, simhash, $i AS band, (simhash >> ${i * SimBandBits}) & ${(1L << SimBandBits) - 1} AS bits FROM sim")
-        .mkString("\n  UNION ALL ")}),
+        .mkString("\n    UNION ALL ")})
+  QUALIFY row_number() OVER (PARTITION BY band, bits ORDER BY doc_id) <= $SimPairCap),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
     x.simhash AS sa, y.simhash AS sb
@@ -604,8 +621,10 @@ FROM cand ORDER BY hamming, doc_a, doc_b LIMIT 20"""),
           col("bb.band").as("band"), col("bb.bits").as("bits"))
       banded
         .groupBy("band", "bits")
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
-          .as("docs"))
+        // cap: first SimPairCap members per bucket (struct sort order =
+        // doc_id asc — mirrored by the oracle's QUALIFY row_number)
+        .agg(expr(s"""slice(sort_array(collect_list(struct(doc_id, simhash))),
+          1, $SimPairCap)""").as("docs"))
         .filter(size(col("docs")) > 1)
         .select(explode(expr(
           """flatten(transform(docs, (x, i) ->

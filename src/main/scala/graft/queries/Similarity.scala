@@ -798,7 +798,11 @@ FROM stats ORDER BY method, query_id"""
   // base ids at every gated SF (assert-guarded in the builder).
   private val ClusterSeeds = 40L
   private val ClusterCopies = 4L
-  private val ClusterIdOff = 1000000L
+  // above any scaled corpus's id space (ScaleStress offsets vec_ids by
+  // copy·1e8, ≤ 1296 copies → max ~1.3e11): copy ids must stay disjoint
+  // from base ids at EVERY measured multiple, not just the gated SFs —
+  // the builder's require stays as the loud backstop
+  private val ClusterIdOff = 1000000000000L
   private val JitterMod = 20001L
   private val JitterHalf = 10000L
 
