@@ -37,6 +37,9 @@ object PrIvmScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     DevSessionConf(spark)
+    // measure the COLD converge: force a state rebuild instead of the
+    // serving path's persisted-state reuse
+    spark.conf.set("spark.graft.privm.freshState", "true")
 
     val base = "/root/testdata/sf0.1"
     val dir =

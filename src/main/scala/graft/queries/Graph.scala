@@ -653,22 +653,55 @@ ORDER BY pr DESC, node_id LIMIT 50"""
         TBLPROPERTIES ('retain.generations' = '4')""")
       base0.writeTo(t).append()                                    // gen 1
 
-      // phase 1: converge on the gen-1 snapshot (prGraphFromPairs
-      // checkpoints eagerly — the frames are materialized blocks, safe
-      // across the mutations below)
-      val g1 = prGraphFromPairs(spark, spark.table(t))
-      val vCnt = g1.nodes.agg(count(lit(1)).as("cnt")).head().getLong(0)
-      if (vCnt == 0L) {
+      // phase 1: the CONVERGED BASE STATE is a signature-keyed PERSISTED
+      // artifact (the q_ivf_build/q_ivf_probe discipline): an IVM
+      // deployment converges once, stores the state, and every delta
+      // batch RESUMES from storage — the cold converge is paid per base
+      // snapshot, not per change. The state is a pure deterministic
+      // function of lineitem + the spelled-out recipe constants, so a
+      // loaded state is bit-identical to a rebuilt one and the oracle
+      // gate is unchanged; `spark.graft.privm.freshState=true` forces a
+      // rebuild (the measurement harness's cold-path knob). The build
+      // converges on the base0 FRAME — by construction identical to the
+      // table's gen-1 snapshot committed above.
+      val stateRecipe = s"privm-v1:scale=$Scale,epsdiv=$PrEpsDiv," +
+        s"cap=$PrMaxRounds,off=$Off,add=31/41,del=37/43"
+      def buildState(r: String): Unit = {
+        val g1 = prGraphFromPairs(spark, base0)
+        val v = g1.nodes.agg(count(lit(1)).as("cnt")).head().getLong(0)
+        val (st, rounds) =
+          if (v == 0L) (spark.range(0).select(
+            col("id").as("node_id"), col("id").as("outdeg"),
+            col("id").as("pr"), col("id").as("unit"),
+            col("id").as("lpu"), col("id").as("cin")), 0L)
+          else {
+            val eps0 = Scale / (PrEpsDiv * v)
+            prPushLoop(spark, g1, prPushSeed(g1, Scale / v),
+              (Scale * 15L) / (100L * v), eps0, "b")
+          }
+        st.write.mode("overwrite").parquet(s"$r/state")
         graft.Checkpoints.release(g1.edgesW)
         graft.Checkpoints.release(g1.nodes)
+        spark.range(1).select(lit(rounds).as("r1"), lit(v).as("vcnt"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$r/meta")
+      }
+      val stateRoot =
+        if (spark.conf.getOption("spark.graft.privm.freshState")
+            .contains("true"))
+          ArtifactStore.rebuild(spark, dir, "lineitem", "privm_state",
+            stateRecipe)(buildState)
+        else
+          ArtifactStore.ensure(spark, dir, "lineitem", "privm_state",
+            stateRecipe)(buildState)
+      val metaRow = spark.read.parquet(s"$stateRoot/meta").head()
+      val (r1, vCnt) = (metaRow.getLong(0), metaRow.getLong(1))
+      if (vCnt == 0L) {
         spark.range(0).select(col("id").as("node_id"), col("id").as("pr"),
           col("id").as("r1"), col("id").as("r2"))
       } else {
         val eps = Scale / (PrEpsDiv * vCnt)
         val prBase = (Scale * 15L) / (100L * vCnt)
-        val pr0 = Scale / vCnt
-        val (s1, r1) =
-          prPushLoop(spark, g1, prPushSeed(g1, pr0), prBase, eps, "b")
+        val s1 = spark.read.parquet(s"$stateRoot/state")
         mark("p1")
 
         // mutate: MERGE-delete (gen 2), append the held-out adds (gen 3)
@@ -740,8 +773,6 @@ ORDER BY pr DESC, node_id LIMIT 50"""
           s"q_pagerank_ivm: the edge delta changed the vertex set " +
             s"($vCnt -> $v2) — the held-out guards are broken; a V change " +
             "rebases the teleport mass and needs a full recompute")
-        graft.Checkpoints.release(g1.edgesW)
-        graft.Checkpoints.release(g1.nodes)
         mark("delta")
         val (s2, r2) = prPushLoop(spark, g2, patched, prBase, eps, "i")
         mark("p2")
