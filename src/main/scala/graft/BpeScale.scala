@@ -110,11 +110,11 @@ object BpeScale {
     val vocabDf = (if (!openVocab) uniDf
       else uniDf
         .unionAll(wsDf.select(explode(expr(
-          """transform(slice(ws, 1, size(ws) - 1),
+          """transform(slice(ws, 1, greatest(0, size(ws) - 1)),
             |  (x, i) -> concat(x, element_at(ws, i + 2)))""".stripMargin))
           .as("w")))
         .unionAll(wsDf.select(explode(expr(
-          """transform(slice(ws, 1, size(ws) - 2),
+          """transform(slice(ws, 1, greatest(0, size(ws) - 2)),
             |  (x, i) -> concat(x, element_at(ws, i + 2),
             |                   element_at(ws, i + 3)))""".stripMargin))
           .as("w"))))

@@ -81,6 +81,23 @@ object PrIvmScale {
     val (r1, r2) =
       if (rows.isEmpty) (0L, 0L) else (rows.head.getLong(2), rows.head.getLong(3))
     println(s"""{"harness":"pr_ivm","mult":$mult,"rows":${rows.length},"r1":$r1,"r2":$r2}""")
+
+    // the SERVED maintenance path (VERDICT r17 task 1): state + base
+    // edge set come from the artifact the run above just persisted
+    // (ensure reuses it — drop the fresh-state force), the delta is
+    // committed in "setup", and the measured maintenance step is
+    // feed → patch → resume with NO base-table scan. These phases are
+    // what a deployment pays per change batch.
+    spark.conf.unset("spark.graft.privm.freshState")
+    t0 = System.nanoTime(); b0 = snap()
+    val sdf = graft.queries.Graph.pagerankIvmServe(spark, dir,
+      ph => emit(s"serve_$ph"))
+    val srows = sdf.collect()
+    emit("serve_final")
+    val sr2 = if (srows.isEmpty) 0L else srows.head.getLong(3)
+    val agree = srows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    println(s"""{"harness":"pr_ivm","mult":$mult,"serve_rows":${srows.length},"serve_r2":$sr2,"matches_gate":$agree}""")
     spark.stop()
   }
 }

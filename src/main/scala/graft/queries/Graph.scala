@@ -593,6 +593,289 @@ ORDER BY pr DESC, node_id LIMIT 50"""
     Some(pagerankIvmSql),
     (spark, dir) => pagerankIvmBuild(spark, dir))
 
+  /** q_pagerank_ivm's held-out slice: candidates by the deterministic
+    * hash, kept only where BOTH endpoints retain >= 1 non-candidate pair
+    * (vertex-set preservation — see [[pagerankIvmBuild]]'s class doc). */
+  private def heldOut(pairs: DataFrame, mul: Long, mod: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    pairs
+      .withColumn("cand", (col("p") * mul + col("s")) % mod === 0)
+      .withColumn("ncp", sum(when(col("cand"), 0L).otherwise(1L))
+        .over(Window.partitionBy("p")))
+      .withColumn("ncs", sum(when(col("cand"), 0L).otherwise(1L))
+        .over(Window.partitionBy("s")))
+      .withColumn("held",
+        col("cand") && col("ncp") >= 1 && col("ncs") >= 1)
+  }
+
+  /** COLD full recompute on q_pagerank_ivm's FINAL mutated graph — the
+    * comparison frame GraphFallbackSpec's ε-closeness assertion needs.
+    * The ivm exhibit's final pair set telescopes to `ef − dels` (base0 =
+    * ef − adds; final = base0 − dels + adds = ef − dels), reconstructed
+    * here with the same held-out arithmetic, then converged from the
+    * uniform seed with the same kernel. Two ε-stopped trajectories of
+    * the SAME damped fixpoint on the SAME edge set differ by at most
+    * ~α/(1−α)·ε each from the fixpoint (α = 0.85 ⇒ ≤ 5.7ε), so the
+    * spec's bound has a principled form — this is exactly the argument
+    * that does NOT apply to q_pagerank_converged's unsplit graph, which
+    * the spec compared against before r17. Returns (full converged
+    * state as local rows (node_id, pr), ε). */
+  private[graft] def pagerankIvmColdFinal(
+      spark: SparkSession, dir: String): (Seq[(Long, Long)], Long) = {
+    val ef = tbl(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val ac = heldOut(ef, 31L, 41L)
+    val base0 = ac.filter(!col("held")).select("p", "s")
+    val dels = heldOut(base0, 37L, 43L).filter(col("held")).select("p", "s")
+    val fin = ef.join(dels.withColumnRenamed("p", "dp")
+        .withColumnRenamed("s", "ds"),
+      col("p") === col("dp") && col("s") === col("ds"), "left_anti")
+    val g = prGraphFromPairs(spark, fin)
+    val v = g.nodes.agg(count(lit(1))).head().getLong(0)
+    require(v > 0L, "pagerankIvmColdFinal: empty final graph")
+    val eps = Scale / (PrEpsDiv * v)
+    val (st, _) = prPushLoop(spark, g, prPushSeed(g, Scale / v),
+      (Scale * 15L) / (100L * v), eps, "cf")
+    val out = st.select(col("node_id"), col("pr"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    Seq(st, g.edgesW, g.nodes).foreach(graft.Checkpoints.release)
+    (out, eps)
+  }
+
+  /** The ivm exhibit's persisted-base-state recipe. v2: the artifact
+    * also carries the base graph's EDGE SET (src, dst) — the served
+    * maintenance path ([[pagerankIvmServe]]) patches that frame off the
+    * changes feed instead of re-scanning + re-distincting the mutated
+    * table, so the whole maintenance step is O(delta + affected
+    * subgraph), never O(E) shuffle. */
+  private[graft] val privmRecipe: String =
+    s"privm-v2:scale=$Scale,epsdiv=$PrEpsDiv," +
+      s"cap=$PrMaxRounds,off=$Off,add=31/41,del=37/43"
+
+  /** Converged-base-state builder shared by the gate's serving path and
+    * [[pagerankIvmServe]]: converge on base0 and persist the state, the
+    * (r1, V) meta row, and the base edge set. */
+  private def privmBuildState(
+      spark: SparkSession, base0: DataFrame)(r: String): Unit = {
+    val g1 = prGraphFromPairs(spark, base0)
+    val v = g1.nodes.agg(count(lit(1)).as("cnt")).head().getLong(0)
+    val (st, rounds) =
+      if (v == 0L) (spark.range(0).select(
+        col("id").as("node_id"), col("id").as("outdeg"),
+        col("id").as("pr"), col("id").as("unit"),
+        col("id").as("lpu"), col("id").as("cin")), 0L)
+      else {
+        val eps0 = Scale / (PrEpsDiv * v)
+        prPushLoop(spark, g1, prPushSeed(g1, Scale / v),
+          (Scale * 15L) / (100L * v), eps0, "b")
+      }
+    st.write.mode("overwrite").parquet(s"$r/state")
+    g1.edgesW.select(col("src"), col("dst"))
+      .write.mode("overwrite").parquet(s"$r/edges")
+    // state and edges now live in parquet — nothing re-reads through
+    // the loop's final checkpoint or the graph blocks; reclaim them
+    graft.Checkpoints.release(st)
+    graft.Checkpoints.release(g1.edgesW)
+    graft.Checkpoints.release(g1.nodes)
+    spark.range(1).select(lit(rounds).as("r1"), lit(v).as("vcnt"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$r/meta")
+  }
+
+  /** Fresh nonce-keyed graft-tsv table for an ivm run + stale-sibling
+    * sweep (the q_stream_ivm lesson — bench can overlap verify), shared
+    * by the gate and the served path. Returns (qualified name, table
+    * name, catalog root). */
+  private def privmFreshTable(
+      spark: SparkSession, dir: String): (String, String, String) = {
+    val h = Integer.toHexString(dir.hashCode)
+    val nonce = java.lang.Long.toHexString(
+      System.nanoTime() ^ (Thread.currentThread().getId << 48))
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_parity_catalog").toString
+    spark.conf.set("spark.sql.catalog.gparity",
+      classOf[graft.sources.GraftTsvCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gparity.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
+    locally {
+      val cutoff = System.currentTimeMillis() - 30 * 60 * 1000L
+      Option(new java.io.File(root, "db").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(s"privm_${h}_") &&
+          !f.getName.contains(nonce) && f.lastModified < cutoff)
+        .foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
+    }
+    val tn = s"privm_${h}_$nonce"
+    (s"gparity.db.$tn", tn, root)
+  }
+
+  /** Net row delta of table `tn` since the base snapshot (gen 1),
+    * learned from the CHANGES FEED — reads the changed files only; a
+    * no-op mutation pair (possible at a degenerate SF) nets to an empty
+    * delta. Shared by the gate and the served path. */
+  private def privmNetDelta(
+      spark: SparkSession, root: String, tn: String): DataFrame = {
+    val tdir = new org.apache.hadoop.fs.Path(s"$root/db/$tn")
+    val tfs = tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val headGen = tfs.listStatus(tdir).map(_.getPath.getName)
+      .flatMap(graft.sources.GraftTsvManifest.genNumber).max
+    if (headGen <= 1L)
+      spark.range(0).select(col("id").as("p"), col("id").as("s"),
+        col("id").as("sgn"))
+    else {
+      val cat = spark.sessionState.catalogManager.catalog("gparity")
+        .asInstanceOf[graft.sources.GraftTsvCatalog]
+      cat.changes(spark,
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            Array("db"), tn), "1", headGen.toString)
+        .select(col("p"), col("s"),
+          when(col(graft.sources.GraftTsvMeta.ChangeCol) === "insert",
+            lit(1L)).otherwise(lit(-1L)).as("sgn0"))
+        .groupBy("p", "s").agg(sum(col("sgn0")).as("sgn"))
+        .filter(col("sgn") =!= 0L)
+    }
+  }
+
+  /** O(delta) directed-edge frame + the state patch off it: [[privmNetDelta]]'s
+    * net pairs expanded to both directions, then the converged state s1
+    * patched by broadcast joins — restores the telescoped-cin invariant
+    * over the FINAL edge set (class doc); lpu carries, so the resumed
+    * loop reactivates exactly the shifted vertices. Returns (patched
+    * state, dedges — checkpointed, caller releases). */
+  private def privmPatch(
+      s1: DataFrame, dpairs: DataFrame,
+      prBase: Long): (DataFrame, DataFrame) = {
+    val dedges = dpairs
+      .select(col("p").as("dsrc"), (col("s") + Off).as("ddst"),
+        col("sgn"))
+      .unionByName(dpairs.select((col("s") + Off).as("dsrc"),
+        col("p").as("ddst"), col("sgn")))
+      .truncateLineage
+    val dOut = dedges.groupBy("dsrc").agg(sum("sgn").as("ddeg"))
+    val dCin = broadcast(dedges)
+      .join(s1.select(col("node_id").as("lsrc"), col("lpu").as("slpu")),
+        col("dsrc") === col("lsrc"))
+      .select(col("ddst"), (col("sgn") * col("slpu")).as("dc"))
+      .groupBy("ddst").agg(sum("dc").as("dcin"))
+    val patched = s1
+      .join(broadcast(dOut), col("node_id") === col("dsrc"), "left")
+      .join(broadcast(dCin), col("node_id") === col("ddst"), "left")
+      .select(col("node_id"),
+        (col("outdeg") + coalesce(col("ddeg"), lit(0L))).as("outdeg"),
+        (col("cin") + coalesce(col("dcin"), lit(0L))).as("cin"),
+        col("lpu"))
+      .select(col("node_id"), col("outdeg"), col("lpu"), col("cin"),
+        (lit(prBase) + expr("(85 * cin) div 100")).as("pr"))
+      .select(col("node_id"), col("outdeg"), col("pr"),
+        expr("pr div outdeg").as("unit"), col("lpu"), col("cin"))
+    (patched, dedges)
+  }
+
+  /** The SERVED maintenance path — what an IVM deployment actually pays
+    * per change batch (VERDICT r17 task 1). The base snapshot's
+    * converged state AND edge set are persisted artifacts
+    * ([[privmBuildState]]); the delta is already committed to the table
+    * by an upstream writer (setup here, outside the measured window).
+    * The maintenance step is then:
+    *
+    *   changes(base, head)  — reads the changed files only
+    *   → O(delta) state + edge-frame patch (broadcast joins: the O(V)
+    *     state and O(E) edge frame stream map-side, never shuffle)
+    *   → resume (exchanges the activated vertices' contributions only)
+    *
+    * No scan of the base TABLE, no distinct over the full pair set, no
+    * O(E) degree shuffle — the three costs SCALE.md §31 charged to the
+    * gate's delta phase, all exhibit bookkeeping (the gate rebuilds its
+    * final graph from the mutated table so the oracle covers the
+    * table-read path; THIS is the recipe PrIvmScale prices). In
+    * fallback mode (V above the broadcast ceiling) the patched edge
+    * frame is re-partitioned on src once — the price of restoring the
+    * baked co-partitioning, still a single O(E) exchange per change
+    * batch rather than per round.
+    *
+    * Bit-identical to the gate's result by integer determinism: same
+    * persisted state, same net delta, same patch arithmetic, same edge
+    * multiset ⇒ the same resumed trajectory (GraphFallbackSpec asserts
+    * equality including the round count).
+    *
+    * `mark` phases: "setup", "feed", "patch", "resume". */
+  private[graft] def pagerankIvmServe(
+      spark: SparkSession, dir: String,
+      mark: String => Unit = _ => ()): DataFrame = {
+    val ef = tbl(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val ac = heldOut(ef, 31L, 41L)
+    val base0 = ac.filter(!col("held")).select("p", "s")
+    val adds = ac.filter(col("held")).select("p", "s")
+    val dels = heldOut(base0, 37L, 43L).filter(col("held")).select("p", "s")
+    val stateRoot = ArtifactStore.ensure(spark, dir, "lineitem",
+      "privm_state", privmRecipe)(privmBuildState(spark, base0))
+    val metaRow = spark.read.parquet(s"$stateRoot/meta").head()
+    val (r1, vCnt) = (metaRow.getLong(0), metaRow.getLong(1))
+    if (vCnt == 0L) {
+      spark.range(0).select(col("id").as("node_id"), col("id").as("pr"),
+        col("id").as("r1"), col("id").as("r2"))
+    } else {
+      val (t, tn, root) = privmFreshTable(spark, dir)
+      spark.sql(s"""CREATE TABLE $t (p BIGINT, s BIGINT) USING `graft-tsv`
+        TBLPROPERTIES ('retain.generations' = '4')""")
+      base0.writeTo(t).append()                                   // gen 1
+      val dv = s"privm_dels_srv_$tn"
+      dels.createOrReplaceTempView(dv)
+      spark.sql(s"""MERGE INTO $t tgt USING $dv d
+        ON tgt.p = d.p AND tgt.s = d.s
+        WHEN MATCHED THEN DELETE""")                              // gen 2
+      spark.catalog.dropTempView(dv)
+      adds.writeTo(t).append()                                    // gen 3
+      mark("setup")
+
+      val eps = Scale / (PrEpsDiv * vCnt)
+      val prBase = (Scale * 15L) / (100L * vCnt)
+      val dpairs = graft.Checkpoints.truncate(
+        privmNetDelta(spark, root, tn))                 // O(delta) rows
+      mark("feed")
+
+      val s1 = spark.read.parquet(s"$stateRoot/state")
+      val (patched, dedges) = privmPatch(s1, dpairs, prBase)
+      val delE = dedges.filter(col("sgn") < 0)
+        .select(col("dsrc"), col("ddst"))
+      val addE = dedges.filter(col("sgn") > 0)
+        .select(col("dsrc").as("src"), col("ddst").as("dst"))
+      val bcastV = GraphAdaptive.broadcastOk(spark, vCnt)
+      val edgesFin0 = spark.read.parquet(s"$stateRoot/edges")
+        .join(broadcast(delE),
+          col("src") === col("dsrc") && col("dst") === col("ddst"),
+          "left_anti")
+        .unionByName(addE)
+      val edgesFin = (if (bcastV) edgesFin0
+                      else edgesFin0.repartition(col("src")))
+        .truncateLineage
+      val patchedCk = graft.Checkpoints.truncate(patched)
+      mark("patch")
+
+      // nodes is unused by the resumed loop (init is pre-patched) but
+      // kept honest: the state's own vertex set
+      val g = PrGraph(edgesFin, s1.select(col("node_id")),
+        GraphAdaptive.pick(bcastV) _)
+      val (s2, r2) = prPushLoop(spark, g, patchedCk, prBase, eps, "sv")
+      mark("resume")
+      val res = s2.select(col("node_id"), col("pr"))
+        .orderBy(desc("pr"), asc("node_id")).limit(50)
+        .withColumn("r1", lit(r1)).withColumn("r2", lit(r2))
+      val rows = res.collect().toSeq
+      Seq(s2, edgesFin, dedges, dpairs, patchedCk)
+        .foreach(graft.Checkpoints.release)
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), res.schema)
+        .orderBy(desc("pr"), asc("node_id"))
+    }
+  }
+
   /** q_pagerank_ivm's builder with a phase-boundary callback: `mark` is
     * invoked (with "p1", "delta", "p2") right after each eager phase
     * completes, so a measurement harness (PrIvmScale) can window its
@@ -603,19 +886,6 @@ ORDER BY pr DESC, node_id LIMIT 50"""
       spark: SparkSession, dir: String,
       mark: String => Unit = _ => ()): DataFrame = {
     {
-      import org.apache.spark.sql.expressions.Window
-      // held-out slice: candidates by the deterministic hash, kept only
-      // where BOTH endpoints retain >= 1 non-candidate pair (vertex-set
-      // preservation — see the class doc)
-      def heldOut(pairs: DataFrame, mul: Long, mod: Long): DataFrame =
-        pairs
-          .withColumn("cand", (col("p") * mul + col("s")) % mod === 0)
-          .withColumn("ncp", sum(when(col("cand"), 0L).otherwise(1L))
-            .over(Window.partitionBy("p")))
-          .withColumn("ncs", sum(when(col("cand"), 0L).otherwise(1L))
-            .over(Window.partitionBy("s")))
-          .withColumn("held",
-            col("cand") && col("ncp") >= 1 && col("ncs") >= 1)
       val ef = tbl(spark, dir, "lineitem")
         .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
         .distinct()
@@ -626,29 +896,7 @@ ORDER BY pr DESC, node_id LIMIT 50"""
 
       // per-run nonce + stale-sibling sweep: the q_stream_ivm lesson —
       // this is a multi-step stateful builder and bench can overlap verify
-      val h = Integer.toHexString(dir.hashCode)
-      val nonce = java.lang.Long.toHexString(
-        System.nanoTime() ^ (Thread.currentThread().getId << 48))
-      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_parity_catalog").toString
-      spark.conf.set("spark.sql.catalog.gparity",
-        classOf[graft.sources.GraftTsvCatalog].getName)
-      spark.conf.set("spark.sql.catalog.gparity.root", root)
-      spark.sql("CREATE NAMESPACE IF NOT EXISTS gparity.db")
-      locally {
-        val cutoff = System.currentTimeMillis() - 30 * 60 * 1000L
-        Option(new java.io.File(root, "db").listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith(s"privm_${h}_") &&
-            !f.getName.contains(nonce) && f.lastModified < cutoff)
-          .foreach { f =>
-            val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
-            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .delete(p, true)
-          }
-      }
-      val tn = s"privm_${h}_$nonce"
-      val t = s"gparity.db.$tn"
+      val (t, tn, root) = privmFreshTable(spark, dir)
       spark.sql(s"""CREATE TABLE $t (p BIGINT, s BIGINT) USING `graft-tsv`
         TBLPROPERTIES ('retain.generations' = '4')""")
       base0.writeTo(t).append()                                    // gen 1
@@ -664,27 +912,8 @@ ORDER BY pr DESC, node_id LIMIT 50"""
       // rebuild (the measurement harness's cold-path knob). The build
       // converges on the base0 FRAME — by construction identical to the
       // table's gen-1 snapshot committed above.
-      val stateRecipe = s"privm-v1:scale=$Scale,epsdiv=$PrEpsDiv," +
-        s"cap=$PrMaxRounds,off=$Off,add=31/41,del=37/43"
-      def buildState(r: String): Unit = {
-        val g1 = prGraphFromPairs(spark, base0)
-        val v = g1.nodes.agg(count(lit(1)).as("cnt")).head().getLong(0)
-        val (st, rounds) =
-          if (v == 0L) (spark.range(0).select(
-            col("id").as("node_id"), col("id").as("outdeg"),
-            col("id").as("pr"), col("id").as("unit"),
-            col("id").as("lpu"), col("id").as("cin")), 0L)
-          else {
-            val eps0 = Scale / (PrEpsDiv * v)
-            prPushLoop(spark, g1, prPushSeed(g1, Scale / v),
-              (Scale * 15L) / (100L * v), eps0, "b")
-          }
-        st.write.mode("overwrite").parquet(s"$r/state")
-        graft.Checkpoints.release(g1.edgesW)
-        graft.Checkpoints.release(g1.nodes)
-        spark.range(1).select(lit(rounds).as("r1"), lit(v).as("vcnt"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$r/meta")
-      }
+      val stateRecipe = privmRecipe
+      val buildState = privmBuildState(spark, base0) _
       val stateRoot =
         if (spark.conf.getOption("spark.graft.privm.freshState")
             .contains("true"))
@@ -705,7 +934,7 @@ ORDER BY pr DESC, node_id LIMIT 50"""
         mark("p1")
 
         // mutate: MERGE-delete (gen 2), append the held-out adds (gen 3)
-        val dv = s"privm_dels_$nonce"
+        val dv = s"privm_dels_$tn"
         dels.createOrReplaceTempView(dv)
         spark.sql(s"""MERGE INTO $t tgt USING $dv d
           ON tgt.p = d.p AND tgt.s = d.s
@@ -713,57 +942,11 @@ ORDER BY pr DESC, node_id LIMIT 50"""
         spark.catalog.dropTempView(dv)
         adds.writeTo(t).append()
 
-        // the delta, learned from the CHANGES FEED (net row diff of
-        // [1, head] — reads the changed files only); a no-op mutation
-        // pair (possible at a degenerate SF) nets to an empty delta
-        val tdir = new org.apache.hadoop.fs.Path(s"$root/db/$tn")
-        val tfs = tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val headGen = tfs.listStatus(tdir).map(_.getPath.getName)
-          .flatMap(graft.sources.GraftTsvManifest.genNumber).max
-        val dpairs =
-          if (headGen <= 1L)
-            spark.range(0).select(col("id").as("p"), col("id").as("s"),
-              col("id").as("sgn"))
-          else {
-            val cat = spark.sessionState.catalogManager.catalog("gparity")
-              .asInstanceOf[graft.sources.GraftTsvCatalog]
-            cat.changes(spark,
-                org.apache.spark.sql.connector.catalog.Identifier.of(
-                  Array("db"), tn), "1", headGen.toString)
-              .select(col("p"), col("s"),
-                when(col(graft.sources.GraftTsvMeta.ChangeCol) === "insert",
-                  lit(1L)).otherwise(lit(-1L)).as("sgn0"))
-              .groupBy("p", "s").agg(sum(col("sgn0")).as("sgn"))
-              .filter(col("sgn") =!= 0L)
-          }
-        // O(delta) frames throughout — materialized once, broadcast into
-        // every patch join; the O(V) state never re-shuffles for the patch
-        val dedges = dpairs
-          .select(col("p").as("dsrc"), (col("s") + Off).as("ddst"),
-            col("sgn"))
-          .unionByName(dpairs.select((col("s") + Off).as("dsrc"),
-            col("p").as("ddst"), col("sgn")))
-          .truncateLineage
-        val dOut = dedges.groupBy("dsrc").agg(sum("sgn").as("ddeg"))
-        val dCin = broadcast(dedges)
-          .join(s1.select(col("node_id").as("lsrc"), col("lpu").as("slpu")),
-            col("dsrc") === col("lsrc"))
-          .select(col("ddst"), (col("sgn") * col("slpu")).as("dc"))
-          .groupBy("ddst").agg(sum("dc").as("dcin"))
-        // patch the converged state: restores the telescoped-cin
-        // invariant over the FINAL edge set (class doc); lpu carries, so
-        // the resumed loop reactivates exactly the shifted vertices
-        val patched = s1
-          .join(broadcast(dOut), col("node_id") === col("dsrc"), "left")
-          .join(broadcast(dCin), col("node_id") === col("ddst"), "left")
-          .select(col("node_id"),
-            (col("outdeg") + coalesce(col("ddeg"), lit(0L))).as("outdeg"),
-            (col("cin") + coalesce(col("dcin"), lit(0L))).as("cin"),
-            col("lpu"))
-          .select(col("node_id"), col("outdeg"), col("lpu"), col("cin"),
-            (lit(prBase) + expr("(85 * cin) div 100")).as("pr"))
-          .select(col("node_id"), col("outdeg"), col("pr"),
-            expr("pr div outdeg").as("unit"), col("lpu"), col("cin"))
+        // the delta from the changes feed, then the O(delta) broadcast
+        // patch of the converged state (privmNetDelta/privmPatch — shared
+        // with the served path, which PrIvmScale prices separately)
+        val dpairs = privmNetDelta(spark, root, tn)
+        val (patched, dedges) = privmPatch(s1, dpairs, prBase)
 
         // phase 2: resume on the FINAL graph (the table read is now the
         // mutated pair set)
@@ -776,9 +959,20 @@ ORDER BY pr DESC, node_id LIMIT 50"""
         mark("delta")
         val (s2, r2) = prPushLoop(spark, g2, patched, prBase, eps, "i")
         mark("p2")
-        s2.select(col("node_id"), col("pr"))
+        // materialize the O(1) top-50 locally so every loop-era
+        // checkpoint (the final state, g2's edge/node blocks, the delta
+        // frame) is reclaimable NOW — a long-lived verify/bench session
+        // in reliable-checkpoint mode would otherwise accumulate one
+        // converged-state frame per invocation
+        val res = s2.select(col("node_id"), col("pr"))
           .orderBy(desc("pr"), asc("node_id")).limit(50)
           .withColumn("r1", lit(r1)).withColumn("r2", lit(r2))
+        val rows = res.collect().toSeq
+        Seq(s2, g2.edgesW, g2.nodes, dedges)
+          .foreach(graft.Checkpoints.release)
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), res.schema)
+          .orderBy(desc("pr"), asc("node_id"))
       }
     }
   }
