@@ -634,10 +634,51 @@ object Catalog {
         .limit(20)
     })
 
+  /** Cap accounting for q_blob_neardup's banded-Hamming guard — the
+    * aHash twin of q_simhash_cap_stats (VERDICT r17 task 3): per band,
+    * buckets / largest bucket / members and candidate pairs the
+    * [[Dedup.SimPairCap]] guard would drop. §38 measured 77× bucket-pair
+    * growth on the splice-tag corpus pre-cap; this query makes the
+    * truncation VISIBLE per corpus instead of silent. Integer-exact
+    * closed forms over bucket sizes, so the oracle follows bit-exactly. */
+  private val qBlobCapStats = QueryDef(
+    "q_blob_cap_stats",
+    Some(s"WITH $blobPxSql,\n" + s"""
+      |m AS (SELECT doc_id, sum(byte) // 64 AS mean FROM px GROUP BY doc_id),
+      |bt AS (
+      |  SELECT p.doc_id, p.y * 8 + p.x AS i,
+      |    CASE WHEN p.byte > m.mean THEN 1 ELSE 0 END AS bit
+      |  FROM px p JOIN m ON m.doc_id = p.doc_id),
+      |bd AS (
+      |  SELECT doc_id, i // 16 AS band,
+      |    CAST(sum(bit << (i % 16)) AS INTEGER) AS bits
+      |  FROM bt GROUP BY doc_id, i // 16),
+      |bs AS (SELECT band, bits, count(*) AS sz FROM bd GROUP BY band, bits)
+      |SELECT CAST(band AS BIGINT) AS band, count(*) AS n_buckets,
+      |  CAST(max(sz) AS BIGINT) AS max_bucket,
+      |  CAST(sum(greatest(sz - SIMPAIRCAP, 0)) AS BIGINT) AS docs_dropped,
+      |  CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS pairs_pre,
+      |  CAST(sum(least(sz, SIMPAIRCAP) * (least(sz, SIMPAIRCAP) - 1) // 2) AS BIGINT) AS pairs_post,
+      |  CAST(sum(sz * (sz - 1) // 2
+      |         - least(sz, SIMPAIRCAP) * (least(sz, SIMPAIRCAP) - 1) // 2) AS BIGINT) AS pairs_dropped
+      |FROM bs GROUP BY band ORDER BY band
+      |""".stripMargin.trim
+      .replace("SIMPAIRCAP", Dedup.SimPairCap.toString)),
+    (spark, dir) => {
+      val ph = graft.operators.MultimodalOps.perceptualHash(
+        graft.operators.MultimodalOps.documentsAsMedia(spark, dir)).toDF()
+      Dedup.capStatsOver(ph.select(
+          explode(array((0 until 4).map { i =>
+            struct(lit(i.toLong).as("band"), col(s"b$i").as("bits"))
+          }: _*)).as("bb"))
+        .select(col("bb.band").as("band"), col("bb.bits").as("bits")))
+    })
+
   // =========================================================================
 
   val defs: Seq[QueryDef] = Seq(
-    qMultimodal, qBlobStats, qFrameSample, qBlobDecode, qBlobNeardup) ++ Seq(
+    qMultimodal, qBlobStats, qFrameSample, qBlobDecode, qBlobNeardup,
+    qBlobCapStats) ++ Seq(
     qWordcount, qTopkMax, qTopkMin, qStopword,
     qPricing, qFilterProject, qSortLimit, qJoinAgg,
     qSemiJoin, qAntiJoin, qBroadcastJoin, qWindowRank,

@@ -802,17 +802,32 @@ ORDER BY pr DESC, node_id LIMIT 50"""
     * multiset ⇒ the same resumed trajectory (GraphFallbackSpec asserts
     * equality including the round count).
     *
+    * `localFrac = Some(f)` switches to the LOCALIZED-delta measurement
+    * variant: the base commits SORTED by p (each file covers a
+    * contiguous p range), the delta is the held-out deletes restricted
+    * to the lowest 1/f of the p space, and no adds — the group-based
+    * copy-on-write MERGE then rewrites ONLY the files covering that
+    * range ([[graft.sources.GraftTsvRowLevelOperation]]'s `_file`
+    * runtime IN), so the changes-feed read is genuinely O(changed
+    * files). The exhibit's own uniform delta touches every file by
+    * construction (every segment holds hash-spread held-out rows), which
+    * is a property of the DELTA SHAPE, not the maintenance algorithm —
+    * PrIvmScale prices both. Not oracle-comparable to the gate (different
+    * delta), but held-out-guarded, so vertex-preserving and resumable
+    * with the same prBase/ε.
+    *
     * `mark` phases: "setup", "feed", "patch", "resume". */
   private[graft] def pagerankIvmServe(
       spark: SparkSession, dir: String,
-      mark: String => Unit = _ => ()): DataFrame = {
+      mark: String => Unit = _ => (),
+      localFrac: Option[Int] = None): DataFrame = {
     val ef = tbl(spark, dir, "lineitem")
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
       .distinct()
     val ac = heldOut(ef, 31L, 41L)
     val base0 = ac.filter(!col("held")).select("p", "s")
     val adds = ac.filter(col("held")).select("p", "s")
-    val dels = heldOut(base0, 37L, 43L).filter(col("held")).select("p", "s")
+    val dels0 = heldOut(base0, 37L, 43L).filter(col("held")).select("p", "s")
     val stateRoot = ArtifactStore.ensure(spark, dir, "lineitem",
       "privm_state", privmRecipe)(privmBuildState(spark, base0))
     val metaRow = spark.read.parquet(s"$stateRoot/meta").head()
@@ -824,14 +839,26 @@ ORDER BY pr DESC, node_id LIMIT 50"""
       val (t, tn, root) = privmFreshTable(spark, dir)
       spark.sql(s"""CREATE TABLE $t (p BIGINT, s BIGINT) USING `graft-tsv`
         TBLPROPERTIES ('retain.generations' = '4')""")
-      base0.writeTo(t).append()                                   // gen 1
+      val dels = localFrac match {
+        case None =>
+          base0.writeTo(t).append()                               // gen 1
+          dels0
+        case Some(f) =>
+          // sorted layout: each file covers a contiguous p range, so the
+          // p-localized MERGE below rewrites only the covering files
+          base0.orderBy("p", "s").writeTo(t).append()             // gen 1
+          val b = base0.agg(min(col("p")).as("lo"), max(col("p")).as("hi"))
+            .head()
+          val cut = b.getLong(0) + (b.getLong(1) - b.getLong(0) + 1) / f
+          dels0.filter(col("p") < cut)
+      }
       val dv = s"privm_dels_srv_$tn"
       dels.createOrReplaceTempView(dv)
       spark.sql(s"""MERGE INTO $t tgt USING $dv d
         ON tgt.p = d.p AND tgt.s = d.s
         WHEN MATCHED THEN DELETE""")                              // gen 2
       spark.catalog.dropTempView(dv)
-      adds.writeTo(t).append()                                    // gen 3
+      if (localFrac.isEmpty) adds.writeTo(t).append()             // gen 3
       mark("setup")
 
       val eps = Scale / (PrEpsDiv * vCnt)

@@ -948,6 +948,108 @@ ORDER BY np.nprobe, c.query_id"""
     Some(s"WITH $sqlQvtClustered,$sqlIvfRecallAfterQvt"),
     (spark, dir) => ivfRecallOver(clusteredQvt(spark, dir)))
 
+  // ---- MULTI-PROBE LSH (Lv et al. 2007, VLDB): a near neighbor that
+  // missed the query's bucket usually landed in a bucket whose band key
+  // differs in ONE low-confidence sign bit — so probe the k buckets at
+  // Hamming distance 1 in band-bit space too, buying recall WITHOUT more
+  // bands (no extra index rows, no extra shuffle of the corpus side; the
+  // probe fan-out lives on the tiny query side). Probe order is
+  // deterministic: level 0 = the query's own bucket per band, level 1 =
+  // all k single-bit flips; a candidate reachable at both levels is
+  // attributed to its FIRST level (min), the q_ivf_recall one-pass-curve
+  // trick, so both operating points come from one corpus join. Measured
+  // on the clustered corpus (§37: recall on uniform-random vectors is
+  // meaningless — LSH level-0 reads 0.875 there and the multi-probe
+  // lift is the point of this gate).
+  private val sqlMultiprobeAfterQvt: String = s"""$sqlBkAfterQvt,
+exact AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS cand_id
+  FROM qvt q JOIN qvt v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < $NumQueries
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+    ORDER BY list_sum(list_transform(range(1, ${Dim + 1}), i ->
+      list_extract(q.qv, CAST(i AS INT)) * list_extract(v.qv, CAST(i AS INT)))) DESC, v.vec_id) <= $TopK),
+bq AS (SELECT vec_id AS query_id, band, bucket FROM bk WHERE vec_id < $NumQueries),
+pr AS (
+  SELECT query_id, band, bucket, 0 AS pl FROM bq
+  UNION ALL
+  SELECT query_id, band, xor(bucket, CAST((1 << b.b) AS BIGINT)) AS bucket, 1 AS pl
+  FROM bq, params, (SELECT unnest(range(0, $MaxBandBits)) AS b) b
+  WHERE b.b < params.k),
+mp AS (
+  SELECT p.query_id, v.vec_id AS cand_id, min(p.pl) AS minpl
+  FROM pr p JOIN bk v
+    ON v.band = p.band AND v.bucket = p.bucket AND v.vec_id <> p.query_id
+  GROUP BY p.query_id, v.vec_id),
+mh AS (
+  SELECT m.query_id, m.minpl,
+    CASE WHEN e.cand_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM mp m LEFT JOIN exact e
+    ON e.query_id = m.query_id AND e.cand_id = m.cand_id)
+SELECT lv.pl AS probe_level, h.query_id,
+  CAST(sum(CASE WHEN h.minpl <= lv.pl THEN 1 ELSE 0 END) AS BIGINT) AS n_cands,
+  CAST(sum(CASE WHEN h.minpl <= lv.pl THEN h.hit ELSE 0 END) AS BIGINT) AS hits,
+  CAST(sum(CASE WHEN h.minpl <= lv.pl THEN h.hit ELSE 0 END) AS DOUBLE) / $TopK
+    AS recall_at_$TopK
+FROM mh h, (SELECT CAST(unnest([0, 1]) AS BIGINT) AS pl) lv
+GROUP BY lv.pl, h.query_id
+ORDER BY probe_level, query_id"""
+
+  private def annMultiprobeOver(emb: DataFrame): DataFrame = {
+    val q8 = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qvec"))
+    val wexact = Window.partitionBy("query_id").orderBy(desc("dot"), asc("cand_id"))
+    val exact = emb.join(broadcast(q8), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        call_function("long_dot", col("qvec"), col("qv")).as("dot"))
+      .withColumn("rn", row_number().over(wexact))
+      .filter(col("rn") <= TopK)
+      .select("query_id", "cand_id")
+    val bk = annBucketsOver(emb)
+    // probe fan-out on the QUERY side only: 1 + k buckets per band per
+    // query — the corpus-side bk never grows and the join stays the
+    // q_ann_recall broadcast shape
+    val pr = bk.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        col("band").as("qband"), col("bucket").as("qbucket"))
+      .crossJoin(broadcast(annParamsOver(emb)))
+      .select(col("query_id"), col("qband"),
+        explode(expr(
+          """concat(
+            |  array(struct(qbucket AS bucket, 0 AS pl)),
+            |  transform(sequence(0, k - 1), b ->
+            |    struct(qbucket ^ shiftleft(1L, b) AS bucket, 1 AS pl)))"""
+            .stripMargin)).as("pp"))
+      .select(col("query_id"), col("qband"),
+        col("pp.bucket").as("pbucket"), col("pp.pl").as("pl"))
+    val mp = pr
+      .join(bk, col("band") === col("qband") &&
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("pl"))
+      .groupBy("query_id", "cand_id")
+      .agg(min(col("pl")).as("minpl"))
+    mp.join(exact.withColumn("hitmark", lit(1)),
+        Seq("query_id", "cand_id"), "left_outer")
+      .select(col("query_id"), col("minpl"),
+        coalesce(col("hitmark"), lit(0)).as("hit"))
+      .select(col("query_id"), col("minpl"), col("hit"),
+        explode(typedlit(Seq(0L, 1L))).as("probe_level"))
+      .groupBy("probe_level", "query_id")
+      .agg(
+        sum(when(col("minpl") <= col("probe_level"), 1L).otherwise(0L))
+          .as("n_cands"),
+        sum(when(col("minpl") <= col("probe_level"), col("hit").cast("long"))
+          .otherwise(0L)).as("hits"))
+      .select(col("probe_level"), col("query_id"), col("n_cands"), col("hits"),
+        (col("hits").cast("double") / TopK).as(s"recall_at_$TopK"))
+      .orderBy("probe_level", "query_id")
+  }
+
+  private val qAnnMultiprobe = QueryDef(
+    "q_ann_multiprobe",
+    Some(s"WITH $sqlQvtClustered,$sqlMultiprobeAfterQvt"),
+    (spark, dir) => annMultiprobeOver(clusteredQvt(spark, dir)))
+
   // =========================================================================
   // k-means (Lloyd) — the semantic-clustering stage of a curation pipeline
   // =========================================================================
@@ -1555,7 +1657,7 @@ ORDER BY query_id, rnk"""),
     qCosineTopk, qHardNegatives, qAnnBuckets, qAnnBucketStats, qArrayFuncs,
     qNeardupBucketed,
     qIvfAssign, qIvfTopk, qIvfBuild, qIvfProbe, qAnnRecall,
-    qAnnRecallClustered, qIvfRecall, qIvfRecallClustered,
+    qAnnRecallClustered, qIvfRecall, qIvfRecallClustered, qAnnMultiprobe,
     qKmeansAssign, qKmeansProfile,
     qSemdedup, qPqTopk, qEmbedDecontam)
 }

@@ -20,6 +20,7 @@ class PlanAuditSpec extends SparkSuite {
     "q_ann_buckets", "q_ann_bucket_stats", "q_neardup_bucketed",
     "q_ivf_assign", "q_ivf_topk", "q_ann_recall", "q_ann_recall_clustered",
     "q_ivf_recall", "q_ivf_recall_clustered",
+    "q_ann_multiprobe", // 1-row band-width params frame broadcast-crossed in
     "q22_global_sales",
     "q11_important_stock", "q_text_search", "q_pagerank",
     "q_zorder_layout", // 1-row dims/zmax stat frames broadcast-crossed in
