@@ -113,13 +113,15 @@ object PrIvmScale {
     // files and the feed read is O(changed files) — the deployment
     // number VERDICT r17 task 1 asks for (the uniform exhibit delta
     // rewrites every file by construction).
+    val frac = sys.env.get("SPARK_GRAFT_PRIVM_FRAC")
+      .flatMap(_.toIntOption).getOrElse(8)
     t0 = System.nanoTime(); b0 = snap()
     val ldf = graft.queries.Graph.pagerankIvmServe(spark, dir,
-      ph => emit(s"local_$ph"), localFrac = Some(8))
+      ph => emit(s"local_$ph"), localFrac = Some(frac))
     val lrows = ldf.collect()
     emit("local_final")
     val lr2 = if (lrows.isEmpty) 0L else lrows.head.getLong(3)
-    println(s"""{"harness":"pr_ivm","mult":$mult,"local_rows":${lrows.length},"local_r2":$lr2}""")
+    println(s"""{"harness":"pr_ivm","mult":$mult,"frac":$frac,"local_rows":${lrows.length},"local_r2":$lr2}""")
     spark.stop()
   }
 }

@@ -597,7 +597,16 @@ object Catalog {
       // (Dedup.SimPairCap), spliced after stripMargin so the shared cap
       // constant stays single-sourced
       .replace("SIMPAIRCAP", Dedup.SimPairCap.toString)),
-    (spark, dir) => {
+    (spark, dir) =>
+      blobBandedPairs(spark, dir)
+        .orderBy("hamming", "media_a", "media_b")
+        .limit(20))
+
+  /** q_blob_neardup's pairing kernel as a reusable frame: distinct
+    * candidate pairs from the banded-Hamming buckets (capped at
+    * [[Dedup.SimPairCap]] per bucket) with exact 64-bit Hamming distance
+    * — shared with the multimodal curation pipeline. */
+  private def blobBandedPairs(spark: SparkSession, dir: String): DataFrame = {
       val ph = graft.operators.MultimodalOps.perceptualHash(
         graft.operators.MultimodalOps.documentsAsMedia(spark, dir)).toDF()
       val banded = ph.select(col("media_id"),
@@ -630,9 +639,7 @@ object Catalog {
             bit_count(col("a2").bitwiseXOR(col("c2"))) +
             bit_count(col("a3").bitwiseXOR(col("c3")))).cast("long")
             .as("hamming"))
-        .orderBy("hamming", "media_a", "media_b")
-        .limit(20)
-    })
+  }
 
   /** Cap accounting for q_blob_neardup's banded-Hamming guard — the
     * aHash twin of q_simhash_cap_stats (VERDICT r17 task 3): per band,
@@ -674,11 +681,149 @@ object Catalog {
         .select(col("bb.band").as("band"), col("bb.bits").as("bits")))
     })
 
+  /** MULTIMODAL CURATION PIPELINE (VERDICT r17 task 6) — the joint
+    * keep/drop + split a text+image corpus actually needs, composed as
+    * one gated flow with per-stage accounting:
+    *
+    *   text near-dup edges (the MinHash-LSH candidates behind
+    *   q_dedup_components) ∪ blob near-dup edges (q_blob_neardup's
+    *   banded-aHash pairs at Hamming ≤ [[BlobDupHam]] — the pigeonhole-
+    *   exact radius) → ONE connected-component closure over the union
+    *   graph ([[Dedup.componentsOverEdges]], the same pointer-jumping
+    *   kernel) → keep one doc per joint component (min id) → the
+    *   leakage-safe split hashed on the JOINT component id, so neither a
+    *   text near-dup NOR an image near-dup can straddle train/test.
+    *
+    * Output is the per-stage audit trail (stage, n): corpus size, edge
+    * counts per modality, joint components, components merged by a blob
+    * edge (the rows only the image signal contributes), drops, split
+    * sizes — the "no silent caps" rule applied to a whole pipeline.
+    * Scale shape: both edge generators are bucket-local (never
+    * all-pairs), the closure iterates on edge endpoints only, and every
+    * accounting row is a scalar aggregate — no stage exceeds the cost
+    * of its standalone gated query. */
+  private val BlobDupHam = 3
+  private val qPipelineMultimodal = QueryDef(
+    "q_pipeline_multimodal",
+    Some(s"${Dedup.sigsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},\n" +
+      s"${Dedup.candPairsSql},\n$blobPxSql,\n" + s"""
+      |m AS (SELECT doc_id, sum(byte) // 64 AS mean FROM px GROUP BY doc_id),
+      |bt AS (
+      |  SELECT p.doc_id, p.y * 8 + p.x AS i,
+      |    CASE WHEN p.byte > m.mean THEN 1 ELSE 0 END AS bit
+      |  FROM px p JOIN m ON m.doc_id = p.doc_id),
+      |bd AS (
+      |  SELECT doc_id, i // 16 AS band,
+      |    CAST(sum(bit << (i % 16)) AS INTEGER) AS bits
+      |  FROM bt GROUP BY doc_id, i // 16),
+      |hsh AS (
+      |  SELECT doc_id,
+      |    min(CASE WHEN band = 0 THEN bits END) AS b0,
+      |    min(CASE WHEN band = 1 THEN bits END) AS b1,
+      |    min(CASE WHEN band = 2 THEN bits END) AS b2,
+      |    min(CASE WHEN band = 3 THEN bits END) AS b3
+      |  FROM bd GROUP BY doc_id),
+      |bdc AS (
+      |  SELECT doc_id, band, bits FROM bd
+      |  QUALIFY row_number() OVER (PARTITION BY band, bits ORDER BY doc_id)
+      |    <= SIMPAIRCAP),
+      |bpair AS (
+      |  SELECT p.a, p.b FROM (
+      |    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |    FROM bdc x JOIN bdc y
+      |      ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id) p
+      |  JOIN hsh ha ON ha.doc_id = p.a JOIN hsh hb ON hb.doc_id = p.b
+      |  WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+      |      + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+      |    <= BLOBHAM),
+      |uedges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM cand
+      |  UNION SELECT doc_b, doc_a FROM cand
+      |  UNION SELECT a, b FROM bpair
+      |  UNION SELECT b, a FROM bpair),
+      |reach(u, v) AS (
+      |  SELECT doc_id AS u, doc_id AS v FROM documents
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN uedges e ON e.u = r.v),
+      |comp AS (
+      |  SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS component_id
+      |  FROM reach GROUP BY u),
+      |keepers AS (
+      |  SELECT component_id, SPLITHASH % 100 AS hsplit
+      |  FROM (SELECT DISTINCT component_id FROM comp))
+      |SELECT stage, n FROM (
+      |  SELECT 'a_docs_total' AS stage, count(*) AS n FROM documents
+      |  UNION ALL SELECT 'b_text_edges', count(*) FROM cand
+      |  UNION ALL SELECT 'c_blob_edges', count(*) FROM bpair
+      |  UNION ALL SELECT 'd_components', count(*) FROM keepers
+      |  UNION ALL SELECT 'e_blob_merged_components',
+      |    count(DISTINCT c2.component_id)
+      |    FROM comp c2 JOIN (SELECT a AS d FROM bpair
+      |                       UNION SELECT b FROM bpair) be ON be.d = c2.doc_id
+      |  UNION ALL SELECT 'f_dropped',
+      |    (SELECT count(*) FROM comp) - (SELECT count(*) FROM keepers)
+      |  UNION ALL SELECT 'g_train',
+      |    count(*) FILTER (WHERE hsplit < 80) FROM keepers
+      |  UNION ALL SELECT 'h_val',
+      |    count(*) FILTER (WHERE hsplit >= 80 AND hsplit < 90) FROM keepers
+      |  UNION ALL SELECT 'i_test',
+      |    count(*) FILTER (WHERE hsplit >= 90) FROM keepers)
+      |ORDER BY stage
+      |""".stripMargin.trim
+      .replace("SIMPAIRCAP", Dedup.SimPairCap.toString)
+      .replace("BLOBHAM", BlobDupHam.toString)
+      .replace("SPLITHASH",
+        graft.functions.PortableHash.sqlHash60(41,
+          "CAST(component_id AS VARCHAR)"))),
+    (spark, dir) => {
+      val docs = tbl(spark, dir, "documents").select(col("doc_id"))
+      // both edge frames and the closure are reused by several
+      // accounting aggregates — materialize each once
+      val tcand = graft.Checkpoints.truncate(
+        Dedup.candPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+      val bpair = graft.Checkpoints.truncate(
+        blobBandedPairs(spark, dir).filter(col("hamming") <= BlobDupHam)
+          .select(col("media_a").as("a"), col("media_b").as("b")))
+      val comp = graft.Checkpoints.truncate(
+        Dedup.componentsOverEdges(spark, dir,
+          tcand.unionByName(
+            bpair.select(col("a").as("doc_a"), col("b").as("doc_b")))))
+      val keepers = graft.Checkpoints.truncate(
+        comp.select(col("component_id")).distinct()
+          .withColumn("hsplit",
+            graft.functions.PortableHash.hash60(41,
+              col("component_id").cast("string")) % 100))
+      def stage(name: String, n: Column, from: DataFrame): DataFrame =
+        from.agg(n.as("n")).select(lit(name).as("stage"), col("n"))
+      val out = Seq(
+          stage("a_docs_total", count(lit(1)), docs),
+          stage("b_text_edges", count(lit(1)), tcand),
+          stage("c_blob_edges", count(lit(1)), bpair),
+          stage("d_components", count(lit(1)), keepers),
+          stage("e_blob_merged_components",
+            count_distinct(col("component_id")),
+            comp.join(bpair.select(col("a").as("d"))
+              .unionByName(bpair.select(col("b").as("d"))).distinct(),
+              col("doc_id") === col("d"))),
+          stage("f_dropped",
+            count(lit(1)) - count_distinct(col("component_id")), comp),
+          stage("g_train",
+            sum(when(col("hsplit") < 80, 1L).otherwise(0L)), keepers),
+          stage("h_val",
+            sum(when(col("hsplit") >= 80 && col("hsplit") < 90, 1L)
+              .otherwise(0L)), keepers),
+          stage("i_test",
+            sum(when(col("hsplit") >= 90, 1L).otherwise(0L)), keepers))
+        .reduce(_.unionByName(_))
+        .orderBy("stage")
+      out
+    })
+
   // =========================================================================
 
   val defs: Seq[QueryDef] = Seq(
     qMultimodal, qBlobStats, qFrameSample, qBlobDecode, qBlobNeardup,
-    qBlobCapStats) ++ Seq(
+    qBlobCapStats, qPipelineMultimodal) ++ Seq(
     qWordcount, qTopkMax, qTopkMin, qStopword,
     qPricing, qFilterProject, qSortLimit, qJoinAgg,
     qSemiJoin, qAntiJoin, qBroadcastJoin, qWindowRank,

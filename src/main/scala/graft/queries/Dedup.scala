@@ -53,7 +53,7 @@ object Dedup {
   private def sigCols: Seq[Column] =
     seeds.map(s => min(PortableHash.universal(s, col("hp"))).as(s"h$s"))
 
-  private val sigsSql = s"""WITH sh AS ($shingleSql),
+  private[queries] val sigsSql = s"""WITH sh AS ($shingleSql),
 shb AS (SELECT doc_id, ${PortableHash.sqlHash60("sh")} % ${PortableHash.P} AS hp FROM sh),
 sigs AS (SELECT doc_id, $sigColsSql FROM shb GROUP BY doc_id)"""
 
@@ -146,7 +146,7 @@ shb_o AS (SELECT doc_id, ${PortableHash.sqlHash60("sh")} % ${PortableHash.P} AS 
 sigs AS (SELECT doc_id, $sigColsSql FROM shb_o GROUP BY doc_id),
 b AS ($bandsSql)"""
 
-  private val candPairsSql = s"""b AS (
+  private[queries] val candPairsSql = s"""b AS (
   $bandsSql)
 , cand AS (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_bands
@@ -161,7 +161,7 @@ b AS ($bandsSql)"""
     * Bucket widths are bounded (LSH's point), so the per-bucket pair
     * expansion is bounded too; same output as the join: (doc_a < doc_b,
     * n_bands = shared-bucket count). */
-  private def candPairs(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def candPairs(spark: SparkSession, dir: String): DataFrame =
     candPairsFrom(sigs(spark, dir))
 
   private def candPairsFrom(sigsDf: DataFrame): DataFrame =
@@ -361,8 +361,15 @@ comp AS (
 
   /** The full near-dup closure as a reusable frame (doc_id, component_id)
     * — [[qDedupComponents]]'s body, shared with the leakage-safe split. */
-  private def componentsFrame(spark: SparkSession, dir: String): DataFrame = {
-      val cand = candPairs(spark, dir)
+  private def componentsFrame(spark: SparkSession, dir: String): DataFrame =
+    componentsOverEdges(spark, dir, candPairs(spark, dir))
+
+  /** The near-dup closure over ANY candidate pair frame (doc_a, doc_b) —
+    * [[componentsFrame]]'s loop, edge-source-generic so the multimodal
+    * pipeline can close over the UNION of text-LSH and blob-aHash edges
+    * (q_pipeline_multimodal). */
+  private[queries] def componentsOverEdges(
+      spark: SparkSession, dir: String, cand: DataFrame): DataFrame = {
       // hash(v) is BAKED into the edge checkpoint (LogicalRDD preserves
       // outputPartitioning): every round's hop join streams the edge
       // blocks in place and only the O(active-set) label frame moves.
