@@ -311,9 +311,23 @@ object Bench {
   }
 
   private def parent(): Unit = {
-    val ordered = SparkEntry.queries.keys.toSeq.sorted
+    val sortedNames = SparkEntry.queries.keys.toSeq.sorted
     val forks = sys.env.get("SPARK_GRAFT_BENCH_FORKS").flatMap(_.toIntOption)
       .getOrElse(defaultForks)
+    // STRIDE the sorted list across slices (VERDICT r17 task 2):
+    // contiguous alphabetical slices packed every q_p* convergence
+    // kernel — pagerank_converged, pagerank_ivm, pipeline_*,
+    // prefix_join, pq_topk — into ONE slice JVM, and that slice's
+    // cumulative block-manager/codegen pressure produced the 1.4-1.7×
+    // in-suite-vs-fresh gaps r16 flagged (shuffle bytes identical — pure
+    // JVM pressure, the §23/§28 artifact). Striding gives every slice
+    // ~1/forks of each alphabetical region, so no JVM stacks the whole
+    // heavy family; per-query protocol (untimed warmup, isolate()
+    // between queries) is unchanged.
+    val ordered =
+      if (forks <= 1) sortedNames
+      else (0 until forks).flatMap(s =>
+        sortedNames.indices.filter(_ % forks == s).map(sortedNames))
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_bench_").toString
     // session for fallback paths only — created lazily so the common

@@ -77,7 +77,89 @@ object BpeScale {
     out.result()
   }
 
+  /** DISTRIBUTED-ONLY merge training at vocabulary sizes past driver
+    * territory (VERDICT r17 task 4): the gate's loop
+    * (TextAnalysis.bpeTrainLoopOver — distributed pair aggregate, 1-row
+    * argmax, map-only fold, checkpoint-truncated rounds) over a
+    * SYNTHETIC ≥10⁶-type weighted vocabulary (deterministic xxhash64
+    * words, 6-12 chars over a 26-letter alphabet, Zipf-ish weights
+    * N/(id+1)). The driver holds ONLY the merge list; nothing
+    * vocabulary-sized is ever collected. A 2k-type sample is first
+    * cross-checked merge-for-merge against the driver-side trainer
+    * (same tie-breaks), so the big runs measure a verified kernel.
+    *
+    *   sbt "runMain graft.BpeScale dist [merges] [vocabSizes...]"
+    */
+  private def distMain(args: Array[String]): Unit = {
+    val merges = args.headOption.flatMap(_.toIntOption).getOrElse(64)
+    val sizes = if (args.length > 1) args.drop(1).toSeq.map(_.toLong)
+      else Seq(100000L, 1000000L, 4000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    DevSessionConf(spark)
+    import spark.implicits._
+
+    def vocabOf(n: Long) =
+      spark.range(n)
+        .select(
+          expr("""concat_ws('', transform(
+            sequence(0, 5 + cast(pmod(xxhash64(id, 7L), 7) as int)),
+            j -> char(97 + pmod(xxhash64(id, j), 26))))""").as("w"),
+          expr(s"greatest(1L, ${n}L div (id + 1))").as("n_w0"))
+        .groupBy("w").agg(sum("n_w0").as("n_w"))
+
+    // correctness cross-check on a driver-sized sample
+    locally {
+      val small = vocabOf(2000L)
+      val driverMerges = train(
+        small.as[(String, Long)].collect().toSeq.sortBy(_._1), merges)
+      val (distMerges, vf) =
+        graft.queries.TextAnalysis.bpeTrainLoopOver(spark, small, merges)
+      graft.Checkpoints.release(vf)
+      val agree = driverMerges == distMerges.map(m => (m._2, m._3))
+      println(s"""{"harness":"bpe_dist","check_types":2000,"merges":$merges,"matches_driver":$agree}""")
+      require(agree, "distributed trainer diverged from the driver trainer")
+    }
+
+    val tally = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) tally.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
+    def snap(): Long = {
+      org.apache.spark.sql.graftbridge.GraftPlanBridge
+        .flushListenerBus(spark.sparkContext)
+      tally.get
+    }
+
+    for (n <- sizes) {
+      val vc = vocabOf(n)
+      val types = vc.count()
+      val t0 = System.nanoTime()
+      val b0 = snap()
+      val (ms, vf) =
+        graft.queries.TextAnalysis.bpeTrainLoopOver(spark, vc, merges)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val mb = (snap() - b0) / 1e6
+      graft.Checkpoints.release(vf)
+      println(f"""{"harness":"bpe_dist","vocab":$n,"types":$types,"merges":$merges,"secs":$secs%.1f,"secs_per_round":${secs / merges}%.3f,"shuffle_mb":$mb%.1f,"driver_state_rows":${ms.size}}""")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("dist")) { distMain(args.filterNot(_ == "dist")); return }
     // "open" anywhere in args → OPEN-VOCABULARY mode (SCALE.md §27
     // follow-up, VERDICT r15 item 2): the vocabulary is the corpus's
     // words PLUS its adjacent word bigrams and trigrams (joined, with

@@ -30,7 +30,109 @@ import org.apache.spark.sql.functions._
   * checkpoint.
   */
 object Dsv2Scale {
+
+  /** STATS-UNDER-CHURN mode (VERDICT r17 task 8): an auto-compacting
+    * ingest table rewrites its layout continuously — this loop verifies
+    * the manifest min/max stats, and with them file-skipping
+    * selectivity, survive ≥20 compact cycles (+ periodic zorder). Each
+    * cycle appends a time-ordered small-file batch (the streaming-ingest
+    * shape), compacts, then probes TWO fixed key ranges — one in the
+    * original seed span (files compact never touches again once
+    * target-sized), one sliding over the most recent batch (files that
+    * just went through the rewrite) — reading the scan's `linesRead`
+    * metric: selectivity = linesRead / total rows. Every 6th cycle runs
+    * the zorder rewrite instead, the recovery verb for any stat
+    * widening. Probe results are also count-checked so a stats bug that
+    * OVER-prunes fails loudly rather than reading as better selectivity.
+    *
+    *   sbt "runMain graft.Dsv2Scale churn [cycles]"
+    */
+  private def churnMain(args: Array[String]): Unit = {
+    val cycles = args.headOption.flatMap(_.toIntOption).getOrElse(24)
+    val rowsPerBatch = 4000L
+    val seedRows = 40000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    DevSessionConf(spark)
+
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_dsv2_churn").toString
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    spark.conf.set("spark.sql.catalog.gchurn",
+      classOf[graft.sources.GraftTsvCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gchurn.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gchurn.db")
+    val t = "gchurn.db.churn"
+    spark.sql(s"""CREATE TABLE $t (k BIGINT, v BIGINT) USING `graft-tsv`
+      TBLPROPERTIES ('retain.generations' = '8')""")
+    val tableDir = s"$root/db/churn"
+
+    def rows(lo: Long, n: Long) =
+      spark.range(lo, lo + n).select(col("id").as("k"),
+        (col("id") * 3).as("v"))
+    // seed: range-partitioned → tight per-file stats
+    rows(0, seedRows).repartitionByRange(8, col("k")).writeTo(t).append()
+
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec = {
+      def find(p: SparkPlan): Option[BatchScanExec] = p match {
+        case b: BatchScanExec => Some(b)
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case q: QueryStageExec => find(q.plan)
+        case other => other.children.iterator.flatMap(find(_).iterator).nextOption()
+      }
+      find(df.queryExecution.executedPlan)
+        .getOrElse(throw new IllegalStateException("no BatchScanExec"))
+    }
+    def probe(lo: Long, hi: Long): (Long, Long) = {
+      val q = spark.table(t).filter(col("k") >= lo && col("k") < hi)
+      val n = q.collect().length.toLong
+      require(n == hi - lo,
+        s"churn probe [$lo, $hi) returned $n rows, expected ${hi - lo} — " +
+          "stats OVER-pruned (a skipped file held matching rows)")
+      (scanOf(q).metrics("linesRead").value, n)
+    }
+
+    for (c <- 1 to cycles) {
+      // time-ordered ingest batch in 4 small files
+      rows(seedRows + (c - 1) * rowsPerBatch, rowsPerBatch)
+        .coalesce(4).writeTo(t).append()
+      val verb = if (c % 6 == 0) "zorder" else "compact"
+      val verbS = {
+        val t0 = System.nanoTime()
+        if (verb == "zorder")
+          spark.sql(s"CALL gchurn.system.zorder(`table` => 'db.churn', " +
+            "columns => 'k,v')").collect()
+        else
+          spark.sql(s"CALL gchurn.system.compact(`table` => 'db.churn', " +
+            "target_bytes => 262144)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val total = seedRows + c * rowsPerBatch
+      val (oldLines, _) = probe(1000, 3000)
+      val recentLo = seedRows + (c - 1) * rowsPerBatch + 500
+      val (newLines, _) = probe(recentLo, recentLo + 1000)
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+        .count(s => !s.getPath.getName.startsWith("_"))
+      println(f"""{"harness":"dsv2_churn","cycle":$c,"verb":"$verb","verb_s":$verbS%.2f,"rows":$total,"n_parts":$parts,"old_probe_lines":$oldLines,"old_sel":${oldLines.toDouble / total}%.4f,"new_probe_lines":$newLines,"new_sel":${newLines.toDouble / total}%.4f}""")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("churn")) {
+      churnMain(args.filterNot(_ == "churn")); return
+    }
     val maxGens = args.headOption.flatMap(_.toIntOption).getOrElse(300)
     val rowsPerGen = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(500)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -83,7 +83,16 @@ object ScaleStress {
 
   def build(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
     val done = new java.io.File(s"$out/_SUCCESS")
-    if (done.exists) return
+    // corpus-format version marker: a cached corpus built by the pre-r17
+    // INSERT tag (volume-inflating) must not be served to a harness
+    // expecting the volume-neutral substitution tag — rebuild it
+    val ver = new java.io.File(s"$out/_TAG_SUBST_V2")
+    if (done.exists && ver.exists) return
+    if (done.exists) {
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
     new java.io.File(out).mkdirs()
     val copies = 0 until mult
 
@@ -95,19 +104,24 @@ object ScaleStress {
 
     require(mult <= 1296, "copy tag is at most two base-36 chars")
     scaled("documents") { (d, i) =>
-      // one base-36 char through 36×; past it a UNIFORM two-char tag
-      // (zero-padded). The splice period becomes 7 (5 original + 2 tag),
-      // and an 8-char shingle window always spans a full period, so every
-      // window still contains a complete copy-distinct tag — the
-      // cross-copy disjointness argument in the class doc is unchanged.
+      // VOLUME-NEUTRAL tag (VERDICT r17 task 7): the tag SUBSTITUTES the
+      // last 1-2 chars of every 5-char block instead of splicing between
+      // blocks, so length(text) — and with it shingle/token volume — is
+      // EXACTLY the base doc's and corpus ratios read directly as the
+      // multiplier (the insert form inflated text ×1.2/×1.4 and every
+      // >1× byte ratio needed a splice adjustment, SCALE.md §32).
+      // Disjointness is unchanged: tag positions recur every 5 chars, so
+      // every char-8 window contains a complete copy-distinct tag (incl.
+      // the final window — the ≤4-char unsubstituted tail still leaves
+      // the window covering the previous block's tag; checked per
+      // length residue). One base-36 char through 36×, two past it.
       val tag =
         if (mult <= 36) Integer.toString(i, 36)
         else Integer.toString(i / 36, 36) + Integer.toString(i % 36, 36)
+      val pat = if (mult <= 36) "(.{4})." else "(.{3}).."
       d.select(
         (col("doc_id") + i * 100000000L).as("doc_id"),
-        // splice the copy tag in every 5 chars → every char-8 shingle
-        // window carries a copy-distinct character (see class doc)
-        regexp_replace(col("text"), "(.{5})", s"$$1$tag").as("text"),
+        regexp_replace(col("text"), pat, s"$$1$tag").as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
     scaled("events") { (e, i) =>
@@ -141,6 +155,7 @@ object ScaleStress {
           java.nio.file.Files.createSymbolicLink(link,
             java.nio.file.Paths.get(base, s"$t.parquet"))
       }
+    ver.createNewFile()
     done.createNewFile()
     ()
   }
