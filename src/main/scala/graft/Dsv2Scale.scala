@@ -111,8 +111,11 @@ object Dsv2Scale {
       val verbS = {
         val t0 = System.nanoTime()
         if (verb == "zorder")
+          // same small target as compact: the default 64 MB would pack
+          // this test-sized table into ONE file and read as "zorder
+          // destroys skipping" when nothing is skippable in 1 file
           spark.sql(s"CALL gchurn.system.zorder(`table` => 'db.churn', " +
-            "columns => 'k,v')").collect()
+            "columns => 'k,v', target_bytes => 131072)").collect()
         else
           spark.sql(s"CALL gchurn.system.compact(`table` => 'db.churn', " +
             "target_bytes => 262144)").collect()
