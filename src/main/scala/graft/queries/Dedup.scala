@@ -383,14 +383,41 @@ comp AS (
         .union(cand.select(col("doc_b").as("u"), col("doc_a").as("v")))
         .repartition(col("v"))
         .truncateLineage
-      // ACTIVE-SET iteration: only edge endpoints can ever change label
-      // (a singleton's component is itself), so the loop runs over the
-      // near-dup subgraph — typically ≪ corpus — and the full corpus is
-      // only touched once, by the final left join. At 100 TB this is the
-      // difference between iterating on every document and iterating on
-      // the few percent that have a candidate edge.
-      var labels = edges.select(col("u")).distinct()
-        .select(col("u"), col("u").as("lbl"))
+      val (labels, _) = componentsLoop(spark, edges, None)
+      // the final fold below reads only `labels` (a jump over the LAST
+      // hop's blocks) — the edge frame is out of every live lineage now
+      graft.Checkpoints.release(edges)
+      // fold the active-set labels back over the corpus: docs without a
+      // candidate edge are their own component. NO broadcast hint here —
+      // the label frame is O(edge endpoints), unbounded by design, so a
+      // forced broadcast risks OOM at the corpus scale the loop targets;
+      // AQE sees the checkpointed frame's true size at runtime and picks
+      // BHJ whenever it actually fits (it does at every bench SF),
+      // degrading to a shuffle join instead of failing when it doesn't.
+      tbl(spark, dir, "documents").select(col("doc_id"))
+        .join(labels.select(col("u").as("doc_id"),
+          col("lbl").as("component_id")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component_id"), col("doc_id")).as("component_id"))
+  }
+
+  /** The min-label pointer-jumping loop over a MATERIALIZED,
+    * v-partitioned directed edge frame (u, v), resumable: `init` is any
+    * labeling that is ≥ the fixpoint pointwise and constant-correct on
+    * its own subgraph — the cold self-labeling (None), or a CONVERGED
+    * base labeling extended with self-labels for unseen vertices
+    * (q_components_ivm): min-label propagation is a monotone semilattice
+    * fold, so resuming from the base fixpoint plus added edges descends
+    * to exactly the final graph's fixpoint (labels within a merged
+    * component are the old component minima, whose min IS the new
+    * component min). Returns (converged labels (u, lbl) — caller
+    * releases; executed rounds). */
+  private[queries] def componentsLoop(
+      spark: SparkSession, edges: DataFrame,
+      init: Option[DataFrame]): (DataFrame, Long) = {
+      var labels = init.getOrElse(
+          edges.select(col("u")).distinct()
+            .select(col("u"), col("u").as("lbl")))
         .truncateLineage
       // The per-round frames are one (node, label) row per doc — far below
       // a shuffle-partition's worth of data per core. Narrow the loop's
@@ -479,19 +506,7 @@ comp AS (
       }
       // the final fold below reads only `labels` (a jump over the LAST
       // hop's blocks) — the edge frame is out of every live lineage now
-      graft.Checkpoints.release(edges)
-      // fold the active-set labels back over the corpus: docs without a
-      // candidate edge are their own component. NO broadcast hint here —
-      // the label frame is O(edge endpoints), unbounded by design, so a
-      // forced broadcast risks OOM at the corpus scale the loop targets;
-      // AQE sees the checkpointed frame's true size at runtime and picks
-      // BHJ whenever it actually fits (it does at every bench SF),
-      // degrading to a shuffle join instead of failing when it doesn't.
-      tbl(spark, dir, "documents").select(col("doc_id"))
-        .join(labels.select(col("u").as("doc_id"),
-          col("lbl").as("component_id")), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component_id"), col("doc_id")).as("component_id"))
+      (labels, iter.toLong)
   }
 
   /** Leakage-safe train/val/test split — the dataset-split step every

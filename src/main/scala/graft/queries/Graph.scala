@@ -687,7 +687,8 @@ ORDER BY pr DESC, node_id LIMIT 50"""
     * by the gate and the served path. Returns (qualified name, table
     * name, catalog root). */
   private def privmFreshTable(
-      spark: SparkSession, dir: String): (String, String, String) = {
+      spark: SparkSession, dir: String,
+      prefix: String = "privm"): (String, String, String) = {
     val h = Integer.toHexString(dir.hashCode)
     val nonce = java.lang.Long.toHexString(
       System.nanoTime() ^ (Thread.currentThread().getId << 48))
@@ -701,7 +702,7 @@ ORDER BY pr DESC, node_id LIMIT 50"""
       val cutoff = System.currentTimeMillis() - 30 * 60 * 1000L
       Option(new java.io.File(root, "db").listFiles())
         .getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(s"privm_${h}_") &&
+        .filter(f => f.getName.startsWith(s"${prefix}_${h}_") &&
           !f.getName.contains(nonce) && f.lastModified < cutoff)
         .foreach { f =>
           val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
@@ -709,7 +710,7 @@ ORDER BY pr DESC, node_id LIMIT 50"""
             .delete(p, true)
         }
     }
-    val tn = s"privm_${h}_$nonce"
+    val tn = s"${prefix}_${h}_$nonce"
     (s"gparity.db.$tn", tn, root)
   }
 
@@ -1541,7 +1542,132 @@ ORDER BY f.node_id"""
         .orderBy("node_id")
     })
 
+  // =========================================================================
+  // INCREMENTAL CONNECTED COMPONENTS off the changes feed (round 17) —
+  // the q_pagerank_ivm pattern generalized to the second convergence
+  // kernel, with a cleaner algebra: min-label propagation is a MONOTONE
+  // SEMILATTICE fold, so for an ADDS-ONLY delta the converged base
+  // labeling (extended with self-labels for unseen vertices) is a valid
+  // resume point that descends to EXACTLY the final graph's fixpoint —
+  // labels inside a merged component are the old component minima, whose
+  // min is the new component min. No trajectory replay needed in the
+  // oracle (unlike PageRank's ε-stopped integers): the fixpoint is
+  // unique, so the oracle simply computes cold components of the final
+  // edge set and the hash gate proves the maintenance arithmetic landed
+  // on it. Deletes are NOT incremental in this algebra (removing an edge
+  // can split a component, which min-propagation cannot undo) — a delete
+  // batch triggers an affected-component recompute instead, the standard
+  // IVM treatment; the exhibit therefore holds out ADDS only.
+  // =========================================================================
+
+  /** Sparse exhibit graph: the (part, supplier) pairs at the rare
+    * quantity ceiling, thinned to every 4th part — ~0.5% of lineitem,
+    * which sits BELOW the bipartite percolation threshold (22 components
+    * over 324 nodes at sf0.01; the unthinned qty-ceiling graph already
+    * collapses into one giant component and the full graph trivially so)
+    * — so the maintained labeling has real structure to get wrong. */
+  private val CompQty = 50
+  private val CompPartMod = 4
+
+  private[graft] val civmRecipe: String =
+    s"civm-v1:qty=$CompQty,pmod=$CompPartMod,off=$Off,add=31/41"
+
+  private def civmBuildState(
+      spark: SparkSession, base0: DataFrame)(r: String): Unit = {
+    val edges0 = base0
+      .select(col("p").as("u"), (col("s") + Off).as("v"))
+      .unionByName(base0.select((col("s") + Off).as("u"), col("p").as("v")))
+      .repartition(col("v"))
+      .truncateLineage
+    val (labels, r1) = Dedup.componentsLoop(spark, edges0, None)
+    labels.write.mode("overwrite").parquet(s"$r/labels")
+    edges0.select(col("u"), col("v")).write.mode("overwrite")
+      .parquet(s"$r/edges")
+    graft.Checkpoints.release(labels)
+    graft.Checkpoints.release(edges0)
+    spark.range(1).select(lit(r1).as("r1")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$r/meta")
+  }
+
+  /** q_components_ivm's builder: converge once on the base snapshot
+    * (persisted artifact), commit the held-out adds, learn the delta
+    * from the changes feed, patch the edge frame and the labeling with
+    * O(delta) broadcast-sized frames, resume the pointer-jumping loop.
+    * `mark` receives "p1", "delta", "resume:r1=<n>:r2=<m>" (the spec
+    * reads the round counts from the last mark — they are engine
+    * implementation detail, deliberately NOT result columns). */
+  private[graft] def componentsIvmBuild(
+      spark: SparkSession, dir: String,
+      mark: String => Unit = _ => ()): DataFrame = {
+    val ef = tbl(spark, dir, "lineitem")
+      .filter(col("l_quantity") === CompQty &&
+        col("l_partkey") % CompPartMod === 0)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val ac = heldOut(ef, 31L, 41L)
+    val base0 = ac.filter(!col("held")).select("p", "s")
+    val adds = ac.filter(col("held")).select("p", "s")
+    val stateRoot = ArtifactStore.ensure(spark, dir, "lineitem",
+      "civm_state", civmRecipe)(civmBuildState(spark, base0))
+    val r1 = spark.read.parquet(s"$stateRoot/meta").head().getLong(0)
+    mark("p1")
+
+    val (t, tn, root) = privmFreshTable(spark, dir, "civm")
+    spark.sql(s"""CREATE TABLE $t (p BIGINT, s BIGINT) USING `graft-tsv`
+      TBLPROPERTIES ('retain.generations' = '4')""")
+    base0.writeTo(t).append()                                     // gen 1
+    adds.writeTo(t).append()                                      // gen 2
+    val dpairs = graft.Checkpoints.truncate(
+      privmNetDelta(spark, root, tn))
+    val dedges = dpairs
+      .select(col("p").as("u"), (col("s") + Off).as("v"))
+      .unionByName(dpairs.select((col("s") + Off).as("u"), col("p").as("v")))
+    val edgesFin = spark.read.parquet(s"$stateRoot/edges")
+      .unionByName(dedges.select("u", "v"))
+      .repartition(col("v"))
+      .truncateLineage
+    val l0 = spark.read.parquet(s"$stateRoot/labels")
+    // unseen endpoints (vertices the adds introduce) start as their own
+    // component — the semilattice init the class comment requires
+    val init = l0.unionByName(
+      dedges.select(col("u")).distinct()
+        .join(l0.select(col("u")), Seq("u"), "left_anti")
+        .select(col("u"), col("u").as("lbl")))
+    mark("delta")
+    val (labels2, r2) = Dedup.componentsLoop(spark, edgesFin, Some(init))
+    mark(s"resume:r1=$r1:r2=$r2")
+    // the FULL per-node labeling (the q_dedup_components shape): every
+    // node's maintained label is hashed, so the gate proves the whole
+    // resumed fixpoint, not just an aggregate of it
+    val res = labels2
+      .select(col("u").as("node_id"), col("lbl").as("component_id"))
+      .orderBy("node_id")
+    val rows = res.collect().toSeq
+    Seq(labels2, edgesFin, dpairs).foreach(graft.Checkpoints.release)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), res.schema)
+      .orderBy("node_id")
+  }
+
+  private val qComponentsIvm = QueryDef(
+    "q_components_ivm",
+    Some(s"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+  WHERE l_quantity = $CompQty AND l_partkey % $CompPartMod = 0),
+edges AS (SELECT p AS u, s + $Off AS v FROM e0
+          UNION SELECT s + $Off AS u, p AS v FROM e0),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach(u, v) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+comp AS (SELECT u, CAST(min(v) AS BIGINT) AS component_id
+         FROM reach GROUP BY u)
+SELECT u AS node_id, component_id FROM comp ORDER BY node_id"""),
+    (spark, dir) => componentsIvmBuild(spark, dir))
+
   val defs: Seq[QueryDef] =
-    Seq(qPagerank, qPagerankConverged, qPagerankIvm, qTriangles, qBfsHops,
-      qBfsFull, qLabelProp, qLabelPropConverged)
+    Seq(qPagerank, qPagerankConverged, qPagerankIvm, qComponentsIvm,
+      qTriangles, qBfsHops, qBfsFull, qLabelProp, qLabelPropConverged)
 }

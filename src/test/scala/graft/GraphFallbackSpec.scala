@@ -150,6 +150,22 @@ class GraphFallbackSpec extends SparkSuite {
       "served maintenance path diverged from the gate's (node, pr, r2)")
   }
 
+  // Incremental components: the oracle already proves the maintained
+  // labeling equals the cold fixpoint (unique for min-propagation); this
+  // pins the INCREMENTAL property itself — the resume runs and takes no
+  // more rounds than the cold converge did.
+  test("q_components_ivm: adds-only resume reaches the fixpoint within cold rounds") {
+    val marks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val df = queries.Graph.componentsIvmBuild(spark, sfDir, marks += _)
+    assert(df.count() > 0, "empty component labeling")
+    val rm = marks.find(_.startsWith("resume:"))
+      .getOrElse(fail(s"no resume mark in $marks"))
+    val kv = rm.split(":").drop(1)
+      .map(_.split("=")).map(a => a(0) -> a(1).toLong).toMap
+    assert(kv("r2") >= 1 && kv("r2") <= kv("r1"),
+      s"resume rounds ${kv("r2")} exceed cold rounds ${kv("r1")}")
+  }
+
   test("default path keeps the broadcast hints below the ceiling") {
     // q_pagerank: its hinted rank/contrib joins live in the RETURNED
     // plan (the loop is unrolled declaratively). q_triangles' hinted deg
