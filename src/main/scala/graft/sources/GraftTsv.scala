@@ -752,7 +752,11 @@ final class GraftTsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
       // RENAME COLUMN name map (catalog-provided): current name → the
       // historical names old manifests may key stats under
       aliases = aliasMap,
+      // per-scan option first, then the table-level default the catalog
+      // passes through as `stream.max.files.per.trigger` (TBLPROPERTIES
+      // — SCALE.md §36's operating point pinned to the table)
       maxFilesPerTrigger = Option(options.get("max.files.per.trigger"))
+        .orElse(Option(options.get("stream.max.files.per.trigger")))
         .map(v => v.toIntOption.filter(_ >= 1).getOrElse(
           throw new IllegalArgumentException(
             s"graft-tsv: max.files.per.trigger must be an integer >= 1, " +

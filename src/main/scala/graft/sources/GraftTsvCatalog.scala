@@ -221,6 +221,12 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
   private val RetainKey = "retain.generations"
   private val AutoCompactKey = "compact.auto.files"
   private val AutoCompactBytesKey = "compact.auto.target.bytes"
+  /** Table-level default for the generation stream's admission budget
+    * (SCALE.md §36's operating point, pinned to the table instead of
+    * re-decided by every consumer): flows into the scan options via
+    * `tableOptions`, where a per-scan `max.files.per.trigger` read
+    * option still overrides it. */
+  private val StreamMaxFilesKey = "stream.max.files.per.trigger"
   private def validateProps(props: Map[String, String]): Unit =
     props.foreach {
       case (RetainKey, v) =>
@@ -234,12 +240,17 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
         require(v.toLongOption.exists(_ >= 1),
           s"graft catalog: $AutoCompactBytesKey must be a positive byte " +
             s"count, got '$v'")
+      case (StreamMaxFilesKey, v) =>
+        require(v.toIntOption.exists(_ >= 1),
+          s"graft catalog: $StreamMaxFilesKey must be an integer >= 1, " +
+            s"got '$v'")
       case (k, _) =>
         throw new IllegalArgumentException(
           s"graft catalog: unsupported table property '$k' — supported: " +
             s"$RetainKey (time-travel history depth), $AutoCompactKey " +
             s"(auto-compaction live-file threshold), $AutoCompactBytesKey " +
-            "(auto-compaction output size target)")
+            s"(auto-compaction output size target), $StreamMaxFilesKey " +
+            "(generation-stream admission budget, per-scan option overrides)")
     }
 
   // ---- tables ----

@@ -61,6 +61,42 @@ class Dsv2GenStreamSpec extends SparkSuite {
     assert(sunk(out) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
   }
 
+  // The §36 operating point pinned to the TABLE: TBLPROPERTIES
+  // stream.max.files.per.trigger sets the admission budget for every
+  // consumer that resolves the table through the catalog; a per-scan
+  // max.files.per.trigger read option still overrides it.
+  test("stream.max.files.per.trigger table property sets the budget; scan option overrides") {
+    spark.sql("""CREATE TABLE ggen.db.tp (id BIGINT, v STRING)
+      USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '8',
+        'stream.max.files.per.trigger' = '1')""")
+    spark.sql("INSERT INTO ggen.db.tp VALUES (1, 'a'), (2, 'b')") // gen 1
+    spark.sql("INSERT INTO ggen.db.tp VALUES (3, 'c')")           // gen 2
+    spark.sql("INSERT INTO ggen.db.tp VALUES (4, 'd')")           // gen 3
+    spark.sql("INSERT INTO ggen.db.tp VALUES (5, 'e')")           // gen 4
+    val root = Files.createTempDirectory("genstream_tp").toString
+    def drain(tag: String, extra: Map[String, String]): (Seq[Long], Int) = {
+      val (ckpt, out) = (s"$root/ckpt_$tag", s"$root/out_$tag")
+      var r = spark.readStream.option("stream.by.generation", "true")
+      extra.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.table("ggen.db.tp")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q.stop()
+      val batches = new java.io.File(s"$ckpt/offsets").listFiles()
+        .count(f => f.getName.forall(_.isDigit))
+      (sunk(out), batches)
+    }
+    // the table default (budget 1) delivers one generation per batch
+    val (rows1, b1) = drain("default", Map.empty)
+    assert(rows1 == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(b1 >= 4, s"table-property budget should split batches, got $b1")
+    // a per-scan option overrides the table default: one drain batch
+    val (rows2, b2) = drain("override", Map("max.files.per.trigger" -> "100"))
+    assert(rows2 == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(b2 <= 2, s"scan-option override should coalesce batches, got $b2")
+  }
+
   test("max.files.per.trigger bounds each batch to whole generations; rows identical") {
     spark.sql("""CREATE TABLE ggen.db.mft (id BIGINT, v STRING)
       USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '8')""")
