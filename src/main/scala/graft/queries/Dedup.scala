@@ -419,6 +419,10 @@ comp AS (
           edges.select(col("u")).distinct()
             .select(col("u"), col("u").as("lbl")))
         .truncateLineage
+      // empty graph (a delete batch can empty an affected subgraph):
+      // the convergence aggregate below would read sum() = null — return
+      // the empty labeling at zero rounds instead
+      if (labels.head(1).isEmpty) return (labels, 0L)
       // The per-round frames are one (node, label) row per doc — far below
       // a shuffle-partition's worth of data per core. Narrow the loop's
       // shuffle width with an EXPLICIT repartition on the loop key (below)

@@ -1667,7 +1667,122 @@ comp AS (SELECT u, CAST(min(v) AS BIGINT) AS component_id
 SELECT u AS node_id, component_id FROM comp ORDER BY node_id"""),
     (spark, dir) => componentsIvmBuild(spark, dir))
 
+  // ---- the DELETE side of components maintenance: min-propagation
+  // cannot un-merge, so a delete batch takes the standard IVM treatment
+  // — recompute ONLY the components the deleted edges touch, cold, and
+  // splice with the untouched labeling. The affected set is learned from
+  // the base labeling (O(delta) probe → component ids → their vertices
+  // and edges), so the recompute is bounded by the affected subgraph,
+  // never the corpus; the oracle again just computes cold components of
+  // the final edge set (unique fixpoint).
+
+  private[graft] val civmDelRecipe: String =
+    s"civmdel-v1:qty=$CompQty,pmod=$CompPartMod,off=$Off,del=37/43"
+
+  /** q_components_ivm_del's builder. `mark`: "p1", "delta",
+    * "recompute:r1=<cold rounds>:r2=<recompute rounds>:aff=<components>". */
+  private[graft] def componentsIvmDelBuild(
+      spark: SparkSession, dir: String,
+      mark: String => Unit = _ => ()): DataFrame = {
+    val ef = tbl(spark, dir, "lineitem")
+      .filter(col("l_quantity") === CompQty &&
+        col("l_partkey") % CompPartMod === 0)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val dels = heldOut(ef, 37L, 43L).filter(col("held")).select("p", "s")
+    val stateRoot = ArtifactStore.ensure(spark, dir, "lineitem",
+      "civm_del_state", civmDelRecipe)(civmBuildState(spark, ef))
+    val r1 = spark.read.parquet(s"$stateRoot/meta").head().getLong(0)
+    mark("p1")
+
+    val (t, tn, root) = privmFreshTable(spark, dir, "civmd")
+    spark.sql(s"""CREATE TABLE $t (p BIGINT, s BIGINT) USING `graft-tsv`
+      TBLPROPERTIES ('retain.generations' = '4')""")
+    ef.writeTo(t).append()                                        // gen 1
+    val dv = s"civmd_dels_$tn"
+    dels.createOrReplaceTempView(dv)
+    spark.sql(s"""MERGE INTO $t tgt USING $dv d
+      ON tgt.p = d.p AND tgt.s = d.s
+      WHEN MATCHED THEN DELETE""")                                // gen 2
+    spark.catalog.dropTempView(dv)
+    val dpairs = graft.Checkpoints.truncate(
+      privmNetDelta(spark, root, tn))                  // all sgn = -1
+    val dedges = graft.Checkpoints.truncate(dpairs
+      .select(col("p").as("u"), (col("s") + Off).as("v"))
+      .unionByName(dpairs.select((col("s") + Off).as("u"),
+        col("p").as("v"))))
+    val l0 = spark.read.parquet(s"$stateRoot/labels")
+    mark("delta")
+
+    val res =
+      if (dedges.head(1).isEmpty) {
+        // no-op delta at a degenerate SF: the base labeling stands
+        mark(s"recompute:r1=$r1:r2=0:aff=0")
+        l0.select(col("u").as("node_id"), col("lbl").as("component_id"))
+          .orderBy("node_id")
+      } else {
+        // components the deleted edges touch — O(delta) probe into the
+        // base labeling, then their vertices (bounded by the affected
+        // subgraph, broadcast into the edge scan: the corpus-sized edge
+        // frame never shuffles to find its affected slice)
+        val affected = l0
+          .join(broadcast(dedges.select(col("u")).distinct()), Seq("u"))
+          .select(col("lbl")).distinct()
+        val nAff = affected.count()
+        val affV = l0.join(broadcast(affected), Seq("lbl")).select(col("u"))
+        val remEdges = spark.read.parquet(s"$stateRoot/edges")
+          .join(broadcast(affV), Seq("u"), "left_semi")
+          .join(broadcast(dedges.select(col("u"), col("v"))),
+            Seq("u", "v"), "left_anti")
+          .repartition(col("v"))
+          .truncateLineage
+        val (lab2, r2) = Dedup.componentsLoop(spark, remEdges, None)
+        mark(s"recompute:r1=$r1:r2=$r2:aff=$nAff")
+        val keep = l0.join(broadcast(affected), Seq("lbl"), "left_anti")
+        val out = keep.select(col("u").as("node_id"),
+            col("lbl").as("component_id"))
+          .unionByName(lab2.select(col("u").as("node_id"),
+            col("lbl").as("component_id")))
+          .orderBy("node_id")
+        val rows = out.collect().toSeq
+        Seq(lab2, remEdges, dedges, dpairs)
+          .foreach(graft.Checkpoints.release)
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), out.schema)
+          .orderBy("node_id")
+      }
+    res
+  }
+
+  private val qComponentsIvmDel = QueryDef(
+    "q_components_ivm_del",
+    Some(s"""
+WITH RECURSIVE ef AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+  WHERE l_quantity = $CompQty AND l_partkey % $CompPartMod = 0),
+dc AS (
+  SELECT p, s,
+    ((p * 37 + s) % 43 = 0)
+    AND sum(CASE WHEN (p * 37 + s) % 43 = 0 THEN 0 ELSE 1 END)
+          OVER (PARTITION BY p) >= 1
+    AND sum(CASE WHEN (p * 37 + s) % 43 = 0 THEN 0 ELSE 1 END)
+          OVER (PARTITION BY s) >= 1 AS is_del
+  FROM ef),
+fin AS (SELECT p, s FROM dc WHERE NOT is_del),
+edges AS (SELECT p AS u, s + $Off AS v FROM fin
+          UNION SELECT s + $Off AS u, p AS v FROM fin),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach(u, v) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+comp AS (SELECT u, CAST(min(v) AS BIGINT) AS component_id
+         FROM reach GROUP BY u)
+SELECT u AS node_id, component_id FROM comp ORDER BY node_id"""),
+    (spark, dir) => componentsIvmDelBuild(spark, dir))
+
   val defs: Seq[QueryDef] =
     Seq(qPagerank, qPagerankConverged, qPagerankIvm, qComponentsIvm,
+      qComponentsIvmDel,
       qTriangles, qBfsHops, qBfsFull, qLabelProp, qLabelPropConverged)
 }

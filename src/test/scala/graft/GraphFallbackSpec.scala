@@ -166,6 +166,26 @@ class GraphFallbackSpec extends SparkSuite {
       s"resume rounds ${kv("r2")} exceed cold rounds ${kv("r1")}")
   }
 
+  // Delete side: the recompute must be scoped to the AFFECTED components
+  // (the mark carries the affected-component count), and the spliced
+  // labeling is oracle-proven equal to the cold fixpoint of the final
+  // edge set — this pins the scoping property the oracle can't see.
+  test("q_components_ivm_del: delete batch recomputes only affected components") {
+    val marks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val df = queries.Graph.componentsIvmDelBuild(spark, sfDir, marks += _)
+    assert(df.count() > 0, "empty component labeling")
+    val rm = marks.find(_.startsWith("recompute:"))
+      .getOrElse(fail(s"no recompute mark in $marks"))
+    val kv = rm.split(":").drop(1)
+      .map(_.split("=")).map(a => a(0) -> a(1).toLong).toMap
+    // a real delta must touch at least one component and the recompute
+    // must stay bounded by it (r2 is rounds over the affected subgraph)
+    assert(kv("aff") >= 1, s"expected a non-empty affected set: $rm")
+    assert(kv("r2") <= kv("r1"),
+      s"affected-subgraph recompute took more rounds than the full cold " +
+        s"converge: $rm")
+  }
+
   test("default path keeps the broadcast hints below the ceiling") {
     // q_pagerank: its hinted rank/contrib joins live in the RETURNED
     // plan (the loop is unrolled declaratively). q_triangles' hinted deg
