@@ -292,6 +292,53 @@ object MultimodalOps {
     }
   }
 
+  /** Per-FRAME perceptual fingerprint (media_id, frame_idx, 4×16-bit
+    * bands): the payload splits into `frames` byte ranges with the
+    * [[frameStats]] boundary arithmetic, and each frame is resampled
+    * linearly to 64 cells (cell i = byte at f0 + ((f1−f0)·i)/64) and
+    * mean-thresholded — the aHash idea applied per frame, so two videos
+    * sharing a near-identical FRAME meet in the Hamming buckets even
+    * when their other frames differ. Same seam contract as
+    * [[perceptualHash]]: blobs never shuffle, one 24-byte row per frame
+    * leaves the scan partition; empty payloads emit no frames (the
+    * oracle's `WHERE n > 0`). */
+  final case class FramePerceptualHash(
+      media_id: Long, frame_idx: Int, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  def framePerceptualHash(
+      ds: Dataset[MediaRecord], frames: Int): Dataset[FramePerceptualHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = r.media.length
+        if (n == 0) Iterator.empty
+        else (0 until frames).iterator.map { k =>
+          val f0 = (n.toLong * k / frames).toInt
+          val f1 = math.min(
+            math.max(f0 + 1, (n.toLong * (k + 1) / frames).toInt), n)
+          val len = f1 - f0
+          val g = new Array[Int](64)
+          var sum = 0
+          var i = 0
+          while (i < 64) {
+            val b = r.media(f0 + (len.toLong * i / 64).toInt) & 0xff
+            g(i) = b; sum += b
+            i += 1
+          }
+          val mean = sum / 64
+          val bands = new Array[Int](4)
+          i = 0
+          while (i < 64) {
+            if (g(i) > mean) bands(i / 16) |= 1 << (i % 16)
+            i += 1
+          }
+          FramePerceptualHash(r.media_id, k,
+            bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+    }
+  }
+
   /** Adapt the documents table into media records (UTF-8 payloads) so the
     * pipeline runs against driver-provided testdata end-to-end. */
   def documentsAsMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {

@@ -606,9 +606,15 @@ object Catalog {
     * candidate pairs from the banded-Hamming buckets (capped at
     * [[Dedup.SimPairCap]] per bucket) with exact 64-bit Hamming distance
     * — shared with the multimodal curation pipeline. */
-  private def blobBandedPairs(spark: SparkSession, dir: String): DataFrame = {
-      val ph = graft.operators.MultimodalOps.perceptualHash(
-        graft.operators.MultimodalOps.documentsAsMedia(spark, dir)).toDF()
+  private def blobBandedPairs(spark: SparkSession, dir: String): DataFrame =
+    bandedHammingOver(graft.operators.MultimodalOps.perceptualHash(
+      graft.operators.MultimodalOps.documentsAsMedia(spark, dir)).toDF())
+
+  /** The 4×16-bit banded-Hamming pairing kernel over ANY fingerprint
+    * frame (media_id, b0..b3) — whole-payload aHashes (q_blob_neardup)
+    * or per-frame ones with the frame index packed into the id
+    * (q_frame_neardup). */
+  private def bandedHammingOver(ph: DataFrame): DataFrame = {
       val banded = ph.select(col("media_id"),
           col("b0"), col("b1"), col("b2"), col("b3"),
           explode(array((0 until 4).map { i =>
@@ -679,6 +685,89 @@ object Catalog {
             struct(lit(i.toLong).as("band"), col(s"b$i").as("bits"))
           }: _*)).as("bb"))
         .select(col("bb.band").as("band"), col("bb.bits").as("bits")))
+    })
+
+  /** FRAME-LEVEL perceptual near-dup — the video-shaped sibling of
+    * q_blob_neardup: each payload splits into 4 frames (q_frame_sample's
+    * boundary arithmetic), each frame gets its own 64-cell linear-
+    * resample aHash ([[graft.operators.MultimodalOps.framePerceptualHash]]),
+    * and the SAME banded-Hamming kernel pairs frames ACROSS media (the
+    * frame index rides the packed id `media_id·16 + k`; same-media pairs
+    * are dropped — a video trivially resembles itself). This is the verb
+    * that catches partial duplication — two media sharing one
+    * near-identical segment — which whole-payload aHash dilutes away.
+    * The oracle recomputes the frame bounds, the 64-cell resample, the
+    * mean-threshold bands, the cap, and the Hamming rank from the true
+    * UTF-8 octets. Scale shape: identical to q_blob_neardup with 4× the
+    * fingerprint rows — still 24 bytes per frame leaving the scan, still
+    * bucket-local pairing under the deterministic cap. */
+  private val qFrameNeardup = QueryDef(
+    "q_frame_neardup",
+    Some("""
+      |WITH h AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, k, (n * k) // 4 AS f0,
+      |    least(greatest((n * k) // 4 + 1, (n * (k + 1)) // 4), n) AS f1
+      |  FROM h, unnest(range(0, 4)) AS t(k) WHERE n > 0),
+      |cells AS (
+      |  SELECT fr.doc_id * 16 + fr.k AS fid, c.i,
+      |    CAST(('0x' || substr(h.hx,
+      |      2 * (fr.f0 + ((fr.f1 - fr.f0) * c.i) // 64) + 1, 2)) AS INTEGER)
+      |      AS byte
+      |  FROM fr JOIN h ON h.doc_id = fr.doc_id,
+      |    unnest(range(0, 64)) AS c(i)),
+      |m AS (SELECT fid, sum(byte) // 64 AS mean FROM cells GROUP BY fid),
+      |bd AS (
+      |  SELECT c.fid, c.i // 16 AS band,
+      |    CAST(sum(CASE WHEN c.byte > m.mean THEN (1 << (c.i % 16))
+      |             ELSE 0 END) AS INTEGER) AS bits
+      |  FROM cells c JOIN m ON m.fid = c.fid
+      |  GROUP BY c.fid, c.i // 16),
+      |hsh AS (
+      |  SELECT fid,
+      |    min(CASE WHEN band = 0 THEN bits END) AS b0,
+      |    min(CASE WHEN band = 1 THEN bits END) AS b1,
+      |    min(CASE WHEN band = 2 THEN bits END) AS b2,
+      |    min(CASE WHEN band = 3 THEN bits END) AS b3
+      |  FROM bd GROUP BY fid),
+      |bdc AS (
+      |  SELECT fid, band, bits FROM bd
+      |  QUALIFY row_number() OVER (PARTITION BY band, bits ORDER BY fid)
+      |    <= SIMPAIRCAP),
+      |cand AS (
+      |  SELECT DISTINCT x.fid AS a, y.fid AS b
+      |  FROM bdc x JOIN bdc y
+      |    ON x.band = y.band AND x.bits = y.bits AND x.fid < y.fid
+      |  WHERE x.fid // 16 <> y.fid // 16)
+      |SELECT a // 16 AS media_a, CAST(a % 16 AS INTEGER) AS frame_a,
+      |  b // 16 AS media_b, CAST(b % 16 AS INTEGER) AS frame_b,
+      |  CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+      |     + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+      |    AS BIGINT) AS hamming
+      |FROM cand JOIN hsh ha ON ha.fid = a JOIN hsh hb ON hb.fid = b
+      |ORDER BY hamming, media_a, frame_a, media_b, frame_b LIMIT 20
+      |""".stripMargin.trim
+      .replace("SIMPAIRCAP", Dedup.SimPairCap.toString)),
+    (spark, dir) => {
+      val fp = graft.operators.MultimodalOps.framePerceptualHash(
+          graft.operators.MultimodalOps.documentsAsMedia(spark, dir), 4)
+        .toDF()
+        .select((col("media_id") * 16 + col("frame_idx")).as("media_id"),
+          col("b0"), col("b1"), col("b2"), col("b3"))
+      bandedHammingOver(fp)
+        .filter(expr("media_a div 16") =!= expr("media_b div 16"))
+        .select(expr("media_a div 16").as("ma"),
+          expr("cast(media_a % 16 as int)").as("frame_a"),
+          expr("media_b div 16").as("mb"),
+          expr("cast(media_b % 16 as int)").as("frame_b"),
+          col("hamming"))
+        .withColumnRenamed("ma", "media_a")
+        .withColumnRenamed("mb", "media_b")
+        .orderBy("hamming", "media_a", "frame_a", "media_b", "frame_b")
+        .limit(20)
     })
 
   /** MULTIMODAL CURATION PIPELINE (VERDICT r17 task 6) — the joint
@@ -823,7 +912,7 @@ object Catalog {
 
   val defs: Seq[QueryDef] = Seq(
     qMultimodal, qBlobStats, qFrameSample, qBlobDecode, qBlobNeardup,
-    qBlobCapStats, qPipelineMultimodal) ++ Seq(
+    qBlobCapStats, qFrameNeardup, qPipelineMultimodal) ++ Seq(
     qWordcount, qTopkMax, qTopkMin, qStopword,
     qPricing, qFilterProject, qSortLimit, qJoinAgg,
     qSemiJoin, qAntiJoin, qBroadcastJoin, qWindowRank,
