@@ -770,6 +770,58 @@ object Catalog {
         .limit(20)
     })
 
+  /** Cap accounting for q_frame_neardup's buckets — §46 measured the
+    * frame-fingerprint collision growth (62× bytes at 30×, the §38
+    * aHash-collision shape) that the cap bounds; this makes the
+    * truncation visible per corpus for the THIRD kernel user, same
+    * closed forms as q_simhash_cap_stats / q_blob_cap_stats. */
+  private val qFrameCapStats = QueryDef(
+    "q_frame_cap_stats",
+    Some(("""
+      |WITH h AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, k, (n * k) // 4 AS f0,
+      |    least(greatest((n * k) // 4 + 1, (n * (k + 1)) // 4), n) AS f1
+      |  FROM h, unnest(range(0, 4)) AS t(k) WHERE n > 0),
+      |cells AS (
+      |  SELECT fr.doc_id * 16 + fr.k AS fid, c.i,
+      |    CAST(('0x' || substr(h.hx,
+      |      2 * (fr.f0 + ((fr.f1 - fr.f0) * c.i) // 64) + 1, 2)) AS INTEGER)
+      |      AS byte
+      |  FROM fr JOIN h ON h.doc_id = fr.doc_id,
+      |    unnest(range(0, 64)) AS c(i)),
+      |m AS (SELECT fid, sum(byte) // 64 AS mean FROM cells GROUP BY fid),
+      |bd AS (
+      |  SELECT c.fid, c.i // 16 AS band,
+      |    CAST(sum(CASE WHEN c.byte > m.mean THEN (1 << (c.i % 16))
+      |             ELSE 0 END) AS INTEGER) AS bits
+      |  FROM cells c JOIN m ON m.fid = c.fid
+      |  GROUP BY c.fid, c.i // 16),
+      |bs AS (SELECT band, bits, count(*) AS sz FROM bd GROUP BY band, bits)
+      |SELECT CAST(band AS BIGINT) AS band, count(*) AS n_buckets,
+      |  CAST(max(sz) AS BIGINT) AS max_bucket,
+      |  CAST(sum(greatest(sz - SIMPAIRCAP, 0)) AS BIGINT) AS docs_dropped,
+      |  CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS pairs_pre,
+      |  CAST(sum(least(sz, SIMPAIRCAP) * (least(sz, SIMPAIRCAP) - 1) // 2) AS BIGINT) AS pairs_post,
+      |  CAST(sum(sz * (sz - 1) // 2
+      |         - least(sz, SIMPAIRCAP) * (least(sz, SIMPAIRCAP) - 1) // 2) AS BIGINT) AS pairs_dropped
+      |FROM bs GROUP BY band ORDER BY band
+      |""").stripMargin.trim
+      .replace("SIMPAIRCAP", Dedup.SimPairCap.toString)),
+    (spark, dir) => {
+      val fp = graft.operators.MultimodalOps.framePerceptualHash(
+          graft.operators.MultimodalOps.documentsAsMedia(spark, dir), 4)
+        .toDF()
+      Dedup.capStatsOver(fp.select(
+          explode(array((0 until 4).map { i =>
+            struct(lit(i.toLong).as("band"), col(s"b$i").as("bits"))
+          }: _*)).as("bb"))
+        .select(col("bb.band").as("band"), col("bb.bits").as("bits")))
+    })
+
   /** MULTIMODAL CURATION PIPELINE (VERDICT r17 task 6) — the joint
     * keep/drop + split a text+image corpus actually needs, composed as
     * one gated flow with per-stage accounting:
@@ -912,7 +964,7 @@ object Catalog {
 
   val defs: Seq[QueryDef] = Seq(
     qMultimodal, qBlobStats, qFrameSample, qBlobDecode, qBlobNeardup,
-    qBlobCapStats, qFrameNeardup, qPipelineMultimodal) ++ Seq(
+    qBlobCapStats, qFrameNeardup, qFrameCapStats, qPipelineMultimodal) ++ Seq(
     qWordcount, qTopkMax, qTopkMin, qStopword,
     qPricing, qFilterProject, qSortLimit, qJoinAgg,
     qSemiJoin, qAntiJoin, qBroadcastJoin, qWindowRank,
