@@ -1781,8 +1781,179 @@ comp AS (SELECT u, CAST(min(v) AS BIGINT) AS component_id
 SELECT u AS node_id, component_id FROM comp ORDER BY node_id"""),
     (spark, dir) => componentsIvmDelBuild(spark, dir))
 
+  // =========================================================================
+  // INCREMENTAL BFS off the changes feed — the THIRD monotone kernel
+  // (after min-label components and the pagerank push loop): hop
+  // distances can only DECREASE under edge adds, so the converged base
+  // distances are a valid upper bound and BELLMAN-FORD RELAXATION from
+  // them descends to exactly the final graph's distances (classic
+  // insert-only SSSP maintenance). The relaxation loop is active-set
+  // (only vertices whose distance changed relax their out-edges — the
+  // cold run degenerates to frontier BFS, the resume to the ripples
+  // around the added edges), and the fixpoint is unique, so the oracle
+  // is simply the cold recursive-CTE BFS of the final graph.
+  // =========================================================================
+
+  private val BfsInf = Long.MaxValue / 4
+
+  private[graft] val bfsIvmRecipe: String =
+    s"bfsivm-v1:off=$Off,add=31/41,inf=$BfsInf"
+
+  /** Active-set distance relaxation over a materialized edge frame:
+    * state = (node_id, dist, pd) where pd is the previous round's dist —
+    * a vertex is ACTIVE iff dist ≠ pd. Each round relaxes only active
+    * vertices' out-edges; converges when no distance changes. `init`
+    * must be an upper bound of the true distances (the uniform-Inf cold
+    * seed or a converged base state with delta endpoints re-activated). */
+  private def bfsRelaxLoop(
+      spark: SparkSession, g: PrGraph, init: DataFrame): (DataFrame, Long) = {
+    var curCk = graft.Checkpoints.truncate(init)
+    var cur: DataFrame = curCk
+    var rounds = 0L
+    var nActive = cur.filter(col("dist") =!= col("pd")).count()
+    while (nActive > 0L) {
+      rounds += 1
+      if (rounds > 100L)
+        throw new IllegalStateException(
+          "bfsRelaxLoop: still active after 100 rounds — relaxation " +
+            "terminates in <= diameter rounds; the active-set test is broken")
+      val active = cur.filter(col("dist") =!= col("pd"))
+        .select(col("node_id").as("asrc"), col("dist").as("ad"))
+      val relax = g.edgesW
+        .join(g.pv(active), col("src") === col("asrc"))
+        .select(col("dst"), (col("ad") + 1L).as("nd0"))
+        .groupBy("dst").agg(min(col("nd0")).as("nd"))
+      val nxt0 = cur
+        .join(g.pv(relax), col("node_id") === col("dst"), "left")
+        .select(col("node_id"),
+          least(col("dist"), coalesce(col("nd"), col("dist"))).as("dist"),
+          col("dist").as("pd"))
+      val nxt = graft.Checkpoints.truncate(nxt0)
+      graft.Checkpoints.release(curCk)
+      curCk = nxt
+      cur = nxt.select("node_id", "dist", "pd")
+      nActive = cur.filter(col("dist") =!= col("pd")).count()
+    }
+    (cur, rounds)
+  }
+
+  private def bfsIvmBuildState(
+      spark: SparkSession, base0: DataFrame)(r: String): Unit = {
+    val g1 = prGraphFromPairs(spark, base0)
+    val v = g1.nodes.agg(count(lit(1))).head().getLong(0)
+    if (v == 0L) {
+      spark.range(0).select(col("id").as("node_id"), col("id").as("dist"))
+        .write.mode("overwrite").parquet(s"$r/dist")
+      spark.range(0).select(col("id").as("src"), col("id").as("dst"))
+        .write.mode("overwrite").parquet(s"$r/edges")
+      spark.range(1).select(lit(0L).as("r1"), lit(0L).as("vcnt"),
+          lit(0L).as("src_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$r/meta")
+    } else {
+      val srcId = base0.agg(min(col("p"))).head().getLong(0)
+      val seed = g1.nodes.select(col("node_id"),
+        when(col("node_id") === srcId, 0L).otherwise(BfsInf).as("dist"),
+        // src starts active (pd ≠ dist); everything else inactive
+        lit(BfsInf).as("pd"))
+      val (st, r1) = bfsRelaxLoop(spark, g1, seed)
+      st.select(col("node_id"), col("dist"))
+        .write.mode("overwrite").parquet(s"$r/dist")
+      g1.edgesW.select(col("src"), col("dst"))
+        .write.mode("overwrite").parquet(s"$r/edges")
+      Seq(st, g1.edgesW, g1.nodes).foreach(graft.Checkpoints.release)
+      spark.range(1).select(lit(r1).as("r1"), lit(v).as("vcnt"),
+          lit(srcId).as("src_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$r/meta")
+    }
+  }
+
+  /** q_bfs_ivm's builder: converge hop distances on the base snapshot
+    * (persisted artifact), commit the held-out adds, learn the delta
+    * from the changes feed, re-activate the delta endpoints against the
+    * converged distances, resume the relaxation on the patched edge
+    * frame. `mark`: "p1", "delta", "resume:r1=<n>:r2=<m>". */
+  private[graft] def bfsIvmBuild(
+      spark: SparkSession, dir: String,
+      mark: String => Unit = _ => ()): DataFrame = {
+    val ef = tbl(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val ac = heldOut(ef, 31L, 41L)
+    val base0 = ac.filter(!col("held")).select("p", "s")
+    val adds = ac.filter(col("held")).select("p", "s")
+    val stateRoot = ArtifactStore.ensure(spark, dir, "lineitem",
+      "bfsivm_state", bfsIvmRecipe)(bfsIvmBuildState(spark, base0))
+    val meta = spark.read.parquet(s"$stateRoot/meta").head()
+    val (r1, vCnt) = (meta.getLong(0), meta.getLong(1))
+    mark("p1")
+    if (vCnt == 0L) {
+      spark.range(0).select(col("id").as("node_id"), col("id").as("hop"))
+    } else {
+      val (t, tn, root) = privmFreshTable(spark, dir, "bfsivm")
+      spark.sql(s"""CREATE TABLE $t (p BIGINT, s BIGINT) USING `graft-tsv`
+        TBLPROPERTIES ('retain.generations' = '4')""")
+      base0.writeTo(t).append()                                   // gen 1
+      adds.writeTo(t).append()                                    // gen 2
+      val dpairs = graft.Checkpoints.truncate(
+        privmNetDelta(spark, root, tn))
+      val dedges = dpairs
+        .select(col("p").as("u"), (col("s") + Off).as("v"))
+        .unionByName(dpairs.select((col("s") + Off).as("u"),
+          col("p").as("v")))
+      val bcastV = GraphAdaptive.broadcastOk(spark, vCnt)
+      val edgesFin0 = spark.read.parquet(s"$stateRoot/edges")
+        .unionByName(dedges.select(col("u").as("src"), col("v").as("dst")))
+      val edgesFin = (if (bcastV) edgesFin0
+                      else edgesFin0.repartition(col("src")))
+        .truncateLineage
+      // re-activate exactly the delta endpoints: pd = dist + 1 ≠ dist,
+      // so their out-edges relax in round 1 and improvements ripple out
+      val init = spark.read.parquet(s"$stateRoot/dist")
+        .join(broadcast(dedges.select(col("u")).distinct()),
+          col("node_id") === col("u"), "left")
+        .select(col("node_id"), col("dist"),
+          when(col("u").isNotNull, col("dist") + 1L)
+            .otherwise(col("dist")).as("pd"))
+      mark("delta")
+      val g = PrGraph(edgesFin,
+        spark.read.parquet(s"$stateRoot/dist").select(col("node_id")),
+        GraphAdaptive.pick(bcastV) _)
+      val (d2, r2) = bfsRelaxLoop(spark, g, init)
+      mark(s"resume:r1=$r1:r2=$r2")
+      val res = d2.filter(col("dist") < BfsInf)
+        .select(col("node_id"), col("dist").as("hop"))
+        .orderBy("hop", "node_id")
+      val rows = res.collect().toSeq
+      Seq(d2, edgesFin, dpairs).foreach(graft.Checkpoints.release)
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), res.schema)
+        .orderBy("hop", "node_id")
+    }
+  }
+
+  /** Incremental BFS gate — final graph = the full pair set (base +
+    * adds telescope back to ef), so the oracle is [[qBfsFull]]'s cold
+    * recursive-CTE BFS verbatim: the hash gate proves the resumed
+    * relaxation lands on the cold distances node-for-node. */
+  private val qBfsIvm = QueryDef(
+    "q_bfs_ivm",
+    Some(s"""
+WITH RECURSIVE
+e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (SELECT p AS src, s + $Off AS dst FROM e0
+          UNION ALL SELECT s + $Off AS src, p AS dst FROM e0),
+it(node_id, hop) AS (
+  SELECT min(p), CAST(0 AS BIGINT) FROM e0 HAVING count(*) > 0
+  UNION
+  SELECT e.dst, it.hop + 1 FROM it JOIN edges e ON e.src = it.node_id
+  WHERE it.hop < $BfsOracleWaves
+)
+SELECT node_id, CAST(min(hop) AS BIGINT) AS hop
+FROM it GROUP BY node_id ORDER BY hop, node_id"""),
+    (spark, dir) => bfsIvmBuild(spark, dir))
+
   val defs: Seq[QueryDef] =
     Seq(qPagerank, qPagerankConverged, qPagerankIvm, qComponentsIvm,
-      qComponentsIvmDel,
+      qComponentsIvmDel, qBfsIvm,
       qTriangles, qBfsHops, qBfsFull, qLabelProp, qLabelPropConverged)
 }

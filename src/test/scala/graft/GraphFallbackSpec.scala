@@ -188,6 +188,21 @@ class GraphFallbackSpec extends SparkSuite {
         s"converge: $rm")
   }
 
+  // Incremental BFS: oracle proves the resumed distances equal the cold
+  // fixpoint; this pins the incremental property (the relaxation resumes
+  // and converges within the cold round count).
+  test("q_bfs_ivm: adds-only relaxation resumes within cold rounds") {
+    val marks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val df = queries.Graph.bfsIvmBuild(spark, sfDir, marks += _)
+    assert(df.count() > 0, "empty distance frame")
+    val rm = marks.find(_.startsWith("resume:"))
+      .getOrElse(fail(s"no resume mark in $marks"))
+    val kv = rm.split(":").drop(1)
+      .map(_.split("=")).map(a => a(0) -> a(1).toLong).toMap
+    assert(kv("r2") <= kv("r1") + 1,
+      s"resume took materially more rounds than the cold converge: $rm")
+  }
+
   test("default path keeps the broadcast hints below the ceiling") {
     // q_pagerank: its hinted rank/contrib joins live in the RETURNED
     // plan (the loop is unrolled declaratively). q_triangles' hinted deg
