@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions.expr
   *
   * ARCHITECTURE (round 15): the suite is split into
   * [[Bench.defaultForks]] contiguous slices, each measured in its own
-  * FORKED fresh JVM (`graft.Bench slice <lo> <hi> <out>`), because a
+  * FORKED fresh JVM (`graft.Bench slice <namesFile> <out>` — the slice's
+  * query names travel explicitly in a file, one per line), because a
   * 200-query single-JVM run accumulates block-manager/AQE/allocator
   * pressure that inflates shuffle-heavy queries 30-50% while scan-light
   * ones stay flat (SCALE.md §23) — a trend artifact, not a plan signal.
@@ -293,10 +294,19 @@ object Bench {
     catch { case _: Throwable => () }
 
   def main(args: Array[String]): Unit = args.toSeq match {
-    // child: measure queries[lo, hi) of the sorted catalog
-    case Seq("slice", lo, hi, out) =>
-      val names = SparkEntry.queries.keys.toSeq.sorted
-        .slice(lo.toInt, hi.toInt)
+    // child: measure EXACTLY the query names the parent wrote to
+    // `namesFile` (one per line). The names travel explicitly — the r17
+    // form passed [lo,hi) indices and had the child re-derive them from
+    // the SORTED list while the parent sliced the STRIDED one (ADVICE
+    // r18): striding was silently inert for forked slices, and a mixed
+    // fork-success/fallback run double-measured some queries and skipped
+    // others. With the names on disk, parent fallback and child slice
+    // the same list by construction.
+    case Seq("slice", namesFile, out) =>
+      val names = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(namesFile))).asScala.toSeq
+        .filter(_.nonEmpty)
       val spark = session()
       writeFragment(out, measure(spark, names))
       spark.stop()
@@ -342,10 +352,17 @@ object Bench {
         val slices = ordered.indices.by(per)
           .map(lo => (lo, math.min(lo + per, ordered.size)))
         slices.flatMap { case (lo, hi) =>
+          // the slice's names travel EXPLICITLY (file, one per line): the
+          // child must never re-derive them from an ordering of its own
+          val names = ordered.slice(lo, hi)
+          val namesFile = s"$tmp/slice_$lo.names"
+          java.nio.file.Files.write(java.nio.file.Paths.get(namesFile),
+            names.mkString("", "\n", "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           val out = s"$tmp/slice_$lo.tsv"
           val log = s"$tmp/slice_$lo.log"
           System.err.println(s"[bench] slice [$lo,$hi) → fresh JVM")
-          val ok = fork(Seq("slice", lo.toString, hi.toString, out), log)
+          val ok = fork(Seq("slice", namesFile, out), log)
           val frag = if (ok) readFragment(out) else None
           frag match {
             case Some(rs) if rs.size == hi - lo => rs
@@ -354,7 +371,7 @@ object Bench {
               System.err.println(
                 s"[bench] slice [$lo,$hi) fork failed — in-process fallback")
               tailLog(log, 30)
-              measure(fallback, ordered.slice(lo, hi))
+              measure(fallback, names)
           }
         }
       }
