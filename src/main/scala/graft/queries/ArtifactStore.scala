@@ -64,4 +64,39 @@ object ArtifactStore {
     if (fs.exists(marker(r))) r
     else rebuild(spark, dir, table, name, recipe)(build)
   }
+
+  /** Spill a DATA-SIZED result frame to a per-run parquet directory and
+    * return the read-back scan (VERDICT r17 task 1). The IVM builders
+    * need their loop-era checkpoints released before returning, but their
+    * result is the FULL per-node labeling/distance set — collecting it to
+    * the driver to sequence the release (the r17 form) holds every vertex
+    * row in driver memory and hands back a single-partition
+    * LocalTableScan, both of which break at 100×. Spilling instead costs
+    * one distributed write; the returned frame is a plain distributed
+    * FileScan whose lineage reaches NOTHING the caller is about to
+    * release. Per-run nonce + a stale-sibling sweep (>30 min, same
+    * prefix), the privmFreshTable discipline — bench can overlap verify,
+    * and a later run must not delete files backing a frame a concurrent
+    * session still holds. */
+  def spillResult(spark: SparkSession, prefix: String,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_results").toString
+    val nonce = java.lang.Long.toHexString(
+      System.nanoTime() ^ (Thread.currentThread().getId << 48))
+    locally {
+      val cutoff = System.currentTimeMillis() - 30 * 60 * 1000L
+      Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(s"${prefix}_") &&
+          !f.getName.contains(nonce) && f.lastModified < cutoff)
+        .foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
+    }
+    val path = s"$base/${prefix}_$nonce"
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
 }

@@ -1638,15 +1638,14 @@ ORDER BY f.node_id"""
     mark(s"resume:r1=$r1:r2=$r2")
     // the FULL per-node labeling (the q_dedup_components shape): every
     // node's maintained label is hashed, so the gate proves the whole
-    // resumed fixpoint, not just an aggregate of it
-    val res = labels2
-      .select(col("u").as("node_id"), col("lbl").as("component_id"))
-      .orderBy("node_id")
-    val rows = res.collect().toSeq
+    // resumed fixpoint, not just an aggregate of it. SPILLED to parquet
+    // (not collected — the labeling is data-sized) so the loop-era
+    // checkpoints can be released before the distributed read-back scan
+    // is returned (VERDICT r17 task 1).
+    val out = ArtifactStore.spillResult(spark, "civm_res", labels2
+      .select(col("u").as("node_id"), col("lbl").as("component_id")))
     Seq(labels2, edgesFin, dpairs).foreach(graft.Checkpoints.release)
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), res.schema)
-      .orderBy("node_id")
+    out.orderBy("node_id")
   }
 
   private val qComponentsIvm = QueryDef(
@@ -1739,18 +1738,19 @@ SELECT u AS node_id, component_id FROM comp ORDER BY node_id"""),
         val (lab2, r2) = Dedup.componentsLoop(spark, remEdges, None)
         mark(s"recompute:r1=$r1:r2=$r2:aff=$nAff")
         val keep = l0.join(broadcast(affected), Seq("lbl"), "left_anti")
-        val out = keep.select(col("u").as("node_id"),
-            col("lbl").as("component_id"))
-          .unionByName(lab2.select(col("u").as("node_id"),
-            col("lbl").as("component_id")))
-          .orderBy("node_id")
-        val rows = out.collect().toSeq
-        Seq(lab2, remEdges, dedges, dpairs)
-          .foreach(graft.Checkpoints.release)
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(rows, 1), out.schema)
-          .orderBy("node_id")
+        // spliced labeling spilled to parquet (VERDICT r17 task 1): the
+        // result is data-sized, so it must come back as a distributed
+        // scan, not a driver collect-then-parallelize
+        val out = ArtifactStore.spillResult(spark, "civmd_res",
+          keep.select(col("u").as("node_id"), col("lbl").as("component_id"))
+            .unionByName(lab2.select(col("u").as("node_id"),
+              col("lbl").as("component_id"))))
+        Seq(lab2, remEdges).foreach(graft.Checkpoints.release)
+        out.orderBy("node_id")
       }
+    // released on BOTH branches (ADVICE r18): the no-op branch returned
+    // the base labeling while leaking the just-created delta checkpoints
+    Seq(dpairs, dedges).foreach(graft.Checkpoints.release)
     res
   }
 
@@ -1920,14 +1920,13 @@ SELECT u AS node_id, component_id FROM comp ORDER BY node_id"""),
         GraphAdaptive.pick(bcastV) _)
       val (d2, r2) = bfsRelaxLoop(spark, g, init)
       mark(s"resume:r1=$r1:r2=$r2")
-      val res = d2.filter(col("dist") < BfsInf)
-        .select(col("node_id"), col("dist").as("hop"))
-        .orderBy("hop", "node_id")
-      val rows = res.collect().toSeq
+      // data-sized distance frame → parquet spill + distributed
+      // read-back, never a driver collect (VERDICT r17 task 1)
+      val out = ArtifactStore.spillResult(spark, "bfsivm_res",
+        d2.filter(col("dist") < BfsInf)
+          .select(col("node_id"), col("dist").as("hop")))
       Seq(d2, edgesFin, dpairs).foreach(graft.Checkpoints.release)
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1), res.schema)
-        .orderBy("hop", "node_id")
+      out.orderBy("hop", "node_id")
     }
   }
 

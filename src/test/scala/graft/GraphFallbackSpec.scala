@@ -203,6 +203,26 @@ class GraphFallbackSpec extends SparkSuite {
       s"resume took materially more rounds than the cold converge: $rm")
   }
 
+  // The IVM gates return the FULL per-node labeling/distance set. r17
+  // collected it to the driver (to sequence checkpoint release) and
+  // returned a parallelize(rows, 1) frame — O(V) driver memory and a
+  // single-partition result, both scale-killers. The builders now spill
+  // to parquet and return the read-back scan: this pins that the
+  // returned plan is a DISTRIBUTED file scan with no driver-side
+  // materialization left in it.
+  for (q <- Seq("q_components_ivm", "q_components_ivm_del", "q_bfs_ivm")) {
+    test(s"$q: returned plan is a distributed file scan, no driver round-trip") {
+      val df = queries.Catalog.queries(q)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Scan ExistingRDD") &&
+        !plan.contains("LocalTableScan"),
+        s"$q still returns a driver-materialized frame:\n$plan")
+      assert(plan.contains("FileScan parquet") || plan.contains("BatchScan"),
+        s"$q returned plan reads no parquet spill:\n$plan")
+      assert(df.count() > 0, s"$q: empty result")
+    }
+  }
+
   test("default path keeps the broadcast hints below the ceiling") {
     // q_pagerank: its hinted rank/contrib joins live in the RETURNED
     // plan (the loop is unrolled declaratively). q_triangles' hinted deg
