@@ -203,6 +203,36 @@ class GraphFallbackSpec extends SparkSuite {
       s"resume took materially more rounds than the cold converge: $rm")
   }
 
+  // Delete side of BFS maintenance: the oracle proves the spliced
+  // distances equal the cold fixpoint of the final graph; this pins the
+  // three properties the oracle can't see — the dirty set is the deleted
+  // edges' SP-subtrees (non-empty for a real delta), no node's hop ever
+  // SHORTENS under deletes, and the exhibit delete genuinely LENGTHENS
+  // at least one node's hop (or disconnects it) vs the persisted base.
+  test("q_bfs_ivm_del: dirty-subtree recompute lengthens a hop, shortens none") {
+    val marks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val df = queries.Graph.bfsIvmDelBuild(spark, sfDir, marks += _)
+    val res = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res.nonEmpty, "empty maintained distance frame")
+    val rm = marks.find(_.startsWith("recompute:"))
+      .getOrElse(fail(s"no recompute mark in $marks"))
+    val kv = rm.split(":").drop(1)
+      .map(_.split("=")).map(a => a(0) -> a(1).toLong).toMap
+    assert(kv("dirty") >= 1 || kv("r2") == 0,
+      s"a real delta produced an empty dirty set: $rm")
+    val root = queries.Graph.bfsIvmDelStateRoot(spark, sfDir)
+    val base = spark.read.parquet(s"$root/dist")
+      .filter(org.apache.spark.sql.functions.col("dist") <
+        queries.Graph.BfsInfBound)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val shortened = base.filter { case (n, d) => res.get(n).exists(_ < d) }
+    assert(shortened.isEmpty,
+      s"deletes SHORTENED hops for ${shortened.take(5).mkString(", ")}")
+    val lengthened = base.count { case (n, d) => res.get(n).forall(_ > d) }
+    assert(lengthened >= 1,
+      "the exhibit delete lengthened no hop — the delete side is untested")
+  }
+
   // The IVM gates return the FULL per-node labeling/distance set. r17
   // collected it to the driver (to sequence checkpoint release) and
   // returned a parallelize(rows, 1) frame — O(V) driver memory and a
@@ -210,7 +240,8 @@ class GraphFallbackSpec extends SparkSuite {
   // to parquet and return the read-back scan: this pins that the
   // returned plan is a DISTRIBUTED file scan with no driver-side
   // materialization left in it.
-  for (q <- Seq("q_components_ivm", "q_components_ivm_del", "q_bfs_ivm")) {
+  for (q <- Seq("q_components_ivm", "q_components_ivm_del", "q_bfs_ivm",
+      "q_bfs_ivm_del")) {
     test(s"$q: returned plan is a distributed file scan, no driver round-trip") {
       val df = queries.Catalog.queries(q)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
