@@ -961,10 +961,285 @@ object Catalog {
     })
 
   // =========================================================================
+  // INCREMENTAL MULTIMODAL PIPELINE (VERDICT r17 task 3):
+  // q_pipeline_multimodal maintained off the changes feed instead of
+  // recomputed cold. The persisted state holds the BASE corpus's text
+  // band index, text LSH edges, blob fingerprints, blob edges, and the
+  // converged joint component labeling; a batch of NEW documents then
+  // pays exactly:
+  //   feed      — the changed files only (net inserts per (doc_id, text))
+  //   fingerprint — shingle+minhash and aHash for the NEW docs only
+  //   delta edges — pair expansion ONLY in buckets a new doc touches
+  //     (old members fetched from the index by bucket key; pairs with
+  //     both endpoints old are already in the persisted edge sets)
+  //   closure   — the monotone min-label resume from the base labeling
+  //     (the q_components_ivm argument: adds can only merge components)
+  //   split     — map-only recompute from the final labeling.
+  // DECOMPOSITION CONTRACT: new docs carry LARGER ids than every base
+  // doc (they arrive at the top of the id space — the natural ingest
+  // order). That makes the blob kernel's deterministic first-cap-by-id
+  // bucket cap decomposable: the capped membership of a touched bucket
+  // over base∪new = (all base members, then new members up to the cap),
+  // so base-only pairs are exactly the persisted edges and every other
+  // capped pair has a new endpoint. The text kernel is uncapped, so its
+  // split is unconditional. The final audit is row-identical to the cold
+  // pipeline's (the oracle is the SAME SQL over the final corpus).
+  // =========================================================================
+
+  private[graft] val pmmRecipe: String =
+    s"pmmivm-v1:frac=7/8,blobham=$BlobDupHam,cap=${Dedup.SimPairCap}"
+
+  /** Base-corpus state builder for [[qPipelineMultimodalIvm]]. */
+  private def pmmBuildState(
+      spark: SparkSession, base: DataFrame)(r: String): Unit = {
+    import spark.implicits._
+    // text: band memberships (the LSH index rows) and the base edge set
+    Dedup.bandsWeighted(base.withColumn("w", lit(1L)))
+      .select(col("doc_id"), col("band"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$r/tband")
+    pairsFromBuckets(spark.read.parquet(s"$r/tband"))
+      .write.mode("overwrite").parquet(s"$r/tedges")
+    // blob: per-doc aHash fingerprints and the base edge set
+    val media = base.select(col("doc_id").as("media_id"),
+        lit("text").as("kind"), encode(col("text"), "UTF-8").as("media"))
+      .as[graft.operators.MultimodalOps.MediaRecord]
+    graft.operators.MultimodalOps.perceptualHash(media).toDF()
+      .select("media_id", "b0", "b1", "b2", "b3")
+      .write.mode("overwrite").parquet(s"$r/bhash")
+    bandedHammingOver(spark.read.parquet(s"$r/bhash"))
+      .filter(col("hamming") <= BlobDupHam)
+      .select(col("media_a").as("a"), col("media_b").as("b"))
+      .write.mode("overwrite").parquet(s"$r/bedges")
+    // joint closure over the union edge set, converged once
+    val pairs = spark.read.parquet(s"$r/tedges")
+      .unionByName(spark.read.parquet(s"$r/bedges")
+        .select(col("a").as("doc_a"), col("b").as("doc_b")))
+    val edges = graft.Checkpoints.truncate(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .repartition(col("v")))
+    val (labels, r1) = Dedup.componentsLoop(spark, edges, None)
+    labels.write.mode("overwrite").parquet(s"$r/labels")
+    Seq(labels, edges).foreach(graft.Checkpoints.release)
+    spark.range(1).select(lit(r1).as("r1"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$r/meta")
+  }
+
+  /** Distinct in-bucket pairs (doc_a < doc_b) from a (doc_id, band,
+    * bucket) membership frame — the candPairs HOF expansion over an
+    * INDEX instead of freshly-computed signatures. */
+  private def pairsFromBuckets(m: DataFrame): DataFrame =
+    m.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(docs, (x, i) ->
+          |  transform(slice(docs, i + 2, size(docs)), y ->
+          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+
+  /** Net inserted docs since the base snapshot of graft-tsv table `tn`,
+    * from the changes feed — the (doc_id, text) twin of
+    * Graph's privmNetDelta. */
+  private def docsNetDelta(
+      spark: SparkSession, root: String, tn: String): DataFrame = {
+    val tdir = new org.apache.hadoop.fs.Path(s"$root/db/$tn")
+    val tfs = tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val headGen = tfs.listStatus(tdir).map(_.getPath.getName)
+      .flatMap(graft.sources.GraftTsvManifest.genNumber).max
+    if (headGen <= 1L)
+      spark.range(0).select(col("id").as("doc_id"), lit("").as("text"),
+        col("id").as("w"))
+    else {
+      val cat = spark.sessionState.catalogManager.catalog("gparity")
+        .asInstanceOf[graft.sources.GraftTsvCatalog]
+      cat.changes(spark,
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            Array("db"), tn), "1", headGen.toString)
+        .select(col("doc_id"), col("text"),
+          when(col(graft.sources.GraftTsvMeta.ChangeCol) === "insert",
+            lit(1L)).otherwise(lit(-1L)).as("sgn0"))
+        .groupBy("doc_id", "text").agg(sum(col("sgn0")).as("w"))
+        .filter(col("w") > 0)
+    }
+  }
+
+  /** q_pipeline_multimodal_ivm's builder. `mark`: "p1" (state served),
+    * "delta" (delta edge sets materialized),
+    * "resume:r1=<cold rounds>:r2=<resume rounds>:dt=<delta text
+    * edges>:db=<delta blob edges>". */
+  private[graft] def pipelineMultimodalIvmBuild(
+      spark: SparkSession, dir: String,
+      mark: String => Unit = _ => ()): DataFrame = {
+    import spark.implicits._
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val bnd = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .head()
+    val cutoff = bnd.getLong(0) + (bnd.getLong(1) - bnd.getLong(0) + 1) * 7 / 8
+    val base = docs.filter(col("doc_id") < cutoff)
+    val stateRoot = ArtifactStore.ensure(spark, dir, "documents",
+      "pmm_state", pmmRecipe)(pmmBuildState(spark, base))
+    val r1 = spark.read.parquet(s"$stateRoot/meta").head().getLong(0)
+    mark("p1")
+
+    // exhibit: commit base then the new batch, learn the delta from the
+    // changes feed (reads the changed files only)
+    val (t, tn, root) = Graph.privmFreshTable(spark, dir, "pmm")
+    spark.sql(s"""CREATE TABLE $t (doc_id BIGINT, text STRING)
+      USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '4')""")
+    base.writeTo(t).append()                                       // gen 1
+    docs.filter(col("doc_id") >= cutoff).writeTo(t).append()       // gen 2
+    val net = graft.Checkpoints.truncate(docsNetDelta(spark, root, tn))
+
+    // delta TEXT edges: new docs' band memberships, old members fetched
+    // from the index by bucket key, pairs kept only with >= 1 new side
+    val newB = Dedup.bandsWeighted(net.select(col("doc_id"), col("text"),
+        col("w")))
+      .select(col("doc_id"), col("band"), col("bucket"))
+    val baseB = spark.read.parquet(s"$stateRoot/tband")
+    val touched = newB.select("band", "bucket").distinct()
+    val memT = baseB.join(broadcast(touched), Seq("band", "bucket"),
+        "left_semi")
+      .withColumn("nw", lit(false))
+      .unionByName(newB.withColumn("nw", lit(true)))
+    val dt = graft.Checkpoints.truncate(memT.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("nw"))))
+        .as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(docs, (x, i) ->
+          |  transform(slice(docs, i + 2, size(docs)), y ->
+          |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |           x.nw AS anw, y.nw AS bnw))))""".stripMargin)).as("p"))
+      .filter(col("p.anw") || col("p.bnw"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct())
+
+    // delta BLOB edges: aHash the new docs only; per touched bucket the
+    // capped membership = base members ++ new (ids ascending — the
+    // decomposition contract), so re-slicing the union reproduces the
+    // cold kernel's capped list exactly and the >=1-new filter yields
+    // precisely the pairs the persisted base edge set lacks
+    val newMedia = net.select(col("doc_id").as("media_id"),
+        lit("text").as("kind"), encode(col("text"), "UTF-8").as("media"))
+      .as[graft.operators.MultimodalOps.MediaRecord]
+    val newPh = graft.operators.MultimodalOps.perceptualHash(newMedia).toDF()
+      .select("media_id", "b0", "b1", "b2", "b3")
+    def exploded(ph: DataFrame): DataFrame = ph
+      .select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        explode(array((0 until 4).map { i =>
+          struct(lit(i).as("band"), col(s"b$i").as("bits"))
+        }: _*)).as("bb"))
+      .select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val newM = exploded(newPh)
+    val touchedB = newM.select("band", "bits").distinct()
+    val memB = exploded(spark.read.parquet(s"$stateRoot/bhash"))
+      .join(broadcast(touchedB), Seq("band", "bits"), "left_semi")
+      .withColumn("nw", lit(false))
+      .unionByName(newM.withColumn("nw", lit(true)))
+    val db = graft.Checkpoints.truncate(memB.groupBy("band", "bits")
+      .agg(expr(s"""slice(sort_array(collect_list(
+        struct(media_id, b0, b1, b2, b3, nw))), 1, ${Dedup.SimPairCap})""")
+        .as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(docs, (x, i) ->
+          |  transform(slice(docs, i + 2, size(docs)), y ->
+          |    struct(x.media_id AS a, y.media_id AS b,
+          |           x.nw AS anw, y.nw AS bnw,
+          |           x.b0 AS a0, x.b1 AS a1, x.b2 AS a2, x.b3 AS a3,
+          |           y.b0 AS c0, y.b1 AS c1, y.b2 AS c2, y.b3 AS c3))))"""
+          .stripMargin)).as("p"))
+      .filter(col("p.anw") || col("p.bnw"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        (bit_count(col("p.a0").bitwiseXOR(col("p.c0"))) +
+          bit_count(col("p.a1").bitwiseXOR(col("p.c1"))) +
+          bit_count(col("p.a2").bitwiseXOR(col("p.c2"))) +
+          bit_count(col("p.a3").bitwiseXOR(col("p.c3")))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= BlobDupHam)
+      .select(col("a"), col("b")))
+    mark("delta")
+
+    // full edge sets = persisted base ∪ delta (disjoint by construction)
+    val tcand = graft.Checkpoints.truncate(
+      spark.read.parquet(s"$stateRoot/tedges").unionByName(dt))
+    val bpair = graft.Checkpoints.truncate(
+      spark.read.parquet(s"$stateRoot/bedges").unionByName(db))
+    val nDt = dt.count()
+    val nDb = db.count()
+
+    // monotone min-label resume from the base labeling (adds only merge)
+    val pairsAll = tcand.unionByName(
+      bpair.select(col("a").as("doc_a"), col("b").as("doc_b")))
+    val edges = graft.Checkpoints.truncate(
+      pairsAll.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(pairsAll.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .repartition(col("v")))
+    val l0 = spark.read.parquet(s"$stateRoot/labels")
+    val init = l0.unionByName(
+      edges.select(col("u")).distinct()
+        .join(l0.select(col("u")), Seq("u"), "left_anti")
+        .select(col("u"), col("u").as("lbl")))
+    val (labels2, r2) = Dedup.componentsLoop(spark, edges, Some(init))
+    mark(s"resume:r1=$r1:r2=$r2:dt=$nDt:db=$nDb")
+    val comp = graft.Checkpoints.truncate(docs.select(col("doc_id"))
+      .join(labels2.select(col("u").as("doc_id"),
+        col("lbl").as("component_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component_id"), col("doc_id")).as("component_id")))
+    Seq(labels2, edges, dt, db, net).foreach(graft.Checkpoints.release)
+
+    // per-stage audit — the cold pipeline's aggregates verbatim
+    val keepers = graft.Checkpoints.truncate(
+      comp.select(col("component_id")).distinct()
+        .withColumn("hsplit",
+          graft.functions.PortableHash.hash60(41,
+            col("component_id").cast("string")) % 100))
+    def stage(name: String, n: Column, from: DataFrame): DataFrame =
+      from.agg(n.as("n")).select(lit(name).as("stage"), col("n"))
+    Seq(
+        stage("a_docs_total", count(lit(1)), docs),
+        stage("b_text_edges", count(lit(1)), tcand),
+        stage("c_blob_edges", count(lit(1)), bpair),
+        stage("d_components", count(lit(1)), keepers),
+        stage("e_blob_merged_components",
+          count_distinct(col("component_id")),
+          comp.join(bpair.select(col("a").as("d"))
+            .unionByName(bpair.select(col("b").as("d"))).distinct(),
+            col("doc_id") === col("d"))),
+        stage("f_dropped",
+          count(lit(1)) - count_distinct(col("component_id")), comp),
+        stage("g_train",
+          sum(when(col("hsplit") < 80, 1L).otherwise(0L)), keepers),
+        stage("h_val",
+          sum(when(col("hsplit") >= 80 && col("hsplit") < 90, 1L)
+            .otherwise(0L)), keepers),
+        stage("i_test",
+          sum(when(col("hsplit") >= 90, 1L).otherwise(0L)), keepers))
+      .reduce(_.unionByName(_))
+      .orderBy("stage")
+  }
+
+  /** The maintained pipeline's gate: the SAME oracle SQL as the cold
+    * pipeline (the final corpus is base ∪ new = documents), so the hash
+    * gate proves the maintained audit — edge counts, joint components,
+    * blob-merged components, split sizes — lands row-identical to a cold
+    * recompute of the final table. */
+  private val qPipelineMultimodalIvm = QueryDef(
+    "q_pipeline_multimodal_ivm",
+    qPipelineMultimodal.oracle,
+    (spark, dir) => pipelineMultimodalIvmBuild(spark, dir))
+
+  // =========================================================================
 
   val defs: Seq[QueryDef] = Seq(
     qMultimodal, qBlobStats, qFrameSample, qBlobDecode, qBlobNeardup,
-    qBlobCapStats, qFrameNeardup, qFrameCapStats, qPipelineMultimodal) ++ Seq(
+    qBlobCapStats, qFrameNeardup, qFrameCapStats, qPipelineMultimodal,
+    qPipelineMultimodalIvm) ++ Seq(
     qWordcount, qTopkMax, qTopkMin, qStopword,
     qPricing, qFilterProject, qSortLimit, qJoinAgg,
     qSemiJoin, qAntiJoin, qBroadcastJoin, qWindowRank,

@@ -686,7 +686,7 @@ ORDER BY pr DESC, node_id LIMIT 50"""
     * sweep (the q_stream_ivm lesson — bench can overlap verify), shared
     * by the gate and the served path. Returns (qualified name, table
     * name, catalog root). */
-  private def privmFreshTable(
+  private[queries] def privmFreshTable(
       spark: SparkSession, dir: String,
       prefix: String = "privm"): (String, String, String) = {
     val h = Integer.toHexString(dir.hashCode)
