@@ -614,7 +614,7 @@ object Catalog {
     * frame (media_id, b0..b3) — whole-payload aHashes (q_blob_neardup)
     * or per-frame ones with the frame index packed into the id
     * (q_frame_neardup). */
-  private def bandedHammingOver(ph: DataFrame): DataFrame = {
+  private[graft] def bandedHammingOver(ph: DataFrame): DataFrame = {
       val banded = ph.select(col("media_id"),
           col("b0"), col("b1"), col("b2"), col("b3"),
           explode(array((0 until 4).map { i =>
@@ -820,6 +820,159 @@ object Catalog {
             struct(lit(i.toLong).as("band"), col(s"b$i").as("bits"))
           }: _*)).as("bb"))
         .select(col("bb.band").as("band"), col("bb.bits").as("bits")))
+    })
+
+  /** MULTI-PROBE banded-Hamming pairing (VERDICT r17 task 4) — the
+    * Lv et al. multi-probe idea applied to the SYMMETRIC fingerprint
+    * kernels: instead of 4 exact-match 16-bit bands (whose small key
+    * space drives birthday collisions as the corpus grows — the §46
+    * 62× byte ratio on q_frame_neardup), band the 64 bits as 2×32-bit
+    * keys and probe each band's HAMMING-1 NEIGHBOR buckets on one side
+    * of the self-join. Pigeonhole: a pair within Hamming 3 splits ≤ 3
+    * differing bits over 2 bands, so some band differs by ≤ 1 bit — the
+    * exact side's key equals the probe side's flipped (or unflipped)
+    * key, so recall is EXACT to radius 3, the same guarantee the 4-band
+    * kernel had. The 32-bit key space makes random bucket collisions
+    * negligible, so surviving candidates are genuinely similar pairs:
+    * membership rows grow 2 + 2·33 per item, but candidate PAIRS — the
+    * term that exploded quadratically in the 16-bit buckets — collapse.
+    * Both sides carry the same deterministic first-cap-by-id bucket cap,
+    * oracle-mirrored. */
+  private[graft] def bandedHammingMultiprobe(
+      ph0: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // E and P both derive from the fingerprints — materialize them once
+    // so the decode/resample pass never runs twice
+    val ph = graft.Checkpoints.truncate(ph0)
+    val keys = ph.select(col("media_id"),
+        col("b0"), col("b1"), col("b2"), col("b3"),
+        explode(array(
+          struct(lit(0).as("band"),
+            (col("b0").cast("long") + col("b1").cast("long") * 65536L)
+              .as("key")),
+          struct(lit(1).as("band"),
+            (col("b2").cast("long") + col("b3").cast("long") * 65536L)
+              .as("key")))).as("bb"))
+      .select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("bb.band").as("band"), col("bb.key").as("key"))
+    def capped(m: DataFrame): DataFrame =
+      m.withColumn("rn", row_number().over(
+          Window.partitionBy("band", "key").orderBy("media_id")))
+        .filter(col("rn") <= cap).drop("rn")
+    val e = capped(keys)
+    // probe side: the key itself plus its 32 single-bit flips per band
+    val p = capped(keys.select(col("media_id").as("mid2"),
+        col("b0").as("c0"), col("b1").as("c1"),
+        col("b2").as("c2"), col("b3").as("c3"),
+        col("band"),
+        explode(expr("""transform(sequence(-1, 31),
+          j -> CASE WHEN j < 0 THEN key
+               ELSE key ^ shiftleft(CAST(1 AS BIGINT), j) END)"""))
+          .as("key"))
+      .withColumnRenamed("mid2", "media_id"))
+      .select(col("media_id").as("mid2"), col("c0"), col("c1"),
+        col("c2"), col("c3"), col("band"), col("key"))
+    e.join(p, Seq("band", "key"))
+      .filter(col("media_id") =!= col("mid2"))
+      .select(least(col("media_id"), col("mid2")).as("media_a"),
+        greatest(col("media_id"), col("mid2")).as("media_b"),
+        (bit_count(col("b0").bitwiseXOR(col("c0"))) +
+          bit_count(col("b1").bitwiseXOR(col("c1"))) +
+          bit_count(col("b2").bitwiseXOR(col("c2"))) +
+          bit_count(col("b3").bitwiseXOR(col("c3")))).cast("long")
+          .as("hamming"))
+      .distinct()
+  }
+
+  /** q_frame_neardup re-paired through the multi-probe kernel — same
+    * per-frame fingerprints, same packed ids, same cross-media filter
+    * and top-20 rank; only the CANDIDATE GENERATION changes (2×32-bit
+    * bands + 1-bit probes instead of 4×16-bit exact bands). Recall to
+    * Hamming 3 is exact on both kernels, so every ≤3 pair here matches
+    * q_frame_neardup's; beyond that radius the two surface best-effort
+    * candidates differently, which is why this is its own gated query
+    * with the probing mirrored in its oracle. */
+  private val qFrameNeardupMp = QueryDef(
+    "q_frame_neardup_mp",
+    Some("""
+      |WITH h AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, k, (n * k) // 4 AS f0,
+      |    least(greatest((n * k) // 4 + 1, (n * (k + 1)) // 4), n) AS f1
+      |  FROM h, unnest(range(0, 4)) AS t(k) WHERE n > 0),
+      |cells AS (
+      |  SELECT fr.doc_id * 16 + fr.k AS fid, c.i,
+      |    CAST(('0x' || substr(h.hx,
+      |      2 * (fr.f0 + ((fr.f1 - fr.f0) * c.i) // 64) + 1, 2)) AS INTEGER)
+      |      AS byte
+      |  FROM fr JOIN h ON h.doc_id = fr.doc_id,
+      |    unnest(range(0, 64)) AS c(i)),
+      |m AS (SELECT fid, sum(byte) // 64 AS mean FROM cells GROUP BY fid),
+      |bd AS (
+      |  SELECT c.fid, c.i // 16 AS band,
+      |    CAST(sum(CASE WHEN c.byte > m.mean THEN (1 << (c.i % 16))
+      |             ELSE 0 END) AS INTEGER) AS bits
+      |  FROM cells c JOIN m ON m.fid = c.fid
+      |  GROUP BY c.fid, c.i // 16),
+      |hsh AS (
+      |  SELECT fid,
+      |    min(CASE WHEN band = 0 THEN bits END) AS b0,
+      |    min(CASE WHEN band = 1 THEN bits END) AS b1,
+      |    min(CASE WHEN band = 2 THEN bits END) AS b2,
+      |    min(CASE WHEN band = 3 THEN bits END) AS b3
+      |  FROM bd GROUP BY fid),
+      |k2 AS (
+      |  SELECT fid, 0 AS band,
+      |    CAST(b0 AS BIGINT) + CAST(b1 AS BIGINT) * 65536 AS key FROM hsh
+      |  UNION ALL
+      |  SELECT fid, 1,
+      |    CAST(b2 AS BIGINT) + CAST(b3 AS BIGINT) * 65536 FROM hsh),
+      |e AS (
+      |  SELECT fid, band, key FROM k2
+      |  QUALIFY row_number() OVER (PARTITION BY band, key ORDER BY fid)
+      |    <= SIMPAIRCAP),
+      |p AS (
+      |  SELECT fid, band, key FROM (
+      |    SELECT k2.fid, k2.band,
+      |      CASE WHEN t.j < 0 THEN k2.key
+      |           ELSE xor(k2.key, CAST(1 AS BIGINT) << t.j) END AS key
+      |    FROM k2, unnest(range(-1, 32)) AS t(j))
+      |  QUALIFY row_number() OVER (PARTITION BY band, key ORDER BY fid)
+      |    <= SIMPAIRCAP),
+      |cand AS (
+      |  SELECT DISTINCT least(e.fid, p.fid) AS a, greatest(e.fid, p.fid) AS b
+      |  FROM e JOIN p ON e.band = p.band AND e.key = p.key
+      |    AND e.fid <> p.fid
+      |  WHERE e.fid // 16 <> p.fid // 16)
+      |SELECT a // 16 AS media_a, CAST(a % 16 AS INTEGER) AS frame_a,
+      |  b // 16 AS media_b, CAST(b % 16 AS INTEGER) AS frame_b,
+      |  CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+      |     + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+      |    AS BIGINT) AS hamming
+      |FROM cand JOIN hsh ha ON ha.fid = a JOIN hsh hb ON hb.fid = b
+      |ORDER BY hamming, media_a, frame_a, media_b, frame_b LIMIT 20
+      |""".stripMargin.trim
+      .replace("SIMPAIRCAP", Dedup.SimPairCap.toString)),
+    (spark, dir) => {
+      val fp = graft.operators.MultimodalOps.framePerceptualHash(
+          graft.operators.MultimodalOps.documentsAsMedia(spark, dir), 4)
+        .toDF()
+        .select((col("media_id") * 16 + col("frame_idx")).as("media_id"),
+          col("b0"), col("b1"), col("b2"), col("b3"))
+      bandedHammingMultiprobe(fp, Dedup.SimPairCap)
+        .filter(expr("media_a div 16") =!= expr("media_b div 16"))
+        .select(expr("media_a div 16").as("ma"),
+          expr("cast(media_a % 16 as int)").as("frame_a"),
+          expr("media_b div 16").as("mb"),
+          expr("cast(media_b % 16 as int)").as("frame_b"),
+          col("hamming"))
+        .withColumnRenamed("ma", "media_a")
+        .withColumnRenamed("mb", "media_b")
+        .orderBy("hamming", "media_a", "frame_a", "media_b", "frame_b")
+        .limit(20)
     })
 
   /** MULTIMODAL CURATION PIPELINE (VERDICT r17 task 6) — the joint
@@ -1238,8 +1391,8 @@ object Catalog {
 
   val defs: Seq[QueryDef] = Seq(
     qMultimodal, qBlobStats, qFrameSample, qBlobDecode, qBlobNeardup,
-    qBlobCapStats, qFrameNeardup, qFrameCapStats, qPipelineMultimodal,
-    qPipelineMultimodalIvm) ++ Seq(
+    qBlobCapStats, qFrameNeardup, qFrameCapStats, qFrameNeardupMp,
+    qPipelineMultimodal, qPipelineMultimodalIvm) ++ Seq(
     qWordcount, qTopkMax, qTopkMin, qStopword,
     qPricing, qFilterProject, qSortLimit, qJoinAgg,
     qSemiJoin, qAntiJoin, qBroadcastJoin, qWindowRank,
