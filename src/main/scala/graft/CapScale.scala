@@ -93,7 +93,7 @@ object CapScale {
       tally.get
     }
 
-    for (cap <- Seq(16, 64, 256, 1024, 0)) {
+    def measured(cap: Int, tag: String): Unit = {
       val t0 = System.nanoTime()
       val b0 = snap()
       val pairs = graft.queries.Dedup.simhashBandedPairs(sim, cap)
@@ -111,8 +111,30 @@ object CapScale {
         (pairs.getLong(0), pairs.getLong(1), pairs.getLong(2))
       val rc = if (trueCluster == 0) 1.0 else fc.toDouble / trueCluster
       val rb = if (trueBomb == 0) 1.0 else fb.toDouble / trueBomb
-      println(f"""{"harness":"cap_scale","bomb":$bomb,"cap":$cap,"cand_pairs":$cand,"recall_cluster":$rc%.4f,"recall_bomb":$rb%.6f,"secs":$secs%.2f,"shuffle_mb":$mb%.1f}""")
+      println(f"""{"harness":"cap_scale","bomb":$bomb,"cap":$cap,"tag":"$tag","cand_pairs":$cand,"recall_cluster":$rc%.4f,"recall_bomb":$rb%.6f,"secs":$secs%.2f,"shuffle_mb":$mb%.1f}""")
     }
+    for (cap <- Seq(16, 64, 256, 1024, 0)) measured(cap, "sweep")
+
+    // AUTOTUNE row (VERDICT r17 task 7): the audit-derived cap —
+    // clamp(p99 bucket size, 16, 256), the q_frame_neardup_tuned rule —
+    // computed from THIS corpus's own band-bucket sizes, then applied.
+    // On a bomb corpus the single giant bucket sits far beyond p99, so
+    // the tuned cap lands at the healthy-cluster ceiling and the pair
+    // expansion is bounded at O(p99²) with cluster recall intact.
+    val bs = sim.select(explode(array((0 until 4).map { i =>
+          struct(lit(i).as("band"),
+            shiftright(col("simhash"), i * 15)
+              .bitwiseAND(lit((1L << 15) - 1)).as("bits"))
+        }: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bits").as("bits"))
+      .groupBy("band", "bits").agg(count(lit(1)).as("sz"))
+    val nB = bs.agg(count(lit(1))).head().getLong(0)
+    val p99 = bs.select(col("sz")).orderBy("sz")
+      .limit(((99L * nB + 99L) / 100L).toInt)
+      .agg(max(col("sz"))).head().getLong(0)
+    val tuned = math.max(16L, math.min(256L, p99)).toInt
+    println(s"""{"harness":"cap_scale","bomb":$bomb,"p99_bucket":$p99,"tuned_cap":$tuned}""")
+    measured(tuned, "autotune")
     spark.stop()
   }
 }

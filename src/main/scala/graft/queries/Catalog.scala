@@ -614,7 +614,8 @@ object Catalog {
     * frame (media_id, b0..b3) — whole-payload aHashes (q_blob_neardup)
     * or per-frame ones with the frame index packed into the id
     * (q_frame_neardup). */
-  private[graft] def bandedHammingOver(ph: DataFrame): DataFrame = {
+  private[graft] def bandedHammingOver(
+      ph: DataFrame, cap: Int = Dedup.SimPairCap): DataFrame = {
       val banded = ph.select(col("media_id"),
           col("b0"), col("b1"), col("b2"), col("b3"),
           explode(array((0 until 4).map { i =>
@@ -624,10 +625,12 @@ object Catalog {
           col("bb.band").as("band"), col("bb.bits").as("bits"))
       banded
         .groupBy("band", "bits")
-        // first SimPairCap per bucket by media_id (struct sort order) —
-        // the q_simhash_pairs skew guard, oracle-mirrored (bdc QUALIFY)
+        // first `cap` per bucket by media_id (struct sort order) — the
+        // q_simhash_pairs skew guard, oracle-mirrored (bdc QUALIFY);
+        // default [[Dedup.SimPairCap]], or the audit-tuned value
+        // (q_frame_neardup_tuned)
         .agg(expr(s"""slice(sort_array(collect_list(
-          struct(media_id, b0, b1, b2, b3))), 1, ${Dedup.SimPairCap})""")
+          struct(media_id, b0, b1, b2, b3))), 1, $cap)""")
           .as("docs"))
         .filter(size(col("docs")) > 1)
         .select(explode(expr(
@@ -820,6 +823,108 @@ object Catalog {
             struct(lit(i.toLong).as("band"), col(s"b$i").as("bits"))
           }: _*)).as("bb"))
         .select(col("bb.band").as("band"), col("bb.bits").as("bits")))
+    })
+
+  /** AUDIT-TUNED bucket cap (VERDICT r17 task 7): instead of the fixed
+    * [[Dedup.SimPairCap]] = 256, the cap is derived PER CORPUS from the
+    * kernel's own cap-stats audit — the deterministic, oracle-mirrored
+    * rule `cap = clamp(p99 bucket size, 16, 256)` (p99 = the bucket size
+    * at ascending rank ⌈0.99·n⌉, an exact integer closed form on both
+    * engines). A bucket-bomb corpus (one fingerprint shared by millions
+    * of frames) gets capped near its healthy-bucket ceiling instead of
+    * at a fixed constant 256× too generous, bounding the pair expansion
+    * at O(p99²) per bucket while leaving every ≤p99 cluster's recall
+    * untouched — the CapScale §40 measurement, now wired into the
+    * operator instead of hand-picked. `cap_used` rides every output row,
+    * so the gate proves the tuning arithmetic too. */
+  private val qFrameNeardupTuned = QueryDef(
+    "q_frame_neardup_tuned",
+    Some(("""
+      |WITH h AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, k, (n * k) // 4 AS f0,
+      |    least(greatest((n * k) // 4 + 1, (n * (k + 1)) // 4), n) AS f1
+      |  FROM h, unnest(range(0, 4)) AS t(k) WHERE n > 0),
+      |cells AS (
+      |  SELECT fr.doc_id * 16 + fr.k AS fid, c.i,
+      |    CAST(('0x' || substr(h.hx,
+      |      2 * (fr.f0 + ((fr.f1 - fr.f0) * c.i) // 64) + 1, 2)) AS INTEGER)
+      |      AS byte
+      |  FROM fr JOIN h ON h.doc_id = fr.doc_id,
+      |    unnest(range(0, 64)) AS c(i)),
+      |m AS (SELECT fid, sum(byte) // 64 AS mean FROM cells GROUP BY fid),
+      |bd AS (
+      |  SELECT c.fid, c.i // 16 AS band,
+      |    CAST(sum(CASE WHEN c.byte > m.mean THEN (1 << (c.i % 16))
+      |             ELSE 0 END) AS INTEGER) AS bits
+      |  FROM cells c JOIN m ON m.fid = c.fid
+      |  GROUP BY c.fid, c.i // 16),
+      |bs AS (SELECT band, bits, count(*) AS sz FROM bd GROUP BY band, bits),
+      |capq AS (
+      |  SELECT greatest(least(min(sz), 256), 16) AS cap FROM (
+      |    SELECT sz, row_number() OVER (ORDER BY sz) AS rn,
+      |      count(*) OVER () AS n FROM bs)
+      |  WHERE rn * 100 >= 99 * n),
+      |hsh AS (
+      |  SELECT fid,
+      |    min(CASE WHEN band = 0 THEN bits END) AS b0,
+      |    min(CASE WHEN band = 1 THEN bits END) AS b1,
+      |    min(CASE WHEN band = 2 THEN bits END) AS b2,
+      |    min(CASE WHEN band = 3 THEN bits END) AS b3
+      |  FROM bd GROUP BY fid),
+      |bdc AS (
+      |  SELECT fid, band, bits FROM bd
+      |  QUALIFY row_number() OVER (PARTITION BY band, bits ORDER BY fid)
+      |    <= (SELECT cap FROM capq)),
+      |cand AS (
+      |  SELECT DISTINCT x.fid AS a, y.fid AS b
+      |  FROM bdc x JOIN bdc y
+      |    ON x.band = y.band AND x.bits = y.bits AND x.fid < y.fid
+      |  WHERE x.fid // 16 <> y.fid // 16)
+      |SELECT a // 16 AS media_a, CAST(a % 16 AS INTEGER) AS frame_a,
+      |  b // 16 AS media_b, CAST(b % 16 AS INTEGER) AS frame_b,
+      |  CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+      |     + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+      |    AS BIGINT) AS hamming,
+      |  (SELECT cap FROM capq) AS cap_used
+      |FROM cand JOIN hsh ha ON ha.fid = a JOIN hsh hb ON hb.fid = b
+      |ORDER BY hamming, media_a, frame_a, media_b, frame_b LIMIT 20
+      |""").stripMargin.trim),
+    (spark, dir) => {
+      val fp = graft.Checkpoints.truncate(
+        graft.operators.MultimodalOps.framePerceptualHash(
+            graft.operators.MultimodalOps.documentsAsMedia(spark, dir), 4)
+          .toDF()
+          .select((col("media_id") * 16 + col("frame_idx")).as("media_id"),
+            col("b0"), col("b1"), col("b2"), col("b3")))
+      // the audit: bucket sizes over the band memberships, then the p99
+      // closed form (max of the first ⌈0.99·n⌉ ascending sizes = the
+      // size at rank ⌈0.99·n⌉ — the oracle's min-over-top-percentile
+      // form lands on the same value)
+      val bs = fp.select(explode(array((0 until 4).map { i =>
+            struct(lit(i).as("band"), col(s"b$i").as("bits"))
+          }: _*)).as("bb"))
+        .select(col("bb.band").as("band"), col("bb.bits").as("bits"))
+        .groupBy("band", "bits").agg(count(lit(1)).as("sz"))
+      val nBuckets = bs.agg(count(lit(1))).head().getLong(0)
+      val p99 = bs.select(col("sz")).orderBy("sz")
+        .limit(((99L * nBuckets + 99L) / 100L).toInt)
+        .agg(max(col("sz"))).head().getLong(0)
+      val cap = math.max(16L, math.min(256L, p99))
+      bandedHammingOver(fp, cap.toInt)
+        .filter(expr("media_a div 16") =!= expr("media_b div 16"))
+        .select(expr("media_a div 16").as("ma"),
+          expr("cast(media_a % 16 as int)").as("frame_a"),
+          expr("media_b div 16").as("mb"),
+          expr("cast(media_b % 16 as int)").as("frame_b"),
+          col("hamming"), lit(cap).as("cap_used"))
+        .withColumnRenamed("ma", "media_a")
+        .withColumnRenamed("mb", "media_b")
+        .orderBy("hamming", "media_a", "frame_a", "media_b", "frame_b")
+        .limit(20)
     })
 
   /** MULTI-PROBE banded-Hamming pairing (VERDICT r17 task 4) — the
@@ -1392,7 +1497,7 @@ object Catalog {
   val defs: Seq[QueryDef] = Seq(
     qMultimodal, qBlobStats, qFrameSample, qBlobDecode, qBlobNeardup,
     qBlobCapStats, qFrameNeardup, qFrameCapStats, qFrameNeardupMp,
-    qPipelineMultimodal, qPipelineMultimodalIvm) ++ Seq(
+    qFrameNeardupTuned, qPipelineMultimodal, qPipelineMultimodalIvm) ++ Seq(
     qWordcount, qTopkMax, qTopkMin, qStopword,
     qPricing, qFilterProject, qSortLimit, qJoinAgg,
     qSemiJoin, qAntiJoin, qBroadcastJoin, qWindowRank,
