@@ -122,6 +122,34 @@ object PrIvmScale {
     emit("local_final")
     val lr2 = if (lrows.isEmpty) 0L else lrows.head.getLong(3)
     println(s"""{"harness":"pr_ivm","mult":$mult,"frac":$frac,"local_rows":${lrows.length},"local_r2":$lr2}""")
+
+    // BROADCAST-Δ resume (VERDICT r17 task 5 — the §39 resume floor):
+    // same serve path under spark.graft.graph.prResumeExchange=bcast —
+    // the edge frame lays out by dst once per batch, each round
+    // broadcasts the active (vertex, Δunit) frame and aggregates Δcin
+    // partition-local, so resume shuffle collapses from O(active edges)
+    // to the O(touched dst) state-join build side. Measured on the
+    // uniform delta AND the localized 1/frac delta; results must match
+    // the default form bit-for-bit.
+    spark.conf.set(
+      graft.queries.GraphAdaptive.PrResumeConfKey, "bcast")
+    t0 = System.nanoTime(); b0 = snap()
+    val bdf = graft.queries.Graph.pagerankIvmServe(spark, dir,
+      ph => emit(s"bsrv_$ph"))
+    val brows = bdf.collect()
+    emit("bsrv_final")
+    val bAgree = brows.map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .toSeq == srows.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    println(s"""{"harness":"pr_ivm","mult":$mult,"bsrv_rows":${brows.length},"matches_edge_form":$bAgree}""")
+    t0 = System.nanoTime(); b0 = snap()
+    val bldf = graft.queries.Graph.pagerankIvmServe(spark, dir,
+      ph => emit(s"blocal_$ph"), localFrac = Some(frac))
+    val blrows = bldf.collect()
+    emit("blocal_final")
+    val blAgree = blrows.map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .toSeq == lrows.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    println(s"""{"harness":"pr_ivm","mult":$mult,"frac":$frac,"blocal_rows":${blrows.length},"matches_edge_form":$blAgree}""")
+    spark.conf.unset(graft.queries.GraphAdaptive.PrResumeConfKey)
     spark.stop()
   }
 }

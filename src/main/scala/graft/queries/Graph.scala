@@ -86,6 +86,27 @@ private[graft] object GraphAdaptive {
 
   def prDelta(spark: SparkSession): Boolean =
     spark.conf.get(PrLoopConfKey, "delta") == "delta"
+
+  /** Resume-exchange form for the SERVED PageRank maintenance path
+    * (pagerankIvmServe). `edge` (default): the r17 shape — each round
+    * exchanges the active vertices' per-EDGE contribution rows, which
+    * saturates at one full contribution exchange on hub-dense graphs
+    * (SCALE.md §39's ~450 MB floor: one spread delta activates most
+    * suppliers, and every active hub re-sends its whole adjacency).
+    * `bcast`: the edge frame is laid out partitioned by DST once per
+    * change batch; each round then BROADCASTS the active (vertex, Δunit)
+    * frame — O(active vertices) bytes, never O(active edges) — joins it
+    * map-side against the dst-partitioned edge blocks, and the per-dst
+    * Δ aggregation is partition-local. Per-round exchange collapses to
+    * the O(touched dst) state-join build side. Bit-identical by integer
+    * determinism (same Δ rows, same sums, same rounds — spec-pinned).
+    * Requires the ACTIVE SET to fit the broadcast ceiling — on this
+    * exhibit's saturated resume that is the supplier vertex set, 16
+    * bytes each; an operator enables it per corpus from the audit. */
+  val PrResumeConfKey = "spark.graft.graph.prResumeExchange"
+
+  def prResumeBcast(spark: SparkSession): Boolean =
+    spark.conf.get(PrResumeConfKey, "edge") == "bcast"
 }
 
 /** Iterative graph analytics beyond connected components (q_dedup_components
@@ -333,6 +354,59 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
       val nxt = graft.Checkpoints.truncate(obs)
       delta = obs.queryExecution.observedMetrics
         .get(s"pr_delta_$tag$rounds")
+        .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+        .getOrElse(nxt.agg(max(col("d"))).head().getLong(0))
+      graft.Checkpoints.release(curCk)
+      curCk = nxt
+      cur = nxt.select("node_id", "outdeg", "pr", "unit", "lpu", "cin")
+    }
+    (cur, rounds)
+  }
+
+  /** [[prPushLoop]]'s BROADCAST-Δ variant (GraphAdaptive.PrResumeConfKey
+    * scaladoc): `edgesD` must be materialized HASH-PARTITIONED ON DST.
+    * Each round broadcasts the active (vertex, Δunit) frame — the per-
+    * round exchange is O(active vertices) + the O(touched dst) Δ build
+    * side, never O(active edges); the per-dst aggregation runs inside
+    * the dst-partitioned edge blocks. Arithmetic identical to
+    * [[prPushLoop]] row-for-row, so the trajectory and round count are
+    * bit-identical (GraphFallbackSpec pins it against the gate). */
+  private def prPushLoopBcast(
+      spark: SparkSession, edgesD: DataFrame, init: DataFrame,
+      prBase: Long, eps: Long, tag: String): (DataFrame, Long) = {
+    var curCk = graft.Checkpoints.truncate(init)
+    var cur: org.apache.spark.sql.DataFrame = curCk
+    var rounds = 0L
+    var delta = Long.MaxValue
+    while (delta >= eps) {
+      rounds += 1
+      if (rounds > PrMaxRounds)
+        throw new IllegalStateException(
+          s"prPushLoopBcast: no convergence after $PrMaxRounds " +
+            s"rounds (last max |Δ| = $delta, ε = $eps) — the damping/ε " +
+            "contract is broken, refusing to return a half-converged rank")
+      val active = cur.filter(col("unit") =!= col("lpu"))
+        .select(col("node_id").as("asrc"),
+          (col("unit") - col("lpu")).as("du"))
+      val dAgg = edgesD.join(broadcast(active), col("src") === col("asrc"))
+        .select(col("dst"), col("du"))
+        .groupBy("dst").agg(sum(col("du")).as("dd"))
+      val obs = cur
+        .join(dAgg.hint("shuffle_hash"), col("node_id") === col("dst"), "left")
+        .select(col("node_id"), col("outdeg"),
+          (col("cin") + coalesce(col("dd"), lit(0L))).as("cin"),
+          col("pr").as("prev_pr"), col("unit").as("lpu_next"))
+        .select(col("node_id"), col("outdeg"), col("cin"),
+          (lit(prBase) + expr("(85 * cin) div 100")).as("pr"),
+          col("prev_pr"), col("lpu_next"))
+        .select(col("node_id"), col("outdeg"), col("pr"),
+          expr("pr div outdeg").as("unit"),
+          col("lpu_next").as("lpu"), col("cin"),
+          abs(col("pr") - col("prev_pr")).as("d"))
+        .observe(s"pr_delta_b$tag$rounds", max(col("d")).as("v"))
+      val nxt = graft.Checkpoints.truncate(obs)
+      delta = obs.queryExecution.observedMetrics
+        .get(s"pr_delta_b$tag$rounds")
         .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
         .getOrElse(nxt.agg(max(col("d"))).head().getLong(0))
       graft.Checkpoints.release(curCk)
@@ -875,12 +949,18 @@ ORDER BY pr DESC, node_id LIMIT 50"""
       val addE = dedges.filter(col("sgn") > 0)
         .select(col("dsrc").as("src"), col("ddst").as("dst"))
       val bcastV = GraphAdaptive.broadcastOk(spark, vCnt)
+      val resumeBcast = GraphAdaptive.prResumeBcast(spark)
       val edgesFin0 = spark.read.parquet(s"$stateRoot/edges")
         .join(broadcast(delE),
           col("src") === col("dsrc") && col("dst") === col("ddst"),
           "left_anti")
         .unionByName(addE)
-      val edgesFin = (if (bcastV) edgesFin0
+      // bcast resume lays the batch's edge frame out by DST once, so
+      // every round's per-dst Δ aggregation is partition-local; the
+      // default (edge) form keeps the src layout the per-edge exchange
+      // loop wants
+      val edgesFin = (if (resumeBcast) edgesFin0.repartition(col("dst"))
+                      else if (bcastV) edgesFin0
                       else edgesFin0.repartition(col("src")))
         .truncateLineage
       val patchedCk = graft.Checkpoints.truncate(patched)
@@ -890,7 +970,10 @@ ORDER BY pr DESC, node_id LIMIT 50"""
       // kept honest: the state's own vertex set
       val g = PrGraph(edgesFin, s1.select(col("node_id")),
         GraphAdaptive.pick(bcastV) _)
-      val (s2, r2) = prPushLoop(spark, g, patchedCk, prBase, eps, "sv")
+      val (s2, r2) =
+        if (resumeBcast)
+          prPushLoopBcast(spark, edgesFin, patchedCk, prBase, eps, "sv")
+        else prPushLoop(spark, g, patchedCk, prBase, eps, "sv")
       mark("resume")
       val res = s2.select(col("node_id"), col("pr"))
         .orderBy(desc("pr"), asc("node_id")).limit(50)

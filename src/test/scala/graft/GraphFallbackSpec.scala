@@ -148,6 +148,16 @@ class GraphFallbackSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
     assert(served == gate,
       "served maintenance path diverged from the gate's (node, pr, r2)")
+    // the broadcast-Δ resume form (prResumeExchange=bcast): same Δ rows,
+    // same integer sums, dst-local aggregation — must land on the same
+    // trajectory INCLUDING the round count
+    spark.conf.set(queries.GraphAdaptive.PrResumeConfKey, "bcast")
+    try {
+      val bcast = queries.Graph.pagerankIvmServe(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+      assert(bcast == gate,
+        "broadcast-Δ resume diverged from the gate's (node, pr, r2)")
+    } finally spark.conf.unset(queries.GraphAdaptive.PrResumeConfKey)
   }
 
   // Incremental components: the oracle already proves the maintained
