@@ -1148,16 +1148,34 @@ ORDER BY pr DESC, node_id LIMIT 50"""
       |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20
       |""".stripMargin.trim),
     (spark, dir) => {
-      val pairsExpr =
-        "flatten(transform(ps, (x, i) -> " +
-          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
-      val e0 = tbl(spark, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(expr(pairsExpr)).as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v"))
-        .distinct()
-        .truncateLineage                 // feeds deg AND both orient joins
+      val (counts, _) = triCountsFrom(spark, triPairs(spark, dir))
+      counts.orderBy(desc("n_tri"), asc("node")).limit(20)
+    })
+
+  /** The co-purchase pair set (u < v, distinct) behind q_triangles. */
+  private def triPairs(spark: SparkSession, dir: String): DataFrame = {
+    val pairsExpr =
+      "flatten(transform(ps, (x, i) -> " +
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+    tbl(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(pairsExpr)).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .distinct()
+  }
+
+  /** q_triangles' counting kernel over ANY distinct (u, v) pair frame
+    * (u < v): degree orientation, adjacency build, per-edge intersection
+    * close, per-node fold — returns (full per-node counts (node, n_tri),
+    * the oriented-edge checkpoint feeding them — the caller releases it
+    * once the counts are materialized elsewhere, or leaks exactly one
+    * frame per invocation as the top-20 gate always has). Factored so
+    * the incremental kernel's state builder can persist the FULL counts
+    * (the gate's top-20 is a view of this). */
+  private def triCountsFrom(
+      spark: SparkSession, e0raw: DataFrame): (DataFrame, DataFrame) = {
+      val e0 = e0raw.truncateLineage     // feeds deg AND both orient joins
       // materialized: feeds BOTH orient joins (one computation instead of
       // two — the rename projections under the two broadcasts defeat
       // exchange reuse) and makes the V count for the strategy choice a
@@ -1233,9 +1251,8 @@ ORDER BY pr DESC, node_id LIMIT 50"""
             struct(col("y").as("node"), size(col("ww")).cast("long").as("c"))),
           expr("transform(ww, w -> struct(w AS node, 1L AS c))"))).as("p"))
         .select(col("p.node").as("node"), col("p.c").as("c"))
-      contrib.groupBy("node").agg(sum(col("c")).as("n_tri"))
-        .orderBy(desc("n_tri"), asc("node")).limit(20)
-    })
+      (contrib.groupBy("node").agg(sum(col("c")).as("n_tri")), d)
+  }
 
   private val BfsHops = 4
 
@@ -2299,8 +2316,150 @@ SELECT node_id, CAST(min(hop) AS BIGINT) AS hop
 FROM it GROUP BY node_id ORDER BY hop, node_id"""),
     (spark, dir) => bfsIvmDelBuild(spark, dir))
 
+  // =========================================================================
+  // INCREMENTAL TRIANGLE COUNTING under edge adds — the FOURTH maintained
+  // kernel family (after components, BFS, PageRank): graph STATISTICS,
+  // where the maintained quantity is a count, not a fixpoint. Unlike the
+  // fixpoint kernels there is no resume loop at all: per-node triangle
+  // counts are additive, so a batch of new edges contributes exactly the
+  // triangles of the FINAL graph that contain >= 1 new edge — computable
+  // from the delta alone as common-neighbor intersections of the delta
+  // edges' endpoints (O(|delta| · degree), never a corpus re-close). A
+  // triangle containing 2-3 new edges surfaces once per new edge, so it
+  // is attributed to its lexicographically SMALLEST new edge — an exact,
+  // order-free dedup rule (the Suri/Vassilvitskii once-per-triangle idea
+  // transplanted to the delta). The unique result makes the oracle the
+  // cold kernel on the final graph, which — because base + adds
+  // telescope back to the full pair set — is q_triangles' own SQL.
+  // =========================================================================
+
+  private[graft] val triIvmRecipe: String = "triivm-v1:add=31/41"
+
+  /** q_triangles_ivm's builder. `mark`: "p1", "delta",
+    * "apply:dt=<delta triangles>". */
+  private[graft] def trianglesIvmBuild(
+      spark: SparkSession, dir: String,
+      mark: String => Unit = _ => ()): DataFrame = {
+    val ef = triPairs(spark, dir)
+    val ac = ef.withColumn("held", (col("u") * 31L + col("v")) % 41L === 0)
+    val base0 = ac.filter(!col("held")).select("u", "v")
+    val adds = ac.filter(col("held")).select("u", "v")
+    val stateRoot = ArtifactStore.ensure(spark, dir, "lineitem",
+      "triivm_state", triIvmRecipe) { r =>
+      val (counts, d) = triCountsFrom(spark, base0)
+      counts.write.mode("overwrite").parquet(s"$r/counts")
+      graft.Checkpoints.release(d)
+      base0.write.mode("overwrite").parquet(s"$r/edges")
+    }
+    mark("p1")
+
+    val (t, tn, root) = privmFreshTable(spark, dir, "triivm")
+    spark.sql(s"""CREATE TABLE $t (u BIGINT, v BIGINT) USING `graft-tsv`
+      TBLPROPERTIES ('retain.generations' = '4')""")
+    base0.writeTo(t).append()                                       // gen 1
+    adds.writeTo(t).append()                                        // gen 2
+    // the (u, v) twin of privmNetDelta: net inserted pairs since gen 1
+    val dedges = graft.Checkpoints.truncate {
+      val tdir = new org.apache.hadoop.fs.Path(s"$root/db/$tn")
+      val tfs = tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val headGen = tfs.listStatus(tdir).map(_.getPath.getName)
+        .flatMap(graft.sources.GraftTsvManifest.genNumber).max
+      if (headGen <= 1L)
+        spark.range(0).select(col("id").as("u"), col("id").as("v"))
+      else {
+        val cat = spark.sessionState.catalogManager.catalog("gparity")
+          .asInstanceOf[graft.sources.GraftTsvCatalog]
+        cat.changes(spark,
+            org.apache.spark.sql.connector.catalog.Identifier.of(
+              Array("db"), tn), "1", headGen.toString)
+          .select(col("u"), col("v"),
+            when(col(graft.sources.GraftTsvMeta.ChangeCol) === "insert",
+              lit(1L)).otherwise(lit(-1L)).as("sgn0"))
+          .groupBy("u", "v").agg(sum(col("sgn0")).as("sgn"))
+          .filter(col("sgn") > 0).select(col("u"), col("v"))
+      }
+    }
+    val baseCnt = spark.read.parquet(s"$stateRoot/counts")
+    mark("delta")
+    val res =
+      if (dedges.head(1).isEmpty) {
+        mark("apply:dt=0")
+        baseCnt.orderBy(desc("n_tri"), asc("node")).limit(20)
+      } else {
+        // FINAL-graph adjacency, restricted to the delta endpoints: the
+        // corpus-sized edge frame is touched by one map-only scan +
+        // broadcast semi-join — the maintenance never re-closes it
+        val ends = dedges.select(col("u").as("n"))
+          .unionByName(dedges.select(col("v").as("n"))).distinct()
+        val finE = spark.read.parquet(s"$stateRoot/edges")
+          .unionByName(dedges)
+        val touched = finE.select(col("u").as("src"), col("v").as("dst"))
+          .unionByName(finE.select(col("v").as("src"), col("u").as("dst")))
+          .join(broadcast(ends), col("src") === col("n"), "left_semi")
+        val adj = touched.groupBy("src")
+          .agg(sort_array(collect_set(col("dst"))).as("nb"))
+        // per delta edge: common neighbors in the final graph = the new
+        // triangles through it; attribute each to its SMALLEST delta edge
+        val cand = dedges
+          .join(adj.select(col("src").as("au"), col("nb").as("nu")),
+            col("u") === col("au"))
+          .join(adj.select(col("src").as("av"), col("nb").as("nv")),
+            col("v") === col("av"))
+          .select(col("u"), col("v"),
+            explode(expr("array_intersect(nu, nv)")).as("w"))
+        val d1 = dedges.select(col("u").as("du1"), col("v").as("dv1"))
+          .withColumn("e1", lit(true))
+        val d2 = dedges.select(col("u").as("du2"), col("v").as("dv2"))
+          .withColumn("e2", lit(true))
+        val mine = cand
+          .join(broadcast(d1),
+            least(col("u"), col("w")) === col("du1") &&
+              greatest(col("u"), col("w")) === col("dv1"), "left")
+          .join(broadcast(d2),
+            least(col("v"), col("w")) === col("du2") &&
+              greatest(col("v"), col("w")) === col("dv2"), "left")
+          .filter(
+            !(coalesce(col("e1"), lit(false)) &&
+              struct(least(col("u"), col("w")),
+                greatest(col("u"), col("w"))) <
+                struct(col("u"), col("v"))) &&
+            !(coalesce(col("e2"), lit(false)) &&
+              struct(least(col("v"), col("w")),
+                greatest(col("v"), col("w"))) <
+                struct(col("u"), col("v"))))
+        val dCk = graft.Checkpoints.truncate(mine
+          .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("dn")))
+        val nDt = dCk.agg(sum(col("dn"))).head() // 3 rows per triangle
+        mark(s"apply:dt=${if (nDt.isNullAt(0)) 0L else nDt.getLong(0) / 3}")
+        val out = baseCnt
+          .join(dCk, baseCnt("node") === dCk("node"), "full_outer")
+          .select(coalesce(baseCnt("node"), dCk("node")).as("node"),
+            (coalesce(col("n_tri"), lit(0L)) +
+              coalesce(col("dn"), lit(0L))).as("n_tri"))
+          .filter(col("n_tri") > 0)
+          .orderBy(desc("n_tri"), asc("node")).limit(20)
+        val rows = out.collect().toSeq // bounded top-20 — fine to localize
+        Seq(dCk, dedges).foreach(graft.Checkpoints.release)
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), out.schema)
+          .orderBy(desc("n_tri"), asc("node"))
+      }
+    res
+  }
+
+  /** Incremental triangle gate — final pair set = base + adds = the full
+    * co-purchase graph, so the oracle is q_triangles' SQL verbatim: the
+    * hash gate proves the delta-attributed counts splice onto the base
+    * counts to exactly the cold kernel's numbers. */
+  private val qTrianglesIvm = QueryDef(
+    "q_triangles_ivm",
+    qTriangles.oracle,
+    (spark, dir) => trianglesIvmBuild(spark, dir))
+
   val defs: Seq[QueryDef] =
     Seq(qPagerank, qPagerankConverged, qPagerankIvm, qComponentsIvm,
       qComponentsIvmDel, qBfsIvm, qBfsIvmDel,
-      qTriangles, qBfsHops, qBfsFull, qLabelProp, qLabelPropConverged)
+      qTriangles, qTrianglesIvm, qBfsHops, qBfsFull, qLabelProp,
+      qLabelPropConverged)
 }

@@ -243,6 +243,25 @@ class GraphFallbackSpec extends SparkSuite {
       "the exhibit delete lengthened no hop — the delete side is untested")
   }
 
+  // Incremental triangle counting: the oracle proves the spliced counts
+  // equal the cold kernel on the final graph; this pins that the exhibit
+  // batch contributes REAL delta triangles (the min-delta-edge
+  // attribution path actually runs) and that the maintained top-20
+  // equals the cold Spark kernel's row-for-row.
+  test("q_triangles_ivm: delta-attributed counts splice to the cold kernel") {
+    val marks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ivm = queries.Graph.trianglesIvmBuild(spark, sfDir, marks += _)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val cold = collectSorted("q_triangles")
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ivm == cold,
+      s"maintained triangle top-20 diverged from the cold kernel:\n$ivm\nvs\n$cold")
+    val am = marks.find(_.startsWith("apply:"))
+      .getOrElse(fail(s"no apply mark in $marks"))
+    assert(am.stripPrefix("apply:dt=").toLong >= 1,
+      s"the exhibit adds produced no delta triangle: $am")
+  }
+
   // The IVM gates return the FULL per-node labeling/distance set. r17
   // collected it to the driver (to sequence checkpoint release) and
   // returned a parallelize(rows, 1) frame — O(V) driver memory and a
