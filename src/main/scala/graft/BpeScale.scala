@@ -154,6 +154,22 @@ object BpeScale {
       val mb = (snap() - b0) / 1e6
       graft.Checkpoints.release(vf)
       println(f"""{"harness":"bpe_dist","vocab":$n,"types":$types,"merges":$merges,"secs":$secs%.1f,"secs_per_round":${secs / merges}%.3f,"shuffle_mb":$mb%.1f,"driver_state_rows":${ms.size}}""")
+
+      // ADAPTIVE ROUND BATCHING (the r17 frontier item): the provably-
+      // equivalent batched loop on the same vocabulary — merge table
+      // must be bit-identical; the win is rounds (each paying a full
+      // vocabulary aggregate + an argmax action) collapsing by the
+      // average batch width
+      val t1 = System.nanoTime()
+      val b1 = snap()
+      val (bms, bvf) =
+        graft.queries.TextAnalysis.bpeTrainLoopBatched(spark, vc, merges)
+      val bsecs = (System.nanoTime() - t1) / 1e9
+      val bmb = (snap() - b1) / 1e6
+      graft.Checkpoints.release(bvf)
+      require(bms == ms,
+        "batched trainer diverged from the sequential merge table")
+      println(f"""{"harness":"bpe_dist","vocab":$n,"types":$types,"merges":$merges,"mode":"batched","secs":$bsecs%.1f,"shuffle_mb":$bmb%.1f,"speedup":${secs / bsecs}%.2f,"matches_sequential":true}""")
     }
     spark.stop()
   }

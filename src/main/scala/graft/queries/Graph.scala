@@ -2457,9 +2457,163 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
     qTriangles.oracle,
     (spark, dir) => trianglesIvmBuild(spark, dir))
 
+  // ---- the DELETE side of triangle maintenance: counts are additive in
+  // both directions, so a delete batch SUBTRACTS the triangles of the
+  // PRE-DELETE graph that contain >= 1 deleted edge — the same
+  // common-neighbor intersection over the delta, against the BASE
+  // adjacency this time, with the same smallest-delta-edge attribution.
+  // No recompute verb at all: deletion of graph statistics is exact
+  // arithmetic, which neither components nor BFS could claim.
+
+  private[graft] val triIvmDelRecipe: String = "triivmdel-v1:del=37/43"
+
+  /** q_triangles_ivm_del's builder. `mark`: "p1", "delta",
+    * "apply:dt=<triangles removed>". */
+  private[graft] def trianglesIvmDelBuild(
+      spark: SparkSession, dir: String,
+      mark: String => Unit = _ => ()): DataFrame = {
+    val ef = triPairs(spark, dir)
+    val dels = ef.filter((col("u") * 37L + col("v")) % 43L === 0)
+    val stateRoot = ArtifactStore.ensure(spark, dir, "lineitem",
+      "triivm_del_state", triIvmDelRecipe) { r =>
+      val (counts, d) = triCountsFrom(spark, ef)
+      counts.write.mode("overwrite").parquet(s"$r/counts")
+      graft.Checkpoints.release(d)
+      ef.write.mode("overwrite").parquet(s"$r/edges")
+    }
+    mark("p1")
+
+    val (t, tn, root) = privmFreshTable(spark, dir, "triivmd")
+    spark.sql(s"""CREATE TABLE $t (u BIGINT, v BIGINT) USING `graft-tsv`
+      TBLPROPERTIES ('retain.generations' = '4')""")
+    ef.writeTo(t).append()                                          // gen 1
+    val dv = s"triivmd_dels_$tn"
+    dels.createOrReplaceTempView(dv)
+    spark.sql(s"""MERGE INTO $t tgt USING $dv d
+      ON tgt.u = d.u AND tgt.v = d.v
+      WHEN MATCHED THEN DELETE""")                                  // gen 2
+    spark.catalog.dropTempView(dv)
+    // net DELETED pairs since gen 1, from the changes feed
+    val dedges = graft.Checkpoints.truncate {
+      val tdir = new org.apache.hadoop.fs.Path(s"$root/db/$tn")
+      val tfs = tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val headGen = tfs.listStatus(tdir).map(_.getPath.getName)
+        .flatMap(graft.sources.GraftTsvManifest.genNumber).max
+      if (headGen <= 1L)
+        spark.range(0).select(col("id").as("u"), col("id").as("v"))
+      else {
+        val cat = spark.sessionState.catalogManager.catalog("gparity")
+          .asInstanceOf[graft.sources.GraftTsvCatalog]
+        cat.changes(spark,
+            org.apache.spark.sql.connector.catalog.Identifier.of(
+              Array("db"), tn), "1", headGen.toString)
+          .select(col("u"), col("v"),
+            when(col(graft.sources.GraftTsvMeta.ChangeCol) === "insert",
+              lit(1L)).otherwise(lit(-1L)).as("sgn0"))
+          .groupBy("u", "v").agg(sum(col("sgn0")).as("sgn"))
+          .filter(col("sgn") < 0).select(col("u"), col("v"))
+      }
+    }
+    val baseCnt = spark.read.parquet(s"$stateRoot/counts")
+    mark("delta")
+    val res =
+      if (dedges.head(1).isEmpty) {
+        mark("apply:dt=0")
+        baseCnt.orderBy(desc("n_tri"), asc("node")).limit(20)
+      } else {
+        // PRE-delete adjacency restricted to the deleted edges' endpoints
+        val ends = dedges.select(col("u").as("n"))
+          .unionByName(dedges.select(col("v").as("n"))).distinct()
+        val touched = spark.read.parquet(s"$stateRoot/edges")
+          .select(col("u").as("src"), col("v").as("dst"))
+          .unionByName(spark.read.parquet(s"$stateRoot/edges")
+            .select(col("v").as("src"), col("u").as("dst")))
+          .join(broadcast(ends), col("src") === col("n"), "left_semi")
+        val adj = touched.groupBy("src")
+          .agg(sort_array(collect_set(col("dst"))).as("nb"))
+        val cand = dedges
+          .join(adj.select(col("src").as("au"), col("nb").as("nu")),
+            col("u") === col("au"))
+          .join(adj.select(col("src").as("av"), col("nb").as("nv")),
+            col("v") === col("av"))
+          .select(col("u"), col("v"),
+            explode(expr("array_intersect(nu, nv)")).as("w"))
+        val d1 = dedges.select(col("u").as("du1"), col("v").as("dv1"))
+          .withColumn("e1", lit(true))
+        val d2 = dedges.select(col("u").as("du2"), col("v").as("dv2"))
+          .withColumn("e2", lit(true))
+        val mine = cand
+          .join(broadcast(d1),
+            least(col("u"), col("w")) === col("du1") &&
+              greatest(col("u"), col("w")) === col("dv1"), "left")
+          .join(broadcast(d2),
+            least(col("v"), col("w")) === col("du2") &&
+              greatest(col("v"), col("w")) === col("dv2"), "left")
+          .filter(
+            !(coalesce(col("e1"), lit(false)) &&
+              struct(least(col("u"), col("w")),
+                greatest(col("u"), col("w"))) <
+                struct(col("u"), col("v"))) &&
+            !(coalesce(col("e2"), lit(false)) &&
+              struct(least(col("v"), col("w")),
+                greatest(col("v"), col("w"))) <
+                struct(col("u"), col("v"))))
+        val dCk = graft.Checkpoints.truncate(mine
+          .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("dn")))
+        val nDt = dCk.agg(sum(col("dn"))).head()
+        mark(s"apply:dt=${if (nDt.isNullAt(0)) 0L else nDt.getLong(0) / 3}")
+        val out = baseCnt
+          .join(dCk, baseCnt("node") === dCk("node"), "left")
+          .select(baseCnt("node").as("node"),
+            (col("n_tri") - coalesce(col("dn"), lit(0L))).as("n_tri"))
+          .filter(col("n_tri") > 0)
+          .orderBy(desc("n_tri"), asc("node")).limit(20)
+        val rows = out.collect().toSeq // bounded top-20
+        Seq(dCk, dedges).foreach(graft.Checkpoints.release)
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), out.schema)
+          .orderBy(desc("n_tri"), asc("node"))
+      }
+    res
+  }
+
+  /** Delete-side triangle gate: the oracle is the cold kernel over the
+    * SURVIVOR pair set (the hash-delete arithmetic mirrored in SQL) —
+    * the subtraction must land on the cold counts node-for-node. */
+  private val qTrianglesIvmDel = QueryDef(
+    "q_triangles_ivm_del",
+    Some(s"""
+      |WITH e0 AS (
+      |  SELECT u, v FROM (
+      |    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |    FROM lineitem a JOIN lineitem b
+      |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+      |  WHERE (u * 37 + v) % 43 <> 0),
+      |deg AS (SELECT node, count(*) AS dg FROM (
+      |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY node),
+      |d AS (
+      |  SELECT
+      |    CASE WHEN du.dg * 10000000000 + u < dv.dg * 10000000000 + v
+      |      THEN u ELSE v END AS x,
+      |    CASE WHEN du.dg * 10000000000 + u < dv.dg * 10000000000 + v
+      |      THEN v ELSE u END AS y,
+      |    greatest(du.dg * 10000000000 + u, dv.dg * 10000000000 + v) AS oky
+      |  FROM e0 JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+      |tri AS (
+      |  SELECT d1.x AS a, d1.y AS b, d2.y AS c
+      |  FROM d d1 JOIN d d2 ON d2.x = d1.x AND d1.oky < d2.oky
+      |  JOIN d d3 ON d3.x = d1.y AND d3.y = d2.y)
+      |SELECT node, count(*) AS n_tri FROM (
+      |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri)
+      |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20
+      |""".stripMargin.trim),
+    (spark, dir) => trianglesIvmDelBuild(spark, dir))
+
   val defs: Seq[QueryDef] =
     Seq(qPagerank, qPagerankConverged, qPagerankIvm, qComponentsIvm,
       qComponentsIvmDel, qBfsIvm, qBfsIvmDel,
-      qTriangles, qTrianglesIvm, qBfsHops, qBfsFull, qLabelProp,
-      qLabelPropConverged)
+      qTriangles, qTrianglesIvm, qTrianglesIvmDel, qBfsHops, qBfsFull,
+      qLabelProp, qLabelPropConverged)
 }

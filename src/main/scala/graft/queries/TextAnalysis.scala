@@ -1812,6 +1812,96 @@ $steps"""
     (merges.toSeq, vocab)
   }
 
+  /** ADAPTIVE ROUND BATCHING for the distributed trainer (the r17
+    * frontier item): per round, merge SEVERAL top pairs at once when —
+    * and only when — doing so is PROVABLY equivalent to the sequential
+    * trainer, merge for merge. The exact rule, derived from two
+    * invariants of symbol-disjoint merges (a merge neither creates nor
+    * destroys occurrences of a pair sharing none of its symbols; every
+    * pair a merge CREATES involves the fused symbol and its count is
+    * bounded by an existing pair ADJACENT to the merge):
+    *
+    *  - take the rank-ordered (cnt desc, p1, p2) pair list's maximal
+    *    NO-SKIP prefix whose members are pairwise symbol-disjoint — the
+    *    first pair sharing a symbol with an earlier member ends the
+    *    prefix (skipping it would let sequential training pick it next);
+    *  - a self-pair (p1 = p2) ends the prefix AFTER itself (its fused
+    *    symbol can re-pair with its own parts at up to its own count,
+    *    which would outrank later members);
+    *  - drop members (beyond the unconditional global top) whose count
+    *    is ≤ the first excluded pair's count: every pair a batch merge
+    *    creates is bounded by SOME adjacent existing pair, and adjacency
+    *    means sharing a symbol, which means ranked at/past the exclusion
+    *    point — so strictly-greater members stay the strict argmax at
+    *    their sequential turn, ties and all.
+    *
+    * The batch applies as one chained map-only fold (disjoint merges
+    * commute), recorded counts are the round aggregate's (invariant
+    * under earlier batch merges), so the merge table is BIT-IDENTICAL
+    * to [[bpeTrainLoopOver]]'s — spec-pinned — while the round count
+    * (each paying a full vocabulary aggregate + argmax action) drops
+    * by the average batch width. */
+  private[graft] def bpeTrainLoopBatched(
+      spark: SparkSession, wc: DataFrame, nMerges: Int, batchK: Int = 64)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    val v0 = wc
+      .select(col("w"),
+        concat(
+          array_join(
+            expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+            " "),
+          lit(" </w>")).as("symstr"),
+        col("n_w"))
+    var vocab = graft.Checkpoints.truncate(v0)
+    var vocabCk = vocab
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    while (merges.size < nMerges) {
+      val want = math.min(batchK, nMerges - merges.size)
+      val sl = split(col("symstr"), " ")
+      val top = vocab
+        .select(col("n_w"), explode(
+          zip_with(slice(sl, lit(1), size(sl) - 1),
+            slice(sl, lit(2), size(sl) - 1),
+            (a, b) => struct(a.as("p1"), b.as("p2")))).as("p"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(sum(col("n_w")).as("cnt"))
+        .orderBy(desc("cnt"), asc("p1"), asc("p2"))
+        .limit(want + 1).collect()
+      if (top.isEmpty)
+        throw new IllegalStateException(
+          s"bpe batched train loop: vocabulary fully merged after " +
+            s"${merges.size} of $nMerges merges — no adjacent pairs left; " +
+            "lower the merge count or widen the corpus")
+      val used = scala.collection.mutable.Set.empty[String]
+      val prefix =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var excl = 0L
+      var open = true
+      for (r <- top) {
+        val (p1, p2, c) = (r.getString(0), r.getString(1), r.getLong(2))
+        if (open && prefix.size < want && !used(p1) && !used(p2)) {
+          prefix += ((p1, p2, c))
+          used += p1; used += p2
+          if (p1 == p2) open = false // self-pair ends the prefix after it
+        } else if (excl == 0L) { excl = c; open = false }
+      }
+      // the global top merges unconditionally; later members only above
+      // the exclusion bound (ties with a created pair could flip)
+      val batch = prefix.head +: prefix.tail.takeWhile(_._3 > excl)
+      batch.foreach { case (p1, p2, c) =>
+        merges += ((merges.size + 1L, p1, p2, c))
+      }
+      val folded = batch.foldLeft(vocab) { case (df, (p1, p2, _)) =>
+        df.withColumn("symstr", bpeMergeFold(p1, p2))
+      }
+      val nxt = graft.Checkpoints.truncate(folded)
+      graft.Checkpoints.release(vocabCk)
+      vocabCk = nxt
+      vocab = nxt
+    }
+    (merges.toSeq, vocab)
+  }
+
   private val qBpeTrain = QueryDef(
     "q_bpe_train",
     Some {

@@ -262,6 +262,23 @@ class GraphFallbackSpec extends SparkSuite {
       s"the exhibit adds produced no delta triangle: $am")
   }
 
+  // Delete side: pure count subtraction — the removed-triangle tally
+  // must be non-trivial and no node's count may rise vs the base state.
+  test("q_triangles_ivm_del: subtraction removes real triangles, raises none") {
+    val marks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ivm = queries.Graph.trianglesIvmDelBuild(spark, sfDir, marks += _)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val am = marks.find(_.startsWith("apply:"))
+      .getOrElse(fail(s"no apply mark in $marks"))
+    assert(am.stripPrefix("apply:dt=").toLong >= 1,
+      s"the exhibit deletes removed no triangle: $am")
+    val base = collectSorted("q_triangles")
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val raised = ivm.filter { case (n, c) => base.get(n).exists(_ < c) }
+    assert(raised.isEmpty,
+      s"deletes RAISED triangle counts for ${raised.take(5)}")
+  }
+
   // The IVM gates return the FULL per-node labeling/distance set. r17
   // collected it to the driver (to sequence checkpoint release) and
   // returned a parallelize(rows, 1) frame — O(V) driver memory and a
