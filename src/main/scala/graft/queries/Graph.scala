@@ -1580,19 +1580,22 @@ JOIN (SELECT lbl, CAST(count(*) AS BIGINT) AS comm_size FROM it
   ON sz.lbl = f.lbl
 ORDER BY f.node_id"""
 
-  private val qLabelPropConverged = QueryDef(
-    "q_label_prop_converged",
-    Some(labelPropConvergedSql),
-    (spark, dir) => {
-      val g = edgeLayout(spark, dir)
-      val (edges, pv) = (g.edges, g.pv)
+  /** The self-vote synchronous LPA fixpoint loop over a materialized
+    * edge frame — q_label_prop_converged's body, factored so the
+    * incremental kernel can run the IDENTICAL kernel on an affected
+    * subgraph. Starts from self labels of the edge sources; stops when
+    * zero labels changed. Returns (converged labels — checkpointed, the
+    * caller releases; executed rounds). `tag` keys the observe metric
+    * names ("" = the gate's historical names). */
+  private def lpLoop(spark: SparkSession, edges: DataFrame,
+      pv: DataFrame => DataFrame, tag: String = ""): (DataFrame, Long) = {
       // lblCk = the checkpointed release target; lbl = the (node_id, lbl)
       // view (release() reclaims only a bare LogicalRDD root — see
       // q_pagerank_converged)
       var lblCk = graft.Checkpoints.truncate(
         edges.select(col("src").as("node_id")).distinct()
           .select(col("node_id"), col("node_id").as("lbl")))
-      var lbl = lblCk
+      var lbl: DataFrame = lblCk
       var rounds = 0L
       var chg = 1L
       while (chg > 0L) {
@@ -1601,7 +1604,7 @@ ORDER BY f.node_id"""
         // like the oracle's `rounds < cap` recursion guard
         if (rounds > LpMaxRounds)
           throw new IllegalStateException(
-            s"q_label_prop_converged: no fixpoint after $LpMaxRounds rounds " +
+            s"label-prop loop: no fixpoint after $LpMaxRounds rounds " +
               "(labels were still changing) — the self-vote damping " +
               "contract is broken, refusing to return a half-converged labeling")
         val votes = edges
@@ -1624,10 +1627,10 @@ ORDER BY f.node_id"""
             col("node_id") === col("pn"))
           .select(col("node_id"), col("lbl"),
             (col("lbl") =!= col("prev")).cast("long").as("chgd"))
-          .observe(s"lp_chg_$rounds", max(col("chgd")).as("v"))
+          .observe(s"lp_chg_$tag$rounds", max(col("chgd")).as("v"))
         val nxt = graft.Checkpoints.truncate(obs)
         chg = obs.queryExecution.observedMetrics
-          .get(s"lp_chg_$rounds")
+          .get(s"lp_chg_$tag$rounds")
           .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
           .getOrElse(
             nxt.agg(coalesce(max(col("chgd")), lit(0L))).head().getLong(0))
@@ -1635,6 +1638,16 @@ ORDER BY f.node_id"""
         lblCk = nxt
         lbl = nxt.select("node_id", "lbl")
       }
+      (lblCk, rounds)
+  }
+
+  private val qLabelPropConverged = QueryDef(
+    "q_label_prop_converged",
+    Some(labelPropConvergedSql),
+    (spark, dir) => {
+      val g = edgeLayout(spark, dir)
+      val (lblCk, rounds) = lpLoop(spark, g.edges, g.pv)
+      val lbl = lblCk.select("node_id", "lbl")
       val sz = lbl.groupBy("lbl").agg(count(lit(1)).as("comm_size"))
       lbl.join(sz, "lbl")
         .select(col("node_id"), col("lbl"), col("comm_size"),
@@ -2611,9 +2624,201 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
       |""".stripMargin.trim),
     (spark, dir) => trianglesIvmDelBuild(spark, dir))
 
+  // =========================================================================
+  // INCREMENTAL LABEL PROPAGATION — the kernel the r17 frontier flagged
+  // as "not monotone, needs a different argument". The argument is
+  // COMPONENT LOCALITY: the self-vote synchronous update reads only a
+  // node's neighbors and itself, so a component's label trajectory — and
+  // its fixpoint — is a pure function of that component's own topology
+  // (the global run restricted to a component IS the component's own
+  // run, and a converged component is self-stable). An edge delta can
+  // therefore only change labels inside the FINAL components it touches:
+  // recompute exactly those with the identical kernel (cold, from self
+  // labels — same trajectory as a global cold run's restriction), splice
+  // the persisted base labels everywhere else. The affected set is
+  // learned from the maintained COMPONENT labeling (the monotone
+  // q_components_ivm resume — cheap), so the whole maintenance step is
+  // O(delta + affected subgraph). Labels are node ids and never cross
+  // components, so the global community sizes recompute from the spliced
+  // labeling exactly.
+  // =========================================================================
+
+  private[graft] val lpIvmRecipe: String =
+    s"lpivm-v1:qty=$CompQty,pmod=$CompPartMod,off=$Off,add=31/41"
+
+  /** Base state for [[qLabelPropIvm]]: converged LP labels, the base
+    * component labeling (the affected-set index), and the base pair set,
+    * all on the q_components_ivm exhibit subgraph. */
+  private def lpIvmBuildState(
+      spark: SparkSession, base0: DataFrame)(r: String): Unit = {
+    val pairs = base0.select(col("p").as("u"), (col("s") + Off).as("v"))
+    pairs.write.mode("overwrite").parquet(s"$r/pairs")
+    val pr = spark.read.parquet(s"$r/pairs")
+    val v = pr.select(col("u").as("n"))
+      .unionByName(pr.select(col("v").as("n"))).distinct().count()
+    val bcast = GraphAdaptive.broadcastOk(spark, v)
+    val dirEdges = graft.Checkpoints.truncate {
+      val both = pr.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(pr.select(col("v").as("src"), col("u").as("dst")))
+      if (bcast) both else both.repartition(col("src"))
+    }
+    val (lbl, r1) = lpLoop(spark, dirEdges, GraphAdaptive.pick(bcast) _, "b")
+    lbl.select(col("node_id"), col("lbl"))
+      .write.mode("overwrite").parquet(s"$r/lp")
+    Seq(lbl, dirEdges).foreach(graft.Checkpoints.release)
+    val compEdges = graft.Checkpoints.truncate(
+      pr.unionByName(pr.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("v")))
+    val (comp, _) = Dedup.componentsLoop(spark, compEdges, None)
+    comp.write.mode("overwrite").parquet(s"$r/comp")
+    Seq(comp, compEdges).foreach(graft.Checkpoints.release)
+    spark.range(1).select(lit(r1).as("r1"), lit(v).as("vcnt"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$r/meta")
+  }
+
+  /** q_label_prop_ivm's builder. `mark`: "p1", "delta",
+    * "resume:r1=<cold LP rounds>:r2=<affected LP rounds>:aff=<affected
+    * final components>". */
+  private[graft] def labelPropIvmBuild(
+      spark: SparkSession, dir: String,
+      mark: String => Unit = _ => ()): DataFrame = {
+    val ef = tbl(spark, dir, "lineitem")
+      .filter(col("l_quantity") === CompQty &&
+        col("l_partkey") % CompPartMod === 0)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val ac = heldOut(ef, 31L, 41L)
+    val base0 = ac.filter(!col("held")).select("p", "s")
+    val adds = ac.filter(col("held")).select("p", "s")
+    val stateRoot = ArtifactStore.ensure(spark, dir, "lineitem",
+      "lpivm_state", lpIvmRecipe)(lpIvmBuildState(spark, base0))
+    val meta = spark.read.parquet(s"$stateRoot/meta").head()
+    val (r1, vCnt) = (meta.getLong(0), meta.getLong(1))
+    mark("p1")
+    if (vCnt == 0L) {
+      spark.range(0).select(col("id").as("node_id"), col("id").as("lbl"),
+        col("id").as("comm_size"))
+    } else {
+      val (t, tn, root) = privmFreshTable(spark, dir, "lpivm")
+      spark.sql(s"""CREATE TABLE $t (p BIGINT, s BIGINT) USING `graft-tsv`
+        TBLPROPERTIES ('retain.generations' = '4')""")
+      base0.writeTo(t).append()                                     // gen 1
+      adds.writeTo(t).append()                                      // gen 2
+      val dpairs = graft.Checkpoints.truncate(
+        privmNetDelta(spark, root, tn))
+      val lpBase = spark.read.parquet(s"$stateRoot/lp")
+      mark("delta")
+      val res =
+        if (dpairs.head(1).isEmpty) {
+          mark(s"resume:r1=$r1:r2=0:aff=0")
+          val sz = lpBase.groupBy("lbl").agg(count(lit(1)).as("comm_size"))
+          lpBase.join(sz, "lbl")
+            .select(col("node_id"), col("lbl"), col("comm_size"))
+            .orderBy("node_id")
+        } else {
+          // FINAL components via the monotone resume (q_components_ivm's
+          // arithmetic), then the affected final components = those
+          // holding a delta endpoint
+          val dEnds = dpairs.select(col("p").as("u"))
+            .unionByName(dpairs.select((col("s") + Off).as("u"))).distinct()
+          val duv = dpairs.select(col("p").as("u"), (col("s") + Off).as("v"))
+          val basePairs = spark.read.parquet(s"$stateRoot/pairs")
+          val finPairs = basePairs.unionByName(duv)
+          val compEdges = graft.Checkpoints.truncate(
+            finPairs.unionByName(
+                finPairs.select(col("v").as("u"), col("u").as("v")))
+              .repartition(col("v")))
+          val c0 = spark.read.parquet(s"$stateRoot/comp")
+          val cInit = c0.unionByName(
+            compEdges.select(col("u")).distinct()
+              .join(c0.select(col("u")), Seq("u"), "left_anti")
+              .select(col("u"), col("u").as("lbl")))
+          val (finLbl, _) = Dedup.componentsLoop(spark, compEdges, Some(cInit))
+          val affected = finLbl
+            .join(broadcast(dEnds), Seq("u"))
+            .select(col("lbl")).distinct()
+          val nAff = affected.count()
+          val affV = graft.Checkpoints.truncate(
+            finLbl.join(broadcast(affected), Seq("lbl"))
+              .select(col("u").as("node_id")))
+          // the affected SUBGRAPH's directed edges (components are
+          // edge-closed, so a src-side semi-join captures them all)
+          val bcast = GraphAdaptive.broadcastOk(spark, vCnt)
+          val affEdges = graft.Checkpoints.truncate {
+            val both = finPairs
+              .select(col("u").as("src"), col("v").as("dst"))
+              .unionByName(finPairs
+                .select(col("v").as("src"), col("u").as("dst")))
+              .join(broadcast(affV.select(col("node_id").as("src"))),
+                Seq("src"), "left_semi")
+            if (bcast) both else both.repartition(col("src"))
+          }
+          val (lbl2, r2) = lpLoop(spark, affEdges,
+            GraphAdaptive.pick(bcast) _, "i")
+          mark(s"resume:r1=$r1:r2=$r2:aff=$nAff")
+          val keep = lpBase.join(broadcast(affV), Seq("node_id"), "left_anti")
+          val spliced = keep
+            .unionByName(lbl2.select(col("node_id"), col("lbl")))
+          val sz = spliced.groupBy("lbl").agg(count(lit(1)).as("comm_size"))
+          val out = ArtifactStore.spillResult(spark, "lpivm_res",
+            spliced.join(sz, "lbl")
+              .select(col("node_id"), col("lbl"), col("comm_size")))
+          Seq(lbl2, affEdges, affV, finLbl, compEdges)
+            .foreach(graft.Checkpoints.release)
+          out.orderBy("node_id")
+        }
+      graft.Checkpoints.release(dpairs)
+      res
+    }
+  }
+
+  /** Incremental label-prop gate — final subgraph = base + adds = the
+    * q_components_ivm exhibit's full edge set, so the oracle is the cold
+    * self-vote LPA fixpoint over it (the q_label_prop_converged
+    * recursion without the global round column, which a spliced
+    * recompute deliberately does not reproduce). */
+  private val qLabelPropIvm = QueryDef(
+    "q_label_prop_ivm",
+    Some(s"""
+WITH RECURSIVE
+e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+       WHERE l_quantity = $CompQty AND l_partkey % $CompPartMod = 0),
+edges AS (SELECT p AS src, s + $Off AS dst FROM e0
+          UNION ALL SELECT s + $Off AS src, p AS dst FROM e0),
+it(node_id, lbl, chg, rounds) AS (
+  SELECT DISTINCT src, src, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM edges
+  UNION ALL
+  SELECT w.node_id, w.lbl,
+    CAST(sum(CASE WHEN w.lbl <> w.prev THEN 1 ELSE 0 END) OVER () AS BIGINT),
+    w.rounds + 1
+  FROM (
+    SELECT nx.node_id, nx.lbl, p2.lbl AS prev, p2.rounds AS rounds
+    FROM (
+      SELECT node_id, lbl FROM (
+        SELECT node_id, lbl,
+          row_number() OVER (PARTITION BY node_id ORDER BY c DESC, lbl) AS rn
+        FROM (
+          SELECT v.node_id, v.lbl, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT e.dst AS node_id, l.lbl
+            FROM edges e JOIN it l ON l.node_id = e.src
+            UNION ALL SELECT node_id, lbl FROM it) v
+          GROUP BY v.node_id, v.lbl)) WHERE rn = 1) nx
+    JOIN it p2 ON p2.node_id = nx.node_id
+    WHERE p2.chg > 0 AND p2.rounds < $LpMaxRounds
+  ) w
+)
+SELECT f.node_id, f.lbl, sz.comm_size
+FROM (SELECT node_id, lbl FROM it
+      WHERE rounds = (SELECT max(rounds) FROM it)) f
+JOIN (SELECT lbl, CAST(count(*) AS BIGINT) AS comm_size FROM it
+      WHERE rounds = (SELECT max(rounds) FROM it) GROUP BY lbl) sz
+  ON sz.lbl = f.lbl
+ORDER BY f.node_id"""),
+    (spark, dir) => labelPropIvmBuild(spark, dir))
+
   val defs: Seq[QueryDef] =
     Seq(qPagerank, qPagerankConverged, qPagerankIvm, qComponentsIvm,
       qComponentsIvmDel, qBfsIvm, qBfsIvmDel,
       qTriangles, qTrianglesIvm, qTrianglesIvmDel, qBfsHops, qBfsFull,
-      qLabelProp, qLabelPropConverged)
+      qLabelProp, qLabelPropConverged, qLabelPropIvm)
 }

@@ -279,6 +279,29 @@ class GraphFallbackSpec extends SparkSuite {
       s"deletes RAISED triangle counts for ${raised.take(5)}")
   }
 
+  // Incremental label propagation: the oracle proves the spliced
+  // labeling equals the cold global fixpoint (component locality); this
+  // pins the SCOPING — the recompute touches a real, proper subset of
+  // the final components, so the splice path actually ran.
+  test("q_label_prop_ivm: recompute is scoped to the affected components") {
+    val marks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val df = queries.Graph.labelPropIvmBuild(spark, sfDir, marks += _)
+    assert(df.count() > 0, "empty labeling")
+    val rm = marks.find(_.startsWith("resume:"))
+      .getOrElse(fail(s"no resume mark in $marks"))
+    val kv = rm.split(":").drop(1)
+      .map(_.split("=")).map(a => a(0) -> a(1).toLong).toMap
+    // total final components on the same exhibit subgraph — from the
+    // components gate, which runs on the identical edge set
+    val totalComps = queries.Catalog.queries("q_components_ivm")(spark, sfDir)
+      .select("component_id").distinct().count()
+    assert(kv("aff") >= 1 || kv("r2") == 0,
+      s"a real delta touched no component: $rm")
+    assert(kv("aff") < totalComps,
+      s"recompute was NOT scoped: affected ${kv("aff")} of $totalComps " +
+        s"final components — the splice path never ran ($rm)")
+  }
+
   // The IVM gates return the FULL per-node labeling/distance set. r17
   // collected it to the driver (to sequence checkpoint release) and
   // returned a parallelize(rows, 1) frame — O(V) driver memory and a
