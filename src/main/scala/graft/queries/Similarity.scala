@@ -683,6 +683,145 @@ ORDER BY s.cid"""),
         .orderBy("query_id", "rnk")
     })
 
+  // ---------------------------------------------------------------------
+  // IVF INDEX MAINTENANCE (round 18) — the ANN index kept CURRENT as the
+  // corpus grows, without retraining or re-assigning the base: the
+  // centroids are FROZEN with the base snapshot (retraining is a
+  // scheduled offline job; between trainings a serving index absorbs
+  // arrivals against the frozen cells — the FAISS/Lucene-segment
+  // operating model), a new-vector batch pays exactly one broadcast
+  // map-only assignment (O(batch · C) dots), and the maintained index =
+  // immutable base postings ∪ the delta postings. The probe is the
+  // stored-index probe over that union. New vectors carry ids above
+  // every base id (the ids-ascending ingest contract shared with
+  // q_pipeline_multimodal_ivm). The oracle derives the centroids and the
+  // adaptive C from the BASE SLICE in SQL and assigns the FULL corpus
+  // against them — maintained-index probing ≡ an index rebuilt from
+  // scratch with the same frozen centroids, hash-exact.
+  // ---------------------------------------------------------------------
+
+  /** [[ivfScoredOver]] against a GIVEN packed centroid array (the frozen
+    * base centroids), instead of centroids derived from the scored frame
+    * itself. */
+  private def ivfScoredWith(qvt: DataFrame, centarr: DataFrame): DataFrame =
+    qvt.crossJoin(broadcast(centarr))
+      .select(col("vec_id"), col("qv"),
+        expr("transform(cl, s -> struct(s.cid AS cid, long_dot(qv, s.cv) AS dot))")
+          .as("sc"))
+
+  private val ivfIvmRecipe: String = s"$ivfRecipe:ivm=7/8"
+
+  /** q_ivf_ivm's builder. `mark`: "p1" (base index served), "delta"
+    * (new-batch postings assigned + counted), then the probe plan is
+    * returned. */
+  private[graft] def ivfIvmBuild(
+      spark: SparkSession, dir: String,
+      mark: String => Unit = _ => ()): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val emb = tblWide(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(quantizeExpr).as("qv"))
+    val bnd = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+      .head()
+    val cutoff = bnd.getLong(0) + (bnd.getLong(1) - bnd.getLong(0) + 1) * 7 / 8
+    val stateRoot = ArtifactStore.ensure(spark, dir, "embeddings",
+      "ivf_ivm_state", ivfIvmRecipe) { r =>
+      val base = emb.filter(col("vec_id") < cutoff)
+      ivfAssign(ivfScoredOver(base))
+        .select(col("vec_id"), col("qv"), col("dot_c"), col("cid"))
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$r/assign")
+      ivfCentroidsOver(base)
+        .coalesce(1).write.mode("overwrite").parquet(s"$r/centroids")
+    }
+    mark("p1")
+    // the new batch assigns against the FROZEN centroids: one broadcast
+    // of the packed centroid array, one map-only projection — the base
+    // postings are never re-read for maintenance, only for the probe
+    val centarr = spark.read.parquet(s"$stateRoot/centroids")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cl"))
+    val newAssign = graft.Checkpoints.truncate(
+      ivfAssign(ivfScoredWith(emb.filter(col("vec_id") >= cutoff), centarr))
+        .select(col("vec_id"), col("qv"), col("cid")))
+    mark(s"delta:n=${newAssign.count()}")
+    val assign = spark.read.parquet(s"$stateRoot/assign")
+      .select(col("vec_id"), col("qv"), col("cid").cast("long").as("cid"))
+      .unionByName(newAssign)
+    // the stored-index probe (q_ivf_probe's plan) over base ∪ delta
+    val wprobe = Window.partitionBy("query_id").orderBy(desc("pdot"), asc("pcid"))
+    val probes = assign.filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(centarr))
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        explode(expr(
+          "transform(cl, s -> struct(s.cid AS cid, long_dot(qv, s.cv) AS dot))"))
+          .as("s"))
+      .select(col("query_id"), col("qqv"),
+        col("s.cid").as("pcid"), col("s.dot").as("pdot"))
+      .withColumn("rn", row_number().over(wprobe))
+      .filter(col("rn") <= IvfNProbe)
+      .select("query_id", "qqv", "pcid")
+    val dots = probes
+      .join(assign.select(col("vec_id").as("cand_id"), col("qv").as("cqv"),
+        col("cid")), col("cid") === col("pcid"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        call_function("long_dot", col("qqv"), col("cqv")).as("dot_q"))
+    val w = Window.partitionBy("query_id").orderBy(desc("dot_q"), asc("cand_id"))
+    dots.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("dot_q"),
+        (col("dot_q").cast("double") / lit(1e12)).as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The maintained-IVF gate: the oracle freezes centroids + adaptive C
+    * on the base slice (vec_id below the 7/8 cutoff), assigns the FULL
+    * corpus against them, and probes — exactly what the maintained
+    * base∪delta index must answer. */
+  private val qIvfIvm = QueryDef(
+    "q_ivf_ivm",
+    Some(s"""WITH $sqlQvt,
+cut AS (SELECT min(vec_id) + (max(vec_id) - min(vec_id) + 1) * 7 // 8 AS c
+        FROM embeddings),
+bqvt AS (SELECT q.* FROM qvt q, cut WHERE q.vec_id < cut.c),
+ivf_params AS (SELECT greatest($IvfMinC, least($IvfMaxC,
+    CAST(count(*) AS BIGINT) // $IvfTargetCell)) AS c FROM bqvt),
+seedpool AS (
+  SELECT vec_id, qv, $sqlHash60VecId AS hp FROM bqvt
+  QUALIFY row_number() OVER (ORDER BY $sqlHash60VecId, vec_id) <= $IvfSeedPool),
+cents AS (
+  SELECT cid, cv FROM (
+    SELECT CAST(row_number() OVER (ORDER BY hp, vec_id) AS BIGINT) AS cid, qv AS cv
+    FROM seedpool), ivf_params
+  WHERE cid <= c),
+centarr AS (SELECT list(struct_pack(cid := cid, cv := cv) ORDER BY cid) AS cl FROM cents),
+scored AS (
+  SELECT vec_id, qv,
+    list_transform(cl, s -> struct_pack(
+      cid := s.cid,
+      dot := CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+        list_extract(qv, CAST(i AS INT)) * list_extract(s.cv, CAST(i AS INT)))) AS BIGINT))) AS sc
+  FROM qvt, centarr),
+assign AS (
+  SELECT vec_id, qv,
+    list_min(list_transform(list_filter(sc, s -> s.dot = best), s -> s.cid)) AS cid,
+    best AS dot_c
+  FROM (SELECT vec_id, qv, sc, list_max(list_transform(sc, s -> s.dot)) AS best FROM scored)),
+probes AS (
+  SELECT vec_id AS query_id, qv AS qqv, u.s.cid AS cid
+  FROM (SELECT vec_id, qv, unnest(sc) AS s FROM scored WHERE vec_id < $NumQueries) u
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY u.s.dot DESC, u.s.cid) <= $IvfNProbe),
+dots AS (
+  SELECT p.query_id, a.vec_id AS cand_id,
+    CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+      list_extract(p.qqv, CAST(i AS INT)) * list_extract(a.qv, CAST(i AS INT)))) AS BIGINT) AS dot_q
+  FROM probes p JOIN assign a ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, rnk, cand_id, dot_q, CAST(dot_q AS DOUBLE) / 1e12 AS cosine
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, cand_id) AS BIGINT) AS rnk FROM dots)
+WHERE rnk <= $TopK
+ORDER BY query_id, rnk"""),
+    (spark, dir) => ivfIvmBuild(spark, dir))
+
   /** Recall evaluation of BOTH ANN recall stages against the exact top-k:
     * for each query, recall@k = |candidates ∩ exact top-k| / k, plus the
     * candidate-set size (the fraction of the corpus the probe actually
@@ -1656,7 +1795,7 @@ ORDER BY query_id, rnk"""),
   val defs: Seq[QueryDef] = Seq(
     qCosineTopk, qHardNegatives, qAnnBuckets, qAnnBucketStats, qArrayFuncs,
     qNeardupBucketed,
-    qIvfAssign, qIvfTopk, qIvfBuild, qIvfProbe, qAnnRecall,
+    qIvfAssign, qIvfTopk, qIvfBuild, qIvfProbe, qIvfIvm, qAnnRecall,
     qAnnRecallClustered, qIvfRecall, qIvfRecallClustered, qAnnMultiprobe,
     qKmeansAssign, qKmeansProfile,
     qSemdedup, qPqTopk, qEmbedDecontam)
