@@ -88,6 +88,14 @@ object IvmScale {
       graft.queries.Graph.bfsIvmDelBuild(spark, dir, m))
     run("q_pipeline_multimodal_ivm")(m =>
       graft.queries.Catalog.pipelineMultimodalIvmBuild(spark, dir, m))
+    run("q_triangles_ivm")(m =>
+      graft.queries.Graph.trianglesIvmBuild(spark, dir, m))
+    run("q_triangles_ivm_del")(m =>
+      graft.queries.Graph.trianglesIvmDelBuild(spark, dir, m))
+    run("q_label_prop_ivm")(m =>
+      graft.queries.Graph.labelPropIvmBuild(spark, dir, m))
+    run("q_ivf_ivm")(m =>
+      graft.queries.Similarity.ivfIvmBuild(spark, dir, m))
     spark.stop()
   }
 }
