@@ -1297,10 +1297,13 @@ object Catalog {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
 
-  /** Net inserted docs since the base snapshot of graft-tsv table `tn`,
-    * from the changes feed — the (doc_id, text) twin of
-    * Graph's privmNetDelta. */
-  private def docsNetDelta(
+  /** Net (doc_id, text) change weights since the base snapshot of
+    * graft-tsv table `tn`, from the changes feed — the documents twin of
+    * Graph's privmNetDelta. w > 0 = net insert, w < 0 = net delete; an
+    * UPDATE nets to (-1 old text, +1 new text). Shared with the BM25
+    * index maintenance (both signs) and the multimodal pipeline
+    * maintenance (adds only — the caller filters). */
+  private[queries] def docsNetDelta(
       spark: SparkSession, root: String, tn: String): DataFrame = {
     val tdir = new org.apache.hadoop.fs.Path(s"$root/db/$tn")
     val tfs = tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1319,7 +1322,7 @@ object Catalog {
           when(col(graft.sources.GraftTsvMeta.ChangeCol) === "insert",
             lit(1L)).otherwise(lit(-1L)).as("sgn0"))
         .groupBy("doc_id", "text").agg(sum(col("sgn0")).as("w"))
-        .filter(col("w") > 0)
+        .filter(col("w") =!= 0)
     }
   }
 
@@ -1348,7 +1351,8 @@ object Catalog {
       USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '4')""")
     base.writeTo(t).append()                                       // gen 1
     docs.filter(col("doc_id") >= cutoff).writeTo(t).append()       // gen 2
-    val net = graft.Checkpoints.truncate(docsNetDelta(spark, root, tn))
+    val net = graft.Checkpoints.truncate(
+      docsNetDelta(spark, root, tn).filter(col("w") > 0))
 
     // delta TEXT edges: new docs' band memberships, old members fetched
     // from the index by bucket key, pairs kept only with >= 1 new side

@@ -523,6 +523,171 @@ object TextAnalysis {
         .limit(20)
     })
 
+  // ---------------------------------------------------------------------
+  // INCREMENTAL BM25 / SEARCH-INDEX MAINTENANCE (round 18) — the
+  // retrieval stack's index kept current against a mutating document
+  // table: the persisted state is the classic search index (per-doc
+  // lengths + term postings for the query vocabulary + the corpus count),
+  // and every quantity BM25 needs is a SIGNED AGGREGATE of per-(doc,
+  // text-version) contributions — so a CDC batch (deletes, appends, and
+  // text-rewriting updates: the q_stream_lsh_ivm lifecycle) maintains
+  // the index by tokenizing ONLY the net-changed versions (an update's
+  // old text signs out, its new text signs in) and ⊕-merging: dl' =
+  // dl ⊕ Σ w·len, tf' = tf ⊕ Σ w·tf, N' = N + Σ w; df/avgdl recompute
+  // from the maintained frames. The maintained top-20 must equal the
+  // cold BM25 over the final table state, integer-exact.
+  // ---------------------------------------------------------------------
+
+  private[graft] val bm25IvmRecipe: String =
+    s"bm25ivm-v1:lc=3/5/7,terms=${searchTerms.mkString(",")}"
+
+  private def bm25BuildState(
+      spark: SparkSession, base: DataFrame)(r: String): Unit = {
+    val tok = base
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .write.mode("overwrite").parquet(s"$r/dl")
+    tok.filter(col("w").isin(searchTerms: _*))
+      .groupBy(col("doc_id"), col("w").as("term"))
+      .agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(s"$r/tf")
+    base.agg(count(lit(1)).as("n_docs"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$r/meta")
+  }
+
+  /** q_bm25_ivm's builder. `mark`: "p1", "delta",
+    * "apply:n=<net changed (doc, version) rows>". */
+  private[graft] def bm25IvmBuild(
+      spark: SparkSession, dir: String,
+      mark: String => Unit = _ => ()): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val stateRoot = ArtifactStore.ensure(spark, dir, "documents",
+      "bm25ivm_state", bm25IvmRecipe)(bm25BuildState(spark, base))
+    val nBase = spark.read.parquet(s"$stateRoot/meta").head().getLong(0)
+    mark("p1")
+
+    // the CDC lifecycle: snapshot → DELETE → append → text-rewriting
+    // UPDATE (the q_stream_lsh_ivm exhibit, batch feed)
+    val (t, tn, root) = Graph.privmFreshTable(spark, dir, "bm25ivm")
+    spark.sql(s"""CREATE TABLE $t (doc_id BIGINT, text STRING)
+      USING `graft-tsv` TBLPROPERTIES ('retain.generations' = '6')""")
+    base.writeTo(t).append()                                        // gen 1
+    spark.sql(s"DELETE FROM $t WHERE doc_id % 5 = 2")               // gen 2
+    docs.filter(col("doc_id") % 3 === 0).writeTo(t).append()        // gen 3
+    spark.sql(
+      s"UPDATE $t SET text = concat(text, ' upd42') WHERE doc_id % 7 = 4"
+    )                                                               // gen 4
+    val net = graft.Checkpoints.truncate(
+      Catalog.docsNetDelta(spark, root, tn))           // (doc_id, text, w)
+    mark("delta")
+
+    // tokenize ONLY the net-changed versions, signed — Σw over a
+    // version's tokens = w·len, so the groupBys below are the ⊕ deltas
+    val ntok = net
+      .select(col("doc_id"), col("w"),
+        explode(split(col("text"), "\\s+")).as("tkn"))
+      .filter(col("tkn") =!= "")
+    val ddl = ntok.groupBy("doc_id").agg(sum(col("w")).as("ddl"))
+    val dtf = ntok.filter(col("tkn").isin(searchTerms: _*))
+      .groupBy(col("doc_id"), col("tkn").as("term"))
+      .agg(sum(col("w")).as("dtf"))
+    val nr = net.agg(coalesce(sum(col("w")), lit(0L)).as("dn"),
+      count(lit(1)).as("n"),
+      coalesce(sum(when(col("w") < 0, 1L).otherwise(0L)), lit(0L)).as("neg"))
+      .head()
+    val (dN, nApplied, nNeg) = (nr.getLong(0), nr.getLong(1), nr.getLong(2))
+    mark(s"apply:n=$nApplied:neg=$nNeg")
+
+    val dl1 = graft.Checkpoints.truncate(
+      spark.read.parquet(s"$stateRoot/dl")
+        .join(ddl, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(col("dl"), lit(0L)) + coalesce(col("ddl"), lit(0L)))
+            .as("dl"))
+        .filter(col("dl") > 0))
+    val tf1 = graft.Checkpoints.truncate(
+      spark.read.parquet(s"$stateRoot/tf")
+        .join(dtf, Seq("doc_id", "term"), "full_outer")
+        .select(col("doc_id"), col("term"),
+          (coalesce(col("tf"), lit(0L)) + coalesce(col("dtf"), lit(0L)))
+            .as("tf"))
+        .filter(col("tf") > 0))
+    graft.Checkpoints.release(net)
+    val nDocs = nBase + dN
+    val stats = dl1.agg(sum(col("dl")).as("t_tok"))
+      .select(lit(nDocs).as("n_docs"),
+        expr(s"(t_tok * 1000L) div ${nDocs}L").as("avgdl_milli"))
+    val df = tf1.groupBy("term").agg(count(lit(1)).as("df"))
+    // the cold q_bm25_search scoring block, verbatim, over the
+    // MAINTAINED index frames
+    tf1.join(dl1, "doc_id")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        expr("22L * tf * avgdl_milli").as("a"),
+        expr("10L * tf * avgdl_milli + 3L * avgdl_milli + 9000L * dl")
+          .as("den"),
+        expr("((2L * (n_docs - df) + 1L) * 1000000L) div (2L * df + 1L)")
+          .as("idf_micro"))
+      .withColumn("tfc",
+        expr("(a div den) * 1000000L + ((a % den) * 1000000L) div den"))
+      .groupBy("doc_id")
+      .agg(sum(expr(
+        "(idf_micro div 1000000L) * tfc + ((idf_micro % 1000000L) * tfc) div 1000000L"))
+        .as("score_micro"))
+      .select(col("doc_id"), col("score_micro"),
+        (col("score_micro").cast("double") / lit(1e6)).as("score"))
+      .orderBy(desc("score_micro"), asc("doc_id"))
+      .limit(20)
+  }
+
+  /** The maintained-BM25 gate: the oracle is cold q_bm25_search over the
+    * final table state (the CDC lifecycle's `live` reconstruction — kept
+    * docs, updated text), so the hash gate proves the ⊕-maintained
+    * postings, lengths, document frequencies, and corpus stats land on
+    * the full-recompute scores integer-exactly. */
+  private val qBm25Ivm = QueryDef(
+    "q_bm25_ivm",
+    Some {
+      val termList = searchTerms.map("'" + _ + "'").mkString(", ")
+      s"""
+      |WITH live AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 4 THEN concat(text, ' upd42') ELSE text END AS text
+      |  FROM documents
+      |  WHERE (doc_id % 3 <> 0 AND doc_id % 5 <> 2) OR doc_id % 3 = 0),
+      |tok AS (SELECT doc_id, w FROM (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM live)
+      |  WHERE w <> ''),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+      |stats AS (SELECT
+      |    (SELECT CAST(count(*) AS BIGINT) FROM live) AS n_docs,
+      |    CAST((CAST(sum(dl) AS BIGINT) * 1000) AS BIGINT) // (SELECT count(*) FROM live) AS avgdl_milli
+      |  FROM dl),
+      |tf AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf FROM tok
+      |  WHERE w IN ($termList) GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |parts AS (
+      |  SELECT tf.doc_id,
+      |    22 * tf.tf * s.avgdl_milli AS a,
+      |    10 * tf.tf * s.avgdl_milli + 3 * s.avgdl_milli + 9000 * dl.dl AS den,
+      |    CAST((2 * (s.n_docs - df.df) + 1) * 1000000 AS BIGINT) // (2 * df.df + 1) AS idf_micro
+      |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), stats s),
+      |scored AS (
+      |  SELECT doc_id, CAST(sum(
+      |      (idf_micro // 1000000) * tfc
+      |        + ((idf_micro % 1000000) * tfc) // 1000000) AS BIGINT) AS score_micro
+      |  FROM (SELECT doc_id, idf_micro,
+      |      (a // den) * 1000000 + ((a % den) * 1000000) // den AS tfc
+      |    FROM parts) GROUP BY doc_id)
+      |SELECT doc_id, score_micro, CAST(score_micro AS DOUBLE) / 1e6 AS score
+      |FROM scored ORDER BY score_micro DESC, doc_id LIMIT 20
+      |""".stripMargin.trim
+    },
+    (spark, dir) => bm25IvmBuild(spark, dir))
+
   /** Quality-classifier INFERENCE — the fastText-shaped learned gate real
     * curation pipelines run next to the heuristic filters
     * (q_doc_quality/q_lm_score): a linear model over hashed word-bigram
@@ -2129,7 +2294,7 @@ FROM enc GROUP BY lang ORDER BY lang"""),
 
   val defs: Seq[QueryDef] =
     Seq(qTokenStats, qDocQuality, qLangId, qFingerprint, qFingerprintUdaf,
-      qFingerprintRolling, qPipelineCurate, qStratifiedSample, qTextSearch, qBm25Search, qQualityClassifier,
+      qFingerprintRolling, qPipelineCurate, qStratifiedSample, qTextSearch, qBm25Search, qBm25Ivm, qQualityClassifier,
       qHeavyHitters, qProfile, qDqChecks, qHistogram, qHistogramEqdepth,
       qPiiScrub, qRepetitionFilter,
       qCrossdocNgrams, qSeqPacking, qImportanceSample, qTopTerms, qDomainMix,
