@@ -33,7 +33,9 @@ class PlanAuditSpec extends SparkSuite {
     "q_domain_mix",    // 1-row (total, sqrt-mass) budget frame, same pattern
     "q_cooccur_pmi",   // 1-row n_pairs total frame for the lift denominator
     "q_ivf_build", "q_ivf_probe", // 1-row packed-centroid frames (IVF pattern)
+    "q_ivf_ivm",       // 1-row frozen-centroid array frame (IVF pattern)
     "q_bm25_search",   // 1-row (n_docs, avgdl) corpus-stats frame
+    "q_bm25_ivm",      // 1-row maintained corpus-stats frame, same pattern
     "q_quality_classifier", // 1-row trained weight-map frame broadcast-crossed in
     "q_embed_decontam") // 1-row packed-benchmark frame (IVF pattern)
 
