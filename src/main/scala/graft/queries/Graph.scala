@@ -2298,6 +2298,189 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
     }
   }
 
+  // ---- MIXED add+delete BFS maintenance in ONE change batch: deletes
+  // dirty their SP-subtrees exactly as in the delete variant; adds mean
+  // CLEAN distances are upper bounds rather than exact (a new edge can
+  // shorten a clean node's path), so the init stays correct (pointwise ≥
+  // the final distances, Inf on dirty) and the activation set must cover
+  // every source of change — the CLEAN FRONTIER into the dirty region
+  // (re-grows what deletes tore down) PLUS every ADD ENDPOINT (sources
+  // of any shortening chain). Proof shape: a node whose init exceeds its
+  // final distance has, on a final shortest path, a predecessor with
+  // exact init that must push — that predecessor either sits on an added
+  // edge (activated) or on a surviving base edge, where the base
+  // triangle inequality forces its clean successor exact (contradiction)
+  // or the successor dirty, making the predecessor clean-frontier
+  // (activated). Same Bellman-Ford loop, same unique fixpoint, so the
+  // oracle stays the cold BFS of the final graph.
+
+  private[graft] val bfsIvmMixedRecipe: String =
+    s"bfsivmmx-v1:off=$Off,add=31/41,del=37/43,inf=$BfsInf"
+
+  /** q_bfs_ivm_mixed's builder. `mark`: "p1", "delta",
+    * "recompute:r1=<cold>:r2=<resume>:dirty=<n>:addv=<add endpoints>". */
+  private[graft] def bfsIvmMixedBuild(
+      spark: SparkSession, dir: String,
+      mark: String => Unit = _ => ()): DataFrame = {
+    val ef = tbl(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val ac = heldOut(ef, 31L, 41L)
+    val base0 = ac.filter(!col("held")).select("p", "s")
+    val adds = ac.filter(col("held")).select("p", "s")
+    val dels = heldOut(base0, 37L, 43L).filter(col("held")).select("p", "s")
+    // the delete variant's parent-carrying state builder, on THIS base
+    val stateRoot = ArtifactStore.ensure(spark, dir, "lineitem",
+      "bfsivm_mx_state", bfsIvmMixedRecipe)(bfsIvmDelBuildState(spark, base0))
+    val meta = spark.read.parquet(s"$stateRoot/meta").head()
+    val (r1, vCnt) = (meta.getLong(0), meta.getLong(1))
+    mark("p1")
+    if (vCnt == 0L) {
+      spark.range(0).select(col("id").as("node_id"), col("id").as("hop"))
+    } else {
+      val (t, tn, root) = privmFreshTable(spark, dir, "bfsivmmx")
+      spark.sql(s"""CREATE TABLE $t (p BIGINT, s BIGINT) USING `graft-tsv`
+        TBLPROPERTIES ('retain.generations' = '4')""")
+      base0.writeTo(t).append()                                     // gen 1
+      val dv = s"bfsivmmx_dels_$tn"
+      dels.createOrReplaceTempView(dv)
+      spark.sql(s"""MERGE INTO $t tgt USING $dv d
+        ON tgt.p = d.p AND tgt.s = d.s
+        WHEN MATCHED THEN DELETE""")                                // gen 2
+      spark.catalog.dropTempView(dv)
+      adds.writeTo(t).append()                                      // gen 3
+      val dpairs = graft.Checkpoints.truncate(
+        privmNetDelta(spark, root, tn))                  // BOTH signs
+      def directed(df: DataFrame): DataFrame = df
+        .select(col("p").as("u"), (col("s") + Off).as("v"))
+        .unionByName(df.select((col("s") + Off).as("u"), col("p").as("v")))
+      val dedgesD = graft.Checkpoints.truncate(
+        directed(dpairs.filter(col("sgn") < 0)))
+      val dedgesA = graft.Checkpoints.truncate(
+        directed(dpairs.filter(col("sgn") > 0)))
+      val st = spark.read.parquet(s"$stateRoot/dist")
+      mark("delta")
+      val res =
+        if (dedgesD.head(1).isEmpty && dedgesA.head(1).isEmpty) {
+          mark(s"recompute:r1=$r1:r2=0:dirty=0:addv=0")
+          st.filter(col("dist") < BfsInf)
+            .select(col("node_id"), col("dist").as("hop"))
+            .orderBy("hop", "node_id")
+        } else {
+          // dirty walk down the parent forest, exactly the delete verb
+          val waveCks = scala.collection.mutable.ListBuffer.empty[DataFrame]
+          var frontier = graft.Checkpoints.truncate(
+            st.join(broadcast(dedgesD),
+                col("par") === col("u") && col("node_id") === col("v"))
+              .select(col("node_id")))
+          waveCks += frontier
+          var dirty = frontier
+          var n = frontier.count()
+          var waves = 0
+          while (n > 0L) {
+            waves += 1
+            if (waves > 100)
+              throw new IllegalStateException(
+                "bfsIvmMixedBuild: dirty walk still growing after 100 " +
+                  "waves — the parent forest has a cycle; the state is corrupt")
+            val next = graft.Checkpoints.truncate(
+              st.join(broadcast(frontier.select(col("node_id").as("dn"))),
+                  col("par") === col("dn"))
+                .select(col("node_id")))
+            waveCks += next
+            frontier = next
+            dirty = dirty.unionByName(next)
+            n = next.count()
+          }
+          val dirtyCk = graft.Checkpoints.truncate(dirty.distinct())
+          waveCks.foreach(graft.Checkpoints.release)
+          val nDirty = dirtyCk.count()
+          val bcastV = GraphAdaptive.broadcastOk(spark, vCnt)
+          val edgesFin0 = spark.read.parquet(s"$stateRoot/edges")
+            .join(broadcast(dedgesD.select(col("u").as("src"),
+              col("v").as("dst"))), Seq("src", "dst"), "left_anti")
+            .unionByName(dedgesA
+              .select(col("u").as("src"), col("v").as("dst")))
+          val edgesFin = (if (bcastV) edgesFin0
+                          else edgesFin0.repartition(col("src")))
+            .truncateLineage
+          val cleanFrontier = edgesFin
+            .join(broadcast(dirtyCk.select(col("node_id").as("dst"))),
+              Seq("dst"))
+            .select(col("src").as("node_id")).distinct()
+            .join(broadcast(dirtyCk), Seq("node_id"), "left_anti")
+          // activation = clean frontier ∪ add endpoints (both roles —
+          // the directed frame carries each endpoint as a src)
+          val addV = dedgesA.select(col("u").as("node_id")).distinct()
+          val nAddV = addV.count()
+          val activate = cleanFrontier.unionByName(addV).distinct()
+          val init = st
+            .join(broadcast(dirtyCk.withColumn("isd", lit(true))),
+              Seq("node_id"), "left")
+            .join(broadcast(activate.withColumn("isf", lit(true))),
+              Seq("node_id"), "left")
+            .select(col("node_id"),
+              when(col("isd"), lit(BfsInf)).otherwise(col("dist")).as("dist"),
+              when(col("isd"), lit(BfsInf))
+                .otherwise(when(col("isf"), col("dist") + 1L)
+                  .otherwise(col("dist"))).as("pd"))
+          val g = PrGraph(edgesFin, st.select(col("node_id")),
+            GraphAdaptive.pick(bcastV) _)
+          val (d2, r2) = bfsRelaxLoop(spark, g, init)
+          mark(s"recompute:r1=$r1:r2=$r2:dirty=$nDirty:addv=$nAddV")
+          val out = ArtifactStore.spillResult(spark, "bfsivmmx_res",
+            d2.filter(col("dist") < BfsInf)
+              .select(col("node_id"), col("dist").as("hop")))
+          Seq(d2, edgesFin, dirtyCk).foreach(graft.Checkpoints.release)
+          out.orderBy("hop", "node_id")
+        }
+      Seq(dpairs, dedgesD, dedgesA).foreach(graft.Checkpoints.release)
+      res
+    }
+  }
+
+  /** Mixed-batch BFS gate — final graph = (base − dels) + adds = ef −
+    * dels (the adds return), reconstructed in the oracle with BOTH
+    * held-out layers mirrored (the adds window over ef, the deletes
+    * window over the surviving base), then the cold recursive-CTE BFS. */
+  private val qBfsIvmMixed = QueryDef(
+    "q_bfs_ivm_mixed",
+    Some(s"""
+WITH RECURSIVE
+ef AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+ac1 AS (
+  SELECT p, s,
+    ((p * 31 + s) % 41 = 0)
+    AND sum(CASE WHEN (p * 31 + s) % 41 = 0 THEN 0 ELSE 1 END)
+          OVER (PARTITION BY p) >= 1
+    AND sum(CASE WHEN (p * 31 + s) % 41 = 0 THEN 0 ELSE 1 END)
+          OVER (PARTITION BY s) >= 1 AS held
+  FROM ef),
+base0 AS (SELECT p, s FROM ac1 WHERE NOT held),
+dc AS (
+  SELECT p, s,
+    ((p * 37 + s) % 43 = 0)
+    AND sum(CASE WHEN (p * 37 + s) % 43 = 0 THEN 0 ELSE 1 END)
+          OVER (PARTITION BY p) >= 1
+    AND sum(CASE WHEN (p * 37 + s) % 43 = 0 THEN 0 ELSE 1 END)
+          OVER (PARTITION BY s) >= 1 AS is_del
+  FROM base0),
+fin AS (
+  SELECT e.p, e.s FROM ef e
+  WHERE NOT EXISTS (SELECT 1 FROM dc
+                    WHERE dc.is_del AND dc.p = e.p AND dc.s = e.s)),
+edges AS (SELECT p AS src, s + $Off AS dst FROM fin
+          UNION ALL SELECT s + $Off AS src, p AS dst FROM fin),
+it(node_id, hop) AS (
+  SELECT min(p), CAST(0 AS BIGINT) FROM ef HAVING count(*) > 0
+  UNION
+  SELECT e.dst, it.hop + 1 FROM it JOIN edges e ON e.src = it.node_id
+  WHERE it.hop < $BfsOracleWaves
+)
+SELECT node_id, CAST(min(hop) AS BIGINT) AS hop
+FROM it GROUP BY node_id ORDER BY hop, node_id"""),
+    (spark, dir) => bfsIvmMixedBuild(spark, dir))
+
   /** Incremental-BFS-under-deletes gate — final graph = ef − dels, so the
     * oracle is the cold recursive-CTE BFS over the survivor edge set with
     * the held-out delete arithmetic mirrored (the q_components_ivm_del
@@ -2818,7 +3001,7 @@ ORDER BY f.node_id"""),
 
   val defs: Seq[QueryDef] =
     Seq(qPagerank, qPagerankConverged, qPagerankIvm, qComponentsIvm,
-      qComponentsIvmDel, qBfsIvm, qBfsIvmDel,
+      qComponentsIvmDel, qBfsIvm, qBfsIvmDel, qBfsIvmMixed,
       qTriangles, qTrianglesIvm, qTrianglesIvmDel, qBfsHops, qBfsFull,
       qLabelProp, qLabelPropConverged, qLabelPropIvm)
 }

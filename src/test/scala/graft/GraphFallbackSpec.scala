@@ -309,8 +309,25 @@ class GraphFallbackSpec extends SparkSuite {
   // to parquet and return the read-back scan: this pins that the
   // returned plan is a DISTRIBUTED file scan with no driver-side
   // materialization left in it.
+  // Mixed add+delete batch: both verbs must genuinely fire in the one
+  // feed pass — deletes dirty a subtree AND adds activate endpoints.
+  test("q_bfs_ivm_mixed: one batch applies both deletes and adds") {
+    val marks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val df = queries.Graph.bfsIvmMixedBuild(spark, sfDir, marks += _)
+    assert(df.count() > 0, "empty maintained distance frame")
+    val rm = marks.find(_.startsWith("recompute:"))
+      .getOrElse(fail(s"no recompute mark in $marks"))
+    val kv = rm.split(":").drop(1)
+      .map(_.split("=")).map(a => a(0) -> a(1).toLong).toMap
+    assert(kv("dirty") >= 1,
+      s"the delete side of the mixed batch touched nothing: $rm")
+    assert(kv("addv") >= 1,
+      s"the add side of the mixed batch activated nothing: $rm")
+    assert(kv("r2") >= 1, s"the mixed resume never relaxed: $rm")
+  }
+
   for (q <- Seq("q_components_ivm", "q_components_ivm_del", "q_bfs_ivm",
-      "q_bfs_ivm_del")) {
+      "q_bfs_ivm_del", "q_bfs_ivm_mixed")) {
     test(s"$q: returned plan is a distributed file scan, no driver round-trip") {
       val df = queries.Catalog.queries(q)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
