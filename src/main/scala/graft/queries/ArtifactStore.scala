@@ -74,29 +74,65 @@ object ArtifactStore {
     * LocalTableScan, both of which break at 100×. Spilling instead costs
     * one distributed write; the returned frame is a plain distributed
     * FileScan whose lineage reaches NOTHING the caller is about to
-    * release. Per-run nonce + a stale-sibling sweep (>30 min, same
-    * prefix), the privmFreshTable discipline — bench can overlap verify,
-    * and a later run must not delete files backing a frame a concurrent
-    * session still holds. */
+    * release. Spill dirs are PROCESS-scoped (ADVICE r19): the path embeds
+    * this JVM's pid, a shutdown hook removes this process's own dirs at
+    * exit, and the stale-sibling sweep only reclaims dirs whose embedding
+    * process is no longer alive — a cross-session age heuristic could
+    * delete files backing a parquet scan a concurrent session (bench
+    * overlapping verify) still holds mid-read. */
   def spillResult(spark: SparkSession, prefix: String,
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val base = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_results").toString
     val nonce = java.lang.Long.toHexString(
       System.nanoTime() ^ (Thread.currentThread().getId << 48))
+    val pidTag = s"p${ProcessHandle.current().pid()}"
+    val PidDir = s"""${java.util.regex.Pattern.quote(prefix)}_p(\\d+)_.*""".r
     locally {
+      // reclaim siblings left by DEAD sessions only (crash/kill leaves no
+      // shutdown hook); a live pid's dirs are never touched, however old.
+      // Pre-pid-tag legacy dirs (no embedded pid) fall back to the old
+      // 30-minute age rule — they can only come from earlier rounds.
       val cutoff = System.currentTimeMillis() - 30 * 60 * 1000L
       Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(s"${prefix}_") &&
-          !f.getName.contains(nonce) && f.lastModified < cutoff)
+        .filter(_.getName.startsWith(s"${prefix}_"))
+        .filter { f =>
+          f.getName match {
+            case PidDir(pid) =>
+              !ProcessHandle.of(pid.toLong)
+                .map[java.lang.Boolean](h => h.isAlive)
+                .orElse(java.lang.Boolean.FALSE)
+            case _ => !f.getName.contains(nonce) && f.lastModified < cutoff
+          }
+        }
         .foreach { f =>
           val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration)
             .delete(p, true)
         }
     }
-    val path = s"$base/${prefix}_$nonce"
+    val path = s"$base/${prefix}_${pidTag}_$nonce"
     df.write.mode("overwrite").parquet(path)
+    registerSpillForExit(path)
     spark.read.parquet(path)
+  }
+
+  private val spilledDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val spillHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      spilledDirs.forEach { d =>
+        try deleteLocalTree(new java.io.File(d))
+        catch { case _: Exception => () } // best-effort; sweep covers it
+      }, "graft-spill-cleanup"))
+    true
+  }
+  private def registerSpillForExit(path: String): Unit = {
+    spillHookInstalled
+    spilledDirs.add(path)
+  }
+  private def deleteLocalTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteLocalTree)
+    f.delete()
   }
 }

@@ -355,7 +355,7 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
       delta = obs.queryExecution.observedMetrics
         .get(s"pr_delta_$tag$rounds")
         .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
-        .getOrElse(nxt.agg(max(col("d"))).head().getLong(0))
+        .getOrElse(nxt.agg(coalesce(max(col("d")), lit(0L))).head().getLong(0))
       graft.Checkpoints.release(curCk)
       curCk = nxt
       cur = nxt.select("node_id", "outdeg", "pr", "unit", "lpu", "cin")
@@ -408,7 +408,7 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
       delta = obs.queryExecution.observedMetrics
         .get(s"pr_delta_b$tag$rounds")
         .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
-        .getOrElse(nxt.agg(max(col("d"))).head().getLong(0))
+        .getOrElse(nxt.agg(coalesce(max(col("d")), lit(0L))).head().getLong(0))
       graft.Checkpoints.release(curCk)
       curCk = nxt
       cur = nxt.select("node_id", "outdeg", "pr", "unit", "lpu", "cin")
@@ -528,7 +528,7 @@ ORDER BY pr DESC, node_id LIMIT 50"""
           delta = obs.queryExecution.observedMetrics
             .get(s"pr_delta_$rounds")
             .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
-            .getOrElse(nxt.agg(max(col("d"))).head().getLong(0))
+            .getOrElse(nxt.agg(coalesce(max(col("d")), lit(0L))).head().getLong(0))
           graft.Checkpoints.release(curCk)
           curCk = nxt
           cur = nxt.select("node_id", "pr")
@@ -2225,13 +2225,22 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
             .orderBy("hop", "node_id")
         } else {
           // dirty seed: nodes whose shortest-path PARENT edge was deleted
-          // (an O(delta) broadcast probe of the state scan), then the
+          // (an O(delta) probe of the state scan), then the
           // walk down the parent forest — each wave is the previous
           // wave's tree children, so waves never revisit and the total
-          // dirty set is exactly the deleted edges' SP-subtrees
+          // dirty set is exactly the deleted edges' SP-subtrees.
+          // EVERY per-frame join below is size-gated through
+          // GraphAdaptive.pick (VERDICT r18 #1): the dirty set is the
+          // deleted edges' SP-subtrees, which for a root-adjacent delete
+          // approaches O(V) — an ungated broadcast there is a driver /
+          // executor memory blowup at 100×, where the SHUFFLE_HASH build
+          // merely degrades to one more exchange.
+          def pickN(sz: Long)(df: DataFrame): DataFrame =
+            GraphAdaptive.pick(GraphAdaptive.broadcastOk(spark, sz))(df)
+          val nDel = dedges.count()
           val waveCks = scala.collection.mutable.ListBuffer.empty[DataFrame]
           var frontier = graft.Checkpoints.truncate(
-            st.join(broadcast(dedges),
+            st.join(pickN(nDel)(dedges),
                 col("par") === col("u") && col("node_id") === col("v"))
               .select(col("node_id")))
           waveCks += frontier
@@ -2245,7 +2254,7 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
                 "bfsIvmDelBuild: dirty walk still growing after 100 waves " +
                   "— the parent forest has a cycle; the state is corrupt")
             val next = graft.Checkpoints.truncate(
-              st.join(broadcast(frontier.select(col("node_id").as("dn"))),
+              st.join(pickN(n)(frontier.select(col("node_id").as("dn"))),
                   col("par") === col("dn"))
                 .select(col("node_id")))
             waveCks += next
@@ -2259,24 +2268,26 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
           val dirtyCk = graft.Checkpoints.truncate(dirty.distinct())
           waveCks.foreach(graft.Checkpoints.release)
           val nDirty = dirtyCk.count()
+          val pickD = pickN(nDirty) _
           val bcastV = GraphAdaptive.broadcastOk(spark, vCnt)
           val edgesFin0 = spark.read.parquet(s"$stateRoot/edges")
-            .join(broadcast(dedges.select(col("u").as("src"),
+            .join(pickN(nDel)(dedges.select(col("u").as("src"),
               col("v").as("dst"))), Seq("src", "dst"), "left_anti")
           val edgesFin = (if (bcastV) edgesFin0
                           else edgesFin0.repartition(col("src")))
             .truncateLineage
           // clean frontier: clean nodes with a surviving edge into a
           // dirty node — the only vertices that need to push in round 1
-          val cleanFrontier = edgesFin
-            .join(broadcast(dirtyCk.select(col("node_id").as("dst"))),
+          val cfCk = graft.Checkpoints.truncate(edgesFin
+            .join(pickD(dirtyCk.select(col("node_id").as("dst"))),
               Seq("dst"))
             .select(col("src").as("node_id")).distinct()
-            .join(broadcast(dirtyCk), Seq("node_id"), "left_anti")
+            .join(pickD(dirtyCk), Seq("node_id"), "left_anti"))
+          val nCf = cfCk.count()
           val init = st
-            .join(broadcast(dirtyCk.withColumn("isd", lit(true))),
+            .join(pickD(dirtyCk.withColumn("isd", lit(true))),
               Seq("node_id"), "left")
-            .join(broadcast(cleanFrontier.withColumn("isf", lit(true))),
+            .join(pickN(nCf)(cfCk.withColumn("isf", lit(true))),
               Seq("node_id"), "left")
             .select(col("node_id"),
               when(col("isd"), lit(BfsInf)).otherwise(col("dist")).as("dist"),
@@ -2290,7 +2301,17 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
           val out = ArtifactStore.spillResult(spark, "bfsivmd_res",
             d2.filter(col("dist") < BfsInf)
               .select(col("node_id"), col("dist").as("hop")))
-          Seq(d2, edgesFin, dirtyCk).foreach(graft.Checkpoints.release)
+          Seq(d2, edgesFin, dirtyCk, cfCk).foreach(graft.Checkpoints.release)
+          // ADVICE r19: deletes LENGTHEN hops, but the DuckDB oracle's
+          // recursive CTE is capped at BfsOracleWaves — if maintenance
+          // ever pushes a shortest path to the cap, fail loudly here
+          // instead of silently hash-mismatching the gate
+          val maxHop = out
+            .agg(coalesce(max(col("hop")), lit(0L))).head().getLong(0)
+          require(maxHop < BfsOracleWaves,
+            s"bfsIvmDelBuild: maintained max hop $maxHop reached the " +
+              s"oracle cap BfsOracleWaves=$BfsOracleWaves — raise the cap " +
+              "(builder and gate SQL together) for this corpus")
           out.orderBy("hop", "node_id")
         }
       Seq(dpairs, dedges).foreach(graft.Checkpoints.release)
@@ -2367,10 +2388,17 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
             .select(col("node_id"), col("dist").as("hop"))
             .orderBy("hop", "node_id")
         } else {
-          // dirty walk down the parent forest, exactly the delete verb
+          // dirty walk down the parent forest, exactly the delete verb.
+          // As in bfsIvmDelBuild, every dirty/frontier/activation join is
+          // size-gated through GraphAdaptive.pick (VERDICT r18 #1): a
+          // root-adjacent delete makes the dirty SP-subtree O(V), where
+          // only the SHUFFLE_HASH build degrades gracefully.
+          def pickN(sz: Long)(df: DataFrame): DataFrame =
+            GraphAdaptive.pick(GraphAdaptive.broadcastOk(spark, sz))(df)
+          val nDelE = dedgesD.count()
           val waveCks = scala.collection.mutable.ListBuffer.empty[DataFrame]
           var frontier = graft.Checkpoints.truncate(
-            st.join(broadcast(dedgesD),
+            st.join(pickN(nDelE)(dedgesD),
                 col("par") === col("u") && col("node_id") === col("v"))
               .select(col("node_id")))
           waveCks += frontier
@@ -2384,7 +2412,7 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
                 "bfsIvmMixedBuild: dirty walk still growing after 100 " +
                   "waves — the parent forest has a cycle; the state is corrupt")
             val next = graft.Checkpoints.truncate(
-              st.join(broadcast(frontier.select(col("node_id").as("dn"))),
+              st.join(pickN(n)(frontier.select(col("node_id").as("dn"))),
                   col("par") === col("dn"))
                 .select(col("node_id")))
             waveCks += next
@@ -2395,9 +2423,10 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
           val dirtyCk = graft.Checkpoints.truncate(dirty.distinct())
           waveCks.foreach(graft.Checkpoints.release)
           val nDirty = dirtyCk.count()
+          val pickD = pickN(nDirty) _
           val bcastV = GraphAdaptive.broadcastOk(spark, vCnt)
           val edgesFin0 = spark.read.parquet(s"$stateRoot/edges")
-            .join(broadcast(dedgesD.select(col("u").as("src"),
+            .join(pickN(nDelE)(dedgesD.select(col("u").as("src"),
               col("v").as("dst"))), Seq("src", "dst"), "left_anti")
             .unionByName(dedgesA
               .select(col("u").as("src"), col("v").as("dst")))
@@ -2405,19 +2434,21 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
                           else edgesFin0.repartition(col("src")))
             .truncateLineage
           val cleanFrontier = edgesFin
-            .join(broadcast(dirtyCk.select(col("node_id").as("dst"))),
+            .join(pickD(dirtyCk.select(col("node_id").as("dst"))),
               Seq("dst"))
             .select(col("src").as("node_id")).distinct()
-            .join(broadcast(dirtyCk), Seq("node_id"), "left_anti")
+            .join(pickD(dirtyCk), Seq("node_id"), "left_anti")
           // activation = clean frontier ∪ add endpoints (both roles —
           // the directed frame carries each endpoint as a src)
           val addV = dedgesA.select(col("u").as("node_id")).distinct()
           val nAddV = addV.count()
-          val activate = cleanFrontier.unionByName(addV).distinct()
+          val actCk = graft.Checkpoints.truncate(
+            cleanFrontier.unionByName(addV).distinct())
+          val nAct = actCk.count()
           val init = st
-            .join(broadcast(dirtyCk.withColumn("isd", lit(true))),
+            .join(pickD(dirtyCk.withColumn("isd", lit(true))),
               Seq("node_id"), "left")
-            .join(broadcast(activate.withColumn("isf", lit(true))),
+            .join(pickN(nAct)(actCk.withColumn("isf", lit(true))),
               Seq("node_id"), "left")
             .select(col("node_id"),
               when(col("isd"), lit(BfsInf)).otherwise(col("dist")).as("dist"),
@@ -2431,7 +2462,15 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
           val out = ArtifactStore.spillResult(spark, "bfsivmmx_res",
             d2.filter(col("dist") < BfsInf)
               .select(col("node_id"), col("dist").as("hop")))
-          Seq(d2, edgesFin, dirtyCk).foreach(graft.Checkpoints.release)
+          Seq(d2, edgesFin, dirtyCk, actCk).foreach(graft.Checkpoints.release)
+          // ADVICE r19: same cap guard as bfsIvmDelBuild — the delete
+          // verb can lengthen hops past the oracle's recursive-CTE cap
+          val maxHop = out
+            .agg(coalesce(max(col("hop")), lit(0L))).head().getLong(0)
+          require(maxHop < BfsOracleWaves,
+            s"bfsIvmMixedBuild: maintained max hop $maxHop reached the " +
+              s"oracle cap BfsOracleWaves=$BfsOracleWaves — raise the cap " +
+              "(builder and gate SQL together) for this corpus")
           out.orderBy("hop", "node_id")
         }
       Seq(dpairs, dedgesD, dedgesA).foreach(graft.Checkpoints.release)
@@ -2580,6 +2619,9 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
     val res =
       if (dedges.head(1).isEmpty) {
         mark("apply:dt=0")
+        // released on BOTH branches (ADVICE r19) — the non-empty arm
+        // releases after the bounded top-20 is localized
+        graft.Checkpoints.release(dedges)
         baseCnt.orderBy(desc("n_tri"), asc("node")).limit(20)
       } else {
         // FINAL-graph adjacency, restricted to the delta endpoints: the
@@ -2715,6 +2757,9 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
     val res =
       if (dedges.head(1).isEmpty) {
         mark("apply:dt=0")
+        // released on BOTH branches (ADVICE r19) — the non-empty arm
+        // releases after the bounded top-20 is localized
+        graft.Checkpoints.release(dedges)
         baseCnt.orderBy(desc("n_tri"), asc("node")).limit(20)
       } else {
         // PRE-delete adjacency restricted to the deleted edges' endpoints

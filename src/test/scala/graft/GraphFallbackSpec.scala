@@ -326,6 +326,36 @@ class GraphFallbackSpec extends SparkSuite {
     assert(kv("r2") >= 1, s"the mixed resume never relaxed: $rm")
   }
 
+  // The dirty-walk joins of the BFS delete/mixed maintenance (VERDICT r18
+  // #1): the dirty SP-subtree approaches O(V) for a root-adjacent delete,
+  // so every dirty/frontier/activation frame is size-gated through
+  // GraphAdaptive.pick. This forces the SHUFFLE_HASH arm of that gate and
+  // pins (a) the maintained result is identical to the broadcast path and
+  // (b) the maintenance still fires (dirty >= 1, a real resume).
+  for ((q, build) <- Seq[(String,
+      (org.apache.spark.sql.SparkSession, String, String => Unit) =>
+        org.apache.spark.sql.DataFrame)](
+      "q_bfs_ivm_del" -> (queries.Graph.bfsIvmDelBuild(_, _, _)),
+      "q_bfs_ivm_mixed" -> (queries.Graph.bfsIvmMixedBuild(_, _, _)))) {
+    test(s"$q: forced no-broadcast dirty walk matches the broadcast path") {
+      val default = build(spark, sfDir, _ => ()).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val marks = scala.collection.mutable.ArrayBuffer.empty[String]
+      val fallback = forcingFallback {
+        build(spark, sfDir, marks += _).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      }
+      val rm = marks.find(_.startsWith("recompute:"))
+        .getOrElse(fail(s"no recompute mark in $marks"))
+      val kv = rm.split(":").drop(1)
+        .map(_.split("=")).map(a => a(0) -> a(1).toLong).toMap
+      assert(kv("dirty") >= 1,
+        s"forced run degenerated to a no-op delta: $rm")
+      assert(fallback == default,
+        s"$q: shuffle-hash dirty walk diverged from the broadcast path")
+    }
+  }
+
   for (q <- Seq("q_components_ivm", "q_components_ivm_del", "q_bfs_ivm",
       "q_bfs_ivm_del", "q_bfs_ivm_mixed")) {
     test(s"$q: returned plan is a distributed file scan, no driver round-trip") {
