@@ -96,6 +96,10 @@ object IvmScale {
       graft.queries.Graph.labelPropIvmBuild(spark, dir, m))
     run("q_ivf_ivm")(m =>
       graft.queries.Similarity.ivfIvmBuild(spark, dir, m))
+    run("q_bfs_ivm_mixed")(m =>
+      graft.queries.Graph.bfsIvmMixedBuild(spark, dir, m))
+    run("q_bm25_ivm")(m =>
+      graft.queries.TextAnalysis.bm25IvmBuild(spark, dir, m))
     spark.stop()
   }
 }
