@@ -434,10 +434,20 @@ object Bench {
     // Full per-query breakdown → file (the judge reads it from the repo).
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"))
-    java.nio.file.Files.write(fullPath,
-      (jsonLine(results,
-        s""","n_queries":${results.size}$errTag$isoTag$gapTag$shufTag$modeTag""") + "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val fullLine = (jsonLine(results,
+      s""","n_queries":${results.size}$errTag$isoTag$gapTag$shufTag$modeTag""") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(fullPath, fullLine)
+    // ALSO keep a core-count-suffixed copy (VERDICT r19 #9): the driver
+    // re-runs the bench at a lower core count for the scaling block and
+    // its BENCH_FULL.json overwrite erased the only 32-core per-query
+    // record of the full-bench-only queries (the IVM kernels). The
+    // suffixed artifacts survive a full driver cycle side by side.
+    val cpusTag = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val byCores = fullPath.resolveSibling(
+      fullPath.getFileName.toString
+        .replaceFirst("\\.json$", "") + s"_c$cpusTag.json")
+    java.nio.file.Files.write(byCores, fullLine)
     // Headline subset → stdout (must fit the driver's bounded tail capture).
     println(jsonLine(results.filter(r => headline(r.name) || !r.ok),
       s""","n_queries":${results.size}$errTag,"full":"BENCH_FULL.json""""))

@@ -64,20 +64,47 @@ object Checkpoints {
     * BigInt products at every plan. The cap is decision-lossless (any
     * estimate past 9.2 EB already means "never broadcast") and leaves
     * frames with sane estimates untouched. */
-  def truncate(df: DataFrame): DataFrame = {
+  def truncate(df: DataFrame): DataFrame = truncate(df, keepPartitioning = false)
+
+  /** [[truncate]] with `keepPartitioning = true` materializes the
+    * checkpoint with AQE DISABLED for just that job (conf set/restored
+    * around the eager action — the graph builders run their loops
+    * driver-sequentially, so no concurrently-built query can observe the
+    * window). WHY (OPTIMIZATION r20): under AQE the checkpoint captures
+    * `AdaptiveSparkPlanExec.outputPartitioning`, which is
+    * UnknownPartitioning — measured on Spark 4.1: EVERY "co-partitioning
+    * baked into the checkpointed blocks" claim in the iterative kernels
+    * was silently inert, and every loop round re-exchanged the frame its
+    * builder had explicitly repartitioned. With AQE off for the one
+    * materialization job the LogicalRDD records the real
+    * hashpartitioning (verified: downstream same-key aggregates plan NO
+    * exchange), at the cost of that single job skipping AQE's
+    * coalescing — acceptable for an explicitly-laid-out frame whose
+    * partition count the caller chose. Use for frames a loop re-reads
+    * PARTITIONED; plain truncate() everywhere else. */
+  def truncate(df: DataFrame, keepPartitioning: Boolean): DataFrame = {
     val spark = df.sparkSession
-    val ckpt = spark.conf.getOption(DirKey).filter(_.nonEmpty) match {
-      case Some(dir) =>
-        val sc = spark.sparkContext
-        synchronized {
-          if (!applied.contains(dir) || sc.getCheckpointDir.isEmpty) {
-            sc.setCheckpointDir(dir)
-            applied = Some(dir)
+    def materialize(): DataFrame =
+      spark.conf.getOption(DirKey).filter(_.nonEmpty) match {
+        case Some(dir) =>
+          val sc = spark.sparkContext
+          synchronized {
+            if (!applied.contains(dir) || sc.getCheckpointDir.isEmpty) {
+              sc.setCheckpointDir(dir)
+              applied = Some(dir)
+            }
           }
-        }
-        df.checkpoint(eager = true)
-      case None => df.localCheckpoint(eager = true)
-    }
+          df.checkpoint(eager = true)
+        case None => df.localCheckpoint(eager = true)
+      }
+    val ckpt =
+      if (!keepPartitioning) materialize()
+      else {
+        val k = "spark.sql.adaptive.enabled"
+        val was = spark.conf.get(k, "true")
+        spark.conf.set(k, "false")
+        try materialize() finally spark.conf.set(k, was)
+      }
     org.apache.spark.sql.graftbridge.GraftPlanBridge.capCheckpointStats(
       ckpt.asInstanceOf[org.apache.spark.sql.classic.DataFrame])
   }
@@ -104,5 +131,8 @@ object Checkpoints {
   /** `.truncateLineage` chain syntax for query builders. */
   implicit final class TruncateOps(private val df: DataFrame) extends AnyVal {
     def truncateLineage: DataFrame = truncate(df)
+    /** Partitioning-preserving variant — see [[truncate(df,Boolean)]]. */
+    def truncateLineagePartitioned: DataFrame =
+      truncate(df, keepPartitioning = true)
   }
 }

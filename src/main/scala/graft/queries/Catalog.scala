@@ -1275,7 +1275,7 @@ object Catalog {
     val edges = graft.Checkpoints.truncate(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-        .repartition(col("v")))
+        .repartition(col("v")), keepPartitioning = true)
     val (labels, r1) = Dedup.componentsLoop(spark, edges, None)
     labels.write.mode("overwrite").parquet(s"$r/labels")
     Seq(labels, edges).foreach(graft.Checkpoints.release)
@@ -1440,7 +1440,7 @@ object Catalog {
     val edges = graft.Checkpoints.truncate(
       pairsAll.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .union(pairsAll.select(col("doc_b").as("u"), col("doc_a").as("v")))
-        .repartition(col("v")))
+        .repartition(col("v")), keepPartitioning = true)
     val l0 = spark.read.parquet(s"$stateRoot/labels")
     val init = l0.unionByName(
       edges.select(col("u")).distinct()

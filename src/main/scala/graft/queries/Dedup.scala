@@ -382,7 +382,7 @@ comp AS (
       val edges = cand.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .union(cand.select(col("doc_b").as("u"), col("doc_a").as("v")))
         .repartition(col("v"))
-        .truncateLineage
+        .truncateLineagePartitioned
       val (labels, _) = componentsLoop(spark, edges, None)
       // the final fold below reads only `labels` (a jump over the LAST
       // hop's blocks) — the edge frame is out of every live lineage now
@@ -1166,7 +1166,7 @@ ORDER BY doc_a, doc_b"""),
       val edges = pairs.select(col("name_a").as("u"), col("name_b").as("v"))
         .union(pairs.select(col("name_b").as("u"), col("name_a").as("v")))
         .repartition(col("v"))
-        .truncateLineage
+        .truncateLineagePartitioned
       // min-label propagation over the active set (edge endpoints only),
       // with POINTER JUMPING (label-of-label) per round so convergence is
       // O(log diameter) — a 20-round one-hop loop would silently split a

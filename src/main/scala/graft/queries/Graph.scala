@@ -177,7 +177,17 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
     * lineitem read. Checkpoints eagerly: the returned frames are
     * MATERIALIZED blocks, decoupled from whatever `pairs` read (a table
     * about to be mutated stays safe to snapshot this way). */
-  private def prGraphFromPairs(spark: SparkSession, pairs: DataFrame): PrGraph = {
+  /** `dstLayout` (broadcast path only): lay the edge blocks out by DST so
+    * every loop round's contribution aggregate is partition-local — one
+    * O(E) exchange at build buys exchange-free rounds. Measured shuffle
+    * bytes at sf0.1: q_pagerank_converged 58.1 → 31.1 MB,
+    * q_label_prop 44.6 → 21.8 MB. TRUE for the PageRank kernels (many
+    * rounds of O(V·partitions)+O(touched-dst) exchanges amortize the
+    * layout); FALSE for the BFS builders — their per-wave aggregates are
+    * frontier-sized, so the O(E) layout costs more than all waves save
+    * (measured q_bfs_full 8.0 → 16.7 MB when laid out — reverted). */
+  private def prGraphFromPairs(spark: SparkSession, pairs: DataFrame,
+      dstLayout: Boolean = true): PrGraph = {
     // materialize the distinct pair set ONCE — both edge directions,
     // the degree count, and the node set all derive from these blocks
     val e0 = pairs
@@ -196,11 +206,21 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
       .select(col("p").as("src"), (col("s") + Off).as("dst"))
       .unionByName(e0.select((col("s") + Off).as("src"), col("p").as("dst")))
     // fallback pre-partitions the edge list on the per-iteration join
-    // key so the partitioning is baked into the checkpointed blocks
-    // (LogicalRDD preserves outputPartitioning) and NO iteration ever
-    // exchanges it; on the broadcast path the edge blocks never need a
-    // partitioning because only O(V) frames move
-    val edges = if (bcast) edges0 else edges0.repartition(col("src"))
+    // key (src — the SHUFFLE_HASH probes need it) so the partitioning is
+    // baked into the checkpointed blocks (LogicalRDD preserves
+    // outputPartitioning) and NO iteration ever exchanges it. On the
+    // broadcast path the per-iteration src join is map-side (the O(V)
+    // frames broadcast), so the edge blocks are laid out by DST instead
+    // (OPTIMIZATION r20, guide §2.4 exchange reuse): the only exchange
+    // the loops still paid per round was the contribution aggregate's
+    // O(V·partitions) partial exchange on dst — with hash(dst) baked into
+    // the checkpoint, groupBy(dst) is partition-local and a round runs
+    // with NO exchange at all. One O(E) exchange at build time buys
+    // exchange-free rounds for every consumer (the 3-iteration kernel,
+    // the ~30-round converged loop, the push-loop state builds).
+    val edges = if (!bcast) edges0.repartition(col("src"))
+                else if (dstLayout) edges0.repartition(col("dst"))
+                else edges0
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // O(V) frames: [[GraphAdaptive.pick]] against the V ceiling
     val pv = GraphAdaptive.pick(bcast) _
@@ -208,8 +228,15 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
     // every iteration (materialized so the distinct+union subtree does
     // not re-run per iteration); in the fallback deg is already
     // co-partitioned with edges (it aggregates them on src), so the
-    // join is exchange-free even before the checkpoint
-    val edgesW = edges.join(pv(deg), "src").truncateLineage
+    // join is exchange-free even before the checkpoint.
+    // truncateLineagePartitioned where a layout was applied, NOT plain
+    // truncateLineage (OPTIMIZATION r20): under AQE the checkpoint
+    // recorded UnknownPartitioning, so the layout chosen above was
+    // invisible to every iteration's planner and each round re-exchanged
+    // — see Checkpoints.truncate(df, Boolean)
+    val edgesW0 = edges.join(pv(deg), "src")
+    val edgesW = if (!bcast || dstLayout) edgesW0.truncateLineagePartitioned
+                 else edgesW0.truncateLineage
     val nodes = edgesW.select(col("src").as("node_id")).distinct()
       .truncateLineage
     // edgesW and nodes are materialized ⇒ the seed pair frame's
@@ -373,7 +400,8 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
     * bit-identical (GraphFallbackSpec pins it against the gate). */
   private def prPushLoopBcast(
       spark: SparkSession, edgesD: DataFrame, init: DataFrame,
-      prBase: Long, eps: Long, tag: String): (DataFrame, Long) = {
+      prBase: Long, eps: Long, tag: String,
+      edgesAdd: Option[DataFrame] = None): (DataFrame, Long) = {
     var curCk = graft.Checkpoints.truncate(init)
     var cur: org.apache.spark.sql.DataFrame = curCk
     var rounds = 0L
@@ -388,9 +416,22 @@ SELECT node_id, pr FROM pr$Iters ORDER BY pr DESC, node_id LIMIT 50"""
       val active = cur.filter(col("unit") =!= col("lpu"))
         .select(col("node_id").as("asrc"),
           (col("unit") - col("lpu")).as("du"))
-      val dAgg = edgesD.join(broadcast(active), col("src") === col("asrc"))
-        .select(col("dst"), col("du"))
-        .groupBy("dst").agg(sum(col("du")).as("dd"))
+      // per-round Δ contributions off the dst-partitioned big side —
+      // partition-local aggregate. `edgesAdd` carries this batch's
+      // O(delta) ADD edges as a second leg (OPTIMIZATION r20): a union
+      // into edgesD would erase its partitioning (the §48 per-batch
+      // re-layout this form now avoids), so the adds aggregate
+      // separately and the two partials combine in one tiny O(touched
+      // dst) exchange. Long sums reassociate exactly — bit-identical.
+      def dLeg(e: DataFrame): DataFrame =
+        e.join(broadcast(active), col("src") === col("asrc"))
+          .select(col("dst"), col("du"))
+          .groupBy("dst").agg(sum(col("du")).as("dd"))
+      val dAgg = edgesAdd match {
+        case None => dLeg(edgesD)
+        case Some(a) => dLeg(edgesD).unionByName(dLeg(a))
+          .groupBy("dst").agg(sum(col("dd")).as("dd"))
+      }
       val obs = cur
         .join(dAgg.hint("shuffle_hash"), col("node_id") === col("dst"), "left")
         .select(col("node_id"), col("outdeg"),
@@ -722,10 +763,41 @@ ORDER BY pr DESC, node_id LIMIT 50"""
     * maintenance path ([[pagerankIvmServe]]) patches that frame off the
     * changes feed instead of re-scanning + re-distincting the mutated
     * table, so the whole maintenance step is O(delta + affected
-    * subgraph), never O(E) shuffle. */
+    * subgraph), never O(E) shuffle. v3 (OPTIMIZATION r20, VERDICT r19
+    * #4): the edge set is ADDITIONALLY stored BUCKETED BY DST
+    * (edges_bdst, [[PrBdstBuckets]] buckets) — the broadcast-Δ resume
+    * form previously re-laid the whole edge frame out by dst ONCE PER
+    * CHANGE BATCH (SCALE.md §48: 567.7 MB at 72×, ≈ one full edge
+    * exchange, charged to its patch phase); reading the dst layout from
+    * the bucketed artifact moves that exchange to build time, where a
+    * deployment pays it once per base snapshot. */
   private[graft] val privmRecipe: String =
-    s"privm-v2:scale=$Scale,epsdiv=$PrEpsDiv," +
-      s"cap=$PrMaxRounds,off=$Off,add=31/41,del=37/43"
+    s"privm-v3:scale=$Scale,epsdiv=$PrEpsDiv," +
+      s"cap=$PrMaxRounds,off=$Off,add=31/41,del=37/43,bdst=$PrBdstBuckets"
+
+  /** Bucket count for the dst-bucketed base edge artifact. Fixed per
+    * artifact (bucket ids are baked into file names); a deployment sizes
+    * it to edge bytes / a 128-512 MB per-bucket target — 64 keeps every
+    * harness scale (1-72×) in sane per-bucket file sizes while giving the
+    * resume loop's partition-local Δ aggregation full-core parallelism. */
+  private val PrBdstBuckets = 64
+
+  /** Register (once per session) and read the dst-bucketed base edge
+    * table stored under the state artifact. The bucketed SCAN carries
+    * HashPartitioning(dst, [[PrBdstBuckets]]), so the resume loop's
+    * per-dst Δ aggregation is partition-local with NO per-batch layout
+    * exchange. Deliberately NOT checkpointed: auto-bucketed-scan keeps
+    * the bucket layout only in plans that use it (each round's groupBy
+    * does), and a checkpoint materialized from a layout-free plan would
+    * lose the partitioning. */
+  private def privmBdstEdges(spark: SparkSession, stateRoot: String): DataFrame = {
+    val bt = s"privm_bdst_${java.lang.Integer.toHexString(stateRoot.hashCode)}"
+    if (!spark.catalog.tableExists(bt))
+      spark.sql(s"""CREATE TABLE $bt (src BIGINT, dst BIGINT) USING parquet
+        CLUSTERED BY (dst) INTO $PrBdstBuckets BUCKETS
+        LOCATION '$stateRoot/edges_bdst'""")
+    spark.table(bt)
+  }
 
   /** Converged-base-state builder shared by the gate's serving path and
     * [[pagerankIvmServe]]: converge on base0 and persist the state, the
@@ -747,6 +819,21 @@ ORDER BY pr DESC, node_id LIMIT 50"""
     st.write.mode("overwrite").parquet(s"$r/state")
     g1.edgesW.select(col("src"), col("dst"))
       .write.mode("overwrite").parquet(s"$r/edges")
+    // the SAME edge set, bucketed by dst (recipe v3): the broadcast-Δ
+    // resume reads its dst layout from here instead of re-laying the
+    // frame out per change batch (SCALE.md §48's 567.7 MB patch-phase
+    // exchange). The pre-repartition aligns rows to their bucket task
+    // (repartition(n, col) and Spark-native bucketing share the
+    // pmod(murmur3) placement), so each bucket lands as ONE file.
+    val bt = s"privm_bdst_${java.lang.Integer.toHexString(r.hashCode)}"
+    spark.sql(s"DROP TABLE IF EXISTS $bt")
+    g1.edgesW.select(col("src"), col("dst"))
+      .repartition(PrBdstBuckets, col("dst"))
+      .write.format("parquet")
+      .bucketBy(PrBdstBuckets, "dst")
+      .option("path", s"$r/edges_bdst")
+      .mode("overwrite")
+      .saveAsTable(bt)
     // state and edges now live in parquet — nothing re-reads through
     // the loop's final checkpoint or the graph blocks; reclaim them
     graft.Checkpoints.release(st)
@@ -950,36 +1037,50 @@ ORDER BY pr DESC, node_id LIMIT 50"""
         .select(col("dsrc").as("src"), col("ddst").as("dst"))
       val bcastV = GraphAdaptive.broadcastOk(spark, vCnt)
       val resumeBcast = GraphAdaptive.prResumeBcast(spark)
-      val edgesFin0 = spark.read.parquet(s"$stateRoot/edges")
-        .join(broadcast(delE),
-          col("src") === col("dsrc") && col("dst") === col("ddst"),
-          "left_anti")
-        .unionByName(addE)
-      // bcast resume lays the batch's edge frame out by DST once, so
-      // every round's per-dst Δ aggregation is partition-local; the
-      // default (edge) form keeps the src layout the per-edge exchange
-      // loop wants
-      val edgesFin = (if (resumeBcast) edgesFin0.repartition(col("dst"))
-                      else if (bcastV) edgesFin0
-                      else edgesFin0.repartition(col("src")))
-        .truncateLineage
+      // bcast resume (OPTIMIZATION r20): the dst layout comes from the
+      // BUCKETED base edge artifact (privmRecipe v3) — the broadcast
+      // delete anti-join is map-side and layout-preserving, and the
+      // batch's adds ride prPushLoopBcast's second aggregation leg, so
+      // the §48 once-per-batch O(E) dst re-layout exchange is GONE: a
+      // deployment pays the layout once per base snapshot, at build.
+      // The default (edge) form keeps the src layout the per-edge
+      // exchange loop wants.
+      val edgesFin: Option[DataFrame] =
+        if (resumeBcast) None
+        else {
+          val ef0 = spark.read.parquet(s"$stateRoot/edges")
+            .join(broadcast(delE),
+              col("src") === col("dsrc") && col("dst") === col("ddst"),
+              "left_anti")
+            .unionByName(addE)
+          Some(if (bcastV) ef0.truncateLineage
+               else ef0.repartition(col("src")).truncateLineagePartitioned)
+        }
       val patchedCk = graft.Checkpoints.truncate(patched)
       mark("patch")
 
       // nodes is unused by the resumed loop (init is pre-patched) but
       // kept honest: the state's own vertex set
-      val g = PrGraph(edgesFin, s1.select(col("node_id")),
-        GraphAdaptive.pick(bcastV) _)
       val (s2, r2) =
-        if (resumeBcast)
-          prPushLoopBcast(spark, edgesFin, patchedCk, prBase, eps, "sv")
-        else prPushLoop(spark, g, patchedCk, prBase, eps, "sv")
+        if (resumeBcast) {
+          val edgesD = privmBdstEdges(spark, stateRoot)
+            .join(broadcast(delE),
+              col("src") === col("dsrc") && col("dst") === col("ddst"),
+              "left_anti")
+          val addLeg = if (localFrac.isEmpty) Some(addE) else None
+          prPushLoopBcast(spark, edgesD, patchedCk, prBase, eps, "sv",
+            edgesAdd = addLeg)
+        } else {
+          val g = PrGraph(edgesFin.get, s1.select(col("node_id")),
+            GraphAdaptive.pick(bcastV) _)
+          prPushLoop(spark, g, patchedCk, prBase, eps, "sv")
+        }
       mark("resume")
       val res = s2.select(col("node_id"), col("pr"))
         .orderBy(desc("pr"), asc("node_id")).limit(50)
         .withColumn("r1", lit(r1)).withColumn("r2", lit(r2))
       val rows = res.collect().toSeq
-      Seq(s2, edgesFin, dedges, dpairs, patchedCk)
+      (Seq(s2, dedges, dpairs, patchedCk) ++ edgesFin)
         .foreach(graft.Checkpoints.release)
       spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), res.schema)
@@ -1229,8 +1330,11 @@ ORDER BY pr DESC, node_id LIMIT 50"""
       val eRows = e0.count() // |d| = |e0| exactly (one row per edge), and
                              // e0 is checkpointed — a metadata-cheap job
       val adjBcast = GraphAdaptive.broadcastEdgesOk(spark, eRows)
-      val d = (if (adjBcast) d0 else d0.repartition(col("x")))
-        .truncateLineage          // feeds the adjacency build + both joins
+      // feeds the adjacency build + both joins; partitioned truncate on
+      // the fallback so hash(x) actually reaches the checkpoint (the
+      // AQE-capture fix, Checkpoints.truncate(df, Boolean))
+      val d = if (adjBcast) d0.truncateLineage
+              else d0.repartition(col("x")).truncateLineagePartitioned
       graft.Checkpoints.release(e0)
       graft.Checkpoints.release(deg) // d is materialized; deg unreachable
       // sorted out-neighbor lists, O(√E)-bounded by the orientation
@@ -1317,7 +1421,16 @@ SELECT node_id, hop FROM d$BfsHops ORDER BY hop, node_id"""
       edges: DataFrame, minP: Option[Long], v: Long,
       pv: DataFrame => DataFrame)
 
-  private def edgeLayout(spark: SparkSession, dir: String): EdgeLayout = {
+  /** `dstLayout`: on the broadcast path (per-wave src join is map-side),
+    * lay the edge blocks out by DST (OPTIMIZATION r20, guide §2.4): the
+    * BFS waves' frontier distinct and q_label_prop's (dst, lbl) vote
+    * count are then partition-local — one O(E) exchange at build buys
+    * exchange-free waves. Pass false for consumers whose per-round
+    * aggregate cannot ride it (q_label_prop_converged's self-vote UNION
+    * erases the partitioning, so it would pay the layout for nothing).
+    * The fallback path keeps src (the SHUFFLE_HASH probes need it). */
+  private def edgeLayout(spark: SparkSession, dir: String,
+      dstLayout: Boolean = true): EdgeLayout = {
     val e0 = tbl(spark, dir, "lineitem")
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
       .distinct()
@@ -1331,8 +1444,13 @@ SELECT node_id, hop FROM d$BfsHops ORDER BY hop, node_id"""
     val edges0 = e0
       .select(col("p").as("src"), (col("s") + Off).as("dst"))
       .unionByName(e0.select((col("s") + Off).as("src"), col("p").as("dst")))
-    val edges = (if (bcast) edges0 else edges0.repartition(col("src")))
-      .truncateLineage
+    // partitioned truncate where a layout was applied (the AQE-capture
+    // fix, see Checkpoints.truncate(df, Boolean)); plain where not
+    val edges = (if (!bcast)
+        edges0.repartition(col("src")).truncateLineagePartitioned
+      else if (dstLayout)
+        edges0.repartition(col("dst")).truncateLineagePartitioned
+      else edges0.truncateLineage)
     graft.Checkpoints.release(e0)
     EdgeLayout(edges,
       if (head.isNullAt(0)) None else Some(head.getLong(0)), v, pv)
@@ -1342,7 +1460,9 @@ SELECT node_id, hop FROM d$BfsHops ORDER BY hop, node_id"""
     "q_bfs_hops",
     Some(bfsSql),
     (spark, dir) => {
-      val g = edgeLayout(spark, dir)
+      // dstLayout=false: per-wave frontier distincts are tiny — the O(E)
+      // dst layout measured 8.0 → 16.7 MB shuffled (reverted)
+      val g = edgeLayout(spark, dir, dstLayout = false)
       g.minP match {
         case None =>
           // empty edge set: no source to start from — zero rows, matching
@@ -1418,7 +1538,8 @@ it(node_id, hop) AS (
 SELECT node_id, CAST(min(hop) AS BIGINT) AS hop
 FROM it GROUP BY node_id ORDER BY hop, node_id"""),
     (spark, dir) => {
-      val g = edgeLayout(spark, dir)
+      // dstLayout=false — same frontier-sized-wave argument as q_bfs_hops
+      val g = edgeLayout(spark, dir, dstLayout = false)
       if (g.minP.isEmpty) {
         spark.range(0).select(col("id").as("node_id"), col("id").as("hop"))
       } else {
@@ -1654,7 +1775,10 @@ ORDER BY f.node_id"""
     "q_label_prop_converged",
     Some(labelPropConvergedSql),
     (spark, dir) => {
-      val g = edgeLayout(spark, dir)
+      // dstLayout=false: the self-vote UNION erases any edge partitioning
+      // before the vote aggregate, so the dst layout would cost an O(E)
+      // exchange at build and save nothing per round
+      val g = edgeLayout(spark, dir, dstLayout = false)
       val (lblCk, rounds) = lpLoop(spark, g.edges, g.pv)
       val lbl = lblCk.select("node_id", "lbl")
       val sz = lbl.groupBy("lbl").agg(count(lit(1)).as("comm_size"))
@@ -1700,7 +1824,7 @@ ORDER BY f.node_id"""
       .select(col("p").as("u"), (col("s") + Off).as("v"))
       .unionByName(base0.select((col("s") + Off).as("u"), col("p").as("v")))
       .repartition(col("v"))
-      .truncateLineage
+      .truncateLineagePartitioned
     val (labels, r1) = Dedup.componentsLoop(spark, edges0, None)
     labels.write.mode("overwrite").parquet(s"$r/labels")
     edges0.select(col("u"), col("v")).write.mode("overwrite")
@@ -1750,7 +1874,7 @@ ORDER BY f.node_id"""
     val edgesFin = spark.read.parquet(s"$stateRoot/edges")
       .unionByName(dedges.select("u", "v"))
       .repartition(col("v"))
-      .truncateLineage
+      .truncateLineagePartitioned
     val l0 = spark.read.parquet(s"$stateRoot/labels")
     // unseen endpoints (vertices the adds introduce) start as their own
     // component — the semilattice init the class comment requires
@@ -1863,7 +1987,7 @@ SELECT u AS node_id, component_id FROM comp ORDER BY node_id"""),
           .join(broadcast(dedges.select(col("u"), col("v"))),
             Seq("u", "v"), "left_anti")
           .repartition(col("v"))
-          .truncateLineage
+          .truncateLineagePartitioned
         val (lab2, r2) = Dedup.componentsLoop(spark, remEdges, None)
         mark(s"recompute:r1=$r1:r2=$r2:aff=$nAff")
         val keep = l0.join(broadcast(affected), Seq("lbl"), "left_anti")
@@ -1950,20 +2074,28 @@ SELECT u AS node_id, component_id FROM comp ORDER BY node_id"""),
     * lpLoop null guard. */
   private def bfsCkObserved(df: DataFrame): (DataFrame, Long) = {
     val name = s"bfs_act_${bfsObsId.incrementAndGet()}"
-    val obs = df
-      .withColumn("act", (col("dist") =!= col("pd")).cast("long"))
-      .observe(name, max(col("act")).as("v"))
+    // the aggregate rides .observe directly (ADVICE r20) — materializing
+    // a helper `act` column via withColumn changed the checkpointed
+    // schema, so every caller ended up releasing a PROJECTION of the
+    // checkpoint (Checkpoints.release only reclaims a LogicalRDD root:
+    // the final relaxation frame's reliable-mode files leaked) and wrote
+    // an extra O(V) long column into every per-round checkpoint
+    val actExpr = (col("dist") =!= col("pd")).cast("long")
+    val obs = df.observe(name, max(actExpr).as("v"))
     val ck = graft.Checkpoints.truncate(obs)
     val active = obs.queryExecution.observedMetrics.get(name)
       .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
-      .getOrElse(ck.agg(coalesce(max(col("act")), lit(0L))).head().getLong(0))
+      .getOrElse(ck.agg(coalesce(max(actExpr), lit(0L))).head().getLong(0))
     (ck, active)
   }
 
   private def bfsRelaxLoop(
       spark: SparkSession, g: PrGraph, init: DataFrame): (DataFrame, Long) = {
+    // the checkpointed schema IS the state schema (bfsCkObserved no longer
+    // appends a column), so the loop works on — and RETURNS — the
+    // checkpoint root itself: the caller's release reclaims it
     var (curCk, act) = bfsCkObserved(init)
-    var cur: DataFrame = curCk.select("node_id", "dist", "pd")
+    var cur: DataFrame = curCk
     var rounds = 0L
     while (act > 0L) {
       rounds += 1
@@ -1985,7 +2117,7 @@ SELECT u AS node_id, component_id FROM comp ORDER BY node_id"""),
       val (nxt, a2) = bfsCkObserved(nxt0)
       graft.Checkpoints.release(curCk)
       curCk = nxt
-      cur = nxt.select("node_id", "dist", "pd")
+      cur = nxt
       act = a2
     }
     (cur, rounds)
@@ -1993,7 +2125,9 @@ SELECT u AS node_id, component_id FROM comp ORDER BY node_id"""),
 
   private def bfsIvmBuildState(
       spark: SparkSession, base0: DataFrame)(r: String): Unit = {
-    val g1 = prGraphFromPairs(spark, base0)
+    // dstLayout=false: BFS waves aggregate frontier-sized frames — the
+    // O(E) dst layout costs more than every wave's savings combined
+    val g1 = prGraphFromPairs(spark, base0, dstLayout = false)
     val v = g1.nodes.agg(count(lit(1))).head().getLong(0)
     if (v == 0L) {
       spark.range(0).select(col("id").as("node_id"), col("id").as("dist"))
@@ -2061,9 +2195,9 @@ SELECT u AS node_id, component_id FROM comp ORDER BY node_id"""),
       val bcastV = GraphAdaptive.broadcastOk(spark, vCnt)
       val edgesFin0 = spark.read.parquet(s"$stateRoot/edges")
         .unionByName(dedges.select(col("u").as("src"), col("v").as("dst")))
-      val edgesFin = (if (bcastV) edgesFin0
-                      else edgesFin0.repartition(col("src")))
-        .truncateLineage
+      val edgesFin =
+        if (bcastV) edgesFin0.truncateLineage
+        else edgesFin0.repartition(col("src")).truncateLineagePartitioned
       // re-activate exactly the delta endpoints: pd = dist + 1 ≠ dist,
       // so their out-edges relax in round 1 and improvements ripple out
       val init = spark.read.parquet(s"$stateRoot/dist")
@@ -2147,9 +2281,10 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
   private def bfsRelaxLoopPar(
       spark: SparkSession, g: PrGraph, init: DataFrame): (DataFrame, Long) = {
     // active test observed on the checkpoint job ([[bfsCkObserved]]) —
-    // same one-action-per-round treatment as bfsRelaxLoop
+    // same one-action-per-round treatment as bfsRelaxLoop, and the same
+    // return-the-root discipline (the caller's release reclaims it)
     var (curCk, act) = bfsCkObserved(init)
-    var cur: DataFrame = curCk.select("node_id", "dist", "pd", "par")
+    var cur: DataFrame = curCk
     var rounds = 0L
     while (act > 0L) {
       rounds += 1
@@ -2175,7 +2310,7 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
       val (nxt, a2) = bfsCkObserved(nxt0)
       graft.Checkpoints.release(curCk)
       curCk = nxt
-      cur = nxt.select("node_id", "dist", "pd", "par")
+      cur = nxt
       act = a2
     }
     (cur, rounds)
@@ -2186,7 +2321,8 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
     * (node_id, dist, par), the edge set, and (r1, V, src). */
   private def bfsIvmDelBuildState(
       spark: SparkSession, base0: DataFrame)(r: String): Unit = {
-    val g1 = prGraphFromPairs(spark, base0)
+    // dstLayout=false — same frontier-sized-aggregate argument as above
+    val g1 = prGraphFromPairs(spark, base0, dstLayout = false)
     val v = g1.nodes.agg(count(lit(1))).head().getLong(0)
     if (v == 0L) {
       spark.range(0).select(col("id").as("node_id"), col("id").as("dist"),
@@ -2324,9 +2460,9 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
           val edgesFin0 = spark.read.parquet(s"$stateRoot/edges")
             .join(pickN(nDel)(dedges.select(col("u").as("src"),
               col("v").as("dst"))), Seq("src", "dst"), "left_anti")
-          val edgesFin = (if (bcastV) edgesFin0
-                          else edgesFin0.repartition(col("src")))
-            .truncateLineage
+          val edgesFin =
+            if (bcastV) edgesFin0.truncateLineage
+            else edgesFin0.repartition(col("src")).truncateLineagePartitioned
           // clean frontier: clean nodes with a surviving edge into a
           // dirty node — the only vertices that need to push in round 1
           val cfCk = graft.Checkpoints.truncate(edgesFin
@@ -2488,9 +2624,9 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
               col("v").as("dst"))), Seq("src", "dst"), "left_anti")
             .unionByName(dedgesA
               .select(col("u").as("src"), col("v").as("dst")))
-          val edgesFin = (if (bcastV) edgesFin0
-                          else edgesFin0.repartition(col("src")))
-            .truncateLineage
+          val edgesFin =
+            if (bcastV) edgesFin0.truncateLineage
+            else edgesFin0.repartition(col("src")).truncateLineagePartitioned
           val cleanFrontier = edgesFin
             .join(pickD(dirtyCk.select(col("node_id").as("dst"))),
               Seq("dst"))
@@ -2952,10 +3088,12 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
     val v = pr.select(col("u").as("n"))
       .unionByName(pr.select(col("v").as("n"))).distinct().count()
     val bcast = GraphAdaptive.broadcastOk(spark, v)
-    val dirEdges = graft.Checkpoints.truncate {
+    val dirEdges = {
       val both = pr.select(col("u").as("src"), col("v").as("dst"))
         .unionByName(pr.select(col("v").as("src"), col("u").as("dst")))
-      if (bcast) both else both.repartition(col("src"))
+      if (bcast) graft.Checkpoints.truncate(both)
+      else graft.Checkpoints.truncate(
+        both.repartition(col("src")), keepPartitioning = true)
     }
     val (lbl, r1) = lpLoop(spark, dirEdges, GraphAdaptive.pick(bcast) _, "b")
     lbl.select(col("node_id"), col("lbl"))
@@ -2963,7 +3101,7 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
     Seq(lbl, dirEdges).foreach(graft.Checkpoints.release)
     val compEdges = graft.Checkpoints.truncate(
       pr.unionByName(pr.select(col("v").as("u"), col("u").as("v")))
-        .repartition(col("v")))
+        .repartition(col("v")), keepPartitioning = true)
     val (comp, _) = Dedup.componentsLoop(spark, compEdges, None)
     comp.write.mode("overwrite").parquet(s"$r/comp")
     Seq(comp, compEdges).foreach(graft.Checkpoints.release)
@@ -3026,7 +3164,7 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
           val compEdges = graft.Checkpoints.truncate(
             finPairs.unionByName(
                 finPairs.select(col("v").as("u"), col("u").as("v")))
-              .repartition(col("v")))
+              .repartition(col("v")), keepPartitioning = true)
           val c0 = spark.read.parquet(s"$stateRoot/comp")
           val cInit = c0.unionByName(
             compEdges.select(col("u")).distinct()
@@ -3043,14 +3181,16 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
           // the affected SUBGRAPH's directed edges (components are
           // edge-closed, so a src-side semi-join captures them all)
           val bcast = GraphAdaptive.broadcastOk(spark, vCnt)
-          val affEdges = graft.Checkpoints.truncate {
+          val affEdges = {
             val both = finPairs
               .select(col("u").as("src"), col("v").as("dst"))
               .unionByName(finPairs
                 .select(col("v").as("src"), col("u").as("dst")))
               .join(broadcast(affV.select(col("node_id").as("src"))),
                 Seq("src"), "left_semi")
-            if (bcast) both else both.repartition(col("src"))
+            if (bcast) graft.Checkpoints.truncate(both)
+            else graft.Checkpoints.truncate(
+              both.repartition(col("src")), keepPartitioning = true)
           }
           val (lbl2, r2) = lpLoop(spark, affEdges,
             GraphAdaptive.pick(bcast) _, "i")

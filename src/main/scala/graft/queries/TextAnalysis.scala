@@ -1915,13 +1915,20 @@ $steps"""
 
   /** The engine-side training loop shared by q_bpe_train and the stored
     * tokenizer artifact ([[ensureBpeMerges]]): one corpus pass for word
-    * frequencies, then [[BpeMerges]] vocabulary-bounded rounds
+    * frequencies, then the vocabulary-bounded merge rounds
     * (checkpoint-truncated; fail-loud on early exhaustion). Returns the
     * ordered merge table and the FINAL vocabulary frame — the caller
-    * must `Checkpoints.release` the returned frame when done with it. */
+    * must `Checkpoints.release` the returned frame when done with it.
+    *
+    * Runs [[bpeTrainLoopBatched]] (OPTIMIZATION r20, VERDICT r19 #3):
+    * provably merge-for-merge BIT-IDENTICAL to the sequential
+    * [[bpeTrainLoopOver]] (BpeBatchSpec pins it on this corpus and on an
+    * adversarial vocabulary; SCALE.md §51 measured 1.28-1.39× at 1-4M
+    * types), at a fraction of the rounds — each round pays a full
+    * vocabulary aggregate + argmax action, so fewer rounds is the win. */
   private def bpeTrainLoop(spark: SparkSession, dir: String)
       : (Seq[(Long, String, String, Long)], DataFrame) =
-    bpeTrainLoopOver(spark,
+    bpeTrainLoopBatched(spark,
       toks(spark, dir).groupBy("w").agg(count(lit(1)).as("n_w")),
       BpeMerges)
 
