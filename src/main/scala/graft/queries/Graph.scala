@@ -2089,6 +2089,27 @@ SELECT u AS node_id, component_id FROM comp ORDER BY node_id"""),
     (ck, active)
   }
 
+  /** Checkpoint a frame and learn its ROW COUNT from the same job via
+    * .observe (OPTIMIZATION r20, guide §1.4 one-action discipline): the
+    * BFS dirty-walk loops paid a separate full count() job per wave plus
+    * one per gating decision — at bench SF the recompute phase was
+    * job-count-bound (9.2 s for 7.4 MB shuffled). count is additive, so
+    * under a reliable-mode eager checkpoint's double execution the
+    * observed value can read up to 2×: every consumer uses it only for
+    * (a) the `> 0` loop test, where 0 is exact (no rows → nothing to
+    * double), and (b) the broadcast-vs-shuffle pick, where inflation
+    * errs toward the SAFE (fallback) side. Default local mode runs the
+    * plan once, so the count is exact there. */
+  private def ckCounted(df: DataFrame): (DataFrame, Long) = {
+    val name = s"bfs_cnt_${bfsObsId.incrementAndGet()}"
+    val obs = df.observe(name, count(lit(1)).as("v"))
+    val ck = graft.Checkpoints.truncate(obs)
+    val n = obs.queryExecution.observedMetrics.get(name)
+      .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+      .getOrElse(ck.count())
+    (ck, n)
+  }
+
   private def bfsRelaxLoop(
       spark: SparkSession, g: PrGraph, init: DataFrame): (DataFrame, Long) = {
     // the checkpointed schema IS the state schema (bfsCkObserved no longer
@@ -2426,13 +2447,15 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
             GraphAdaptive.pick(GraphAdaptive.broadcastOk(spark, sz))(df)
           val nDel = dedges.count()
           val waveCks = scala.collection.mutable.ListBuffer.empty[DataFrame]
-          var frontier = graft.Checkpoints.truncate(
+          // wave counts OBSERVED on the wave's own checkpoint job
+          // (ckCounted — one job per wave, not two; the walk was
+          // job-count-bound at bench SF)
+          var (frontier, n) = ckCounted(
             st.join(pickN(nDel)(dedges),
                 col("par") === col("u") && col("node_id") === col("v"))
               .select(col("node_id")))
           waveCks += frontier
           var dirty = frontier
-          var n = frontier.count()
           var waves = 0
           while (n > 0L) {
             waves += 1
@@ -2440,21 +2463,20 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
               throw new IllegalStateException(
                 "bfsIvmDelBuild: dirty walk still growing after 100 waves " +
                   "— the parent forest has a cycle; the state is corrupt")
-            val next = graft.Checkpoints.truncate(
+            val (next, n2) = ckCounted(
               st.join(pickN(n)(frontier.select(col("node_id").as("dn"))),
                   col("par") === col("dn"))
                 .select(col("node_id")))
             waveCks += next
             frontier = next
             dirty = dirty.unionByName(next)
-            n = next.count()
+            n = n2
           }
           // distinct: a node whose own parent edge was deleted AND whose
           // ancestor is also dirty enters via the seed and via a wave —
           // duplicated dirty rows would multiply the init join below
-          val dirtyCk = graft.Checkpoints.truncate(dirty.distinct())
+          val (dirtyCk, nDirty) = ckCounted(dirty.distinct())
           waveCks.foreach(graft.Checkpoints.release)
-          val nDirty = dirtyCk.count()
           val pickD = pickN(nDirty) _
           val bcastV = GraphAdaptive.broadcastOk(spark, vCnt)
           val edgesFin0 = spark.read.parquet(s"$stateRoot/edges")
@@ -2465,12 +2487,11 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
             else edgesFin0.repartition(col("src")).truncateLineagePartitioned
           // clean frontier: clean nodes with a surviving edge into a
           // dirty node — the only vertices that need to push in round 1
-          val cfCk = graft.Checkpoints.truncate(edgesFin
+          val (cfCk, nCf) = ckCounted(edgesFin
             .join(pickD(dirtyCk.select(col("node_id").as("dst"))),
               Seq("dst"))
             .select(col("src").as("node_id")).distinct()
             .join(pickD(dirtyCk), Seq("node_id"), "left_anti"))
-          val nCf = cfCk.count()
           val init = st
             .join(pickD(dirtyCk.withColumn("isd", lit(true))),
               Seq("node_id"), "left")
@@ -2591,13 +2612,14 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
             GraphAdaptive.pick(GraphAdaptive.broadcastOk(spark, sz))(df)
           val nDelE = dedgesD.count()
           val waveCks = scala.collection.mutable.ListBuffer.empty[DataFrame]
-          var frontier = graft.Checkpoints.truncate(
+          // wave counts observed on the wave's own checkpoint job
+          // (ckCounted, as in bfsIvmDelBuild)
+          var (frontier, n) = ckCounted(
             st.join(pickN(nDelE)(dedgesD),
                 col("par") === col("u") && col("node_id") === col("v"))
               .select(col("node_id")))
           waveCks += frontier
           var dirty = frontier
-          var n = frontier.count()
           var waves = 0
           while (n > 0L) {
             waves += 1
@@ -2605,18 +2627,17 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
               throw new IllegalStateException(
                 "bfsIvmMixedBuild: dirty walk still growing after 100 " +
                   "waves — the parent forest has a cycle; the state is corrupt")
-            val next = graft.Checkpoints.truncate(
+            val (next, n2) = ckCounted(
               st.join(pickN(n)(frontier.select(col("node_id").as("dn"))),
                   col("par") === col("dn"))
                 .select(col("node_id")))
             waveCks += next
             frontier = next
             dirty = dirty.unionByName(next)
-            n = next.count()
+            n = n2
           }
-          val dirtyCk = graft.Checkpoints.truncate(dirty.distinct())
+          val (dirtyCk, nDirty) = ckCounted(dirty.distinct())
           waveCks.foreach(graft.Checkpoints.release)
-          val nDirty = dirtyCk.count()
           val pickD = pickN(nDirty) _
           val bcastV = GraphAdaptive.broadcastOk(spark, vCnt)
           val edgesFin0 = spark.read.parquet(s"$stateRoot/edges")
@@ -2633,12 +2654,26 @@ FROM it GROUP BY node_id ORDER BY hop, node_id"""),
             .select(col("src").as("node_id")).distinct()
             .join(pickD(dirtyCk), Seq("node_id"), "left_anti")
           // activation = clean frontier ∪ add endpoints (both roles —
-          // the directed frame carries each endpoint as a src)
+          // the directed frame carries each endpoint as a src). Both the
+          // activation count (gating) and the add-endpoint count (mark
+          // telemetry) ride ONE checkpoint job: the addV leg carries its
+          // own observe, and both metrics are read from the EXECUTED
+          // frame's QueryExecution (a child frame's own QE never runs,
+          // so reading the metric off addV would yield 0).
+          val addVName = s"bfs_addv_${bfsObsId.incrementAndGet()}"
+          val actName = s"bfs_act_ct_${bfsObsId.incrementAndGet()}"
           val addV = dedgesA.select(col("u").as("node_id")).distinct()
-          val nAddV = addV.count()
-          val actCk = graft.Checkpoints.truncate(
-            cleanFrontier.unionByName(addV).distinct())
-          val nAct = actCk.count()
+            .observe(addVName, count(lit(1)).as("v"))
+          val actObs = cleanFrontier.unionByName(addV).distinct()
+            .observe(actName, count(lit(1)).as("v"))
+          val actCk = graft.Checkpoints.truncate(actObs)
+          def obsCount(name: String, fallback: => Long): Long =
+            actObs.queryExecution.observedMetrics.get(name)
+              .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+              .getOrElse(fallback)
+          val nAct = obsCount(actName, actCk.count())
+          val nAddV = obsCount(addVName,
+            dedgesA.select(col("u")).distinct().count())
           val init = st
             .join(pickD(dirtyCk.withColumn("isd", lit(true))),
               Seq("node_id"), "left")
